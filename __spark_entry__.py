@@ -3,36 +3,56 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Engine code lives in ``nyc_taxi_data_warehouse_spark/``; this file only
+wires the registry together.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (mart_trips_weather, J1+A2) on /root/testdata/sf0.001."""
+    from nyc_taxi_data_warehouse_spark.queries_nyc import q_trips_weather
+
+    return q_trips_weather(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ the
+    training-data-pipeline wave). Each callable: (spark, sf_dir) → DataFrame."""
+    from nyc_taxi_data_warehouse_spark.queries_nyc import QUERIES as NYC
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(NYC)
+    try:
+        from nyc_taxi_data_warehouse_spark.queries_data import QUERIES as DATA
+
+        out.update(DATA)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twin for each query (tables pre-registered as views)."""
+    from nyc_taxi_data_warehouse_spark.queries_nyc import ORACLES as NYC
+
+    out: dict[str, str] = {}
+    out.update(NYC)
+    try:
+        from nyc_taxi_data_warehouse_spark.queries_data import ORACLES as DATA
+
+        out.update(DATA)
+    except ImportError:
+        pass
+    return out

@@ -1,0 +1,113 @@
+"""Text-analysis expressions for the training-data pipeline wave.
+
+All pure Column expressions (JVM-side, codegen-friendly): tokenization,
+shingling, quality metrics, language-ID heuristic, fingerprinting. No Python
+UDFs — at 100 TB the hot path must stay inside Tungsten.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "que", "en", "un"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ein"],
+}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens, empty strings removed."""
+    return F.filter(F.split(_col(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def word_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def distinct_word_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text))).cast("long")
+
+
+def char_count(text: Column | str) -> Column:
+    return F.length(_col(text)).cast("long")
+
+
+def token_estimate(text: Column | str) -> Column:
+    """BPE-ish token-count estimate: ceil(chars / 4) — the standard
+    chars-per-token heuristic for English-like text."""
+    return F.ceil(F.length(_col(text)) / F.lit(4.0)).cast("long")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    t = _col(text)
+    stripped = F.regexp_replace(t, r"[A-Za-z0-9\s]", "")
+    return (F.length(stripped) / F.greatest(F.length(t), F.lit(1))).cast("double")
+
+
+def stopword_hits(text: Column | str, lang: str = "en") -> Column:
+    """Count of tokens that are stopwords of `lang`."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t))).cast("long")
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    return (
+        stopword_hits(text, lang) / F.greatest(word_count(text), F.lit(1))
+    ).cast("double")
+
+
+def type_token_ratio(text: Column | str) -> Column:
+    """Lexical diversity: distinct words / words."""
+    return (
+        distinct_word_count(text) / F.greatest(word_count(text), F.lit(1))
+    ).cast("double")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document-quality score in [0,1]: rewards mid-length docs,
+    lexical diversity, and low punctuation noise. Deterministic expression —
+    mirrored 1:1 in the DuckDB oracle."""
+    wc = word_count(text)
+    length_term = F.least(wc / F.lit(50.0), F.lit(1.0))
+    diversity_term = type_token_ratio(text)
+    noise_term = F.lit(1.0) - F.least(punct_ratio(text) * F.lit(4.0), F.lit(1.0))
+    return ((length_term + diversity_term + noise_term) / F.lit(3.0)).cast("double")
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Stopword-vote language heuristic: argmax of per-language stopword hits,
+    'und' (undetermined) when no stopwords hit. Deterministic tie-break:
+    language order en < es < fr < de (first wins)."""
+    t = _col(text)
+    hits = {lang: stopword_hits(t, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # build reverse order so earlier languages win ties
+    for lang in reversed(list(STOPWORDS)):
+        expr = F.when((best > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (positional n-grams)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(-1)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + F.lit(k + 1)).cast("int")) for k in range(n)]),
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set — robust to token reordering, standard near-dup prefilter."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))

@@ -1,0 +1,57 @@
+"""Dedup-upsert and backfill operators.
+
+Reference semantics: the hourly ingest MERGEs staged rows into the fact table
+on a 6-column natural key, insert-only (`dags/etl_spark_historical.py:349-380`
+— `WHEN NOT MATCHED THEN INSERT`); the weather backfill finds missing hours
+with a LEFT JOIN … IS NULL anti-join (`dags/weather_historical_backfill.py:135-152`).
+
+Spark-first design: insert-only MERGE ≡ `staging LEFT ANTI target` + union —
+no Delta dependency, and at scale the anti-join shuffles only the key columns
+(project-before-join) while AQE picks broadcast when the staged batch is
+small (the common hourly-ingest case).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_insert_only(
+    target: DataFrame, staging: DataFrame, key: Sequence[str]
+) -> DataFrame:
+    """Rows of target plus staged rows whose natural key is absent from target.
+
+    Equality on the key follows SQL MERGE semantics (NULL keys never match,
+    like the reference's Snowflake MERGE). Float key columns compare exactly —
+    matching the reference, which MERGEs on FLOAT cols as-is.
+    """
+    new_rows = staging.join(
+        target.select(*key).distinct(), on=list(key), how="left_anti"
+    )
+    return target.unionByName(new_rows)
+
+
+def dedup_exact(df: DataFrame, key: Sequence[str], order_by: Sequence[str]) -> DataFrame:
+    """Keep one row per natural key — deterministic first row by `order_by`.
+    Hash-shuffle on the key; no global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key).orderBy(*[F.col(c).asc() for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def missing_keys(universe: DataFrame, present: DataFrame, key: Sequence[str]) -> DataFrame:
+    """Backfill gap list: distinct keys in `universe` absent from `present`
+    (the J4 anti-join)."""
+    return (
+        universe.select(*key)
+        .distinct()
+        .join(present.select(*key).distinct(), on=list(key), how="left_anti")
+    )

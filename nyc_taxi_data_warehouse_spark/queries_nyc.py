@@ -1,0 +1,650 @@
+"""NYC-domain query registry: SURVEY §2 operators as (spark_fn, oracle_sql)
+pairs over the driver testdata.
+
+Every query rounds float *aggregates* (round 4; sums round 2) in BOTH the
+Spark plan and the DuckDB oracle — per-row double arithmetic is bit-exact
+across engines, but aggregation order is not; rounding absorbs the ~1e-12
+summation-order noise. Ints/strings/timestamps are compared exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .plans import features, intermediate, marts, nyc_views, staging
+from .plans.features import (
+    SQL_DAILY_WEATHER_FORECAST,
+    SQL_FARE_DAILY_FEATURES,
+    SQL_ZONE_DEMAND,
+)
+from .plans.intermediate import SQL_INT_TRIPS_ENRICHED, SQL_INT_WEATHER_HOURLY
+from .plans.marts import (
+    SQL_MART_DAILY_METRICS,
+    SQL_MART_TRIPS_WEATHER,
+    SQL_MART_ZONE_ANALYSIS,
+)
+from .plans.nyc_views import SQL_TRIPS, SQL_WEATHER, SQL_ZONES
+from .plans.staging import SQL_STG_TRIPS, SQL_STG_WEATHER
+
+
+def _with(*fragments: str, select: str) -> str:
+    return "WITH " + ",\n".join(f.strip() for f in fragments) + "\n" + select
+
+
+def _rnd(c, n: int):
+    """Epsilon-shifted rounding, mirrored as `round(1e-9 + x, n)` in every
+    oracle: aggregate values on a decimal lattice (the testdata has 2-decimal
+    inputs) frequently land *exactly* on round-half boundaries, where the two
+    engines' ~1e-14 summation-order difference flips the digit. Shifting by
+    1e-9 moves the boundary off the lattice; both engines then agree."""
+    return F.round(c + F.lit(1e-9), n)
+
+
+def _r4(c: str) -> F.Column:
+    return _rnd(F.col(c), 4).alias(c)
+
+
+def _r2(c: str) -> F.Column:
+    return _rnd(F.col(c), 2).alias(c)
+
+
+# --- building blocks -------------------------------------------------------
+
+def _trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = nyc_views.load_tables(spark, sf_dir)
+    return nyc_views.trips_from_events(t["events"])
+
+
+def _weather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = nyc_views.load_tables(spark, sf_dir)
+    return nyc_views.weather_from_events(t["events"])
+
+
+def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return intermediate.int_trips_enriched(staging.stg_taxi_trips(_trips(spark, sf_dir)))
+
+
+def _weather_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return intermediate.int_weather_hourly(staging.stg_weather(_weather(spark, sf_dir)))
+
+
+def _fdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = marts.mart_daily_metrics(
+        _enriched(spark, sf_dir), _weather_hourly(spark, sf_dir)
+    )
+    forecast = features.daily_weather_forecast(_weather(spark, sf_dir))
+    return features.fare_daily_features(daily, forecast)
+
+
+_FDF_ROUNDED = [
+    "trip_date",
+    _r4("avg_fare"),
+    "trip_count",
+    _r4("avg_distance"),
+    "weekend_trip_count",
+    "weekday_trip_count",
+    _r4("avg_daily_temperature"),
+    _r4("avg_daily_humidity"),
+    "is_precip_day",
+    _r4("avg_fare_lag1"),
+    _r4("avg_fare_lag7"),
+    _r4("avg_fare_ma7"),
+]
+
+_SQL_FDF_ROUNDED = """
+SELECT trip_date, round(1e-9 + avg_fare, 4) AS avg_fare, trip_count,
+       round(1e-9 + avg_distance, 4) AS avg_distance,
+       weekend_trip_count, weekday_trip_count,
+       round(1e-9 + avg_daily_temperature, 4) AS avg_daily_temperature,
+       round(1e-9 + avg_daily_humidity, 4) AS avg_daily_humidity,
+       is_precip_day,
+       round(1e-9 + avg_fare_lag1, 4) AS avg_fare_lag1,
+       round(1e-9 + avg_fare_lag7, 4) AS avg_fare_lag7,
+       round(1e-9 + avg_fare_ma7, 4) AS avg_fare_ma7
+FROM fare_daily_features
+"""
+
+_SQL_FDF_BLOCKS = (
+    SQL_TRIPS,
+    SQL_WEATHER,
+    SQL_STG_TRIPS,
+    SQL_STG_WEATHER,
+    SQL_INT_TRIPS_ENRICHED,
+    SQL_INT_WEATHER_HOURLY,
+    SQL_MART_DAILY_METRICS,
+    SQL_DAILY_WEATHER_FORECAST,
+    SQL_FARE_DAILY_FEATURES,
+)
+
+
+# --- queries ---------------------------------------------------------------
+
+def q_stg_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: staging quality predicate (6 conjuncts + inter-column theta)."""
+    return staging.stg_taxi_trips(_trips(spark, sf_dir))
+
+
+def q_stg_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: weather staging rename+filter."""
+    return staging.stg_weather(_weather(spark, sf_dir))
+
+
+def q_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1-E10: the Snowflake-compat expression layer, one row per trip."""
+    return _enriched(spark, sf_dir)
+
+
+def q_weather_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: hourly multi-observation rollup with deterministic argmax."""
+    return _weather_hourly(spark, sf_dir).select(
+        "observation_hour",
+        "city",
+        _r4("avg_temperature_fahrenheit"),
+        "min_temperature_fahrenheit",
+        "max_temperature_fahrenheit",
+        _r4("avg_humidity_percent"),
+        "weather_description",
+        "observation_count",
+        "latest_observation_at",
+    )
+
+
+def q_trips_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+A2 flagship: hourly trips × weather, LEFT join w/ LIKE residual."""
+    m = marts.mart_trips_weather(_enriched(spark, sf_dir), _weather_hourly(spark, sf_dir))
+    return m.select(
+        "hour_ts",
+        _r4("avg_temperature_fahrenheit"),
+        _r4("avg_humidity_percent"),
+        "weather_description",
+        "hour_of_day",
+        "day_of_week",
+        "day_name",
+        "is_weekend",
+        "trip_count",
+        _r4("avg_trip_distance"),
+        _r4("avg_total_amount"),
+        _r4("avg_trip_duration_minutes"),
+        _r4("avg_speed_mph"),
+    )
+
+
+def q_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+A3+A4: daily trip metrics × daily NYC weather."""
+    m = marts.mart_daily_metrics(_enriched(spark, sf_dir), _weather_hourly(spark, sf_dir))
+    return m.select(
+        "trip_date",
+        "trip_count",
+        _r2("total_revenue"),
+        _r4("avg_fare"),
+        _r4("avg_distance"),
+        _r4("avg_duration_minutes"),
+        _r4("avg_passenger_count"),
+        "weekend_trip_count",
+        "weekday_trip_count",
+        _r4("avg_daily_temperature"),
+        "min_daily_temperature",
+        "max_daily_temperature",
+        _r4("avg_daily_humidity"),
+    )
+
+
+def q_zone_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: OD zone-pair mart w/ deterministic peak-hour mode + HAVING."""
+    m = marts.mart_zone_analysis(_enriched(spark, sf_dir))
+    return m.select(
+        "pickup_zone_id",
+        "dropoff_zone_id",
+        "trip_count",
+        _r4("avg_trip_distance"),
+        _r4("avg_total_amount"),
+        _r4("avg_trip_duration_minutes"),
+        _r4("avg_passenger_count"),
+        "weekend_trip_count",
+        "weekday_trip_count",
+        "peak_hour",
+    )
+
+
+def q_zone_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-zone daily demand rollup."""
+    z = features.zone_demand(staging.stg_taxi_trips(_trips(spark, sf_dir)))
+    return z.select(
+        "pickup_zone_id", "trip_date", "trip_count", _r4("avg_distance"), _r4("avg_amount")
+    )
+
+
+def q_zone_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: broadcast LEFT join to the zone-lookup dimension, borough rollup
+    (unmatched zones land in the NULL-borough bucket)."""
+    t = staging.stg_taxi_trips(_trips(spark, sf_dir))
+    z = nyc_views.zones_dim(spark)
+    joined = t.join(
+        F.broadcast(z), t.pickup_zone_id == z.location_id, "left"
+    )
+    return joined.groupBy("borough").agg(
+        F.count(F.lit(1)).alias("trip_count"),
+        _rnd(F.avg("total_amount"), 4).alias("avg_amount"),
+    )
+
+
+def q_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: hours with trips but no 'NEW YORK' weather observation (backfill
+    gap list; city-filtered so gaps exist at every scale factor)."""
+    t = staging.stg_taxi_trips(_trips(spark, sf_dir))
+    w = staging.stg_weather(_weather(spark, sf_dir)).where(F.col("city") == "NEW YORK")
+    trip_hours = t.select(F.date_trunc("hour", "pickup_datetime").alias("hour_ts")).distinct()
+    weather_hours = w.select(F.date_trunc("hour", "observed_at").alias("hour_ts")).distinct()
+    return trip_hours.join(weather_hours, "hour_ts", "left_anti")
+
+
+def q_distinct_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: SELECT DISTINCT date_trunc('hour', …)."""
+    w = staging.stg_weather(_weather(spark, sf_dir))
+    return w.select(F.date_trunc("hour", "observed_at").alias("hour_ts")).distinct()
+
+
+def q_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: min/max scan over pickup timestamps."""
+    t = staging.stg_taxi_trips(_trips(spark, sf_dir))
+    return t.agg(
+        F.min("pickup_datetime").alias("min_pickup"),
+        F.max("pickup_datetime").alias("max_pickup"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_precip_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: daily forecast rollup with precip-day flag."""
+    d = features.daily_weather_forecast(_weather(spark, sf_dir))
+    return d.select(
+        "forecast_date", _r4("avg_temperature"), _r4("avg_humidity"), "is_precip_day"
+    )
+
+
+def q_fare_daily_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W2: the reconstructed FARE_DAILY_FEATURES table (lags + MA7)."""
+    return _fdf(spark, sf_dir).select(*_FDF_ROUNDED)
+
+
+def q_lag_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 isolated: daily value series with lag1/lag7/ma7 over events."""
+    from pyspark.sql import Window
+
+    t = nyc_views.load_tables(spark, sf_dir)
+    daily = t["events"].groupBy(F.to_date("ts").alias("d")).agg(
+        F.avg("value").alias("v")
+    )
+    w = Window.orderBy("d")
+    return daily.select(
+        "d",
+        _r4("v"),
+        _rnd(F.lag("v", 1).over(w), 4).alias("v_lag1"),
+        _rnd(F.lag("v", 7).over(w), 4).alias("v_lag7"),
+        _rnd(F.avg("v").over(w.rowsBetween(-6, 0)), 4).alias("v_ma7"),
+    )
+
+
+def q_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/O2: latest feature row (ORDER BY trip_date DESC LIMIT 1)."""
+    return _fdf(spark, sf_dir).orderBy(F.desc("trip_date")).limit(1).select(*_FDF_ROUNDED)
+
+
+def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11+W5: hindcast eval over the trailing 7-day window — MAE and MAPE of
+    the MA7 'prediction' vs actual avg_fare."""
+    f = _fdf(spark, sf_dir)
+    max_d = f.agg(F.max("trip_date").alias("max_d"))
+    win = f.join(F.broadcast(max_d)).where(
+        F.col("trip_date") > F.date_sub(F.col("max_d"), 7)
+    )
+    err = win.select(
+        (F.col("avg_fare") - F.col("avg_fare_ma7")).alias("err"),
+        F.col("avg_fare").alias("actual"),
+    )
+    return err.agg(
+        _rnd(F.avg(F.abs(F.col("err"))), 4).alias("mae"),
+        _rnd(F.avg(F.abs(F.col("err") / F.col("actual"))), 4).alias("mape"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+def q_union_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: per-day eval rows UNION ALL a NULL-dated summary row (MAE/MAPE)."""
+    f = _fdf(spark, sf_dir)
+    max_d = f.agg(F.max("trip_date").alias("max_d"))
+    win = f.join(F.broadcast(max_d)).where(
+        F.col("trip_date") > F.date_sub(F.col("max_d"), 7)
+    )
+    rows = win.select(
+        F.col("trip_date").alias("eval_date"),
+        F.lit("day").alias("row_type"),
+        _rnd(F.abs(F.col("avg_fare") - F.col("avg_fare_ma7")), 4).alias("abs_error"),
+        _rnd(
+            F.abs((F.col("avg_fare") - F.col("avg_fare_ma7")) / F.col("avg_fare")), 4
+        ).alias("abs_pct_error"),
+    )
+    summary = win.agg(
+        F.lit(None).cast("date").alias("eval_date"),
+        F.lit("summary").alias("row_type"),
+        _rnd(F.avg(F.abs(F.col("avg_fare") - F.col("avg_fare_ma7"))), 4).alias(
+            "abs_error"
+        ),
+        _rnd(
+            F.avg(F.abs((F.col("avg_fare") - F.col("avg_fare_ma7")) / F.col("avg_fare"))),
+            4,
+        ).alias("abs_pct_error"),
+    )
+    return rows.unionByName(summary)
+
+
+def q_merge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/J5: insert-only MERGE on a 6-col natural key, expressed as
+    target ∪ (staging LEFT ANTI target); verified via per-flag rollup."""
+    from .operators.merge import merge_insert_only
+
+    t = nyc_views.load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    target = li.where(F.col("l_linenumber") <= 4)
+    staging_df = li.where(F.col("l_linenumber") >= 4)
+    key = [
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+    ]
+    merged = merge_insert_only(target, staging_df, key)
+    return merged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("row_count"),
+        _rnd(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P3: select/rename/cast projection with positive-value filters."""
+    t = nyc_views.load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    return li.where((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)).select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").cast("int").alias("line_number"),
+        F.floor("l_quantity").cast("int").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_returnflag").alias("return_flag"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13: VARIANT-style JSON field access over the raw payload column."""
+    w = _weather(spark, sf_dir)
+    return w.select(
+        "obs_id",
+        F.get_json_object("raw_json", "$.k").cast("int").alias("k_value"),
+    )
+
+
+def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15: dbt_utils-style md5 surrogate key over (city, observed_at).
+    Timestamp rendered with an explicit format — engines' default
+    timestamp→string casts differ."""
+    from .functions.compat import surrogate_key
+
+    w = _weather(spark, sf_dir)
+    return w.select(
+        "obs_id",
+        surrogate_key(
+            F.col("city"), F.date_format("observed_at", "yyyy-MM-dd HH:mm:ss")
+        ).alias("weather_key"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_stg_trips": q_stg_trips,
+    "q_stg_weather": q_stg_weather,
+    "q_enrich": q_enrich,
+    "q_weather_hourly": q_weather_hourly,
+    "q_trips_weather": q_trips_weather,
+    "q_daily": q_daily,
+    "q_zone_analysis": q_zone_analysis,
+    "q_zone_demand": q_zone_demand,
+    "q_zone_dim": q_zone_dim,
+    "q_antijoin": q_antijoin,
+    "q_distinct_hours": q_distinct_hours,
+    "q_minmax": q_minmax,
+    "q_precip_day": q_precip_day,
+    "q_fare_daily_features": q_fare_daily_features,
+    "q_lag_ma": q_lag_ma,
+    "q_top1": q_top1,
+    "q_eval_metrics": q_eval_metrics,
+    "q_union_summary": q_union_summary,
+    "q_merge_dedup": q_merge_dedup,
+    "q_project": q_project,
+    "q_json_extract": q_json_extract,
+    "q_surrogate_key": q_surrogate_key,
+}
+
+
+ORACLES: dict[str, str] = {
+    "q_stg_trips": _with(SQL_TRIPS, SQL_STG_TRIPS, select="SELECT * FROM stg_trips"),
+    "q_stg_weather": _with(
+        SQL_WEATHER, SQL_STG_WEATHER, select="SELECT * FROM stg_weather"
+    ),
+    "q_enrich": _with(
+        SQL_TRIPS, SQL_STG_TRIPS, SQL_INT_TRIPS_ENRICHED,
+        select="SELECT * FROM enriched",
+    ),
+    "q_weather_hourly": _with(
+        SQL_WEATHER,
+        SQL_STG_WEATHER,
+        SQL_INT_WEATHER_HOURLY,
+        select="""
+SELECT observation_hour, city,
+       round(1e-9 + avg_temperature_fahrenheit, 4) AS avg_temperature_fahrenheit,
+       min_temperature_fahrenheit, max_temperature_fahrenheit,
+       round(1e-9 + avg_humidity_percent, 4) AS avg_humidity_percent,
+       weather_description, observation_count, latest_observation_at
+FROM weather_hourly""",
+    ),
+    "q_trips_weather": _with(
+        SQL_TRIPS,
+        SQL_WEATHER,
+        SQL_STG_TRIPS,
+        SQL_STG_WEATHER,
+        SQL_INT_TRIPS_ENRICHED,
+        SQL_INT_WEATHER_HOURLY,
+        SQL_MART_TRIPS_WEATHER,
+        select="""
+SELECT hour_ts,
+       round(1e-9 + avg_temperature_fahrenheit, 4) AS avg_temperature_fahrenheit,
+       round(1e-9 + avg_humidity_percent, 4) AS avg_humidity_percent,
+       weather_description, hour_of_day, day_of_week, day_name, is_weekend,
+       trip_count,
+       round(1e-9 + avg_trip_distance, 4) AS avg_trip_distance,
+       round(1e-9 + avg_total_amount, 4) AS avg_total_amount,
+       round(1e-9 + avg_trip_duration_minutes, 4) AS avg_trip_duration_minutes,
+       round(1e-9 + avg_speed_mph, 4) AS avg_speed_mph
+FROM mart_trips_weather""",
+    ),
+    "q_daily": _with(
+        SQL_TRIPS,
+        SQL_WEATHER,
+        SQL_STG_TRIPS,
+        SQL_STG_WEATHER,
+        SQL_INT_TRIPS_ENRICHED,
+        SQL_INT_WEATHER_HOURLY,
+        SQL_MART_DAILY_METRICS,
+        select="""
+SELECT trip_date, trip_count,
+       round(1e-9 + total_revenue, 2) AS total_revenue,
+       round(1e-9 + avg_fare, 4) AS avg_fare,
+       round(1e-9 + avg_distance, 4) AS avg_distance,
+       round(1e-9 + avg_duration_minutes, 4) AS avg_duration_minutes,
+       round(1e-9 + avg_passenger_count, 4) AS avg_passenger_count,
+       weekend_trip_count, weekday_trip_count,
+       round(1e-9 + avg_daily_temperature, 4) AS avg_daily_temperature,
+       min_daily_temperature, max_daily_temperature,
+       round(1e-9 + avg_daily_humidity, 4) AS avg_daily_humidity
+FROM mart_daily_metrics""",
+    ),
+    "q_zone_analysis": _with(
+        SQL_TRIPS,
+        SQL_STG_TRIPS,
+        SQL_INT_TRIPS_ENRICHED,
+        SQL_MART_ZONE_ANALYSIS,
+        select="""
+SELECT pickup_zone_id, dropoff_zone_id, trip_count,
+       round(1e-9 + avg_trip_distance, 4) AS avg_trip_distance,
+       round(1e-9 + avg_total_amount, 4) AS avg_total_amount,
+       round(1e-9 + avg_trip_duration_minutes, 4) AS avg_trip_duration_minutes,
+       round(1e-9 + avg_passenger_count, 4) AS avg_passenger_count,
+       weekend_trip_count, weekday_trip_count, peak_hour
+FROM mart_zone_analysis""",
+    ),
+    "q_zone_demand": _with(
+        SQL_TRIPS,
+        SQL_STG_TRIPS,
+        SQL_ZONE_DEMAND,
+        select="""
+SELECT pickup_zone_id, trip_date, trip_count,
+       round(1e-9 + avg_distance, 4) AS avg_distance,
+       round(1e-9 + avg_amount, 4) AS avg_amount
+FROM zone_demand""",
+    ),
+    "q_zone_dim": _with(
+        SQL_TRIPS,
+        SQL_STG_TRIPS,
+        SQL_ZONES,
+        select="""
+SELECT z.borough, count(*) AS trip_count,
+       round(1e-9 + avg(t.total_amount), 4) AS avg_amount
+FROM stg_trips t
+LEFT JOIN zones z ON t.pickup_zone_id = z.location_id
+GROUP BY 1""",
+    ),
+    "q_antijoin": _with(
+        SQL_TRIPS,
+        SQL_WEATHER,
+        SQL_STG_TRIPS,
+        SQL_STG_WEATHER,
+        select="""
+SELECT th.hour_ts
+FROM (SELECT DISTINCT date_trunc('hour', pickup_datetime) AS hour_ts FROM stg_trips) th
+LEFT JOIN (SELECT DISTINCT date_trunc('hour', observed_at) AS hour_ts
+           FROM stg_weather WHERE city = 'NEW YORK') wh
+  ON th.hour_ts = wh.hour_ts
+WHERE wh.hour_ts IS NULL""",
+    ),
+    "q_distinct_hours": _with(
+        SQL_WEATHER,
+        SQL_STG_WEATHER,
+        select="SELECT DISTINCT date_trunc('hour', observed_at) AS hour_ts FROM stg_weather",
+    ),
+    "q_minmax": _with(
+        SQL_TRIPS,
+        SQL_STG_TRIPS,
+        select="""
+SELECT min(pickup_datetime) AS min_pickup, max(pickup_datetime) AS max_pickup,
+       count(*) AS n_rows
+FROM stg_trips""",
+    ),
+    "q_precip_day": _with(
+        SQL_WEATHER,
+        SQL_DAILY_WEATHER_FORECAST,
+        select="""
+SELECT forecast_date,
+       round(1e-9 + avg_temperature, 4) AS avg_temperature,
+       round(1e-9 + avg_humidity, 4) AS avg_humidity,
+       is_precip_day
+FROM daily_forecast""",
+    ),
+    "q_fare_daily_features": _with(*_SQL_FDF_BLOCKS, select=_SQL_FDF_ROUNDED),
+    "q_lag_ma": """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, avg(value) AS v FROM events GROUP BY 1
+)
+SELECT d, round(1e-9 + v, 4) AS v,
+       round(1e-9 + lag(v, 1) OVER (ORDER BY d), 4) AS v_lag1,
+       round(1e-9 + lag(v, 7) OVER (ORDER BY d), 4) AS v_lag7,
+       round(1e-9 + avg(v) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS v_ma7
+FROM daily""",
+    "q_top1": _with(
+        *_SQL_FDF_BLOCKS,
+        select=_SQL_FDF_ROUNDED + " ORDER BY trip_date DESC LIMIT 1",
+    ),
+    "q_eval_metrics": _with(
+        *_SQL_FDF_BLOCKS,
+        select="""
+SELECT round(1e-9 + avg(abs(avg_fare - avg_fare_ma7)), 4) AS mae,
+       round(1e-9 + avg(abs((avg_fare - avg_fare_ma7) / avg_fare)), 4) AS mape,
+       count(*) AS n_days
+FROM fare_daily_features
+WHERE trip_date > (SELECT max(trip_date) - 7 FROM fare_daily_features)""",
+    ),
+    "q_union_summary": _with(
+        *_SQL_FDF_BLOCKS,
+        select="""
+SELECT eval_date, row_type, abs_error, abs_pct_error FROM (
+    SELECT trip_date AS eval_date, 'day' AS row_type,
+           round(1e-9 + abs(avg_fare - avg_fare_ma7), 4) AS abs_error,
+           round(1e-9 + abs((avg_fare - avg_fare_ma7) / avg_fare), 4) AS abs_pct_error
+    FROM fare_daily_features
+    WHERE trip_date > (SELECT max(trip_date) - 7 FROM fare_daily_features)
+    UNION ALL
+    SELECT NULL AS eval_date, 'summary' AS row_type,
+           round(1e-9 + avg(abs(avg_fare - avg_fare_ma7)), 4) AS abs_error,
+           round(1e-9 + avg(abs((avg_fare - avg_fare_ma7) / avg_fare)), 4) AS abs_pct_error
+    FROM fare_daily_features
+    WHERE trip_date > (SELECT max(trip_date) - 7 FROM fare_daily_features)
+)""",
+    ),
+    "q_merge_dedup": """
+WITH target AS (
+    SELECT * FROM lineitem WHERE l_linenumber <= 4
+),
+staging AS (
+    SELECT * FROM lineitem WHERE l_linenumber >= 4
+),
+merged AS (
+    SELECT * FROM target
+    UNION ALL
+    SELECT s.* FROM staging s
+    WHERE NOT EXISTS (
+        SELECT 1 FROM target t
+        WHERE t.l_orderkey = s.l_orderkey AND t.l_partkey = s.l_partkey
+          AND t.l_suppkey = s.l_suppkey AND t.l_linenumber = s.l_linenumber
+          AND t.l_quantity = s.l_quantity AND t.l_extendedprice = s.l_extendedprice
+    )
+)
+SELECT l_returnflag, count(*) AS row_count,
+       round(1e-9 + sum(l_extendedprice), 2) AS sum_price
+FROM merged GROUP BY 1""",
+    "q_project": """
+SELECT l_orderkey AS order_key,
+       CAST(l_linenumber AS INTEGER) AS line_number,
+       CAST(floor(l_quantity) AS INTEGER) AS quantity,
+       CAST(l_extendedprice AS DOUBLE) AS price,
+       l_returnflag AS return_flag,
+       CAST(l_shipdate AS DATE) AS ship_date
+FROM lineitem
+WHERE l_quantity > 0 AND l_extendedprice > 0""",
+    "q_json_extract": _with(
+        SQL_WEATHER,
+        select="""
+SELECT obs_id, CAST(json_extract_string(raw_json, '$.k') AS INTEGER) AS k_value
+FROM weather""",
+    ),
+    "q_surrogate_key": _with(
+        SQL_WEATHER,
+        select="""
+SELECT obs_id,
+       md5(concat_ws('-',
+           coalesce(CAST(city AS VARCHAR), ''),
+           coalesce(strftime(observed_at, '%Y-%m-%d %H:%M:%S'), ''))) AS weather_key
+FROM weather""",
+    ),
+}

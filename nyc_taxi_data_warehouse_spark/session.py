@@ -1,0 +1,73 @@
+"""SparkSession factory.
+
+Reference builds an ad-hoc ``local[*]`` session per Airflow task
+(``dags/etl_spark_historical.py:170-175``). Here one factory owns every
+scale-relevant knob so plans behave the same from pytest to a real cluster:
+
+- UTC session timezone — the reference stores TIMESTAMP_NTZ everywhere
+  (naive timestamps); UTC makes Spark's timestamp arithmetic match the
+  naive semantics of the DuckDB oracle and of Snowflake NTZ.
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting) —
+  at 100 TB the static shuffle-partition count is always wrong; AQE
+  re-plans from runtime statistics.
+- Arrow enabled — every Python-boundary crossing (pandas UDFs,
+  ``toPandas``) is Arrow-batched, never row-at-a-time pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "nyc-taxi-dw-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    return builder.getOrCreate()
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to an externally-created session.
+
+    The correctness driver hands us its own SparkSession; timestamp
+    semantics (naive/UTC) and AQE must hold there too. Only
+    runtime-mutable keys belong here.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's reader
+    # rejects; read as long (ns) and convert in load_tables.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(DEFAULT_SHUFFLE_PARTITIONS)),
+        )
+    except Exception:
+        pass  # not runtime-settable on some builds; AQE coalescing covers it
+    return spark
