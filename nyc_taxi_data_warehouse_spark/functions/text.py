@@ -98,12 +98,17 @@ def lang_guess(text: Column | str) -> Column:
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (positional n-grams)."""
+    """Word n-gram shingles as an array<string> (positional n-grams).
+    Empty array when the doc has fewer than n tokens (guarded: Spark's
+    `sequence(0, -1)` would descend, and ANSI element_at(0) errors)."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(-1)))
-    return F.transform(
+    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    grams = F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + F.lit(k + 1)).cast("int")) for k in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -1,0 +1,194 @@
+"""Large-scale deduplication operators for training-data pipelines.
+
+Beyond-reference wave (BASELINE.json north star): exact dedup,
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard — all expressed as
+DataFrame compositions (explode → hash → group → band-join) so Catalyst
+plans them as ordinary shuffles; no Python in the hot path.
+
+Portability note: hashes are md5-derived (not Spark's murmur `hash()`)
+so a DuckDB oracle can reproduce them bit-for-bit.
+
+Scale design:
+- shingling explodes to one row per (doc, shingle): linear in corpus size,
+  hash-partitioned by shingle for the candidate join.
+- LSH banding turns the quadratic all-pairs problem into an equi-join on
+  (band, band_hash) — the classic shuffle-friendly formulation; hot buckets
+  (boilerplate shingles) are the skew risk, handled by AQE skew-join.
+- SimHash reduces each doc to one integer; near-dup detection becomes a
+  bucket equi-join + cheap bit_count filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def shingle_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """One row per distinct (doc, word-n-gram shingle)."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(T.shingles(text_col, n))).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per doc: h_i = min(md5(shingle || '#i')).
+
+    Lexicographic min over hex digests is a valid uniform min-hash family and
+    is reproducible in any engine with md5.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    sig: DataFrame, id_col: str = "doc_id", num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Explode a signature into (doc, band, band_hash) rows."""
+    structs = []
+    for b in range(num_hashes // band_size):
+        cols = [F.col(f"h{i}") for i in range(b * band_size, (b + 1) * band_size)]
+        structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*cols)).alias("bh"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*structs)).alias("x")
+    ).select(id_col, F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs sharing any LSH band bucket (a < b)."""
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact shingle-set Jaccard for every pair sharing ≥1 shingle.
+
+    O(pairs-with-overlap) not O(n²): the self-join on `shingle` only
+    materializes co-occurring pairs. Use on LSH candidates or samples at scale.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+SIMHASH_BITS = 16
+_HEX = "0123456789abcdef"
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over the distinct-token set of each document.
+
+    bit_j(md5(token)) votes +1/-1; the sign of the vote sum sets bit j of the
+    fingerprint. Near-dup docs differ in few bits (Hamming distance).
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(T.tokens(text_col))).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    vote_aggs = []
+    for j in range(SIMHASH_BITS):
+        pos, shift = j // 4 + 1, j % 4
+        bit = f"(shiftright(instr('{_HEX}', substr(h, {pos}, 1)) - 1, {shift}) & 1)"
+        vote_aggs.append(
+            F.sum(F.expr(f"CASE WHEN {bit} = 1 THEN 1 ELSE -1 END")).alias(f"s{j}")
+        )
+    votes = tok.groupBy(id_col).agg(*vote_aggs)
+    val = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return votes.select(F.col(id_col), F.expr(f"CAST({val} AS BIGINT)").alias("simhash"))
+
+
+def simhash_sql_cte(source: str = "corpus", id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`simhash` (votes + sign bits), as CTE text."""
+    votes = ",\n        ".join(
+        f"sum(CASE WHEN ((strpos('{_HEX}', substr(h, {j // 4 + 1}, 1)) - 1) >> {j % 4}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    val = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+simtok AS (
+    SELECT {id_col}, md5(unnest(list_distinct(
+        list_filter(string_split_regex(text, '\\s+'), t -> t <> '')))) AS h
+    FROM {source}
+),
+simvotes AS (
+    SELECT {id_col},
+        {votes}
+    FROM simtok
+    GROUP BY {id_col}
+),
+simhashes AS (
+    SELECT {id_col}, CAST({val} AS BIGINT) AS simhash
+    FROM simvotes
+)
+"""
+
+
+def simhash_near_pairs(hashes: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the top 8 bits (equi-join), then
+    filter by Hamming distance ≤ `max_hamming`."""
+    with_bucket = hashes.withColumn("bucket", F.expr("shiftright(simhash, 8)"))
+    a, b = with_bucket.alias("a"), with_bucket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(F.expr("a.simhash ^ b.simhash")).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

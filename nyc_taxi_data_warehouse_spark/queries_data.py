@@ -1,0 +1,454 @@
+"""Training-data-pipeline query registry: dedup, similarity search, and text
+analysis over the `documents` / `embeddings` tables, each with a DuckDB
+oracle twin (BASELINE.json north-star wave).
+
+Near-dup corpora are constructed deterministically inside the query (the
+testdata has no duplicates): text twins are suffix-truncated copies
+(`substr(text, 31)`, id + 1_000_000), embedding twins negate the first
+component (cosine ≈ 1 − 2·v₁²/‖v‖²). Both constructions are mirrored 1:1
+in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .functions import vectors as V
+from .operators import dedup, similarity
+from .plans.nyc_views import load_tables
+
+
+def _rnd(c, n: int):
+    """Epsilon-shifted rounding (see queries_nyc._rnd)."""
+    return F.round(c + F.lit(1e-9), n)
+
+
+# --- corpora ---------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["documents"]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["embeddings"]
+
+
+def _text_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ truncated twins → guaranteed near-dup pairs."""
+    twins = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, 31)").alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(twins)
+
+
+SQL_CORPUS = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, substr(text, 31) AS text FROM documents
+)
+"""
+
+SQL_TOK = """
+tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+    FROM corpus
+)
+"""
+
+SQL_SH = """
+sh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(w) - 2, 0) + 1),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+    FROM tok
+)
+"""
+
+_NH = 8  # minhash signature width
+
+SQL_MINHASH = (
+    """
+sig AS (
+    SELECT doc_id,
+        """
+    + ",\n        ".join(
+        f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(_NH)
+    )
+    + """
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+"""
+    + "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, md5(h{2*b} || h{2*b+1}) AS bh FROM sig"
+        for b in range(_NH // 2)
+    )
+    + "\n)"
+)
+
+
+# --- deduplication ---------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy (every 3rd doc duplicated)."""
+    docs = _docs(spark, sf_dir)
+    dups = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(dups)
+    return corpus.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("dup_count"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+
+
+_SQL_DEDUP_EXACT = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+)
+SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS canonical_id
+FROM corpus GROUP BY 1"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH(4 bands × 2) candidate pairs over the twin corpus."""
+    sh = dedup.shingle_rows(_text_corpus(_docs(spark, sf_dir)))
+    sig = dedup.minhash_signatures(sh, num_hashes=_NH)
+    return dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, num_hashes=_NH))
+
+
+_SQL_MINHASH_LSH = (
+    "WITH "
+    + ",".join([SQL_CORPUS, SQL_TOK, SQL_SH, SQL_MINHASH])
+    + """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"""
+)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard on a deterministic corpus sample."""
+    sample = _text_corpus(_docs(spark, sf_dir)).where(F.col("doc_id") % 20 == 0)
+    pairs = dedup.jaccard_pairs(dedup.shingle_rows(sample))
+    return pairs.select("doc_a", "doc_b", _rnd(F.col("jaccard"), 6).alias("jaccard"))
+
+
+_SQL_NGRAM_JACCARD = (
+    "WITH "
+    + ",".join([SQL_CORPUS, SQL_TOK, SQL_SH])
+    + """,
+samp AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
+sizes AS (SELECT doc_id, count(*) AS sz FROM samp GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM samp a JOIN samp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(1e-9 + i.n_common / (sa.sz + sb.sz - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b"""
+)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per corpus doc."""
+    return dedup.simhash(_text_corpus(_docs(spark, sf_dir)))
+
+
+_SQL_SIMHASH = (
+    "WITH "
+    + ",".join([SQL_CORPUS, dedup.simhash_sql_cte()])
+    + "\nSELECT doc_id, simhash FROM simhashes"
+)
+
+
+def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs on a deterministic sample: top-byte bucket join
+    + Hamming ≤ 1. (The synthetic docs share a ~30-word vocabulary, so a
+    16-bit SimHash is intentionally coarse — sample + tight radius keeps the
+    pair set bounded at every scale factor.)"""
+    corpus = _text_corpus(_docs(spark, sf_dir)).where(F.col("doc_id") % 10 == 0)
+    return dedup.simhash_near_pairs(dedup.simhash(corpus), max_hamming=1)
+
+
+_SQL_SIMHASH_NEAR = (
+    "WITH "
+    + ",".join([SQL_CORPUS, dedup.simhash_sql_cte()])
+    + """,
+bucketed AS (SELECT doc_id, simhash, simhash >> 8 AS bucket FROM simhashes
+             WHERE doc_id % 10 = 0)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1"""
+)
+
+
+# --- text analysis ---------------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/diversity/punctuation metrics + composite."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        T.char_count("text").alias("n_chars_calc"),
+        T.word_count("text").alias("n_words"),
+        T.distinct_word_count("text").alias("n_distinct_words"),
+        _rnd(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        _rnd(T.stopword_ratio("text", "en"), 6).alias("stopword_ratio_en"),
+        _rnd(T.type_token_ratio("text"), 6).alias("type_token_ratio"),
+        _rnd(T.quality_score("text"), 6).alias("quality_score"),
+    )
+
+
+_SQL_TEXT_QUALITY = """
+WITH tokd AS (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars_calc,
+        CAST(len(w) AS BIGINT) AS n_words,
+        CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+        length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+            / greatest(length(text), 1) AS punct_ratio,
+        len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is'], t)))
+            / greatest(len(w), 1) AS stopword_ratio_en,
+        len(list_distinct(w)) / greatest(len(w), 1) AS type_token_ratio
+    FROM tokd
+)
+SELECT doc_id, n_chars_calc, n_words, n_distinct_words,
+       round(1e-9 + punct_ratio, 6) AS punct_ratio,
+       round(1e-9 + stopword_ratio_en, 6) AS stopword_ratio_en,
+       round(1e-9 + type_token_ratio, 6) AS type_token_ratio,
+       round(1e-9 + (least(n_words / 50.0, 1.0) + type_token_ratio
+             + (1.0 - least(punct_ratio * 4.0, 1.0))) / 3.0, 6) AS quality_score
+FROM m"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + chars/4 BPE-ish estimate."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        "n_chars",
+        T.word_count("text").alias("ws_tokens"),
+        T.token_estimate("text").alias("bpe_est_tokens"),
+    )
+
+
+_SQL_TOKEN_COUNT = """
+SELECT doc_id, n_chars,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est_tokens
+FROM documents"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language heuristic vs. the labelled lang column."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        "lang",
+        T.lang_guess("text").alias("lang_pred"),
+        *[
+            T.stopword_hits("text", lang).alias(f"hits_{lang}")
+            for lang in T.STOPWORDS
+        ],
+    )
+
+
+def _lang_sql() -> str:
+    hit_exprs = ",\n        ".join(
+        "len(list_filter(w, t -> list_contains(["
+        + ",".join(f"'{w}'" for w in ws)
+        + f"], t))) AS hits_{lang}"
+        for lang, ws in T.STOPWORDS.items()
+    )
+    langs = list(T.STOPWORDS)
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND hits_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH tokd AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+    FROM documents
+),
+hits AS (
+    SELECT doc_id, lang,
+        {hit_exprs}
+    FROM tokd
+)
+SELECT doc_id, lang, {case} AS lang_pred,
+       hits_en, hits_es, hits_fr, hits_de
+FROM hits"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint (md5 of sorted token set)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", T.fingerprint("text").alias("fingerprint"))
+
+
+_SQL_FINGERPRINT = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))), ' ')) AS fingerprint
+FROM documents"""
+
+
+# --- similarity search -----------------------------------------------------
+
+_VEC_SQL = """
+q AS (
+    SELECT vec_id AS query_id, label, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id % 50 = 0
+),
+c AS (
+    SELECT vec_id AS neighbor_id, label, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+)
+"""
+
+_COS = (
+    "list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))"
+    " / (sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i])))"
+    " * sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i]))))"
+)
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the deterministic query subset (vec_id%50=0)."""
+    emb = _emb(spark, sf_dir)
+    out = similarity.brute_force_knn(
+        emb.where(F.col("vec_id") % 50 == 0), emb, k=5
+    )
+    return out.select("query_id", "neighbor_id", _rnd(F.col("sim"), 6).alias("sim"))
+
+
+_SQL_KNN = (
+    "WITH "
+    + _VEC_SQL
+    + f""",
+sims AS (
+    SELECT q.query_id, c.neighbor_id, {_COS} AS sim
+    FROM q CROSS JOIN c
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+    FROM sims
+)
+SELECT query_id, neighbor_id, round(1e-9 + sim, 6) AS sim
+FROM ranked WHERE rn <= 5"""
+)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned (IVF-style, label = cell) cosine top-3."""
+    emb = _emb(spark, sf_dir)
+    out = similarity.ivf_knn(emb.where(F.col("vec_id") % 50 == 0), emb, k=3)
+    return out.select("query_id", "neighbor_id", _rnd(F.col("sim"), 6).alias("sim"))
+
+
+_SQL_ANN_IVF = (
+    "WITH "
+    + _VEC_SQL
+    + f""",
+sims AS (
+    SELECT q.query_id, c.neighbor_id, {_COS} AS sim
+    FROM q JOIN c ON q.label = c.label
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+    FROM sims
+)
+SELECT query_id, neighbor_id, round(1e-9 + sim, 6) AS sim
+FROM ranked WHERE rn <= 3"""
+)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.9) over sampled vectors plus
+    first-component-negated twins."""
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") % 10 == 0)
+    base = emb.select("vec_id", V.as_double("embedding").alias("v"))
+    twin = base.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(-F.element_at("v", 1)), F.expr("slice(v, 2, size(v) - 1)")
+        ).alias("v"),
+    )
+    corpus = base.unionByName(twin)
+    pairs = similarity.cosine_pairs(corpus, threshold=0.9)
+    return pairs.select("id_a", "id_b", _rnd(F.col("sim"), 6).alias("sim"))
+
+
+_SQL_EMB_NEARDUP = """
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id % 10 = 0
+),
+twin AS (
+    SELECT vec_id + 1000000 AS vec_id, list_concat([-v[1]], v[2:]) AS v FROM base
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+sims AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+        / (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])))
+         * sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))) AS sim
+    FROM corpus a CROSS JOIN corpus b
+    WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(1e-9 + sim, 6) AS sim
+FROM sims WHERE sim >= 0.9"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_minhash_lsh": q_minhash_lsh,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_simhash": q_simhash,
+    "q_simhash_near": q_simhash_near,
+    "q_text_quality": q_text_quality,
+    "q_token_count": q_token_count,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+    "q_knn_bruteforce": q_knn_bruteforce,
+    "q_ann_ivf": q_ann_ivf,
+    "q_embedding_neardup": q_embedding_neardup,
+}
+
+ORACLES: dict[str, str] = {
+    "q_dedup_exact": _SQL_DEDUP_EXACT,
+    "q_minhash_lsh": _SQL_MINHASH_LSH,
+    "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
+    "q_simhash": _SQL_SIMHASH,
+    "q_simhash_near": _SQL_SIMHASH_NEAR,
+    "q_text_quality": _SQL_TEXT_QUALITY,
+    "q_token_count": _SQL_TOKEN_COUNT,
+    "q_lang_id": _lang_sql(),
+    "q_fingerprint": _SQL_FINGERPRINT,
+    "q_knn_bruteforce": _SQL_KNN,
+    "q_ann_ivf": _SQL_ANN_IVF,
+    "q_embedding_neardup": _SQL_EMB_NEARDUP,
+}
