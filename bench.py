@@ -1,0 +1,76 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes fully via the noop sink (no driver collect, no disk
+write) so the timing measures scan→shuffle→agg end to end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nyc_taxi_data_warehouse_spark.session import get_spark
+
+# Headline set: the reference's three marts + the expression layer + the
+# feature table + merge ingest + the data-pipeline wave's heavy hitters.
+HEADLINE = [
+    "q_enrich",
+    "q_weather_hourly",
+    "q_trips_weather",
+    "q_daily",
+    "q_zone_analysis",
+    "q_zone_demand",
+    "q_fare_daily_features",
+    "q_merge_dedup",
+    "q_dedup_exact",
+    "q_minhash_lsh",
+    "q_simhash",
+    "q_text_quality",
+    "q_knn_bruteforce",
+    "q_ann_ivf",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up the JVM / parquet footer caches outside the timed region
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

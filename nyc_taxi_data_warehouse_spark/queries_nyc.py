@@ -79,20 +79,22 @@ def _fdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features.fare_daily_features(daily, forecast)
 
 
-_FDF_ROUNDED = [
-    "trip_date",
-    _r4("avg_fare"),
-    "trip_count",
-    _r4("avg_distance"),
-    "weekend_trip_count",
-    "weekday_trip_count",
-    _r4("avg_daily_temperature"),
-    _r4("avg_daily_humidity"),
-    "is_precip_day",
-    _r4("avg_fare_lag1"),
-    _r4("avg_fare_lag7"),
-    _r4("avg_fare_ma7"),
-]
+def _fdf_rounded() -> list:
+    # built lazily: Column construction needs an active SparkContext
+    return [
+        "trip_date",
+        _r4("avg_fare"),
+        "trip_count",
+        _r4("avg_distance"),
+        "weekend_trip_count",
+        "weekday_trip_count",
+        _r4("avg_daily_temperature"),
+        _r4("avg_daily_humidity"),
+        "is_precip_day",
+        _r4("avg_fare_lag1"),
+        _r4("avg_fare_lag7"),
+        _r4("avg_fare_ma7"),
+    ]
 
 _SQL_FDF_ROUNDED = """
 SELECT trip_date, round(1e-9 + avg_fare, 4) AS avg_fare, trip_count,
@@ -267,7 +269,7 @@ def q_precip_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fare_daily_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1+W2: the reconstructed FARE_DAILY_FEATURES table (lags + MA7)."""
-    return _fdf(spark, sf_dir).select(*_FDF_ROUNDED)
+    return _fdf(spark, sf_dir).select(*_fdf_rounded())
 
 
 def q_lag_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,7 +292,7 @@ def q_lag_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4/O2: latest feature row (ORDER BY trip_date DESC LIMIT 1)."""
-    return _fdf(spark, sf_dir).orderBy(F.desc("trip_date")).limit(1).select(*_FDF_ROUNDED)
+    return _fdf(spark, sf_dir).orderBy(F.desc("trip_date")).limit(1).select(*_fdf_rounded())
 
 
 def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
