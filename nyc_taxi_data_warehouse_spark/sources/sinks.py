@@ -1,0 +1,44 @@
+"""Sinks (SURVEY §2.1) — the 100 TB-aware replacements for the reference's
+CSV-détour + Snowflake stage pipeline.
+
+The reference writes `coalesce(1)` single-file CSV then PUT/COPYs it into
+Snowflake (`dags/etl_spark_historical.py:199-207,319-347`) — an anti-scale
+choice called out in SURVEY §4. The engine's native path is date-partitioned
+parquet: partition pruning makes every time-ranged query skip irrelevant
+files, and writers parallelize per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned_by_date(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    mode: str = "overwrite",
+    date_col: str = "p_date",
+) -> None:
+    """Lake-table write partitioned by event date — the engine's fact-table
+    layout. At 100 TB this yields ~1 partition/day/shuffle-task; combine with
+    AQE coalescing to avoid small files."""
+    (
+        df.withColumn(date_col, F.to_date(ts_col))
+        .write.mode(mode)
+        .partitionBy(date_col)
+        .parquet(path)
+    )
+
+
+def write_single_csv(df: DataFrame, path: str) -> None:
+    """Reference-compat single-file CSV sink (S4,
+    `dags/etl_spark_historical.py:199-207`). Kept only for parity/export of
+    small results — scale path is :func:`write_partitioned_by_date`."""
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+
+def append(df: DataFrame, path: str) -> None:
+    """Append-mode event sink (weather feed, S12)."""
+    df.write.mode("append").parquet(path)

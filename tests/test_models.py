@@ -1,0 +1,126 @@
+"""Model-DAG tests over NYC-shaped fixtures (FIXTURES.md §1-2): the dbt
+declarative suite ported to assertions (SURVEY §5a) + pipeline wiring."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_warehouse_spark.plans import (
+    intermediate,
+    marts,
+    nyc_views,
+    pipeline,
+    staging,
+)
+
+
+@pytest.fixture(scope="module")
+def trips(spark, sf_dir):
+    return nyc_views.trips_from_events(nyc_views.load_tables(spark, sf_dir)["events"])
+
+
+@pytest.fixture(scope="module")
+def weather(spark, sf_dir):
+    return nyc_views.weather_from_events(
+        nyc_views.load_tables(spark, sf_dir)["events"]
+    )
+
+
+def test_staging_filters_all_quality_predicates(spark, trips):
+    stg = staging.stg_taxi_trips(trips)
+    bad = stg.where(
+        F.col("pickup_datetime").isNull()
+        | F.col("dropoff_datetime").isNull()
+        | F.col("pickup_zone_id").isNull()
+        | F.col("dropoff_zone_id").isNull()
+        | (F.col("trip_distance") <= 0)
+        | (F.col("total_amount") <= 0)
+        | (F.col("dropoff_datetime") <= F.col("pickup_datetime"))
+    )
+    assert bad.count() == 0
+    assert stg.count() < trips.count()  # filters actually removed rows
+
+
+def test_enriched_speed_guard_and_flags(spark, trips):
+    enr = intermediate.int_trips_enriched(staging.stg_taxi_trips(trips))
+    # no NULL/negative-speed artifacts
+    assert enr.where(F.col("avg_speed_mph").isNull()).count() == 0
+    assert enr.where((F.col("trip_duration_minutes") <= 0) & (F.col("avg_speed_mph") != 0)).count() == 0
+    # anomaly flags fire both ways
+    assert enr.where(F.col("is_trip_duration_anomaly")).count() > 0
+    assert enr.where(~F.col("is_trip_duration_anomaly")).count() > 0
+    # weekend flag consistent with day_of_week ∈ {0,6}
+    assert (
+        enr.where(F.col("is_weekend") != F.col("day_of_week").isin(0, 6)).count() == 0
+    )
+
+
+def test_weather_hourly_unique_per_hour_city(spark, weather):
+    wh = intermediate.int_weather_hourly(staging.stg_weather(weather))
+    dup = (
+        wh.groupBy("observation_hour", "city")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    multi = wh.where(F.col("observation_count") > 1)
+    assert multi.count() > 0  # fixture guarantees multi-observation hours
+
+
+def test_mart_trips_weather_left_join_keeps_all_hours(spark, trips, weather):
+    enr = intermediate.int_trips_enriched(staging.stg_taxi_trips(trips))
+    wh = intermediate.int_weather_hourly(staging.stg_weather(weather))
+    mart = marts.mart_trips_weather(enr, wh)
+    n_hours = enr.select("pickup_hour").distinct().count()
+    joined_hours = mart.select("hour_ts").distinct().count()
+    assert joined_hours == n_hours  # LEFT join loses no trip hours
+    assert mart.where(F.col("avg_temperature_fahrenheit").isNull()).count() > 0
+
+
+def test_mart_daily_conditional_counts_sum_to_total(spark, trips, weather):
+    enr = intermediate.int_trips_enriched(staging.stg_taxi_trips(trips))
+    wh = intermediate.int_weather_hourly(staging.stg_weather(weather))
+    daily = marts.mart_daily_metrics(enr, wh)
+    bad = daily.where(
+        F.col("weekend_trip_count") + F.col("weekday_trip_count") != F.col("trip_count")
+    )
+    assert bad.count() == 0
+
+
+def test_zone_analysis_having_floor(spark, trips):
+    enr = intermediate.int_trips_enriched(staging.stg_taxi_trips(trips))
+    mza = marts.mart_zone_analysis(enr)
+    assert mza.where(F.col("trip_count") < 10).count() == 0
+    assert mza.where(~F.col("peak_hour").between(0, 23)).count() == 0
+
+
+def test_pipeline_run_models_quality_green(spark, trips, weather):
+    run = pipeline.run_models(trips, weather, run_quality=True)
+    failing = [r for r in run.quality_results if r.status == "fail"]
+    assert failing == [], f"quality failures: {failing}"
+    assert run.fare_daily_features.count() > 0
+
+
+def test_ingest_trips_merge_idempotent(spark, trips):
+    first = pipeline.ingest_trips(trips, None)
+    merged = pipeline.ingest_trips(trips, first)
+    assert merged.count() == first.count()  # re-ingesting same month adds 0
+
+
+def test_fare_daily_features_window_semantics(spark, trips, weather):
+    run = pipeline.run_models(trips, weather, run_quality=False)
+    rows = sorted(run.fare_daily_features.collect(), key=lambda r: r.trip_date)
+    for i, r in enumerate(rows):
+        if i >= 1:
+            assert r.avg_fare_lag1 == pytest.approx(rows[i - 1].avg_fare)
+        else:
+            assert r.avg_fare_lag1 is None
+        if i >= 7:
+            assert r.avg_fare_lag7 == pytest.approx(rows[i - 7].avg_fare)
+        lo = max(0, i - 6)
+        expect_ma = sum(x.avg_fare for x in rows[lo : i + 1]) / (i + 1 - lo)
+        assert r.avg_fare_ma7 == pytest.approx(expect_ma)

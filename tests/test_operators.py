@@ -1,0 +1,152 @@
+"""Merge, quality-runner, dedup, and similarity operator tests."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_warehouse_spark.operators import dedup, merge, quality, similarity
+
+
+# --- merge (S8/J4) ---------------------------------------------------------
+
+def test_merge_insert_only_dedups_on_key(spark):
+    target = spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)], "id long, k string, v double")
+    staged = spark.createDataFrame(
+        [(2, "b", 99.0), (3, "c", 30.0)], "id long, k string, v double"
+    )
+    out = merge.merge_insert_only(target, staged, ["id", "k"])
+    rows = {r.id: r.v for r in out.collect()}
+    assert rows == {1: 10.0, 2: 20.0, 3: 30.0}  # existing row wins, new appended
+
+
+def test_merge_is_idempotent(spark):
+    target = spark.createDataFrame([(1, 10.0)], "id long, v double")
+    out1 = merge.merge_insert_only(target, target, ["id", "v"])
+    out2 = merge.merge_insert_only(out1, target, ["id", "v"])
+    assert out2.count() == 1
+
+
+def test_missing_keys_antijoin(spark):
+    universe = spark.createDataFrame([(1,), (2,), (3,)], "h int")
+    present = spark.createDataFrame([(2,)], "h int")
+    got = sorted(r.h for r in merge.missing_keys(universe, present, ["h"]).collect())
+    assert got == [1, 3]
+
+
+def test_dedup_exact_keeps_first_by_order(spark):
+    df = spark.createDataFrame(
+        [("x", 2, "late"), ("x", 1, "early"), ("y", 5, "only")],
+        "k string, seq int, tag string",
+    )
+    out = merge.dedup_exact(df, ["k"], ["seq"])
+    rows = {r.k: r.tag for r in out.collect()}
+    assert rows == {"x": "early", "y": "only"}
+
+
+# --- quality runner (§2.12) ------------------------------------------------
+
+def test_quality_checks_pass_and_fail(spark):
+    df = spark.createDataFrame(
+        [(1, 50.0), (2, None), (2, 200.0)], "id long, temp double"
+    )
+    results = {
+        r.name: r
+        for r in quality.run_checks(
+            {
+                "temp_not_null": quality.not_null(df, "temp"),
+                "id_unique": quality.unique(df, "id"),
+                "temp_range": quality.accepted_range(df, "temp", -50, 150),
+            }
+        )
+    }
+    assert results["temp_not_null"].status == "fail"
+    assert results["id_unique"].status == "fail"
+    assert results["temp_range"].status == "fail"
+    clean = spark.createDataFrame([(1, 50.0), (2, 60.0)], "id long, temp double")
+    ok = quality.run_checks({"u": quality.unique(clean, "id")})
+    assert ok[0].status == "pass"
+
+
+def test_freshness_sla(spark):
+    now = datetime(2024, 1, 2, 0, 0, 0)
+    df = spark.createDataFrame([(datetime(2024, 1, 1, 23, 0),)], "ts timestamp")
+    r = quality.freshness(df, "ts", timedelta(hours=2), timedelta(hours=4), now)
+    assert r.status == "pass"
+    r2 = quality.freshness(df, "ts", timedelta(minutes=30), timedelta(hours=4), now)
+    assert r2.status == "warn"
+    r3 = quality.freshness(df, "ts", timedelta(minutes=5), timedelta(minutes=30), now)
+    assert r3.status == "fail"
+
+
+# --- dedup wave ------------------------------------------------------------
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "the quick brown fox jumps over the lazy dog again and again tonight"),
+            (3, "completely different words about spark shuffles and parquet readers"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = dedup.shingle_rows(docs)
+    sig = dedup.minhash_signatures(sh)
+    pairs = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig)).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_jaccard_exact_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    # trigrams: {abc, bcd} vs {abc, bce} → jaccard = 1/3
+    out = dedup.jaccard_pairs(dedup.shingle_rows(docs)).collect()
+    assert len(out) == 1
+    assert abs(out[0].jaccard - 1 / 3) < 1e-12
+
+
+def test_simhash_near_for_twins(spark):
+    base = "spark shuffle partition broadcast join aggregate window watermark"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "zebra yak xylophone wombat vulture unicorn")],
+        "doc_id long, text string",
+    )
+    hashes = dedup.simhash(docs)
+    vals = {r.doc_id: r.simhash for r in hashes.collect()}
+    assert bin(vals[1] ^ vals[2]).count("1") <= 4
+    pairs = dedup.simhash_near_pairs(hashes, max_hamming=4).collect()
+    assert any((p.doc_a, p.doc_b) == (1, 2) for p in pairs)
+
+
+# --- similarity ------------------------------------------------------------
+
+def test_brute_force_knn_exact(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.brute_force_knn(vecs.where("vec_id = 1"), vecs, k=2).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: -r.sim)]
+    assert ranked == [1, 2]  # self first, then the near vector
+
+
+def test_ivf_knn_prunes_other_cells(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.99, 0.01], 1),  # nearest overall but different cell
+            (3, [0.5, 0.5], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = similarity.ivf_knn(vecs.where("vec_id = 1"), vecs, k=2).collect()
+    ids = {r.neighbor_id for r in out}
+    assert 2 not in ids and ids == {1, 3}
