@@ -24,16 +24,30 @@ def _col(c: Column | str) -> Column:
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokens, empty strings removed."""
+    """Whitespace tokens, empty strings removed.
+
+    Higher-order `filter` runs interpreted — in hot paths materialize this
+    ONCE (`.select(tokens(...).alias("w"))`) and use the `*_from_tokens`
+    variants below; inlining it into several downstream expressions
+    re-tokenizes the document for each one.
+    """
     return F.filter(F.split(_col(text), r"\s+"), lambda t: t != F.lit(""))
 
 
+def word_count_from_tokens(toks: Column | str) -> Column:
+    return F.size(_col(toks)).cast("long")
+
+
+def distinct_word_count_from_tokens(toks: Column | str) -> Column:
+    return F.size(F.array_distinct(_col(toks))).cast("long")
+
+
 def word_count(text: Column | str) -> Column:
-    return F.size(tokens(text)).cast("long")
+    return word_count_from_tokens(tokens(text))
 
 
 def distinct_word_count(text: Column | str) -> Column:
-    return F.size(F.array_distinct(tokens(text))).cast("long")
+    return distinct_word_count_from_tokens(tokens(text))
 
 
 def char_count(text: Column | str) -> Column:
@@ -53,42 +67,63 @@ def punct_ratio(text: Column | str) -> Column:
     return (F.length(stripped) / F.greatest(F.length(t), F.lit(1))).cast("double")
 
 
-def stopword_hits(text: Column | str, lang: str = "en") -> Column:
+def stopword_hits_from_tokens(toks: Column | str, lang: str = "en") -> Column:
     """Count of tokens that are stopwords of `lang`."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t))).cast("long")
+    return F.size(F.filter(_col(toks), lambda t: F.array_contains(sw, t))).cast("long")
+
+
+def stopword_hits(text: Column | str, lang: str = "en") -> Column:
+    return stopword_hits_from_tokens(tokens(text), lang)
+
+
+def stopword_ratio_from_tokens(toks: Column | str, lang: str = "en") -> Column:
+    toks = _col(toks)
+    return (
+        stopword_hits_from_tokens(toks, lang)
+        / F.greatest(word_count_from_tokens(toks), F.lit(1))
+    ).cast("double")
 
 
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    return stopword_ratio_from_tokens(tokens(text), lang)
+
+
+def type_token_ratio_from_tokens(toks: Column | str) -> Column:
+    """Lexical diversity: distinct words / words."""
+    toks = _col(toks)
     return (
-        stopword_hits(text, lang) / F.greatest(word_count(text), F.lit(1))
+        distinct_word_count_from_tokens(toks)
+        / F.greatest(word_count_from_tokens(toks), F.lit(1))
     ).cast("double")
 
 
 def type_token_ratio(text: Column | str) -> Column:
-    """Lexical diversity: distinct words / words."""
-    return (
-        distinct_word_count(text) / F.greatest(word_count(text), F.lit(1))
-    ).cast("double")
+    return type_token_ratio_from_tokens(tokens(text))
 
 
-def quality_score(text: Column | str) -> Column:
+def quality_score_from_tokens(text: Column | str, toks: Column | str) -> Column:
     """Composite document-quality score in [0,1]: rewards mid-length docs,
     lexical diversity, and low punctuation noise. Deterministic expression —
     mirrored 1:1 in the DuckDB oracle."""
-    wc = word_count(text)
+    toks = _col(toks)
+    wc = word_count_from_tokens(toks)
     length_term = F.least(wc / F.lit(50.0), F.lit(1.0))
-    diversity_term = type_token_ratio(text)
+    diversity_term = type_token_ratio_from_tokens(toks)
     noise_term = F.lit(1.0) - F.least(punct_ratio(text) * F.lit(4.0), F.lit(1.0))
     return ((length_term + diversity_term + noise_term) / F.lit(3.0)).cast("double")
 
 
-def lang_guess(text: Column | str) -> Column:
+def quality_score(text: Column | str) -> Column:
+    return quality_score_from_tokens(text, tokens(text))
+
+
+def lang_guess_from_tokens(toks: Column | str) -> Column:
     """Stopword-vote language heuristic: argmax of per-language stopword hits,
     'und' (undetermined) when no stopwords hit. Deterministic tie-break:
     language order en < es < fr < de (first wins)."""
-    t = _col(text)
-    hits = {lang: stopword_hits(t, lang) for lang in STOPWORDS}
+    toks = _col(toks)
+    hits = {lang: stopword_hits_from_tokens(toks, lang) for lang in STOPWORDS}
     best = F.greatest(*hits.values())
     expr = F.lit("und")
     # build reverse order so earlier languages win ties
@@ -97,11 +132,24 @@ def lang_guess(text: Column | str) -> Column:
     return expr
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (positional n-grams).
+def lang_guess(text: Column | str) -> Column:
+    return lang_guess_from_tokens(tokens(text))
+
+
+def shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token-array column.
+
     Empty array when the doc has fewer than n tokens (guarded: Spark's
-    `sequence(0, -1)` would descend, and ANSI element_at(0) errors)."""
-    toks = tokens(text)
+    `sequence(0, -1)` would descend, and ANSI element_at(0) errors).
+
+    Feed this a real column (`df.select(tokens(...).alias("w"))` first), not
+    an inline `tokens(text)` expression: higher-order functions run
+    interpreted, and an inline token expression would be re-evaluated for
+    every `element_at` of every gram — O(grams·n) re-tokenizations per doc,
+    ~10× slower at corpus scale. Catalyst's CollapseProject is
+    reference-count aware and will NOT inline the materialized column back.
+    """
+    toks = _col(toks)
     idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
     grams = F.transform(
         idx,
@@ -110,6 +158,13 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles straight from raw text. Prefer the two-step
+    `tokens(...)` → :func:`shingles_from_tokens` split in hot paths (see its
+    docstring for why)."""
+    return shingles_from_tokens(tokens(text), n)
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -29,25 +29,37 @@ from ..functions import text as T
 def shingle_rows(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """One row per distinct (doc, word-n-gram shingle)."""
-    return docs.select(
+    """One row per distinct (doc, word-n-gram shingle).
+
+    Two projections on purpose: tokenize once into a real column, then build
+    grams from it — see :func:`..functions.text.shingles_from_tokens`.
+    """
+    tokd = docs.select(F.col(id_col), T.tokens(text_col).alias("__w"))
+    return tokd.select(
         F.col(id_col),
-        F.explode(F.array_distinct(T.shingles(text_col, n))).alias("shingle"),
+        F.explode(F.array_distinct(T.shingles_from_tokens("__w", n))).alias("shingle"),
     )
 
 
 def minhash_signatures(
     shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
 ) -> DataFrame:
-    """MinHash signature per doc: h_i = min(md5(shingle || '#i')).
+    """MinHash signature per doc: h_i = min over shingles of a 32-bit slice
+    of md5(shingle || '#k').
 
-    Lexicographic min over hex digests is a valid uniform min-hash family and
-    is reproducible in any engine with md5.
+    One 128-bit digest yields four independent 8-hex-char (32-bit) hash
+    values, so `num_hashes` signatures cost ceil(num_hashes/4) md5 calls per
+    shingle row instead of `num_hashes` — the md5 is the dominant CPU cost of
+    the whole minhash pass at corpus scale. Lexicographic min over fixed-width
+    hex slices is a valid uniform min-hash family and is reproducible
+    bit-for-bit in any engine with md5 (DuckDB oracle twin:
+    ``min(substr(md5(shingle || '#k'), off, 8))``).
     """
-    aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    aggs = []
+    for i in range(num_hashes):
+        k, slot = divmod(i, 4)
+        digest = F.md5(F.concat(F.col("shingle"), F.lit(f"#{k}")))
+        aggs.append(F.min(F.substring(digest, slot * 8 + 1, 8)).alias(f"h{i}"))
     return shingles.groupBy(id_col).agg(*aggs)
 
 

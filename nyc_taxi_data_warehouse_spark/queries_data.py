@@ -37,13 +37,27 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir)["embeddings"]
 
 
+def _scale_out(df: DataFrame) -> DataFrame:
+    """Re-split a narrow scan across all cores before CPU-heavy stages.
+
+    A small single-file parquet table arrives as 1-2 input splits (parquet
+    can't split below row-group boundaries), which would serialize the
+    shingle/hash/vector work onto 2 of 32 cores. At real scale the source has
+    many splits and this is a no-op — we only widen, never shrink.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _text_corpus(docs: DataFrame) -> DataFrame:
     """documents ∪ truncated twins → guaranteed near-dup pairs."""
     twins = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.expr("substring(text, 31)").alias("text"),
     )
-    return docs.select("doc_id", "text").unionByName(twins)
+    return _scale_out(docs.select("doc_id", "text").unionByName(twins))
 
 
 SQL_CORPUS = """
@@ -79,7 +93,8 @@ sig AS (
     SELECT doc_id,
         """
     + ",\n        ".join(
-        f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(_NH)
+        f"min(substr(md5(shingle || '#{i // 4}'), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+        for i in range(_NH)
     )
     + """
     FROM sh GROUP BY doc_id
@@ -102,7 +117,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = docs.where(F.col("doc_id") % 3 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"), "text"
     )
-    corpus = docs.select("doc_id", "text").unionByName(dups)
+    corpus = _scale_out(docs.select("doc_id", "text").unionByName(dups))
     return corpus.groupBy(F.md5("text").alias("text_hash")).agg(
         F.count(F.lit(1)).alias("dup_count"),
         F.min("doc_id").alias("canonical_id"),
@@ -120,9 +135,14 @@ FROM corpus GROUP BY 1"""
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(8) + LSH(4 bands × 2) candidate pairs over the twin corpus."""
+    """MinHash(8) + LSH(4 bands × 2) candidate pairs over the twin corpus.
+
+    The signature frame (one short row per doc) is persisted before the band
+    self-join: without it each join side would recompute the full
+    shingle→md5→groupBy lineage — the dominant cost — twice.
+    """
     sh = dedup.shingle_rows(_text_corpus(_docs(spark, sf_dir)))
-    sig = dedup.minhash_signatures(sh, num_hashes=_NH)
+    sig = dedup.minhash_signatures(sh, num_hashes=_NH).persist()
     return dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, num_hashes=_NH))
 
 
@@ -139,7 +159,8 @@ FROM bands a JOIN bands b
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard on a deterministic corpus sample."""
     sample = _text_corpus(_docs(spark, sf_dir)).where(F.col("doc_id") % 20 == 0)
-    pairs = dedup.jaccard_pairs(dedup.shingle_rows(sample))
+    # persisted: the shingle frame feeds THREE scans (self-join a/b + sizes)
+    pairs = dedup.jaccard_pairs(dedup.shingle_rows(sample).persist())
     return pairs.select("doc_a", "doc_b", _rnd(F.col("jaccard"), 6).alias("jaccard"))
 
 
@@ -180,7 +201,8 @@ def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-bit SimHash is intentionally coarse — sample + tight radius keeps the
     pair set bounded at every scale factor.)"""
     corpus = _text_corpus(_docs(spark, sf_dir)).where(F.col("doc_id") % 10 == 0)
-    return dedup.simhash_near_pairs(dedup.simhash(corpus), max_hamming=1)
+    # persisted: one short row per doc; the bucket self-join scans it twice
+    return dedup.simhash_near_pairs(dedup.simhash(corpus).persist(), max_hamming=1)
 
 
 _SQL_SIMHASH_NEAR = (
@@ -201,16 +223,16 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 1"""
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/diversity/punctuation metrics + composite."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "text", T.tokens("text").alias("__w"))
     return d.select(
         "doc_id",
         T.char_count("text").alias("n_chars_calc"),
-        T.word_count("text").alias("n_words"),
-        T.distinct_word_count("text").alias("n_distinct_words"),
+        T.word_count_from_tokens("__w").alias("n_words"),
+        T.distinct_word_count_from_tokens("__w").alias("n_distinct_words"),
         _rnd(T.punct_ratio("text"), 6).alias("punct_ratio"),
-        _rnd(T.stopword_ratio("text", "en"), 6).alias("stopword_ratio_en"),
-        _rnd(T.type_token_ratio("text"), 6).alias("type_token_ratio"),
-        _rnd(T.quality_score("text"), 6).alias("quality_score"),
+        _rnd(T.stopword_ratio_from_tokens("__w", "en"), 6).alias("stopword_ratio_en"),
+        _rnd(T.type_token_ratio_from_tokens("__w"), 6).alias("type_token_ratio"),
+        _rnd(T.quality_score_from_tokens("text", "__w"), 6).alias("quality_score"),
     )
 
 
@@ -261,13 +283,13 @@ FROM documents"""
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language heuristic vs. the labelled lang column."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "lang", T.tokens("text").alias("__w"))
     return d.select(
         "doc_id",
         "lang",
-        T.lang_guess("text").alias("lang_pred"),
+        T.lang_guess_from_tokens("__w").alias("lang_pred"),
         *[
-            T.stopword_hits("text", lang).alias(f"hits_{lang}")
+            T.stopword_hits_from_tokens("__w", lang).alias(f"hits_{lang}")
             for lang in T.STOPWORDS
         ],
     )
