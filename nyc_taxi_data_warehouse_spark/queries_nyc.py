@@ -405,7 +405,222 @@ def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: `df.na.drop(subset=[4 key cols])` — the PySpark-ETL null gate
+    (reference `dags/etl_spark_historical.py:191`)."""
+    t = _trips(spark, sf_dir)
+    return t.na.drop(
+        subset=[
+            "pickup_datetime",
+            "dropoff_datetime",
+            "pickup_zone_id",
+            "dropoff_zone_id",
+        ]
+    )
+
+
+def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/O6: ingestion row cap. The reference's `limit(200_000)` takes an
+    arbitrary subset; for oracle determinism we cap after a total order on
+    the (l_orderkey, l_linenumber) unique key — Spark plans it as
+    TakeOrderedAndProject (no full sort materialization)."""
+    li = nyc_views.load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.orderBy("l_orderkey", "l_linenumber")
+        .limit(5000)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+
+
+# --- SCD2 resulting-state queries (C1/C2) ----------------------------------
+# Two deterministic source batches are derived from the testdata, the
+# snapshot operator is applied twice (T1 then T2), and the FINAL snapshot
+# state is returned; the oracle reconstructs the same state set-theoretically
+# (closed / kept / hard-deleted / new rows). All check/compare columns are
+# ints or truncated timestamps — no float comparisons in change detection.
+
+_T1 = "2026-01-01 00:00:00"
+_T2 = "2026-01-02 00:00:00"
+
+
+def q_scd2_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: dbt check-strategy snapshot (`snapshots/snp_daily_metrics.sql:13-58`)
+    — batch2 changes ~1/3 of days, adds the days batch1 withheld, and batch1's
+    synthetic 1900-01-01 key stays open (check strategy keeps missing keys)."""
+    from datetime import datetime
+
+    from .operators import scd
+
+    ev = nyc_views.load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("trip_date")).agg(
+        F.count(F.lit(1)).alias("trip_count"),
+        F.sum(F.floor("value").cast("long")).alias("total_units"),
+    )
+    b1 = daily.where(F.dayofmonth("trip_date") % 7 != 0).select(
+        "trip_date",
+        "trip_count",
+        F.when(
+            F.dayofmonth("trip_date") % 3 == 0, F.col("total_units") + 100
+        )
+        .otherwise(F.col("total_units"))
+        .alias("total_units"),
+    )
+    extra = spark.sql(
+        "SELECT DATE'1900-01-01' AS trip_date, CAST(1 AS BIGINT) AS trip_count,"
+        " CAST(1 AS BIGINT) AS total_units"
+    )
+    b1 = b1.unionByName(extra)
+    key, checks = ["trip_date"], ["trip_count", "total_units"]
+    s1 = scd.snapshot_check(None, b1, key, checks, datetime(2026, 1, 1))
+    return scd.snapshot_check(s1, daily, key, checks, datetime(2026, 1, 2))
+
+
+_SQL_SCD2_CHECK = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS trip_date, count(*) AS trip_count,
+           sum(CAST(floor(value) AS BIGINT)) AS total_units
+    FROM events GROUP BY 1
+),
+b1 AS (
+    SELECT trip_date, trip_count,
+           CASE WHEN day(trip_date) % 3 = 0 THEN total_units + 100
+                ELSE total_units END AS total_units
+    FROM daily WHERE day(trip_date) % 7 <> 0
+    UNION ALL
+    SELECT DATE '1900-01-01', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+),
+b2 AS (SELECT * FROM daily),
+stamped AS (
+    -- closed: b1 keys whose check cols changed in b2
+    SELECT a.trip_date, a.trip_count, a.total_units,
+           TIMESTAMP '{_T1}' AS dbt_updated_at,
+           TIMESTAMP '{_T1}' AS dbt_valid_from,
+           TIMESTAMP '{_T2}' AS dbt_valid_to
+    FROM b1 a JOIN b2 b ON a.trip_date = b.trip_date
+    WHERE a.trip_count <> b.trip_count OR a.total_units <> b.total_units
+    UNION ALL
+    -- kept open: unchanged keys, and b1 keys missing from b2 (check strategy)
+    SELECT a.trip_date, a.trip_count, a.total_units,
+           TIMESTAMP '{_T1}', TIMESTAMP '{_T1}', NULL
+    FROM b1 a LEFT JOIN b2 b ON a.trip_date = b.trip_date
+    WHERE b.trip_date IS NULL
+       OR (a.trip_count = b.trip_count AND a.total_units = b.total_units)
+    UNION ALL
+    -- new open versions: changed keys and brand-new keys, from b2
+    SELECT b.trip_date, b.trip_count, b.total_units,
+           TIMESTAMP '{_T2}', TIMESTAMP '{_T2}', NULL
+    FROM b2 b LEFT JOIN b1 a ON a.trip_date = b.trip_date
+    WHERE a.trip_date IS NULL
+       OR (a.trip_count <> b.trip_count OR a.total_units <> b.total_units)
+)
+SELECT trip_date, trip_count, total_units,
+       md5(concat_ws('-', coalesce(CAST(trip_date AS VARCHAR), ''),
+                          coalesce(CAST(dbt_updated_at AS VARCHAR), ''))) AS dbt_scd_id,
+       dbt_updated_at, dbt_valid_from, dbt_valid_to
+FROM stamped"""
+
+
+def q_scd2_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: dbt timestamp-strategy snapshot with hard-delete invalidation
+    (`snapshots/snp_weather_observations.sql:13-44`). Key (city, observed_at)
+    deduped at second grain; batch2 advances load_ts on ~1/4 of shared keys;
+    keys only in batch1 are hard-deleted (closed at T2)."""
+    from datetime import datetime
+
+    from .operators import scd
+
+    w = _weather(spark, sf_dir)
+    base = w.groupBy(
+        F.col("city"), F.date_trunc("second", "observed_at").alias("observed_at")
+    ).agg(
+        F.date_trunc("second", F.max("load_ts")).alias("load_ts"),
+        F.max("humidity_pct").alias("humidity_pct"),
+        F.min("obs_id").alias("obs_id"),
+    )
+    b1 = base.where(F.col("obs_id") % 2 == 0)
+    b2 = base.where(F.col("obs_id") % 3 == 0).select(
+        "city",
+        "observed_at",
+        F.when(
+            F.col("obs_id") % 4 == 0, F.timestamp_add("MINUTE", F.lit(10), "load_ts")
+        )
+        .otherwise(F.col("load_ts"))
+        .alias("load_ts"),
+        F.when(F.col("obs_id") % 4 == 0, F.col("humidity_pct") + 1)
+        .otherwise(F.col("humidity_pct"))
+        .alias("humidity_pct"),
+        "obs_id",
+    )
+    key = ["city", "observed_at"]
+    s1 = scd.snapshot_timestamp(None, b1, key, "load_ts")
+    return scd.snapshot_timestamp(
+        s1,
+        b2,
+        key,
+        "load_ts",
+        as_of=datetime(2026, 1, 2),
+        invalidate_hard_deletes=True,
+    )
+
+
+_SQL_SCD2_TIMESTAMP = f"""
+WITH {SQL_WEATHER.strip()},
+base AS (
+    SELECT city, date_trunc('second', observed_at) AS observed_at,
+           date_trunc('second', max(load_ts)) AS load_ts,
+           max(humidity_pct) AS humidity_pct,
+           min(obs_id) AS obs_id
+    FROM weather GROUP BY 1, 2
+),
+b1 AS (SELECT * FROM base WHERE obs_id % 2 = 0),
+b2 AS (
+    SELECT city, observed_at,
+           CASE WHEN obs_id % 4 = 0 THEN load_ts + INTERVAL 10 MINUTE
+                ELSE load_ts END AS load_ts,
+           CASE WHEN obs_id % 4 = 0 THEN humidity_pct + 1
+                ELSE humidity_pct END AS humidity_pct,
+           obs_id
+    FROM base WHERE obs_id % 3 = 0
+),
+stamped AS (
+    -- closed: shared keys where b2.load_ts is strictly newer
+    SELECT a.city, a.observed_at, a.load_ts, a.humidity_pct, a.obs_id,
+           a.load_ts AS dbt_updated_at, a.load_ts AS dbt_valid_from,
+           b.load_ts AS dbt_valid_to
+    FROM b1 a JOIN b2 b ON a.city = b.city AND a.observed_at = b.observed_at
+    WHERE b.load_ts > a.load_ts
+    UNION ALL
+    -- kept open: shared keys with no newer version
+    SELECT a.city, a.observed_at, a.load_ts, a.humidity_pct, a.obs_id,
+           a.load_ts, a.load_ts, NULL
+    FROM b1 a JOIN b2 b ON a.city = b.city AND a.observed_at = b.observed_at
+    WHERE NOT (b.load_ts > a.load_ts)
+    UNION ALL
+    -- hard deletes: b1-only keys closed at T2
+    SELECT a.city, a.observed_at, a.load_ts, a.humidity_pct, a.obs_id,
+           a.load_ts, a.load_ts, TIMESTAMP '{_T2}'
+    FROM b1 a LEFT JOIN b2 b ON a.city = b.city AND a.observed_at = b.observed_at
+    WHERE b.city IS NULL
+    UNION ALL
+    -- inserts: new keys and newer versions, stamped from b2
+    SELECT b.city, b.observed_at, b.load_ts, b.humidity_pct, b.obs_id,
+           b.load_ts, b.load_ts, NULL
+    FROM b2 b LEFT JOIN b1 a ON a.city = b.city AND a.observed_at = b.observed_at
+    WHERE a.city IS NULL OR b.load_ts > a.load_ts
+)
+SELECT city, observed_at, load_ts, humidity_pct, obs_id,
+       md5(concat_ws('-', coalesce(CAST(city AS VARCHAR), ''),
+                          coalesce(CAST(observed_at AS VARCHAR), ''),
+                          coalesce(CAST(load_ts AS VARCHAR), ''))) AS dbt_scd_id,
+       dbt_updated_at, dbt_valid_from, dbt_valid_to
+FROM stamped"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_dropna": q_dropna,
+    "q_limit": q_limit,
+    "q_scd2_check": q_scd2_check,
+    "q_scd2_timestamp": q_scd2_timestamp,
     "q_stg_trips": q_stg_trips,
     "q_stg_weather": q_stg_weather,
     "q_enrich": q_enrich,
@@ -432,6 +647,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 ORACLES: dict[str, str] = {
+    "q_dropna": _with(
+        SQL_TRIPS,
+        select="""
+SELECT * FROM trips
+WHERE pickup_datetime IS NOT NULL AND dropoff_datetime IS NOT NULL
+  AND pickup_zone_id IS NOT NULL AND dropoff_zone_id IS NOT NULL""",
+    ),
+    "q_limit": """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5000""",
+    "q_scd2_check": _SQL_SCD2_CHECK,
+    "q_scd2_timestamp": _SQL_SCD2_TIMESTAMP,
     "q_stg_trips": _with(SQL_TRIPS, SQL_STG_TRIPS, select="SELECT * FROM stg_trips"),
     "q_stg_weather": _with(
         SQL_WEATHER, SQL_STG_WEATHER, select="SELECT * FROM stg_weather"
