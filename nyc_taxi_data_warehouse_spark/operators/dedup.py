@@ -130,6 +130,64 @@ def jaccard_pairs(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs: every doc gets the
+    MIN doc id of its component as `cluster_id` (the canonical representative
+    — the last step of corpus dedup: keep one doc per cluster).
+
+    Min-label propagation: each round every node takes the min label across
+    itself and its neighbors (join + groupBy = one shuffle round), until a
+    fixpoint — O(component diameter) rounds. Near-dup graphs are
+    overwhelmingly tiny star/clique components, so this converges in 2-3
+    rounds; for adversarially chain-shaped graphs at extreme scale, swap in
+    the large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") which converges in O(log n) rounds.
+    The fixpoint is unique (min id reachable), so results are deterministic
+    regardless of round count. Driver-side loop is coordination only — all
+    data movement stays in shuffles; per-round `labels` is persisted and the
+    previous round unpersisted.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).persist()
+    # labels decrease monotonically per node, so an unchanged sum(label) IS
+    # the fixpoint — one tiny agg per round instead of a join-based diff.
+    prev_sum = None
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["src"] == labels["node"]).select(
+            edges["dst"].alias("node"), labels["label"].alias("label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
 SIMHASH_BITS = 16
 _HEX = "0123456789abcdef"
 

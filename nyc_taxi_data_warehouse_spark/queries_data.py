@@ -445,8 +445,44 @@ SELECT id_a, id_b, round(1e-9 + sim, 6) AS sim
 FROM sims WHERE sim >= 0.9"""
 
 
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: LSH candidate pairs → connected components → one
+    canonical (min-id) representative per near-dup cluster. The iterative
+    min-label propagation has no single-query SQL form; the oracle uses a
+    recursive CTE reaching the same unique fixpoint."""
+    corpus = _text_corpus(_docs(spark, sf_dir))
+    sh = dedup.shingle_rows(corpus)
+    sig = dedup.minhash_signatures(sh, num_hashes=_NH).persist()
+    pairs = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, num_hashes=_NH)).persist()
+    return dedup.connected_components(pairs, corpus.select("doc_id"))
+
+
+_SQL_DEDUP_CLUSTER = (
+    "WITH RECURSIVE "
+    + ",".join([SQL_CORPUS, SQL_TOK, SQL_SH, SQL_MINHASH])
+    + """,
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lab) AS (
+    SELECT doc_id, doc_id FROM corpus
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node"""
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
+    "q_dedup_cluster": q_dedup_cluster,
     "q_minhash_lsh": q_minhash_lsh,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash": q_simhash,
@@ -463,6 +499,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "q_dedup_exact": _SQL_DEDUP_EXACT,
     "q_minhash_lsh": _SQL_MINHASH_LSH,
+    "q_dedup_cluster": _SQL_DEDUP_CLUSTER,
     "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "q_simhash": _SQL_SIMHASH,
     "q_simhash_near": _SQL_SIMHASH_NEAR,

@@ -150,3 +150,19 @@ def test_ivf_knn_prunes_other_cells(spark):
     out = similarity.ivf_knn(vecs.where("vec_id = 1"), vecs, k=2).collect()
     ids = {r.neighbor_id for r in out}
     assert 2 not in ids and ids == {1, 3}
+
+
+def test_connected_components_chain_and_singleton(spark):
+    # chain 1-2-3 (diameter 2, needs >1 propagation round), pair (10,11),
+    # singleton 20
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20)], "doc_id long"
+    )
+    out = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs, nodes).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
