@@ -61,6 +61,39 @@ def fetch_json_rows(
     return payload if isinstance(payload, list) else [payload]
 
 
+def probe_latest_month(
+    url_template: str,
+    now_year: int,
+    now_month: int,
+    exists: Callable[[str], bool] | None = None,
+    max_back: int = 24,
+) -> str | None:
+    """S2: TLC month-probe — walk months newest→oldest and return the first
+    YYYY-MM whose file the CDN serves (`dags/etl_spark_historical.py:113-143`
+    does this with `requests.head`). `exists` is injectable; the default
+    issues a HEAD request via urllib."""
+    if exists is None:  # pragma: no cover - network
+        from urllib.request import Request, urlopen
+
+        def exists(u: str) -> bool:
+            try:
+                req = Request(u, method="HEAD")
+                with urlopen(req, timeout=15) as r:
+                    return 200 <= r.status < 300
+            except Exception:
+                return False
+
+    y, m = now_year, now_month
+    for _ in range(max_back):
+        ym = f"{y:04d}-{m:02d}"
+        if exists(url_template.format(month=ym)):
+            return ym
+        m -= 1
+        if m == 0:
+            y, m = y - 1, 12
+    return None
+
+
 def weather_row_from_payload(payload: dict) -> dict:
     """Parse an OpenWeather-shaped current-conditions payload into the
     RAW_WEATHER row shape (`dags/weather_realtime_etl.py:104-151`)."""

@@ -1,0 +1,48 @@
+"""Catalog DDL ops (S9/S10/S16-S19) and source-discovery (S2) tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_warehouse_spark.sources import catalog, readers
+
+
+def test_catalog_provision_ctas_truncate_roundtrip(spark):
+    catalog.ensure_database(spark, "t_cat")
+    catalog.ensure_database(spark, "t_cat")  # idempotent
+    catalog.ensure_table(spark, "t_cat.stg", "a INT, b STRING")
+    catalog.ensure_table(spark, "t_cat.stg", "a INT, b STRING")  # idempotent
+
+    df = spark.range(5).select(F.col("id").cast("int").alias("a"),
+                               F.lit("x").alias("b"))
+    catalog.append_table(df, "t_cat.stg")
+    assert catalog.read_table(spark, "t_cat.stg").count() == 5
+
+    catalog.create_or_replace_as(spark, "t_cat.mart", df.where("a >= 3"))
+    assert catalog.read_table(spark, "t_cat.mart").count() == 2
+    # CTAS replaces
+    catalog.create_or_replace_as(spark, "t_cat.mart", df.where("a < 3"))
+    assert catalog.read_table(spark, "t_cat.mart").count() == 3
+
+    catalog.truncate(spark, "t_cat.stg")
+    assert catalog.read_table(spark, "t_cat.stg").count() == 0
+
+
+def test_probe_latest_month_walks_backwards():
+    served = {"2025-11", "2025-10"}
+    calls = []
+
+    def exists(url: str) -> bool:
+        calls.append(url)
+        return any(m in url for m in served)
+
+    got = readers.probe_latest_month(
+        "https://cdn/yellow_tripdata_{month}.parquet", 2026, 1, exists=exists
+    )
+    assert got == "2025-11"
+    assert len(calls) == 3  # 2026-01, 2025-12, then hit
+
+    assert (
+        readers.probe_latest_month("x_{month}", 2026, 1, exists=lambda u: False, max_back=5)
+        is None
+    )
