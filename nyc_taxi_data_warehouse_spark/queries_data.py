@@ -480,9 +480,68 @@ SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node"""
 )
 
 
+# --- multimodal ------------------------------------------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode path end-to-end: opaque binary payload + typed
+    metadata → Arrow-batched `mapInPandas` feature extraction (deterministic
+    fake codec — byte statistics — so the oracle can mirror it; the Spark
+    plumbing is the real product)."""
+    from .sources import multimodal
+
+    d = _docs(spark, sf_dir)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    media = multimodal.attach_media_metadata(media)
+    feats = multimodal.decode_image_batch(media, use_fake=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        _rnd(F.col("mean_byte"), 6).alias("mean_byte"),
+        "feature_hash",
+    )
+
+
+_SQL_MULTIMODAL = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(length(text) AS INTEGER) AS n_bytes,
+       round(1e-9 + coalesce(list_aggregate(
+           list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))),
+           'avg'), 0.0), 6) AS mean_byte,
+       md5(text) AS feature_hash
+FROM documents"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: explode sampled frame indices per media
+    row (metadata-only — the decode stays behind the codec plug-in)."""
+    from .sources import multimodal
+
+    d = _docs(spark, sf_dir)
+    media = multimodal.attach_media_metadata(
+        d.select(
+            F.col("doc_id").cast("string").alias("media_id"),
+            F.col("text").cast("binary").alias("payload"),
+        )
+    )
+    return multimodal.frame_sample_plan(media, every_nth=30, bytes_per_frame=4)
+
+
+_SQL_FRAME_SAMPLE = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(unnest(range(0, greatest(CAST(floor(length(text) / 4) AS INTEGER), 0) + 1, 30))
+            AS INTEGER) AS frame_idx
+FROM documents"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
+    "q_multimodal_features": q_multimodal_features,
+    "q_frame_sample": q_frame_sample,
     "q_minhash_lsh": q_minhash_lsh,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash": q_simhash,
@@ -500,6 +559,8 @@ ORACLES: dict[str, str] = {
     "q_dedup_exact": _SQL_DEDUP_EXACT,
     "q_minhash_lsh": _SQL_MINHASH_LSH,
     "q_dedup_cluster": _SQL_DEDUP_CLUSTER,
+    "q_multimodal_features": _SQL_MULTIMODAL,
+    "q_frame_sample": _SQL_FRAME_SAMPLE,
     "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "q_simhash": _SQL_SIMHASH,
     "q_simhash_near": _SQL_SIMHASH_NEAR,

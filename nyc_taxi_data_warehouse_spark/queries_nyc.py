@@ -405,6 +405,48 @@ def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_backfill_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14+J4: the weather-backfill fallback — missing hours (anti-join gap
+    list) filled with the deterministic seasonal estimator (month→base-temp
+    map + hour-of-day adjustment, `weather_historical_backfill.py:258-279`)."""
+    from .sources.readers import synthetic_weather_estimate
+
+    t = staging.stg_taxi_trips(_trips(spark, sf_dir))
+    w = staging.stg_weather(_weather(spark, sf_dir)).where(F.col("city") == "NEW YORK")
+    trip_hours = t.select(
+        F.date_trunc("hour", "pickup_datetime").alias("hour_ts")
+    ).distinct()
+    weather_hours = w.select(
+        F.date_trunc("hour", "observed_at").alias("hour_ts")
+    ).distinct()
+    missing = trip_hours.join(weather_hours, "hour_ts", "left_anti")
+    return synthetic_weather_estimate(spark, missing).drop("raw_json")
+
+
+_SQL_BACKFILL_SYNTHETIC = """
+SELECT hour_ts AS observed_at,
+       'New York' AS city,
+       (CASE WHEN month(hour_ts) IN (12, 1, 2) THEN 35.0
+             WHEN month(hour_ts) IN (3, 4, 5) THEN 55.0
+             WHEN month(hour_ts) IN (6, 7, 8) THEN 78.0
+             ELSE 60.0 END
+        + CASE WHEN hour(hour_ts) BETWEEN 6 AND 11 THEN 3.0
+               WHEN hour(hour_ts) BETWEEN 12 AND 17 THEN 8.0
+               WHEN hour(hour_ts) BETWEEN 18 AND 22 THEN 2.0
+               ELSE -4.0 END) AS temp_f,
+       'partly cloudy' AS weather_desc,
+       CAST(60 AS INTEGER) AS humidity_pct,
+       hour_ts AS load_ts
+FROM (
+    SELECT th.hour_ts
+    FROM (SELECT DISTINCT date_trunc('hour', pickup_datetime) AS hour_ts FROM stg_trips) th
+    LEFT JOIN (SELECT DISTINCT date_trunc('hour', observed_at) AS hour_ts
+               FROM stg_weather WHERE city = 'NEW YORK') wh
+      ON th.hour_ts = wh.hour_ts
+    WHERE wh.hour_ts IS NULL
+)"""
+
+
 def q_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2: `df.na.drop(subset=[4 key cols])` — the PySpark-ETL null gate
     (reference `dags/etl_spark_historical.py:191`)."""
@@ -617,6 +659,7 @@ FROM stamped"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_backfill_synthetic": q_backfill_synthetic,
     "q_dropna": q_dropna,
     "q_limit": q_limit,
     "q_scd2_check": q_scd2_check,
@@ -647,6 +690,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 ORACLES: dict[str, str] = {
+    "q_backfill_synthetic": _with(
+        SQL_TRIPS,
+        SQL_WEATHER,
+        SQL_STG_TRIPS,
+        SQL_STG_WEATHER,
+        select=_SQL_BACKFILL_SYNTHETIC,
+    ),
     "q_dropna": _with(
         SQL_TRIPS,
         select="""

@@ -85,13 +85,17 @@ def decode_image_batch(df: DataFrame, use_fake: bool = False) -> DataFrame:
     return df.mapInPandas(decode, IMAGE_FEATURES_SCHEMA)
 
 
-def frame_sample_plan(df: DataFrame, every_nth: int = 30) -> DataFrame:
+def frame_sample_plan(
+    df: DataFrame, every_nth: int = 30, bytes_per_frame: int = 1000
+) -> DataFrame:
     """Video frame-sampling *plan*: the shuffle/partition layout for frame
     extraction (group by media, explode frame indices) with the decode left
-    to :func:`decode_image_batch`. Uses metadata only — no codec."""
+    to :func:`decode_image_batch`. Uses metadata only — no codec.
+    `bytes_per_frame` approximates frame count from payload size."""
+    n_frames = F.greatest(
+        (F.col("n_bytes") / F.lit(bytes_per_frame)).cast("int"), F.lit(0)
+    )
     return df.select(
         "media_id",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest((F.col("n_bytes") / 1000).cast("int"), F.lit(0)), F.lit(every_nth))
-        ).alias("frame_idx"),
+        F.explode(F.sequence(F.lit(0), n_frames, F.lit(every_nth))).alias("frame_idx"),
     )
