@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) for the Snowflake-compat expression
+layer — the semantics-dense edges of SURVEY §2.5 (E1 minute-boundary
+datediff, E5/E7 weekday numbering, E15 surrogate keys) checked against
+plain-Python ground truth over randomized inputs.
+
+One DataFrame per hypothesis example (lists of rows, single Spark job) keeps
+run time bounded; deadline disabled because Spark job latency is noisy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timezone
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_warehouse_spark.functions import compat
+
+EPOCH = st.integers(min_value=0, max_value=2**31 - 1)
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _utc(sec: int) -> datetime:
+    return datetime.fromtimestamp(sec, tz=timezone.utc).replace(tzinfo=None)
+
+
+@given(rows=st.lists(st.tuples(EPOCH, st.integers(-7200, 7200)), min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_datediff_minute_counts_boundary_crossings(spark, rows):
+    df = spark.createDataFrame(
+        [(a, a + d) for a, d in rows], "a_sec long, b_sec long"
+    ).select(
+        "a_sec",
+        "b_sec",
+        compat.datediff_minute(
+            F.timestamp_seconds("a_sec"), F.timestamp_seconds("b_sec")
+        ).alias("dm"),
+    )
+    for r in df.collect():
+        assert r.dm == r.b_sec // 60 - r.a_sec // 60
+
+
+@given(secs=st.lists(EPOCH, min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_weekday_numbering_and_weekend_flag(spark, secs):
+    df = spark.createDataFrame([(s,) for s in secs], "sec long").select(
+        "sec",
+        compat.dayofweek0(F.timestamp_seconds("sec")).alias("dow0"),
+        compat.dayname3(F.timestamp_seconds("sec")).alias("dn"),
+        compat.is_weekend(F.timestamp_seconds("sec")).alias("wk"),
+    )
+    names = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
+    for r in df.collect():
+        py = _utc(r.sec)
+        # Snowflake numbering: Sunday=0 .. Saturday=6
+        assert r.dow0 == (py.weekday() + 1) % 7
+        assert r.dn == names[py.weekday()]
+        assert r.wk == (r.dow0 in (0, 6))
+
+
+@given(
+    parts=st.lists(
+        st.one_of(st.none(), st.text(alphabet=st.characters(codec="ascii"), max_size=20)),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**SETTINGS)
+def test_surrogate_key_matches_dbt_utils_recipe(spark, parts):
+    cols = [F.lit(p).cast("string") for p in parts]
+    got = (
+        spark.range(1)
+        .select(compat.surrogate_key(*cols).alias("k"))
+        .collect()[0]
+        .k
+    )
+    expected = hashlib.md5(
+        "-".join("" if p is None else p for p in parts).encode()
+    ).hexdigest()
+    assert got == expected
+
+
+def test_datediff_minute_boundary_examples(spark):
+    # the E1 edge the reference depends on: 10:00:59 -> 10:01:01 is 1 minute
+    df = spark.createDataFrame(
+        [(59, 61), (0, 59), (59, 120), (60, 60)], "a long, b long"
+    ).select(
+        compat.datediff_minute(
+            F.timestamp_seconds("a"), F.timestamp_seconds("b")
+        ).alias("dm")
+    )
+    # 0:59->1:01 crosses one boundary; 0:59->2:00 crosses two; elapsed-time
+    # rounding would say 0 and 1 respectively.
+    assert [r.dm for r in df.collect()] == [1, 0, 2, 0]
