@@ -8,6 +8,14 @@ from nyc_taxi_data_warehouse_spark.sources import catalog, readers
 
 
 def test_catalog_provision_ctas_truncate_roundtrip(spark):
+    # the in-memory catalog forgets tables between sessions but their
+    # managed locations survive on disk — scrub both for idempotent reruns
+    import shutil
+
+    spark.sql("DROP DATABASE IF EXISTS t_cat CASCADE")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(warehouse.removeprefix("file:") + "/t_cat.db", ignore_errors=True)
+
     catalog.ensure_database(spark, "t_cat")
     catalog.ensure_database(spark, "t_cat")  # idempotent
     catalog.ensure_table(spark, "t_cat.stg", "a INT, b STRING")
