@@ -63,3 +63,50 @@ def test_frame_sample_plan_shape(spark):
     rows = plan.collect()
     assert len(rows) == 4  # indices 0,30,60,90
     assert {r.frame_idx for r in rows} == {0, 30, 60, 90}
+
+
+def test_stateful_sessionize_gap_splits_and_state_survives_batches(spark, tmp_path):
+    from datetime import datetime
+
+    from nyc_taxi_data_warehouse_spark.streaming import sessionize
+
+    def ev(uid, minute, val=1.0):
+        return (uid, datetime(2026, 1, 1, 10 + minute // 60, minute % 60), val)
+
+    src = str(tmp_path / "sess_feed")
+    # batch file 1: user 1 has a 40-min gap at minute 10 -> one closed session;
+    # user 2 stays within the gap -> no closed session yet
+    spark.createDataFrame(
+        [ev(1, 0), ev(1, 5), ev(1, 10), ev(1, 50), ev(2, 0), ev(2, 20)],
+        "user_id long, ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch file 2: user 1 continues its open session (minute 55); user 2
+    # jumps 3 hours -> closes its open session from batch 1
+    spark.createDataFrame(
+        [ev(1, 55), ev(2, 200)],
+        "user_id long, ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)  # force two micro-batches
+        .parquet(src)
+    )
+    q = (
+        sessionize.sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = {
+        (r.user_id, r.session_start.minute, r.session_end.minute, r.n_events)
+        for r in spark.table("sess_test").collect()
+    }
+    # closed: user1 minutes 0-10 (3 events); user2 minutes 0-20 (2 events).
+    # open tails (user1 50-55, user2 at 200) are not emitted.
+    assert got == {(1, 0, 10, 3), (2, 0, 20, 2)}
