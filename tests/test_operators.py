@@ -166,3 +166,43 @@ def test_connected_components_chain_and_singleton(spark):
         for r in dedup.connected_components(pairs, nodes).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+# --- skew ------------------------------------------------------------------
+
+def test_salted_agg_matches_plain_groupby(spark, sf_dir):
+    from nyc_taxi_data_warehouse_spark.operators import skew
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = {
+        r.l_returnflag: (r.row_count, round(r.l_quantity_sum, 6))
+        for r in skew.salted_agg(
+            li, ["l_returnflag"], sums=["l_quantity"]
+        ).collect()
+    }
+    from pyspark.sql import functions as F2
+
+    want = {
+        r.l_returnflag: (r.c, round(r.s, 6))
+        for r in li.groupBy("l_returnflag")
+        .agg(F2.count(F2.lit(1)).alias("c"), F2.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_broadcast_join_matches_plain_join(spark, sf_dir):
+    from nyc_taxi_data_warehouse_spark.operators import skew
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("l_partkey"), "p_name"
+    )
+    got = skew.salted_broadcast_join(li, part, "l_partkey")
+    plain = li.join(part, "l_partkey", "left")
+    assert got.count() == plain.count()
+    assert got.where(F.col("p_name").isNull()).count() == plain.where(
+        F.col("p_name").isNull()
+    ).count()
