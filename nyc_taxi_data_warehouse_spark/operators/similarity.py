@@ -76,6 +76,32 @@ def ivf_knn(
     return _top_k(sims, k)
 
 
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF coarse-quantizer assignment: every vector → its nearest centroid
+    by cosine (deterministic ties: smaller centroid id). The centroid set is
+    broadcast (k centroids ≪ corpus), so the corpus streams through
+    executors with no shuffle — the standard k-means assign step; iterate
+    with a recompute-centroids groupBy for full k-means."""
+    v = vectors.select(F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qv"))
+    c = centroids.select(
+        F.col(id_col).alias("neighbor_id"), V.as_double(vec_col).alias("cv")
+    )
+    sims = v.join(F.broadcast(c)).select(
+        "query_id", "neighbor_id", V.cosine("qv", "cv").alias("sim")
+    )
+    return _top_k(sims, 1).select(
+        F.col("query_id").alias(id_col),
+        F.col("neighbor_id").alias(cent_id_col),
+        "sim",
+    )
+
+
 def cosine_pairs(
     vecs: DataFrame,
     threshold: float,

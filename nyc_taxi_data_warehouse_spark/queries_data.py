@@ -408,6 +408,37 @@ FROM ranked WHERE rn <= 3"""
 )
 
 
+def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quantizer build: assign every embedding to its nearest seed
+    centroid (vec_id % 100 = 0) by cosine — broadcast k-means assign step."""
+    emb = _emb(spark, sf_dir)
+    out = similarity.assign_cells(emb, emb.where(F.col("vec_id") % 100 == 0))
+    return out.select("vec_id", "centroid_id", _rnd(F.col("sim"), 6).alias("sim"))
+
+
+_SQL_CENTROID_ASSIGN = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+),
+c AS (
+    SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id % 100 = 0
+),
+sims AS (
+    SELECT q.query_id, c.neighbor_id, {_COS} AS sim
+    FROM q CROSS JOIN c
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+    FROM sims
+)
+SELECT query_id AS vec_id, neighbor_id AS centroid_id,
+       round(1e-9 + sim, 6) AS sim
+FROM ranked WHERE rn = 1"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.9) over sampled vectors plus
     first-component-negated twins."""
@@ -552,6 +583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fingerprint": q_fingerprint,
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_ann_ivf": q_ann_ivf,
+    "q_centroid_assign": q_centroid_assign,
     "q_embedding_neardup": q_embedding_neardup,
 }
 
@@ -560,6 +592,7 @@ ORACLES: dict[str, str] = {
     "q_minhash_lsh": _SQL_MINHASH_LSH,
     "q_dedup_cluster": _SQL_DEDUP_CLUSTER,
     "q_multimodal_features": _SQL_MULTIMODAL,
+    "q_centroid_assign": _SQL_CENTROID_ASSIGN,
     "q_frame_sample": _SQL_FRAME_SAMPLE,
     "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "q_simhash": _SQL_SIMHASH,
