@@ -360,7 +360,7 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for the deterministic query subset (vec_id%50=0)."""
     emb = _emb(spark, sf_dir)
     out = similarity.brute_force_knn(
-        emb.where(F.col("vec_id") % 50 == 0), emb, k=5
+        emb.where(F.col("vec_id") % 50 == 0), _scale_out(emb), k=5
     )
     return out.select("query_id", "neighbor_id", _rnd(F.col("sim"), 6).alias("sim"))
 
@@ -386,7 +386,7 @@ FROM ranked WHERE rn <= 5"""
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-pruned (IVF-style, label = cell) cosine top-3."""
     emb = _emb(spark, sf_dir)
-    out = similarity.ivf_knn(emb.where(F.col("vec_id") % 50 == 0), emb, k=3)
+    out = similarity.ivf_knn(emb.where(F.col("vec_id") % 50 == 0), _scale_out(emb), k=3)
     return out.select("query_id", "neighbor_id", _rnd(F.col("sim"), 6).alias("sim"))
 
 
@@ -412,7 +412,7 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF quantizer build: assign every embedding to its nearest seed
     centroid (vec_id % 100 = 0) by cosine — broadcast k-means assign step."""
     emb = _emb(spark, sf_dir)
-    out = similarity.assign_cells(emb, emb.where(F.col("vec_id") % 100 == 0))
+    out = similarity.assign_cells(_scale_out(emb), emb.where(F.col("vec_id") % 100 == 0))
     return out.select("vec_id", "centroid_id", _rnd(F.col("sim"), 6).alias("sim"))
 
 
@@ -442,7 +442,7 @@ FROM ranked WHERE rn = 1"""
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.9) over sampled vectors plus
     first-component-negated twins."""
-    emb = _emb(spark, sf_dir).where(F.col("vec_id") % 10 == 0)
+    emb = _scale_out(_emb(spark, sf_dir).where(F.col("vec_id") % 10 == 0))
     base = emb.select("vec_id", V.as_double("embedding").alias("v"))
     twin = base.select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
