@@ -36,6 +36,14 @@ HEADLINE = [
     "q_text_quality",
     "q_knn_bruteforce",
     "q_ann_ivf",
+    # round-1 additions: SCD2 snapshots, dedup clustering, quantizer build,
+    # multimodal decode, synthetic backfill
+    "q_scd2_check",
+    "q_scd2_timestamp",
+    "q_dedup_cluster",
+    "q_centroid_assign",
+    "q_multimodal_features",
+    "q_backfill_synthetic",
 ]
 
 
