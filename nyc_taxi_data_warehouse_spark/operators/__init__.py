@@ -1,1 +1,1 @@
-from . import dedup, merge, quality, scd, similarity  # noqa: F401
+from . import dedup, merge, quality, scd, similarity, skew  # noqa: F401

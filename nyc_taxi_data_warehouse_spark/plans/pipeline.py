@@ -91,6 +91,65 @@ def run_models(
     return ModelRun(st, sw, enr, wh, mtw, mdm, mza, fdf, results)
 
 
+def run_snapshots(
+    run: ModelRun,
+    prev_weather_snap: DataFrame | None,
+    prev_daily_snap: DataFrame | None,
+    as_of: datetime,
+) -> tuple[DataFrame, DataFrame]:
+    """The `dbt snapshot` stage (§3.2, runs AFTER models because
+    snp_daily_metrics refs mart_daily_metrics): C1 timestamp-strategy over
+    weather observations, C2 check-strategy over daily metrics."""
+    from ..operators import scd
+
+    weather_src = run.stg_weather.select(
+        "city", "observed_at", "temperature_fahrenheit", "humidity_percent", "load_ts"
+    )
+    snp_weather = scd.snapshot_timestamp(
+        prev_weather_snap,
+        weather_src,
+        key=["city", "observed_at"],
+        updated_at="load_ts",
+        as_of=as_of,
+        invalidate_hard_deletes=True,
+    )
+    daily_src = run.mart_daily_metrics.select(
+        "trip_date",
+        "trip_count",
+        "total_revenue",
+        "avg_fare",
+        "avg_distance",
+        "weekend_trip_count",
+        "weekday_trip_count",
+    )
+    snp_daily = scd.snapshot_check(
+        prev_daily_snap,
+        daily_src,
+        key=["trip_date"],
+        check_cols=[
+            "trip_count",
+            "total_revenue",
+            "avg_fare",
+            "avg_distance",
+            "weekend_trip_count",
+            "weekday_trip_count",
+        ],
+        as_of=as_of,
+    )
+    return snp_weather, snp_daily
+
+
+def run_forecast_chain(spark: SparkSession, run: ModelRun):
+    """The three forecasting DAGs (§3.3) end-to-end: train → 7-day recursive
+    forecast → hindcast eval. Returns (TrainResult, forecast_df, eval_df)."""
+    from ..ml import forecast
+
+    tr = forecast.train(run.fare_daily_features)
+    fc = forecast.forecast_7day(spark, run.fare_daily_features, tr.model)
+    ev = forecast.hindcast_eval(run.fare_daily_features, tr.model)
+    return tr, fc, ev
+
+
 def persist_marts(run: ModelRun, base_path: str) -> None:
     """Materialize marts as the lake tables (dbt table materialization)."""
     from ..sources.sinks import write_partitioned_by_date

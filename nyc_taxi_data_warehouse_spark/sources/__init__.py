@@ -1,1 +1,1 @@
-from . import multimodal, readers, sinks  # noqa: F401
+from . import catalog, multimodal, readers, sinks  # noqa: F401

@@ -1,0 +1,1 @@
+from . import sessionize, weather_stream  # noqa: F401

@@ -124,3 +124,24 @@ def test_fare_daily_features_window_semantics(spark, trips, weather):
         lo = max(0, i - 6)
         expect_ma = sum(x.avg_fare for x in rows[lo : i + 1]) / (i + 1 - lo)
         assert r.avg_fare_ma7 == pytest.approx(expect_ma)
+
+
+def test_pipeline_snapshots_and_forecast_chain(spark, trips, weather):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F2
+
+    run = pipeline.run_models(trips, weather, run_quality=False)
+    w1, d1 = pipeline.run_snapshots(run, None, None, datetime(2026, 1, 1))
+    # first run: everything open
+    assert w1.where(F2.col("dbt_valid_to").isNotNull()).count() == 0
+    # second run with identical sources: nothing closes, nothing inserts
+    w2, d2 = pipeline.run_snapshots(run, w1, d1, datetime(2026, 1, 2))
+    assert w2.count() == w1.count()
+    assert d2.count() == d1.count()
+    assert d2.where(F2.col("dbt_valid_to").isNotNull()).count() == 0
+
+    tr, fc, ev = pipeline.run_forecast_chain(spark, run)
+    assert fc.count() == 7
+    assert ev.where(F2.col("row_type") == "summary").count() == 1
+    assert tr.mae >= 0.0
