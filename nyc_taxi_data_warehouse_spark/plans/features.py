@@ -57,6 +57,11 @@ def fare_daily_features(mart_daily: DataFrame, daily_forecast: DataFrame) -> Dat
         mart_daily.trip_date == F.col("forecast_date"),
         "left",
     ).drop("forecast_date")
+    # Unpartitioned window is safe BY CONSTRUCTION: input is daily-grain
+    # (one row per date — ≤37k rows even for a century of data), so the
+    # single-partition sort Spark warns about is bounded regardless of raw
+    # trip volume. Lag/MA features need the full date sequence; partitioning
+    # (e.g. by year) would corrupt values at partition boundaries.
     w = Window.orderBy("trip_date")
     return d.select(
         "trip_date",
