@@ -167,6 +167,26 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return shingles_from_tokens(tokens(text), n)
 
 
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def scrub_emails(text: Column | str, repl: str = "<EMAIL>") -> Column:
+    """Mask email addresses (PII scrubbing). RE2-compatible pattern (no
+    backrefs/lookarounds) so the DuckDB oracle applies it verbatim."""
+    return F.regexp_replace(_col(text), EMAIL_RE, repl)
+
+
+def scrub_urls(text: Column | str, repl: str = "<URL>") -> Column:
+    """Mask URLs."""
+    return F.regexp_replace(_col(text), URL_RE, repl)
+
+
+def normalize_whitespace(text: Column | str) -> Column:
+    """Collapse runs of whitespace to single spaces and trim."""
+    return F.trim(F.regexp_replace(_col(text), r"\s+", " "))
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted distinct
     token set — robust to token reordering, standard near-dup prefilter."""

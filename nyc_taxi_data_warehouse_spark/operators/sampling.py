@@ -1,0 +1,47 @@
+"""Reproducible sampling operators for training-data pipelines.
+
+`df.sample()` is seed-dependent but NOT content-stable: adding one row
+reshuffles everyone's fate, and re-runs over re-partitioned data can drift.
+Training-data curation wants *content-hash* sampling — a row's inclusion is
+a pure function of its key, stable across runs, partitionings, engines, and
+incremental re-ingests (the property that makes held-out sets trustworthy).
+
+Both operators are single-pass column expressions / one window — no extra
+shuffle beyond what the grouping itself requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key, salt: str = "", n_buckets: int = 100) -> F.Column:
+    """Deterministic bucket in [0, n_buckets): first 8 hex chars of
+    md5(key||salt) as an int, mod n_buckets. Reproducible in any engine
+    with md5 (the DuckDB oracle mirrors it digit-for-digit)."""
+    c = key if not isinstance(key, str) else F.col(key)
+    h = F.md5(F.concat(c.cast("string"), F.lit(salt)))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_buckets).cast("int")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, pct: int, salt: str = "", n_buckets: int = 100
+) -> DataFrame:
+    """Keep rows whose content-hash bucket < pct — a stable pct% sample."""
+    return df.where(hash_bucket(key_col, salt, n_buckets) < pct)
+
+
+def stratified_sample(
+    df: DataFrame, group_cols: list[str], key_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic k-per-group sample: rank rows inside each group by
+    md5(key||salt) (a content-stable pseudo-random order, key as tiebreak)
+    and keep the first k. One shuffle on the group key."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

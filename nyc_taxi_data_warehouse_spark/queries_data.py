@@ -511,6 +511,118 @@ SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node"""
 )
 
 
+# --- scrubbing / sampling / stats ------------------------------------------
+
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL scrubbing: emails and URLs injected deterministically, then
+    masked; whitespace normalized. Pure regexp_replace chains (RE2-safe)."""
+    d = _docs(spark, sf_dir)
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("  contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com  via https://ex.com/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" now"),
+        ).alias("text"),
+    )
+    return dirty.select(
+        "doc_id",
+        T.normalize_whitespace(T.scrub_urls(T.scrub_emails("text"))).alias("clean"),
+    )
+
+
+_SQL_TEXT_SCRUB = r"""
+WITH dirty AS (
+    SELECT doc_id,
+           text || '  contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com  via https://ex.com/d/' || CAST(doc_id AS VARCHAR)
+                || ' now' AS text
+    FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(
+           regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g'),
+           '\s+', ' ', 'g')) AS clean
+FROM dirty"""
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash 10% sample of the corpus — stable across runs,
+    partitionings, and engines (inclusion is a pure function of doc_id)."""
+    from .operators import sampling
+
+    d = _docs(spark, sf_dir)
+    return sampling.hash_sample(d, "doc_id", pct=10, salt="s1").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+# DuckDB lacks base-16 string→int conv; rebuild the same 8-hex-digit value
+# positionally (identical digits → identical bucket).
+_HEXVAL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+_SQL_SAMPLE_HASH = f"""
+WITH hashed AS (
+    SELECT doc_id, lang, n_chars,
+           substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 8) AS h
+    FROM documents
+)
+SELECT doc_id, lang, n_chars
+FROM hashed
+WHERE ({_HEXVAL}) % 100 < 10"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-language sample (balanced subset construction)."""
+    from .operators import sampling
+
+    d = _docs(spark, sf_dir)
+    return sampling.stratified_sample(d, ["lang"], "doc_id", k=5, salt="s2").select(
+        "doc_id", "lang"
+    )
+
+
+_SQL_SAMPLE_STRATIFIED = """
+WITH ranked AS (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || 's2') ASC, doc_id ASC
+           ) AS rn
+    FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rn <= 5"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of document length per language —
+    Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    interpolation definition."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _rnd(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        _rnd(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+        _rnd(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99_chars"),
+    )
+
+
+_SQL_PERCENTILES = """
+SELECT lang, count(*) AS n_docs,
+       round(1e-9 + quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+       round(1e-9 + quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+       round(1e-9 + quantile_cont(n_chars, 0.99), 4) AS p99_chars
+FROM documents GROUP BY 1"""
+
+
 # --- multimodal ------------------------------------------------------------
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,6 +685,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_cluster": q_dedup_cluster,
     "q_multimodal_features": q_multimodal_features,
     "q_frame_sample": q_frame_sample,
+    "q_text_scrub": q_text_scrub,
+    "q_sample_hash": q_sample_hash,
+    "q_sample_stratified": q_sample_stratified,
+    "q_percentiles": q_percentiles,
     "q_minhash_lsh": q_minhash_lsh,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash": q_simhash,
@@ -593,6 +709,10 @@ ORACLES: dict[str, str] = {
     "q_dedup_cluster": _SQL_DEDUP_CLUSTER,
     "q_multimodal_features": _SQL_MULTIMODAL,
     "q_centroid_assign": _SQL_CENTROID_ASSIGN,
+    "q_text_scrub": _SQL_TEXT_SCRUB,
+    "q_sample_hash": _SQL_SAMPLE_HASH,
+    "q_sample_stratified": _SQL_SAMPLE_STRATIFIED,
+    "q_percentiles": _SQL_PERCENTILES,
     "q_frame_sample": _SQL_FRAME_SAMPLE,
     "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "q_simhash": _SQL_SIMHASH,

@@ -206,3 +206,30 @@ def test_salted_broadcast_join_matches_plain_join(spark, sf_dir):
     assert got.where(F.col("p_name").isNull()).count() == plain.where(
         F.col("p_name").isNull()
     ).count()
+
+
+# --- sampling --------------------------------------------------------------
+
+def test_hash_sample_stable_and_partition_independent(spark, sf_dir):
+    from nyc_taxi_data_warehouse_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 20).collect()}
+    b = {
+        r.doc_id
+        for r in sampling.hash_sample(docs.repartition(7), "doc_id", 20).collect()
+    }
+    assert a == b  # content-hash: partitioning can't change membership
+    wider = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 40).collect()}
+    assert a <= wider  # rate increase only adds rows (nested samples)
+
+
+def test_stratified_sample_exactly_k_per_group(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    from nyc_taxi_data_warehouse_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sampling.stratified_sample(docs, ["lang"], "doc_id", k=3)
+    per = out.groupBy("lang").agg(F2.count(F2.lit(1)).alias("n")).collect()
+    assert per and all(r.n == 3 for r in per)
