@@ -1,0 +1,65 @@
+"""Term-statistics operators: TF-IDF and top-terms-per-document.
+
+The inverted-index building block of corpus curation (keyword extraction,
+topic tagging, boilerplate detection). Classic two-aggregation shape:
+
+  explode(tokens) → tf per (doc, term)     [shuffle on (doc, term)]
+  tf → df per term                         [shuffle on term]
+  tf ⋈ df (broadcast: |vocab| ≪ |corpus|) → tf·idf
+
+At 100 TB the document-frequency table is vocabulary-sized (millions of
+rows, not billions) so the join side broadcasts; the heavy frames only ever
+shuffle on their natural keys. Smoothed idf = ln((N+1)/(df+1)) + 1
+(sklearn's `smooth_idf`, public convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def term_freqs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per (doc, term) with its in-document count."""
+    tok = docs.select(
+        F.col(id_col), F.explode(T.tokens(text_col)).alias("term")
+    )
+    return tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def tf_idf(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, term, tf, df, tfidf) with smoothed idf."""
+    n_docs = docs.select(id_col).distinct().count()
+    tf = term_freqs(docs, id_col, text_col)
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return tf.join(F.broadcast(df_tbl), "term").select(
+        id_col,
+        "term",
+        "tf",
+        "df",
+        (
+            F.col("tf")
+            * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0)
+        ).alias("tfidf"),
+    )
+
+
+def top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k terms per doc by tf-idf (deterministic ties: term asc)."""
+    scored = tf_idf(docs, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

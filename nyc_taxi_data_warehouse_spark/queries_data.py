@@ -623,6 +623,44 @@ SELECT lang, count(*) AS n_docs,
 FROM documents GROUP BY 1"""
 
 
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per doc by smoothed tf-idf (deterministic ties)."""
+    from .operators import terms
+
+    d = _scale_out(_docs(spark, sf_dir).select("doc_id", "text"))
+    out = terms.top_terms(d, k=3)
+    return out.select(
+        "doc_id", "term", "tf", "df", _rnd(F.col("tfidf"), 6).alias("tfidf"),
+        F.col("rank").alias("term_rank")
+    )
+
+
+_SQL_TOP_TERMS = """
+WITH tok AS (
+    SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+),
+dfreq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+           tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS term_rank
+    FROM scored
+)
+SELECT doc_id, term, tf, df, round(1e-9 + tfidf, 6) AS tfidf, term_rank
+FROM ranked WHERE term_rank <= 3"""
+
+
 # --- multimodal ------------------------------------------------------------
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,6 +723,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_cluster": q_dedup_cluster,
     "q_multimodal_features": q_multimodal_features,
     "q_frame_sample": q_frame_sample,
+    "q_top_terms": q_top_terms,
     "q_text_scrub": q_text_scrub,
     "q_sample_hash": q_sample_hash,
     "q_sample_stratified": q_sample_stratified,
@@ -709,6 +748,7 @@ ORACLES: dict[str, str] = {
     "q_dedup_cluster": _SQL_DEDUP_CLUSTER,
     "q_multimodal_features": _SQL_MULTIMODAL,
     "q_centroid_assign": _SQL_CENTROID_ASSIGN,
+    "q_top_terms": _SQL_TOP_TERMS,
     "q_text_scrub": _SQL_TEXT_SCRUB,
     "q_sample_hash": _SQL_SAMPLE_HASH,
     "q_sample_stratified": _SQL_SAMPLE_STRATIFIED,
