@@ -52,10 +52,12 @@ def hourly_weather_stream(stream: DataFrame, watermark: str = "2 hours") -> Data
 
     `max_by(desc, struct(observed_at, obs_id))` is the same deterministic
     argmax the batch model uses; dedup on obs_id guards re-delivered files
-    (the streaming analogue of the MERGE idempotence)."""
+    (the streaming analogue of the MERGE idempotence).
+    `dropDuplicatesWithinWatermark` keeps the dedup state BOUNDED — plain
+    `dropDuplicates` would grow its key set forever on an unbounded feed."""
     w = (
         stream.withWatermark("observed_at", watermark)
-        .dropDuplicates(["obs_id"])
+        .dropDuplicatesWithinWatermark(["obs_id"])
         .where(F.col("observed_at").isNotNull() & F.col("temp_f").isNotNull())
     )
     return w.groupBy(
