@@ -98,3 +98,29 @@ def test_datediff_minute_boundary_examples(spark):
     # 0:59->1:01 crosses one boundary; 0:59->2:00 crosses two; elapsed-time
     # rounding would say 0 and 1 respectively.
     assert [r.dm for r in df.collect()] == [1, 0, 2, 0]
+
+
+@given(
+    toks=st.lists(
+        st.text(alphabet=st.characters(codec="ascii", exclude_characters=" \t\n\r\x0b\x0c\x00"), min_size=1, max_size=8),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_shingle_count_and_fingerprint_order_invariance(spark, toks):
+    from nyc_taxi_data_warehouse_spark.functions import text as T
+
+    doc = " ".join(toks)
+    rev = " ".join(reversed(toks))
+    df = spark.createDataFrame([(doc, rev)], "a string, b string").select(
+        F.size(T.shingles("a")).alias("n_sh"),
+        T.fingerprint("a").alias("fp_a"),
+        T.fingerprint("b").alias("fp_b"),
+        T.word_count("a").alias("wc"),
+    )
+    r = df.collect()[0]
+    assert r.wc == len(toks)
+    assert r.n_sh == max(0, len(toks) - 2)
+    # fingerprint is invariant under token reordering
+    assert r.fp_a == r.fp_b
