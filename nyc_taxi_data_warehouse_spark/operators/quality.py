@@ -89,6 +89,20 @@ def run_checks(named_checks: dict[str, DataFrame]) -> list[CheckResult]:
     return out
 
 
+def violation_report(named_checks: dict[str, DataFrame]) -> DataFrame:
+    """One DataFrame of (check_name, violations) — the dbt-test result table
+    as a relational output (oracle-checkable, persistable as an audit mart)."""
+    from functools import reduce
+
+    parts = [
+        df.agg(F.count(F.lit(1)).alias("violations")).select(
+            F.lit(name).alias("check_name"), "violations"
+        )
+        for name, df in named_checks.items()
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def reference_check_suite(
     stg_trips: DataFrame, stg_weather: DataFrame, mart_trips_weather: DataFrame,
     mart_daily: DataFrame,

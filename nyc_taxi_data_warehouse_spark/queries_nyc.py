@@ -447,6 +447,56 @@ FROM (
 )"""
 
 
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12: the dbt declarative test suite as a relational violation
+    report, run against the RAW feeds (pre-staging) where violations exist
+    — not_null / accepted_range / unique, dbt failure semantics."""
+    from .operators import quality
+
+    t = _trips(spark, sf_dir)
+    w = _weather(spark, sf_dir)
+    checks = {
+        "trips.pickup_not_null": quality.not_null(t, "pickup_datetime"),
+        "trips.dropoff_not_null": quality.not_null(t, "dropoff_datetime"),
+        "trips.pickup_zone_not_null": quality.not_null(t, "pickup_zone_id"),
+        "trips.distance_range": quality.accepted_range(
+            t, "trip_distance", min_value=0, inclusive=False
+        ),
+        "trips.amount_range": quality.accepted_range(
+            t, "total_amount", min_value=0, inclusive=False
+        ),
+        "weather.temp_not_null": quality.not_null(w, "temp_f"),
+        "weather.humidity_range": quality.accepted_range(w, "humidity_pct", 0, 100),
+        "weather.obs_key_unique": quality.unique(w, "city", "observed_at"),
+    }
+    return quality.violation_report(checks)
+
+
+_SQL_QUALITY_REPORT = """
+SELECT 'trips.pickup_not_null' AS check_name, count(*) AS violations
+FROM trips WHERE pickup_datetime IS NULL
+UNION ALL
+SELECT 'trips.dropoff_not_null', count(*) FROM trips WHERE dropoff_datetime IS NULL
+UNION ALL
+SELECT 'trips.pickup_zone_not_null', count(*) FROM trips WHERE pickup_zone_id IS NULL
+UNION ALL
+SELECT 'trips.distance_range', count(*) FROM trips
+WHERE trip_distance IS NOT NULL AND trip_distance <= 0
+UNION ALL
+SELECT 'trips.amount_range', count(*) FROM trips
+WHERE total_amount IS NOT NULL AND total_amount <= 0
+UNION ALL
+SELECT 'weather.temp_not_null', count(*) FROM weather WHERE temp_f IS NULL
+UNION ALL
+SELECT 'weather.humidity_range', count(*) FROM weather
+WHERE humidity_pct IS NOT NULL AND (humidity_pct < 0 OR humidity_pct > 100)
+UNION ALL
+SELECT 'weather.obs_key_unique', count(*) FROM (
+    SELECT city, observed_at FROM weather
+    GROUP BY 1, 2 HAVING count(*) > 1
+)"""
+
+
 def q_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2: `df.na.drop(subset=[4 key cols])` — the PySpark-ETL null gate
     (reference `dags/etl_spark_historical.py:191`)."""
@@ -660,6 +710,7 @@ FROM stamped"""
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_backfill_synthetic": q_backfill_synthetic,
+    "q_quality_report": q_quality_report,
     "q_dropna": q_dropna,
     "q_limit": q_limit,
     "q_scd2_check": q_scd2_check,
@@ -696,6 +747,9 @@ ORACLES: dict[str, str] = {
         SQL_STG_TRIPS,
         SQL_STG_WEATHER,
         select=_SQL_BACKFILL_SYNTHETIC,
+    ),
+    "q_quality_report": _with(
+        SQL_TRIPS, SQL_WEATHER, select=_SQL_QUALITY_REPORT
     ),
     "q_dropna": _with(
         SQL_TRIPS,

@@ -32,6 +32,31 @@ def write_partitioned_by_date(
     )
 
 
+def overwrite_date_partitions(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    date_col: str = "p_date",
+) -> None:
+    """Incremental mart refresh (the reference lists 'incremental models' as
+    future work — `README.md:375`): dynamic partition overwrite replaces
+    ONLY the date partitions present in `df`, leaving every other partition
+    untouched. This is how a daily transform reprocesses late-arriving days
+    at 100 TB without rewriting the table."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.withColumn(date_col, F.to_date(ts_col))
+            .write.mode("overwrite")
+            .partitionBy(date_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def write_single_csv(df: DataFrame, path: str) -> None:
     """Reference-compat single-file CSV sink (S4,
     `dags/etl_spark_historical.py:199-207`). Kept only for parity/export of

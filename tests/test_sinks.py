@@ -32,3 +32,36 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
 
     # roundtrip preserves rows
     assert back.count() == trips.count()
+
+
+def test_incremental_refresh_touches_only_its_partitions(spark, sf_dir, tmp_path):
+    import os
+
+    trips = nyc_views.trips_from_events(
+        nyc_views.load_tables(spark, sf_dir)["events"]
+    ).na.drop(subset=["pickup_datetime"])
+    path = str(tmp_path / "mart_inc")
+    sinks.write_partitioned_by_date(trips, path, "pickup_datetime")
+
+    dates = sorted(
+        d.split("=")[1] for d in os.listdir(path) if d.startswith("p_date=")
+    )
+    target, untouched = dates[0], dates[-1]
+
+    def listing(day):
+        p = f"{path}/p_date={day}"
+        return {(f, os.path.getmtime(f"{p}/{f}")) for f in os.listdir(p)}
+
+    before_untouched = listing(untouched)
+    n_before = spark.read.parquet(path).where(F.col("p_date") == target).count()
+
+    # refresh ONE day with a modified slice (late-arriving data: drop half)
+    one_day = trips.where(
+        F.to_date("pickup_datetime") == target
+    ).where(F.col("passenger_count").isNull() | (F.col("passenger_count") % 2 == 0))
+    sinks.overwrite_date_partitions(one_day, path, "pickup_datetime")
+
+    back = spark.read.parquet(path)
+    assert listing(untouched) == before_untouched  # other partitions intact
+    n_after = back.where(F.col("p_date") == target).count()
+    assert 0 < n_after < n_before  # target partition actually replaced
