@@ -72,10 +72,15 @@ def _weather_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the weather feed fans out to two consumers (hourly rollup + daily
+    # forecast) — persist the narrow source frame so the events scan +
+    # row-wise mapping run once, not twice
+    w = _weather(spark, sf_dir).persist()
     daily = marts.mart_daily_metrics(
-        _enriched(spark, sf_dir), _weather_hourly(spark, sf_dir)
+        _enriched(spark, sf_dir),
+        intermediate.int_weather_hourly(staging.stg_weather(w)),
     )
-    forecast = features.daily_weather_forecast(_weather(spark, sf_dir))
+    forecast = features.daily_weather_forecast(w)
     return features.fare_daily_features(daily, forecast)
 
 
