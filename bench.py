@@ -44,6 +44,12 @@ HEADLINE = [
     "q_centroid_assign",
     "q_multimodal_features",
     "q_backfill_synthetic",
+    "q_top_terms",
+    "q_text_scrub",
+    "q_sample_hash",
+    "q_percentiles",
+    "q_quality_report",
+    "q_pivot",
 ]
 
 

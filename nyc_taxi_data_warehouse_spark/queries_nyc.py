@@ -452,6 +452,30 @@ FROM (
 )"""
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (cross-tab): daily event counts spread across event types —
+    `groupBy().pivot()` with an explicit value list (explicit values keep
+    the schema static, which is also the 100 TB-safe form: no extra pass to
+    discover pivot columns)."""
+    ev = nyc_views.load_tables(spark, sf_dir)["events"]
+    types = ["view", "click", "purchase", "signup"]
+    return (
+        ev.groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+_SQL_PIVOT = """
+SELECT CAST(ts AS DATE) AS event_date,
+       count(*) FILTER (WHERE event_type = 'view') AS view,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup
+FROM events GROUP BY 1"""
+
+
 def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12: the dbt declarative test suite as a relational violation
     report, run against the RAW feeds (pre-staging) where violations exist
@@ -716,6 +740,7 @@ FROM stamped"""
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_backfill_synthetic": q_backfill_synthetic,
     "q_quality_report": q_quality_report,
+    "q_pivot": q_pivot,
     "q_dropna": q_dropna,
     "q_limit": q_limit,
     "q_scd2_check": q_scd2_check,
@@ -756,6 +781,7 @@ ORACLES: dict[str, str] = {
     "q_quality_report": _with(
         SQL_TRIPS, SQL_WEATHER, select=_SQL_QUALITY_REPORT
     ),
+    "q_pivot": _SQL_PIVOT,
     "q_dropna": _with(
         SQL_TRIPS,
         select="""
