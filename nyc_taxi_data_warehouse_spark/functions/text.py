@@ -60,6 +60,15 @@ def token_estimate(text: Column | str) -> Column:
     return F.ceil(F.length(_col(text)) / F.lit(4.0)).cast("long")
 
 
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def regex_token_count(text: Column | str) -> Column:
+    """BPE-style pre-tokenization count: alpha runs, digit runs, and lone
+    punctuation (the GPT-2-family pre-tokenizer shape, RE2-safe)."""
+    return F.size(F.regexp_extract_all(_col(text), F.lit(BPE_PRETOKEN_RE), F.lit(0))).cast("long")
+
+
 def punct_ratio(text: Column | str) -> Column:
     """Fraction of characters that are not alphanumeric/space."""
     t = _col(text)

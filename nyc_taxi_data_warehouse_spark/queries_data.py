@@ -271,13 +271,15 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         T.word_count("text").alias("ws_tokens"),
         T.token_estimate("text").alias("bpe_est_tokens"),
+        T.regex_token_count("text").alias("bpe_pretokens"),
     )
 
 
 _SQL_TOKEN_COUNT = """
 SELECT doc_id, n_chars,
        CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
-       CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est_tokens
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_pretokens
 FROM documents"""
 
 

@@ -85,6 +85,41 @@ def decode_image_batch(df: DataFrame, use_fake: bool = False) -> DataFrame:
     return df.mapInPandas(decode, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZE_SCHEMA = "media_id string, width int, height int, payload binary"
+
+
+def resize_image_batch(
+    df: DataFrame, target_w: int, target_h: int, use_fake: bool = False
+) -> DataFrame:
+    """Resize images via Arrow-batched mapInPandas — same plumbing contract
+    as :func:`decode_image_batch`; the fake path rewrites metadata and
+    truncates/pads the payload to the target pixel budget so batch shapes
+    and schema binding are exercised without a codec."""
+    if not use_fake:
+        raise NotImplementedError(
+            "image codec not available in this environment; "
+            "pass use_fake=True for the deterministic stand-in"
+        )
+
+    budget = target_w * target_h
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].map(
+                lambda b: (b or b"")[:budget].ljust(budget, b"\x00")
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "height": pd.Series([target_h] * len(pdf), dtype="int32"),
+                    "payload": payloads,
+                }
+            )
+
+    return df.mapInPandas(resize, RESIZE_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame, every_nth: int = 30, bytes_per_frame: int = 1000
 ) -> DataFrame:

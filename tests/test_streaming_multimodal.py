@@ -110,3 +110,19 @@ def test_stateful_sessionize_gap_splits_and_state_survives_batches(spark, tmp_pa
     # closed: user1 minutes 0-10 (3 events); user2 minutes 0-20 (2 events).
     # open tails (user1 50-55, user2 at 200) are not emitted.
     assert got == {(1, 0, 10, 3), (2, 0, 20, 2)}
+
+
+def test_multimodal_resize_stub_contract(spark):
+    rows = [
+        ("m1", "image", bytearray(b"\x01" * 100), 10, 10, None),
+        ("m2", "image", bytearray(b"\x02" * 10), 0, 0, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.resize_image_batch(
+        df, target_w=4, target_h=4, use_fake=True
+    ).collect()}
+    assert out["m1"].width == 4 and out["m1"].height == 4
+    assert len(out["m1"].payload) == 16  # truncated to the pixel budget
+    assert len(out["m2"].payload) == 16  # padded to the pixel budget
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image_batch(df, 4, 4, use_fake=False)
