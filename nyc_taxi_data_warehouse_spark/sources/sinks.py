@@ -61,7 +61,16 @@ def write_single_csv(df: DataFrame, path: str) -> None:
     """Reference-compat single-file CSV sink (S4,
     `dags/etl_spark_historical.py:199-207`). Kept only for parity/export of
     small results — scale path is :func:`write_partitioned_by_date`."""
-    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true")
+        # quote-doubling escape, matching the stage file format the reference
+        # COPYs with (S5: FIELD_OPTIONALLY_ENCLOSED_BY='"') and our reader
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
 
 
 def append(df: DataFrame, path: str) -> None:

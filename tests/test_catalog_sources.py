@@ -54,3 +54,22 @@ def test_probe_latest_month_walks_backwards():
         readers.probe_latest_month("x_{month}", 2026, 1, exists=lambda u: False, max_back=5)
         is None
     )
+
+
+def test_csv_sink_reader_roundtrip(spark, tmp_path):
+    from nyc_taxi_data_warehouse_spark.sources import sinks
+    from pyspark.sql.types import StructType, StructField, IntegerType, StringType
+
+    df = spark.createDataFrame(
+        [(1, 'quoted,"text"'), (2, None), (3, "plain")], "id int, note string"
+    )
+    path = str(tmp_path / "export_csv")
+    sinks.write_single_csv(df, path)
+
+    schema = StructType(
+        [StructField("id", IntegerType()), StructField("note", StringType())]
+    )
+    back = readers.read_csv_snowflake_format(spark, path, schema=schema)
+    got = {r.id: r.note for r in back.collect()}
+    # NULL_IF ('') semantics: empty → NULL, quotes preserved
+    assert got == {1: 'quoted,"text"', 2: None, 3: "plain"}
