@@ -452,6 +452,29 @@ FROM (
 )"""
 
 
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (borough → service_zone → grand total) over the
+    zone-joined trips — the multi-level summary table a BI layer reads.
+    `grouping_id()` bitmasks match DuckDB's GROUPING() bit-for-bit."""
+    t = staging.stg_taxi_trips(_trips(spark, sf_dir))
+    z = nyc_views.zones_dim(spark)
+    joined = t.join(F.broadcast(z), t.pickup_zone_id == z.location_id, "left")
+    return joined.rollup("borough", "service_zone").agg(
+        F.count(F.lit(1)).alias("trip_count"),
+        _rnd(F.sum("total_amount"), 2).alias("revenue"),
+        F.grouping_id().alias("level_id"),
+    )
+
+
+_SQL_ROLLUP = """
+SELECT z.borough, z.service_zone, count(*) AS trip_count,
+       round(1e-9 + sum(t.total_amount), 2) AS revenue,
+       GROUPING(z.borough, z.service_zone) AS level_id
+FROM stg_trips t
+LEFT JOIN zones z ON t.pickup_zone_id = z.location_id
+GROUP BY ROLLUP(z.borough, z.service_zone)"""
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (cross-tab): daily event counts spread across event types —
     `groupBy().pivot()` with an explicit value list (explicit values keep
@@ -741,6 +764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_backfill_synthetic": q_backfill_synthetic,
     "q_quality_report": q_quality_report,
     "q_pivot": q_pivot,
+    "q_rollup": q_rollup,
     "q_dropna": q_dropna,
     "q_limit": q_limit,
     "q_scd2_check": q_scd2_check,
@@ -782,6 +806,7 @@ ORACLES: dict[str, str] = {
         SQL_TRIPS, SQL_WEATHER, select=_SQL_QUALITY_REPORT
     ),
     "q_pivot": _SQL_PIVOT,
+    "q_rollup": _with(SQL_TRIPS, SQL_STG_TRIPS, SQL_ZONES, select=_SQL_ROLLUP),
     "q_dropna": _with(
         SQL_TRIPS,
         select="""
