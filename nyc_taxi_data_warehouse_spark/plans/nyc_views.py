@@ -43,6 +43,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         out["events"] = ev.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    # TESTDATA-ADAPTER choice, not a production pattern: `events` feeds BOTH
+    # domain views (trips + weather), so every mart scans it twice; the
+    # source is megabytes here, and Spark's CacheManager keys on the analyzed
+    # plan, so repeated load_tables calls share ONE cache entry. At real
+    # scale trips/weather are separate fact tables and nothing here caches.
+    out["events"] = out["events"].persist()
     return out
 
 
