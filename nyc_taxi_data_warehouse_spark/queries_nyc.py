@@ -452,6 +452,47 @@ FROM (
 )"""
 
 
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: complete hour spine per city with
+    forward-filled temperature (the generic form of the reference's
+    backfill repair — spine via sequence+explode, per-series ffill window)."""
+    from .operators.timeseries import resample_ffill
+
+    w = _weather(spark, sf_dir)
+    out = resample_ffill(w, "observed_at", ["city"], ["temp_f"])
+    return out.select(
+        "city",
+        "hour_ts",
+        _rnd(F.col("temp_f_filled"), 4).alias("temp_f_filled"),
+        "temp_f_observed",
+    )
+
+
+_SQL_GAPFILL = """
+SELECT city, hour_ts,
+       round(1e-9 + last_value(temp_f IGNORE NULLS) OVER (
+           PARTITION BY city ORDER BY hour_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS temp_f_filled,
+       temp_f IS NOT NULL AS temp_f_observed
+FROM (
+    SELECT g.city, g.hour_ts, h.temp_f
+    FROM (
+        SELECT s.city, sp.hour_ts
+        FROM (SELECT DISTINCT city FROM weather) s
+        CROSS JOIN (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+            FROM (SELECT date_trunc('hour', min(observed_at)) AS lo,
+                         date_trunc('hour', max(observed_at)) AS hi
+                  FROM weather)
+        ) sp
+    ) g
+    LEFT JOIN (
+        SELECT city, date_trunc('hour', observed_at) AS hour_ts, avg(temp_f) AS temp_f
+        FROM weather GROUP BY 1, 2
+    ) h ON g.city = h.city AND g.hour_ts = h.hour_ts
+)"""
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP (borough → service_zone → grand total) over the
     zone-joined trips — the multi-level summary table a BI layer reads.
@@ -765,6 +806,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quality_report": q_quality_report,
     "q_pivot": q_pivot,
     "q_rollup": q_rollup,
+    "q_gapfill": q_gapfill,
     "q_dropna": q_dropna,
     "q_limit": q_limit,
     "q_scd2_check": q_scd2_check,
@@ -807,6 +849,7 @@ ORACLES: dict[str, str] = {
     ),
     "q_pivot": _SQL_PIVOT,
     "q_rollup": _with(SQL_TRIPS, SQL_STG_TRIPS, SQL_ZONES, select=_SQL_ROLLUP),
+    "q_gapfill": _with(SQL_WEATHER, select=_SQL_GAPFILL),
     "q_dropna": _with(
         SQL_TRIPS,
         select="""
