@@ -452,6 +452,48 @@ FROM (
 )"""
 
 
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (batch form of the stateful sessionizer):
+    per-user sessions with a 30-minute inactivity gap via
+    `F.session_window` — Catalyst's built-in data-dependent window. The
+    oracle is the classic gaps-and-islands formulation (lag + cumulative
+    new-session flags), which defines identical session boundaries."""
+    ev = nyc_views.load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            _rnd(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    )
+
+
+_SQL_SESSIONS = """
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           -- strict <: Spark's session window is half-open [start, end) —
+           -- an event exactly at prev_ts + gap opens a NEW session
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+    FROM events
+),
+islands AS (
+    SELECT user_id, ts, value,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(1e-9 + sum(value), 2) AS total_value
+FROM islands GROUP BY user_id, session_id"""
+
+
 def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series regularization: complete hour spine per city with
     forward-filled temperature (the generic form of the reference's
@@ -807,6 +849,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pivot": q_pivot,
     "q_rollup": q_rollup,
     "q_gapfill": q_gapfill,
+    "q_sessions": q_sessions,
     "q_dropna": q_dropna,
     "q_limit": q_limit,
     "q_scd2_check": q_scd2_check,
@@ -850,6 +893,7 @@ ORACLES: dict[str, str] = {
     "q_pivot": _SQL_PIVOT,
     "q_rollup": _with(SQL_TRIPS, SQL_STG_TRIPS, SQL_ZONES, select=_SQL_ROLLUP),
     "q_gapfill": _with(SQL_WEATHER, select=_SQL_GAPFILL),
+    "q_sessions": _SQL_SESSIONS,
     "q_dropna": _with(
         SQL_TRIPS,
         select="""
