@@ -513,6 +513,53 @@ SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node"""
 )
 
 
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair verification by exact Levenshtein distance: LSH
+    proposes, edit distance confirms (sampled pairs; at scale this is the
+    post-filter stage after banding, never an all-pairs pass). JVM
+    `levenshtein` matches DuckDB's definition exactly."""
+    corpus = _text_corpus(_docs(spark, sf_dir)).persist()
+    sh = dedup.shingle_rows(corpus)
+    sig = dedup.minhash_signatures(sh, num_hashes=_NH).persist()
+    pairs = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, num_hashes=_NH)).where(
+        F.col("doc_a") % 10 == 0
+    )
+    a = corpus.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    b = corpus.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        F.levenshtein("text_a", "text_b").alias("edit_distance"),
+        _rnd(
+            F.lit(1.0)
+            - F.levenshtein("text_a", "text_b")
+            / F.greatest(F.length("text_a"), F.length("text_b")),
+            6,
+        ).alias("edit_similarity"),
+    )
+
+
+_SQL_EDIT_DISTANCE = (
+    "WITH "
+    + ",".join([SQL_CORPUS, SQL_TOK, SQL_SH, SQL_MINHASH])
+    + """,
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       levenshtein(ca.text, cb.text) AS edit_distance,
+       round(1e-9 + 1.0 - levenshtein(ca.text, cb.text)
+             / greatest(length(ca.text), length(cb.text)), 6) AS edit_similarity
+FROM pairs p
+JOIN corpus ca ON ca.doc_id = p.doc_a
+JOIN corpus cb ON cb.doc_id = p.doc_b
+WHERE p.doc_a % 10 = 0"""
+)
+
+
 # --- scrubbing / sampling / stats ------------------------------------------
 
 def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -726,6 +773,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_multimodal_features": q_multimodal_features,
     "q_frame_sample": q_frame_sample,
     "q_top_terms": q_top_terms,
+    "q_edit_distance": q_edit_distance,
     "q_text_scrub": q_text_scrub,
     "q_sample_hash": q_sample_hash,
     "q_sample_stratified": q_sample_stratified,
@@ -751,6 +799,7 @@ ORACLES: dict[str, str] = {
     "q_multimodal_features": _SQL_MULTIMODAL,
     "q_centroid_assign": _SQL_CENTROID_ASSIGN,
     "q_top_terms": _SQL_TOP_TERMS,
+    "q_edit_distance": _SQL_EDIT_DISTANCE,
     "q_text_scrub": _SQL_TEXT_SCRUB,
     "q_sample_hash": _SQL_SAMPLE_HASH,
     "q_sample_stratified": _SQL_SAMPLE_STRATIFIED,

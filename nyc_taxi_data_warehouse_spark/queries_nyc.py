@@ -452,6 +452,46 @@ FROM (
 )"""
 
 
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window family: top-3 orders by price within each market
+    segment (row_number + dense_rank over a per-group window; deterministic
+    tie-break on order key)."""
+    from pyspark.sql import Window
+
+    t = nyc_views.load_tables(spark, sf_dir)
+    o, c = t["orders"], t["customer"]
+    joined = o.join(
+        c.select("c_custkey", "c_mktsegment"),
+        o.o_custkey == F.col("c_custkey"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        joined.select(
+            "c_mktsegment",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.dense_rank().over(w).alias("drk"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+_SQL_TOPK_PER_GROUP = """
+WITH ranked AS (
+    SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+           row_number() OVER (PARTITION BY c.c_mktsegment
+                              ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rn,
+           dense_rank() OVER (PARTITION BY c.c_mktsegment
+                              ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS drk
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, o_orderkey, o_totalprice, rn, drk
+FROM ranked WHERE rn <= 3"""
+
+
 def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (batch form of the stateful sessionizer):
     per-user sessions with a 30-minute inactivity gap via
@@ -850,6 +890,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rollup": q_rollup,
     "q_gapfill": q_gapfill,
     "q_sessions": q_sessions,
+    "q_topk_per_group": q_topk_per_group,
     "q_dropna": q_dropna,
     "q_limit": q_limit,
     "q_scd2_check": q_scd2_check,
@@ -894,6 +935,7 @@ ORACLES: dict[str, str] = {
     "q_rollup": _with(SQL_TRIPS, SQL_STG_TRIPS, SQL_ZONES, select=_SQL_ROLLUP),
     "q_gapfill": _with(SQL_WEATHER, select=_SQL_GAPFILL),
     "q_sessions": _SQL_SESSIONS,
+    "q_topk_per_group": _SQL_TOPK_PER_GROUP,
     "q_dropna": _with(
         SQL_TRIPS,
         select="""
