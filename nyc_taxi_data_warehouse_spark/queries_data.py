@@ -513,6 +513,39 @@ SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node"""
 )
 
 
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column — the
+    JVM-side vector-math family (aggregate fold for norms, filter for
+    sparsity, transform for clipping) that keeps 100 TB of `array<float>`
+    work out of Python entirely."""
+    emb = _emb(spark, sf_dir).select("vec_id", V.as_double("embedding").alias("v"))
+    norm_sq = F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+    return emb.select(
+        "vec_id",
+        F.size("v").alias("dim"),
+        _rnd(F.sqrt(norm_sq), 6).alias("l2_norm"),
+        F.size(F.filter("v", lambda x: x > 0)).alias("n_positive"),
+        _rnd(
+            F.aggregate(
+                F.transform("v", lambda x: F.least(F.greatest(x, F.lit(-0.5)), F.lit(0.5))),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("clipped_sum"),
+    )
+
+
+_SQL_ARRAY_OPS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id,
+       CAST(len(v) AS INTEGER) AS dim,
+       round(1e-9 + sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS l2_norm,
+       CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_positive,
+       round(1e-9 + list_sum(list_transform(v, x -> least(greatest(x, -0.5), 0.5))), 6) AS clipped_sum
+FROM e"""
+
+
 def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-pair verification by exact Levenshtein distance: LSH
     proposes, edit distance confirms (sampled pairs; at scale this is the
@@ -774,6 +807,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_frame_sample": q_frame_sample,
     "q_top_terms": q_top_terms,
     "q_edit_distance": q_edit_distance,
+    "q_array_ops": q_array_ops,
     "q_text_scrub": q_text_scrub,
     "q_sample_hash": q_sample_hash,
     "q_sample_stratified": q_sample_stratified,
@@ -800,6 +834,7 @@ ORACLES: dict[str, str] = {
     "q_centroid_assign": _SQL_CENTROID_ASSIGN,
     "q_top_terms": _SQL_TOP_TERMS,
     "q_edit_distance": _SQL_EDIT_DISTANCE,
+    "q_array_ops": _SQL_ARRAY_OPS,
     "q_text_scrub": _SQL_TEXT_SCRUB,
     "q_sample_hash": _SQL_SAMPLE_HASH,
     "q_sample_stratified": _SQL_SAMPLE_STRATIFIED,

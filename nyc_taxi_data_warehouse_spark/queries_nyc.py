@@ -452,6 +452,62 @@ FROM (
 )"""
 
 
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers having at least one high-value
+    order — the membership-filter join that never duplicates the left side."""
+    t = nyc_views.load_tables(spark, sf_dir)
+    big = t["orders"].where(F.col("o_totalprice") > 200000)
+    return (
+        t["customer"]
+        .join(big, t["customer"].c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+    )
+
+
+_SQL_SEMI_JOIN = """
+SELECT c_custkey, c_mktsegment, c_nationkey
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+)"""
+
+
+def q_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window family: percent_rank, cume_dist, and
+    quartile ntile of order price within each segment (sampled customers
+    keep the gate fast; ties broken on order key for determinism)."""
+    from pyspark.sql import Window
+
+    t = nyc_views.load_tables(spark, sf_dir)
+    o = t["orders"].where(F.col("o_custkey") % 100 == 0)
+    joined = o.join(
+        t["customer"].select("c_custkey", "c_mktsegment"),
+        o.o_custkey == F.col("c_custkey"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return joined.select(
+        "c_mktsegment",
+        "o_orderkey",
+        _rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
+        _rnd(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_SQL_WINDOW_STATS = """
+SELECT c.c_mktsegment, o.o_orderkey,
+       round(1e-9 + percent_rank() OVER w, 6) AS pct_rank,
+       round(1e-9 + cume_dist() OVER w, 6) AS cume,
+       ntile(4) OVER w AS quartile
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_custkey % 100 = 0
+WINDOW w AS (PARTITION BY c.c_mktsegment
+             ORDER BY o.o_totalprice ASC, o.o_orderkey ASC)"""
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-window family: top-3 orders by price within each market
     segment (row_number + dense_rank over a per-group window; deterministic
@@ -891,6 +947,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_gapfill": q_gapfill,
     "q_sessions": q_sessions,
     "q_topk_per_group": q_topk_per_group,
+    "q_semi_join": q_semi_join,
+    "q_window_stats": q_window_stats,
     "q_dropna": q_dropna,
     "q_limit": q_limit,
     "q_scd2_check": q_scd2_check,
@@ -936,6 +994,8 @@ ORACLES: dict[str, str] = {
     "q_gapfill": _with(SQL_WEATHER, select=_SQL_GAPFILL),
     "q_sessions": _SQL_SESSIONS,
     "q_topk_per_group": _SQL_TOPK_PER_GROUP,
+    "q_semi_join": _SQL_SEMI_JOIN,
+    "q_window_stats": _SQL_WINDOW_STATS,
     "q_dropna": _with(
         SQL_TRIPS,
         select="""
