@@ -233,3 +233,40 @@ def test_stratified_sample_exactly_k_per_group(spark, sf_dir):
     out = sampling.stratified_sample(docs, ["lang"], "doc_id", k=3)
     per = out.groupBy("lang").agg(F2.count(F2.lit(1)).alias("n")).collect()
     assert per and all(r.n == 3 for r in per)
+
+
+# --- pandas UDF (grouped agg) ----------------------------------------------
+
+def test_grouped_agg_pandas_udf_matches_native(spark, sf_dir):
+    """The third sanctioned Python crossing (after mapInPandas and
+    applyInPandasWithState): an Arrow-batched GROUPED_AGG pandas_udf.
+    Equivalence-checked against the native expression it would replace —
+    at scale prefer the native form; the UDF exists for logic Spark can't
+    express (custom stats, model scoring)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def weighted_avg_price(qty, price):
+        return float((qty * price).sum() / qty.sum())
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = {
+        r.l_returnflag: r.w
+        for r in li.groupBy("l_returnflag")
+        .agg(weighted_avg_price("l_quantity", "l_extendedprice").alias("w"))
+        .collect()
+    }
+    want = {
+        r.l_returnflag: r.w
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(F.col("l_quantity") * F.col("l_extendedprice"))
+                / F.sum("l_quantity")
+            ).alias("w")
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-6 * abs(want[k])
