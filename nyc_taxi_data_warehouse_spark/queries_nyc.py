@@ -452,6 +452,78 @@ FROM (
 )"""
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AS-OF join: each sampled trip gains the latest NEW YORK weather
+    observation at or before pickup (2h tolerance) — union-sort-ffill
+    formulation, one shuffle, no per-row search. DuckDB's native ASOF JOIN
+    is the oracle."""
+    from .operators.asof import asof_join_latest
+
+    probes = staging.stg_taxi_trips(_trips(spark, sf_dir)).where(
+        F.col("pickup_zone_id") % 7 == 0
+    ).select("pickup_datetime", "total_amount")
+    obs = staging.stg_weather(_weather(spark, sf_dir)).where(
+        F.col("city") == "NEW YORK"
+    ).select("observed_at", "temperature_fahrenheit")
+    return asof_join_latest(
+        probes,
+        obs,
+        probe_ts="pickup_datetime",
+        obs_ts="observed_at",
+        value_cols=["temperature_fahrenheit"],
+        tolerance_minutes=120,
+    )
+
+
+_SQL_ASOF_JOIN = """
+SELECT p.pickup_datetime, p.total_amount,
+       CASE WHEN o.observed_at >= p.pickup_datetime - INTERVAL 120 MINUTE
+            THEN o.observed_at END AS matched_obs_ts,
+       CASE WHEN o.observed_at >= p.pickup_datetime - INTERVAL 120 MINUTE
+            THEN o.temperature_fahrenheit END AS temperature_fahrenheit
+FROM (SELECT pickup_datetime, total_amount FROM stg_trips
+      WHERE pickup_zone_id % 7 = 0) p
+ASOF LEFT JOIN (SELECT observed_at, temperature_fahrenheit FROM stg_weather
+                WHERE city = 'NEW YORK') o
+  ON p.pickup_datetime >= o.observed_at"""
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: sampled trips × hot-weather periods whose
+    [start, end] intervals overlap — hour-bucket-exploded so Catalyst plans
+    an equi-join instead of a nested-loop theta join."""
+    from .operators.asof import interval_overlap_join
+
+    t = staging.stg_taxi_trips(_trips(spark, sf_dir)).where(
+        F.col("pickup_zone_id") % 17 == 0
+    ).select("pickup_datetime", "dropoff_datetime", "total_amount")
+    periods = (
+        staging.stg_weather(_weather(spark, sf_dir))
+        .where((F.col("city") == "NEW YORK") & (F.col("temperature_fahrenheit") > 80))
+        .select(
+            F.col("observed_at").alias("period_start"),
+            F.timestamp_add("MINUTE", F.lit(30), "observed_at").alias("period_end"),
+            "temperature_fahrenheit",
+        )
+    )
+    return interval_overlap_join(
+        t, periods, "pickup_datetime", "dropoff_datetime", "period_start", "period_end"
+    )
+
+
+_SQL_INTERVAL_JOIN = """
+SELECT t.pickup_datetime, t.dropoff_datetime, t.total_amount,
+       p.period_start, p.period_end, p.temperature_fahrenheit
+FROM (SELECT pickup_datetime, dropoff_datetime, total_amount FROM stg_trips
+      WHERE pickup_zone_id % 17 = 0) t
+JOIN (SELECT observed_at AS period_start,
+             observed_at + INTERVAL 30 MINUTE AS period_end,
+             temperature_fahrenheit
+      FROM stg_weather
+      WHERE city = 'NEW YORK' AND temperature_fahrenheit > 80) p
+  ON t.pickup_datetime <= p.period_end AND p.period_start <= t.dropoff_datetime"""
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI join (EXISTS): customers having at least one high-value
     order — the membership-filter join that never duplicates the left side."""
@@ -947,6 +1019,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_gapfill": q_gapfill,
     "q_sessions": q_sessions,
     "q_topk_per_group": q_topk_per_group,
+    "q_asof_join": q_asof_join,
+    "q_interval_join": q_interval_join,
     "q_semi_join": q_semi_join,
     "q_window_stats": q_window_stats,
     "q_dropna": q_dropna,
@@ -994,6 +1068,8 @@ ORACLES: dict[str, str] = {
     "q_gapfill": _with(SQL_WEATHER, select=_SQL_GAPFILL),
     "q_sessions": _SQL_SESSIONS,
     "q_topk_per_group": _SQL_TOPK_PER_GROUP,
+    "q_asof_join": _with(SQL_TRIPS, SQL_WEATHER, SQL_STG_TRIPS, SQL_STG_WEATHER, select=_SQL_ASOF_JOIN),
+    "q_interval_join": _with(SQL_TRIPS, SQL_WEATHER, SQL_STG_TRIPS, SQL_STG_WEATHER, select=_SQL_INTERVAL_JOIN),
     "q_semi_join": _SQL_SEMI_JOIN,
     "q_window_stats": _SQL_WINDOW_STATS,
     "q_dropna": _with(
