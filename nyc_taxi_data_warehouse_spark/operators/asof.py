@@ -29,6 +29,7 @@ def asof_join_latest(
     obs_ts: str,
     value_cols: list[str],
     tolerance_minutes: int | None = None,
+    series_cols: list[str] | None = None,
 ) -> DataFrame:
     """LEFT as-of join (single series): every probe row gains the value
     columns of the latest observation with `obs_ts` <= `probe_ts`; NULL
@@ -37,7 +38,9 @@ def asof_join_latest(
     Ties at the exact same timestamp count as matches (observation sorts
     before the probe via the is_obs flag).
     """
+    series_cols = list(series_cols or [])
     obs = observations.select(
+        *series_cols,
         F.col(obs_ts).alias("__ts"),
         F.lit(1).alias("__is_obs"),
         F.col(obs_ts).alias("__obs_ts"),
@@ -45,6 +48,7 @@ def asof_join_latest(
         *[F.lit(None).alias(f"__p_{c}") for c in probes.columns],
     )
     prb = probes.select(
+        *series_cols,
         F.col(probe_ts).alias("__ts"),
         F.lit(0).alias("__is_obs"),
         F.lit(None).cast("timestamp").alias("__obs_ts"),
@@ -52,11 +56,15 @@ def asof_join_latest(
         *[F.col(c).alias(f"__p_{c}") for c in probes.columns],
     )
     unioned = obs.unionByName(prb)
-    # one global sort here because this is the single-series form; the
-    # multi-series form adds partitionBy(series) and parallelizes by key
-    w = Window.orderBy(F.asc("__ts"), F.desc("__is_obs")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    # multi-series (`series_cols`) partitions the window and parallelizes by
+    # key — the 100 TB form; the single-series form is one global sort and
+    # only suits bounded series (e.g. one city's observations)
+    order = [F.asc("__ts"), F.desc("__is_obs")]
+    if series_cols:
+        w = Window.partitionBy(*series_cols).orderBy(*order)
+    else:
+        w = Window.orderBy(*order)
+    w = w.rowsBetween(Window.unboundedPreceding, 0)
     filled = unioned.select(
         "*",
         F.last("__obs_ts", ignorenulls=True).over(w).alias("__m_ts"),
@@ -76,7 +84,8 @@ def asof_join_latest(
             }
         )
     return filled.select(
-        *[F.col(f"__p_{c}").alias(c) for c in probes.columns],
+        *series_cols,
+        *[F.col(f"__p_{c}").alias(c) for c in probes.columns if c not in series_cols],
         F.col("__m_ts").alias("matched_obs_ts"),
         *[F.col(f"__m_{c}").alias(c) for c in value_cols],
     )

@@ -270,3 +270,57 @@ def test_grouped_agg_pandas_udf_matches_native(spark, sf_dir):
     assert set(got) == set(want)
     for k in got:
         assert abs(got[k] - want[k]) < 1e-6 * abs(want[k])
+
+
+# --- as-of / interval joins ------------------------------------------------
+
+def test_asof_join_multi_series_and_tolerance(spark):
+    from datetime import datetime
+
+    from nyc_taxi_data_warehouse_spark.operators.asof import asof_join_latest
+
+    def ts(m):
+        return datetime(2026, 1, 1, 10, m)
+
+    obs = spark.createDataFrame(
+        [("a", ts(0), 1.0), ("a", ts(20), 2.0), ("b", ts(5), 9.0)],
+        "city string, ot timestamp, temp double",
+    )
+    probes = spark.createDataFrame(
+        [("a", ts(10)), ("a", ts(20)), ("a", ts(59)), ("b", ts(4)), ("c", ts(30))],
+        "city string, pt timestamp",
+    )
+    out = asof_join_latest(
+        probes, obs, "pt", "ot", ["temp"],
+        tolerance_minutes=30, series_cols=["city"],
+    )
+    got = {(r.city, r.pt.minute): r.temp for r in out.collect()}
+    assert got[("a", 10)] == 1.0   # latest at-or-before
+    assert got[("a", 20)] == 2.0   # exact-timestamp tie counts
+    assert got[("a", 59)] is None  # match exists but beyond tolerance
+    assert got[("b", 4)] is None   # series b has no obs yet
+    assert got[("c", 30)] is None  # unknown series never matches
+
+
+def test_interval_overlap_join_boundaries(spark):
+    from datetime import datetime
+
+    from nyc_taxi_data_warehouse_spark.operators.asof import interval_overlap_join
+
+    def ts(h, m=0):
+        return datetime(2026, 1, 1, h, m)
+
+    rows = spark.createDataFrame(
+        [(1, ts(10), ts(11))], "rid int, s timestamp, e timestamp"
+    )
+    periods = spark.createDataFrame(
+        [
+            (100, ts(9), ts(10)),      # touches start -> matches (closed)
+            (101, ts(10, 30), ts(12)), # inside -> matches
+            (102, ts(11, 1), ts(12)),  # after end -> no match
+            (103, ts(8), ts(9, 59)),   # before start -> no match
+        ],
+        "pid int, ps timestamp, pe timestamp",
+    )
+    out = interval_overlap_join(rows, periods, "s", "e", "ps", "pe")
+    assert {r.pid for r in out.collect()} == {100, 101}
