@@ -50,6 +50,10 @@ HEADLINE = [
     "q_percentiles",
     "q_quality_report",
     "q_pivot",
+    "q_asof_join",
+    "q_interval_join",
+    "q_gapfill",
+    "q_sessions",
 ]
 
 
@@ -71,6 +75,10 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop persisted frames between queries: every query pays its own
+        # cache fills, and late queries don't degrade under accumulated
+        # executor-memory state from earlier ones
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
