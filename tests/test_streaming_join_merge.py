@@ -1,0 +1,99 @@
+"""Streaming completeness: stream-static joins and foreachBatch merge.
+
+- stream × static broadcast dim join: the enrichment shape every streaming
+  ingest uses (facts stream, dimensions sit in the lake).
+- foreachBatch + insert-only MERGE: the standard idempotent streaming
+  upsert — re-delivered micro-batches insert nothing new (the streaming
+  face of the reference's S8 MERGE semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_warehouse_spark.operators.merge import merge_insert_only
+from nyc_taxi_data_warehouse_spark.plans import nyc_views
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
+    trips = nyc_views.trips_from_events(
+        nyc_views.load_tables(spark, sf_dir)["events"]
+    ).na.drop(subset=["pickup_zone_id"])
+    src = str(tmp_path / "trips_feed")
+    trips.write.mode("overwrite").parquet(src)
+
+    zones = nyc_views.zones_dim(spark)  # static side
+    stream = spark.readStream.schema(trips.schema).parquet(src)
+    enriched = stream.join(
+        F.broadcast(zones), stream.pickup_zone_id == zones.location_id, "left"
+    )
+    q = (
+        enriched.groupBy("borough")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = {r.borough: r.n for r in spark.table("ssj_test").collect()}
+    want = {
+        r.borough: r.n
+        for r in trips.join(
+            F.broadcast(zones), trips.pickup_zone_id == zones.location_id, "left"
+        )
+        .groupBy("borough")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_foreachbatch_merge_is_idempotent(spark, tmp_path):
+    from datetime import datetime
+
+    rows = [(i, datetime(2026, 1, 1, 10, i), float(i)) for i in range(20)]
+    src = str(tmp_path / "merge_feed")
+    feed = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    # the same rows delivered TWICE (two files) — at-least-once delivery
+    feed.coalesce(1).write.mode("append").parquet(src)
+    feed.coalesce(1).write.mode("append").parquet(src)
+
+    target_path = str(tmp_path / "merge_target")
+    state = {"count": 0}
+
+    def upsert(batch_df, batch_id):
+        try:
+            current = spark.read.parquet(target_path)
+        except Exception:
+            current = None
+        if current is None:
+            merged = batch_df.dropDuplicates(["event_id"])
+        else:
+            merged = merge_insert_only(
+                current, batch_df.dropDuplicates(["event_id"]), ["event_id"]
+            )
+        merged.write.mode("overwrite").parquet(target_path + ".tmp")
+        spark.read.parquet(target_path + ".tmp").write.mode("overwrite").parquet(
+            target_path
+        )
+        state["count"] += 1
+
+    q = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)  # two micro-batches
+        .parquet(src)
+        .writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    final = spark.read.parquet(target_path)
+    assert state["count"] == 2  # both batches processed
+    assert final.count() == 20  # re-delivery inserted nothing new
+    assert final.select("event_id").distinct().count() == 20
