@@ -771,6 +771,7 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weather.temp_not_null": quality.not_null(w, "temp_f"),
         "weather.humidity_range": quality.accepted_range(w, "humidity_pct", 0, 100),
         "weather.obs_key_unique": quality.unique(w, "city", "observed_at"),
+        "weather.desc_accepted": quality.accepted_values(w, "weather_desc", ["view"]),
     }
     return quality.violation_report(checks)
 
@@ -797,7 +798,10 @@ UNION ALL
 SELECT 'weather.obs_key_unique', count(*) FROM (
     SELECT city, observed_at FROM weather
     GROUP BY 1, 2 HAVING count(*) > 1
-)"""
+)
+UNION ALL
+SELECT 'weather.desc_accepted', count(*) FROM weather
+WHERE weather_desc IS NOT NULL AND weather_desc NOT IN ('view')"""
 
 
 def q_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:

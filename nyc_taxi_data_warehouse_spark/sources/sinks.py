@@ -76,3 +76,26 @@ def write_single_csv(df: DataFrame, path: str) -> None:
 def append(df: DataFrame, path: str) -> None:
     """Append-mode event sink (weather feed, S12)."""
     df.write.mode("append").parquet(path)
+
+
+def compact(spark, path: str, target_files: int) -> int:
+    """Small-files compaction: rewrite a table directory down to
+    `target_files` files (hourly appends leave one tiny file per batch; at
+    scale the metadata and open-cost of millions of small files dominates
+    scan time). Write-to-temp + swap keeps readers from seeing a partial
+    rewrite. Returns the resulting file count."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    df.repartition(target_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return len([f for f in spark.read.parquet(path).inputFiles()])
+
+
+def read_with_schema_evolution(spark, path: str) -> DataFrame:
+    """Union-schema read across files written at different schema versions
+    (`mergeSchema`): late-added columns surface as NULL for old files —
+    the append-only lake's answer to ALTER TABLE ADD COLUMN."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

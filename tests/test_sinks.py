@@ -65,3 +65,35 @@ def test_incremental_refresh_touches_only_its_partitions(spark, sf_dir, tmp_path
     assert listing(untouched) == before_untouched  # other partitions intact
     n_after = back.where(F.col("p_date") == target).count()
     assert 0 < n_after < n_before  # target partition actually replaced
+
+
+def test_compaction_reduces_file_count_and_preserves_rows(spark, sf_dir, tmp_path):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000)
+    path = str(tmp_path / "many_small")
+    # simulate hourly small-file appends
+    for i in range(8):
+        li.where(F.col("l_orderkey") % 8 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    n_before = len(spark.read.parquet(path).inputFiles())
+    rows_before = spark.read.parquet(path).count()
+    assert n_before >= 8
+
+    n_after = sinks.compact(spark, path, target_files=2)
+    assert n_after <= 2
+    assert spark.read.parquet(path).count() == rows_before
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+
+    merged = sinks.read_with_schema_evolution(spark, path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5  # old files NULL-fill new col
