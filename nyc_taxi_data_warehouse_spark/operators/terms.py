@@ -50,6 +50,44 @@ def tf_idf(
     )
 
 
+def bigram_lm_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained bigram language-model fluency score per document —
+    the classic LM quality filter for training-data curation: documents
+    whose word transitions are improbable under the corpus model score low.
+
+    score = mean over the doc's bigrams of ln(c(w1,w2) / c(w1,·)), i.e. the
+    average conditional log-probability; `perplexity = exp(-score)`.
+    Everything is counts + one broadcast join (the bigram table is
+    vocabulary², but Zipf-truncated in practice; swap broadcast for a
+    shuffle join if the model outgrows it). Docs with <2 tokens drop out.
+    """
+    tokd = docs.select(F.col(id_col), T.tokens(text_col).alias("__w")).where(
+        F.size("__w") >= 2
+    )
+    big = tokd.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__w) - 1),"
+                " i -> struct(element_at(__w, i) AS w1,"
+                " element_at(__w, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair"))
+    cw = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c_head"))
+    model = cb.join(cw, "w1")
+    scored = big.join(F.broadcast(model), ["w1", "w2"]).select(
+        F.col(id_col), F.log(F.col("c_pair") / F.col("c_head")).alias("logp")
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("logp").alias("avg_logp"),
+    )
+
+
 def top_terms(
     docs: DataFrame,
     k: int = 3,

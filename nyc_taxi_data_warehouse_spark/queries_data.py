@@ -546,6 +546,50 @@ SELECT vec_id,
 FROM e"""
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring over the documents corpus (CCNet-style
+    quality filter): avg conditional log-prob + perplexity per doc."""
+    from .operators import terms
+
+    d = _scale_out(_docs(spark, sf_dir).select("doc_id", "text"))
+    out = terms.bigram_lm_scores(d)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        _rnd(F.col("avg_logp"), 6).alias("avg_logp"),
+        _rnd(F.exp(-F.col("avg_logp")), 4).alias("perplexity"),
+    )
+
+
+_SQL_LM_SCORE = """
+WITH tokd AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+    FROM documents
+),
+big AS (
+    SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+    FROM tokd, unnest(range(1, len(w))) AS t(i)
+    WHERE len(w) >= 2
+),
+cb AS (SELECT w1, w2, count(*) AS c_pair FROM big GROUP BY 1, 2),
+cw AS (SELECT w1, count(*) AS c_head FROM big GROUP BY 1),
+scored AS (
+    SELECT b.doc_id, ln(cb.c_pair / CAST(cw.c_head AS DOUBLE)) AS logp
+    FROM big b
+    JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+    JOIN cw ON cw.w1 = b.w1
+),
+agg AS (
+    SELECT doc_id, count(*) AS n_bigrams, avg(logp) AS avg_logp
+    FROM scored GROUP BY 1
+)
+SELECT doc_id, n_bigrams,
+       round(1e-9 + avg_logp, 6) AS avg_logp,
+       round(1e-9 + exp(-avg_logp), 4) AS perplexity
+FROM agg"""
+
+
 def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-pair verification by exact Levenshtein distance: LSH
     proposes, edit distance confirms (sampled pairs; at scale this is the
@@ -807,6 +851,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_frame_sample": q_frame_sample,
     "q_top_terms": q_top_terms,
     "q_edit_distance": q_edit_distance,
+    "q_lm_score": q_lm_score,
     "q_array_ops": q_array_ops,
     "q_text_scrub": q_text_scrub,
     "q_sample_hash": q_sample_hash,
@@ -834,6 +879,7 @@ ORACLES: dict[str, str] = {
     "q_centroid_assign": _SQL_CENTROID_ASSIGN,
     "q_top_terms": _SQL_TOP_TERMS,
     "q_edit_distance": _SQL_EDIT_DISTANCE,
+    "q_lm_score": _SQL_LM_SCORE,
     "q_array_ops": _SQL_ARRAY_OPS,
     "q_text_scrub": _SQL_TEXT_SCRUB,
     "q_sample_hash": _SQL_SAMPLE_HASH,
