@@ -73,3 +73,36 @@ def test_csv_sink_reader_roundtrip(spark, tmp_path):
     got = {r.id: r.note for r in back.collect()}
     # NULL_IF ('') semantics: empty → NULL, quotes preserved
     assert got == {1: 'quoted,"text"', 2: None, 3: "plain"}
+
+
+def test_weather_rest_ingest_end_to_end(spark, tmp_path):
+    """S11/S12: stubbed REST fetch → parsed row → append sink → read back
+    with VARIANT-style JSON access over the preserved raw payload."""
+    import json
+
+    from nyc_taxi_data_warehouse_spark.functions.compat import json_get
+    from nyc_taxi_data_warehouse_spark.sources import sinks
+
+    payload = {
+        "name": "New York",
+        "main": {"temp": 41.5, "humidity": 63},
+        "weather": [{"description": "light rain"}],
+    }
+    rows = readers.fetch_json_rows("stub://w", fetcher=lambda u: json.dumps(payload))
+    parsed = [readers.weather_row_from_payload(p) for p in rows]
+    assert parsed[0]["city"] == "New York" and parsed[0]["temp_f"] == 41.5
+
+    df = spark.createDataFrame(
+        parsed, "city string, temp_f double, humidity_pct int, weather_desc string, raw_json string"
+    )
+    path = str(tmp_path / "raw_weather")
+    sinks.append(df, path)
+    sinks.append(df, path)  # hourly cadence: two appends
+
+    back = spark.read.parquet(path)
+    assert back.count() == 2
+    got = back.select(
+        json_get("raw_json", "name").alias("n"),
+        json_get("raw_json", "main.humidity").cast("int").alias("h"),
+    ).collect()[0]
+    assert got.n == "New York" and got.h == 63

@@ -54,3 +54,22 @@ def test_train_deterministic_seed(spark, features):
     m1 = forecast.train(features)
     m2 = forecast.train(features)
     assert m1.mae == pytest.approx(m2.mae)  # seed=42 pinned
+
+
+def test_model_artifact_roundtrip(spark, features, tmp_path):
+    """S20: persisted model artifact — save, load, identical predictions."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressionModel
+
+    res = forecast.train(features)
+    path = str(tmp_path / "fare_model")
+    res.model.write().overwrite().save(path)
+    loaded = RandomForestRegressionModel.load(path)
+
+    assembler = VectorAssembler(
+        inputCols=forecast.FEATURE_COLS, outputCol="features"
+    )
+    sample = assembler.transform(features.na.drop().limit(5))
+    orig = [r.prediction for r in res.model.transform(sample).collect()]
+    back = [r.prediction for r in loaded.transform(sample).collect()]
+    assert orig == pytest.approx(back)
