@@ -150,6 +150,26 @@ def run_forecast_chain(spark: SparkSession, run: ModelRun):
     return tr, fc, ev
 
 
+def register_views(spark: SparkSession, run: ModelRun) -> list[str]:
+    """The thin SQL surface (SURVEY §1): every model of the DAG registered
+    as a temp view so users query the warehouse with plain `spark.sql` —
+    staging/intermediate views stay lazy (dbt view materialization), marts
+    are whatever the caller materialized them as."""
+    views = {
+        "stg_taxi_trips": run.stg_trips,
+        "stg_weather": run.stg_weather,
+        "int_trips_enriched": run.enriched,
+        "int_weather_hourly": run.weather_hourly,
+        "mart_trips_weather": run.mart_trips_weather,
+        "mart_daily_metrics": run.mart_daily_metrics,
+        "mart_zone_analysis": run.mart_zone_analysis,
+        "fare_daily_features": run.fare_daily_features,
+    }
+    for name, df in views.items():
+        df.createOrReplaceTempView(name)
+    return list(views)
+
+
 def persist_marts(run: ModelRun, base_path: str) -> None:
     """Materialize marts as the lake tables (dbt table materialization)."""
     from ..sources.sinks import write_partitioned_by_date

@@ -145,3 +145,21 @@ def test_pipeline_snapshots_and_forecast_chain(spark, trips, weather):
     assert fc.count() == 7
     assert ev.where(F2.col("row_type") == "summary").count() == 1
     assert tr.mae >= 0.0
+
+
+def test_sql_surface_over_registered_views(spark, trips, weather):
+    run = pipeline.run_models(trips, weather, run_quality=False)
+    names = pipeline.register_views(spark, run)
+    assert "mart_daily_metrics" in names
+    out = spark.sql(
+        """
+        SELECT d.trip_date, d.trip_count, f.avg_fare_ma7
+        FROM mart_daily_metrics d
+        JOIN fare_daily_features f USING (trip_date)
+        WHERE d.trip_count > 0
+        ORDER BY d.trip_date
+        """
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    assert rows == sorted(rows, key=lambda r: r.trip_date)
