@@ -89,6 +89,28 @@ def run_checks(named_checks: dict[str, DataFrame]) -> list[CheckResult]:
     return out
 
 
+def fused_violation_counts(
+    df: DataFrame, predicates: dict[str, F.Column]
+) -> DataFrame:
+    """All row-predicate checks of ONE table in ONE scan: conditional sums
+    in a single aggregate, unpivoted to (check_name, violations).
+
+    `violation_report` runs one job per check (dbt's model — composable,
+    but N full scans for N checks); at warehouse scale the quality suite
+    should cost one pass per table, which is exactly this. `unique`-style
+    grouped checks still need their own aggregation.
+    """
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        for name, cond in predicates.items()
+    ]
+    one_row = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{name}', `{name}`" for name in predicates)
+    return one_row.selectExpr(
+        f"stack({len(predicates)}, {stack_expr}) AS (check_name, violations)"
+    )
+
+
 def violation_report(named_checks: dict[str, DataFrame]) -> DataFrame:
     """One DataFrame of (check_name, violations) — the dbt-test result table
     as a relational output (oracle-checkable, persistable as an audit mart)."""

@@ -324,3 +324,21 @@ def test_interval_overlap_join_boundaries(spark):
     )
     out = interval_overlap_join(rows, periods, "s", "e", "ps", "pe")
     assert {r.pid for r in out.collect()} == {100, 101}
+
+
+def test_fused_violation_counts_matches_per_check(spark):
+    df = spark.createDataFrame(
+        [(1, 50.0), (2, None), (3, 200.0), (4, -60.0)], "id long, temp double"
+    )
+    fused = {
+        r.check_name: r.violations
+        for r in quality.fused_violation_counts(
+            df,
+            {
+                "temp_not_null": F.col("temp").isNull(),
+                "temp_range": F.col("temp").isNotNull()
+                & ((F.col("temp") < -50) | (F.col("temp") > 150)),
+            },
+        ).collect()
+    }
+    assert fused == {"temp_not_null": 1, "temp_range": 2}
