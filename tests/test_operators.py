@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_warehouse_spark.operators import dedup, merge, quality, similarity
@@ -243,10 +244,10 @@ def test_grouped_agg_pandas_udf_matches_native(spark, sf_dir):
     Equivalence-checked against the native expression it would replace —
     at scale prefer the native form; the UDF exists for logic Spark can't
     express (custom stats, model scoring)."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def weighted_avg_price(qty, price):
+    @pandas_udf("double")
+    def weighted_avg_price(qty: pd.Series, price: pd.Series) -> float:
         return float((qty * price).sum() / qty.sum())
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
