@@ -8,7 +8,7 @@ multi-observation rollup (`models/intermediate/int_weather_hourly.sql:12-35`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import compat
