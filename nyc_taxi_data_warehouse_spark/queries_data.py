@@ -546,6 +546,78 @@ SELECT vec_id,
 FROM e"""
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag eval documents sharing any word-8-gram
+    with the training corpus (the standard benchmark-contamination sweep).
+    Eval set = truncated twins of a doc sample (contaminated by
+    construction) ∪ token-reversed twins (clean: reversal destroys 8-gram
+    sequences). Distinct train 8-grams → LEFT join → per-doc hit count."""
+    docs = _docs(spark, sf_dir)
+    train_sh = (
+        dedup.shingle_rows(_scale_out(docs.select("doc_id", "text")), n=8)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    sample = docs.where(F.col("doc_id") % 13 == 0)
+    contaminated = sample.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, 31)").alias("text"),
+    )
+    clean = sample.select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.reverse(T.tokens("text"))
+        ).alias("text"),
+    )
+    eval_docs = _scale_out(contaminated.unionByName(clean))
+    eval_sh = dedup.shingle_rows(eval_docs, n=8)
+    joined = eval_sh.join(F.broadcast(train_sh), "shingle", "left")
+    return joined.groupBy("doc_id").agg(
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_shared_ngrams"),
+        (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) > 0).alias("is_contaminated"),
+    )
+
+
+_GRAM8 = " || ' ' || ".join(f"w[i+{k}]" for k in range(8)).replace("w[i+0]", "w[i]")
+
+_SQL_DECONTAMINATE = f"""
+WITH tokd AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+    FROM documents
+),
+train_sh AS (
+    SELECT DISTINCT unnest(list_distinct(list_transform(
+        range(1, greatest(len(w) - 6, 0) + 1), i -> {_GRAM8}))) AS shingle
+    FROM tokd
+),
+eval_docs AS (
+    SELECT doc_id + 1000000 AS doc_id, substr(text, 31) AS text
+    FROM documents WHERE doc_id % 13 = 0
+    UNION ALL
+    SELECT doc_id + 3000000 AS doc_id,
+           array_to_string(list_reverse(
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '')), ' ')
+    FROM documents WHERE doc_id % 13 = 0
+),
+eval_tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+    FROM eval_docs
+),
+eval_sh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(w) - 6, 0) + 1), i -> {_GRAM8}))) AS shingle
+    FROM eval_tok
+)
+SELECT e.doc_id,
+       sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_shared_ngrams,
+       sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) > 0 AS is_contaminated
+FROM eval_sh e LEFT JOIN train_sh t ON e.shingle = t.shingle
+GROUP BY e.doc_id"""
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM fluency scoring over the documents corpus (CCNet-style
     quality filter): avg conditional log-prob + perplexity per doc."""
@@ -852,6 +924,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_top_terms": q_top_terms,
     "q_edit_distance": q_edit_distance,
     "q_lm_score": q_lm_score,
+    "q_decontaminate": q_decontaminate,
     "q_array_ops": q_array_ops,
     "q_text_scrub": q_text_scrub,
     "q_sample_hash": q_sample_hash,
@@ -880,6 +953,7 @@ ORACLES: dict[str, str] = {
     "q_top_terms": _SQL_TOP_TERMS,
     "q_edit_distance": _SQL_EDIT_DISTANCE,
     "q_lm_score": _SQL_LM_SCORE,
+    "q_decontaminate": _SQL_DECONTAMINATE,
     "q_array_ops": _SQL_ARRAY_OPS,
     "q_text_scrub": _SQL_TEXT_SCRUB,
     "q_sample_hash": _SQL_SAMPLE_HASH,
