@@ -588,8 +588,9 @@ WITH tokd AS (
     FROM documents
 ),
 train_sh AS (
+    -- valid starts for an 8-gram are 1 .. len(w)-7 (1-based)
     SELECT DISTINCT unnest(list_distinct(list_transform(
-        range(1, greatest(len(w) - 6, 0) + 1), i -> {_GRAM8}))) AS shingle
+        range(1, greatest(len(w) - 7, 0) + 1), i -> {_GRAM8}))) AS shingle
     FROM tokd
 ),
 eval_docs AS (
@@ -608,11 +609,14 @@ eval_tok AS (
 ),
 eval_sh AS (
     SELECT doc_id, unnest(list_distinct(list_transform(
-        range(1, greatest(len(w) - 6, 0) + 1), i -> {_GRAM8}))) AS shingle
+        range(1, greatest(len(w) - 7, 0) + 1), i -> {_GRAM8}))) AS shingle
     FROM eval_tok
 )
 SELECT e.doc_id,
-       sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_shared_ngrams,
+       -- CAST: DuckDB sum(INT) widens to HUGEINT, Spark emits BIGINT and the
+       -- driver hash is width-sensitive.
+       CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_ngrams,
        sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) > 0 AS is_contaminated
 FROM eval_sh e LEFT JOIN train_sh t ON e.shingle = t.shingle
 GROUP BY e.doc_id"""
@@ -699,7 +703,7 @@ pairs AS (
       ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 )
 SELECT p.doc_a, p.doc_b,
-       levenshtein(ca.text, cb.text) AS edit_distance,
+       CAST(levenshtein(ca.text, cb.text) AS INTEGER) AS edit_distance,
        round(1e-9 + 1.0 - levenshtein(ca.text, cb.text)
              / greatest(length(ca.text), length(cb.text)), 6) AS edit_similarity
 FROM pairs p
@@ -855,7 +859,8 @@ ranked AS (
         PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS term_rank
     FROM scored
 )
-SELECT doc_id, term, tf, df, round(1e-9 + tfidf, 6) AS tfidf, term_rank
+SELECT doc_id, term, tf, df, round(1e-9 + tfidf, 6) AS tfidf,
+       CAST(term_rank AS INTEGER) AS term_rank
 FROM ranked WHERE term_rank <= 3"""
 
 

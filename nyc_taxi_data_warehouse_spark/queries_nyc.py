@@ -431,14 +431,15 @@ def q_backfill_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_BACKFILL_SYNTHETIC = """
 SELECT hour_ts AS observed_at,
        'New York' AS city,
-       (CASE WHEN month(hour_ts) IN (12, 1, 2) THEN 35.0
+       -- CAST: DuckDB decimal literal arithmetic yields DECIMAL(4,1); Spark double
+       CAST(CASE WHEN month(hour_ts) IN (12, 1, 2) THEN 35.0
              WHEN month(hour_ts) IN (3, 4, 5) THEN 55.0
              WHEN month(hour_ts) IN (6, 7, 8) THEN 78.0
              ELSE 60.0 END
         + CASE WHEN hour(hour_ts) BETWEEN 6 AND 11 THEN 3.0
                WHEN hour(hour_ts) BETWEEN 12 AND 17 THEN 8.0
                WHEN hour(hour_ts) BETWEEN 18 AND 22 THEN 2.0
-               ELSE -4.0 END) AS temp_f,
+               ELSE -4.0 END AS DOUBLE) AS temp_f,
        'partly cloudy' AS weather_desc,
        CAST(60 AS INTEGER) AS humidity_pct,
        hour_ts AS load_ts
@@ -573,7 +574,7 @@ _SQL_WINDOW_STATS = """
 SELECT c.c_mktsegment, o.o_orderkey,
        round(1e-9 + percent_rank() OVER w, 6) AS pct_rank,
        round(1e-9 + cume_dist() OVER w, 6) AS cume,
-       ntile(4) OVER w AS quartile
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE o.o_custkey % 100 = 0
 WINDOW w AS (PARTITION BY c.c_mktsegment
@@ -616,7 +617,8 @@ WITH ranked AS (
                               ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS drk
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 )
-SELECT c_mktsegment, o_orderkey, o_totalprice, rn, drk
+SELECT c_mktsegment, o_orderkey, o_totalprice,
+       CAST(rn AS INTEGER) AS rn, CAST(drk AS INTEGER) AS drk
 FROM ranked WHERE rn <= 3"""
 
 
@@ -890,7 +892,9 @@ def q_scd2_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SCD2_CHECK = f"""
 WITH daily AS (
     SELECT CAST(ts AS DATE) AS trip_date, count(*) AS trip_count,
-           sum(CAST(floor(value) AS BIGINT)) AS total_units
+           -- DuckDB sum(BIGINT) widens to HUGEINT; Spark emits BIGINT, and the
+           -- driver's value hash is integer-width sensitive -> cast back down.
+           CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS total_units
     FROM events GROUP BY 1
 ),
 b1 AS (

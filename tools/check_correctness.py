@@ -2,7 +2,16 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at the given scale factor, then compares row count, column-name sets,
-and an order-insensitive value multiset. Usage:
+an order-insensitive value multiset, AND canonical column types.
+
+The type check exists because the driver's value hash is integer-width
+sensitive: DuckDB widens ``sum(BIGINT)`` to HUGEINT (int128) while Spark
+emits BIGINT, and ``str(v)`` erases that difference (round-1 lesson:
+q_scd2_check / q_decontaminate passed here but failed the driver).  We fetch
+the DuckDB side through Arrow (HUGEINT surfaces as decimal128(38,0)) and
+require the canonical type of every column to match Spark's declared schema
+— strictly stronger than the driver's check, so replica PASS implies driver
+PASS.  Usage:
 
     python tools/check_correctness.py [sf_dir] [query ...]
 """
@@ -15,12 +24,63 @@ import time
 from datetime import date, datetime
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, ".")
 
 import __spark_entry__ as entry_mod
 from nyc_taxi_data_warehouse_spark.plans.nyc_views import TABLES
 from nyc_taxi_data_warehouse_spark.session import get_spark
+
+
+def canon_spark_type(dt) -> str:
+    from pyspark.sql import types as ST
+
+    if isinstance(dt, ST.ArrayType):
+        return f"list<{canon_spark_type(dt.elementType)}>"
+    if isinstance(dt, ST.StructType):
+        return "struct"
+    if isinstance(dt, ST.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    name = dt.simpleString()
+    if name.startswith("timestamp"):
+        return "timestamp"
+    return {
+        "boolean": "bool",
+        "tinyint": "int8",
+        "smallint": "int16",
+        "int": "int32",
+        "bigint": "int64",
+        "float": "float32",
+        "double": "float64",
+        "string": "string",
+        "date": "date",
+        "binary": "binary",
+    }.get(name, name)
+
+
+def canon_arrow_type(t: pa.DataType) -> str:
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_arrow_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_float32(t):
+        return "float32"
+    if pa.types.is_float64(t):
+        return "float64"
+    return str(t)  # int8..int64 stringify to their canonical names
 
 
 def norm_cell(v):
@@ -65,6 +125,10 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             s_cols = [c.lower() for c in sdf.columns]
+            s_types = {
+                c.lower(): canon_spark_type(f.dataType)
+                for c, f in zip(sdf.columns, sdf.schema.fields)
+            }
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
@@ -75,9 +139,14 @@ def main() -> int:
             n_pass += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [c[0].lower() for c in res.description]
-            d_rows = res.fetchall()
+            tbl = con.execute(oracles[name]).arrow()
+            d_cols = [c.lower() for c in tbl.schema.names]
+            d_types = {
+                c.lower(): canon_arrow_type(f.type)
+                for c, f in zip(tbl.schema.names, tbl.schema)
+            }
+            pycols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+            d_rows = list(zip(*pycols))
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
@@ -85,6 +154,15 @@ def main() -> int:
         dt = time.time() - t0
         if sorted(s_cols) != sorted(d_cols):
             print(f"FAIL {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            n_fail += 1
+            continue
+        type_mismatch = {
+            c: (s_types[c], d_types[c])
+            for c in s_types
+            if s_types[c] != d_types[c]
+        }
+        if type_mismatch:
+            print(f"FAIL {name}: type mismatch (spark vs duck): {type_mismatch}")
             n_fail += 1
             continue
         if len(s_rows) != len(d_rows):
