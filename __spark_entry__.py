@@ -27,6 +27,30 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_trips_weather(spark, "/root/testdata/sf0.001")
 
 
+# Round-1 driver checked exactly the first 50 registry entries; the 12
+# tail queries got no CORRECTNESS row.  Order the registry so never-checked
+# queries run first and the tail holds cheap queries already green in
+# CORRECTNESS_r01.json (their round-1 evidence stands if a cap recurs).
+_CHECK_FIRST = [
+    "q_minhash_lsh", "q_ngram_jaccard", "q_simhash", "q_simhash_near",
+    "q_text_quality", "q_token_count", "q_lang_id", "q_fingerprint",
+    "q_knn_bruteforce", "q_ann_ivf", "q_centroid_assign", "q_embedding_neardup",
+]
+_CHECK_LAST = [
+    "q_project", "q_limit", "q_dropna", "q_semi_join", "q_distinct_hours",
+    "q_minmax", "q_top1", "q_union_summary", "q_pivot", "q_rollup",
+    "q_lag_ma", "q_precip_day",
+]
+
+
+def _ordered(d: dict) -> dict:
+    mid = [k for k in d if k not in _CHECK_FIRST and k not in _CHECK_LAST]
+    keys = [k for k in _CHECK_FIRST if k in d] + mid + [
+        k for k in _CHECK_LAST if k in d
+    ]
+    return {k: d[k] for k in keys}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ the
     training-data-pipeline wave). Each callable: (spark, sf_dir) → DataFrame."""
@@ -40,7 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(DATA)
     except ImportError:
         pass
-    return out
+    return _ordered(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -55,4 +79,4 @@ def oracle_sql() -> dict[str, str]:
         out.update(DATA)
     except ImportError:
         pass
-    return out
+    return _ordered(out)
