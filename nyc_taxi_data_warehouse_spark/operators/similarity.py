@@ -84,21 +84,40 @@ def assign_cells(
     cent_id_col: str = "centroid_id",
 ) -> DataFrame:
     """IVF coarse-quantizer assignment: every vector → its nearest centroid
-    by cosine (deterministic ties: smaller centroid id). The centroid set is
-    broadcast (k centroids ≪ corpus), so the corpus streams through
-    executors with no shuffle — the standard k-means assign step; iterate
-    with a recompute-centroids groupBy for full k-means."""
-    v = vectors.select(F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qv"))
-    c = centroids.select(
-        F.col(id_col).alias("neighbor_id"), V.as_double(vec_col).alias("cv")
+    by cosine (deterministic ties: smaller centroid id).
+
+    The codebook is materialized driver-side (k centroids ≪ corpus — the
+    one legitimate collect in this module, exactly a k-means codebook
+    broadcast) and inlined as an array-of-structs literal; each corpus row
+    folds over it with JVM higher-order functions. The whole assignment is
+    therefore a single narrow map stage: no join of any kind, no |corpus|×k
+    intermediate, no window shuffle. Iterate with a recompute-centroids
+    groupBy for full k-means. For codebooks too large to inline (≫10⁴
+    cells), fall back to a broadcast join + max_by aggregation."""
+    id_dt = centroids.schema[id_col].dataType
+    rows = centroids.select(F.col(id_col), V.as_double(vec_col)).collect()
+    codebook = F.array(
+        *[
+            F.struct(
+                F.lit(r[0]).cast(id_dt).alias("cid"),
+                F.array(*[F.lit(x) for x in r[1]]).alias("cv"),
+            )
+            for r in rows
+        ]
     )
-    sims = v.join(F.broadcast(c)).select(
-        "query_id", "neighbor_id", V.cosine("qv", "cv").alias("sim")
+    v = vectors.select(F.col(id_col), V.as_double(vec_col).alias("__qv"))
+    scored = F.transform(
+        codebook,
+        lambda c: F.struct(
+            V.cosine(F.col("__qv"), c["cv"]).alias("sim"),
+            (-c["cid"]).alias("negcid"),
+        ),
     )
-    return _top_k(sims, 1).select(
-        F.col("query_id").alias(id_col),
-        F.col("neighbor_id").alias(cent_id_col),
-        "sim",
+    best = v.select(F.col(id_col), F.array_max(scored).alias("__best"))
+    return best.select(
+        F.col(id_col),
+        (-F.col("__best.negcid")).cast(id_dt).alias(cent_id_col),
+        F.col("__best.sim").alias("sim"),
     )
 
 
@@ -109,11 +128,50 @@ def cosine_pairs(
     vec_col: str = "v",
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold — embedding near-dup
-    detection. All-pairs form; pre-bucket (LSH/IVF) before calling at scale."""
+    detection. Exact O(n²) baseline for small n; use
+    `bucketed_cosine_pairs` at scale."""
     a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", V.cosine("va", "vb").alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def bucketed_cosine_pairs(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Blocked near-dup pairs — the 100 TB shape of `cosine_pairs`.
+
+    Every vector is assigned to its nearest centroid (broadcast quantizer,
+    no corpus shuffle), then candidates are generated only WITHIN a cell via
+    an equi-join Catalyst shuffles on the cell id: O(Σ |cell|²) FLOPs instead
+    of O(n²), and no BroadcastNestedLoopJoin anywhere in the plan. Blocking
+    is single-probe, so pairs whose members quantize to different cells are
+    not compared (standard ANN recall trade; multi-probe = union the top-p
+    cell assignments to raise recall)."""
+    cells = assign_cells(vecs, centroids, id_col=id_col, vec_col=vec_col).select(
+        id_col, "centroid_id"
+    )
+    tagged = vecs.join(cells, id_col)
+    a = tagged.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("centroid_id").alias("cell"),
+    )
+    b = tagged.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("centroid_id").alias("cell"),
+    )
+    return (
+        a.join(b, "cell")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", V.cosine("va", "vb").alias("sim"))
         .where(F.col("sim") >= threshold)

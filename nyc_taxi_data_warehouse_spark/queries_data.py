@@ -443,7 +443,11 @@ FROM ranked WHERE rn = 1"""
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.9) over sampled vectors plus
-    first-component-negated twins."""
+    first-component-negated twins — centroid-blocked form: vectors are
+    quantized to their nearest seed centroid (vec_id % 50 = 0, broadcast)
+    and only within-cell pairs are compared, so the plan is an equi-join
+    shuffled on the cell id (no O(n²) crossJoin). The oracle mirrors the
+    identical single-probe blocking."""
     emb = _scale_out(_emb(spark, sf_dir).where(F.col("vec_id") % 10 == 0))
     base = emb.select("vec_id", V.as_double("embedding").alias("v"))
     twin = base.select(
@@ -453,11 +457,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     corpus = base.unionByName(twin)
-    pairs = similarity.cosine_pairs(corpus, threshold=0.9)
+    cents = base.where(F.col("vec_id") % 50 == 0)
+    pairs = similarity.bucketed_cosine_pairs(corpus, cents, threshold=0.9)
     return pairs.select("id_a", "id_b", _rnd(F.col("sim"), 6).alias("sim"))
 
 
-_SQL_EMB_NEARDUP = """
+_SQL_EMB_NEARDUP = f"""
 WITH base AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
     FROM embeddings WHERE vec_id % 10 = 0
@@ -466,13 +471,23 @@ twin AS (
     SELECT vec_id + 1000000 AS vec_id, list_concat([-v[1]], v[2:]) AS v FROM base
 ),
 corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+cents AS (SELECT * FROM base WHERE vec_id % 50 = 0),
+assign AS (
+    SELECT query_id AS vec_id, neighbor_id AS cell FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS sim,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS} DESC, c.vec_id ASC) AS rn
+        FROM corpus q CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+tagged AS (
+    SELECT corpus.vec_id, corpus.v, assign.cell
+    FROM corpus JOIN assign USING (vec_id)
+),
 sims AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
-        / (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])))
-         * sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))) AS sim
-    FROM corpus a CROSS JOIN corpus b
-    WHERE a.vec_id < b.vec_id
+        {_COS.replace('q.', 'a.').replace('c.', 'b.')} AS sim
+    FROM tagged a JOIN tagged b ON a.cell = b.cell AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, round(1e-9 + sim, 6) AS sim
 FROM sims WHERE sim >= 0.9"""
