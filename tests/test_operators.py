@@ -343,3 +343,50 @@ def test_fused_violation_counts_matches_per_check(spark):
         ).collect()
     }
     assert fused == {"temp_not_null": 1, "temp_range": 2}
+
+
+def test_bucketed_ffill_matches_single_window(spark):
+    """resample_ffill's two-pass bucketed fill must equal the naive one-
+    window-per-series fill: nulls before the first observation stay null,
+    and carries cross day-bucket boundaries (series `b` observes only on
+    day 1 and coasts through days 2-3)."""
+    from datetime import datetime
+
+    from pyspark.sql import Window
+
+    from nyc_taxi_data_warehouse_spark.operators.timeseries import resample_ffill
+
+    def ts(d, h):
+        return datetime(2024, 3, d, h)
+
+    rows = [
+        ("a", ts(1, 5), 1.0),
+        ("a", ts(1, 7), None),     # gap within bucket
+        ("a", ts(2, 1), 2.0),      # next-day observation
+        ("a", ts(3, 23), 3.0),
+        ("b", ts(1, 6), 10.0),     # only day-1 obs; days 2-3 all carried
+        ("b", ts(1, 8), 11.0),
+    ]
+    df = spark.createDataFrame(rows, "city string, observed_at timestamp, temp double")
+    got = resample_ffill(df, "observed_at", ["city"], ["temp"])
+
+    hourly = df.groupBy(
+        "city", F.date_trunc("hour", "observed_at").alias("hour_ts")
+    ).agg(F.avg("temp").alias("temp"))
+    spine = spark.sql(
+        "SELECT explode(sequence(timestamp'2024-03-01 05:00:00',"
+        " timestamp'2024-03-03 23:00:00', INTERVAL 1 HOUR)) AS hour_ts"
+    )
+    grid = df.select("city").distinct().crossJoin(spine)
+    w = (
+        Window.partitionBy("city")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = grid.join(hourly, ["city", "hour_ts"], "left").select(
+        "city",
+        "hour_ts",
+        F.last("temp", ignorenulls=True).over(w).alias("temp_filled"),
+        F.col("temp").isNotNull().alias("temp_observed"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
