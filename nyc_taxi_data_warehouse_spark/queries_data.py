@@ -500,8 +500,10 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE reaching the same unique fixpoint."""
     corpus = _text_corpus(_docs(spark, sf_dir))
     sh = dedup.shingle_rows(corpus)
-    sig = dedup.minhash_signatures(sh, num_hashes=_NH).persist()
-    pairs = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, num_hashes=_NH)).persist()
+    sig = dedup.minhash_signatures(sh, num_hashes=_NH)
+    pairs = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, num_hashes=_NH))
+    # no persists needed: connected_components localCheckpoints the edge set
+    # once, so the LSH DAG above is computed exactly once
     return dedup.connected_components(pairs, corpus.select("doc_id"))
 
 

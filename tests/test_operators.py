@@ -169,6 +169,26 @@ def test_connected_components_chain_and_singleton(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
 
 
+def test_connected_components_string_ids(spark):
+    """String ids exercise the changed-count convergence path (sum(label)
+    is NULL for strings and would false-converge after one round); the
+    diameter-3 chain a-b-c-d needs multiple propagation rounds."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    nodes = spark.createDataFrame(
+        [(s,) for s in "abcdxyz"], "doc_id string"
+    )
+    out = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs, nodes).collect()
+    }
+    assert out == {
+        "a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x", "z": "z",
+    }
+
+
 # --- skew ------------------------------------------------------------------
 
 def test_salted_agg_matches_plain_groupby(spark, sf_dir):
