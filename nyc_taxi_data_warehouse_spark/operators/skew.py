@@ -36,16 +36,20 @@ def salted_agg(
 ) -> DataFrame:
     """Two-phase count/sum aggregation over `keys` with a salt fan-out.
 
-    Returns one row per key with `<c>_count` / `<c>_sum` columns. Averages
-    derive downstream as sum/count (algebraic decomposition); non-algebraic
+    Returns one row per key with `row_count`, a non-null `<c>_count` per
+    `counts` column, and a `<c>_sum` per `sums` column. Averages derive
+    downstream as sum/count (algebraic decomposition); non-algebraic
     aggregates (median, mode) need different machinery and are out of scope.
     """
     salt = (F.rand(seed=42) * n_salts).cast("int").alias("__salt")
-    phase1 = df.select(*keys, salt, *counts, *sums).groupBy(*keys, "__salt").agg(
+    cols = dict.fromkeys([*counts, *sums])  # de-dup, keep order
+    phase1 = df.select(*keys, salt, *cols).groupBy(*keys, "__salt").agg(
         F.count(F.lit(1)).alias("__n"),
-        *[F.sum(c).alias(f"__sum_{c}") for c in set(list(counts) + list(sums))],
+        *[F.count(c).alias(f"__cnt_{c}") for c in counts],
+        *[F.sum(c).alias(f"__sum_{c}") for c in sums],
     )
     aggs = [F.sum("__n").alias("row_count")]
+    aggs += [F.sum(f"__cnt_{c}").alias(f"{c}_count") for c in counts]
     aggs += [F.sum(f"__sum_{c}").alias(f"{c}_sum") for c in sums]
     return phase1.groupBy(*keys).agg(*aggs)
 

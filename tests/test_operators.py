@@ -212,6 +212,22 @@ def test_salted_agg_matches_plain_groupby(spark, sf_dir):
     assert got == want
 
 
+def test_salted_agg_counts_non_null(spark):
+    """`counts` columns emit true non-null counts (regression: they were
+    silently dropped from the output)."""
+    from nyc_taxi_data_warehouse_spark.operators import skew
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("b", None)],
+        "k string, v double",
+    )
+    got = {
+        r.k: (r.row_count, r.v_count, r.v_sum)
+        for r in skew.salted_agg(df, ["k"], counts=["v"], sums=["v"]).collect()
+    }
+    assert got == {"a": (3, 2, 4.0), "b": (1, 0, None)}
+
+
 def test_salted_broadcast_join_matches_plain_join(spark, sf_dir):
     from nyc_taxi_data_warehouse_spark.operators import skew
 
