@@ -34,6 +34,22 @@ def merge_insert_only(
     return target.unionByName(new_rows)
 
 
+def merge_into_path(
+    spark, path: str, staging: DataFrame, key: Sequence[str]
+) -> None:
+    """``MERGE INTO <path> USING <staging> … WHEN NOT MATCHED THEN INSERT``
+    against a parquet table directory, with the reference's Snowflake MERGE
+    atomicity (`dags/etl_spark_historical.py:349-380`): the merged image is
+    staged to a sibling path and swapped in by atomic rename
+    (:func:`..sources.sinks.atomic_overwrite`), so a failure mid-write never
+    corrupts the live table and concurrent readers see old-or-new, never a
+    partial state."""
+    from ..sources.sinks import atomic_overwrite
+
+    target = spark.read.parquet(path)
+    atomic_overwrite(merge_insert_only(target, staging, key), path)
+
+
 def dedup_exact(df: DataFrame, key: Sequence[str], order_by: Sequence[str]) -> DataFrame:
     """Keep one row per natural key — deterministic first row by `order_by`.
     Hash-shuffle on the key; no global sort."""

@@ -94,6 +94,77 @@ def compact(spark, path: str, target_files: int) -> int:
     return len([f for f in spark.read.parquet(path).inputFiles()])
 
 
+_STAGE_SUFFIX = ".__stage"
+_GC_SUFFIX = ".__gc"
+
+
+def atomic_overwrite(df: DataFrame, path: str) -> None:
+    """Transactional table replace for a path-based parquet table — the
+    engine's stand-in for the atomicity of the reference's Snowflake
+    ``MERGE INTO`` (`dags/etl_spark_historical.py:349-380`).
+
+    Protocol (rename-atomic filesystems: POSIX, HDFS):
+
+    1. write the complete new image to ``<path>.__stage`` — a crash here
+       leaves the live table untouched;
+    2. rename live → ``<path>.__gc``  (atomic);
+    3. rename stage → live           (atomic);
+    4. drop the old image.
+
+    Readers observe either the old or the new complete table, never a
+    partial write. A crash between 2 and 3 leaves no live directory but
+    both images intact — :func:`recover_atomic_overwrite` repairs it.
+    Because the new image is written while the old files still exist, the
+    input DataFrame MAY read from ``path`` itself (read-merge-overwrite),
+    which a plain ``mode("overwrite")`` to the same path cannot do.
+    Object stores without atomic rename need a manifest/table format
+    (Delta/Iceberg) — these operator interfaces stay storage-agnostic so
+    that can slot in.
+    """
+    import os
+    import shutil
+
+    stage, gc = path + _STAGE_SUFFIX, path + _GC_SUFFIX
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(gc, ignore_errors=True)
+    try:
+        df.write.mode("overwrite").parquet(stage)
+    except Exception:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError(f"stage write of {path} finished without _SUCCESS")
+    if os.path.exists(path):
+        os.rename(path, gc)
+    os.rename(stage, path)
+    shutil.rmtree(gc, ignore_errors=True)
+
+
+def recover_atomic_overwrite(path: str) -> str:
+    """Repair an interrupted :func:`atomic_overwrite`. Returns the action
+    taken: ``'promoted-stage'`` (crash after the live table was moved aside
+    and the stage image is complete), ``'restored-old'`` (stage incomplete),
+    or ``'noop'`` (live table present)."""
+    import os
+    import shutil
+
+    stage, gc = path + _STAGE_SUFFIX, path + _GC_SUFFIX
+    if os.path.exists(path):
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(gc, ignore_errors=True)
+        return "noop"
+    if os.path.exists(os.path.join(stage, "_SUCCESS")):
+        os.rename(stage, path)
+        shutil.rmtree(gc, ignore_errors=True)
+        return "promoted-stage"
+    if os.path.exists(gc):
+        os.rename(gc, path)
+        shutil.rmtree(stage, ignore_errors=True)
+        return "restored-old"
+    raise FileNotFoundError(f"no live, stage, or gc image for {path}")
+
+
 def read_with_schema_evolution(spark, path: str) -> DataFrame:
     """Union-schema read across files written at different schema versions
     (`mergeSchema`): late-added columns surface as NULL for old files —

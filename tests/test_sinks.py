@@ -97,3 +97,70 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r.id: r.score for r in merged.collect()}
     assert rows[1] is None and rows[2] == 9.5  # old files NULL-fill new col
+
+
+# --- atomic overwrite (MERGE-parity transactional swap) ---------------------
+
+def _ids(spark, path):
+    return sorted(r.id for r in spark.read.parquet(path).collect())
+
+
+def test_atomic_overwrite_merges_in_place(spark, tmp_path):
+    """Read-merge-overwrite of the SAME path: plain mode('overwrite') cannot
+    read its own output path; the staged swap can."""
+    from nyc_taxi_data_warehouse_spark.operators.merge import merge_into_path
+
+    path = str(tmp_path / "fact")
+    spark.range(5).write.parquet(path)
+    staging = spark.range(3, 8).toDF("id")
+    merge_into_path(spark, path, staging, ["id"])
+    assert _ids(spark, path) == list(range(8))
+    # idempotent: re-merging the same batch inserts nothing
+    merge_into_path(spark, path, staging, ["id"])
+    assert _ids(spark, path) == list(range(8))
+
+
+def test_atomic_overwrite_failure_leaves_table_intact(spark, tmp_path):
+    import pytest
+
+    from nyc_taxi_data_warehouse_spark.sources import sinks as S
+
+    path = str(tmp_path / "fact")
+    spark.range(5).write.parquet(path)
+
+    @F.udf("long")
+    def boom(x):
+        raise ValueError("injected mid-write failure")
+
+    bad = spark.range(10).select(boom("id").alias("id"))
+    with pytest.raises(Exception):
+        S.atomic_overwrite(bad, path)
+    # live table untouched and fully readable; no stage/gc litter
+    assert _ids(spark, path) == list(range(5))
+    import os
+    assert not os.path.exists(path + S._STAGE_SUFFIX)
+    assert not os.path.exists(path + S._GC_SUFFIX)
+
+
+def test_atomic_overwrite_crash_between_renames_recovers(spark, tmp_path):
+    """Simulate a crash after live->gc but before stage->live: recovery
+    promotes the complete stage image (the committed new state)."""
+    import os
+
+    from nyc_taxi_data_warehouse_spark.sources import sinks as S
+
+    path = str(tmp_path / "fact")
+    spark.range(5).write.parquet(path)
+    spark.range(9).write.parquet(path + S._STAGE_SUFFIX)  # complete stage
+    os.rename(path, path + S._GC_SUFFIX)                  # crash point
+    assert S.recover_atomic_overwrite(path) == "promoted-stage"
+    assert _ids(spark, path) == list(range(9))
+
+    # incomplete stage (no _SUCCESS): recovery restores the old image
+    path2 = str(tmp_path / "fact2")
+    spark.range(4).write.parquet(path2)
+    spark.range(9).write.parquet(path2 + S._STAGE_SUFFIX)
+    os.remove(path2 + S._STAGE_SUFFIX + "/_SUCCESS")
+    os.rename(path2, path2 + S._GC_SUFFIX)
+    assert S.recover_atomic_overwrite(path2) == "restored-old"
+    assert _ids(spark, path2) == list(range(4))
