@@ -94,6 +94,67 @@ def probe_latest_month(
     return None
 
 
+def download_month_to_lake(
+    url_template: str,
+    ym: str,
+    dest_dir: str,
+    opener: Callable[[str], object] | None = None,
+    chunk_bytes: int = 8 << 20,
+) -> str:
+    """S3: chunked download of one month's file into the lake landing zone
+    (`dags/etl_spark_historical.py:145-166` streams the TLC parquet to disk
+    in chunks rather than loading it in memory). `opener(url)` returns a
+    binary file-like and is injectable so offline tests stub the HTTP hop;
+    the default uses urllib. The file lands at ``<dest_dir>/<YYYY-MM>.parquet``
+    via a temp-file rename, so a partial download is never visible as a
+    complete month file. Returns the landed path."""
+    import os
+
+    if opener is None:  # pragma: no cover - network
+        from urllib.request import urlopen
+
+        def opener(u: str):
+            return urlopen(u, timeout=60)
+
+    os.makedirs(dest_dir, exist_ok=True)
+    final = os.path.join(dest_dir, f"{ym}.parquet")
+    tmp = final + ".__part"
+    try:
+        with opener(url_template.format(month=ym)) as src, open(tmp, "wb") as out:
+            while True:
+                chunk = src.read(chunk_bytes)
+                if not chunk:
+                    break
+                out.write(chunk)
+        os.rename(tmp, final)
+    except Exception:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
+    return final
+
+
+def ingest_latest_month(
+    spark: SparkSession,
+    url_template: str,
+    now_year: int,
+    now_month: int,
+    dest_dir: str,
+    exists: Callable[[str], bool] | None = None,
+    opener: Callable[[str], object] | None = None,
+) -> DataFrame | None:
+    """S2+S3+S1 end to end: probe the newest served month, stream it into
+    the lake, and open it as a DataFrame (the reference's
+    `check_data_availability → download_data → spark.read.parquet` chain,
+    `dags/etl_spark_historical.py:113-178`). Returns None when no month
+    within the probe window exists."""
+    ym = probe_latest_month(url_template, now_year, now_month, exists=exists)
+    if ym is None:
+        return None
+    path = download_month_to_lake(url_template, ym, dest_dir, opener=opener)
+    return spark.read.parquet(path)
+
+
 def weather_row_from_payload(payload: dict) -> dict:
     """Parse an OpenWeather-shaped current-conditions payload into the
     RAW_WEATHER row shape (`dags/weather_realtime_etl.py:104-151`)."""

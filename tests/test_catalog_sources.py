@@ -106,3 +106,71 @@ def test_weather_rest_ingest_end_to_end(spark, tmp_path):
         json_get("raw_json", "main.humidity").cast("int").alias("h"),
     ).collect()[0]
     assert got.n == "New York" and got.h == 63
+
+
+def test_download_to_lake_end_to_end(spark, tmp_path):
+    """S2+S3+S1 chain with a fake transport: probe finds the newest served
+    month, the chunked download lands it in the lake (temp-file rename), and
+    spark reads it back. Mirrors etl_spark_historical.py:113-178."""
+    import io
+    import os
+
+    src = str(tmp_path / "served.parquet")
+    spark.range(100).toDF("trip_id").coalesce(1).write.parquet(src)
+    part = next(f for f in os.listdir(src) if f.endswith(".parquet"))
+    served_bytes = open(os.path.join(src, part), "rb").read()
+
+    served = {"cdn/2025-11.parquet"}
+    opened = []
+
+    def opener(url):
+        opened.append(url)
+        assert url in served, f"download of unserved url {url}"
+        return io.BytesIO(served_bytes)
+
+    lake = str(tmp_path / "lake")
+    df = readers.ingest_latest_month(
+        spark,
+        "cdn/{month}.parquet",
+        2026,
+        1,
+        lake,
+        exists=lambda u: u in served,
+        opener=opener,
+    )
+    assert opened == ["cdn/2025-11.parquet"]          # probe walked 2026-01 -> 2025-11
+    assert os.path.exists(os.path.join(lake, "2025-11.parquet"))
+    assert df.count() == 100
+
+    # no served month within the window -> None, nothing downloaded
+    assert (
+        readers.ingest_latest_month(
+            spark, "cdn/{month}.parquet", 2026, 1, lake,
+            exists=lambda u: False, opener=opener,
+        )
+        is None
+    )
+
+
+def test_download_failure_leaves_no_partial_file(tmp_path):
+    import io
+    import os
+
+    import pytest
+
+    class Exploding(io.RawIOBase):
+        def __init__(self):
+            self.calls = 0
+
+        def read(self, n=-1):
+            self.calls += 1
+            if self.calls > 1:
+                raise OSError("connection reset mid-stream")
+            return b"x" * 10
+
+    lake = str(tmp_path / "lake")
+    with pytest.raises(OSError):
+        readers.download_month_to_lake(
+            "cdn/{month}.parquet", "2025-11", lake, opener=lambda u: Exploding()
+        )
+    assert os.listdir(lake) == []  # neither final nor .__part left behind
