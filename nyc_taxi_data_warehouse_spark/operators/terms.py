@@ -32,13 +32,24 @@ def term_freqs(
 
 
 def tf_idf(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
-    """(doc, term, tf, df, tfidf) with smoothed idf."""
+    """(doc, term, tf, df, tfidf) with smoothed idf.
+
+    `broadcast_vocab=False` is the open-vocabulary fallback: when the df
+    table outgrows broadcast (web-scale corpora with unbounded token sets —
+    URLs, code, typos), the tf⋈df join degrades gracefully to a shuffle
+    hash join on `term`; tf is already partitioned by (doc, term) so only
+    the vocabulary side re-shuffles."""
     n_docs = docs.select(id_col).distinct().count()
     tf = term_freqs(docs, id_col, text_col)
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    return tf.join(F.broadcast(df_tbl), "term").select(
+    if broadcast_vocab:
+        df_tbl = F.broadcast(df_tbl)
+    return tf.join(df_tbl, "term").select(
         id_col,
         "term",
         "tf",
