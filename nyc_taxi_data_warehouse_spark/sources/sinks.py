@@ -82,16 +82,12 @@ def compact(spark, path: str, target_files: int) -> int:
     """Small-files compaction: rewrite a table directory down to
     `target_files` files (hourly appends leave one tiny file per batch; at
     scale the metadata and open-cost of millions of small files dominates
-    scan time). Write-to-temp + swap keeps readers from seeing a partial
-    rewrite. Returns the resulting file count."""
-    import shutil
-
-    df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".__compact_tmp"
-    df.repartition(target_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
-    return len([f for f in spark.read.parquet(path).inputFiles()])
+    scan time). Uses the :func:`atomic_overwrite` stage/rename protocol, so
+    readers never observe a missing or partial table and a mid-rewrite crash
+    is recoverable. Returns the resulting file count."""
+    df = spark.read.parquet(path).repartition(target_files)
+    atomic_overwrite(df, path.rstrip("/"))
+    return len(spark.read.parquet(path).inputFiles())
 
 
 _STAGE_SUFFIX = ".__stage"
