@@ -163,3 +163,31 @@ def test_sql_surface_over_registered_views(spark, trips, weather):
     rows = out.collect()
     assert len(rows) > 0
     assert rows == sorted(rows, key=lambda r: r.trip_date)
+
+
+def test_docs_manifest_lineage_and_schemas(spark, trips, weather, tmp_path):
+    """dbt-docs parity artifact: every ModelRun output is documented with
+    its live schema; edges form a DAG whose topo order places every model
+    after its upstreams; files land on disk."""
+    import json
+
+    from nyc_taxi_data_warehouse_spark.plans import docs
+
+    run = pipeline.run_models(trips, weather, run_quality=False)
+    manifest = docs.generate_manifest(run)
+
+    documented = {m for m, e in manifest["models"].items() if "columns" in e}
+    assert documented == set(docs._RUN_ATTRS)
+    assert [c["name"] for c in manifest["models"]["mart_daily_metrics"]["columns"]] == (
+        run.mart_daily_metrics.columns
+    )
+
+    order = docs.topo_order()
+    pos = {m: i for i, m in enumerate(order)}
+    for up, down in manifest["edges"]:
+        assert pos[up] < pos[down], (up, down)
+
+    jpath, mpath = docs.write_docs(run, str(tmp_path / "docs"))
+    assert json.load(open(jpath)) == manifest
+    md = open(mpath).read()
+    assert "## mart_trips_weather  `mart`" in md and "| hour_ts |" in md
