@@ -11,8 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from nyc_taxi_data_warehouse_spark.operators.merge import merge_insert_only
 from nyc_taxi_data_warehouse_spark.plans import nyc_views
+from nyc_taxi_data_warehouse_spark.streaming.merge_sink import foreach_batch_merge
 
 
 def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
@@ -64,22 +64,10 @@ def test_foreachbatch_merge_is_idempotent(spark, tmp_path):
 
     target_path = str(tmp_path / "merge_target")
     state = {"count": 0}
+    merge_fn = foreach_batch_merge(target_path, ["event_id"])
 
     def upsert(batch_df, batch_id):
-        try:
-            current = spark.read.parquet(target_path)
-        except Exception:
-            current = None
-        if current is None:
-            merged = batch_df.dropDuplicates(["event_id"])
-        else:
-            merged = merge_insert_only(
-                current, batch_df.dropDuplicates(["event_id"]), ["event_id"]
-            )
-        merged.write.mode("overwrite").parquet(target_path + ".tmp")
-        spark.read.parquet(target_path + ".tmp").write.mode("overwrite").parquet(
-            target_path
-        )
+        merge_fn(batch_df, batch_id)
         state["count"] += 1
 
     q = (
