@@ -176,6 +176,30 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return shingles_from_tokens(tokens(text), n)
 
 
+def dup_token_frac_from_tokens(toks: Column | str) -> Column:
+    """Fraction of tokens that are repeats of an earlier token
+    (1 − distinct/total; 0 for empty docs) — the Gopher/RefinedWeb
+    within-document repetition rule at word grain."""
+    toks = _col(toks)
+    return (
+        F.lit(1.0)
+        - distinct_word_count_from_tokens(toks)
+        / F.greatest(word_count_from_tokens(toks), F.lit(1))
+    ).cast("double")
+
+
+def dup_ngram_frac_from_tokens(toks: Column | str, n: int = 3) -> Column:
+    """Fraction of word n-grams occurring more than once in the document
+    (1 − distinct/total; 0 when the doc has < n tokens). High values flag
+    boilerplate loops and degenerate generations."""
+    grams = shingles_from_tokens(_col(toks), n)
+    return (
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams))
+        / F.greatest(F.size(grams), F.lit(1))
+    ).cast("double")
+
+
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_RE = r"https?://[^\s]+"
 

@@ -866,6 +866,90 @@ SELECT lang, count(*) AS n_docs,
 FROM documents GROUP BY 1"""
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (the Gopher/RefinedWeb repetition
+    filters): repeated-token fraction, duplicate word-3-gram fraction, and
+    most-frequent-token share. Array metrics are pure JVM column work on one
+    materialized token array; the top-token share is the distributed
+    explode → (doc, token) count → per-doc max shape (shuffles on natural
+    keys, no per-row quadratic scan)."""
+    d = _scale_out(_docs(spark, sf_dir).select("doc_id", "text"))
+    tokd = d.select("doc_id", T.tokens("text").alias("__w"))
+    # materialize gram/distinct ARRAY SIZES stepwise: each projection
+    # references the previous one's arrays more than once, which keeps
+    # CollapseProject from inlining the interpreted higher-order expressions
+    # back into every consumer (re-tokenizing per element otherwise)
+    sized = tokd.select(
+        "doc_id",
+        "__w",
+        T.shingles_from_tokens("__w", 3).alias("__g"),
+    ).select(
+        "doc_id",
+        F.size("__w").alias("__nw"),
+        F.size(F.array_distinct("__w")).alias("__dw"),
+        F.size("__g").alias("__ng"),
+        F.size(F.array_distinct("__g")).alias("__dg"),
+    )
+    base = sized.select(
+        "doc_id",
+        F.col("__nw").cast("long").alias("n_tokens"),
+        _rnd(
+            F.lit(1.0) - F.col("__dw") / F.greatest("__nw", F.lit(1)), 6
+        ).alias("dup_token_frac"),
+        _rnd(
+            F.lit(1.0) - F.col("__dg") / F.greatest("__ng", F.lit(1)), 6
+        ).alias("dup_3gram_frac"),
+    )
+    ex = tokd.select("doc_id", F.explode("__w").alias("tok"))
+    top = (
+        ex.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("__top"))
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "dup_3gram_frac",
+        _rnd(
+            F.coalesce(F.col("__top") / F.col("n_tokens"), F.lit(0.0)), 6
+        ).alias("top_token_frac"),
+    )
+
+
+_SQL_REPETITION = """
+WITH tokd AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [] END AS g,
+           w
+    FROM tokd
+),
+tops AS (
+    SELECT doc_id, max(c) AS top FROM (
+        SELECT doc_id, t, count(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS t FROM tokd)
+        GROUP BY 1, 2
+    ) GROUP BY 1
+)
+SELECT g.doc_id,
+       len(g.w) AS n_tokens,
+       round(1e-9 + 1.0 - len(list_distinct(g.w)) / greatest(len(g.w), 1), 6)
+           AS dup_token_frac,
+       round(1e-9 + 1.0 - len(list_distinct(g.g)) / greatest(len(g.g), 1), 6)
+           AS dup_3gram_frac,
+       round(1e-9 + coalesce(t.top / len(g.w), 0.0), 6) AS top_token_frac
+FROM grams g LEFT JOIN tops t ON g.doc_id = t.doc_id"""
+
+
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 terms per doc by smoothed tf-idf (deterministic ties)."""
     from .operators import terms
@@ -977,6 +1061,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sample_stratified": q_sample_stratified,
     "q_percentiles": q_percentiles,
     "q_percentiles_approx": q_percentiles_approx,
+    "q_repetition": q_repetition,
     "q_minhash_lsh": q_minhash_lsh,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash": q_simhash,
@@ -1007,6 +1092,7 @@ ORACLES: dict[str, str] = {
     "q_sample_stratified": _SQL_SAMPLE_STRATIFIED,
     "q_percentiles": _SQL_PERCENTILES,
     "q_percentiles_approx": _SQL_PERCENTILES_APPROX,
+    "q_repetition": _SQL_REPETITION,
     "q_frame_sample": _SQL_FRAME_SAMPLE,
     "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "q_simhash": _SQL_SIMHASH,
