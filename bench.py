@@ -66,8 +66,16 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up the JVM / parquet footer caches outside the timed region
+    # warm up the JVM / parquet footer caches AND the Python worker pool
+    # outside the timed region (first Arrow-UDF query otherwise pays ~5s of
+    # interpreter startup that is not plan cost)
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    from pyspark.sql.functions import col, pandas_udf
+
+    # lambda form: `from __future__ import annotations` stringifies type
+    # hints, which pandas_udf's hint inference can't resolve
+    __warm = pandas_udf(lambda s: s, "long")
+    spark.range(256).repartition(32).select(__warm(col("id"))).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
