@@ -35,7 +35,8 @@ _CHECK_FIRST = [
     "q_minhash_lsh", "q_ngram_jaccard", "q_simhash", "q_simhash_near",
     "q_text_quality", "q_token_count", "q_lang_id", "q_fingerprint",
     "q_knn_bruteforce", "q_ann_ivf", "q_centroid_assign", "q_embedding_neardup",
-    "q_percentiles_approx", "q_repetition",
+    "q_percentiles_approx", "q_repetition", "q_length_histogram",
+    "q_split_assign", "q_dedup_keep_best", "q_kmeans_cells",
 ]
 _CHECK_LAST = [
     "q_project", "q_limit", "q_dropna", "q_semi_join", "q_distinct_hours",

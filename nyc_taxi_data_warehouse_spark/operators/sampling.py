@@ -32,6 +32,29 @@ def hash_sample(
     return df.where(hash_bucket(key_col, salt, n_buckets) < pct)
 
 
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    salt: str = "",
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Deterministic 3-way split assignment: the lowest `test_pct` hash
+    buckets become `test`, the next `val_pct` become `val`, the rest
+    `train`. Because membership is a pure function of the key, a document
+    can never migrate between splits across re-ingests or engine changes —
+    the property that keeps held-out sets uncontaminated. Adds a `split`
+    column; no shuffle (single map-side expression)."""
+    b = hash_bucket(key_col, salt, n_buckets)
+    return df.withColumn(
+        "split",
+        F.when(b < test_pct, F.lit("test"))
+        .when(b < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
 def stratified_sample(
     df: DataFrame, group_cols: list[str], key_col: str, k: int, salt: str = ""
 ) -> DataFrame:

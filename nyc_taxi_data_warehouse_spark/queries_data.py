@@ -821,6 +821,100 @@ WITH ranked AS (
 SELECT doc_id, lang FROM ranked WHERE rn <= 5"""
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split summary: every document is
+    assigned by content-hash bucket (`train_val_test_split`, 80/10/10),
+    then counted per (split, lang). Assignment is a pure map-side
+    expression — the only shuffle is the final tiny rollup — and a
+    document's split can never change across re-ingests, which is what
+    keeps eval sets uncontaminated at 100 TB."""
+    from .operators import sampling
+
+    d = sampling.train_val_test_split(
+        _docs(spark, sf_dir), "doc_id", val_pct=10, test_pct=10, salt="sp"
+    )
+    return d.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _rnd(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+_SQL_SPLIT_ASSIGN = f"""
+WITH hashed AS (
+    SELECT lang, n_chars,
+           substr(md5(CAST(doc_id AS VARCHAR) || 'sp'), 1, 8) AS h
+    FROM documents
+), b AS (
+    SELECT lang, n_chars, ({_HEXVAL}) % 100 AS bucket FROM hashed
+)
+SELECT CASE WHEN bucket < 10 THEN 'test'
+            WHEN bucket < 20 THEN 'val'
+            ELSE 'train' END AS split,
+       lang, count(*) AS n_docs,
+       round(1e-9 + avg(n_chars), 4) AS avg_chars
+FROM b GROUP BY 1, 2"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor selection — the curation HALF of dedup that
+    `q_dedup_exact` (group stats) doesn't emit: within each exact-dup
+    group keep exactly ONE document by an explicit policy (longest text,
+    then smallest doc_id) and carry the group's multiplicity. Both window
+    functions share one hash-partitioned shuffle on the content hash."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source", "n_chars")
+    dups = docs.where(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 2000000
+    )
+    corpus = _scale_out(docs.unionByName(dups)).withColumn("text_hash", F.md5("text"))
+    w_rank = Window.partitionBy("text_hash").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    w_all = Window.partitionBy("text_hash")
+    return (
+        corpus.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("dup_count", F.count(F.lit(1)).over(w_all))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars", "dup_count")
+    )
+
+
+_SQL_DEDUP_KEEP_BEST = """
+WITH corpus AS (
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id % 3 = 0
+), g AS (
+    SELECT *, md5(text) AS text_hash FROM corpus
+)
+SELECT doc_id, lang, source, n_chars,
+       count(*) OVER (PARTITION BY text_hash) AS dup_count
+FROM g
+QUALIFY row_number() OVER (
+    PARTITION BY text_hash ORDER BY n_chars DESC, doc_id ASC
+) = 1"""
+
+
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF codebook lifecycle: `kmeans_fit` builds the
+    codebook (Lloyd's, deterministic md5-of-id seeding), `assign_cells`
+    quantizes the corpus shuffle-free, and the rollup reports per-cell
+    population and mean quantization similarity — the balance diagnostic
+    that decides whether a codebook is usable for ANN blocking.
+
+    No oracle: iterative floating-point clustering isn't expressible in
+    one SQL statement; the driver records a rows-only check (k rows)."""
+    e = _scale_out(_emb(spark, sf_dir))
+    cb = similarity.kmeans_fit(e, k=8, n_iter=3)
+    a = similarity.assign_cells(e, cb)
+    return a.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        _rnd(F.avg("sim"), 4).alias("avg_quant_sim"),
+    )
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of document length per language —
     Spark `percentile` and DuckDB `quantile_cont` share the linear-
@@ -864,6 +958,43 @@ SELECT lang, count(*) AS n_docs,
        quantile_disc(n_chars, 0.9) AS p90_chars,
        quantile_disc(n_chars, 0.99) AS p99_chars
 FROM documents GROUP BY 1"""
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram per language: 100-char buckets (clamped to
+    a 0-10 overflow bucket) with within-language share — the
+    length-distribution diagnostic every curation pipeline runs before
+    choosing truncation/filter thresholds. Pure integer bucketing keeps the
+    map side trivial; one shuffle on (lang, bucket), then a tiny window for
+    the shares."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        F.least(F.floor(F.col("n_chars") / 100), F.lit(10)).cast("int").alias("bucket"),
+    )
+    h = d.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("lang")
+    return h.select(
+        "lang",
+        "bucket",
+        "n_docs",
+        _rnd(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share"),
+    )
+
+
+_SQL_LENGTH_HISTOGRAM = """
+WITH b AS (
+    SELECT lang,
+           CAST(least(floor(n_chars / 100), 10) AS INTEGER) AS bucket
+    FROM documents
+),
+h AS (
+    SELECT lang, bucket, count(*) AS n_docs FROM b GROUP BY 1, 2
+)
+SELECT lang, bucket, n_docs,
+       round(1e-9 + n_docs / sum(n_docs) OVER (PARTITION BY lang), 6) AS share
+FROM h"""
 
 
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1062,6 +1193,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_percentiles": q_percentiles,
     "q_percentiles_approx": q_percentiles_approx,
     "q_repetition": q_repetition,
+    "q_length_histogram": q_length_histogram,
+    "q_split_assign": q_split_assign,
+    "q_dedup_keep_best": q_dedup_keep_best,
+    "q_kmeans_cells": q_kmeans_cells,
     "q_minhash_lsh": q_minhash_lsh,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash": q_simhash,
@@ -1093,6 +1228,9 @@ ORACLES: dict[str, str] = {
     "q_percentiles": _SQL_PERCENTILES,
     "q_percentiles_approx": _SQL_PERCENTILES_APPROX,
     "q_repetition": _SQL_REPETITION,
+    "q_length_histogram": _SQL_LENGTH_HISTOGRAM,
+    "q_split_assign": _SQL_SPLIT_ASSIGN,
+    "q_dedup_keep_best": _SQL_DEDUP_KEEP_BEST,
     "q_frame_sample": _SQL_FRAME_SAMPLE,
     "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "q_simhash": _SQL_SIMHASH,

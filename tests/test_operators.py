@@ -426,3 +426,108 @@ def test_bucketed_ffill_matches_single_window(spark):
         F.col("temp").isNotNull().alias("temp_observed"),
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+# --- similarity: kmeans build + multi-probe blocking -----------------------
+
+def _clustered_vectors(spark):
+    """60 vectors in 3 well-separated axis clusters (cosine-separable)."""
+    rows = []
+    for i in range(60):
+        c = i % 3
+        base = [0.0] * 6
+        base[c * 2] = 10.0
+        base[c * 2 + 1] = 10.0
+        jitter = [((i * 7 + j) % 5) * 0.1 for j in range(6)]
+        rows.append((i, [b + j for b, j in zip(base, jitter)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_fit_recovers_separated_clusters(spark):
+    from nyc_taxi_data_warehouse_spark.operators import similarity
+
+    v = _clustered_vectors(spark)
+    codebook = similarity.kmeans_fit(v, k=3, n_iter=4)
+    assert codebook.count() == 3
+    assigned = similarity.assign_cells(v, codebook, id_col="vec_id",
+                                       vec_col="embedding")
+    # same true cluster -> same centroid, different -> different
+    got = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    by_true = {}
+    for i in range(60):
+        by_true.setdefault(i % 3, set()).add(got[i])
+    assert all(len(s) == 1 for s in by_true.values())
+    assert len(set().union(*by_true.values())) == 3
+
+
+def test_multiprobe_assignment_supersets_single_probe(spark):
+    from nyc_taxi_data_warehouse_spark.operators import similarity
+
+    v = _clustered_vectors(spark)
+    cents = v.where(F.col("vec_id") % 20 == 0)  # 3 seed centroids
+    single = {
+        (r.vec_id, r.centroid_id)
+        for r in similarity.assign_cells(v, cents).collect()
+    }
+    multi = {
+        (r.vec_id, r.centroid_id)
+        for r in similarity.assign_cells_multiprobe(v, cents, 2).collect()
+    }
+    assert single <= multi
+    assert len(multi) == 2 * 60
+
+
+def test_multiprobe_pairs_raise_recall_toward_exact(spark):
+    from nyc_taxi_data_warehouse_spark.operators import similarity
+
+    v = _clustered_vectors(spark).select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    cents = v.where(F.col("vec_id") < 6)  # 6 centroids, clusters split
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs(v, threshold=0.99).collect()
+    }
+    p1 = {
+        (r.id_a, r.id_b)
+        for r in similarity.bucketed_cosine_pairs(v, cents, 0.99).collect()
+    }
+    p3 = {
+        (r.id_a, r.id_b)
+        for r in similarity.bucketed_cosine_pairs(
+            v, cents, 0.99, n_probe=3
+        ).collect()
+    }
+    assert p1 <= p3 <= exact
+    assert len(p3) > len(p1)  # extra probes found cross-cell pairs
+
+
+# --- sampling: deterministic train/val/test split --------------------------
+
+def test_split_assignment_partition_independent_and_shaped(spark):
+    from nyc_taxi_data_warehouse_spark.operators import sampling
+
+    df1 = spark.range(0, 500).withColumnRenamed("id", "k").repartition(1)
+    df8 = spark.range(0, 500).withColumnRenamed("id", "k").repartition(8)
+    s1 = {(r.k, r.split)
+          for r in sampling.train_val_test_split(df1, "k", salt="x").collect()}
+    s8 = {(r.k, r.split)
+          for r in sampling.train_val_test_split(df8, "k", salt="x").collect()}
+    assert s1 == s8
+    counts = {}
+    for _, sp in s1:
+        counts[sp] = counts.get(sp, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] + counts["test"]
+
+
+def test_split_membership_stable_under_corpus_growth(spark):
+    from nyc_taxi_data_warehouse_spark.operators import sampling
+
+    small = spark.range(0, 200).withColumnRenamed("id", "k")
+    big = spark.range(0, 400).withColumnRenamed("id", "k")
+    s_small = {(r.k, r.split)
+               for r in sampling.train_val_test_split(small, "k", salt="x").collect()}
+    s_big = {(r.k, r.split)
+             for r in sampling.train_val_test_split(big, "k", salt="x").collect()}
+    assert s_small <= s_big
