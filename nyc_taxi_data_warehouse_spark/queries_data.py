@@ -1130,10 +1130,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import multimodal
 
     d = _docs(spark, sf_dir)
-    media = d.select(
-        F.col("doc_id").cast("string").alias("media_id"),
-        F.lit("image").alias("media_type"),
-        F.col("text").cast("binary").alias("payload"),
+    media = _scale_out(
+        d.select(
+            F.col("doc_id").cast("string").alias("media_id"),
+            F.lit("image").alias("media_type"),
+            F.col("text").cast("binary").alias("payload"),
+        )
     )
     media = multimodal.attach_media_metadata(media)
     feats = multimodal.decode_image_batch(media, use_fake=True)

@@ -64,6 +64,16 @@ def decode_image_batch(df: DataFrame, use_fake: bool = False) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import numpy as np
+
+        def mean_byte(b) -> float:
+            if not b:
+                return 0.0
+            a = np.frombuffer(b, dtype=np.uint8)
+            # int64 sum / len is exact (< 2^53), bit-identical to Python's
+            # sum(b)/len(b) — keeps the DuckDB oracle twin in lockstep
+            return float(a.sum(dtype=np.int64) / len(a))
+
         for pdf in batches:
             payloads = pdf["payload"]
             out = pd.DataFrame(
@@ -72,9 +82,7 @@ def decode_image_batch(df: DataFrame, use_fake: bool = False) -> DataFrame:
                     "n_bytes": payloads.map(lambda b: len(b or b"")).astype("int32"),
                     "width": pdf.get("width", pd.Series([0] * len(pdf))).fillna(0).astype("int32"),
                     "height": pdf.get("height", pd.Series([0] * len(pdf))).fillna(0).astype("int32"),
-                    "mean_byte": payloads.map(
-                        lambda b: float(sum(b) / len(b)) if b else 0.0
-                    ),
+                    "mean_byte": payloads.map(mean_byte),
                     "feature_hash": payloads.map(
                         lambda b: hashlib.md5(b or b"").hexdigest()
                     ),
