@@ -897,6 +897,85 @@ QUALIFY row_number() OVER (
 ) = 1"""
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (50-token chunks, 10-token overlap) —
+    the doc→training-example shape transform. Entirely map-side (tokenize,
+    offset sequence, slice, explode): no shuffle at any corpus size. Chunks
+    are emitted as (count, content-hash) so the gate compares values
+    without hauling full chunk text through the harness."""
+    from .operators import chunking
+
+    d = _scale_out(_docs(spark, sf_dir))
+    ch = chunking.chunk_tokens(d, chunk_size=50, overlap=10)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"),
+    )
+
+
+_SQL_CHUNK_DOCS = """
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+    FROM documents
+), st AS (
+    SELECT doc_id, w, unnest(range(1, len(w) + 1, 40)) AS s FROM tok
+)
+SELECT doc_id,
+       CAST((s - 1) // 40 AS INTEGER) AS chunk_idx,
+       CAST(len(list_slice(w, s, s + 49)) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(w, s, s + 49), ' ')) AS chunk_hash
+FROM st"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded concat-and-cut sequence packing (budget 512 tokens,
+    8 shards): documents are laid end-to-end per hash shard in
+    content-hash order and cut every 512 tokens; the rollup reports each
+    bin's document count and token mass. The per-shard window is the only
+    shuffle, and parallelism = n_shards independent of corpus size."""
+    from .operators import chunking
+
+    d = _scale_out(_docs(spark, sf_dir)).select(
+        "doc_id", T.word_count("text").alias("n_tok")
+    )
+    packed = chunking.pack_sequences(d, budget=512, n_shards=8)
+    return packed.groupBy("shard", "bin_idx").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("start_offset").alias("bin_start"),
+    )
+
+
+_SQL_PACK_SEQUENCES = f"""
+WITH tok AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tok,
+           md5(CAST(doc_id AS VARCHAR) || 'pack') AS hh
+    FROM documents
+), sh AS (
+    SELECT doc_id, n_tok, hh, substr(hh, 1, 8) AS h FROM tok
+), shard_of AS (
+    SELECT doc_id, n_tok, hh,
+           CAST(({_HEXVAL}) % 8 AS INTEGER) AS shard
+    FROM sh
+), off AS (
+    SELECT shard, doc_id, n_tok,
+           CAST(sum(n_tok) OVER (
+               PARTITION BY shard ORDER BY hh, doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_offset
+    FROM shard_of
+)
+SELECT shard,
+       CAST(floor(start_offset / 512) AS BIGINT) AS bin_idx,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       min(start_offset) AS bin_start
+FROM off GROUP BY 1, 2"""
+
+
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end IVF codebook lifecycle: `kmeans_fit` builds the
     codebook (Lloyd's, deterministic md5-of-id seeding), `assign_cells`
@@ -1199,6 +1278,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_split_assign": q_split_assign,
     "q_dedup_keep_best": q_dedup_keep_best,
     "q_kmeans_cells": q_kmeans_cells,
+    "q_chunk_docs": q_chunk_docs,
+    "q_pack_sequences": q_pack_sequences,
     "q_minhash_lsh": q_minhash_lsh,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash": q_simhash,
@@ -1233,6 +1314,8 @@ ORACLES: dict[str, str] = {
     "q_length_histogram": _SQL_LENGTH_HISTOGRAM,
     "q_split_assign": _SQL_SPLIT_ASSIGN,
     "q_dedup_keep_best": _SQL_DEDUP_KEEP_BEST,
+    "q_chunk_docs": _SQL_CHUNK_DOCS,
+    "q_pack_sequences": _SQL_PACK_SEQUENCES,
     "q_frame_sample": _SQL_FRAME_SAMPLE,
     "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "q_simhash": _SQL_SIMHASH,

@@ -531,3 +531,60 @@ def test_split_membership_stable_under_corpus_growth(spark):
     s_big = {(r.k, r.split)
              for r in sampling.train_val_test_split(big, "k", salt="x").collect()}
     assert s_small <= s_big
+
+
+# --- chunking & packing ----------------------------------------------------
+
+def test_chunk_tokens_windows_and_overlap(spark):
+    from nyc_taxi_data_warehouse_spark.operators import chunking
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunking.chunk_tokens(docs, chunk_size=50, overlap=10)
+    rows = {(r.doc_id, r.chunk_idx): r.chunk for r in out.collect()}
+    # doc 1: starts 0, 40, 80 -> 3 chunks; last one short (20 tokens)
+    assert sorted(k for k in rows if k[0] == 1) == [(1, 0), (1, 1), (1, 2)]
+    assert rows[(1, 0)] == [f"t{i}" for i in range(50)]
+    assert rows[(1, 1)][:10] == [f"t{i}" for i in range(40, 50)]  # overlap
+    assert rows[(1, 2)] == [f"t{i}" for i in range(80, 100)]
+    # tiny doc -> one chunk, empty doc -> none
+    assert rows[(2, 0)] == ["a", "b"]
+    assert not any(k[0] == 3 for k in rows)
+
+
+def test_pack_sequences_bins_are_contiguous_per_shard(spark):
+    from nyc_taxi_data_warehouse_spark.operators import chunking
+
+    docs = spark.createDataFrame(
+        [(i, 100 + (i % 7) * 10) for i in range(200)], "doc_id long, n_tok long"
+    )
+    packed = chunking.pack_sequences(docs, budget=500, n_shards=4)
+    rows = packed.collect()
+    assert len(rows) == 200  # every doc assigned exactly once
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(4))
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.start_offset)
+        # offsets are the running sum of lengths (concat-and-cut invariant)
+        expect = 0
+        for r in shard_rows:
+            assert r.start_offset == expect
+            assert r.bin_idx == expect // 500
+            expect += r.n_tok
+
+
+def test_pack_sequences_partition_independent(spark):
+    from nyc_taxi_data_warehouse_spark.operators import chunking
+
+    docs = spark.createDataFrame(
+        [(i, 50 + i % 13) for i in range(150)], "doc_id long, n_tok long"
+    )
+    a = {(r.doc_id, r.shard, r.bin_idx)
+         for r in chunking.pack_sequences(docs.repartition(1), 300).collect()}
+    b = {(r.doc_id, r.shard, r.bin_idx)
+         for r in chunking.pack_sequences(docs.repartition(11), 300).collect()}
+    assert a == b
