@@ -95,6 +95,21 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def lsh_cross_candidates(
+    bands_left: DataFrame, bands_right: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-corpus LSH candidates: (left, right) pairs whose signatures
+    collide in ANY band — the near-dup decontamination shape (train ×
+    eval), where `lsh_candidate_pairs` is the within-corpus self-join
+    shape. A plain equi-join on (band, band_hash): Catalyst shuffles both
+    sides on the bucket key, so cost is O(co-bucketed pairs), never
+    |train| × |eval|; no a < b filter because the corpora are distinct
+    id spaces."""
+    a = bands_left.select(F.col(id_col).alias("left_id"), "band", "bh")
+    b = bands_right.select(F.col(id_col).alias("right_id"), "band", "bh")
+    return a.join(b, ["band", "bh"]).select("left_id", "right_id").distinct()
+
+
 def jaccard_pairs(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Exact shingle-set Jaccard for every pair sharing ≥1 shingle.
 

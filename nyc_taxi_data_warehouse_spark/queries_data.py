@@ -156,6 +156,76 @@ FROM bands a JOIN bands b
 )
 
 
+def _sql_minhash_ctes(src: str, p: str) -> str:
+    """tok→shingle→signature→bands CTE chain over `src`, prefixed `p` —
+    the dialect twin of shingle_rows/minhash_signatures/lsh_bands."""
+    sig_cols = ",\n        ".join(
+        f"min(substr(md5(shingle || '#{i // 4}'), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+        for i in range(_NH)
+    )
+    bands = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, md5(h{2 * b} || h{2 * b + 1}) AS bh FROM {p}sig"
+        for b in range(_NH // 2)
+    )
+    return f"""
+{p}tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+    FROM {src}
+),
+{p}sh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(w) - 2, 0) + 1),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+    FROM {p}tok
+),
+{p}sig AS (
+    SELECT doc_id,
+        {sig_cols}
+    FROM {p}sh GROUP BY doc_id
+),
+{p}bands AS (
+{bands}
+)"""
+
+
+def q_cross_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup decontamination: MinHash+LSH collision join BETWEEN two
+    corpora (train = documents, eval = suffix-truncated twins) — catches
+    paraphrase-grade leakage that the exact 8-gram sweep
+    (`q_decontaminate`) misses. Signatures are computed per corpus (short
+    per-doc rows, persisted before the join), then candidates come from an
+    equi-join on the band bucket: cost scales with co-bucketed pairs, not
+    |train| × |eval|."""
+    docs = _docs(spark, sf_dir)
+    train = _scale_out(docs.select("doc_id", "text"))
+    ev = _scale_out(
+        docs.select("doc_id", F.expr("substring(text, 31)").alias("text"))
+    )
+    bands = []
+    for corpus in (train, ev):
+        sig = dedup.minhash_signatures(
+            dedup.shingle_rows(corpus), num_hashes=_NH
+        ).persist()
+        bands.append(dedup.lsh_bands(sig, num_hashes=_NH))
+    return dedup.lsh_cross_candidates(bands[0], bands[1]).select(
+        F.col("left_id").alias("train_id"), F.col("right_id").alias("eval_id")
+    )
+
+
+_SQL_CROSS_CORPUS_NEARDUP = (
+    """
+WITH train AS (SELECT doc_id, text FROM documents),
+ev AS (SELECT doc_id, substr(text, 31) AS text FROM documents),"""
+    + _sql_minhash_ctes("train", "t_")
+    + ","
+    + _sql_minhash_ctes("ev", "e_")
+    + """
+SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+FROM t_bands a JOIN e_bands b ON a.band = b.band AND a.bh = b.bh"""
+)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard on a deterministic corpus sample."""
     sample = _text_corpus(_docs(spark, sf_dir)).where(F.col("doc_id") % 20 == 0)
@@ -1280,6 +1350,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kmeans_cells": q_kmeans_cells,
     "q_chunk_docs": q_chunk_docs,
     "q_pack_sequences": q_pack_sequences,
+    "q_cross_corpus_neardup": q_cross_corpus_neardup,
     "q_minhash_lsh": q_minhash_lsh,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash": q_simhash,
@@ -1316,6 +1387,7 @@ ORACLES: dict[str, str] = {
     "q_dedup_keep_best": _SQL_DEDUP_KEEP_BEST,
     "q_chunk_docs": _SQL_CHUNK_DOCS,
     "q_pack_sequences": _SQL_PACK_SEQUENCES,
+    "q_cross_corpus_neardup": _SQL_CROSS_CORPUS_NEARDUP,
     "q_frame_sample": _SQL_FRAME_SAMPLE,
     "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "q_simhash": _SQL_SIMHASH,
