@@ -967,6 +967,106 @@ QUALIFY row_number() OVER (
 ) = 1"""
 
 
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel: how many documents each curation rule would
+    drop, plus the surviving count — the go/no-go report run before
+    committing a filter config. Metrics are computed once per doc (single
+    tokenize), flags are pure column expressions, and the whole funnel
+    reduces to ONE partial-aggregated row before a constant-size unpivot:
+    at 100 TB this is a scan plus a 7-value shuffle."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", T.tokens("text").alias("__w"))
+    m = d.select(
+        T.word_count_from_tokens("__w").alias("n_words"),
+        T.punct_ratio("text").alias("pr"),
+        T.stopword_ratio_from_tokens("__w", "en").alias("sr"),
+        T.type_token_ratio_from_tokens("__w").alias("ttr"),
+    )
+    f = m.select(
+        (F.col("n_words") < 10).cast("long").alias("f_short"),
+        (F.col("n_words") > 2000).cast("long").alias("f_long"),
+        (F.col("ttr") < 0.3).cast("long").alias("f_rep"),
+        (F.col("pr") > 0.2).cast("long").alias("f_punct"),
+        (F.col("sr") < 0.01).cast("long").alias("f_stop"),
+    )
+    a = f.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("f_short").alias("s_short"),
+        F.sum("f_long").alias("s_long"),
+        F.sum("f_rep").alias("s_rep"),
+        F.sum("f_punct").alias("s_punct"),
+        F.sum("f_stop").alias("s_stop"),
+        F.sum(
+            (
+                F.col("f_short") + F.col("f_long") + F.col("f_rep")
+                + F.col("f_punct") + F.col("f_stop")
+                == 0
+            ).cast("long")
+        ).alias("s_kept"),
+    )
+    pairs = F.create_map(
+        F.lit("total"), F.col("n_total"),
+        F.lit("too_short"), F.col("s_short"),
+        F.lit("too_long"), F.col("s_long"),
+        F.lit("low_diversity"), F.col("s_rep"),
+        F.lit("high_punct"), F.col("s_punct"),
+        F.lit("low_stopword"), F.col("s_stop"),
+        F.lit("kept"), F.col("s_kept"),
+    )
+    return a.select(
+        F.explode(pairs).alias("rule", "n_docs"), F.col("n_total")
+    ).select(
+        "rule",
+        "n_docs",
+        _rnd(F.col("n_docs") / F.col("n_total"), 6).alias("share"),
+    )
+
+
+_SQL_FILTER_FUNNEL = """
+WITH tokd AS (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+    FROM documents
+),
+m AS (
+    SELECT CAST(len(w) AS BIGINT) AS n_words,
+        length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+            / greatest(length(text), 1) AS pr,
+        len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is'], t)))
+            / greatest(len(w), 1) AS sr,
+        len(list_distinct(w)) / greatest(len(w), 1) AS ttr
+    FROM tokd
+),
+f AS (
+    SELECT CASE WHEN n_words < 10 THEN 1 ELSE 0 END AS f_short,
+           CASE WHEN n_words > 2000 THEN 1 ELSE 0 END AS f_long,
+           CASE WHEN ttr < 0.3 THEN 1 ELSE 0 END AS f_rep,
+           CASE WHEN pr > 0.2 THEN 1 ELSE 0 END AS f_punct,
+           CASE WHEN sr < 0.01 THEN 1 ELSE 0 END AS f_stop
+    FROM m
+),
+a AS (
+    SELECT count(*) AS n_total,
+           CAST(sum(f_short) AS BIGINT) AS s_short,
+           CAST(sum(f_long) AS BIGINT) AS s_long,
+           CAST(sum(f_rep) AS BIGINT) AS s_rep,
+           CAST(sum(f_punct) AS BIGINT) AS s_punct,
+           CAST(sum(f_stop) AS BIGINT) AS s_stop,
+           CAST(sum(CASE WHEN f_short + f_long + f_rep + f_punct + f_stop = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS s_kept
+    FROM f
+)
+SELECT rule, n_docs, round(1e-9 + n_docs / n_total, 6) AS share
+FROM (
+    SELECT 'total' AS rule, n_total AS n_docs, n_total FROM a
+    UNION ALL SELECT 'too_short', s_short, n_total FROM a
+    UNION ALL SELECT 'too_long', s_long, n_total FROM a
+    UNION ALL SELECT 'low_diversity', s_rep, n_total FROM a
+    UNION ALL SELECT 'high_punct', s_punct, n_total FROM a
+    UNION ALL SELECT 'low_stopword', s_stop, n_total FROM a
+    UNION ALL SELECT 'kept', s_kept, n_total FROM a
+)"""
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window token chunking (50-token chunks, 10-token overlap) —
     the doc→training-example shape transform. Entirely map-side (tokenize,
@@ -1351,6 +1451,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_chunk_docs": q_chunk_docs,
     "q_pack_sequences": q_pack_sequences,
     "q_cross_corpus_neardup": q_cross_corpus_neardup,
+    "q_filter_funnel": q_filter_funnel,
     "q_minhash_lsh": q_minhash_lsh,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash": q_simhash,
@@ -1388,6 +1489,7 @@ ORACLES: dict[str, str] = {
     "q_chunk_docs": _SQL_CHUNK_DOCS,
     "q_pack_sequences": _SQL_PACK_SEQUENCES,
     "q_cross_corpus_neardup": _SQL_CROSS_CORPUS_NEARDUP,
+    "q_filter_funnel": _SQL_FILTER_FUNNEL,
     "q_frame_sample": _SQL_FRAME_SAMPLE,
     "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "q_simhash": _SQL_SIMHASH,
