@@ -36,15 +36,20 @@ def chunk_tokens(
     text_col: str = "text",
 ) -> DataFrame:
     """Sliding-window token chunks: starts at 0, stride `chunk_size −
-    overlap`, while the start is inside the document. The final chunk may
-    be short (standard trailing-fragment semantics). Empty documents yield
+    overlap`, while the chunk still contributes at least one NEW token
+    (start + overlap < n_tokens) — a chunk that would only re-cover the
+    previous chunk's tail is never emitted, so no token is duplicated
+    beyond the declared overlap. The final chunk may be short; every
+    non-final chunk is exactly `chunk_size` tokens. Empty documents yield
     no chunks. Returns (`id_col`, chunk_idx, chunk: array<string>)."""
     if not 0 <= overlap < chunk_size:
         raise ValueError("need 0 <= overlap < chunk_size")
     stride = chunk_size - overlap
     toks = docs.select(F.col(id_col), T.tokens(text_col).alias("__w"))
     starts = F.sequence(
-        F.lit(0), F.greatest(F.size("__w") - 1, F.lit(0)), F.lit(stride)
+        F.lit(0),
+        F.greatest(F.size("__w") - overlap - 1, F.lit(0)),
+        F.lit(stride),
     )
     return (
         toks.where(F.size("__w") > 0)

@@ -1091,7 +1091,8 @@ WITH tok AS (
            list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
     FROM documents
 ), st AS (
-    SELECT doc_id, w, unnest(range(1, len(w) + 1, 40)) AS s FROM tok
+    SELECT doc_id, w, unnest(range(1, greatest(len(w) - 10, 1) + 1, 40)) AS s
+    FROM tok WHERE len(w) > 0
 )
 SELECT doc_id,
        CAST((s - 1) // 40 AS INTEGER) AS chunk_idx,

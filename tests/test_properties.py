@@ -124,3 +124,45 @@ def test_shingle_count_and_fingerprint_order_invariance(spark, toks):
     assert r.n_sh == max(0, len(toks) - 2)
     # fingerprint is invariant under token reordering
     assert r.fp_a == r.fp_b
+
+
+# --- chunking invariants ----------------------------------------------------
+
+WORD = st.text(alphabet="abcXYZ09", min_size=1, max_size=6)
+
+
+@given(
+    docs=st.lists(st.lists(WORD, min_size=0, max_size=120), min_size=1, max_size=10),
+    chunk_size=st.integers(5, 60),
+    overlap=st.integers(0, 4),
+)
+@settings(**SETTINGS)
+def test_chunk_tokens_covers_every_token_exactly(spark, docs, chunk_size, overlap):
+    from nyc_taxi_data_warehouse_spark.operators import chunking
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    out = chunking.chunk_tokens(
+        df, chunk_size=chunk_size, overlap=overlap
+    ).collect()
+    stride = chunk_size - overlap
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk
+    for i, ws in enumerate(docs):
+        chunks = by_doc.get(i, {})
+        if not ws:
+            assert chunks == {}
+            continue
+        n_expected = len(range(0, max(len(ws) - overlap, 1), stride))
+        assert sorted(chunks) == list(range(n_expected))
+        # reassembling chunk k's non-overlap prefix reconstructs the doc
+        rebuilt = []
+        for k in sorted(chunks):
+            rebuilt.extend(chunks[k][: stride] if k < len(chunks) - 1 else chunks[k])
+        # trailing chunk may re-cover tokens already emitted; clip to doc
+        assert rebuilt[: len(ws)] == ws
+        # every chunk except possibly the last is exactly chunk_size long
+        for k in sorted(chunks)[:-1]:
+            assert len(chunks[k]) == chunk_size
