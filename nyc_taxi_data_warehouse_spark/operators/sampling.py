@@ -55,6 +55,34 @@ def train_val_test_split(
     )
 
 
+def capped_sample(
+    df: DataFrame,
+    group_col: str,
+    caps: dict,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Corpus-mixture construction: keep at most `caps[g]` rows of each
+    group, chosen deterministically by content hash (md5(key||salt) order,
+    key as tiebreak). Groups absent from `caps` are dropped — the caps
+    dict IS the mixture allowlist. One shuffle (the per-group window); the
+    caps map is inlined as a literal map expression, so there is no extra
+    join and no driver-side data movement."""
+    entries = []
+    for g, k in caps.items():
+        entries += [F.lit(g), F.lit(k)]
+    cap = F.create_map(*entries)[F.col(group_col)]
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__cap", cap)
+        .where(F.col("__cap").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.col("__cap"))
+        .drop("__cap", "__rn")
+    )
+
+
 def stratified_sample(
     df: DataFrame, group_cols: list[str], key_col: str, k: int, salt: str = ""
 ) -> DataFrame:

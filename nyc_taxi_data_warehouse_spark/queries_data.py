@@ -1165,6 +1165,39 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIXTURE_CAPS = {f"src{i}": (15 if i % 2 == 0 else 5) for i in range(18)}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture construction: per-source document caps (even sources
+    15, odd 5, src18/src19 excluded) applied via `capped_sample` — the
+    deterministic up/down-weighting step that builds a training mix from
+    heterogeneous sources. Membership is a pure function of doc_id, so the
+    mix is stable under re-ingest; the caps live in an inlined literal
+    map (no join)."""
+    from .operators import sampling
+
+    d = _docs(spark, sf_dir)
+    return sampling.capped_sample(
+        d, "source", _MIXTURE_CAPS, "doc_id", salt="mx"
+    ).select("doc_id", "source", "lang")
+
+
+_SQL_MIXTURE_SAMPLE = f"""
+WITH ranked AS (
+    SELECT doc_id, source, lang,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || 'mx') ASC, doc_id ASC
+           ) AS rn
+    FROM documents
+    WHERE source IN ({", ".join(repr(s) for s in _MIXTURE_CAPS)})
+)
+SELECT doc_id, source, lang FROM ranked
+WHERE rn <= CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                 THEN 15 ELSE 5 END"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of document length per language —
     Spark `percentile` and DuckDB `quantile_cont` share the linear-
@@ -1453,6 +1486,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pack_sequences": q_pack_sequences,
     "q_cross_corpus_neardup": q_cross_corpus_neardup,
     "q_filter_funnel": q_filter_funnel,
+    "q_mixture_sample": q_mixture_sample,
     "q_minhash_lsh": q_minhash_lsh,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash": q_simhash,
@@ -1491,6 +1525,7 @@ ORACLES: dict[str, str] = {
     "q_pack_sequences": _SQL_PACK_SEQUENCES,
     "q_cross_corpus_neardup": _SQL_CROSS_CORPUS_NEARDUP,
     "q_filter_funnel": _SQL_FILTER_FUNNEL,
+    "q_mixture_sample": _SQL_MIXTURE_SAMPLE,
     "q_frame_sample": _SQL_FRAME_SAMPLE,
     "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "q_simhash": _SQL_SIMHASH,

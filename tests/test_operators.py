@@ -588,3 +588,24 @@ def test_pack_sequences_partition_independent(spark):
     b = {(r.doc_id, r.shard, r.bin_idx)
          for r in chunking.pack_sequences(docs.repartition(11), 300).collect()}
     assert a == b
+
+
+def test_capped_sample_respects_caps_and_allowlist(spark):
+    from nyc_taxi_data_warehouse_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 4}") for i in range(100)], "k long, grp string"
+    )
+    out = sampling.capped_sample(df, "grp", {"g0": 3, "g1": 30}, "k", salt="c")
+    rows = out.collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.grp, set()).add(r.k)
+    assert set(by_grp) == {"g0", "g1"}          # g2/g3 not in caps -> dropped
+    assert len(by_grp["g0"]) == 3               # capped
+    assert len(by_grp["g1"]) == 25              # cap above group size -> all
+    # deterministic under repartitioning
+    again = sampling.capped_sample(
+        df.repartition(7), "grp", {"g0": 3, "g1": 30}, "k", salt="c"
+    ).collect()
+    assert {(r.grp, r.k) for r in again} == {(r.grp, r.k) for r in rows}
