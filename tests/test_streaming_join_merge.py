@@ -85,3 +85,43 @@ def test_foreachbatch_merge_is_idempotent(spark, tmp_path):
     assert state["count"] == 2  # both batches processed
     assert final.count() == 20  # re-delivery inserted nothing new
     assert final.select("event_id").distinct().count() == 20
+
+
+def test_streaming_dedup_within_watermark_drops_redelivery(spark, tmp_path):
+    """Re-delivered rows (same natural key, second micro-batch) are dropped
+    while state stays watermark-bounded — streaming MERGE-dedup parity."""
+    from nyc_taxi_data_warehouse_spark.streaming.dedup_stream import (
+        dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "feed")
+    base = spark.createDataFrame(
+        [(i, f"2024-01-01 10:{i:02d}:00", float(i)) for i in range(20)],
+        "event_id long, ts_s string, value double",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    # batch 1: ids 0..19; batch 2: ids 10..29 (10..19 are re-deliveries)
+    base.write.mode("overwrite").parquet(src)
+    redelivered = spark.createDataFrame(
+        [(i, f"2024-01-01 10:{i:02d}:00", float(i)) for i in range(10, 30)],
+        "event_id long, ts_s string, value double",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    redelivered.write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = dedup_within_watermark(stream, ["event_id"], "ts", "2 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("sdedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    rows = spark.table("sdedup_test").collect()
+    assert sorted(r.event_id for r in rows) == list(range(30))  # each id once
