@@ -184,6 +184,57 @@ def kmeans_fit(
     )
 
 
+def ternary_planes(n_planes: int, dim: int, seed: str = "srp") -> list[list[int]]:
+    """Deterministic sparse ternary hyperplanes (Achlioptas-style): entry
+    (j, d) is +1 / −1 / 0 with probability 1/6 / 1/6 / 2/3, derived from
+    md5(seed:j:d) — a pure function, so any engine (or oracle) rebuilds the
+    identical planes with no RNG state."""
+    import hashlib
+
+    out = []
+    for j in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[:8], 16) % 6
+            row.append(1 if h == 0 else (-1 if h == 1 else 0))
+        out.append(row)
+    return out
+
+
+def srp_signatures(
+    vectors: DataFrame,
+    planes: list[list[int]],
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection LSH signature per vector — the SimHash
+    analogue for embeddings, and the data-INDEPENDENT blocking alternative
+    to the k-means/IVF family (no codebook build pass; planes are code,
+    not data). Cosine-similar vectors agree on most signs, so near-dups
+    collide in signature buckets.
+
+    Vectors are quantized to integers (floor(x·quant)) before the dot
+    product: all arithmetic is exact int64, which makes the signature
+    bit-reproducible across engines regardless of float summation order —
+    the property that lets a SQL oracle verify it. One narrow map stage;
+    n_planes × dim multiply-adds per row, no shuffle, no join."""
+    qv = F.transform(
+        V.as_double(vec_col), lambda x: F.floor(x * quant).cast("long")
+    )
+    v = vectors.select(F.col(id_col), qv.alias("__q"))
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        lit = F.array(*[F.lit(c).cast("long") for c in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col("__q"), lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return v.select(F.col(id_col), sig.alias("srp_sig"))
+
+
 def cosine_pairs(
     vecs: DataFrame,
     threshold: float,

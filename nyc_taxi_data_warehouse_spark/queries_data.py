@@ -1147,6 +1147,53 @@ SELECT shard,
 FROM off GROUP BY 1, 2"""
 
 
+_SRP_PLANES = 16
+_SRP_DIM = 64
+_SRP_QUANT = 1000
+
+
+def q_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH over embeddings — the data-INDEPENDENT
+    blocking family beside the k-means/IVF one: no codebook build pass,
+    the hyperplanes are deterministic code. Integer-quantized ternary
+    projections keep every dot product in exact int64, so the signature
+    is bit-reproducible in any engine. One narrow map stage; the bucket
+    (top 8 bits) is the LSH blocking key."""
+    planes = similarity.ternary_planes(_SRP_PLANES, _SRP_DIM)
+    sigs = similarity.srp_signatures(
+        _scale_out(_emb(spark, sf_dir)), planes, quant=_SRP_QUANT
+    )
+    return sigs.select(
+        "vec_id",
+        "srp_sig",
+        F.floor(F.col("srp_sig") / F.lit(256)).cast("long").alias("bucket"),
+    )
+
+
+def _sql_srp_lsh() -> str:
+    from .operators.similarity import ternary_planes
+
+    planes = ternary_planes(_SRP_PLANES, _SRP_DIM)
+    terms = []
+    for j, plane in enumerate(planes):
+        lst = "[" + ", ".join(str(c) for c in plane) + "]"
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(range(1, {_SRP_DIM} + 1), "
+            f"i -> qv[i] * ({lst})[i])) >= 0 THEN {1 << j} ELSE 0 END"
+        )
+    expr = "\n         + ".join(terms)
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_SRP_QUANT}) AS BIGINT)) AS qv
+    FROM embeddings
+), s AS (
+    SELECT vec_id, CAST({expr} AS BIGINT) AS srp_sig FROM q
+)
+SELECT vec_id, srp_sig, srp_sig // 256 AS bucket FROM s"""
+
+
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end IVF codebook lifecycle: `kmeans_fit` builds the
     codebook (Lloyd's, deterministic md5-of-id seeding), `assign_cells`
@@ -1487,6 +1534,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cross_corpus_neardup": q_cross_corpus_neardup,
     "q_filter_funnel": q_filter_funnel,
     "q_mixture_sample": q_mixture_sample,
+    "q_srp_lsh": q_srp_lsh,
     "q_minhash_lsh": q_minhash_lsh,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash": q_simhash,
@@ -1526,6 +1574,7 @@ ORACLES: dict[str, str] = {
     "q_cross_corpus_neardup": _SQL_CROSS_CORPUS_NEARDUP,
     "q_filter_funnel": _SQL_FILTER_FUNNEL,
     "q_mixture_sample": _SQL_MIXTURE_SAMPLE,
+    "q_srp_lsh": _sql_srp_lsh(),
     "q_frame_sample": _SQL_FRAME_SAMPLE,
     "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "q_simhash": _SQL_SIMHASH,

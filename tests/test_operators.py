@@ -609,3 +609,26 @@ def test_capped_sample_respects_caps_and_allowlist(spark):
         df.repartition(7), "grp", {"g0": 3, "g1": 30}, "k", salt="c"
     ).collect()
     assert {(r.grp, r.k) for r in again} == {(r.grp, r.k) for r in rows}
+
+
+def test_srp_signature_locality(spark):
+    """SRP signatures: a positively-scaled copy keeps (nearly) the same
+    signature; a negated copy flips (nearly) every determined bit."""
+    from nyc_taxi_data_warehouse_spark.operators import similarity
+
+    base = [((i * 13 + d * 7) % 21 - 10) / 10.0 for d in range(64) for i in [3]]
+    vecs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, [x * 2.0 for x in base]),    # same direction
+            (2, [-x for x in base]),          # opposite direction
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    planes = similarity.ternary_planes(16, 64)
+    sigs = {r.vec_id: r.srp_sig for r in
+            similarity.srp_signatures(vecs, planes).collect()}
+    ham_same = bin(sigs[0] ^ sigs[1]).count("1")
+    ham_opp = bin(sigs[0] ^ sigs[2]).count("1")
+    assert ham_same <= 2
+    assert ham_opp >= 10
