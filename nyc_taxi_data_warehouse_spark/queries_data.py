@@ -511,6 +511,85 @@ SELECT query_id AS vec_id, neighbor_id AS centroid_id,
 FROM ranked WHERE rn = 1"""
 
 
+def q_cell_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation rollup: join each document's text-quality
+    metrics to its embedding's IVF cell (doc_id = vec_id) and aggregate
+    per cell — the diagnostic that tells you WHERE in embedding space the
+    low-quality mass lives. The cell assignment is the shuffle-free
+    codebook fold; the join shuffles on the id (broadcast-able when one
+    side is a dim); the rollup is k rows."""
+    emb = _emb(spark, sf_dir)
+    cells = similarity.assign_cells(
+        _scale_out(emb), emb.where(F.col("vec_id") % 100 == 0)
+    ).select("vec_id", "centroid_id")
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars", "text", T.tokens("text").alias("__w")
+    )
+    q = d.select(
+        "doc_id",
+        "n_chars",
+        T.word_count_from_tokens("__w").alias("n_words"),
+        T.punct_ratio("text").alias("pr"),
+        T.type_token_ratio_from_tokens("__w").alias("ttr"),
+    ).withColumn(
+        "quality",
+        (
+            F.least(F.col("n_words") / 50.0, F.lit(1.0))
+            + F.col("ttr")
+            + (1.0 - F.least(F.col("pr") * 4.0, F.lit(1.0)))
+        )
+        / 3.0,
+    )
+    joined = q.join(cells, q.doc_id == cells.vec_id)
+    return joined.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _rnd(F.avg("quality"), 6).alias("avg_quality"),
+        _rnd(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+_SQL_CELL_QUALITY = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+),
+c AS (
+    SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id % 100 = 0
+),
+sims AS (
+    SELECT q.query_id, c.neighbor_id, {_COS} AS sim
+    FROM q CROSS JOIN c
+),
+cells AS (
+    SELECT query_id AS vec_id, neighbor_id AS centroid_id
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+        FROM sims
+    ) WHERE rn = 1
+),
+tokd AS (
+    SELECT doc_id, n_chars,
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               / greatest(length(text), 1) AS pr
+    FROM documents
+),
+m AS (
+    SELECT doc_id, n_chars,
+           (least(len(w) / 50.0, 1.0)
+            + len(list_distinct(w)) / greatest(len(w), 1)
+            + (1.0 - least(pr * 4.0, 1.0))) / 3.0 AS quality
+    FROM tokd
+)
+SELECT centroid_id, count(*) AS n_docs,
+       round(1e-9 + avg(quality), 6) AS avg_quality,
+       round(1e-9 + avg(n_chars), 4) AS avg_chars
+FROM m JOIN cells ON m.doc_id = cells.vec_id
+GROUP BY 1"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.9) over sampled vectors plus
     first-component-negated twins — centroid-blocked form: vectors are
@@ -1535,6 +1614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_filter_funnel": q_filter_funnel,
     "q_mixture_sample": q_mixture_sample,
     "q_srp_lsh": q_srp_lsh,
+    "q_cell_quality": q_cell_quality,
     "q_minhash_lsh": q_minhash_lsh,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash": q_simhash,
@@ -1575,6 +1655,7 @@ ORACLES: dict[str, str] = {
     "q_filter_funnel": _SQL_FILTER_FUNNEL,
     "q_mixture_sample": _SQL_MIXTURE_SAMPLE,
     "q_srp_lsh": _sql_srp_lsh(),
+    "q_cell_quality": _SQL_CELL_QUALITY,
     "q_frame_sample": _SQL_FRAME_SAMPLE,
     "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "q_simhash": _SQL_SIMHASH,

@@ -164,3 +164,29 @@ def test_atomic_overwrite_crash_between_renames_recovers(spark, tmp_path):
     os.rename(path2, path2 + S._GC_SUFFIX)
     assert S.recover_atomic_overwrite(path2) == "restored-old"
     assert _ids(spark, path2) == list(range(4))
+
+
+def test_schema_evolution_read_unions_old_and_new_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_warehouse_spark.sources.sinks import (
+        append,
+        read_with_schema_evolution,
+    )
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    v1.write.mode("overwrite").parquet(path)
+    # schema evolves: a quality column is added to new files only
+    v2 = spark.createDataFrame(
+        [(3, "c", 0.9)], "id long, name string, quality double"
+    )
+    append(v2, path)
+
+    got = read_with_schema_evolution(spark, path)
+    assert set(got.columns) == {"id", "name", "quality"}
+    rows = {r.id: (r.name, r.quality) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 0.9)}
+    # plain read of a single old file must NOT see the new column
+    n_null = got.where(F.col("quality").isNull()).count()
+    assert n_null == 2
