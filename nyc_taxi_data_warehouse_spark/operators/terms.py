@@ -45,7 +45,9 @@ def tf_idf(
     hash join on `term`; tf is already partitioned by (doc, term) so only
     the vocabulary side re-shuffles."""
     n_docs = docs.select(id_col).distinct().count()
-    tf = term_freqs(docs, id_col, text_col)
+    # tf feeds BOTH join sides; persist or the tokenize→explode→groupBy
+    # lineage (the dominant cost) executes twice (NOTES self-join lesson)
+    tf = term_freqs(docs, id_col, text_col).persist()
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if broadcast_vocab:
         df_tbl = F.broadcast(df_tbl)
