@@ -480,6 +480,71 @@ FROM ranked WHERE rn <= 3"""
 )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of the IVF-pruned search against
+    the exact brute-force baseline, per query — the measure-don't-guess
+    harness for the speed/recall trade. Runs on the sampled query set, so
+    cost is two bounded top-k jobs plus a tiny join; at 100 TB you
+    evaluate on a fixed probe sample exactly like this."""
+    emb = _emb(spark, sf_dir)
+    qset = emb.where(F.col("vec_id") % 50 == 0)
+    corpus = _scale_out(emb)
+    k = 5
+    exact = similarity.brute_force_knn(qset, corpus, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.ivf_knn(qset, corpus, k=k).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qids = qset.select(F.col("vec_id").alias("query_id"))
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        _rnd(F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(k), 6).alias(
+            "recall_at_5"
+        ),
+    )
+
+
+_SQL_ANN_RECALL = (
+    "WITH "
+    + _VEC_SQL
+    + f""",
+sims_e AS (
+    SELECT q.query_id, c.neighbor_id, {_COS} AS sim
+    FROM q CROSS JOIN c
+),
+ranked_e AS (
+    SELECT query_id, neighbor_id, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+    FROM sims_e
+),
+sims_a AS (
+    SELECT q.query_id, c.neighbor_id, {_COS} AS sim
+    FROM q JOIN c ON q.label = c.label
+),
+ranked_a AS (
+    SELECT query_id, neighbor_id, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+    FROM sims_a
+),
+hits AS (
+    SELECT e.query_id, count(*) AS n_hits
+    FROM ranked_e e JOIN ranked_a a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    WHERE e.rn <= 5 AND a.rn <= 5
+    GROUP BY 1
+)
+SELECT qq.query_id,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       round(1e-9 + coalesce(n_hits, 0) / 5.0, 6) AS recall_at_5
+FROM (SELECT DISTINCT query_id FROM q) qq LEFT JOIN hits USING (query_id)"""
+)
+
+
 def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF quantizer build: assign every embedding to its nearest seed
     centroid (vec_id % 100 = 0) by cosine — broadcast k-means assign step."""
@@ -1615,6 +1680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mixture_sample": q_mixture_sample,
     "q_srp_lsh": q_srp_lsh,
     "q_cell_quality": q_cell_quality,
+    "q_ann_recall": q_ann_recall,
     "q_minhash_lsh": q_minhash_lsh,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash": q_simhash,
@@ -1656,6 +1722,7 @@ ORACLES: dict[str, str] = {
     "q_mixture_sample": _SQL_MIXTURE_SAMPLE,
     "q_srp_lsh": _sql_srp_lsh(),
     "q_cell_quality": _SQL_CELL_QUALITY,
+    "q_ann_recall": _SQL_ANN_RECALL,
     "q_frame_sample": _SQL_FRAME_SAMPLE,
     "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "q_simhash": _SQL_SIMHASH,
