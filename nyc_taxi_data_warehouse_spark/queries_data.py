@@ -1314,7 +1314,8 @@ def q_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_srp_lsh() -> str:
+def _sql_srp_sig_expr() -> str:
+    """DuckDB twin of srp_signatures over a quantized `qv` column."""
     from .operators.similarity import ternary_planes
 
     planes = ternary_planes(_SRP_PLANES, _SRP_DIM)
@@ -1325,17 +1326,85 @@ def _sql_srp_lsh() -> str:
             f"CASE WHEN list_sum(list_transform(range(1, {_SRP_DIM} + 1), "
             f"i -> qv[i] * ({lst})[i])) >= 0 THEN {1 << j} ELSE 0 END"
         )
-    expr = "\n         + ".join(terms)
+    return "\n         + ".join(terms)
+
+
+_SQL_SRP_QUANT_LAMBDA = (
+    f"x -> CAST(floor(CAST(x AS DOUBLE) * {_SRP_QUANT}) AS BIGINT)"
+)
+
+
+def _sql_srp_lsh() -> str:
     return f"""
 WITH q AS (
     SELECT vec_id,
-           list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * {_SRP_QUANT}) AS BIGINT)) AS qv
+           list_transform(embedding, {_SQL_SRP_QUANT_LAMBDA}) AS qv
     FROM embeddings
 ), s AS (
-    SELECT vec_id, CAST({expr} AS BIGINT) AS srp_sig FROM q
+    SELECT vec_id, CAST({_sql_srp_sig_expr()} AS BIGINT) AS srp_sig FROM q
 )
 SELECT vec_id, srp_sig, srp_sig // 256 AS bucket FROM s"""
+
+
+def q_srp_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH used for BLOCKING end-to-end: signatures over a corpus plus
+    positively-scaled re-encodings (×2 — same direction, as a re-encoded
+    duplicate would be), candidates only within the top-8-bit signature
+    bucket, kept when Hamming distance ≤ 2. Same O(co-bucketed pairs)
+    shape as the centroid-blocked variant but with zero build pass. The
+    signature frame is persisted before the self-join (both sides would
+    re-run the projection otherwise)."""
+    planes = similarity.ternary_planes(_SRP_PLANES, _SRP_DIM)
+    base = _emb(spark, sf_dir).where(F.col("vec_id") % 5 == 0).select(
+        "vec_id", V.as_double("embedding").alias("embedding")
+    )
+    twins = base.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = _scale_out(base.unionByName(twins))
+    sigs = (
+        similarity.srp_signatures(corpus, planes, quant=_SRP_QUANT)
+        .withColumn("bucket", F.floor(F.col("srp_sig") / F.lit(256)).cast("long"))
+        .persist()
+    )
+    a = sigs.select(
+        F.col("vec_id").alias("id_a"), F.col("srp_sig").alias("sig_a"), "bucket"
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("id_b"), F.col("srp_sig").alias("sig_b"), "bucket"
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= 2)
+    )
+
+
+def _sql_srp_near_pairs() -> str:
+    return f"""
+WITH corpus AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+    FROM embeddings WHERE vec_id % 5 = 0
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0) AS e
+    FROM embeddings WHERE vec_id % 5 = 0
+), q AS (
+    SELECT vec_id,
+           list_transform(e, {_SQL_SRP_QUANT_LAMBDA.replace('CAST(x AS DOUBLE)', 'x')}) AS qv
+    FROM corpus
+), s AS (
+    SELECT vec_id, CAST({_sql_srp_sig_expr()} AS BIGINT) AS sig FROM q
+), b AS (
+    SELECT vec_id, sig, sig // 256 AS bucket FROM s
+)
+SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+       CAST(bit_count(xor(a.sig, bb.sig)) AS BIGINT) AS hamming
+FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+WHERE bit_count(xor(a.sig, bb.sig)) <= 2"""
 
 
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1681,6 +1750,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_srp_lsh": q_srp_lsh,
     "q_cell_quality": q_cell_quality,
     "q_ann_recall": q_ann_recall,
+    "q_srp_near_pairs": q_srp_near_pairs,
     "q_minhash_lsh": q_minhash_lsh,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash": q_simhash,
@@ -1723,6 +1793,7 @@ ORACLES: dict[str, str] = {
     "q_srp_lsh": _sql_srp_lsh(),
     "q_cell_quality": _SQL_CELL_QUALITY,
     "q_ann_recall": _SQL_ANN_RECALL,
+    "q_srp_near_pairs": _sql_srp_near_pairs(),
     "q_frame_sample": _SQL_FRAME_SAMPLE,
     "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "q_simhash": _SQL_SIMHASH,
