@@ -39,7 +39,9 @@ _CHECK_FIRST = [
     "q_split_assign", "q_dedup_keep_best", "q_kmeans_cells",
     "q_chunk_docs", "q_pack_sequences", "q_cross_corpus_neardup",
     "q_filter_funnel", "q_mixture_sample", "q_srp_lsh", "q_cell_quality",
-    "q_ann_recall", "q_srp_near_pairs",
+    "q_ann_recall", "q_srp_near_pairs", "q_stream_hourly",
+    "q_inverted_index", "q_embedding_quantize", "q_star_join",
+    "q_skew_agg", "q_skew_join",
 ]
 _CHECK_LAST = [
     "q_project", "q_limit", "q_dropna", "q_semi_join", "q_distinct_hours",

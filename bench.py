@@ -54,6 +54,9 @@ HEADLINE = [
     "q_interval_join",
     "q_gapfill",
     "q_sessions",
+    # round-2 late addition: the classic star-schema path (fact shuffle
+    # joins + broadcast dims) at the full sf0.1 lineitem scale
+    "q_star_join",
 ]
 
 

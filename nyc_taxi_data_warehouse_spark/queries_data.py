@@ -1722,6 +1722,105 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
 FROM documents"""
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index (posting-list) construction — the retrieval-side build
+    step of a search/RAG pipeline: term → numerically-sorted postings +
+    document frequency. One shuffle on the term key; postings stay
+    distributed (one row per term), never collected to the driver. At
+    100 TB the identical plan shards by term hash; high-df stopword terms
+    are the skew risk, and `doc_freq` is exactly the diagnostic for
+    choosing the cutoff (salting or dropping the head terms). Postings are
+    emitted as a '|'-joined string (a stable canonical form; the engine
+    keeps the array shape internally)."""
+    d = _scale_out(_docs(spark, sf_dir).select("doc_id", "text"))
+    tok = d.select("doc_id", T.tokens("text").alias("__w"))
+    pairs = tok.select("doc_id", F.explode(F.array_distinct("__w")).alias("term"))
+    return pairs.groupBy("term").agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+        ).alias("postings"),
+        F.count(F.lit(1)).alias("doc_freq"),
+    )
+
+
+_SQL_INVERTED_INDEX = r"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+    FROM documents
+),
+pairs AS (
+    SELECT doc_id, unnest(list_distinct(w)) AS term FROM tok
+)
+SELECT term,
+       string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id) AS postings,
+       count(*) AS doc_freq
+FROM pairs GROUP BY term"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric per-vector quantization — the 4× vector-compression
+    step before an ANN index build: scale = max|x|/127, code =
+    floor(x·127/max|x|). Pure JVM higher-order expressions; floor (not
+    round) keeps the codes bit-identical across engines, and per-row double
+    arithmetic is bit-exact so the reconstruction-error column needs no
+    tolerance. Codes are emitted as a ','-joined string (canonical form;
+    the engine keeps the int array internally)."""
+    e = _scale_out(_emb(spark, sf_dir)).select(
+        "vec_id", V.as_double("embedding").alias("v")
+    )
+    m = e.select(
+        "vec_id", "v", F.array_max(F.transform("v", F.abs)).alias("mx")
+    ).where(F.col("mx") > 0)
+    qz = m.select(
+        "vec_id",
+        "v",
+        "mx",
+        F.transform(
+            "v", lambda x: F.floor(x * 127.0 / F.col("mx")).cast("int")
+        ).alias("q8"),
+    )
+    return qz.select(
+        "vec_id",
+        F.size("v").alias("n_dims"),
+        _rnd(F.col("mx"), 6).alias("max_abs"),
+        F.concat_ws(",", F.transform("q8", lambda x: x.cast("string"))).alias("codes"),
+        _rnd(
+            F.array_max(
+                F.zip_with(
+                    "v",
+                    "q8",
+                    lambda x, qi: F.abs(x - qi.cast("double") * F.col("mx") / 127.0),
+                )
+            ),
+            6,
+        ).alias("max_abs_err"),
+    )
+
+
+_SQL_EMBEDDING_QUANTIZE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (
+    SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx
+    FROM e WHERE list_max(list_transform(v, x -> abs(x))) > 0
+),
+qz AS (
+    SELECT vec_id, v, mx,
+           list_transform(v, x -> CAST(floor(x * 127.0 / mx) AS INTEGER)) AS q8
+    FROM m
+)
+SELECT vec_id,
+       CAST(len(v) AS INTEGER) AS n_dims,
+       round(1e-9 + mx, 6) AS max_abs,
+       array_to_string(q8, ',') AS codes,
+       round(1e-9 + list_max(list_transform(range(1, len(v) + 1),
+             i -> abs(v[i] - CAST(q8[i] AS DOUBLE) * mx / 127.0))), 6) AS max_abs_err
+FROM qz"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -1763,6 +1862,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_ivf": q_ann_ivf,
     "q_centroid_assign": q_centroid_assign,
     "q_embedding_neardup": q_embedding_neardup,
+    "q_inverted_index": q_inverted_index,
+    "q_embedding_quantize": q_embedding_quantize,
 }
 
 ORACLES: dict[str, str] = {
@@ -1805,4 +1906,6 @@ ORACLES: dict[str, str] = {
     "q_knn_bruteforce": _SQL_KNN,
     "q_ann_ivf": _SQL_ANN_IVF,
     "q_embedding_neardup": _SQL_EMB_NEARDUP,
+    "q_inverted_index": _SQL_INVERTED_INDEX,
+    "q_embedding_quantize": _SQL_EMBEDDING_QUANTIZE,
 }

@@ -846,6 +846,164 @@ def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic OLAP star aggregation over the TPC-H-shaped tables (the
+    relational path the engine serves beside the NYC marts): lineitem ⋈
+    orders ⋈ customer shuffle on their keys while nation and region ride as
+    broadcast dims, with a pushed date predicate on the fact scan. Revenue
+    is summed in exact 1e-4-unit integers (price/discount are 2-decimal
+    lattice inputs), so the aggregate is associative and summation-order
+    free — the scale-safe form of a money SUM (double accumulation order is
+    nondeterministic under AQE re-partitioning). `n_orders` exercises the
+    distinct-aggregate path."""
+    t = nyc_views.load_tables(spark, sf_dir)
+    rev_units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    j = (
+        t["lineitem"]
+        .where(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        (F.sum(rev_units) / 10000.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+
+_SQL_STAR_JOIN = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                     AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+       count(*) AS n_items,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY r_name, n_name"""
+
+
+def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (`operators/skew.py::salted_agg`),
+    driver-gated: the hot-key mitigation must be bit-identical to the plain
+    GROUP BY the oracle runs. Quantity is pre-projected to exact 1e-2-unit
+    integers, so both phases sum longs and the result is independent of the
+    salt assignment and of summation order — which is precisely why salting
+    preserves exactness for algebraic aggregates."""
+    from .operators import skew
+
+    li = nyc_views.load_tables(spark, sf_dir)["lineitem"].select(
+        "l_returnflag",
+        "l_linestatus",
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long").alias(
+            "qty_units"
+        ),
+        "l_partkey",
+    )
+    out = skew.salted_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        counts=["l_partkey"],
+        sums=["qty_units"],
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "row_count",
+        "l_partkey_count",
+        (F.col("qty_units_sum") / 100.0).alias("sum_qty"),
+    )
+
+
+_SQL_SKEW_AGG = """
+SELECT l_returnflag, l_linestatus, count(*) AS row_count,
+       count(l_partkey) AS l_partkey_count,
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           / 100.0 AS sum_qty
+FROM lineitem GROUP BY 1, 2"""
+
+
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicate-the-dim join (`skew.py::salted_broadcast_join`),
+    driver-gated against the plain LEFT JOIN: the fact side draws a salt,
+    the dim replicates across all salts, and a hot part key spreads over
+    n_salts tasks — with results provably identical to the unsalted join
+    (every fact row still meets exactly one dim replica)."""
+    from .operators import skew
+
+    t = nyc_views.load_tables(spark, sf_dir)
+    fact = t["lineitem"].select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias(
+            "price_units"
+        ),
+    )
+    out = skew.salted_broadcast_join(
+        fact, t["part"].select("p_partkey", "p_brand"), "p_partkey"
+    )
+    return out.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (F.sum("price_units") / 100.0).alias("total_price"),
+    )
+
+
+_SQL_SKEW_JOIN = """
+SELECT p_brand, count(*) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           / 100.0 AS total_price
+FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand"""
+
+
+_STREAM_SINK_SEQ = [0]
+
+
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: Structured Streaming parity for the A1 hourly rollup, as a
+    driver-gated query (previously test-only).
+
+    The weather feed is replayed through a file-source stream (the streaming
+    analogue of the reference's hourly scheduled pull,
+    `dags/weather_realtime_etl.py:30`), aggregated by a watermarked 1h
+    tumbling window with `dropDuplicatesWithinWatermark` idempotence, drained
+    with Trigger.AvailableNow into a memory sink, and the resulting table is
+    returned. Oracle = the exact batch `int_weather_hourly` SQL: stream and
+    batch must agree row-for-row (complete output mode emits every window, so
+    the watermark only bounds state, never drops rows here)."""
+    import tempfile
+
+    from .streaming import weather_stream
+
+    src = tempfile.mkdtemp(prefix="spark_graft_weather_feed_")
+    _weather(spark, sf_dir).write.mode("overwrite").parquet(src)
+
+    _STREAM_SINK_SEQ[0] += 1
+    name = f"q_stream_hourly_sink_{_STREAM_SINK_SEQ[0]}"
+    stream = weather_stream.read_weather_stream(spark, src)
+    agg = weather_stream.hourly_weather_stream(stream)
+    q = weather_stream.run_available_now(agg, name)
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name).select(
+        "observation_hour",
+        "city",
+        _r4("avg_temperature_fahrenheit"),
+        "min_temperature_fahrenheit",
+        "max_temperature_fahrenheit",
+        _r4("avg_humidity_percent"),
+        "weather_description",
+        "observation_count",
+        "latest_observation_at",
+    )
+
+
 # --- SCD2 resulting-state queries (C1/C2) ----------------------------------
 # Two deterministic source batches are derived from the testdata, the
 # snapshot operator is applied twice (T1 then T2), and the FINAL snapshot
@@ -1052,6 +1210,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stg_weather": q_stg_weather,
     "q_enrich": q_enrich,
     "q_weather_hourly": q_weather_hourly,
+    "q_stream_hourly": q_stream_hourly,
     "q_trips_weather": q_trips_weather,
     "q_daily": q_daily,
     "q_zone_analysis": q_zone_analysis,
@@ -1067,6 +1226,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_eval_metrics": q_eval_metrics,
     "q_union_summary": q_union_summary,
     "q_merge_dedup": q_merge_dedup,
+    "q_star_join": q_star_join,
+    "q_skew_agg": q_skew_agg,
+    "q_skew_join": q_skew_join,
     "q_project": q_project,
     "q_json_extract": q_json_extract,
     "q_surrogate_key": q_surrogate_key,
@@ -1103,6 +1265,9 @@ WHERE pickup_datetime IS NOT NULL AND dropoff_datetime IS NOT NULL
     "q_limit": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
 FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5000""",
+    "q_star_join": _SQL_STAR_JOIN,
+    "q_skew_agg": _SQL_SKEW_AGG,
+    "q_skew_join": _SQL_SKEW_JOIN,
     "q_scd2_check": _SQL_SCD2_CHECK,
     "q_scd2_timestamp": _SQL_SCD2_TIMESTAMP,
     "q_stg_trips": _with(SQL_TRIPS, SQL_STG_TRIPS, select="SELECT * FROM stg_trips"),
@@ -1114,6 +1279,18 @@ FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5000""",
         select="SELECT * FROM enriched",
     ),
     "q_weather_hourly": _with(
+        SQL_WEATHER,
+        SQL_STG_WEATHER,
+        SQL_INT_WEATHER_HOURLY,
+        select="""
+SELECT observation_hour, city,
+       round(1e-9 + avg_temperature_fahrenheit, 4) AS avg_temperature_fahrenheit,
+       min_temperature_fahrenheit, max_temperature_fahrenheit,
+       round(1e-9 + avg_humidity_percent, 4) AS avg_humidity_percent,
+       weather_description, observation_count, latest_observation_at
+FROM weather_hourly""",
+    ),
+    "q_stream_hourly": _with(
         SQL_WEATHER,
         SQL_STG_WEATHER,
         SQL_INT_WEATHER_HOURLY,

@@ -632,3 +632,38 @@ def test_srp_signature_locality(spark):
     ham_opp = bin(sigs[0] ^ sigs[2]).count("1")
     assert ham_same <= 2
     assert ham_opp >= 10
+
+
+def test_inverted_index_postings_consistent(spark, sf_dir):
+    """doc_freq equals the postings length, postings are strictly
+    ascending, and every posted doc actually contains the term."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_inverted_index
+
+    rows = q_inverted_index(spark, sf_dir).collect()
+    assert rows
+    docs = {
+        r.doc_id: set(r.text.split())
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for r in rows:
+        ids = [int(x) for x in r.postings.split("|")]
+        assert len(ids) == r.doc_freq
+        assert ids == sorted(set(ids))
+        for did in ids[:5]:
+            assert r.term in docs[did]
+
+
+def test_embedding_quantize_error_bound(spark, sf_dir):
+    """Every reconstruction error respects the theoretical floor-quantizer
+    bound: err <= scale = max_abs/127 (floor is one-sided, so the bound is
+    the full step, not half)."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_embedding_quantize
+
+    rows = q_embedding_quantize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        codes = [int(x) for x in r.codes.split(",")]
+        assert len(codes) == r.n_dims
+        assert max(abs(c) for c in codes) <= 127
+        # both columns are rounded to 6dp, so allow that much slack
+        assert r.max_abs_err <= r.max_abs / 127 + 2e-6
