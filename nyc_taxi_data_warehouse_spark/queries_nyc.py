@@ -962,6 +962,37 @@ FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand"""
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental mart maintenance (`operators/incremental.py`): the daily
+    trips mart is built as base-history partials plus a late-arriving delta
+    batch (the split at 2024-01-20 stands in for a backfill) folded in at
+    the partial-aggregate level — and must equal the full recompute the
+    oracle runs. This is the reference's planned-but-unbuilt 'incremental
+    models' capability (`README.md:375`) in its scale-safe form: only the
+    delta's days rejoin the shuffle, money totals fold as exact integers."""
+    from .operators import incremental
+
+    stg = staging.stg_taxi_trips(_trips(spark, sf_dir))
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    base = incremental.partial_daily_trips(stg.where(F.col("pickup_datetime") < cutoff))
+    delta = incremental.partial_daily_trips(
+        stg.where(F.col("pickup_datetime") >= cutoff)
+    )
+    return incremental.finalize_daily(incremental.merge_partials(base, delta))
+
+
+_SQL_INCREMENTAL_AGG = """
+SELECT CAST(pickup_datetime AS DATE) AS trip_date,
+       count(*) AS trip_count,
+       CAST(sum(CAST(floor(total_amount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           / 100.0 AS total_fare,
+       CAST(sum(CAST(floor(total_amount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           / count(*) / 100.0 AS avg_fare,
+       min(CAST(floor(total_amount * 100 + 0.5) AS BIGINT)) / 100.0 AS min_fare,
+       max(CAST(floor(total_amount * 100 + 0.5) AS BIGINT)) / 100.0 AS max_fare
+FROM stg_trips GROUP BY 1"""
+
+
 _STREAM_SINK_SEQ = [0]
 
 
@@ -1229,6 +1260,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_star_join": q_star_join,
     "q_skew_agg": q_skew_agg,
     "q_skew_join": q_skew_join,
+    "q_incremental_agg": q_incremental_agg,
     "q_project": q_project,
     "q_json_extract": q_json_extract,
     "q_surrogate_key": q_surrogate_key,
@@ -1268,6 +1300,9 @@ FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5000""",
     "q_star_join": _SQL_STAR_JOIN,
     "q_skew_agg": _SQL_SKEW_AGG,
     "q_skew_join": _SQL_SKEW_JOIN,
+    "q_incremental_agg": _with(
+        SQL_TRIPS, SQL_STG_TRIPS, select=_SQL_INCREMENTAL_AGG
+    ),
     "q_scd2_check": _SQL_SCD2_CHECK,
     "q_scd2_timestamp": _SQL_SCD2_TIMESTAMP,
     "q_stg_trips": _with(SQL_TRIPS, SQL_STG_TRIPS, select="SELECT * FROM stg_trips"),

@@ -667,3 +667,30 @@ def test_embedding_quantize_error_bound(spark, sf_dir):
         assert max(abs(c) for c in codes) <= 127
         # both columns are rounded to 6dp, so allow that much slack
         assert r.max_abs_err <= r.max_abs / 127 + 2e-6
+
+
+def test_incremental_merge_is_split_invariant(spark):
+    """Folding any disjoint split of the input through
+    partial_daily_trips + merge_partials equals the single-batch partials,
+    and finalize derives avg = sum/count exactly."""
+    from datetime import datetime
+
+    from nyc_taxi_data_warehouse_spark.operators import incremental
+
+    rows = [
+        (datetime(2024, 1, 1 + i % 3, 8 + i % 10), 10.0 + i * 0.37)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "pickup_datetime timestamp, total_amount double")
+    full = incremental.partial_daily_trips(df)
+    # split three ways on an arbitrary predicate
+    parts = [
+        incremental.partial_daily_trips(df.where(f"pmod(cast(total_amount*100 as long), 3) = {k}"))
+        for k in range(3)
+    ]
+    merged = incremental.merge_partials(*parts)
+    key = lambda r: (r.trip_date, r.trip_count, r.fare_units, r.min_fare_units, r.max_fare_units)
+    assert {key(r) for r in merged.collect()} == {key(r) for r in full.collect()}
+    fin = {r.trip_date: r for r in incremental.finalize_daily(merged).collect()}
+    for r in full.collect():
+        assert fin[r.trip_date].avg_fare == (r.fare_units / r.trip_count) / 100.0
