@@ -1821,6 +1821,91 @@ SELECT vec_id,
 FROM qz"""
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy evaluation for the MinHash pipeline — the text-side
+    analogue of `q_ann_recall`: for every LSH candidate pair, the Jaccard
+    estimated from signature-slot agreement (matches/8) beside the exact
+    shingle Jaccard, with the absolute error. This is the knob-tuning
+    diagnostic for (num_hashes, band_size): at 100 TB you run it on a
+    candidate sample to pick thresholds before the full dedup sweep. Exact
+    Jaccard is computed only for co-occurring pairs (never all-pairs), and
+    the shingle frame is persisted once for its three consumers
+    (signatures, intersections, set sizes)."""
+    sh = dedup.shingle_rows(_text_corpus(_docs(spark, sf_dir))).persist()
+    sig = dedup.minhash_signatures(sh, num_hashes=_NH).persist()
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, num_hashes=_NH))
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"__a{i}") for i in range(_NH)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"__b{i}") for i in range(_NH)],
+    )
+    est = sum(
+        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        for i in range(_NH)
+    ) / F.lit(float(_NH))
+    exact = dedup.jaccard_pairs(sh)
+    out = (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .withColumn("__est", est)
+        .join(exact, ["doc_a", "doc_b"], "left")
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        _rnd(F.col("__est"), 6).alias("est_jaccard"),
+        _rnd(F.coalesce(F.col("jaccard"), F.lit(0.0)), 6).alias("exact_jaccard"),
+        _rnd(F.abs(F.col("__est") - F.coalesce(F.col("jaccard"), F.lit(0.0))), 6).alias(
+            "abs_err"
+        ),
+    )
+
+
+_SQL_LSH_RECALL = (
+    "WITH "
+    + ",".join([SQL_CORPUS, SQL_TOK, SQL_SH, SQL_MINHASH])
+    + """,
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+est AS (
+    SELECT c.doc_a, c.doc_b,
+           ("""
+    + " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(_NH)
+    )
+    + f""") / {float(_NH)} AS est_j
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+),
+ex AS (
+    SELECT e.doc_a, e.doc_b, e.est_j,
+           coalesce(i.n_common / (sa.sz + sb.sz - i.n_common), 0.0) AS ex_j
+    FROM est e
+    LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    JOIN sz sa ON sa.doc_id = e.doc_a
+    JOIN sz sb ON sb.doc_id = e.doc_b
+)
+SELECT doc_a, doc_b,
+       round(1e-9 + est_j, 6) AS est_jaccard,
+       round(1e-9 + ex_j, 6) AS exact_jaccard,
+       round(1e-9 + abs(est_j - ex_j), 6) AS abs_err
+FROM ex"""
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -1864,6 +1949,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_neardup": q_embedding_neardup,
     "q_inverted_index": q_inverted_index,
     "q_embedding_quantize": q_embedding_quantize,
+    "q_lsh_recall": q_lsh_recall,
 }
 
 ORACLES: dict[str, str] = {
@@ -1908,4 +1994,5 @@ ORACLES: dict[str, str] = {
     "q_embedding_neardup": _SQL_EMB_NEARDUP,
     "q_inverted_index": _SQL_INVERTED_INDEX,
     "q_embedding_quantize": _SQL_EMBEDDING_QUANTIZE,
+    "q_lsh_recall": _SQL_LSH_RECALL,
 }
