@@ -1906,6 +1906,28 @@ FROM ex"""
 )
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (source, lang) — all four grouping levels (cell, per-source,
+    per-lang, grand total) in one pass, completing the multidimensional-agg
+    family beside ROLLUP (`q_rollup`) and PIVOT (`q_pivot`). This is the
+    corpus-composition dashboard query of a training-data pipeline: how many
+    docs/chars each source×language cell contributes to the mix.
+    `grouping_id()` matches DuckDB `GROUPING()` bit-for-bit."""
+    d = _docs(spark, sf_dir)
+    return d.cube("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.grouping_id().alias("level_id"),
+    )
+
+
+_SQL_CUBE = """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       GROUPING(source, lang) AS level_id
+FROM documents GROUP BY CUBE(source, lang)"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -1950,6 +1972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_inverted_index": q_inverted_index,
     "q_embedding_quantize": q_embedding_quantize,
     "q_lsh_recall": q_lsh_recall,
+    "q_cube": q_cube,
 }
 
 ORACLES: dict[str, str] = {
@@ -1995,4 +2018,5 @@ ORACLES: dict[str, str] = {
     "q_inverted_index": _SQL_INVERTED_INDEX,
     "q_embedding_quantize": _SQL_EMBEDDING_QUANTIZE,
     "q_lsh_recall": _SQL_LSH_RECALL,
+    "q_cube": _SQL_CUBE,
 }
