@@ -50,6 +50,39 @@ def merge_into_path(
     atomic_overwrite(merge_insert_only(target, staging, key), path)
 
 
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: Sequence[str],
+    version_col: str,
+) -> DataFrame:
+    """SCD-Type-1 MERGE: ``WHEN MATCHED AND s.version >= t.version THEN
+    UPDATE, WHEN NOT MATCHED THEN INSERT`` — the update-capable sibling of
+    :func:`merge_insert_only` (reference MERGE is insert-only; SCD2 history
+    lives in `operators/scd.py`; this is the overwrite-in-place point on
+    that spectrum).
+
+    Expressed shuffle-once: union both sides and keep the latest row per
+    key by (`version_col`, source-wins tiebreak). One hash exchange on the
+    key and no join at all — at scale this beats the join+union form (one
+    exchange instead of two, no skew-sensitive probe side). Both sides must
+    be key-unique, the usual MERGE precondition.
+    """
+    from pyspark.sql import Window
+
+    allr = target.withColumn("__src", F.lit(0)).unionByName(
+        source.withColumn("__src", F.lit(1))
+    )
+    w = Window.partitionBy(*key).orderBy(
+        F.col(version_col).desc(), F.col("__src").desc()
+    )
+    return (
+        allr.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
 def dedup_exact(df: DataFrame, key: Sequence[str], order_by: Sequence[str]) -> DataFrame:
     """Keep one row per natural key — deterministic first row by `order_by`.
     Hash-shuffle on the key; no global sort."""

@@ -962,6 +962,49 @@ FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand"""
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 update-capable MERGE (`operators/merge.py::merge_upsert`):
+    a corrections batch (every even order, re-priced, version 2) lands on a
+    target whose rows carry version 1 or 3 — matched rows update only where
+    the source is newer, stale corrections are skipped, unmatched
+    corrections insert. The resulting state is the gate, so update, skip,
+    insert, and keep paths are all hash-checked."""
+    from .operators.merge import merge_upsert
+
+    o = nyc_views.load_tables(spark, sf_dir)["orders"]
+    target = o.where(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 < 3, 1).otherwise(3).alias("version"),
+    )
+    source = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        F.lit(2).alias("version"),
+    )
+    return merge_upsert(target, source, ["o_orderkey"], "version")
+
+
+_SQL_MERGE_UPSERT = """
+WITH t AS (
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 5 < 3 THEN 1 ELSE 3 END AS version, 0 AS src
+    FROM orders WHERE o_orderkey % 3 <> 0
+),
+s AS (
+    SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, 2 AS version,
+           1 AS src
+    FROM orders WHERE o_orderkey % 2 = 0
+),
+u AS (SELECT * FROM t UNION ALL SELECT * FROM s),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey ORDER BY version DESC, src DESC) AS rn
+    FROM u
+)
+SELECT o_orderkey, o_totalprice, version FROM r WHERE rn = 1"""
+
+
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental mart maintenance (`operators/incremental.py`): the daily
     trips mart is built as base-history partials plus a late-arriving delta
@@ -1261,6 +1304,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_skew_agg": q_skew_agg,
     "q_skew_join": q_skew_join,
     "q_incremental_agg": q_incremental_agg,
+    "q_merge_upsert": q_merge_upsert,
     "q_project": q_project,
     "q_json_extract": q_json_extract,
     "q_surrogate_key": q_surrogate_key,
@@ -1303,6 +1347,7 @@ FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5000""",
     "q_incremental_agg": _with(
         SQL_TRIPS, SQL_STG_TRIPS, select=_SQL_INCREMENTAL_AGG
     ),
+    "q_merge_upsert": _SQL_MERGE_UPSERT,
     "q_scd2_check": _SQL_SCD2_CHECK,
     "q_scd2_timestamp": _SQL_SCD2_TIMESTAMP,
     "q_stg_trips": _with(SQL_TRIPS, SQL_STG_TRIPS, select="SELECT * FROM stg_trips"),

@@ -694,3 +694,26 @@ def test_incremental_merge_is_split_invariant(spark):
     fin = {r.trip_date: r for r in incremental.finalize_daily(merged).collect()}
     for r in full.collect():
         assert fin[r.trip_date].avg_fare == (r.fare_units / r.trip_count) / 100.0
+
+
+def test_merge_upsert_update_skip_insert_keep(spark):
+    """All four MERGE paths: newer source updates, stale source is skipped,
+    unmatched source inserts, untouched target rows survive."""
+    target = spark.createDataFrame(
+        [(1, "old", 5), (2, "keep", 9), (3, "plain", 5)],
+        "id long, v string, ver int",
+    )
+    source = spark.createDataFrame(
+        [(1, "new", 7), (2, "stale", 3), (4, "ins", 1)],
+        "id long, v string, ver int",
+    )
+    out = {r.id: (r.v, r.ver) for r in
+           merge.merge_upsert(target, source, ["id"], "ver").collect()}
+    assert out == {1: ("new", 7), 2: ("keep", 9), 3: ("plain", 5), 4: ("ins", 1)}
+    # equal version: source wins (MERGE UPDATE semantics)
+    tie = merge.merge_upsert(
+        spark.createDataFrame([(1, "t", 5)], "id long, v string, ver int"),
+        spark.createDataFrame([(1, "s", 5)], "id long, v string, ver int"),
+        ["id"], "ver",
+    ).collect()
+    assert tie[0].v == "s"
