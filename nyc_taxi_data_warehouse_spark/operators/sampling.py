@@ -55,6 +55,25 @@ def train_val_test_split(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight,
+    salt: str = "",
+    n_buckets: int = 10000,
+) -> DataFrame:
+    """Deterministic Bernoulli sampling with per-row keep probability
+    `weight` (a Column in [0, 1]): keep iff hash_bucket/n_buckets < weight.
+
+    The distributed form of temperature-style source reweighting in a
+    corpus mix — up/down-sample each source by RATE (vs `capped_sample`'s
+    absolute counts). Membership is a pure function of (key, salt), so the
+    mix is stable under re-ingest and partitioning; probabilities quantize
+    to 1/n_buckets. Map-side only, no shuffle."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    return df.where(hash_bucket(key_col, salt, n_buckets) < w * n_buckets)
+
+
 def capped_sample(
     df: DataFrame,
     group_col: str,

@@ -1906,6 +1906,36 @@ FROM ex"""
 )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-based corpus reweighting (`sampling.weighted_sample`): even
+    sources keep ~80% of documents, odd sources ~30% — the deterministic
+    Bernoulli complement to `q_mixture_sample`'s absolute caps
+    (temperature-style source mixing reweights by RATE; caps bound by
+    COUNT). Pure map-side predicate: no shuffle, stable under re-ingest."""
+    from .operators import sampling
+
+    d = _docs(spark, sf_dir)
+    rate = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(0.8)
+    ).otherwise(F.lit(0.3))
+    return sampling.weighted_sample(d, "doc_id", rate, salt="wt").select(
+        "doc_id", "source", "lang"
+    )
+
+
+_SQL_WEIGHTED_SAMPLE = f"""
+WITH hashed AS (
+    SELECT doc_id, source, lang,
+           substr(md5(CAST(doc_id AS VARCHAR) || 'wt'), 1, 8) AS h
+    FROM documents
+)
+SELECT doc_id, source, lang
+FROM hashed
+WHERE ({_HEXVAL}) % 10000 <
+      (CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+            THEN 0.8 ELSE 0.3 END) * 10000"""
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (source, lang) — all four grouping levels (cell, per-source,
     per-lang, grand total) in one pass, completing the multidimensional-agg
@@ -1973,6 +2003,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_quantize": q_embedding_quantize,
     "q_lsh_recall": q_lsh_recall,
     "q_cube": q_cube,
+    "q_weighted_sample": q_weighted_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -2019,4 +2050,5 @@ ORACLES: dict[str, str] = {
     "q_embedding_quantize": _SQL_EMBEDDING_QUANTIZE,
     "q_lsh_recall": _SQL_LSH_RECALL,
     "q_cube": _SQL_CUBE,
+    "q_weighted_sample": _SQL_WEIGHTED_SAMPLE,
 }
