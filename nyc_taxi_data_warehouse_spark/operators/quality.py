@@ -80,6 +80,46 @@ def freshness(
     return CheckResult("freshness", "pass", 0, f"age={age}")
 
 
+def freshness_report(
+    sources: list[tuple[str, DataFrame, str, int, int]], as_of: str
+) -> DataFrame:
+    """The dbt `source freshness` stage as one relational report — the
+    driver-free sibling of :func:`freshness`, so it can run inside the
+    oracle gate and on a schedule without collecting scalars.
+
+    `sources` rows are (name, df, ts_col, warn_hours, error_hours); `as_of`
+    is the injectable evaluation instant (reference SLAs: trips 24/48h,
+    weather 2/4h, `models/staging/sources.yml:13-15,37-39`). Each source
+    contributes a one-row max(ts) aggregate; ages floor to whole hours on
+    truncated epoch seconds so the report is engine-exact."""
+    from functools import reduce
+
+    parts = []
+    for name, df, ts_col, warn_h, err_h in sources:
+        agg = df.agg(F.max(ts_col).alias("latest_ts")).select(
+            F.lit(name).alias("source"),
+            "latest_ts",
+            F.floor(
+                (
+                    F.unix_timestamp(F.lit(as_of).cast("timestamp"))
+                    - F.unix_timestamp(F.col("latest_ts"))
+                )
+                / 3600
+            )
+            .cast("long")
+            .alias("age_hours"),
+        )
+        parts.append(
+            agg.withColumn(
+                "status",
+                F.when(F.col("age_hours") > err_h, F.lit("fail"))
+                .when(F.col("age_hours") > warn_h, F.lit("warn"))
+                .otherwise(F.lit("pass")),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def run_checks(named_checks: dict[str, DataFrame]) -> list[CheckResult]:
     """Execute violation queries; rows > 0 → fail (dbt semantics)."""
     out = []

@@ -962,6 +962,49 @@ FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand"""
 
 
+def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 source-freshness SLAs as a gated relational report
+    (`quality.freshness_report`): max event time per feed, age in whole
+    hours at a pinned `as_of`, and the reference's warn/error verdicts
+    (trips 24/48h, weather 2/4h — `sources.yml:13-15,37-39`). The pinned
+    instant sits days past the testdata horizon, so both feeds read `fail`
+    deterministically at every sf."""
+    from .operators import quality
+
+    return quality.freshness_report(
+        [
+            ("trips", _trips(spark, sf_dir), "pickup_datetime", 24, 48),
+            ("weather", _weather(spark, sf_dir), "load_ts", 2, 4),
+        ],
+        as_of="2024-02-05 00:00:00",
+    )
+
+
+_SQL_FRESHNESS_CTE = """
+fresh AS (
+    SELECT 'trips' AS source, max(pickup_datetime) AS latest_ts,
+           CAST(floor((epoch(TIMESTAMP '2024-02-05 00:00:00')
+                       - floor(epoch(max(pickup_datetime)))) / 3600) AS BIGINT)
+               AS age_hours,
+           24 AS warn_h, 48 AS err_h
+    FROM trips
+    UNION ALL
+    SELECT 'weather', max(load_ts),
+           CAST(floor((epoch(TIMESTAMP '2024-02-05 00:00:00')
+                       - floor(epoch(max(load_ts)))) / 3600) AS BIGINT),
+           2, 4
+    FROM weather
+)
+"""
+
+_SQL_FRESHNESS = """
+SELECT source, latest_ts, age_hours,
+       CASE WHEN age_hours > err_h THEN 'fail'
+            WHEN age_hours > warn_h THEN 'warn'
+            ELSE 'pass' END AS status
+FROM fresh"""
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD1 update-capable MERGE (`operators/merge.py::merge_upsert`):
     a corrections batch (every even order, re-priced, version 2) lands on a
@@ -1305,6 +1348,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_skew_join": q_skew_join,
     "q_incremental_agg": q_incremental_agg,
     "q_merge_upsert": q_merge_upsert,
+    "q_freshness": q_freshness,
     "q_project": q_project,
     "q_json_extract": q_json_extract,
     "q_surrogate_key": q_surrogate_key,
@@ -1348,6 +1392,9 @@ FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5000""",
         SQL_TRIPS, SQL_STG_TRIPS, select=_SQL_INCREMENTAL_AGG
     ),
     "q_merge_upsert": _SQL_MERGE_UPSERT,
+    "q_freshness": _with(
+        SQL_TRIPS, SQL_WEATHER, _SQL_FRESHNESS_CTE, select=_SQL_FRESHNESS
+    ),
     "q_scd2_check": _SQL_SCD2_CHECK,
     "q_scd2_timestamp": _SQL_SCD2_TIMESTAMP,
     "q_stg_trips": _with(SQL_TRIPS, SQL_STG_TRIPS, select="SELECT * FROM stg_trips"),
