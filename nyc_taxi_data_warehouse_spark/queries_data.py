@@ -1936,6 +1936,80 @@ WHERE ({_HEXVAL}) % 10000 <
             THEN 0.8 ELSE 0.3 END) * 10000"""
 
 
+_BM25_QUERY = ("hash", "join", "scan")
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) of the corpus against a
+    fixed query — the ranking half of the search pipeline whose index half
+    is `q_inverted_index`. Shape: tf restricted to query terms (tiny after
+    the IN filter), df and corpus stats broadcast, per-term contributions
+    summed per doc. ln/exp are engine-exact (proven by `q_lm_score`), so
+    only the final cross-term sum needs the epsilon rounding. At 100 TB
+    the same plan serves query batches: the only per-query state is the
+    broadcast df row set."""
+    d = _scale_out(_docs(spark, sf_dir).select("doc_id", "text"))
+    tok = d.select("doc_id", T.tokens("text").alias("__w")).persist()
+    dl = tok.select("doc_id", F.size("__w").cast("long").alias("dl"))
+    tf = (
+        tok.select("doc_id", F.explode("__w").alias("term"))
+        .where(F.col("term").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        scored.select("doc_id", contrib.alias("__c"))
+        .groupBy("doc_id")
+        .agg(_rnd(F.sum("__c"), 6).alias("bm25"))
+    )
+
+
+_SQL_BM25 = r"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+    FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tok),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(w) AS term FROM tok)
+    WHERE term IN ('hash', 'join', 'scan')
+    GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+scored AS (
+    SELECT t.doc_id,
+           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (t.tf * 2.2)
+           / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS c
+    FROM tf t
+    JOIN dfreq d USING (term)
+    JOIN dl l USING (doc_id)
+    CROSS JOIN stats s
+)
+SELECT doc_id, round(1e-9 + sum(c), 6) AS bm25
+FROM scored GROUP BY 1"""
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (source, lang) — all four grouping levels (cell, per-source,
     per-lang, grand total) in one pass, completing the multidimensional-agg
@@ -2004,6 +2078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lsh_recall": q_lsh_recall,
     "q_cube": q_cube,
     "q_weighted_sample": q_weighted_sample,
+    "q_bm25": q_bm25,
 }
 
 ORACLES: dict[str, str] = {
@@ -2051,4 +2126,5 @@ ORACLES: dict[str, str] = {
     "q_lsh_recall": _SQL_LSH_RECALL,
     "q_cube": _SQL_CUBE,
     "q_weighted_sample": _SQL_WEIGHTED_SAMPLE,
+    "q_bm25": _SQL_BM25,
 }
