@@ -1936,6 +1936,48 @@ WHERE ({_HEXVAL}) % 10000 <
             THEN 0.8 ELSE 0.3 END) * 10000"""
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass feature normalization: per-language p05/p95 length
+    thresholds (exact interpolated percentile ≡ DuckDB quantile_cont),
+    broadcast back onto the corpus, values clipped into the band and
+    outliers flagged — the winsorization step before length-sensitive
+    quality scoring. Thresholds are epsilon-rounded BEFORE the comparison
+    on both sides, so borderline integers can never classify differently
+    across engines (interpolated doubles are only last-ulp reproducible).
+    Shape: tiny per-group percentile agg + broadcast join, no second
+    shuffle of the corpus."""
+    d = _docs(spark, sf_dir)
+    th = d.groupBy("lang").agg(
+        _rnd(F.expr("percentile(n_chars, 0.05)"), 4).alias("p05"),
+        _rnd(F.expr("percentile(n_chars, 0.95)"), 4).alias("p95"),
+    )
+    x = F.col("n_chars").cast("double")
+    return (
+        d.join(F.broadcast(th), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.least(F.greatest(x, F.col("p05")), F.col("p95")).alias("clipped"),
+            ((x < F.col("p05")) | (x > F.col("p95"))).alias("is_outlier"),
+        )
+    )
+
+
+_SQL_WINSORIZE = """
+WITH th AS (
+    SELECT lang,
+           round(1e-9 + quantile_cont(n_chars, 0.05), 4) AS p05,
+           round(1e-9 + quantile_cont(n_chars, 0.95), 4) AS p95
+    FROM documents GROUP BY 1
+)
+SELECT doc_id, d.lang, n_chars,
+       least(greatest(CAST(n_chars AS DOUBLE), p05), p95) AS clipped,
+       (CAST(n_chars AS DOUBLE) < p05 OR CAST(n_chars AS DOUBLE) > p95)
+           AS is_outlier
+FROM documents d JOIN th ON d.lang = th.lang"""
+
+
 _BM25_QUERY = ("hash", "join", "scan")
 
 
@@ -2079,6 +2121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cube": q_cube,
     "q_weighted_sample": q_weighted_sample,
     "q_bm25": q_bm25,
+    "q_winsorize": q_winsorize,
 }
 
 ORACLES: dict[str, str] = {
@@ -2127,4 +2170,5 @@ ORACLES: dict[str, str] = {
     "q_cube": _SQL_CUBE,
     "q_weighted_sample": _SQL_WEIGHTED_SAMPLE,
     "q_bm25": _SQL_BM25,
+    "q_winsorize": _SQL_WINSORIZE,
 }
