@@ -1978,6 +1978,76 @@ SELECT doc_id, d.lang, n_chars,
 FROM documents d JOIN th ON d.lang = th.lang"""
 
 
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level PMI co-occurrence mining: for term pairs appearing
+    together in ≥20 documents, pmi = ln(n_pair·N / (df_a·df_b)) over
+    presence counts — the word-association statistic behind collocation
+    extraction and embedding-evaluation probes. The pair space is bounded
+    by the per-doc distinct-term count (presence self-join per doc), never
+    vocabulary²; document frequencies ride as a broadcast. All counts stay
+    integers until the single ln()."""
+    d = _scale_out(_docs(spark, sf_dir).select("doc_id", "text"))
+    tok = d.select("doc_id", T.tokens("text").alias("__w"))
+    pres = tok.select(
+        "doc_id", F.explode(F.array_distinct("__w")).alias("term")
+    ).persist()
+    n_docs = pres.agg(F.count_distinct("doc_id").alias("n_docs"))
+    dfreq = pres.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    a, b = pres.alias("a"), pres.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= 20)
+    )
+    dfa = dfreq.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    dfb = dfreq.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    out = (
+        pairs.join(F.broadcast(dfa), "term_a")
+        .join(F.broadcast(dfb), "term_b")
+        .crossJoin(F.broadcast(n_docs))
+    )
+    return out.select(
+        "term_a",
+        "term_b",
+        "n_pair",
+        _rnd(
+            F.log((F.col("n_pair") * F.col("n_docs")) / (F.col("df_a") * F.col("df_b"))),
+            6,
+        ).alias("pmi"),
+    )
+
+
+_SQL_PMI = r"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+    FROM documents
+),
+pres AS (SELECT doc_id, unnest(list_distinct(w)) AS term FROM tok),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM pres),
+dfreq AS (SELECT term, count(*) AS df FROM pres GROUP BY 1),
+pairs AS (
+    SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_pair
+    FROM pres a JOIN pres b
+      ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2
+    HAVING count(*) >= 20
+)
+SELECT term_a, term_b, n_pair,
+       round(1e-9 + ln((p.n_pair * n.n_docs) / (da.df * db.df)), 6) AS pmi
+FROM pairs p
+JOIN dfreq da ON da.term = p.term_a
+JOIN dfreq db ON db.term = p.term_b
+CROSS JOIN n"""
+
+
 _BM25_QUERY = ("hash", "join", "scan")
 
 
@@ -2122,6 +2192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_weighted_sample": q_weighted_sample,
     "q_bm25": q_bm25,
     "q_winsorize": q_winsorize,
+    "q_pmi": q_pmi,
 }
 
 ORACLES: dict[str, str] = {
@@ -2171,4 +2242,5 @@ ORACLES: dict[str, str] = {
     "q_weighted_sample": _SQL_WEIGHTED_SAMPLE,
     "q_bm25": _SQL_BM25,
     "q_winsorize": _SQL_WINSORIZE,
+    "q_pmi": _SQL_PMI,
 }
