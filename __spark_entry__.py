@@ -43,7 +43,8 @@ _CHECK_FIRST = [
     "q_inverted_index", "q_embedding_quantize", "q_star_join",
     "q_skew_agg", "q_skew_join", "q_incremental_agg", "q_lsh_recall",
     "q_cube", "q_merge_upsert", "q_weighted_sample", "q_freshness",
-    "q_bm25", "q_winsorize", "q_pmi",
+    "q_bm25", "q_winsorize", "q_pmi", "q_conversion_funnel",
+    "q_retention_cohort",
 ]
 _CHECK_LAST = [
     "q_project", "q_limit", "q_dropna", "q_semi_join", "q_distinct_hours",

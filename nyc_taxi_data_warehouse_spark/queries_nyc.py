@@ -962,6 +962,102 @@ FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand"""
 
 
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: users who viewed,
+    then clicked strictly after their first view, then purchased strictly
+    after their first qualifying click. Each stage is a per-user min-ts
+    aggregate joined to the previous stage — shuffles stay on user_id all
+    the way down (co-partitioned, AQE-coalesced), no window over the full
+    stream. The classic product-analytics sequence query a warehouse must
+    serve."""
+    ev = nyc_views.load_tables(spark, sf_dir)["events"]
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    stage = lambda name, df: df.agg(  # noqa: E731
+        F.lit(name).alias("stage"), F.count(F.lit(1)).alias("n_users")
+    ).select("stage", "n_users")
+    return (
+        stage("1_view", v)
+        .unionByName(stage("2_view_click", c))
+        .unionByName(stage("3_view_click_purchase", p))
+    )
+
+
+_SQL_CONVERSION_FUNNEL = """
+WITH v AS (
+    SELECT user_id, min(ts) AS t0 FROM events
+    WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t1
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t0
+    GROUP BY 1
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t1
+    GROUP BY 1
+)
+SELECT '1_view' AS stage, count(*) AS n_users FROM v
+UNION ALL
+SELECT '2_view_click', count(*) FROM c
+UNION ALL
+SELECT '3_view_click_purchase', count(*) FROM p"""
+
+
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day, one
+    row per (cohort, day-offset) with the count still active — the other
+    canonical user-behavior rollup. Two aggregates on user_id plus one on
+    the (cohort, offset) pair; nothing holds per-user state beyond the
+    first-day scalar."""
+    ev = nyc_views.load_tables(spark, sf_dir)["events"]
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_date"))
+    active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.col("d"), F.col("cohort_date")).cast("int").alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+_SQL_RETENTION_COHORT = """
+WITH first AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+    FROM events GROUP BY 1
+),
+active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+SELECT cohort_date,
+       CAST(datediff('day', cohort_date, d) AS INTEGER) AS day_offset,
+       count(*) AS n_active
+FROM active JOIN first ON active.user_id = first.user_id
+GROUP BY 1, 2"""
+
+
 def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12 source-freshness SLAs as a gated relational report
     (`quality.freshness_report`): max event time per feed, age in whole
@@ -1349,6 +1445,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_incremental_agg": q_incremental_agg,
     "q_merge_upsert": q_merge_upsert,
     "q_freshness": q_freshness,
+    "q_conversion_funnel": q_conversion_funnel,
+    "q_retention_cohort": q_retention_cohort,
     "q_project": q_project,
     "q_json_extract": q_json_extract,
     "q_surrogate_key": q_surrogate_key,
@@ -1395,6 +1493,8 @@ FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5000""",
     "q_freshness": _with(
         SQL_TRIPS, SQL_WEATHER, _SQL_FRESHNESS_CTE, select=_SQL_FRESHNESS
     ),
+    "q_conversion_funnel": _SQL_CONVERSION_FUNNEL,
+    "q_retention_cohort": _SQL_RETENTION_COHORT,
     "q_scd2_check": _SQL_SCD2_CHECK,
     "q_scd2_timestamp": _SQL_SCD2_TIMESTAMP,
     "q_stg_trips": _with(SQL_TRIPS, SQL_STG_TRIPS, select="SELECT * FROM stg_trips"),
