@@ -57,12 +57,24 @@ HEADLINE = [
     # round-2 late addition: the classic star-schema path (fact shuffle
     # joins + broadcast dims) at the full sf0.1 lineitem scale
     "q_star_join",
+    # round-3 additions: bit-reproducible Lloyd's codebook build and the
+    # pinned-predictor FORECAST_EVAL frame
+    "q_kmeans_cells",
+    "q_forecast_eval",
 ]
+
+# Per-query repeat count: the median of 3 runs is reported, so a single
+# host-noise spike (shared box, NOTES "Host noise") can't masquerade as a
+# regression. Override with SPARK_GRAFT_BENCH_RUNS=1 for a quick pass.
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # low-variance benchmark mode for the iterative CC query: one-shot
+    # parquet spill of the edge set instead of deep-lineage localCheckpoint
+    os.environ.setdefault("SPARK_GRAFT_CC_SPILL", "1")
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
@@ -85,19 +97,23 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # drop persisted frames between queries: every query pays its own
-        # cache fills, and late queries don't degrade under accumulated
-        # executor-memory state from earlier ones
-        spark.catalog.clearCache()
-        # then force both GCs (outside the timed region): finished queries
-        # leave localCheckpoint blocks + broadcast refs that only free on
-        # collection, and letting them linger taxes later Arrow-heavy
-        # stages with major-GC pauses (measured 3-6x on the decode query)
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            samples.append(time.perf_counter() - t0)
+            # drop persisted frames between runs: every run pays its own
+            # cache fills, and late queries don't degrade under accumulated
+            # executor-memory state from earlier ones
+            spark.catalog.clearCache()
+            # then force both GCs (outside the timed region): finished
+            # queries leave localCheckpoint blocks + broadcast refs that
+            # only free on collection, and letting them linger taxes later
+            # Arrow-heavy stages with major-GC pauses (measured 3-6x on the
+            # decode query)
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -108,6 +124,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "runs_per_query": RUNS,
+                "aggregation": "median",
             }
         )
     )

@@ -20,6 +20,16 @@ def as_double(vec: Column | str) -> Column:
     return F.transform(_col(vec), lambda x: x.cast("double"))
 
 
+def quantize(vec: Column | str, quant: int = 1000) -> Column:
+    """floor(x·quant) per element, as array<long>.
+
+    The bit-reproducibility primitive (NOTES "SRP oracle lesson"): float
+    sums are not order-stable across engines, but integer sums are exact in
+    any order, so any operator that quantizes first can be verified by a
+    SQL oracle bit-for-bit."""
+    return F.transform(as_double(vec), lambda x: F.floor(x * quant).cast("long"))
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Sequential left-fold dot product (deterministic summation order)."""
     prods = F.zip_with(as_double(a), as_double(b), lambda x, y: x * y)

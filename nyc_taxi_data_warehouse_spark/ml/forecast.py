@@ -116,30 +116,54 @@ def forecast_7day(spark: SparkSession, features: DataFrame, model) -> DataFrame:
     )
 
 
-def hindcast_eval(features: DataFrame, model) -> DataFrame:
-    """Re-predict the trailing 7 days; per-day errors ∪ summary row with
-    MAE/MAPE (`dags/Forecast_evaluation.py:36-86`)."""
-    from pyspark.ml.feature import VectorAssembler
+def eval_frame(pred: DataFrame) -> DataFrame:
+    """The FORECAST_EVAL relation (`dags/Forecast_evaluation.py:61-86`):
+    per-day rows carrying the SIGNED error (actual − predicted) and the
+    per-day MAPE fraction |error/actual|, plus one summary row whose
+    `error` is the MAE and whose `mape` is the mean per-day MAPE.
 
-    assembler = VectorAssembler(inputCols=FEATURE_COLS, outputCol="features")
-    win = _prepare(features).orderBy(F.desc("trip_date")).limit(7)
-    pred = model.transform(assembler.transform(win)).select(
-        F.col("trip_date").alias("eval_date"),
-        F.col(TARGET).alias("actual_fare"),
-        F.col("prediction").alias("predicted_fare"),
-    )
+    `pred` supplies (eval_date, actual_fare, predicted_fare); the predictor
+    is a parameter precisely so the frame itself is oracle-gateable — feed
+    it the RF (library-specific numbers, test-verified) or a pinned
+    deterministic baseline (relational, driver-gated as `q_forecast_eval`).
+    """
+    err = F.col("actual_fare") - F.col("predicted_fare")
     per_day = pred.select(
         "eval_date",
         F.lit("day").alias("row_type"),
         "actual_fare",
         "predicted_fare",
-        F.abs(F.col("predicted_fare") - F.col("actual_fare")).alias("abs_error"),
+        err.alias("error"),
+        F.abs(err / F.col("actual_fare")).alias("mape"),
     )
     summary = pred.agg(
         F.lit(None).cast("date").alias("eval_date"),
         F.lit("summary").alias("row_type"),
         F.lit(None).cast("double").alias("actual_fare"),
         F.lit(None).cast("double").alias("predicted_fare"),
-        F.avg(F.abs(F.col("predicted_fare") - F.col("actual_fare"))).alias("abs_error"),
+        F.avg(F.abs(err)).alias("error"),
+        F.avg(F.abs(err / F.col("actual_fare"))).alias("mape"),
     )
     return per_day.unionByName(summary)
+
+
+def hindcast_window(features: DataFrame) -> DataFrame:
+    """The evaluation window: trailing 7 fully-populated feature days
+    (`Forecast_evaluation.py:36-49` — `actual.tail(7)` after dropna)."""
+    return _prepare(features).orderBy(F.desc("trip_date")).limit(7)
+
+
+def hindcast_eval(features: DataFrame, model) -> DataFrame:
+    """Re-predict the trailing 7 days with the trained model; FORECAST_EVAL
+    shape via :func:`eval_frame`."""
+    from pyspark.ml.feature import VectorAssembler
+
+    assembler = VectorAssembler(inputCols=FEATURE_COLS, outputCol="features")
+    pred = model.transform(
+        assembler.transform(hindcast_window(features))
+    ).select(
+        F.col("trip_date").alias("eval_date"),
+        F.col(TARGET).alias("actual_fare"),
+        F.col("prediction").alias("predicted_fare"),
+    )
+    return eval_frame(pred)

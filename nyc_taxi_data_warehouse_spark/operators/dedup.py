@@ -152,6 +152,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs: every doc gets the
     MIN doc id of its component as `cluster_id` (the canonical representative
@@ -179,6 +180,13 @@ def connected_components(
     one-shot parquet spill of the pairs) — localCheckpoint trades fault
     tolerance for speed.
 
+    ``spill_dir`` opts into exactly that parquet spill: the deduplicated
+    edge set is written once and re-read, so every round's plan hangs off a
+    shallow file scan instead of localCheckpoint blocks. Same results,
+    slightly slower best case, much lower variance (no deep-lineage
+    re-analysis, no executor-memory block pressure) — the right trade for
+    benchmarks and for clusters with preemptible executors.
+
     Fixpoint detection: labels decrease monotonically, so for numeric ids an
     unchanged sum(label) IS the fixpoint (one tiny agg per round). For
     non-numeric ids sum() is NULL — that would false-converge after one
@@ -190,8 +198,15 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
+    if spill_dir is not None:
+        import os
+
+        path = os.path.join(spill_dir, "cc_edges")
+        edges.write.mode("overwrite").parquet(path)
+        edges = pairs.sparkSession.read.parquet(path)
+    else:
+        edges = edges.localCheckpoint()
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint()

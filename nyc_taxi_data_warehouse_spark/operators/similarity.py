@@ -184,6 +184,79 @@ def kmeans_fit(
     )
 
 
+def kmeans_fit_exact(
+    vectors: DataFrame,
+    k: int,
+    n_iter: int = 3,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bit-reproducible Lloyd's k-means — same shuffle shape as
+    :func:`kmeans_fit` (inlined-codebook assign, k×dim partial-agg
+    recompute) but every iteration is exact-integer, so two engines (or an
+    engine and its SQL oracle) produce the identical codebook:
+
+    - vectors quantize to integers up front (``floor(x·quant)``, the SRP
+      lesson applied to clustering) so per-cell coordinate SUMS are exact
+      under any partial-aggregation order;
+    - centroids stay those integer sum vectors — never divided by the
+      member count.  Cosine is scale-invariant (``cos(q, s/n) == cos(q,
+      s)``), so assignment against the sum equals assignment against the
+      mean while all arithmetic stays on the integer lattice.  Empty cells
+      keep their previous vector.
+
+    Overflow headroom: with |x|<1, dim≤64, quant=1000 the largest value any
+    double ever holds is dot(s,s) ≤ n²·quant²·dim — exact below 2^53 for
+    cells up to ~40k members.  Beyond that, re-seed the iteration from the
+    rounded means (one extra quantize step) rather than raising quant.
+
+    Returns the (centroid_id, ``vec_col``) codebook with integer
+    ``array<long>`` coordinates; assign the QUANTIZED corpus against it so
+    similarity values are reproducible too."""
+    spark = vectors.sparkSession
+    v = vectors.select(
+        F.col(id_col), V.quantize(vec_col, quant).alias("__q")
+    ).persist()
+    seeds = (
+        v.withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .select(id_col, "__q")
+        .collect()
+    )
+    cents: list[tuple] = [(r[0], [int(x) for x in r[1]]) for r in seeds]
+    dim = len(cents[0][1])
+    for _ in range(n_iter):
+        cent_df = spark.createDataFrame(cents, ["centroid_id", "cv"])
+        assigned = assign_cells(
+            v.select(F.col(id_col), F.col("__q").alias("cv")),
+            cent_df,
+            id_col=id_col,
+            vec_col="cv",
+        ).select(id_col, "centroid_id")
+        sums = (
+            v.join(assigned, id_col)
+            .select("centroid_id", F.posexplode("__q").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum("x").alias("s"))
+        )
+        new: dict = {}
+        for r in sums.collect():
+            new.setdefault(r["centroid_id"], {})[r["pos"]] = int(r["s"])
+        cents = [
+            (
+                cid,
+                [new[cid][i] for i in range(dim)] if cid in new else vec,
+            )
+            for cid, vec in cents
+        ]
+    v.unpersist()
+    return spark.createDataFrame(cents, ["centroid_id", "cv"]).select(
+        "centroid_id", F.col("cv").alias(vec_col)
+    )
+
+
 def ternary_planes(n_planes: int, dim: int, seed: str = "srp") -> list[list[int]]:
     """Deterministic sparse ternary hyperplanes (Achlioptas-style): entry
     (j, d) is +1 / −1 / 0 with probability 1/6 / 1/6 / 2/3, derived from

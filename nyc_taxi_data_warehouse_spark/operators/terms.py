@@ -43,23 +43,38 @@ def tf_idf(
     table outgrows broadcast (web-scale corpora with unbounded token sets —
     URLs, code, typos), the tf⋈df join degrades gracefully to a shuffle
     hash join on `term`; tf is already partitioned by (doc, term) so only
-    the vocabulary side re-shuffles."""
-    n_docs = docs.select(id_col).distinct().count()
+    the vocabulary side re-shuffles.
+
+    The corpus size N enters as a 1-row broadcast aggregate crossJoin —
+    never a separate `count()` action — so the whole computation is ONE
+    job and the id-only N scan is column-pruned. At 100 TB a driver-side
+    pre-count would be a full redundant corpus pass."""
     # tf feeds BOTH join sides; persist or the tokenize→explode→groupBy
     # lineage (the dominant cost) executes twice (NOTES self-join lesson)
     tf = term_freqs(docs, id_col, text_col).persist()
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if broadcast_vocab:
         df_tbl = F.broadcast(df_tbl)
-    return tf.join(df_tbl, "term").select(
-        id_col,
-        "term",
-        "tf",
-        "df",
-        (
-            F.col("tf")
-            * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0)
-        ).alias("tfidf"),
+    n_tbl = docs.agg(F.count_distinct(F.col(id_col)).alias("__n_docs"))
+    return (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_tbl))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("__n_docs").cast("double") + 1.0)
+                        / (F.col("df") + 1.0)
+                    )
+                    + 1.0
+                )
+            ).alias("tfidf"),
+        )
     )
 
 

@@ -711,14 +711,29 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: LSH candidate pairs → connected components → one
     canonical (min-id) representative per near-dup cluster. The iterative
     min-label propagation has no single-query SQL form; the oracle uses a
-    recursive CTE reaching the same unique fixpoint."""
+    recursive CTE reaching the same unique fixpoint.
+
+    Set SPARK_GRAFT_CC_SPILL=1 to route the edge set through a one-shot
+    parquet spill (low-variance benchmark mode) instead of
+    localCheckpoint; results are identical."""
+    import os
+    import tempfile
+
     corpus = _text_corpus(_docs(spark, sf_dir))
     sh = dedup.shingle_rows(corpus)
     sig = dedup.minhash_signatures(sh, num_hashes=_NH)
     pairs = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, num_hashes=_NH))
-    # no persists needed: connected_components localCheckpoints the edge set
-    # once, so the LSH DAG above is computed exactly once
-    return dedup.connected_components(pairs, corpus.select("doc_id"))
+    # no persists needed: connected_components materializes the edge set
+    # once (localCheckpoint or parquet spill), so the LSH DAG above is
+    # computed exactly once
+    spill = (
+        tempfile.mkdtemp(prefix="cc_spill_")
+        if os.environ.get("SPARK_GRAFT_CC_SPILL") == "1"
+        else None
+    )
+    return dedup.connected_components(
+        pairs, corpus.select("doc_id"), spill_dir=spill
+    )
 
 
 _SQL_DEDUP_CLUSTER = (
@@ -1408,21 +1423,89 @@ WHERE bit_count(xor(a.sig, bb.sig)) <= 2"""
 
 
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end IVF codebook lifecycle: `kmeans_fit` builds the
-    codebook (Lloyd's, deterministic md5-of-id seeding), `assign_cells`
-    quantizes the corpus shuffle-free, and the rollup reports per-cell
-    population and mean quantization similarity — the balance diagnostic
-    that decides whether a codebook is usable for ANN blocking.
+    """End-to-end IVF codebook lifecycle: `kmeans_fit_exact` builds the
+    codebook (Lloyd's, deterministic md5-of-id seeding, integer-lattice
+    arithmetic), `assign_cells` quantizes the corpus shuffle-free, and the
+    rollup reports per-cell population and mean quantization similarity —
+    the balance diagnostic that decides whether a codebook is usable for
+    ANN blocking.
 
-    No oracle: iterative floating-point clustering isn't expressible in
-    one SQL statement; the driver records a rows-only check (k rows)."""
+    Oracled by a fully-unrolled 3-iteration Lloyd's in DuckDB SQL: the
+    exact variant quantizes vectors to ints and keeps centroids as integer
+    SUM vectors (cosine is scale-invariant), so every assignment and every
+    centroid coordinate is bit-identical across engines — only the final
+    avg(sim) needs the epsilon rounding."""
     e = _scale_out(_emb(spark, sf_dir))
-    cb = similarity.kmeans_fit(e, k=8, n_iter=3)
-    a = similarity.assign_cells(e, cb)
+    cb = similarity.kmeans_fit_exact(e, k=8, n_iter=3, quant=_KMEANS_QUANT)
+    q = e.select("vec_id", V.quantize("embedding", _KMEANS_QUANT).alias("qv"))
+    a = similarity.assign_cells(
+        q, cb.withColumnRenamed("embedding", "qv"), vec_col="qv"
+    )
     return a.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         _rnd(F.avg("sim"), 4).alias("avg_quant_sim"),
     )
+
+
+_KMEANS_QUANT = 1000
+
+
+def _sql_kmeans_cells(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd's-in-SQL oracle twin of `kmeans_fit_exact` +
+    `assign_cells`: n_iter × (assign, integer-sum recompute with
+    empty-cell carryover) then one final assign and the rollup. The cosine
+    expression mirrors the engine's op order exactly: int dot products
+    cast to double, sqrt per side, one division."""
+    sim = (
+        "CAST(dqc AS DOUBLE)"
+        " / (sqrt(CAST(dqq AS DOUBLE)) * sqrt(CAST(dcc AS DOUBLE)))"
+    )
+    parts = [
+        f"""WITH v AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_KMEANS_QUANT}) AS BIGINT)) AS q
+    FROM embeddings
+), c0 AS (
+    SELECT vec_id AS cid, q AS cv
+    FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT {k}
+)"""
+    ]
+    for t in range(1, n_iter + 2):
+        parts.append(f""", sims{t} AS (
+    SELECT v.vec_id, c.cid,
+           sum(v.q[t.i] * c.cv[t.i]) AS dqc,
+           sum(v.q[t.i] * v.q[t.i]) AS dqq,
+           sum(c.cv[t.i] * c.cv[t.i]) AS dcc
+    FROM v CROSS JOIN c{t - 1} c CROSS JOIN range(1, {dim + 1}) t(i)
+    GROUP BY 1, 2
+), a{t} AS (
+    SELECT vec_id, cid, sim FROM (
+        SELECT vec_id, cid, {sim} AS sim,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY {sim} DESC, cid ASC) AS rn
+        FROM sims{t}) WHERE rn = 1
+)""")
+        if t <= n_iter:
+            parts.append(f""", n{t} AS (
+    SELECT cid, list(s ORDER BY pos) AS cv FROM (
+        SELECT a.cid, t.i AS pos, CAST(sum(v.q[t.i]) AS BIGINT) AS s
+        FROM a{t} a JOIN v USING (vec_id)
+        CROSS JOIN range(1, {dim + 1}) t(i)
+        GROUP BY 1, 2)
+    GROUP BY cid
+), c{t} AS (
+    SELECT c{t - 1}.cid, coalesce(n{t}.cv, c{t - 1}.cv) AS cv
+    FROM c{t - 1} LEFT JOIN n{t} ON n{t}.cid = c{t - 1}.cid
+)""")
+    parts.append(f"""
+SELECT cid AS centroid_id, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(1e-9 + avg(sim), 4) AS avg_quant_sim
+FROM a{n_iter + 1} GROUP BY cid""")
+    return "".join(parts)
+
+
+_SQL_KMEANS_CELLS = _sql_kmeans_cells()
 
 
 _MIXTURE_CAPS = {f"src{i}": (15 if i % 2 == 0 else 5) for i in range(18)}
@@ -2215,6 +2298,7 @@ ORACLES: dict[str, str] = {
     "q_length_histogram": _SQL_LENGTH_HISTOGRAM,
     "q_split_assign": _SQL_SPLIT_ASSIGN,
     "q_dedup_keep_best": _SQL_DEDUP_KEEP_BEST,
+    "q_kmeans_cells": _SQL_KMEANS_CELLS,
     "q_chunk_docs": _SQL_CHUNK_DOCS,
     "q_pack_sequences": _SQL_PACK_SEQUENCES,
     "q_cross_corpus_neardup": _SQL_CROSS_CORPUS_NEARDUP,

@@ -319,6 +319,35 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FORECAST_EVAL relation (`dags/Forecast_evaluation.py:61-86`)
+    through the ml chain's own `hindcast_window` + `eval_frame`, with the
+    predictor pinned to seasonal-naive (predicted := avg_fare_lag7, the
+    same-weekday-last-week baseline).
+
+    The RF's numeric output is library-specific (Spark-ML vs sklearn —
+    structural parity only, pytest-verified); pinning the predictor makes
+    the evaluation FRAME itself relational, so the exact code path the RF
+    result flows through gets a driver CORRECTNESS row."""
+    from .ml import forecast as ml_forecast
+
+    f = _fdf(spark, sf_dir)
+    pred = ml_forecast.hindcast_window(f).select(
+        F.col("trip_date").alias("eval_date"),
+        F.col("avg_fare").alias("actual_fare"),
+        F.col("avg_fare_lag7").alias("predicted_fare"),
+    )
+    ev = ml_forecast.eval_frame(pred)
+    return ev.select(
+        "eval_date",
+        "row_type",
+        _r4("actual_fare"),
+        _r4("predicted_fare"),
+        _rnd(F.col("error"), 4).alias("error"),
+        _rnd(F.col("mape"), 6).alias("mape"),
+    )
+
+
 def q_union_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1: per-day eval rows UNION ALL a NULL-dated summary row (MAE/MAPE)."""
     f = _fdf(spark, sf_dir)
@@ -1437,6 +1466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lag_ma": q_lag_ma,
     "q_top1": q_top1,
     "q_eval_metrics": q_eval_metrics,
+    "q_forecast_eval": q_forecast_eval,
     "q_union_summary": q_union_summary,
     "q_merge_dedup": q_merge_dedup,
     "q_star_join": q_star_join,
@@ -1663,6 +1693,36 @@ SELECT round(1e-9 + avg(abs(avg_fare - avg_fare_ma7)), 4) AS mae,
        count(*) AS n_days
 FROM fare_daily_features
 WHERE trip_date > (SELECT max(trip_date) - 7 FROM fare_daily_features)""",
+    ),
+    "q_forecast_eval": _with(
+        *_SQL_FDF_BLOCKS,
+        select="""
+SELECT * FROM (
+    WITH eval AS (
+        SELECT trip_date AS eval_date, avg_fare AS actual_fare,
+               avg_fare_lag7 AS predicted_fare
+        FROM fare_daily_features
+        WHERE trip_count IS NOT NULL AND avg_distance IS NOT NULL
+          AND weekend_trip_count IS NOT NULL AND weekday_trip_count IS NOT NULL
+          AND avg_daily_temperature IS NOT NULL AND avg_daily_humidity IS NOT NULL
+          AND is_precip_day IS NOT NULL AND avg_fare_lag1 IS NOT NULL
+          AND avg_fare_lag7 IS NOT NULL AND avg_fare_ma7 IS NOT NULL
+          AND avg_fare IS NOT NULL
+        ORDER BY trip_date DESC LIMIT 7
+    )
+    SELECT eval_date, 'day' AS row_type,
+           round(1e-9 + actual_fare, 4) AS actual_fare,
+           round(1e-9 + predicted_fare, 4) AS predicted_fare,
+           round(1e-9 + (actual_fare - predicted_fare), 4) AS error,
+           round(1e-9 + abs((actual_fare - predicted_fare) / actual_fare), 6) AS mape
+    FROM eval
+    UNION ALL
+    SELECT NULL AS eval_date, 'summary' AS row_type,
+           NULL AS actual_fare, NULL AS predicted_fare,
+           round(1e-9 + avg(abs(actual_fare - predicted_fare)), 4) AS error,
+           round(1e-9 + avg(abs((actual_fare - predicted_fare) / actual_fare)), 6) AS mape
+    FROM eval
+)""",
     ),
     "q_union_summary": _with(
         *_SQL_FDF_BLOCKS,

@@ -92,9 +92,125 @@ def compact(spark, path: str, target_files: int) -> int:
 
 _STAGE_SUFFIX = ".__stage"
 _GC_SUFFIX = ".__gc"
+_LEASE_SUFFIX = ".__lease"
 
 
-def atomic_overwrite(df: DataFrame, path: str) -> None:
+class LeaseHeldError(RuntimeError):
+    """Another writer holds a live lease on the table path."""
+
+
+class WriterLease:
+    """Single-writer lease for a path-based table — the concurrency half of
+    :func:`atomic_overwrite`'s transactionality (the reference gets both
+    from a Snowflake transaction, `dags/etl_spark_historical.py:292,349-386`;
+    a filesystem lake has to build them).
+
+    Protocol (rename-atomic filesystems, same assumption as
+    :func:`atomic_overwrite`):
+
+    - acquire: ``O_CREAT|O_EXCL`` create of ``<path>.__lease`` holding
+      ``{token, owner, pid, expires_at}`` — atomic, exactly one creator
+      wins.  A loser whose rival's lease is still live raises
+      :class:`LeaseHeldError` cleanly, having touched nothing.
+    - stale takeover: a lease past ``expires_at`` (writer crashed mid-swap)
+      is broken by renaming it aside — rename is atomic, so of N racing
+      takeover attempts exactly one wins and the rest loop back to a fresh
+      acquire attempt.
+    - release: unlink only if the file still carries OUR token (we may have
+      been timed out and taken over while paused — then the lease is no
+      longer ours to remove).
+
+    TTL is a liveness/correctness trade: it must exceed the longest
+    stage-write + rename window or a slow writer can be usurped mid-swap.
+    At cluster scale prefer a heartbeat (re-write expires_at periodically)
+    or a real table format (Delta/Iceberg optimistic commit) — interfaces
+    here stay storage-agnostic so those can slot in.
+    """
+
+    def __init__(self, path: str, owner: str | None = None, ttl_seconds: float = 600.0):
+        import os
+        import uuid
+
+        self.lock_path = path + _LEASE_SUFFIX
+        self.owner = owner or f"pid-{os.getpid()}"
+        self.ttl = float(ttl_seconds)
+        self.token = uuid.uuid4().hex
+        self._held = False
+
+    def _read(self) -> dict | None:
+        import json
+
+        try:
+            with open(self.lock_path) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def acquire(self) -> "WriterLease":
+        import json
+        import os
+        import time
+
+        while True:
+            try:
+                fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                cur = self._read()
+                if cur is None:
+                    continue  # holder released between our open and read
+                if cur.get("expires_at", 0) > time.time():
+                    raise LeaseHeldError(
+                        f"{self.lock_path} held by {cur.get('owner')} "
+                        f"until {cur.get('expires_at')}"
+                    )
+                # stale: break it by renaming aside — atomic, one winner
+                try:
+                    os.rename(self.lock_path, self.lock_path + "." + self.token)
+                    os.unlink(self.lock_path + "." + self.token)
+                except FileNotFoundError:
+                    pass  # a rival takeover won; loop and re-try acquire
+                continue
+            with os.fdopen(fd, "w") as f:
+                json.dump(
+                    {
+                        "token": self.token,
+                        "owner": self.owner,
+                        "pid": os.getpid(),
+                        "expires_at": time.time() + self.ttl,
+                    },
+                    f,
+                )
+                f.flush()
+                os.fsync(f.fileno())
+            self._held = True
+            return self
+
+    def release(self) -> None:
+        import os
+
+        if not self._held:
+            return
+        cur = self._read()
+        if cur is not None and cur.get("token") == self.token:
+            try:
+                os.unlink(self.lock_path)
+            except FileNotFoundError:
+                pass
+        self._held = False
+
+    def __enter__(self) -> "WriterLease":
+        return self.acquire()
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+def atomic_overwrite(
+    df: DataFrame,
+    path: str,
+    lease_ttl: float | None = 600.0,
+    owner: str | None = None,
+) -> None:
     """Transactional table replace for a path-based parquet table — the
     engine's stand-in for the atomicity of the reference's Snowflake
     ``MERGE INTO`` (`dags/etl_spark_historical.py:349-380`).
@@ -116,25 +232,41 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
     Object stores without atomic rename need a manifest/table format
     (Delta/Iceberg) — these operator interfaces stay storage-agnostic so
     that can slot in.
+
+    Concurrency: the whole protocol runs under a :class:`WriterLease`
+    (``lease_ttl`` seconds; ``None`` disables for single-writer callers).
+    A concurrent writer raises :class:`LeaseHeldError` before writing
+    anything, so racing jobs can never interleave their renames and
+    last-rename-wins data loss cannot occur. A writer that dies holding
+    the lease leaves a stale file the next writer takes over after TTL.
     """
     import os
     import shutil
 
-    stage, gc = path + _STAGE_SUFFIX, path + _GC_SUFFIX
-    shutil.rmtree(stage, ignore_errors=True)
-    shutil.rmtree(gc, ignore_errors=True)
+    lease = (
+        WriterLease(path, owner=owner, ttl_seconds=lease_ttl).acquire()
+        if lease_ttl is not None
+        else None
+    )
     try:
-        df.write.mode("overwrite").parquet(stage)
-    except Exception:
+        stage, gc = path + _STAGE_SUFFIX, path + _GC_SUFFIX
         shutil.rmtree(stage, ignore_errors=True)
-        raise
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        shutil.rmtree(stage, ignore_errors=True)
-        raise RuntimeError(f"stage write of {path} finished without _SUCCESS")
-    if os.path.exists(path):
-        os.rename(path, gc)
-    os.rename(stage, path)
-    shutil.rmtree(gc, ignore_errors=True)
+        shutil.rmtree(gc, ignore_errors=True)
+        try:
+            df.write.mode("overwrite").parquet(stage)
+        except Exception:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+            shutil.rmtree(stage, ignore_errors=True)
+            raise RuntimeError(f"stage write of {path} finished without _SUCCESS")
+        if os.path.exists(path):
+            os.rename(path, gc)
+        os.rename(stage, path)
+        shutil.rmtree(gc, ignore_errors=True)
+    finally:
+        if lease is not None:
+            lease.release()
 
 
 def recover_atomic_overwrite(path: str) -> str:

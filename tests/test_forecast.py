@@ -46,8 +46,14 @@ def test_hindcast_eval_shape(spark, features):
     days = [r for r in rows if r.row_type == "day"]
     summary = [r for r in rows if r.row_type == "summary"]
     assert len(days) == 7 and len(summary) == 1
-    mae = summary[0].abs_error
-    assert mae == pytest.approx(sum(r.abs_error for r in days) / 7)
+    # summary row: error == MAE of the signed per-day errors, mape == mean
+    # of per-day MAPE fractions (FORECAST_EVAL shape)
+    assert summary[0].error == pytest.approx(
+        sum(abs(r.error) for r in days) / 7
+    )
+    assert summary[0].mape == pytest.approx(sum(r.mape for r in days) / 7)
+    for r in days:
+        assert r.error == pytest.approx(r.actual_fare - r.predicted_fare)
 
 
 def test_train_deterministic_seed(spark, features):

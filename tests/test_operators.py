@@ -7,6 +7,7 @@ from datetime import datetime, timedelta
 import pandas as pd
 from pyspark.sql import functions as F
 
+from nyc_taxi_data_warehouse_spark.functions import vectors as V
 from nyc_taxi_data_warehouse_spark.operators import dedup, merge, quality, similarity
 
 
@@ -167,6 +168,28 @@ def test_connected_components_chain_and_singleton(spark):
         for r in dedup.connected_components(pairs, nodes).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_spill_variant_identical(spark, tmp_path):
+    """The parquet-spill edge materialization (benchmark/low-variance mode)
+    must produce the exact same components as the localCheckpoint path."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20)], "doc_id long"
+    )
+    base = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs, nodes).collect()
+    }
+    spilled = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(
+            pairs, nodes, spill_dir=str(tmp_path)
+        ).collect()
+    }
+    assert spilled == base == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
 
 
 def test_connected_components_string_ids(spark):
@@ -452,6 +475,31 @@ def test_kmeans_fit_recovers_separated_clusters(spark):
     assigned = similarity.assign_cells(v, codebook, id_col="vec_id",
                                        vec_col="embedding")
     # same true cluster -> same centroid, different -> different
+    got = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    by_true = {}
+    for i in range(60):
+        by_true.setdefault(i % 3, set()).add(got[i])
+    assert all(len(s) == 1 for s in by_true.values())
+    assert len(set().union(*by_true.values())) == 3
+
+
+def test_kmeans_fit_exact_clusters_and_is_reproducible(spark):
+    """The integer-lattice variant: recovers the same separated clusters AND
+    two independent fits produce bit-identical codebooks (the property the
+    SQL oracle relies on)."""
+    from nyc_taxi_data_warehouse_spark.operators import similarity
+
+    v = _clustered_vectors(spark)
+    cb1 = similarity.kmeans_fit_exact(v, k=3, n_iter=3)
+    cb2 = similarity.kmeans_fit_exact(v, k=3, n_iter=3)
+    rows1 = sorted((r.centroid_id, list(r.embedding)) for r in cb1.collect())
+    rows2 = sorted((r.centroid_id, list(r.embedding)) for r in cb2.collect())
+    assert rows1 == rows2  # exact, not approximately
+    assigned = similarity.assign_cells(
+        v.select("vec_id", V.quantize("embedding").alias("qv")),
+        cb1.withColumnRenamed("embedding", "qv"),
+        vec_col="qv",
+    )
     got = {r.vec_id: r.centroid_id for r in assigned.collect()}
     by_true = {}
     for i in range(60):

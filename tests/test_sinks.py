@@ -166,6 +166,99 @@ def test_atomic_overwrite_crash_between_renames_recovers(spark, tmp_path):
     assert _ids(spark, path2) == list(range(4))
 
 
+# --- writer lease (concurrent-writer safety) --------------------------------
+
+def test_racing_writers_one_fails_cleanly_no_data_lost(spark, tmp_path):
+    """Two writers race the same table: exactly one commits, the loser
+    raises LeaseHeldError BEFORE touching anything, and the final table is
+    exactly the winner's image (no interleaved-rename data loss)."""
+    import pytest
+
+    from nyc_taxi_data_warehouse_spark.sources import sinks as S
+
+    path = str(tmp_path / "fact")
+    spark.range(5).write.parquet(path)
+
+    # writer A holds the lease (simulating an in-flight stage write)
+    a = S.WriterLease(path, owner="writer-a").acquire()
+    with pytest.raises(S.LeaseHeldError):
+        S.atomic_overwrite(spark.range(100).toDF("id"), path)
+    # loser left no stage/gc litter and the table is untouched
+    import os
+    assert not os.path.exists(path + S._STAGE_SUFFIX)
+    assert _ids(spark, path) == list(range(5))
+
+    # writer A commits under its lease and releases
+    S.atomic_overwrite(spark.range(9).toDF("id"), path, lease_ttl=None)
+    a.release()
+    assert not os.path.exists(path + S._LEASE_SUFFIX)
+
+    # the previously-blocked writer now succeeds
+    S.atomic_overwrite(spark.range(3).toDF("id"), path)
+    assert _ids(spark, path) == list(range(3))
+
+
+def test_stale_lease_takeover_after_crash(spark, tmp_path):
+    """A writer that died holding the lease (crash-injection: lock file
+    left behind, expired TTL) must not wedge the table forever: the next
+    writer takes the lease over and commits."""
+    import time
+
+    import pytest
+
+    from nyc_taxi_data_warehouse_spark.sources import sinks as S
+
+    path = str(tmp_path / "fact")
+    spark.range(5).write.parquet(path)
+    dead = S.WriterLease(path, owner="crashed", ttl_seconds=0.2).acquire()
+    # lease still live: writer blocked
+    with pytest.raises(S.LeaseHeldError):
+        S.atomic_overwrite(spark.range(7).toDF("id"), path)
+    time.sleep(0.3)  # TTL expires; 'dead' never releases
+    S.atomic_overwrite(spark.range(7).toDF("id"), path)
+    assert _ids(spark, path) == list(range(7))
+    # the dead writer's release must NOT remove the new holder's lease
+    live = S.WriterLease(path, owner="writer-b").acquire()
+    dead.release()
+    assert S.WriterLease(path)._read()["token"] == live.token
+    live.release()
+
+
+def test_lease_takeover_single_winner_under_contention(tmp_path):
+    """N threads race to break one stale lease: exactly one acquires at a
+    time, and every writer eventually gets a turn (no lost wakeups, no
+    double-holds)."""
+    import threading
+    import time
+
+    from nyc_taxi_data_warehouse_spark.sources import sinks as S
+
+    path = str(tmp_path / "t")
+    S.WriterLease(path, owner="stale", ttl_seconds=0.0).acquire()  # dead
+
+    holders = []
+    lock = threading.Lock()
+
+    def contend(i):
+        while True:
+            try:
+                lease = S.WriterLease(path, owner=f"w{i}", ttl_seconds=30).acquire()
+                break
+            except S.LeaseHeldError:
+                time.sleep(0.01)
+        with lock:
+            holders.append(i)
+        time.sleep(0.01)
+        lease.release()
+
+    threads = [threading.Thread(target=contend, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert sorted(holders) == list(range(8))
+
+
 def test_schema_evolution_read_unions_old_and_new_files(spark, tmp_path):
     from pyspark.sql import functions as F
 
