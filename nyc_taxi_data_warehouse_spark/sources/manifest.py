@@ -1,0 +1,185 @@
+"""Rename-free manifest-commit table — transactional parquet for object
+stores.
+
+:func:`sinks.atomic_overwrite` + :class:`sinks.WriterLease` give
+Snowflake-MERGE-parity transactionality (`dags/etl_spark_historical.py:
+292,349-386`) on rename-atomic filesystems (POSIX, HDFS). Object stores
+(S3/GCS/ABFS) have no atomic rename — but they DO have atomic
+put-if-absent (S3 ``If-None-Match:*`` conditional PUT, GCS
+``ifGenerationMatch=0`` preconditions), and that single primitive is
+enough for a Delta/Iceberg-style commit protocol:
+
+- data files are immutable and uniquely named (one ``data/batch-<uuid>/``
+  directory per write) — writers never modify or rename anything;
+- a table VERSION is the atomic creation of ``_commits/v{N}.json``
+  holding the complete file list.  Exactly one writer wins each N
+  (put-if-absent); losers re-read the head and retry at N+1 — classic
+  optimistic concurrency, no locks, no coordination service;
+- readers list ``_commits``, take the max N, and read precisely that
+  manifest's files: a consistent snapshot regardless of in-flight writes,
+  because nothing a committed manifest references is ever mutated.
+
+Locally the put-if-absent is ``O_CREAT|O_EXCL`` — the same atomicity
+contract, so every code path here runs identically against a real object
+store with the open/put swapped behind one function.
+
+Orphans (data written by a writer that crashed before committing, or
+files dropped by an ``overwrite``) are invisible to readers and reclaimed
+by :meth:`ManifestTable.vacuum`, which keeps the trailing ``keep_versions``
+manifests for time-travel/slow readers — mirroring Delta's VACUUM
+retention contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_COMMITS = "_commits"
+_DATA = "data"
+
+
+class CommitConflictError(RuntimeError):
+    """Lost the optimistic-commit race more times than ``max_retries``."""
+
+
+def _put_if_absent(path: str, payload: str) -> bool:
+    """Atomic create-if-not-exists — the object-store conditional PUT,
+    emulated locally with O_EXCL. Returns False if the key exists."""
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    return True
+
+
+class ManifestTable:
+    def __init__(self, path: str, max_retries: int = 20):
+        self.path = path.rstrip("/")
+        self.commits_dir = os.path.join(self.path, _COMMITS)
+        self.data_dir = os.path.join(self.path, _DATA)
+        self.max_retries = max_retries
+        os.makedirs(self.commits_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- versions -----------------------------------------------------------
+
+    def _versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.commits_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        """Highest committed version, or -1 for an empty table."""
+        vs = self._versions()
+        return vs[-1] if vs else -1
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self.commits_dir, f"v{version}.json")) as f:
+            return json.load(f)
+
+    def files(self, version: int | None = None) -> list[str]:
+        """The immutable file list of a committed snapshot."""
+        v = self.latest_version() if version is None else version
+        if v < 0:
+            return []
+        return self._manifest(v)["files"]
+
+    # -- read ---------------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read: exactly the files of one committed manifest.
+        ``version`` time-travels to an older (un-vacuumed) snapshot."""
+        files = self.files(version)
+        if not files:
+            raise FileNotFoundError(f"manifest table {self.path} has no commits")
+        return spark.read.parquet(*files)
+
+    # -- write --------------------------------------------------------------
+
+    def _write_batch(self, df: DataFrame) -> list[str]:
+        """One immutable uniquely-named batch directory per write — never a
+        rename, never an overwrite of an existing key."""
+        batch = os.path.join(self.data_dir, f"batch-{uuid.uuid4().hex}")
+        df.write.parquet(batch)
+        return sorted(
+            os.path.join(batch, f)
+            for f in os.listdir(batch)
+            if f.endswith(".parquet")
+        )
+
+    def _commit(self, build_files, op: str) -> int:
+        """Optimistic-commit loop: compute the file list against the current
+        head, try put-if-absent at head+1, retry on conflict. ``build_files``
+        maps the loser's refreshed base file list → the new full list, so
+        concurrent appends compose instead of clobbering."""
+        for attempt in range(self.max_retries):
+            base_version = self.latest_version()
+            base = self.files(base_version) if base_version >= 0 else []
+            payload = json.dumps(
+                {
+                    "version": base_version + 1,
+                    "op": op,
+                    "files": build_files(base),
+                    "committed_at": time.time(),
+                }
+            )
+            target = os.path.join(self.commits_dir, f"v{base_version + 1}.json")
+            if _put_if_absent(target, payload):
+                return base_version + 1
+            time.sleep(0.01 * (attempt + 1))  # lost the race; linear backoff
+        raise CommitConflictError(
+            f"{self.path}: lost {self.max_retries} optimistic-commit races"
+        )
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Full-table replace. Returns the committed version."""
+        new = self._write_batch(df)
+        return self._commit(lambda base: new, "overwrite")
+
+    def append(self, df: DataFrame) -> int:
+        """Append a batch. Concurrent appends both land (the loser's retry
+        recomputes against the winner's manifest). Returns the version."""
+        new = self._write_batch(df)
+        return self._commit(lambda base: base + new, "append")
+
+    # -- maintenance --------------------------------------------------------
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Delete data files unreferenced by the trailing ``keep_versions``
+        manifests (and drop older manifests): orphans from crashed writers
+        and overwritten snapshots. Returns the deleted file paths."""
+        import shutil
+
+        vs = self._versions()
+        keep = vs[-keep_versions:] if vs else []
+        live: set[str] = set()
+        for v in keep:
+            live.update(self._manifest(v)["files"])
+        deleted = []
+        for batch in os.listdir(self.data_dir):
+            bdir = os.path.join(self.data_dir, batch)
+            members = [
+                os.path.join(bdir, f)
+                for f in os.listdir(bdir)
+                if f.endswith(".parquet")
+            ]
+            if members and not any(m in live for m in members):
+                deleted.extend(members)
+                shutil.rmtree(bdir)
+        for v in vs[: max(0, len(vs) - keep_versions)]:
+            os.unlink(os.path.join(self.commits_dir, f"v{v}.json"))
+        return sorted(deleted)

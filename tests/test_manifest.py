@@ -1,0 +1,106 @@
+"""Manifest-commit table (rename-free object-store transactionality):
+snapshot isolation, optimistic concurrent appends, crash-orphan vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from nyc_taxi_data_warehouse_spark.sources import manifest as M
+
+
+def _ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+def test_overwrite_append_read_roundtrip(spark, tmp_path):
+    t = M.ManifestTable(str(tmp_path / "t"))
+    assert t.latest_version() == -1
+    with pytest.raises(FileNotFoundError):
+        t.read(spark)
+
+    assert t.overwrite(spark.range(5)) == 0
+    assert _ids(t.read(spark)) == list(range(5))
+
+    assert t.append(spark.range(5, 8)) == 1
+    assert _ids(t.read(spark)) == list(range(8))
+
+    # overwrite drops all prior files from the NEW snapshot...
+    assert t.overwrite(spark.range(3)) == 2
+    assert _ids(t.read(spark)) == list(range(3))
+    # ...while the old snapshot stays readable (time travel, slow readers)
+    assert _ids(t.read(spark, version=1)) == list(range(8))
+
+
+def test_concurrent_appends_both_land(spark, tmp_path):
+    """Two writers race a commit at the same version: put-if-absent lets
+    exactly one win v_N; the loser retries against the winner's manifest,
+    so BOTH batches are in the final table — no lost update."""
+    t = M.ManifestTable(str(tmp_path / "t"))
+    t.overwrite(spark.range(10))
+
+    # interleave the race deterministically: both writers stage their data
+    # files first, then commit in sequence against the same observed head
+    files_a = t._write_batch(spark.range(10, 15))
+    files_b = t._write_batch(spark.range(15, 20))
+    base = t.files()
+    # writer A commits v1 first
+    assert t._commit(lambda b: b + files_a, "append") == 1
+    # writer B's first attempt at v1 must LOSE (key exists) and its retry
+    # must rebuild on A's manifest — simulate via the public append path
+    assert not M._put_if_absent(
+        os.path.join(t.commits_dir, "v1.json"), "{}"
+    )
+    assert t._commit(lambda b: b + files_b, "append") == 2
+    final = t.files()
+    assert set(base) < set(final)
+    assert set(files_a) < set(final) and set(files_b) < set(final)
+    assert _ids(t.read(spark)) == list(range(20))
+
+
+def test_threaded_appends_all_land(spark, tmp_path):
+    """N threads appending concurrently: every batch lands exactly once
+    (optimistic retry composes appends), versions are distinct."""
+    import threading
+
+    t = M.ManifestTable(str(tmp_path / "t"))
+    t.overwrite(spark.range(0))
+    versions = []
+    lock = threading.Lock()
+
+    def work(i):
+        v = t.append(spark.range(i * 10, i * 10 + 10))
+        with lock:
+            versions.append(v)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+    assert sorted(versions) == [1, 2, 3, 4]
+    assert _ids(t.read(spark)) == list(range(40))
+
+
+def test_crashed_writer_orphans_invisible_and_vacuumed(spark, tmp_path):
+    """A writer that staged data but died before committing leaves orphan
+    files: readers never see them, vacuum reclaims them — and vacuum keeps
+    every file the retained manifests still reference."""
+    t = M.ManifestTable(str(tmp_path / "t"))
+    t.overwrite(spark.range(5))
+    t._write_batch(spark.range(100, 200))  # crash: staged, never committed
+    assert _ids(t.read(spark)) == list(range(5))  # reader snapshot clean
+
+    live_before = set(t.files())
+    deleted = t.vacuum(keep_versions=1)
+    assert deleted  # the orphan batch went away
+    assert not live_before & set(deleted)  # live snapshot untouched
+    assert _ids(t.read(spark)) == list(range(5))
+
+    # old snapshots beyond the retention window are reclaimed too
+    t.overwrite(spark.range(3))
+    t.vacuum(keep_versions=1)
+    with pytest.raises(FileNotFoundError):
+        t._manifest(0)
+    assert _ids(t.read(spark)) == list(range(3))
