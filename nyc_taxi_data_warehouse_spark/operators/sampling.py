@@ -32,6 +32,40 @@ def hash_sample(
     return df.where(hash_bucket(key_col, salt, n_buckets) < pct)
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epoch: int,
+    n_shards: int = 64,
+    salt: str = "ep",
+) -> DataFrame:
+    """Reproducible global training-order permutation for epoch ``epoch`` —
+    the shuffle a data loader consumes when feeding a trainer: different
+    every epoch, identical on every re-run, identical in any engine.
+
+    Two independent md5 draws per row: ``shard`` (hash bucket) decides
+    which of ``n_shards`` files/streams the row lands in; ``shuffle_key``
+    orders rows WITHIN the shard (``rank_in_shard`` via a window
+    partitioned by shard). Readers consume shards in order, rows by rank —
+    the concatenation is a deterministic permutation of the corpus.
+
+    Scale shape: deliberately NOT a global ``row_number`` (that is a
+    single-partition sort at 100 TB). One hash-partition shuffle on shard,
+    then each shard sorts independently — embarrassingly parallel, and
+    shard sizes are binomially tight around n/n_shards."""
+    key = F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit(f"{salt}{epoch}:"))
+    )
+    shard = hash_bucket(key_col, salt=f"{salt}{epoch}-shard", n_buckets=n_shards)
+    w = Window.partitionBy("shard").orderBy(
+        F.col("shuffle_key").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.select(F.col(key_col), shard.alias("shard"), key.alias("shuffle_key"))
+        .withColumn("rank_in_shard", F.row_number().over(w))
+    )
+
+
 def train_val_test_split(
     df: DataFrame,
     key_col: str,

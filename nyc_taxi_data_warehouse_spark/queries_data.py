@@ -759,6 +759,118 @@ SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node"""
 )
 
 
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent-shingle boilerplate scoring (the CCNet idea at
+    shingle granularity): a 3-gram appearing in ≥2% of documents is
+    corpus boilerplate (templates, navigation, legal footers at web
+    scale); each document reports how much of it is boilerplate — the
+    quality filter that strips templated content before LLM training.
+
+    Shapes: the doc×shingle frame is built once and persisted (it feeds
+    both the doc-frequency agg and the per-doc rollup); the frequent set
+    is vocabulary-sized → broadcast back (swap for a shuffle join on
+    open-vocabulary corpora); the corpus size joins as a 1-row broadcast
+    aggregate (q_bm25 pattern — never a separate count action)."""
+    d = _scale_out(_docs(spark, sf_dir).select("doc_id", "text"))
+    sh = dedup.shingle_rows(d).persist()
+    stats = d.agg(F.count_distinct("doc_id").alias("n_docs"))
+    frequent = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .where(F.col("df") * 50 >= F.col("n_docs"))
+        .select("shingle", F.lit(1).alias("__b"))
+    )
+    n_boiler = F.sum(F.coalesce(F.col("__b"), F.lit(0))).cast("long")
+    return (
+        sh.join(F.broadcast(frequent), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            n_boiler.alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_ratio",
+            _rnd(F.col("n_boiler") / F.col("n_shingles"), 6),
+        )
+    )
+
+
+_SQL_BOILERPLATE = r"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+    FROM documents
+), sh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(w) - 2, 0) + 1),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+    FROM tok
+), stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+freq AS (SELECT shingle FROM dfreq, stats WHERE df * 50 >= n_docs)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boiler,
+       round(1e-9 +
+             CAST(sum(CASE WHEN f.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS boiler_ratio
+FROM sh LEFT JOIN freq f ON sh.shingle = f.shingle
+GROUP BY sh.doc_id"""
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: LSH near-dup candidate pairs
+    rolled up by unordered (source_a, source_b) — the contamination /
+    licensing diagnostic that shows which sources copy which. Reuses the
+    minhash band join; each pair side maps back to its source via a
+    broadcast of the doc_id→source dim (the synthetic corpus twins rejoin
+    their parent through doc_id % 1_000_000)."""
+    docs = _docs(spark, sf_dir)
+    corpus = _text_corpus(docs)
+    sig = dedup.minhash_signatures(dedup.shingle_rows(corpus), num_hashes=_NH)
+    pairs = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, num_hashes=_NH))
+    dim = docs.select("doc_id", "source")
+    j = (
+        pairs.select(
+            (F.col("doc_a") % 1000000).alias("ka"),
+            (F.col("doc_b") % 1000000).alias("kb"),
+        )
+        .join(
+            F.broadcast(dim.select(F.col("doc_id").alias("ka"), F.col("source").alias("sa"))),
+            "ka",
+        )
+        .join(
+            F.broadcast(dim.select(F.col("doc_id").alias("kb"), F.col("source").alias("sb"))),
+            "kb",
+        )
+    )
+    return j.groupBy(
+        F.least("sa", "sb").alias("source_a"),
+        F.greatest("sa", "sb").alias("source_b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+_SQL_DUP_RATE_BY_SOURCE = (
+    "WITH "
+    + ",".join([SQL_CORPUS, SQL_TOK, SQL_SH, SQL_MINHASH])
+    + """,
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a % 1000000
+JOIN documents db ON db.doc_id = p.doc_b % 1000000
+GROUP BY 1, 2"""
+)
+
+
 def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions over the embedding column — the
     JVM-side vector-math family (aggregate fold for norms, filter for
@@ -1016,6 +1128,37 @@ _HEXVAL = " + ".join(
     f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
     for i in range(8)
 )
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch-1 training-order permutation of the corpus
+    (`operators/sampling.py::epoch_shuffle`): md5-keyed shard assignment +
+    within-shard rank. The order a data loader feeds a trainer — different
+    each epoch, bit-identical on re-run and across engines, and NEVER a
+    global single-partition sort: one hash shuffle on shard, then each of
+    the 16 shards ranks independently."""
+    from .operators import sampling
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return sampling.epoch_shuffle(d, "doc_id", epoch=1, n_shards=16)
+
+
+_SQL_EPOCH_SHUFFLE = f"""
+WITH keyed AS (
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR) || 'ep1:') AS shuffle_key,
+           substr(md5(CAST(doc_id AS VARCHAR) || 'ep1-shard'), 1, 8) AS h
+    FROM documents
+), sharded AS (
+    SELECT doc_id, shuffle_key,
+           CAST(({_HEXVAL}) % 16 AS INTEGER) AS shard
+    FROM keyed
+)
+SELECT doc_id, shard, shuffle_key,
+       CAST(row_number() OVER (
+           PARTITION BY shard ORDER BY shuffle_key ASC, doc_id ASC
+       ) AS INTEGER) AS rank_in_shard
+FROM sharded"""
 
 _SQL_SAMPLE_HASH = f"""
 WITH hashed AS (
@@ -2230,6 +2373,8 @@ FROM documents GROUP BY CUBE(source, lang)"""
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
+    "q_boilerplate": q_boilerplate,
+    "q_dup_rate_by_source": q_dup_rate_by_source,
     "q_multimodal_features": q_multimodal_features,
     "q_frame_sample": q_frame_sample,
     "q_top_terms": q_top_terms,
@@ -2239,6 +2384,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_array_ops": q_array_ops,
     "q_text_scrub": q_text_scrub,
     "q_sample_hash": q_sample_hash,
+    "q_epoch_shuffle": q_epoch_shuffle,
     "q_sample_stratified": q_sample_stratified,
     "q_percentiles": q_percentiles,
     "q_percentiles_approx": q_percentiles_approx,
@@ -2282,6 +2428,8 @@ ORACLES: dict[str, str] = {
     "q_dedup_exact": _SQL_DEDUP_EXACT,
     "q_minhash_lsh": _SQL_MINHASH_LSH,
     "q_dedup_cluster": _SQL_DEDUP_CLUSTER,
+    "q_boilerplate": _SQL_BOILERPLATE,
+    "q_dup_rate_by_source": _SQL_DUP_RATE_BY_SOURCE,
     "q_multimodal_features": _SQL_MULTIMODAL,
     "q_centroid_assign": _SQL_CENTROID_ASSIGN,
     "q_top_terms": _SQL_TOP_TERMS,
@@ -2291,6 +2439,7 @@ ORACLES: dict[str, str] = {
     "q_array_ops": _SQL_ARRAY_OPS,
     "q_text_scrub": _SQL_TEXT_SCRUB,
     "q_sample_hash": _SQL_SAMPLE_HASH,
+    "q_epoch_shuffle": _SQL_EPOCH_SHUFFLE,
     "q_sample_stratified": _SQL_SAMPLE_STRATIFIED,
     "q_percentiles": _SQL_PERCENTILES,
     "q_percentiles_approx": _SQL_PERCENTILES_APPROX,

@@ -284,6 +284,35 @@ def test_hash_sample_stable_and_partition_independent(spark, sf_dir):
     assert a <= wider  # rate increase only adds rows (nested samples)
 
 
+def test_epoch_shuffle_is_permutation_and_epochs_differ(spark, sf_dir):
+    """Every doc appears exactly once with a dense within-shard rank;
+    re-running is bit-identical; a different epoch yields a different
+    order; membership is partition-independent."""
+    from nyc_taxi_data_warehouse_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    e1 = sampling.epoch_shuffle(docs, "doc_id", epoch=1, n_shards=8)
+    rows = e1.collect()
+    assert len(rows) == n and len({r.doc_id for r in rows}) == n
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r.shard, []).append(r.rank_in_shard)
+    for ranks in per_shard.values():  # dense 1..k ranks in every shard
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    again = sampling.epoch_shuffle(
+        docs.repartition(7), "doc_id", epoch=1, n_shards=8
+    ).collect()
+    assert {(r.doc_id, r.shard, r.rank_in_shard) for r in again} == {
+        (r.doc_id, r.shard, r.rank_in_shard) for r in rows
+    }
+    e2 = sampling.epoch_shuffle(docs, "doc_id", epoch=2, n_shards=8).collect()
+    assert {(r.doc_id, r.shard, r.rank_in_shard) for r in e2} != {
+        (r.doc_id, r.shard, r.rank_in_shard) for r in rows
+    }
+
+
 def test_stratified_sample_exactly_k_per_group(spark, sf_dir):
     from pyspark.sql import functions as F2
 
