@@ -227,17 +227,35 @@ def kmeans_fit_exact(
     )
     cents: list[tuple] = [(r[0], [int(x) for x in r[1]]) for r in seeds]
     dim = len(cents[0][1])
+    id_dt = v.schema[id_col].dataType
     for _ in range(n_iter):
-        cent_df = spark.createDataFrame(cents, ["centroid_id", "cv"])
-        assigned = assign_cells(
-            v.select(F.col(id_col), F.col("__q").alias("cv")),
-            cent_df,
-            id_col=id_col,
-            vec_col="cv",
-        ).select(id_col, "centroid_id")
+        # inline the codebook fold directly (same expression shape as
+        # assign_cells) but KEEP the vector alongside the winning cell —
+        # the recompute then posexplodes in the same narrow stage, so each
+        # iteration is one map + one k×dim partial agg: no corpus-sized
+        # shuffle join anywhere.
+        codebook = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).cast(id_dt).alias("cid"),
+                    F.array(*[F.lit(int(x)) for x in vec]).alias("cv"),
+                )
+                for cid, vec in cents
+            ]
+        )
+        scored = F.transform(
+            codebook,
+            lambda c: F.struct(
+                V.cosine(F.col("__q"), c["cv"]).alias("sim"),
+                (-c["cid"]).alias("negcid"),
+            ),
+        )
+        assigned = v.select(
+            (-F.array_max(scored)["negcid"]).cast(id_dt).alias("centroid_id"),
+            F.col("__q"),
+        )
         sums = (
-            v.join(assigned, id_col)
-            .select("centroid_id", F.posexplode("__q").alias("pos", "x"))
+            assigned.select("centroid_id", F.posexplode("__q").alias("pos", "x"))
             .groupBy("centroid_id", "pos")
             .agg(F.sum("x").alias("s"))
         )

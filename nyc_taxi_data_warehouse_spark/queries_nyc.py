@@ -1246,6 +1246,45 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: watermark-bounded streaming dedup
+    (`streaming/dedup_stream.py::dedup_within_watermark`) as a driver-gated
+    query — the streaming face of the MERGE idempotence S8, previously
+    test-only.
+
+    The weather feed is replayed through a file-source stream with ~20%
+    injected exact re-deliveries (every 5th observation written twice —
+    the at-least-once bus scenario); `dropDuplicatesWithinWatermark` on
+    obs_id keeps exactly one copy. Gate determinism: the delay is pinned
+    wider than the feed's event-time span so no re-delivery can outrun the
+    watermark regardless of file replay order (the state-BOUNDING behavior
+    under short delays is exercised in the streaming tests). Oracle: the
+    batch weather view itself — exact duplicates collapse back to the
+    unique originals."""
+    import tempfile
+
+    from .streaming import dedup_stream, weather_stream
+
+    w = _weather(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="spark_graft_dedup_feed_")
+    w.write.mode("overwrite").parquet(src)
+    w.where(F.col("obs_id") % 5 == 0).write.mode("append").parquet(src)
+
+    _STREAM_SINK_SEQ[0] += 1
+    name = f"q_stream_dedup_sink_{_STREAM_SINK_SEQ[0]}"
+    stream = weather_stream.read_weather_stream(spark, src)
+    ded = dedup_stream.dedup_within_watermark(
+        stream, ["obs_id"], "observed_at", delay="3650 days"
+    )
+    q = weather_stream.run_available_now(ded, name, output_mode="append")
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name).select(
+        "obs_id", "observed_at", "city", "temp_f", "weather_desc",
+        "humidity_pct",
+    )
+
+
 # --- SCD2 resulting-state queries (C1/C2) ----------------------------------
 # Two deterministic source batches are derived from the testdata, the
 # snapshot operator is applied twice (T1 then T2), and the FINAL snapshot
@@ -1453,6 +1492,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_enrich": q_enrich,
     "q_weather_hourly": q_weather_hourly,
     "q_stream_hourly": q_stream_hourly,
+    "q_stream_dedup": q_stream_dedup,
     "q_trips_weather": q_trips_weather,
     "q_daily": q_daily,
     "q_zone_analysis": q_zone_analysis,
@@ -1546,6 +1586,12 @@ SELECT observation_hour, city,
        round(1e-9 + avg_humidity_percent, 4) AS avg_humidity_percent,
        weather_description, observation_count, latest_observation_at
 FROM weather_hourly""",
+    ),
+    "q_stream_dedup": _with(
+        SQL_WEATHER,
+        select="""
+SELECT obs_id, observed_at, city, temp_f, weather_desc, humidity_pct
+FROM weather""",
     ),
     "q_stream_hourly": _with(
         SQL_WEATHER,

@@ -85,13 +85,18 @@ def hourly_weather_stream(stream: DataFrame, watermark: str = "2 hours") -> Data
     )
 
 
-def run_available_now(agg: DataFrame, query_name: str = "weather_hourly_stream"):
+def run_available_now(
+    agg: DataFrame,
+    query_name: str = "weather_hourly_stream",
+    output_mode: str = "complete",
+):
     """Drain everything currently in the source (hourly-batch cadence),
-    results to an in-memory sink for inspection/tests."""
+    results to an in-memory sink for inspection/tests. ``complete`` for
+    windowed aggregations; ``append`` for row streams (dedup, filters)."""
     return (
         agg.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
