@@ -269,28 +269,43 @@ def atomic_overwrite(
             lease.release()
 
 
-def recover_atomic_overwrite(path: str) -> str:
+def recover_atomic_overwrite(path: str, lease_ttl: float | None = 600.0) -> str:
     """Repair an interrupted :func:`atomic_overwrite`. Returns the action
     taken: ``'promoted-stage'`` (crash after the live table was moved aside
     and the stage image is complete), ``'restored-old'`` (stage incomplete),
-    or ``'noop'`` (live table present)."""
+    or ``'noop'`` (live table present).
+
+    Recovery takes the same :class:`WriterLease` as the writer (a crashed
+    writer's stale lease falls to TTL takeover): repairing while a LIVE
+    writer is mid-swap would wrongly judge its in-flight stage/gc images.
+    A live lease therefore raises :class:`LeaseHeldError` — retry after the
+    writer finishes or its lease expires."""
     import os
     import shutil
 
-    stage, gc = path + _STAGE_SUFFIX, path + _GC_SUFFIX
-    if os.path.exists(path):
-        shutil.rmtree(stage, ignore_errors=True)
-        shutil.rmtree(gc, ignore_errors=True)
-        return "noop"
-    if os.path.exists(os.path.join(stage, "_SUCCESS")):
-        os.rename(stage, path)
-        shutil.rmtree(gc, ignore_errors=True)
-        return "promoted-stage"
-    if os.path.exists(gc):
-        os.rename(gc, path)
-        shutil.rmtree(stage, ignore_errors=True)
-        return "restored-old"
-    raise FileNotFoundError(f"no live, stage, or gc image for {path}")
+    lease = (
+        WriterLease(path, owner="recovery", ttl_seconds=lease_ttl).acquire()
+        if lease_ttl is not None
+        else None
+    )
+    try:
+        stage, gc = path + _STAGE_SUFFIX, path + _GC_SUFFIX
+        if os.path.exists(path):
+            shutil.rmtree(stage, ignore_errors=True)
+            shutil.rmtree(gc, ignore_errors=True)
+            return "noop"
+        if os.path.exists(os.path.join(stage, "_SUCCESS")):
+            os.rename(stage, path)
+            shutil.rmtree(gc, ignore_errors=True)
+            return "promoted-stage"
+        if os.path.exists(gc):
+            os.rename(gc, path)
+            shutil.rmtree(stage, ignore_errors=True)
+            return "restored-old"
+        raise FileNotFoundError(f"no live, stage, or gc image for {path}")
+    finally:
+        if lease is not None:
+            lease.release()
 
 
 def read_with_schema_evolution(spark, path: str) -> DataFrame:

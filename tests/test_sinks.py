@@ -224,6 +224,27 @@ def test_stale_lease_takeover_after_crash(spark, tmp_path):
     live.release()
 
 
+def test_recovery_refuses_while_writer_lease_live(spark, tmp_path):
+    """recover_atomic_overwrite must not judge a LIVE writer's in-flight
+    stage/gc images: it takes the same lease and raises while held."""
+    import os
+
+    import pytest
+
+    from nyc_taxi_data_warehouse_spark.sources import sinks as S
+
+    path = str(tmp_path / "fact")
+    spark.range(5).write.parquet(path)
+    spark.range(9).write.parquet(path + S._STAGE_SUFFIX)
+    os.rename(path, path + S._GC_SUFFIX)  # writer is mid-swap...
+    holder = S.WriterLease(path, owner="live-writer").acquire()
+    with pytest.raises(S.LeaseHeldError):
+        S.recover_atomic_overwrite(path)
+    holder.release()
+    assert S.recover_atomic_overwrite(path) == "promoted-stage"
+    assert _ids(spark, path) == list(range(9))
+
+
 def test_lease_takeover_single_winner_under_contention(tmp_path):
     """N threads race to break one stale lease: exactly one acquires at a
     time, and every writer eventually gets a turn (no lost wakeups, no
