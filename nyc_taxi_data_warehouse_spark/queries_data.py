@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as T
@@ -331,6 +331,120 @@ SELECT doc_id, n_chars_calc, n_words, n_distinct_words,
        round(1e-9 + (least(n_words / 50.0, 1.0) + type_token_ratio
              + (1.0 - least(punct_ratio * 4.0, 1.0))) / 3.0, 6) AS quality_score
 FROM m"""
+
+
+def _quality_logit_z(wc, ttr, punct, stop):
+    """Pinned-weight logistic logit — written as one chained expression so
+    the Spark and DuckDB twins evaluate in the identical IEEE order."""
+    return (
+        F.lit(-4.0)
+        + F.lit(2.0) * F.least(wc / F.lit(50.0), F.lit(1.0))
+        + F.lit(3.0) * ttr
+        - F.lit(3.0) * punct
+        + F.lit(12.0) * stop
+    )
+
+
+def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, deployment half: logistic inference
+    ``sigmoid(w·x + b)`` over the relational quality features with PINNED
+    weights. A trained classifier ships as a weight artifact; its
+    INFERENCE is pure per-row math — exp is engine-exact (q_lm_score
+    lesson), so the whole scoring path is oracle-gated, keep decision
+    included (computed on the unrounded probability; per-row IEEE
+    determinism makes the 0.5 comparison engine-stable). Training itself
+    is library-specific, like the RF chain — structural parity only."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", T.tokens("text").alias("__w"))
+    z = _quality_logit_z(
+        T.word_count_from_tokens("__w"),
+        T.type_token_ratio_from_tokens("__w"),
+        T.punct_ratio("text"),
+        T.stopword_ratio_from_tokens("__w", "en"),
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return d.select(
+        "doc_id",
+        _rnd(p, 6).alias("p_keep"),
+        (p >= 0.5).cast("int").alias("keep"),
+    )
+
+
+_SQL_QM_FEATURES = r"""
+tokd AS (
+    SELECT doc_id, text, source, lang,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+    FROM documents
+), qz AS (
+    SELECT doc_id, source, lang, text,
+           -4.0 + 2.0 * least(len(w) / 50.0, 1.0)
+                + 3.0 * (len(list_distinct(w)) / greatest(len(w), 1))
+                - 3.0 * (length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                         / greatest(length(text), 1))
+                + 12.0 * (len(list_filter(w,
+                         t -> list_contains(['the','a','of','and','to','in','is'], t)))
+                          / greatest(len(w), 1)) AS z
+    FROM tokd
+)"""
+
+_SQL_QUALITY_MODEL = f"""
+WITH {_SQL_QM_FEATURES}
+SELECT doc_id,
+       round(1e-9 + 1.0 / (1.0 + exp(-z)), 6) AS p_keep,
+       CAST(1.0 / (1.0 + exp(-z)) >= 0.5 AS INTEGER) AS keep
+FROM qz"""
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation chain as ONE composed plan — the integration
+    proof that the operators stack: model-based quality filter
+    (`q_quality_model`'s pinned logistic) → exact-dup removal (min doc_id
+    survivor per md5(text)) → per-source cap of 20 (`capped_sample`, the
+    mixture-construction step). Output is the final training-mix
+    membership. Every stage is a column expression or one keyed shuffle;
+    nothing materializes between stages, so Catalyst pipelines the whole
+    chain into a handful of stages at any scale."""
+    from .operators import sampling
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "text", "source", "lang", T.tokens("text").alias("__w")
+    )
+    z = _quality_logit_z(
+        T.word_count_from_tokens("__w"),
+        T.type_token_ratio_from_tokens("__w"),
+        T.punct_ratio("text"),
+        T.stopword_ratio_from_tokens("__w", "en"),
+    )
+    kept = d.where(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) >= 0.5)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ded = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "source", "lang")
+    )
+    caps = {f"src{i}": 20 for i in range(20)}
+    return sampling.capped_sample(ded, "source", caps, "doc_id", salt="cur")
+
+
+_SQL_CURATION_PIPELINE = f"""
+WITH {_SQL_QM_FEATURES},
+kept AS (
+    SELECT doc_id, source, lang, text FROM qz
+    WHERE 1.0 / (1.0 + exp(-z)) >= 0.5
+), ded AS (
+    SELECT doc_id, source, lang FROM (
+        SELECT doc_id, source, lang,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1
+)
+SELECT doc_id, source, lang FROM (
+    SELECT doc_id, source, lang,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cur') ASC, doc_id ASC
+           ) AS rn
+    FROM ded
+    WHERE source IN ({", ".join(repr(f"src{i}") for i in range(20))})
+) WHERE rn <= 20"""
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2407,6 +2521,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash": q_simhash,
     "q_simhash_near": q_simhash_near,
     "q_text_quality": q_text_quality,
+    "q_quality_model": q_quality_model,
+    "q_curation_pipeline": q_curation_pipeline,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,
     "q_fingerprint": q_fingerprint,
@@ -2462,6 +2578,8 @@ ORACLES: dict[str, str] = {
     "q_simhash": _SQL_SIMHASH,
     "q_simhash_near": _SQL_SIMHASH_NEAR,
     "q_text_quality": _SQL_TEXT_QUALITY,
+    "q_quality_model": _SQL_QUALITY_MODEL,
+    "q_curation_pipeline": _SQL_CURATION_PIPELINE,
     "q_token_count": _SQL_TOKEN_COUNT,
     "q_lang_id": _lang_sql(),
     "q_fingerprint": _SQL_FINGERPRINT,
