@@ -333,6 +333,48 @@ SELECT doc_id, n_chars_calc, n_words, n_distinct_words,
 FROM m"""
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the classic
+    gibberish / encoding-noise / key-mash detector (near-zero entropy =
+    repeated characters, ~log(alphabet) = uniform noise; natural text sits
+    in a narrow band between). One explode + two keyed aggregations;
+    per-char probabilities divide by the document length carried through
+    the explode, so no join back to the source. ln is engine-exact; the
+    cross-char sum gets the epsilon rounding like every float aggregate."""
+    d = _scale_out(_docs(spark, sf_dir).select("doc_id", "text"))
+    chars = d.select(
+        "doc_id",
+        F.length("text").alias("__n"),
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("ch"),
+    )
+    cnt = chars.groupBy("doc_id", "ch").agg(
+        F.first("__n").alias("__n"), F.count(F.lit(1)).alias("c")
+    )
+    p = F.col("c") / F.col("__n")
+    return cnt.groupBy("doc_id").agg(
+        F.first("__n").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        _rnd(-F.sum(p * F.log(p)), 6).alias("char_entropy"),
+    )
+
+
+_SQL_CHAR_ENTROPY = """
+WITH ch AS (
+    SELECT doc_id, length(text) AS n, unnest(string_split(text, '')) AS ch
+    FROM documents
+), cnt AS (
+    SELECT doc_id, ch, any_value(n) AS n, count(*) AS c
+    FROM ch GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       CAST(any_value(n) AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS n_distinct_chars,
+       round(1e-9 + -sum((c / n) * ln(c / n)), 6) AS char_entropy
+FROM cnt GROUP BY doc_id"""
+
+
 def _quality_logit_z(wc, ttr, punct, stop):
     """Pinned-weight logistic logit — written as one chained expression so
     the Spark and DuckDB twins evaluate in the identical IEEE order."""
@@ -2522,6 +2564,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash_near": q_simhash_near,
     "q_text_quality": q_text_quality,
     "q_quality_model": q_quality_model,
+    "q_char_entropy": q_char_entropy,
     "q_curation_pipeline": q_curation_pipeline,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,
@@ -2579,6 +2622,7 @@ ORACLES: dict[str, str] = {
     "q_simhash_near": _SQL_SIMHASH_NEAR,
     "q_text_quality": _SQL_TEXT_QUALITY,
     "q_quality_model": _SQL_QUALITY_MODEL,
+    "q_char_entropy": _SQL_CHAR_ENTROPY,
     "q_curation_pipeline": _SQL_CURATION_PIPELINE,
     "q_token_count": _SQL_TOKEN_COUNT,
     "q_lang_id": _lang_sql(),
