@@ -29,11 +29,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver records CORRECTNESS rows for only the first 50 registry
 # entries per round.  Rotate the window each round so evidence stays
-# fresh: round-3 front-loads the 44 queries whose last driver row is from
-# round 1 (including q_scd2_check / q_decontaminate, whose r1 rows were
-# hash-FAILs later fixed and judge-verified) plus q_kmeans_cells (newly
-# oracled this round).  Queries green in CORRECTNESS_r02.json go last;
-# new round-3 queries land in the middle, inside the 50-slot window.
+# fresh; priority order used in round 3: (1) first evidence for brand-new
+# queries, (2) stale-refresh for queries whose last driver row is round 1
+# (including q_scd2_check / q_decontaminate, whose r1 rows were hash-FAILs
+# later fixed and judge-verified) plus the newly-oracled q_kmeans_cells,
+# (3) r2-green and trivially-stable r1-green queries at the tail.  New
+# queries land in the middle (between FIRST and LAST), inside the window;
+# tests/test_registry.py pins the bookkeeping.
 _CHECK_FIRST = [
     # stale (last driver evidence: round 1)
     "q_scd2_check", "q_decontaminate", "q_interval_join", "q_window_stats",

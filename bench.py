@@ -113,7 +113,9 @@ def main() -> None:
             # decode query)
             gc.collect()
             spark.sparkContext._jvm.System.gc()
-        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        import statistics
+
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -208,8 +208,10 @@ def kmeans_fit_exact(
 
     Overflow headroom: with |x|<1, dim≤64, quant=1000 the largest value any
     double ever holds is dot(s,s) ≤ n²·quant²·dim — exact below 2^53 for
-    cells up to ~40k members.  Beyond that, re-seed the iteration from the
-    rounded means (one extra quantize step) rather than raising quant.
+    cells up to ~11.8k members (n ≤ sqrt(2^53 / (quant²·dim)) ≈ 11,863).
+    Beyond that, re-seed the iteration from the rounded means (one extra
+    quantize step) — or lower quant — rather than letting the sum leave
+    the exact-integer range.
 
     Returns the (centroid_id, ``vec_col``) codebook with integer
     ``array<long>`` coordinates; assign the QUANTIZED corpus against it so

@@ -340,8 +340,16 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a narrow band between). One explode + two keyed aggregations;
     per-char probabilities divide by the document length carried through
     the explode, so no join back to the source. ln is engine-exact; the
-    cross-char sum gets the epsilon rounding like every float aggregate."""
-    d = _scale_out(_docs(spark, sf_dir).select("doc_id", "text"))
+    cross-char sum gets the epsilon rounding like every float aggregate.
+    Empty documents are excluded up front (Spark's sequence(1, 0) steps
+    BACKWARD to [1, 0], which would emit ghost rows; DuckDB's
+    string_split('') takes yet another path — filtering is the only
+    cross-engine-stable semantics)."""
+    d = _scale_out(
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.length("text") > 0)
+    )
     chars = d.select(
         "doc_id",
         F.length("text").alias("__n"),
@@ -364,6 +372,7 @@ _SQL_CHAR_ENTROPY = """
 WITH ch AS (
     SELECT doc_id, length(text) AS n, unnest(string_split(text, '')) AS ch
     FROM documents
+    WHERE length(text) > 0
 ), cnt AS (
     SELECT doc_id, ch, any_value(n) AS n, count(*) AS c
     FROM ch GROUP BY doc_id, ch

@@ -48,17 +48,30 @@ class CommitConflictError(RuntimeError):
 
 
 def _put_if_absent(path: str, payload: str) -> bool:
-    """Atomic create-if-not-exists — the object-store conditional PUT,
-    emulated locally with O_EXCL. Returns False if the key exists."""
+    """Atomic create-if-not-exists with COMPLETE content — the object-store
+    conditional PUT. Locally: write a private temp file, fsync, then
+    ``os.link`` it into place (EEXIST if the key exists). The two-step
+    matters: a bare O_EXCL create + write would let a crash leave an empty
+    ``v{N}.json`` that poisons ``latest_version`` forever, whereas a
+    linked file is complete the instant it becomes visible — matching a
+    conditional PUT, which is all-or-nothing by construction."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        return False
-    with os.fdopen(fd, "w") as f:
-        f.write(payload)
-        f.flush()
-        os.fsync(f.fileno())
-    return True
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
 
 
 class ManifestTable:
@@ -158,17 +171,30 @@ class ManifestTable:
 
     # -- maintenance --------------------------------------------------------
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 1, retention_seconds: float = 86400.0
+    ) -> list[str]:
         """Delete data files unreferenced by the trailing ``keep_versions``
         manifests (and drop older manifests): orphans from crashed writers
-        and overwritten snapshots. Returns the deleted file paths."""
-        import shutil
+        and overwritten snapshots. Returns the deleted file paths.
 
+        ``retention_seconds`` protects IN-FLIGHT writers: a batch younger
+        than the threshold may belong to a live `append`/`overwrite` that
+        has staged its data but not yet committed — deleting it would make
+        the upcoming commit publish dangling files (the reason Delta's
+        VACUUM has a retention period). Size it above the longest write
+        job; tests pass 0 for immediacy."""
+        import shutil
+        import time
+
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
         vs = self._versions()
         keep = vs[-keep_versions:] if vs else []
         live: set[str] = set()
         for v in keep:
             live.update(self._manifest(v)["files"])
+        cutoff = time.time() - retention_seconds
         deleted = []
         for batch in os.listdir(self.data_dir):
             bdir = os.path.join(self.data_dir, batch)
@@ -177,7 +203,11 @@ class ManifestTable:
                 for f in os.listdir(bdir)
                 if f.endswith(".parquet")
             ]
-            if members and not any(m in live for m in members):
+            if (
+                members
+                and not any(m in live for m in members)
+                and os.path.getmtime(bdir) <= cutoff
+            ):
                 deleted.extend(members)
                 shutil.rmtree(bdir)
         for v in vs[: max(0, len(vs) - keep_versions)]:

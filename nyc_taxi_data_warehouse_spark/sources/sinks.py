@@ -108,17 +108,26 @@ class WriterLease:
     Protocol (rename-atomic filesystems, same assumption as
     :func:`atomic_overwrite`):
 
-    - acquire: ``O_CREAT|O_EXCL`` create of ``<path>.__lease`` holding
-      ``{token, owner, pid, expires_at}`` — atomic, exactly one creator
-      wins.  A loser whose rival's lease is still live raises
-      :class:`LeaseHeldError` cleanly, having touched nothing.
+    - acquire: the lease payload ``{token, owner, pid, expires_at}`` is
+      written to a private temp file and published with ``os.link`` —
+      link fails with EEXIST if the lease exists, so creation is atomic
+      AND the file is complete the instant it is visible (a crash can
+      never leave an empty/corrupt lease that wedges the table).  A loser
+      whose rival's lease is still live raises :class:`LeaseHeldError`
+      cleanly, having touched nothing.
     - stale takeover: a lease past ``expires_at`` (writer crashed mid-swap)
-      is broken by renaming it aside — rename is atomic, so of N racing
-      takeover attempts exactly one wins and the rest loop back to a fresh
-      acquire attempt.
-    - release: unlink only if the file still carries OUR token (we may have
-      been timed out and taken over while paused — then the lease is no
-      longer ours to remove).
+      is broken under a short-lived BREAKER lock (``.__lease.breaker``,
+      same link-create protocol): the breaker holder re-reads the lease,
+      verifies it is STILL the same expired lease it first observed, and
+      only then removes it.  Serializing takeovers closes the classic
+      TOCTOU where two breakers both judge the lease stale and the slower
+      one destroys the faster one's freshly-acquired LIVE lease.  An
+      unparseable lease (should be impossible under link-create; covers
+      manual tampering) is treated as expired.
+    - release: also under the breaker lock — re-read, unlink only if the
+      file still carries OUR token (we may have been timed out and taken
+      over while paused).  The breaker serialization means no takeover can
+      interleave between the read and the unlink.
 
     TTL is a liveness/correctness trade: it must exceed the longest
     stage-write + rename window or a slow writer can be usurped mid-swap.
@@ -137,65 +146,154 @@ class WriterLease:
         self.token = uuid.uuid4().hex
         self._held = False
 
-    def _read(self) -> dict | None:
+    _MISSING = object()  # file absent (vs present-but-unparseable → None)
+
+    def _read(self, path: str | None = None):
+        """Parsed lease dict, ``None`` if present-but-unparseable,
+        ``_MISSING`` if absent."""
         import json
 
         try:
-            with open(self.lock_path) as f:
+            with open(path or self.lock_path) as f:
                 return json.load(f)
-        except (FileNotFoundError, ValueError):
+        except FileNotFoundError:
+            return self._MISSING
+        except ValueError:
             return None
 
-    def acquire(self) -> "WriterLease":
+    @staticmethod
+    def _link_create(path: str, payload: str) -> bool:
+        """Atomic create-if-absent with COMPLETE content: write a private
+        temp file, fsync, then `os.link` it into place (fails with EEXIST
+        if present). A crash can never leave a partial file at `path`."""
+        import os
+        import uuid
+
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, path)
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+
+    def _payload(self) -> str:
         import json
         import os
         import time
 
+        return json.dumps(
+            {
+                "token": self.token,
+                "owner": self.owner,
+                "pid": os.getpid(),
+                "expires_at": time.time() + self.ttl,
+            }
+        )
+
+    def _with_breaker(self, fn):
+        """Run `fn` holding the takeover-serialization (breaker) lock.
+        The breaker has its own short TTL so a crashed breaker can't wedge
+        takeovers; it is itself removed by expiry-then-unlink (a benign
+        unlink race: both racers observe expiry, the second unlink ENOENTs,
+        and link-create picks exactly one next breaker)."""
+        import json
+        import os
+        import time
+
+        breaker = self.lock_path + ".breaker"
+        deadline = time.time() + max(self.ttl, 30.0)
         while True:
-            try:
-                fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                cur = self._read()
-                if cur is None:
-                    continue  # holder released between our open and read
-                if cur.get("expires_at", 0) > time.time():
-                    raise LeaseHeldError(
-                        f"{self.lock_path} held by {cur.get('owner')} "
-                        f"until {cur.get('expires_at')}"
-                    )
-                # stale: break it by renaming aside — atomic, one winner
-                try:
-                    os.rename(self.lock_path, self.lock_path + "." + self.token)
-                    os.unlink(self.lock_path + "." + self.token)
-                except FileNotFoundError:
-                    pass  # a rival takeover won; loop and re-try acquire
+            if self._link_create(
+                breaker,
+                json.dumps({"owner": self.owner, "expires_at": time.time() + 30.0}),
+            ):
+                break
+            cur = self._read(breaker)
+            if cur is self._MISSING:
                 continue
-            with os.fdopen(fd, "w") as f:
-                json.dump(
-                    {
-                        "token": self.token,
-                        "owner": self.owner,
-                        "pid": os.getpid(),
-                        "expires_at": time.time() + self.ttl,
-                    },
-                    f,
+            if cur is None or cur.get("expires_at", 0) <= time.time():
+                try:
+                    os.unlink(breaker)
+                except FileNotFoundError:
+                    pass
+                continue
+            if time.time() > deadline:
+                raise LeaseHeldError(f"breaker lock wedged on {breaker}")
+            time.sleep(0.01)
+        try:
+            return fn()
+        finally:
+            try:
+                os.unlink(breaker)
+            except FileNotFoundError:
+                pass
+
+    def acquire(self) -> "WriterLease":
+        import os
+        import time
+
+        while True:
+            if self._link_create(self.lock_path, self._payload()):
+                self._held = True
+                return self
+            first = self._read()
+            if first is self._MISSING:
+                time.sleep(0.005)  # holder released mid-look; retry
+                continue
+            # unparseable (None) is treated as expired — impossible under
+            # link-create, covers manual tampering
+            if first is not None and first.get("expires_at", 0) > time.time():
+                raise LeaseHeldError(
+                    f"{self.lock_path} held by {first.get('owner')} "
+                    f"until {first.get('expires_at')}"
                 )
-                f.flush()
-                os.fsync(f.fileno())
-            self._held = True
-            return self
+
+            def _break():
+                cur = self._read()
+                # only remove if STILL the exact expired lease we judged:
+                # a rival takeover + fresh live lease must survive us
+                if cur is not self._MISSING and (
+                    cur is None
+                    or (
+                        cur.get("token") == (first or {}).get("token")
+                        and cur.get("expires_at", 0) <= time.time()
+                    )
+                ):
+                    try:
+                        os.unlink(self.lock_path)
+                    except FileNotFoundError:
+                        pass
+
+            self._with_breaker(_break)
 
     def release(self) -> None:
         import os
 
         if not self._held:
             return
-        cur = self._read()
-        if cur is not None and cur.get("token") == self.token:
-            try:
-                os.unlink(self.lock_path)
-            except FileNotFoundError:
-                pass
+
+        def _unlink_if_ours():
+            cur = self._read()
+            if cur is not self._MISSING and cur is not None and (
+                cur.get("token") == self.token
+            ):
+                try:
+                    os.unlink(self.lock_path)
+                except FileNotFoundError:
+                    pass
+
+        self._with_breaker(_unlink_if_ours)
         self._held = False
 
     def __enter__(self) -> "WriterLease":

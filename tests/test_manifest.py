@@ -83,6 +83,51 @@ def test_threaded_appends_all_land(spark, tmp_path):
     assert _ids(t.read(spark)) == list(range(40))
 
 
+def test_commit_conflict_exhaustion_raises(spark, tmp_path):
+    """A committer that keeps losing the put-if-absent race fails loudly
+    with CommitConflictError instead of spinning forever."""
+    t = M.ManifestTable(str(tmp_path / "t"), max_retries=2)
+    t.overwrite(spark.range(3))
+    files = t._write_batch(spark.range(3, 6))
+
+    def always_lose(base):
+        # simulate a rival winning every observed head: pre-take the slot
+        M._put_if_absent(
+            os.path.join(t.commits_dir, f"v{t.latest_version() + 1}.json"),
+            '{"version": -1, "op": "rival", "files": []}',
+        )
+        return base + files
+
+    with pytest.raises(M.CommitConflictError):
+        t._commit(always_lose, "append")
+
+
+def test_read_of_vacuumed_version_raises(spark, tmp_path):
+    t = M.ManifestTable(str(tmp_path / "t"))
+    t.overwrite(spark.range(3))
+    t.overwrite(spark.range(5))
+    t.vacuum(keep_versions=1, retention_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=0)
+    assert _ids(t.read(spark)) == list(range(5))
+
+
+def test_vacuum_retention_protects_inflight_batches(spark, tmp_path):
+    """A freshly-staged batch (a live writer between _write_batch and
+    _commit) survives vacuum under the default retention window, so the
+    writer's upcoming commit can't publish dangling files; keep_versions=0
+    is rejected (Python's vs[-0:] slice would silently keep everything
+    while deleting every manifest)."""
+    t = M.ManifestTable(str(tmp_path / "t"))
+    t.overwrite(spark.range(5))
+    staged = t._write_batch(spark.range(50, 60))  # in-flight writer
+    assert t.vacuum(keep_versions=1) == []  # default retention: kept
+    assert t._commit(lambda base: base + staged, "append") == 1
+    assert _ids(t.read(spark)) == list(range(5)) + list(range(50, 60))
+    with pytest.raises(ValueError):
+        t.vacuum(keep_versions=0)
+
+
 def test_crashed_writer_orphans_invisible_and_vacuumed(spark, tmp_path):
     """A writer that staged data but died before committing leaves orphan
     files: readers never see them, vacuum reclaims them — and vacuum keeps
@@ -93,14 +138,14 @@ def test_crashed_writer_orphans_invisible_and_vacuumed(spark, tmp_path):
     assert _ids(t.read(spark)) == list(range(5))  # reader snapshot clean
 
     live_before = set(t.files())
-    deleted = t.vacuum(keep_versions=1)
+    deleted = t.vacuum(keep_versions=1, retention_seconds=0)
     assert deleted  # the orphan batch went away
     assert not live_before & set(deleted)  # live snapshot untouched
     assert _ids(t.read(spark)) == list(range(5))
 
     # old snapshots beyond the retention window are reclaimed too
     t.overwrite(spark.range(3))
-    t.vacuum(keep_versions=1)
+    t.vacuum(keep_versions=1, retention_seconds=0)
     with pytest.raises(FileNotFoundError):
         t._manifest(0)
     assert _ids(t.read(spark)) == list(range(3))

@@ -224,6 +224,22 @@ def test_stale_lease_takeover_after_crash(spark, tmp_path):
     live.release()
 
 
+def test_corrupt_empty_lease_file_is_taken_over_not_spun_on(tmp_path):
+    """A zero-byte/garbage lease file (crashed writer under the OLD
+    non-atomic protocol, or manual tampering) must not wedge acquisition:
+    it is treated as expired and broken via the serialized takeover."""
+    from nyc_taxi_data_warehouse_spark.sources import sinks as S
+
+    path = str(tmp_path / "t")
+    with open(path + S._LEASE_SUFFIX, "w") as f:
+        f.write("")  # present but unparseable
+    lease = S.WriterLease(path, owner="w").acquire()  # must not spin
+    assert S.WriterLease(path)._read()["token"] == lease.token
+    lease.release()
+    import os
+    assert not os.path.exists(path + S._LEASE_SUFFIX)
+
+
 def test_recovery_refuses_while_writer_lease_live(spark, tmp_path):
     """recover_atomic_overwrite must not judge a LIVE writer's in-flight
     stage/gc images: it takes the same lease and raises while held."""
