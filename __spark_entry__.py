@@ -47,17 +47,17 @@ _CHECK_FIRST = [
     "q_frame_sample", "q_top_terms", "q_edit_distance", "q_lm_score",
     "q_array_ops", "q_text_scrub", "q_sample_hash", "q_sample_stratified",
     "q_percentiles",
-    "q_distinct_hours", "q_minmax", "q_top1", "q_union_summary", "q_pivot",
+    "q_distinct_hours", "q_top1", "q_union_summary", "q_pivot",
     "q_rollup", "q_lag_ma", "q_precip_day",
     # rows-only in r2; carries a real oracle as of round 3
     "q_kmeans_cells",
     # brand-new in round 3 (no driver evidence yet) — first evidence beats
-    # re-freshening r1-green trivial queries, so four of those
-    # (q_project/q_limit/q_dropna/q_semi_join) moved to the tail
+    # re-freshening r1-green trivial queries, so five of those (q_project/
+    # q_limit/q_dropna/q_semi_join/q_minmax) moved to the tail
     "q_quality_model", "q_curation_pipeline",
 ]
 _CHECK_LAST = [
-    "q_project", "q_limit", "q_dropna", "q_semi_join",
+    "q_project", "q_limit", "q_dropna", "q_semi_join", "q_minmax",
     # driver-green in CORRECTNESS_r02.json; round-2 evidence stands
     "q_minhash_lsh", "q_ngram_jaccard", "q_simhash", "q_simhash_near",
     "q_text_quality", "q_token_count", "q_lang_id", "q_fingerprint",

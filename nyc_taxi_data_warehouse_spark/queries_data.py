@@ -333,6 +333,52 @@ SELECT doc_id, n_chars_calc, n_words, n_distinct_words,
 FROM m"""
 
 
+_PROFILE_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+]
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column-profiling report over the fact table — the
+    profile-before-ingest tool (dbt's `describe`, Deequ's profiler): per
+    numeric column its null count, exact distinct count, min, and max,
+    unpivoted to one row per column via `stack`.
+
+    Exact distincts keep the oracle exact; they cost Spark one Expand
+    (|cols|× row multiplication before partial agg). At 100 TB swap
+    `count_distinct` for `approx_count_distinct` (HyperLogLog++, verified
+    in tests/test_sketches.py) — the report shape is unchanged."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"n_{c}"),
+            F.count_distinct(F.col(c)).alias(f"d_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
+        ]
+    row = li.agg(*aggs)
+    pairs = ", ".join(
+        f"'{c}', n_{c}, d_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return row.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {pairs})"
+        " as (column_name, n_nulls, n_distinct, min_value, max_value)"
+    )
+
+
+_SQL_PROFILE_COLUMNS = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS DOUBLE) AS min_value,
+       CAST(max({c}) AS DOUBLE) AS max_value
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution Shannon entropy per document — the classic
     gibberish / encoding-noise / key-mash detector (near-zero entropy =
@@ -2574,6 +2620,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_quality": q_text_quality,
     "q_quality_model": q_quality_model,
     "q_char_entropy": q_char_entropy,
+    "q_profile_columns": q_profile_columns,
     "q_curation_pipeline": q_curation_pipeline,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,
@@ -2632,6 +2679,7 @@ ORACLES: dict[str, str] = {
     "q_text_quality": _SQL_TEXT_QUALITY,
     "q_quality_model": _SQL_QUALITY_MODEL,
     "q_char_entropy": _SQL_CHAR_ENTROPY,
+    "q_profile_columns": _SQL_PROFILE_COLUMNS,
     "q_curation_pipeline": _SQL_CURATION_PIPELINE,
     "q_token_count": _SQL_TOKEN_COUNT,
     "q_lang_id": _lang_sql(),
