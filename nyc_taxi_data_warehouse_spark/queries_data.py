@@ -926,9 +926,11 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Set SPARK_GRAFT_CC_SPILL=1 to route the edge set through a one-shot
     parquet spill (low-variance benchmark mode) instead of
-    localCheckpoint; results are identical."""
+    localCheckpoint; results are identical. The spill lives in ONE fixed
+    per-process dir, overwritten on each invocation and removed at
+    interpreter exit — repeated bench runs reuse it instead of leaking a
+    fresh materialized edge set into /tmp per run."""
     import os
-    import tempfile
 
     corpus = _text_corpus(_docs(spark, sf_dir))
     sh = dedup.shingle_rows(corpus)
@@ -938,13 +940,33 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once (localCheckpoint or parquet spill), so the LSH DAG above is
     # computed exactly once
     spill = (
-        tempfile.mkdtemp(prefix="cc_spill_")
+        _cc_spill_dir()
         if os.environ.get("SPARK_GRAFT_CC_SPILL") == "1"
         else None
     )
     return dedup.connected_components(
         pairs, corpus.select("doc_id"), spill_dir=spill
     )
+
+
+_CC_SPILL_DIR: list[str] = []
+
+
+def _cc_spill_dir() -> str:
+    """Fixed per-process spill dir for q_dedup_cluster, registered for
+    removal at exit (the parquet write inside connected_components uses
+    mode=overwrite, so re-invocations reuse the same path)."""
+    if not _CC_SPILL_DIR:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        d = os.path.join(tempfile.gettempdir(), f"spark_graft_cc_spill_{os.getpid()}")
+        os.makedirs(d, exist_ok=True)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _CC_SPILL_DIR.append(d)
+    return _CC_SPILL_DIR[0]
 
 
 _SQL_DEDUP_CLUSTER = (

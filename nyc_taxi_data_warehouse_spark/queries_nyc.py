@@ -1231,8 +1231,13 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = weather_stream.read_weather_stream(spark, src)
     agg = weather_stream.hourly_weather_stream(stream)
     q = weather_stream.run_available_now(agg, name)
-    q.awaitTermination(300)
+    drained = q.awaitTermination(300)
     q.stop()
+    if not drained:
+        raise RuntimeError(
+            "q_stream_hourly: availableNow drain timed out after 300s — "
+            "refusing to compare a partially-filled sink against the oracle"
+        )
     return spark.table(name).select(
         "observation_hour",
         "city",
@@ -1277,8 +1282,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, ["obs_id"], "observed_at", delay="3650 days"
     )
     q = weather_stream.run_available_now(ded, name, output_mode="append")
-    q.awaitTermination(300)
+    drained = q.awaitTermination(300)
     q.stop()
+    if not drained:
+        raise RuntimeError(
+            "q_stream_dedup: availableNow drain timed out after 300s — "
+            "refusing to compare a partially-filled sink against the oracle"
+        )
     return spark.table(name).select(
         "obs_id", "observed_at", "city", "temp_f", "weather_desc",
         "humidity_pct",

@@ -105,11 +105,29 @@ class ManifestTable:
             return json.load(f)
 
     def files(self, version: int | None = None) -> list[str]:
-        """The immutable file list of a committed snapshot."""
-        v = self.latest_version() if version is None else version
-        if v < 0:
-            return []
-        return self._manifest(v)["files"]
+        """The immutable file list of a committed snapshot.
+
+        Head reads (``version=None``) re-resolve on FileNotFoundError: a
+        concurrent ``vacuum`` may delete the manifest between the listing
+        and the read, in which case a NEWER manifest necessarily exists
+        (vacuum keeps the trailing ``keep_versions``) — retry against it
+        instead of surfacing a spurious crash. An explicitly requested
+        version that was vacuumed is a genuine error and propagates."""
+        if version is not None:
+            if version < 0:
+                return []
+            return self._manifest(version)["files"]
+        last_err: FileNotFoundError | None = None
+        for _ in range(self.max_retries):
+            v = self.latest_version()
+            if v < 0:
+                return []
+            try:
+                return self._manifest(v)["files"]
+            except FileNotFoundError as e:  # vacuumed under us; head moved on
+                last_err = e
+                continue
+        raise last_err
 
     # -- read ---------------------------------------------------------------
 
@@ -141,7 +159,14 @@ class ManifestTable:
         concurrent appends compose instead of clobbering."""
         for attempt in range(self.max_retries):
             base_version = self.latest_version()
-            base = self.files(base_version) if base_version >= 0 else []
+            try:
+                base = self.files(base_version) if base_version >= 0 else []
+            except FileNotFoundError:
+                # a concurrent vacuum deleted the base manifest between the
+                # head listing and the read — the head has necessarily moved
+                # on; re-resolve and retry instead of crashing the committer
+                time.sleep(0.01 * (attempt + 1))
+                continue
             payload = json.dumps(
                 {
                     "version": base_version + 1,
@@ -182,8 +207,13 @@ class ManifestTable:
         than the threshold may belong to a live `append`/`overwrite` that
         has staged its data but not yet committed — deleting it would make
         the upcoming commit publish dangling files (the reason Delta's
-        VACUUM has a retention period). Size it above the longest write
-        job; tests pass 0 for immediacy."""
+        VACUUM has a retention period). The same gate applies to MANIFEST
+        deletion: a committer/reader that resolved the head just before
+        this vacuum may still be about to read an old manifest, so only
+        manifests older than the retention window are dropped (they retry
+        against the new head regardless — see :meth:`files` — but the gate
+        keeps the common path collision-free). Size it above the longest
+        write job; tests pass 0 for immediacy."""
         import shutil
         import time
 
@@ -211,5 +241,7 @@ class ManifestTable:
                 deleted.extend(members)
                 shutil.rmtree(bdir)
         for v in vs[: max(0, len(vs) - keep_versions)]:
-            os.unlink(os.path.join(self.commits_dir, f"v{v}.json"))
+            mpath = os.path.join(self.commits_dir, f"v{v}.json")
+            if os.path.getmtime(mpath) <= cutoff:
+                os.unlink(mpath)
         return sorted(deleted)

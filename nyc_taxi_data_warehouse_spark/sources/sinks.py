@@ -210,13 +210,21 @@ class WriterLease:
         import json
         import os
         import time
+        import uuid
 
         breaker = self.lock_path + ".breaker"
+        btoken = uuid.uuid4().hex
         deadline = time.time() + max(self.ttl, 30.0)
         while True:
             if self._link_create(
                 breaker,
-                json.dumps({"owner": self.owner, "expires_at": time.time() + 30.0}),
+                json.dumps(
+                    {
+                        "owner": self.owner,
+                        "token": btoken,
+                        "expires_at": time.time() + 30.0,
+                    }
+                ),
             ):
                 break
             cur = self._read(breaker)
@@ -234,10 +242,19 @@ class WriterLease:
         try:
             return fn()
         finally:
-            try:
-                os.unlink(breaker)
-            except FileNotFoundError:
-                pass
+            # unlink only if the breaker still carries OUR token: if fn (or
+            # the host) stalled past the 30s breaker expiry, a rival broke
+            # and re-created it, and an unconditional unlink here would
+            # destroy the rival's LIVE breaker — the same takeover race the
+            # lease release() guards against.
+            cur = self._read(breaker)
+            if cur is not self._MISSING and cur is not None and (
+                cur.get("token") == btoken
+            ):
+                try:
+                    os.unlink(breaker)
+                except FileNotFoundError:
+                    pass
 
     def acquire(self) -> "WriterLease":
         import os
@@ -296,6 +313,33 @@ class WriterLease:
         self._with_breaker(_unlink_if_ours)
         self._held = False
 
+    def renew(self) -> None:
+        """Heartbeat: re-verify ownership and push ``expires_at`` out by a
+        fresh TTL. Runs under the breaker lock so no stale-takeover can
+        interleave between the ownership check and the rewrite. Raises
+        :class:`LeaseHeldError` if the lease no longer carries our token
+        (we stalled past TTL and were usurped) — the caller must NOT
+        proceed with its commit."""
+        import os
+        import uuid
+
+        def _renew():
+            cur = self._read()
+            if cur is self._MISSING or cur is None or cur.get("token") != self.token:
+                self._held = False
+                owner = None if cur in (None, self._MISSING) else cur.get("owner")
+                raise LeaseHeldError(
+                    f"{self.lock_path}: lease lost (now held by {owner!r})"
+                )
+            tmp = f"{self.lock_path}.renew.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(self._payload())
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, self.lock_path)  # atomic replace, still under breaker
+
+        self._with_breaker(_renew)
+
     def __enter__(self) -> "WriterLease":
         return self.acquire()
 
@@ -337,9 +381,16 @@ def atomic_overwrite(
     anything, so racing jobs can never interleave their renames and
     last-rename-wins data loss cannot occur. A writer that dies holding
     the lease leaves a stale file the next writer takes over after TTL.
+    A heartbeat thread renews the lease every TTL/3 during the stage
+    write, and ownership is re-verified (with a fresh TTL) immediately
+    before the rename swap — a stage write that outlasts the original TTL
+    therefore either keeps the lease alive or aborts with
+    :class:`LeaseHeldError` BEFORE touching the live table, instead of
+    silently interleaving renames with the usurper.
     """
     import os
     import shutil
+    import threading
 
     lease = (
         WriterLease(path, owner=owner, ttl_seconds=lease_ttl).acquire()
@@ -350,11 +401,35 @@ def atomic_overwrite(
         stage, gc = path + _STAGE_SUFFIX, path + _GC_SUFFIX
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(gc, ignore_errors=True)
+        hb_stop, hb_lost, hb = threading.Event(), [], None
+        if lease is not None:
+
+            def _beat():
+                while not hb_stop.wait(lease.ttl / 3.0):
+                    try:
+                        lease.renew()
+                    except LeaseHeldError as e:
+                        hb_lost.append(e)
+                        return
+
+            hb = threading.Thread(target=_beat, daemon=True)
+            hb.start()
         try:
             df.write.mode("overwrite").parquet(stage)
         except Exception:
-            shutil.rmtree(stage, ignore_errors=True)
+            # don't touch the stage dir if the lease was usurped — the new
+            # holder may already be writing its own image there
+            if not hb_lost:
+                shutil.rmtree(stage, ignore_errors=True)
             raise
+        finally:
+            hb_stop.set()
+            if hb is not None:
+                hb.join(timeout=5.0)
+        if lease is not None:
+            if hb_lost:
+                raise hb_lost[0]
+            lease.renew()  # re-verify ownership; fresh TTL covers the renames
         if not os.path.exists(os.path.join(stage, "_SUCCESS")):
             shutil.rmtree(stage, ignore_errors=True)
             raise RuntimeError(f"stage write of {path} finished without _SUCCESS")

@@ -149,3 +149,67 @@ def test_crashed_writer_orphans_invisible_and_vacuumed(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         t._manifest(0)
     assert _ids(t.read(spark)) == list(range(3))
+
+
+def test_commit_retries_when_base_manifest_vacuumed_under_it(spark, tmp_path):
+    """A concurrent vacuum deleting the base manifest between the head
+    listing and the base-file read must not crash the committer — it
+    re-resolves the head and retries."""
+    t = M.ManifestTable(str(tmp_path / "t"))
+    t.overwrite(spark.range(3))
+    t.overwrite(spark.range(5))
+
+    calls = {"n": 0}
+    orig_files = t.files
+
+    def racy_files(version=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # simulate: vacuum deletes the base manifest right after the
+            # committer listed it as head
+            raise FileNotFoundError("v-file vacuumed between list and read")
+        return orig_files(version)
+
+    t.files = racy_files
+    new = t._write_batch(spark.range(50, 53))
+    v = t._commit(lambda base: base + new, "append")
+    t.files = orig_files
+    assert v == 2
+    assert _ids(t.read(spark)) == list(range(5)) + list(range(50, 53))
+
+
+def test_head_read_retries_past_vacuumed_manifest(spark, tmp_path):
+    """A reader that resolved the head just before vacuum deleted it
+    re-resolves against the new head instead of crashing."""
+    t = M.ManifestTable(str(tmp_path / "t"))
+    t.overwrite(spark.range(3))
+    t.overwrite(spark.range(7))
+
+    calls = {"n": 0}
+    orig = t._manifest
+
+    def racy_manifest(version):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FileNotFoundError(f"v{version}.json vacuumed under reader")
+        return orig(version)
+
+    t._manifest = racy_manifest
+    assert _ids(t.read(spark)) == list(range(7))
+    assert calls["n"] >= 2  # actually exercised the retry
+
+
+def test_vacuum_retention_gates_manifest_deletion(spark, tmp_path):
+    """Old manifests inside the retention window survive vacuum (a
+    committer may still be about to read them); past the window they go."""
+    import pytest
+
+    t = M.ManifestTable(str(tmp_path / "t"))
+    t.overwrite(spark.range(3))
+    t.overwrite(spark.range(5))
+    t.vacuum(keep_versions=1)  # default retention: v0 manifest kept
+    assert _ids(t.read(spark, version=0)) == list(range(3))  # time travel OK
+    t.vacuum(keep_versions=1, retention_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        t._manifest(0)
+    assert _ids(t.read(spark)) == list(range(5))

@@ -320,3 +320,134 @@ def test_schema_evolution_read_unions_old_and_new_files(spark, tmp_path):
     # plain read of a single old file must NOT see the new column
     n_null = got.where(F.col("quality").isNull()).count()
     assert n_null == 2
+
+
+# --- lease renew / heartbeat (usurpation detection) --------------------------
+
+def test_lease_renew_extends_ttl_and_detects_usurpation(tmp_path):
+    """renew() pushes expires_at out while the lease is ours, and raises
+    LeaseHeldError once the lease carries someone else's token."""
+    import time
+
+    import pytest
+
+    from nyc_taxi_data_warehouse_spark.sources import sinks as S
+
+    path = str(tmp_path / "t")
+    a = S.WriterLease(path, owner="a", ttl_seconds=0.4).acquire()
+    time.sleep(0.25)
+    a.renew()  # still ours: extends
+    time.sleep(0.25)  # 0.5s since acquire — past the ORIGINAL expiry
+    with pytest.raises(S.LeaseHeldError):
+        S.WriterLease(path, owner="b", ttl_seconds=0.4).acquire()
+
+    time.sleep(0.5)  # now the renewed TTL lapses too
+    b = S.WriterLease(path, owner="b", ttl_seconds=30).acquire()  # takeover
+    with pytest.raises(S.LeaseHeldError):
+        a.renew()  # usurped: must refuse, and must NOT touch b's lease
+    assert S.WriterLease(path)._read()["token"] == b.token
+    a.release()  # no-op on b's lease either
+    assert S.WriterLease(path)._read()["token"] == b.token
+    b.release()
+
+
+def test_atomic_overwrite_aborts_if_lease_stolen_mid_write(spark, tmp_path):
+    """The pre-rename re-verify: if the lease stops being ours during the
+    stage write (here: forcibly stolen), atomic_overwrite must raise
+    LeaseHeldError and leave the live table untouched — never interleave
+    its renames with the new holder's."""
+    import os
+    import threading
+    import time
+
+    import pytest
+
+    from nyc_taxi_data_warehouse_spark.sources import sinks as S
+
+    path = str(tmp_path / "fact")
+    spark.range(5).write.parquet(path)
+
+    def steal():
+        time.sleep(1.0)  # mid-stage-write
+        os.unlink(path + S._LEASE_SUFFIX)  # simulate operator tampering
+        S.WriterLease(path, owner="rival", ttl_seconds=600).acquire()
+
+    @F.udf("long")
+    def slow(x):
+        time.sleep(3.0)
+        return x
+
+    thief = threading.Thread(target=steal)
+    thief.start()
+    with pytest.raises(S.LeaseHeldError):
+        S.atomic_overwrite(
+            spark.range(3).select(slow("id").alias("id")), path, lease_ttl=600.0
+        )
+    thief.join()
+    assert _ids(spark, path) == list(range(5))  # live table untouched
+
+
+def test_heartbeat_keeps_slow_write_alive_past_ttl(spark, tmp_path):
+    """A stage write LONGER than the lease TTL: the heartbeat renews the
+    lease, so a rival probing after the original TTL stays blocked and the
+    slow writer commits — the silent-takeover window is closed."""
+    import threading
+    import time
+
+    from nyc_taxi_data_warehouse_spark.sources import sinks as S
+
+    path = str(tmp_path / "fact")
+    spark.range(5).write.parquet(path)
+    rival_outcome = []
+
+    def rival():
+        time.sleep(1.5)  # well past the 1.0s TTL, write still running
+        try:
+            S.WriterLease(path, owner="rival", ttl_seconds=30).acquire()
+            rival_outcome.append("acquired")
+        except S.LeaseHeldError:
+            rival_outcome.append("blocked")
+
+    @F.udf("long")
+    def slow(x):
+        time.sleep(3.0)
+        return x
+
+    t = threading.Thread(target=rival)
+    t.start()
+    S.atomic_overwrite(
+        spark.range(9).select(slow("id").alias("id")), path, lease_ttl=1.0
+    )
+    t.join()
+    assert rival_outcome == ["blocked"]
+    assert _ids(spark, path) == list(range(9))
+
+
+def test_breaker_unlink_spares_rival_after_expiry_takeover(tmp_path):
+    """If the breaker holder stalls past the breaker TTL and a rival breaks
+    and re-creates it, the stalled holder's cleanup must NOT unlink the
+    rival's live breaker (token-guarded unlink)."""
+    import json
+    import os
+    import time
+
+    from nyc_taxi_data_warehouse_spark.sources import sinks as S
+
+    path = str(tmp_path / "t")
+    lease = S.WriterLease(path, owner="w")
+    breaker = lease.lock_path + ".breaker"
+
+    def stall_and_get_replaced():
+        # simulate: our breaker expired and a rival replaced it while we ran
+        os.unlink(breaker)
+        with open(breaker, "w") as f:
+            json.dump(
+                {"owner": "rival", "token": "rival-token",
+                 "expires_at": time.time() + 30.0},
+                f,
+            )
+
+    lease._with_breaker(stall_and_get_replaced)
+    with open(breaker) as f:
+        assert json.load(f)["token"] == "rival-token"  # rival survived
+    os.unlink(breaker)
