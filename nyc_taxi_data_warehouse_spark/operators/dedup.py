@@ -12,10 +12,15 @@ Scale design:
 - shingling explodes to one row per (doc, shingle): linear in corpus size,
   hash-partitioned by shingle for the candidate join.
 - LSH banding turns the quadratic all-pairs problem into an equi-join on
-  (band, band_hash) — the classic shuffle-friendly formulation; hot buckets
-  (boilerplate shingles) are the skew risk, handled by AQE skew-join.
-- SimHash reduces each doc to one integer; near-dup detection becomes a
-  bucket equi-join + cheap bit_count filter.
+  (band, band_hash) — the classic shuffle-friendly formulation. Hot buckets
+  (boilerplate shingles) are the skew risk: AQE skew-join splits the
+  shuffle partitions, but only the ``max_bucket`` cap bounds the
+  O(|bucket|²) candidate-pair count itself — buckets above the cap are
+  boilerplate by construction and are dropped (with the drop observable
+  via :func:`lsh_hot_buckets`).
+- SimHash reduces each doc to one 64-bit integer; near-dup detection is
+  the Manku 4×16-bit band equi-join + cheap bit_count filter, with the
+  same hot-bucket cap.
 """
 
 from __future__ import annotations
@@ -78,9 +83,53 @@ def lsh_bands(
     ).select(id_col, F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct candidate pairs sharing any LSH band bucket (a < b)."""
-    a, b = bands.alias("a"), bands.alias("b")
+DEFAULT_MAX_BUCKET = 1000
+
+
+def _cap_buckets(bands: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop band buckets holding more than ``max_bucket`` rows before a
+    pair-emitting join. A bucket of size m emits O(m²) candidate pairs —
+    AQE skew-join can split the shuffle partitions of a hot bucket, but
+    nothing short of dropping (or sampling) the bucket reduces the pair
+    count itself. Over-cap buckets are boilerplate by definition (m docs
+    sharing a band signature means m docs sharing shingles — the same
+    mass `q_boilerplate` surfaces); :func:`lsh_hot_buckets` makes the
+    drop observable as a diagnostic."""
+    if max_bucket is None:
+        return bands
+    sizes = bands.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("__n"))
+    return bands.join(
+        sizes.where(F.col("__n") <= max_bucket), ["band", "bh"]
+    ).drop("__n")
+
+
+def lsh_hot_buckets(
+    bands: DataFrame, max_bucket: int = DEFAULT_MAX_BUCKET
+) -> DataFrame:
+    """Diagnostic: the band buckets the cap would drop, with their sizes —
+    run alongside a capped dedup pass to quantify (and audit) what was
+    skipped; feed the member docs to the boilerplate report for triage."""
+    return (
+        bands.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .where(F.col("bucket_size") > max_bucket)
+    )
+
+
+def lsh_candidate_pairs(
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Distinct candidate pairs sharing any LSH band bucket (a < b).
+
+    ``max_bucket`` caps per-bucket occupancy (see :func:`_cap_buckets`):
+    without it one boilerplate bucket of 10⁶ docs emits 5·10¹¹ pairs and
+    the job never finishes at corpus scale. A true near-dup pair dropped
+    with a hot bucket is still found via any of its other bands that
+    land in sane buckets. ``None`` disables."""
+    capped = _cap_buckets(bands, max_bucket)
+    a, b = capped.alias("a"), capped.alias("b")
     return (
         a.join(
             b,
@@ -96,7 +145,10 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def lsh_cross_candidates(
-    bands_left: DataFrame, bands_right: DataFrame, id_col: str = "doc_id"
+    bands_left: DataFrame,
+    bands_right: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Cross-corpus LSH candidates: (left, right) pairs whose signatures
     collide in ANY band — the near-dup decontamination shape (train ×
@@ -104,9 +156,23 @@ def lsh_cross_candidates(
     shape. A plain equi-join on (band, band_hash): Catalyst shuffles both
     sides on the bucket key, so cost is O(co-bucketed pairs), never
     |train| × |eval|; no a < b filter because the corpora are distinct
-    id spaces."""
+    id spaces.
+
+    ``max_bucket`` caps COMBINED (left+right) bucket occupancy — a bucket
+    with l left and r right members emits l·r pairs, so the cap bounds
+    the cross product the same way it bounds the self-join square."""
     a = bands_left.select(F.col(id_col).alias("left_id"), "band", "bh")
     b = bands_right.select(F.col(id_col).alias("right_id"), "band", "bh")
+    if max_bucket is not None:
+        occupancy = (
+            a.select("band", "bh")
+            .unionByName(b.select("band", "bh"))
+            .groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        kept = occupancy.where(F.col("__n") <= max_bucket).drop("__n")
+        a = a.join(kept, ["band", "bh"])
+        b = b.join(kept, ["band", "bh"])
     return a.join(b, ["band", "bh"]).select("left_id", "right_id").distinct()
 
 
@@ -241,16 +307,40 @@ def connected_components(
     )
 
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16
 _HEX = "0123456789abcdef"
+# bit 63 can't enter a BIGINT as the literal 2^63 — set it as the two's-
+# complement sign value instead (engine-portable: no unsigned types needed)
+_SIGN64 = "(-9223372036854775807 - 1)"
+
+
+def _simhash_value_expr() -> str:
+    """Fingerprint assembly from the 64 vote signs. Bits 0..62 are plain
+    powers of two; bit 63 is added as the sign value. Left-to-right partial
+    sums stay within BIGINT (any subset of 2^0..2^62 sums < 2^63), so the
+    expression is overflow-safe in both Spark (wrapping) and DuckDB
+    (checked) — and identical in both."""
+    terms = [
+        f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS - 1)
+    ]
+    terms.append(f"(CASE WHEN s{SIMHASH_BITS - 1} >= 0 THEN {_SIGN64} ELSE 0 END)")
+    return " + ".join(terms)
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """16-bit SimHash over the distinct-token set of each document.
+    """64-bit SimHash over the distinct-token set of each document (Manku,
+    Jain & Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07).
 
-    bit_j(md5(token)) votes +1/-1; the sign of the vote sum sets bit j of the
-    fingerprint. Near-dup docs differ in few bits (Hamming distance).
-    """
+    bit_j(md5(token)) votes +1/-1; the sign of the vote sum sets bit j of
+    the fingerprint (bit 63 lands on the BIGINT sign bit — XOR/bit_count
+    are two's-complement-transparent, so Hamming distance is unaffected).
+    Near-dup docs differ in few bits. One md5 per distinct token supplies
+    all 64 bits (the first 16 hex chars); the 64 vote sums are one
+    partial-aggregatable groupBy — linear in corpus token count, no
+    shuffle beyond the per-doc agg."""
     tok = docs.select(
         F.col(id_col), F.explode(F.array_distinct(T.tokens(text_col))).alias("tok")
     ).withColumn("h", F.md5("tok"))
@@ -262,10 +352,10 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             F.sum(F.expr(f"CASE WHEN {bit} = 1 THEN 1 ELSE -1 END")).alias(f"s{j}")
         )
     votes = tok.groupBy(id_col).agg(*vote_aggs)
-    val = " + ".join(
-        f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    return votes.select(
+        F.col(id_col),
+        F.expr(f"CAST({_simhash_value_expr()} AS BIGINT)").alias("simhash"),
     )
-    return votes.select(F.col(id_col), F.expr(f"CAST({val} AS BIGINT)").alias("simhash"))
 
 
 def simhash_sql_cte(source: str = "corpus", id_col: str = "doc_id") -> str:
@@ -274,9 +364,6 @@ def simhash_sql_cte(source: str = "corpus", id_col: str = "doc_id") -> str:
         f"sum(CASE WHEN ((strpos('{_HEX}', substr(h, {j // 4 + 1}, 1)) - 1) >> {j % 4}) & 1 = 1"
         f" THEN 1 ELSE -1 END) AS s{j}"
         for j in range(SIMHASH_BITS)
-    )
-    val = " + ".join(
-        f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
     )
     return f"""
 simtok AS (
@@ -291,21 +378,72 @@ simvotes AS (
     GROUP BY {id_col}
 ),
 simhashes AS (
-    SELECT {id_col}, CAST({val} AS BIGINT) AS simhash
+    SELECT {id_col}, CAST({_simhash_value_expr()} AS BIGINT) AS simhash
     FROM simvotes
 )
 """
 
 
-def simhash_near_pairs(hashes: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on the top 8 bits (equi-join), then
-    filter by Hamming distance ≤ `max_hamming`."""
-    with_bucket = hashes.withColumn("bucket", F.expr("shiftright(simhash, 8)"))
-    a, b = with_bucket.alias("a"), with_bucket.alias("b")
+def simhash_bands(hashes: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode a 64-bit fingerprint into 4 × 16-bit band keys: one row per
+    (doc, band, bkey). Hamming distance ≤ 3 forces ≥ 1 of the 4 bands to
+    match EXACTLY (pigeonhole), so near-pair detection becomes an equi-join
+    on (band, bkey) — the Manku et al. formulation that replaces the
+    O(n²/buckets) prefix-bucket self-join with 4 shuffle-friendly band
+    joins over 2^16 keys each. The `& 65535` mask also strips the
+    sign-extension of the arithmetic shift on band 3."""
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(
+                f"CAST(shiftright(simhash, {SIMHASH_BAND_BITS * b}) & 65535 AS INT)"
+            ).alias("bkey"),
+        )
+        for b in range(SIMHASH_BANDS)
+    ]
+    return hashes.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*structs)).alias("x")
+    ).select(id_col, "simhash", F.col("x.band").alias("band"), F.col("x.bkey").alias("bkey"))
+
+
+def simhash_near_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash, banded 4 × 16 bits (Manku et al.):
+    candidates are pairs agreeing exactly on ≥ 1 band (a plain equi-join on
+    (band, bkey)), then the cheap ``bit_count(a ^ b)`` Hamming filter keeps
+    pairs ≤ ``max_hamming``. The pigeonhole recall guarantee (every
+    Hamming-≤3 pair shares a band) requires ``max_hamming < SIMHASH_BANDS``.
+
+    ``max_bucket`` is the hot-bucket cap: a band bucket holding more than
+    this many docs contributes O(|bucket|²) candidate rows — on a web-scale
+    corpus a boilerplate-dominated bucket turns the join quadratic. Buckets
+    above the cap are DROPPED (they are boilerplate by definition — the
+    upstream `q_boilerplate` signal identifies the same mass); a true
+    near-pair lost with them is still found through any of its other 3
+    bands that hash into sane buckets. ``None`` disables the cap.
+    """
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the {SIMHASH_BANDS}-band "
+            "pigeonhole recall guarantee (needs max_hamming < bands)"
+        )
+    bands = simhash_bands(hashes, id_col)
+    if max_bucket is not None:
+        sizes = bands.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("__n"))
+        bands = (
+            bands.join(sizes.where(F.col("__n") <= max_bucket), ["band", "bkey"])
+            .drop("__n")
+        )
+    a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -314,4 +452,5 @@ def simhash_near_pairs(hashes: DataFrame, id_col: str = "doc_id", max_hamming: i
             F.bit_count(F.expr("a.simhash ^ b.simhash")).cast("int").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )

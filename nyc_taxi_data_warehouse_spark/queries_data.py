@@ -86,6 +86,7 @@ sh AS (
 """
 
 _NH = 8  # minhash signature width
+_MAX_BUCKET = dedup.DEFAULT_MAX_BUCKET  # LSH hot-bucket cap, mirrored in oracles
 
 SQL_MINHASH = (
     """
@@ -105,7 +106,14 @@ bands AS (
         f"    SELECT doc_id, {b} AS band, md5(h{2*b} || h{2*b+1}) AS bh FROM sig"
         for b in range(_NH // 2)
     )
-    + "\n)"
+    + f"""
+),
+kept AS (
+    SELECT band, bh FROM bands GROUP BY 1, 2 HAVING count(*) <= {_MAX_BUCKET}
+),
+cbands AS (
+    SELECT bands.* FROM bands JOIN kept USING (band, bh)
+)"""
 )
 
 
@@ -151,7 +159,7 @@ _SQL_MINHASH_LSH = (
     + ",".join([SQL_CORPUS, SQL_TOK, SQL_SH, SQL_MINHASH])
     + """
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
+FROM cbands a JOIN cbands b
   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"""
 )
 
@@ -220,9 +228,18 @@ ev AS (SELECT doc_id, substr(text, 31) AS text FROM documents),"""
     + _sql_minhash_ctes("train", "t_")
     + ","
     + _sql_minhash_ctes("ev", "e_")
-    + """
+    + f""",
+x_kept AS (
+    SELECT band, bh FROM (
+        SELECT band, bh FROM t_bands
+        UNION ALL
+        SELECT band, bh FROM e_bands
+    ) GROUP BY 1, 2 HAVING count(*) <= {_MAX_BUCKET}
+)
 SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
-FROM t_bands a JOIN e_bands b ON a.band = b.band AND a.bh = b.bh"""
+FROM t_bands a
+JOIN x_kept k ON k.band = a.band AND k.bh = a.bh
+JOIN e_bands b ON a.band = b.band AND a.bh = b.bh"""
 )
 
 
@@ -254,7 +271,7 @@ JOIN sizes sb ON sb.doc_id = i.doc_b"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprint per corpus doc."""
+    """64-bit SimHash fingerprint per corpus doc (Manku et al.)."""
     return dedup.simhash(_text_corpus(_docs(spark, sf_dir)))
 
 
@@ -266,26 +283,35 @@ _SQL_SIMHASH = (
 
 
 def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs on a deterministic sample: top-byte bucket join
-    + Hamming ≤ 1. (The synthetic docs share a ~30-word vocabulary, so a
-    16-bit SimHash is intentionally coarse — sample + tight radius keeps the
-    pair set bounded at every scale factor.)"""
-    corpus = _text_corpus(_docs(spark, sf_dir)).where(F.col("doc_id") % 10 == 0)
-    # persisted: one short row per doc; the bucket self-join scans it twice
-    return dedup.simhash_near_pairs(dedup.simhash(corpus).persist(), max_hamming=1)
+    """SimHash near-dup pairs, Manku-banded: 64-bit fingerprints split into
+    4 × 16-bit bands, candidates from the per-band equi-join (Hamming ≤ 3
+    guarantees ≥ 1 exact band match by pigeonhole), hot-bucket cap bounding
+    any band bucket's O(m²) pair emission. The whole corpus participates —
+    the banding, not sampling, is what keeps the join bounded at scale."""
+    corpus = _text_corpus(_docs(spark, sf_dir))
+    # persisted: one short row per doc; the band self-join scans it twice
+    return dedup.simhash_near_pairs(dedup.simhash(corpus).persist(), max_hamming=3)
 
 
 _SQL_SIMHASH_NEAR = (
     "WITH "
     + ",".join([SQL_CORPUS, dedup.simhash_sql_cte()])
-    + """,
-bucketed AS (SELECT doc_id, simhash, simhash >> 8 AS bucket FROM simhashes
-             WHERE doc_id % 10 = 0)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    + f""",
+sbands AS (
+    SELECT doc_id, simhash, b.band AS band,
+           (simhash >> (16 * b.band)) & 65535 AS bkey
+    FROM simhashes, (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+s_kept AS (
+    SELECT band, bkey FROM sbands
+    GROUP BY 1, 2 HAVING count(*) <= {dedup.DEFAULT_MAX_BUCKET}
+),
+csbands AS (SELECT sbands.* FROM sbands JOIN s_kept USING (band, bkey))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-FROM bucketed a JOIN bucketed b
-  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 1"""
+FROM csbands a JOIN csbands b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
 )
 
 
@@ -975,7 +1001,7 @@ _SQL_DEDUP_CLUSTER = (
     + """,
 pairs AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM cbands a JOIN cbands b
       ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 ),
 edges AS (
@@ -1091,7 +1117,7 @@ _SQL_DUP_RATE_BY_SOURCE = (
     + """,
 pairs AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM cbands a JOIN cbands b
       ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 )
 SELECT least(da.source, db.source) AS source_a,
@@ -1290,7 +1316,7 @@ _SQL_EDIT_DISTANCE = (
     + """,
 pairs AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM cbands a JOIN cbands b
       ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 )
 SELECT p.doc_a, p.doc_b,
@@ -2329,7 +2355,7 @@ _SQL_LSH_RECALL = (
     + """,
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM cbands a JOIN cbands b
       ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 ),
 inter AS (

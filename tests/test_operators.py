@@ -112,16 +112,124 @@ def test_jaccard_exact_values(spark):
 
 
 def test_simhash_near_for_twins(spark):
+    """Docs with the SAME distinct-token set get the same 64-bit fingerprint
+    (SimHash is set-based) and surface as a Hamming-0 pair; an unrelated doc
+    pairs with neither."""
     base = "spark shuffle partition broadcast join aggregate window watermark"
+    reordered = "watermark window aggregate join broadcast partition shuffle spark spark"
     docs = spark.createDataFrame(
-        [(1, base), (2, base + " extra"), (3, "zebra yak xylophone wombat vulture unicorn")],
+        [(1, base), (2, reordered), (3, "zebra yak xylophone wombat vulture unicorn")],
         "doc_id long, text string",
     )
     hashes = dedup.simhash(docs)
     vals = {r.doc_id: r.simhash for r in hashes.collect()}
-    assert bin(vals[1] ^ vals[2]).count("1") <= 4
-    pairs = dedup.simhash_near_pairs(hashes, max_hamming=4).collect()
-    assert any((p.doc_a, p.doc_b) == (1, 2) for p in pairs)
+    assert vals[1] == vals[2]
+    pairs = dedup.simhash_near_pairs(hashes, max_hamming=3).collect()
+    assert any((p.doc_a, p.doc_b, p.hamming) == (1, 2, 0) for p in pairs)
+    assert all(3 not in (p.doc_a, p.doc_b) for p in pairs)
+
+
+def test_simhash_band_pigeonhole_finds_planted_hamming3_pair(spark):
+    """Every Hamming-≤3 pair of 64-bit fingerprints shares ≥1 of the 4
+    16-bit bands exactly, so the band join must find it — including pairs
+    whose differing bits span 3 DIFFERENT bands (worst case)."""
+    # bits 0, 16, 32 set → differs in bands 0, 1, 2; band 3 identical
+    a = (7 << 48) | (5 << 32) | (9 << 16) | 3
+    b = a ^ ((1 << 0) | (1 << 16) | (1 << 32))
+    far = (1 << 62) | (4321 << 16) | 999  # shares no band with a or b
+    hashes = spark.createDataFrame(
+        [(1, a), (2, b), (3, far)], "doc_id long, simhash long"
+    )
+    pairs = {(p.doc_a, p.doc_b): p.hamming for p in
+             dedup.simhash_near_pairs(hashes, max_hamming=3).collect()}
+    assert pairs == {(1, 2): 3}
+
+
+def test_simhash_sign_bit_band_and_hamming(spark):
+    """Bit 63 lands on the BIGINT sign bit: band 3 extraction and Hamming
+    must be two's-complement-transparent (negative fingerprints work)."""
+    a = -(1 << 63) | (42 << 16)  # bit 63 set → negative BIGINT
+    b = a | 1                    # differs only in bit 0 → hamming 1
+    hashes = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, simhash long"
+    )
+    bands = {(r.band, r.bkey) for r in dedup.simhash_bands(
+        hashes.where("doc_id = 1")).collect()}
+    assert (3, 1 << 15) in bands  # sign bit visible in band 3's key
+    pairs = dedup.simhash_near_pairs(hashes, max_hamming=3).collect()
+    assert [(p.doc_a, p.doc_b, p.hamming) for p in pairs] == [(1, 2, 1)]
+
+
+def test_simhash_hot_bucket_capped_but_true_pair_survives(spark):
+    """A 10k-doc bucket (identical band-0 key) must NOT blow up the pair
+    count: the cap drops it outright, while a planted near-pair that
+    co-buckets in the other bands is still found."""
+    mega = [(i, (i << 48) | (i << 32) | (i << 16)) for i in range(1, 10_001)]
+    # a/b escape the mega bucket in band 0 (keys 1/2) and co-bucket in
+    # bands 1 (12345) and 2 (7); they differ only in band-0 bits → hamming 2
+    a = (7 << 32) | (12_345 << 16) | 1
+    b = (7 << 32) | (12_345 << 16) | 2
+    hashes = spark.createDataFrame(
+        mega + [(20_001, a), (20_002, b)], "doc_id long, simhash long"
+    )
+    got = dedup.simhash_near_pairs(hashes, max_hamming=3, max_bucket=1000)
+    rows = got.collect()  # bounded: without the cap this is ~5·10⁷ pairs
+    assert [(p.doc_a, p.doc_b, p.hamming) for p in rows] == [(20_001, 20_002, 2)]
+
+
+def test_simhash_max_hamming_must_respect_band_guarantee(spark):
+    import pytest
+
+    hashes = spark.createDataFrame([(1, 5)], "doc_id long, simhash long")
+    with pytest.raises(ValueError):
+        dedup.simhash_near_pairs(hashes, max_hamming=4)
+
+
+def test_lsh_hot_bucket_capped_and_observable(spark):
+    """MinHash LSH: 2000 identical docs form one mega-bucket per band; the
+    cap drops them (bounded candidate count) while a distinct planted
+    near-dup pair is still found, and lsh_hot_buckets reports the drop."""
+    boiler = [(i, "terms of service apply to all content on this site forever")
+              for i in range(1, 2001)]
+    near = [
+        (5001, "the quick brown fox jumps over the lazy dog again and again today"),
+        (5002, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    ]
+    docs = spark.createDataFrame(boiler + near, "doc_id long, text string")
+    bands = dedup.lsh_bands(dedup.minhash_signatures(dedup.shingle_rows(docs)))
+    bands.persist()
+    pairs = dedup.lsh_candidate_pairs(bands, max_bucket=1000).collect()
+    got = {(p.doc_a, p.doc_b) for p in pairs}
+    assert (5001, 5002) in got
+    assert len(got) <= 10  # the 2000²/2 boilerplate pairs never materialized
+    hot = dedup.lsh_hot_buckets(bands, max_bucket=1000).collect()
+    assert hot and all(r.bucket_size == 2000 for r in hot)
+    bands.unpersist()
+
+
+def test_lsh_cross_candidates_caps_combined_occupancy(spark):
+    """Cross-corpus cap: a bucket boiling over only when BOTH sides are
+    combined (600 left + 600 right identical docs) is dropped; a planted
+    train→eval leak in a sane bucket is still caught."""
+    boiler_l = [(i, "all rights reserved contact the webmaster for details today")
+                for i in range(1, 601)]
+    boiler_r = [(i, "all rights reserved contact the webmaster for details today")
+                for i in range(1, 601)]
+    leak = "the quick brown fox jumps over the lazy dog again and again today"
+    left = spark.createDataFrame(boiler_l + [(900, leak)], "doc_id long, text string")
+    right = spark.createDataFrame(boiler_r + [(901, leak)], "doc_id long, text string")
+
+    def bandify(df):
+        return dedup.lsh_bands(dedup.minhash_signatures(dedup.shingle_rows(df)))
+
+    got = {
+        (r.left_id, r.right_id)
+        for r in dedup.lsh_cross_candidates(
+            bandify(left), bandify(right), max_bucket=1000
+        ).collect()
+    }
+    assert (900, 901) in got
+    assert len(got) <= 10  # 600×600 boilerplate cross product never materialized
 
 
 # --- similarity ------------------------------------------------------------
