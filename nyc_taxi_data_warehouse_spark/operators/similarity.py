@@ -76,40 +76,89 @@ def ivf_knn(
     return _top_k(sims, k)
 
 
+MAX_INLINE_CELLS = 100_000  # k·dim literals above which the plan would bloat
+
+
+def _codebook_source(
+    centroids: DataFrame,
+    src_id: str,
+    id_dt,
+    vec_col: str,
+    max_inline_cells: int,
+):
+    """The codebook as a fold-able array-of-structs, by one of two routes:
+
+    - **inline** (k·dim ≤ ``max_inline_cells``): collect the k rows
+      driver-side (exactly a k-means codebook broadcast) and inline them
+      as a literal — the fold then runs in a single narrow map stage with
+      ZERO joins and zero extra plan nodes;
+    - **broadcast** (large codebooks): k·dim literal expressions would
+      bloat the plan itself (analysis/codegen cost grows with expression
+      count, not data), so instead the codebook is aggregated to ONE row
+      holding ``collect_list(struct(cid, cv))`` and crossJoined broadcast
+      — the same 1-row broadcast-aggregate shape as the corpus-stats
+      crossJoins elsewhere. The per-row fold is the identical expression
+      over a column instead of a literal, so results match the inline
+      path bit-for-bit; plan size is O(1) in k.
+
+    Returns ``(codebook_column, one_row_df_or_None)``; callers crossJoin
+    the one-row frame when present."""
+    stats = centroids.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max(F.size(V.as_double(vec_col))).alias("dim"),
+    ).first()
+    if stats["k"] * (stats["dim"] or 0) <= max_inline_cells:
+        rows = centroids.select(F.col(src_id), V.as_double(vec_col)).collect()
+        return (
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r[0]).cast(id_dt).alias("cid"),
+                        F.array(*[F.lit(x) for x in r[1]]).alias("cv"),
+                    )
+                    for r in rows
+                ]
+            ),
+            None,
+        )
+    cb = centroids.select(
+        F.struct(
+            F.col(src_id).cast(id_dt).alias("cid"),
+            V.as_double(vec_col).alias("cv"),
+        ).alias("__c")
+    ).agg(F.collect_list("__c").alias("__codebook"))
+    return F.col("__codebook"), cb
+
+
 def assign_cells(
     vectors: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cent_id_col: str = "centroid_id",
+    max_inline_cells: int = MAX_INLINE_CELLS,
 ) -> DataFrame:
     """IVF coarse-quantizer assignment: every vector → its nearest centroid
     by cosine (deterministic ties: smaller centroid id).
 
-    The codebook is materialized driver-side (k centroids ≪ corpus — the
-    one legitimate collect in this module, exactly a k-means codebook
-    broadcast) and inlined as an array-of-structs literal; each corpus row
-    folds over it with JVM higher-order functions. The whole assignment is
-    therefore a single narrow map stage: no join of any kind, no |corpus|×k
-    intermediate, no window shuffle. Iterate with a recompute-centroids
-    groupBy for full k-means. For codebooks too large to inline (≫10⁴
-    cells), fall back to a broadcast join + max_by aggregation.
+    Small codebooks are inlined as literals (single narrow map stage: no
+    join, no |corpus|×k intermediate, no window shuffle); codebooks past
+    ``max_inline_cells`` k·dim switch to the 1-row broadcast-aggregate
+    crossJoin automatically — see :func:`_codebook_source`. Either way
+    each corpus row folds over the codebook with JVM higher-order
+    functions and the results are identical. Iterate with a
+    recompute-centroids groupBy for full k-means.
 
     The centroids frame may key its ids as `cent_id_col` (e.g. a
     `kmeans_fit` codebook) or reuse the vectors' `id_col` name."""
     src_id = cent_id_col if cent_id_col in centroids.columns else id_col
     id_dt = centroids.schema[src_id].dataType
-    rows = centroids.select(F.col(src_id), V.as_double(vec_col)).collect()
-    codebook = F.array(
-        *[
-            F.struct(
-                F.lit(r[0]).cast(id_dt).alias("cid"),
-                F.array(*[F.lit(x) for x in r[1]]).alias("cv"),
-            )
-            for r in rows
-        ]
+    codebook, cb_df = _codebook_source(
+        centroids, src_id, id_dt, vec_col, max_inline_cells
     )
     v = vectors.select(F.col(id_col), V.as_double(vec_col).alias("__qv"))
+    if cb_df is not None:
+        v = v.crossJoin(F.broadcast(cb_df))
     scored = F.transform(
         codebook,
         lambda c: F.struct(
@@ -191,6 +240,7 @@ def kmeans_fit_exact(
     quant: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_inline_cells: int = MAX_INLINE_CELLS,
 ) -> DataFrame:
     """Bit-reproducible Lloyd's k-means — same shuffle shape as
     :func:`kmeans_fit` (inlined-codebook assign, k×dim partial-agg
@@ -235,16 +285,34 @@ def kmeans_fit_exact(
         # assign_cells) but KEEP the vector alongside the winning cell —
         # the recompute then posexplodes in the same narrow stage, so each
         # iteration is one map + one k×dim partial agg: no corpus-sized
-        # shuffle join anywhere.
-        codebook = F.array(
-            *[
-                F.struct(
-                    F.lit(cid).cast(id_dt).alias("cid"),
-                    F.array(*[F.lit(int(x)) for x in vec]).alias("cv"),
+        # shuffle join anywhere. Past max_inline_cells k·dim the literal
+        # codebook would bloat every iteration's plan — switch to the
+        # 1-row broadcast collect_list codebook (identical integer
+        # arithmetic, O(1) plan size; see _codebook_source).
+        if k * dim <= max_inline_cells:
+            codebook = F.array(
+                *[
+                    F.struct(
+                        F.lit(cid).cast(id_dt).alias("cid"),
+                        F.array(*[F.lit(int(x)) for x in vec]).alias("cv"),
+                    )
+                    for cid, vec in cents
+                ]
+            )
+            vit = v
+        else:
+            cb = (
+                spark.createDataFrame(cents, ["cid", "cv"])
+                .select(
+                    F.struct(
+                        F.col("cid").cast(id_dt).alias("cid"),
+                        F.col("cv").alias("cv"),
+                    ).alias("__c")
                 )
-                for cid, vec in cents
-            ]
-        )
+                .agg(F.collect_list("__c").alias("__codebook"))
+            )
+            codebook = F.col("__codebook")
+            vit = v.crossJoin(F.broadcast(cb))
         scored = F.transform(
             codebook,
             lambda c: F.struct(
@@ -252,7 +320,7 @@ def kmeans_fit_exact(
                 (-c["cid"]).alias("negcid"),
             ),
         )
-        assigned = v.select(
+        assigned = vit.select(
             (-F.array_max(scored)["negcid"]).cast(id_dt).alias("centroid_id"),
             F.col("__q"),
         )
@@ -354,26 +422,23 @@ def assign_cells_multiprobe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cent_id_col: str = "centroid_id",
+    max_inline_cells: int = MAX_INLINE_CELLS,
 ) -> DataFrame:
     """Multi-probe quantizer assignment: one row per (vector, cell) for the
     vector's `n_probe` NEAREST centroids — the recall knob of IVF blocking.
-    Same shuffle-free codebook fold as :func:`assign_cells`, followed by
-    `array_sort` + `slice` + `explode` (still one narrow map stage until the
-    explode fan-out of factor n_probe). Centroid ids may live in
-    `cent_id_col` or reuse `id_col`, as in :func:`assign_cells`."""
+    Same codebook fold as :func:`assign_cells` (inline literals or 1-row
+    broadcast past ``max_inline_cells``), followed by `array_sort` +
+    `slice` + `explode` (still one narrow map stage until the explode
+    fan-out of factor n_probe). Centroid ids may live in `cent_id_col` or
+    reuse `id_col`, as in :func:`assign_cells`."""
     src_id = cent_id_col if cent_id_col in centroids.columns else id_col
     id_dt = centroids.schema[src_id].dataType
-    rows = centroids.select(F.col(src_id), V.as_double(vec_col)).collect()
-    codebook = F.array(
-        *[
-            F.struct(
-                F.lit(r[0]).cast(id_dt).alias("cid"),
-                F.array(*[F.lit(x) for x in r[1]]).alias("cv"),
-            )
-            for r in rows
-        ]
+    codebook, cb_df = _codebook_source(
+        centroids, src_id, id_dt, vec_col, max_inline_cells
     )
     v = vectors.select(F.col(id_col), V.as_double(vec_col).alias("__qv"))
+    if cb_df is not None:
+        v = v.crossJoin(F.broadcast(cb_df))
     scored = F.transform(
         codebook,
         lambda c: F.struct(

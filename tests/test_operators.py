@@ -645,6 +645,70 @@ def test_kmeans_fit_exact_clusters_and_is_reproducible(spark):
     assert len(set().union(*by_true.values())) == 3
 
 
+def test_assign_cells_broadcast_codebook_matches_inline_k256(spark):
+    """Large-codebook path (k=256, dim=64): the 1-row broadcast collect_list
+    codebook must assign bit-identically to the inlined-literal codebook —
+    same fold expression over the same doubles — while keeping the plan
+    free of the 16k-literal array."""
+    from nyc_taxi_data_warehouse_spark.operators import similarity
+
+    vecs = spark.range(1, 301).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), d -> cast(sin(id * 0.37 + d * 0.11) AS double))"
+        ).alias("embedding"),
+    )
+    cents = spark.range(0, 256).select(
+        F.col("id").alias("centroid_id"),
+        F.expr(
+            "transform(sequence(0, 63), d -> cast(cos(id * 0.19 + d * 0.07) AS double))"
+        ).alias("embedding"),
+    )
+    inline = similarity.assign_cells(vecs, cents, max_inline_cells=10**9)
+    bcast = similarity.assign_cells(vecs, cents, max_inline_cells=0)
+    rows_i = sorted((r.vec_id, r.centroid_id, r.sim) for r in inline.collect())
+    rows_b = sorted((r.vec_id, r.centroid_id, r.sim) for r in bcast.collect())
+    assert rows_i == rows_b  # exact, not approximate
+    # structural: the broadcast variant routes through the 1-row codebook
+    # join; the inline variant folds a literal with no join at all
+    assert "Join" in bcast._jdf.queryExecution().analyzed().toString()
+    assert "Join" not in inline._jdf.queryExecution().analyzed().toString()
+
+
+def test_multiprobe_broadcast_codebook_matches_inline(spark):
+    from nyc_taxi_data_warehouse_spark.operators import similarity
+
+    v = _clustered_vectors(spark)
+    cents = v.where(F.col("vec_id") % 20 == 0)
+    inline = {
+        (r.vec_id, r.centroid_id)
+        for r in similarity.assign_cells_multiprobe(
+            v, cents, 2, max_inline_cells=10**9
+        ).collect()
+    }
+    bcast = {
+        (r.vec_id, r.centroid_id)
+        for r in similarity.assign_cells_multiprobe(
+            v, cents, 2, max_inline_cells=0
+        ).collect()
+    }
+    assert inline == bcast
+
+
+def test_kmeans_fit_exact_broadcast_codebook_matches_inline(spark):
+    """Integer-lattice Lloyd's through the broadcast-codebook iterations
+    produces the bit-identical codebook to the inline-literal iterations
+    (integer sums are order-free in both)."""
+    from nyc_taxi_data_warehouse_spark.operators import similarity
+
+    v = _clustered_vectors(spark)
+    cb_inline = similarity.kmeans_fit_exact(v, k=3, n_iter=3, max_inline_cells=10**9)
+    cb_bcast = similarity.kmeans_fit_exact(v, k=3, n_iter=3, max_inline_cells=0)
+    rows_i = sorted((r.centroid_id, list(r.embedding)) for r in cb_inline.collect())
+    rows_b = sorted((r.centroid_id, list(r.embedding)) for r in cb_bcast.collect())
+    assert rows_i == rows_b
+
+
 def test_multiprobe_assignment_supersets_single_probe(spark):
     from nyc_taxi_data_warehouse_spark.operators import similarity
 
