@@ -4,10 +4,12 @@ Spark-side contract (real and tested): binary payload + typed metadata
 struct, Arrow-batched `mapInPandas` for decode/feature-extraction, schema
 declared up front so downstream plans bind without executing Python.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so
-`decode_image_batch` ships a deterministic fake decoder behind
-`use_fake=True` and raises NotImplementedError otherwise — the partitioning,
-UDF signature, and batch shapes are the product; the codec is a plug-in.
+Codecs are optional plug-ins: when Pillow is importable,
+`decode_image_batch`/`resize_image_batch` run a REAL decode inside the
+same Arrow-batched `mapInPandas` (never a per-row Python UDF); without it
+they raise NotImplementedError naming the missing dependency, and the
+deterministic fake decoder behind `use_fake=True` exercises the identical
+Spark plumbing — partitioning, UDF signature, batch shapes — codec-free.
 """
 
 from __future__ import annotations
@@ -47,19 +49,65 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     return df.withColumn("n_bytes", F.length(F.col(payload_col)).cast("int"))
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def decode_image_batch(df: DataFrame, use_fake: bool = False) -> DataFrame:
     """Decode/feature-extract images via Arrow-batched mapInPandas.
 
-    Real decode requires an image codec not present in this container —
-    pass `use_fake=True` for the deterministic stand-in (byte statistics),
-    which exercises the identical Spark plumbing: schema contract, Arrow
-    batch shape, per-partition batching.
+    With Pillow importable (optional dependency), the REAL decode runs:
+    width/height from the image header, mean grayscale pixel value, and an
+    md5 over the decoded pixel bytes — still batch-wise inside mapInPandas,
+    never a per-row Python UDF. Without Pillow this raises
+    NotImplementedError; `use_fake=True` selects the deterministic
+    stand-in (byte statistics) that exercises the identical Spark
+    plumbing — schema contract, Arrow batch shape, per-partition
+    batching — with no codec.
     """
     if not use_fake:
-        raise NotImplementedError(
-            "image codec not available in this environment; "
-            "pass use_fake=True for the deterministic stand-in"
-        )
+        if not _pil_available():
+            raise NotImplementedError(
+                "image codec not available (pip install Pillow for real "
+                "decode); pass use_fake=True for the deterministic stand-in"
+            )
+
+        def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import hashlib
+            import io
+
+            import numpy as np
+            from PIL import Image
+
+            for pdf in batches:
+                ids, nb, ws, hs, means, hashes = [], [], [], [], [], []
+                for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                    raw = bytes(b or b"")
+                    img = Image.open(io.BytesIO(raw))
+                    gray = np.asarray(img.convert("L"), dtype=np.uint8)
+                    ids.append(mid)
+                    nb.append(len(raw))
+                    ws.append(img.width)
+                    hs.append(img.height)
+                    means.append(float(gray.sum(dtype=np.int64) / gray.size))
+                    hashes.append(hashlib.md5(gray.tobytes()).hexdigest())
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "n_bytes": pd.Series(nb, dtype="int32"),
+                        "width": pd.Series(ws, dtype="int32"),
+                        "height": pd.Series(hs, dtype="int32"),
+                        "mean_byte": means,
+                        "feature_hash": hashes,
+                    }
+                )
+
+        return df.mapInPandas(decode_real, IMAGE_FEATURES_SCHEMA)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -100,14 +148,40 @@ def resize_image_batch(
     df: DataFrame, target_w: int, target_h: int, use_fake: bool = False
 ) -> DataFrame:
     """Resize images via Arrow-batched mapInPandas — same plumbing contract
-    as :func:`decode_image_batch`; the fake path rewrites metadata and
-    truncates/pads the payload to the target pixel budget so batch shapes
-    and schema binding are exercised without a codec."""
+    as :func:`decode_image_batch`: real Pillow resize (PNG re-encode) when
+    the optional codec is importable, NotImplementedError when not; the
+    fake path rewrites metadata and truncates/pads the payload to the
+    target pixel budget so batch shapes and schema binding are exercised
+    without a codec."""
     if not use_fake:
-        raise NotImplementedError(
-            "image codec not available in this environment; "
-            "pass use_fake=True for the deterministic stand-in"
-        )
+        if not _pil_available():
+            raise NotImplementedError(
+                "image codec not available (pip install Pillow for real "
+                "resize); pass use_fake=True for the deterministic stand-in"
+            )
+
+        def resize_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            from PIL import Image
+
+            for pdf in batches:
+                payloads = []
+                for b in pdf["payload"]:
+                    img = Image.open(io.BytesIO(bytes(b or b"")))
+                    buf = io.BytesIO()
+                    img.resize((target_w, target_h)).save(buf, format="PNG")
+                    payloads.append(buf.getvalue())
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "width": pd.Series([target_w] * len(pdf), dtype="int32"),
+                        "height": pd.Series([target_h] * len(pdf), dtype="int32"),
+                        "payload": payloads,
+                    }
+                )
+
+        return df.mapInPandas(resize_real, RESIZE_SCHEMA)
 
     budget = target_w * target_h
 
