@@ -65,10 +65,17 @@ def freshness(
     ts_col: str,
     warn_after: timedelta,
     error_after: timedelta,
-    now: datetime,
+    now: datetime | None = None,
 ) -> CheckResult:
     """Source-freshness SLA: age of max(ts) vs warn/error thresholds
-    (trips: warn 24h/error 48h; weather: warn 2h/error 4h)."""
+    (trips: warn 24h/error 48h; weather: warn 2h/error 4h). ``now=None``
+    evaluates against the wall clock (UTC, naive — matching the session's
+    UTC timestamps), which is the `dbt source freshness` operational mode;
+    pass a pinned instant for reproducible tests/oracles."""
+    if now is None:
+        from datetime import timezone
+
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
     row = df.agg(F.max(ts_col).alias("max_ts")).collect()[0]
     if row.max_ts is None:
         return CheckResult("freshness", "fail", 0, "source empty")
@@ -81,7 +88,7 @@ def freshness(
 
 
 def freshness_report(
-    sources: list[tuple[str, DataFrame, str, int, int]], as_of: str
+    sources: list[tuple[str, DataFrame, str, int, int]], as_of: str | None = None
 ) -> DataFrame:
     """The dbt `source freshness` stage as one relational report — the
     driver-free sibling of :func:`freshness`, so it can run inside the
@@ -89,22 +96,23 @@ def freshness_report(
 
     `sources` rows are (name, df, ts_col, warn_hours, error_hours); `as_of`
     is the injectable evaluation instant (reference SLAs: trips 24/48h,
-    weather 2/4h, `models/staging/sources.yml:13-15,37-39`). Each source
-    contributes a one-row max(ts) aggregate; ages floor to whole hours on
-    truncated epoch seconds so the report is engine-exact."""
+    weather 2/4h, `models/staging/sources.yml:13-15,37-39`). ``as_of=None``
+    evaluates against the wall clock (`current_timestamp()`, engine-side) —
+    the operational scheduled-run mode; pin it for reproducible gates.
+    Each source contributes a one-row max(ts) aggregate; ages floor to
+    whole hours on truncated epoch seconds so the report is engine-exact."""
     from functools import reduce
 
+    as_of_sec = F.unix_timestamp(
+        F.current_timestamp() if as_of is None else F.lit(as_of).cast("timestamp")
+    )
     parts = []
     for name, df, ts_col, warn_h, err_h in sources:
         agg = df.agg(F.max(ts_col).alias("latest_ts")).select(
             F.lit(name).alias("source"),
             "latest_ts",
             F.floor(
-                (
-                    F.unix_timestamp(F.lit(as_of).cast("timestamp"))
-                    - F.unix_timestamp(F.col("latest_ts"))
-                )
-                / 3600
+                (as_of_sec - F.unix_timestamp(F.col("latest_ts"))) / 3600
             )
             .cast("long")
             .alias("age_hours"),

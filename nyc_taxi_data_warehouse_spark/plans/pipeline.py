@@ -61,6 +61,15 @@ class ModelRun:
     mart_zone_analysis: DataFrame
     fare_daily_features: DataFrame
     quality_results: list = field(default_factory=list)
+    freshness_results: list = field(default_factory=list)
+
+
+FRESHNESS_SLAS = [
+    # (source, ts_col, warn_hours, error_hours) — the reference's
+    # `dbt source freshness` contracts, models/staging/sources.yml:13-15,37-39
+    ("raw_taxi_trips", "pickup_datetime", 24, 48),
+    ("raw_weather", "observed_at", 2, 4),
+]
 
 
 def run_models(
@@ -68,10 +77,21 @@ def run_models(
     weather: DataFrame,
     run_quality: bool = True,
     cache_enriched: bool = True,
+    run_freshness: bool = True,
+    freshness_as_of: str | None = None,
 ) -> ModelRun:
     """The dbt DAG in topo order. `int_trips_enriched` feeds all three marts
     (`mart_*.sql:9`), so it is cached once — the engine-side equivalent of
-    dbt's view-vs-table materialization decision."""
+    dbt's view-vs-table materialization decision.
+
+    ``run_freshness=True`` prepends the `dbt source freshness` stage over
+    the RAW sources (the reference runs it before transforms,
+    `dags/dbt_transformation_dag.py:85-88`): with ``freshness_as_of=None``
+    it grades source ages against the wall clock — the operational
+    scheduled-run behavior — and a stale source lands in the returned
+    ``freshness_results`` as 'warn'/'fail' rather than aborting the run
+    (dbt semantics: freshness warns/errors are reported, models still
+    build)."""
     st = staging.stg_taxi_trips(trips)
     sw = staging.stg_weather(weather)
     enr = intermediate.int_trips_enriched(st)
@@ -84,11 +104,18 @@ def run_models(
     fdf = features.fare_daily_features(mdm, features.daily_weather_forecast(
         weather
     ))
+    fresh = []
+    if run_freshness:
+        raw = {"raw_taxi_trips": trips, "raw_weather": weather}
+        fresh = quality.freshness_report(
+            [(n, raw[n], ts, w, e) for n, ts, w, e in FRESHNESS_SLAS],
+            as_of=freshness_as_of,
+        ).collect()
     results = []
     if run_quality:
         suite = quality.reference_check_suite(st, sw, mtw, mdm)
         results = quality.run_checks(suite)
-    return ModelRun(st, sw, enr, wh, mtw, mdm, mza, fdf, results)
+    return ModelRun(st, sw, enr, wh, mtw, mdm, mza, fdf, results, fresh)
 
 
 def run_snapshots(

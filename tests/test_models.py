@@ -105,6 +105,38 @@ def test_pipeline_run_models_quality_green(spark, trips, weather):
     assert run.fare_daily_features.count() > 0
 
 
+def test_pipeline_freshness_wall_clock_trips_sla_on_stale_sources(
+    spark, trips, weather
+):
+    """The dbt-source-freshness operational mode: run_models grades source
+    ages against the wall clock by default. The historical fixtures are
+    years old, so both sources must trip their warn/error thresholds —
+    and the models still build (freshness reports, it doesn't abort)."""
+    run = pipeline.run_models(trips, weather, run_quality=False)
+    got = {r.source: r for r in run.freshness_results}
+    assert set(got) == {"raw_taxi_trips", "raw_weather"}
+    for r in got.values():
+        assert r.status in {"warn", "fail"}
+        assert r.age_hours > 48  # fixtures are far past every SLA
+    assert got["raw_weather"].status == "fail"  # 4h error threshold
+    assert run.mart_daily_metrics.count() > 0  # build proceeded
+
+    # a pinned as_of at the newest observation makes that source fresh again
+    newest = weather.agg(F.max("observed_at")).collect()[0][0]
+    pinned = pipeline.run_models(
+        trips,
+        weather,
+        run_quality=False,
+        freshness_as_of=str(newest),
+    )
+    pinned_got = {r.source: r for r in pinned.freshness_results}
+    assert pinned_got["raw_weather"].status == "pass"
+
+    # and opting out skips the stage entirely
+    off = pipeline.run_models(trips, weather, run_quality=False, run_freshness=False)
+    assert off.freshness_results == []
+
+
 def test_ingest_trips_merge_idempotent(spark, trips):
     first = pipeline.ingest_trips(trips, None)
     merged = pipeline.ingest_trips(trips, first)
