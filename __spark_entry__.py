@@ -29,15 +29,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver records CORRECTNESS rows for only the first 50 registry
 # entries per round.  Rotate the window each round so evidence stays
-# fresh; priority order used in round 3: (1) first evidence for brand-new
-# queries, (2) stale-refresh for queries whose last driver row is round 1
-# (including q_scd2_check / q_decontaminate, whose r1 rows were hash-FAILs
-# later fixed and judge-verified) plus the newly-oracled q_kmeans_cells,
-# (3) r2-green and trivially-stable r1-green queries at the tail.  New
-# queries land in the middle (between FIRST and LAST), inside the window;
-# tests/test_registry.py pins the bookkeeping.
+# fresh; priority order (round 4): (1) stale-refresh for the 4 queries
+# whose last driver row is round 1 — the VERDICT r3 freshness-tail item,
+# (2) queries whose SEMANTICS or oracles changed this round (64-bit
+# banded SimHash, LSH hot-bucket caps, broadcast-codebook assignment) —
+# they need fresh rows against the new oracles, (3) the remaining
+# r2-green queries oldest-first; 7 trivially-stable untouched r2 text
+# queries wait at the LAST head for round 5, after the 50 r3-green.  New
+# round-4 queries land in the middle (between FIRST and LAST), inside
+# the window; tests/test_registry.py pins the bookkeeping.
 _CHECK_FIRST = [
-    # stale (last driver evidence: round 1)
+    # (1) stale: last driver evidence is round 1
+    "q_dropna", "q_limit", "q_minmax", "q_semi_join",
+    # (2) touched this round: banded SimHash + capped-LSH oracles, and the
+    # assignment/codebook family riding assign_cells/kmeans_fit_exact
+    "q_simhash", "q_simhash_near", "q_minhash_lsh", "q_cross_corpus_neardup",
+    "q_lsh_recall", "q_centroid_assign", "q_ann_ivf", "q_ann_recall",
+    "q_embedding_neardup", "q_cell_quality", "q_knn_bruteforce",
+    "q_stream_hourly",
+    # (3) r2-green, oldest evidence first
+    "q_ngram_jaccard", "q_text_quality", "q_split_assign",
+    "q_dedup_keep_best", "q_chunk_docs", "q_pack_sequences",
+    "q_mixture_sample", "q_srp_lsh", "q_srp_near_pairs",
+    "q_inverted_index", "q_embedding_quantize", "q_star_join",
+    "q_skew_agg", "q_skew_join", "q_incremental_agg",
+    "q_cube", "q_merge_upsert", "q_weighted_sample", "q_freshness",
+    "q_bm25", "q_winsorize", "q_pmi", "q_conversion_funnel",
+    "q_retention_cohort", "q_backfill_synthetic", "q_quality_report",
+    "q_gapfill", "q_sessions", "q_topk_per_group", "q_asof_join",
+]
+_CHECK_LAST = [
+    # deferred r2-green (trivial per-row text functions, untouched this
+    # round) — round-5 window candidates
+    "q_token_count", "q_lang_id", "q_fingerprint", "q_repetition",
+    "q_length_histogram", "q_percentiles_approx", "q_filter_funnel",
+    # r3-green (freshest evidence)
     "q_scd2_check", "q_decontaminate", "q_interval_join", "q_window_stats",
     "q_scd2_timestamp", "q_stg_trips", "q_stg_weather", "q_enrich",
     "q_weather_hourly", "q_trips_weather", "q_daily", "q_zone_analysis",
@@ -46,33 +72,12 @@ _CHECK_FIRST = [
     "q_dedup_exact", "q_dedup_cluster", "q_multimodal_features",
     "q_frame_sample", "q_top_terms", "q_edit_distance", "q_lm_score",
     "q_array_ops", "q_text_scrub", "q_sample_hash", "q_sample_stratified",
-    "q_percentiles",
-    "q_distinct_hours", "q_top1", "q_union_summary", "q_pivot",
-    "q_rollup", "q_lag_ma", "q_precip_day",
-    # rows-only in r2; carries a real oracle as of round 3
-    "q_kmeans_cells",
-    # brand-new in round 3 (no driver evidence yet) — first evidence beats
-    # re-freshening r1-green trivial queries, so five of those (q_project/
-    # q_limit/q_dropna/q_semi_join/q_minmax) moved to the tail
-    "q_quality_model", "q_curation_pipeline",
-]
-_CHECK_LAST = [
-    "q_project", "q_limit", "q_dropna", "q_semi_join", "q_minmax",
-    # driver-green in CORRECTNESS_r02.json; round-2 evidence stands
-    "q_minhash_lsh", "q_ngram_jaccard", "q_simhash", "q_simhash_near",
-    "q_text_quality", "q_token_count", "q_lang_id", "q_fingerprint",
-    "q_knn_bruteforce", "q_ann_ivf", "q_centroid_assign",
-    "q_embedding_neardup", "q_percentiles_approx", "q_repetition",
-    "q_length_histogram", "q_split_assign", "q_dedup_keep_best",
-    "q_chunk_docs", "q_pack_sequences", "q_cross_corpus_neardup",
-    "q_filter_funnel", "q_mixture_sample", "q_srp_lsh", "q_cell_quality",
-    "q_ann_recall", "q_srp_near_pairs", "q_stream_hourly",
-    "q_inverted_index", "q_embedding_quantize", "q_star_join",
-    "q_skew_agg", "q_skew_join", "q_incremental_agg", "q_lsh_recall",
-    "q_cube", "q_merge_upsert", "q_weighted_sample", "q_freshness",
-    "q_bm25", "q_winsorize", "q_pmi", "q_conversion_funnel",
-    "q_retention_cohort", "q_backfill_synthetic", "q_quality_report",
-    "q_gapfill", "q_sessions", "q_topk_per_group", "q_asof_join",
+    "q_percentiles", "q_distinct_hours", "q_top1", "q_union_summary",
+    "q_pivot", "q_rollup", "q_lag_ma", "q_precip_day", "q_kmeans_cells",
+    "q_quality_model", "q_curation_pipeline", "q_forecast_eval",
+    "q_boilerplate", "q_dup_rate_by_source", "q_epoch_shuffle",
+    "q_stream_dedup", "q_char_entropy", "q_profile_columns",
+    "q_project",
 ]
 
 
