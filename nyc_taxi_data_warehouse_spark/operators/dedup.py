@@ -86,23 +86,6 @@ def lsh_bands(
 DEFAULT_MAX_BUCKET = 1000
 
 
-def _cap_buckets(bands: DataFrame, max_bucket: int | None) -> DataFrame:
-    """Drop band buckets holding more than ``max_bucket`` rows before a
-    pair-emitting join. A bucket of size m emits O(m²) candidate pairs —
-    AQE skew-join can split the shuffle partitions of a hot bucket, but
-    nothing short of dropping (or sampling) the bucket reduces the pair
-    count itself. Over-cap buckets are boilerplate by definition (m docs
-    sharing a band signature means m docs sharing shingles — the same
-    mass `q_boilerplate` surfaces); :func:`lsh_hot_buckets` makes the
-    drop observable as a diagnostic."""
-    if max_bucket is None:
-        return bands
-    sizes = bands.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("__n"))
-    return bands.join(
-        sizes.where(F.col("__n") <= max_bucket), ["band", "bh"]
-    ).drop("__n")
-
-
 def lsh_hot_buckets(
     bands: DataFrame, max_bucket: int = DEFAULT_MAX_BUCKET
 ) -> DataFrame:
@@ -123,22 +106,32 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate pairs sharing any LSH band bucket (a < b).
 
-    ``max_bucket`` caps per-bucket occupancy (see :func:`_cap_buckets`):
-    without it one boilerplate bucket of 10⁶ docs emits 5·10¹¹ pairs and
-    the job never finishes at corpus scale. A true near-dup pair dropped
-    with a hot bucket is still found via any of its other bands that
-    land in sane buckets. ``None`` disables."""
-    capped = _cap_buckets(bands, max_bucket)
-    a, b = capped.alias("a"), capped.alias("b")
+    Formulated as grouped-array pair generation, not a bucket self-join:
+    one ``collect_list`` per bucket (a single shuffle on (band, bh) —
+    the same key the join would have shuffled on, but ONCE instead of
+    once per join side, and the deep shingle→md5→min lineage above is
+    computed exactly once), then pairs explode map-side from the array.
+    The hot-bucket cap is a free ``size(ids) <= max_bucket`` filter on
+    the grouped row.
+
+    ``max_bucket`` caps per-bucket occupancy: without it one boilerplate
+    bucket of 10⁶ docs emits 5·10¹¹ pairs and the job never finishes at
+    corpus scale (AQE can split a skewed shuffle partition but cannot
+    reduce the pair count itself); over-cap buckets are boilerplate by
+    definition — the mass `q_boilerplate` surfaces — and a true near-dup
+    pair dropped with a hot bucket is still found via any of its other
+    bands that land in sane buckets. :func:`lsh_hot_buckets` makes the
+    drop observable. ``None`` disables the cap — then a mega-bucket's
+    member array must fit in one task's memory, which is exactly the
+    regime the cap exists to prevent."""
+    g = bands.groupBy("band", "bh").agg(F.collect_list(id_col).alias("__ids"))
+    if max_bucket is not None:
+        g = g.where(F.size("__ids") <= max_bucket)
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        g.select(F.explode("__ids").alias("doc_a"), "__ids")
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+            "doc_a",
+            F.explode(F.filter("__ids", lambda x: x > F.col("doc_a"))).alias("doc_b"),
         )
         .distinct()
     )
@@ -152,28 +145,34 @@ def lsh_cross_candidates(
 ) -> DataFrame:
     """Cross-corpus LSH candidates: (left, right) pairs whose signatures
     collide in ANY band — the near-dup decontamination shape (train ×
-    eval), where `lsh_candidate_pairs` is the within-corpus self-join
-    shape. A plain equi-join on (band, band_hash): Catalyst shuffles both
-    sides on the bucket key, so cost is O(co-bucketed pairs), never
-    |train| × |eval|; no a < b filter because the corpora are distinct
-    id spaces.
+    eval), where `lsh_candidate_pairs` is the within-corpus shape. The
+    two sides are tagged, unioned, and grouped per bucket in ONE shuffle
+    (each side's deep signature DAG is computed exactly once); pairs then
+    explode map-side from the per-side arrays, so cost is O(co-bucketed
+    l·r pairs), never |train| × |eval|. No a < b filter because the
+    corpora are distinct id spaces.
 
     ``max_bucket`` caps COMBINED (left+right) bucket occupancy — a bucket
     with l left and r right members emits l·r pairs, so the cap bounds
     the cross product the same way it bounds the self-join square."""
-    a = bands_left.select(F.col(id_col).alias("left_id"), "band", "bh")
-    b = bands_right.select(F.col(id_col).alias("right_id"), "band", "bh")
-    if max_bucket is not None:
-        occupancy = (
-            a.select("band", "bh")
-            .unionByName(b.select("band", "bh"))
-            .groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("__n"))
+    u = bands_left.select(
+        F.col(id_col).alias("__id"), "band", "bh", F.lit("l").alias("__side")
+    ).unionByName(
+        bands_right.select(
+            F.col(id_col).alias("__id"), "band", "bh", F.lit("r").alias("__side")
         )
-        kept = occupancy.where(F.col("__n") <= max_bucket).drop("__n")
-        a = a.join(kept, ["band", "bh"])
-        b = b.join(kept, ["band", "bh"])
-    return a.join(b, ["band", "bh"]).select("left_id", "right_id").distinct()
+    )
+    g = u.groupBy("band", "bh").agg(
+        F.collect_list(F.when(F.col("__side") == "l", F.col("__id"))).alias("__l"),
+        F.collect_list(F.when(F.col("__side") == "r", F.col("__id"))).alias("__r"),
+    )
+    if max_bucket is not None:
+        g = g.where(F.size("__l") + F.size("__r") <= max_bucket)
+    return (
+        g.select(F.explode("__l").alias("left_id"), "__r")
+        .select("left_id", F.explode("__r").alias("right_id"))
+        .distinct()
+    )
 
 
 def jaccard_pairs(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -432,24 +431,27 @@ def simhash_near_pairs(
             "pigeonhole recall guarantee (needs max_hamming < bands)"
         )
     bands = simhash_bands(hashes, id_col)
+    g = bands.groupBy("band", "bkey").agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("id"), F.col("simhash"))
+        ).alias("__m")
+    )
     if max_bucket is not None:
-        sizes = bands.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("__n"))
-        bands = (
-            bands.join(sizes.where(F.col("__n") <= max_bucket), ["band", "bkey"])
-            .drop("__n")
-        )
-    a, b = bands.alias("a"), bands.alias("b")
+        g = g.where(F.size("__m") <= max_bucket)
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        g.select(F.explode("__m").alias("a"), "__m")
+        .select(
+            "a",
+            F.explode(
+                F.filter("__m", lambda x: x["id"] > F.col("a.id"))
+            ).alias("b"),
         )
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.bit_count(F.expr("a.simhash ^ b.simhash")).cast("int").alias("hamming"),
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
