@@ -220,6 +220,18 @@ def normalize_whitespace(text: Column | str) -> Column:
     return F.trim(F.regexp_replace(_col(text), r"\s+", " "))
 
 
+def canonicalize(text: Column | str) -> Column:
+    """Dedup canonical form: lowercase, strip everything but [a-z0-9 ],
+    collapse whitespace, trim — the cheap normalization pass that folds
+    case/punctuation/spacing variants onto one exact-dedup key before
+    hashing (run it BEFORE md5 grouping; near-dup passes then only have
+    to handle real content drift). RE2-compatible patterns so the DuckDB
+    oracle applies them verbatim."""
+    lowered = F.lower(_col(text))
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", "")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted distinct
     token set — robust to token reordering, standard near-dup prefilter."""

@@ -210,6 +210,44 @@ def jaccard_pairs(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def containment_pairs(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Asymmetric shingle-set containment |A∩B| / |A| (and /|B|) for every
+    pair sharing ≥1 shingle — the quote/subset detector Jaccard misses: a
+    short doc wholly embedded in a long one has high containment but low
+    Jaccard (Broder's two resemblance measures). Decontamination sweeps
+    key on containment-in-eval, not Jaccard, so a benchmark question
+    quoted inside a long training doc still trips the filter.
+
+    Same O(pairs-with-overlap) shape as :func:`jaccard_pairs`: the
+    self-join on `shingle` only materializes co-occurring pairs; run on
+    LSH candidates or samples at scale."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_common") / F.col("sz_a")).alias("containment_a"),
+            (F.col("n_common") / F.col("sz_b")).alias("containment_b"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,

@@ -270,6 +270,104 @@ JOIN sizes sb ON sb.doc_id = i.doc_b"""
 )
 
 
+def q_lsh_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket observability for the capped LSH dedup path: every band
+    bucket larger than the threshold, with its size — what a production
+    run audits to see exactly which boilerplate mass the `max_bucket` cap
+    skipped (`dedup.lsh_hot_buckets`). Threshold 3 here so the report has
+    rows at gate scale; at corpus scale the operational threshold is the
+    cap itself (DEFAULT_MAX_BUCKET)."""
+    corpus = _text_corpus(_docs(spark, sf_dir))
+    sig = dedup.minhash_signatures(dedup.shingle_rows(corpus), num_hashes=_NH)
+    return dedup.lsh_hot_buckets(dedup.lsh_bands(sig, num_hashes=_NH), max_bucket=3)
+
+
+_SQL_LSH_HOT_BUCKETS = (
+    "WITH "
+    + ",".join([SQL_CORPUS, SQL_TOK, SQL_SH, SQL_MINHASH])
+    + """
+SELECT band, bh, CAST(count(*) AS BIGINT) AS bucket_size
+FROM bands GROUP BY 1, 2 HAVING count(*) > 3"""
+)
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (Broder): |A∩B|/|A| and /|B| per
+    co-shingled pair on the deterministic sample — the quote/subset
+    detector decontamination needs (a benchmark question quoted inside a
+    long training doc has high containment-in-eval but low Jaccard). The
+    suffix-twin corpus is the planted case: the twin is a near-subset of
+    its parent, so containment_b ≫ jaccard."""
+    sample = _text_corpus(_docs(spark, sf_dir)).where(F.col("doc_id") % 20 == 0)
+    # persisted: the shingle frame feeds THREE scans (self-join a/b + sizes)
+    pairs = dedup.containment_pairs(dedup.shingle_rows(sample).persist())
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        _rnd(F.col("containment_a"), 6).alias("containment_a"),
+        _rnd(F.col("containment_b"), 6).alias("containment_b"),
+    )
+
+
+_SQL_CONTAINMENT = (
+    "WITH "
+    + ",".join([SQL_CORPUS, SQL_TOK, SQL_SH])
+    + """,
+samp AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
+sizes AS (SELECT doc_id, count(*) AS sz FROM samp GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM samp a JOIN samp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(1e-9 + i.n_common / sa.sz, 6) AS containment_a,
+       round(1e-9 + i.n_common / sb.sz, 6) AS containment_b
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b"""
+)
+
+
+def q_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization-then-hash dedup: lowercase / strip punctuation /
+    collapse whitespace (`text.canonicalize`), then exact groupBy on the
+    canonical md5 — folds case/punct/spacing variants onto one key so the
+    expensive near-dup passes only see real content drift. Every 4th doc
+    gets a deterministically mangled twin (uppercased + trailing junk)
+    that must collapse onto its parent."""
+    docs = _docs(spark, sf_dir)
+    mangled = docs.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  !!")).alias("text"),
+    )
+    corpus = _scale_out(docs.select("doc_id", "text").unionByName(mangled))
+    canon = corpus.select("doc_id", T.canonicalize("text").alias("canon"))
+    return canon.groupBy(F.md5("canon").alias("canon_hash")).agg(
+        F.count(F.lit(1)).cast("long").alias("dup_count"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+
+
+_SQL_NORMALIZE_DEDUP = r"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 3000000 AS doc_id, upper(text) || '  !!' AS text
+    FROM documents WHERE doc_id % 4 = 0
+),
+canon AS (
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS canon
+    FROM corpus
+)
+SELECT md5(canon) AS canon_hash,
+       CAST(count(*) AS BIGINT) AS dup_count,
+       min(doc_id) AS canonical_id
+FROM canon GROUP BY 1"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per corpus doc (Manku et al.)."""
     return dedup.simhash(_text_corpus(_docs(spark, sf_dir)))
@@ -2663,6 +2761,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_srp_near_pairs": q_srp_near_pairs,
     "q_minhash_lsh": q_minhash_lsh,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_lsh_hot_buckets": q_lsh_hot_buckets,
+    "q_containment": q_containment,
+    "q_normalize_dedup": q_normalize_dedup,
     "q_simhash": q_simhash,
     "q_simhash_near": q_simhash_near,
     "q_text_quality": q_text_quality,
@@ -2722,6 +2823,9 @@ ORACLES: dict[str, str] = {
     "q_srp_near_pairs": _sql_srp_near_pairs(),
     "q_frame_sample": _SQL_FRAME_SAMPLE,
     "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
+    "q_lsh_hot_buckets": _SQL_LSH_HOT_BUCKETS,
+    "q_containment": _SQL_CONTAINMENT,
+    "q_normalize_dedup": _SQL_NORMALIZE_DEDUP,
     "q_simhash": _SQL_SIMHASH,
     "q_simhash_near": _SQL_SIMHASH_NEAR,
     "q_text_quality": _SQL_TEXT_QUALITY,
