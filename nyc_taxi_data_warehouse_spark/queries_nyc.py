@@ -1205,6 +1205,27 @@ FROM stg_trips GROUP BY 1"""
 
 
 _STREAM_SINK_SEQ = [0]
+_STREAM_FEED_DIRS: dict[str, str] = {}
+
+
+def _stream_feed_dir(name: str) -> str:
+    """Fixed per-process staging dir for a streaming query's file feed,
+    removed at interpreter exit — repeated gate/bench invocations reuse
+    (and overwrite) one directory instead of leaking a mkdtemp per run
+    (same pattern as the dedup-cluster spill dir)."""
+    if name not in _STREAM_FEED_DIRS:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        d = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_{name}_{os.getpid()}"
+        )
+        os.makedirs(d, exist_ok=True)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _STREAM_FEED_DIRS[name] = d
+    return _STREAM_FEED_DIRS[name]
 
 
 def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1219,11 +1240,10 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned. Oracle = the exact batch `int_weather_hourly` SQL: stream and
     batch must agree row-for-row (complete output mode emits every window, so
     the watermark only bounds state, never drops rows here)."""
-    import tempfile
-
     from .streaming import weather_stream
 
-    src = tempfile.mkdtemp(prefix="spark_graft_weather_feed_")
+    src = _stream_feed_dir("weather_feed")
+    # mode=overwrite clears the reused per-process dir on each invocation
     _weather(spark, sf_dir).write.mode("overwrite").parquet(src)
 
     _STREAM_SINK_SEQ[0] += 1
@@ -1266,12 +1286,11 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     under short delays is exercised in the streaming tests). Oracle: the
     batch weather view itself — exact duplicates collapse back to the
     unique originals."""
-    import tempfile
-
     from .streaming import dedup_stream, weather_stream
 
     w = _weather(spark, sf_dir)
-    src = tempfile.mkdtemp(prefix="spark_graft_dedup_feed_")
+    src = _stream_feed_dir("dedup_feed")
+    # mode=overwrite clears the reused per-process dir before the append
     w.write.mode("overwrite").parquet(src)
     w.where(F.col("obs_id") % 5 == 0).write.mode("append").parquet(src)
 
