@@ -124,9 +124,9 @@ def lsh_candidate_pairs(
     drop observable. ``None`` disables the cap — then a mega-bucket's
     member array must fit in one task's memory, which is exactly the
     regime the cap exists to prevent."""
-    g = bands.groupBy("band", "bh").agg(F.collect_list(id_col).alias("__ids"))
-    if max_bucket is not None:
-        g = g.where(F.size("__ids") <= max_bucket)
+    g = _drop_hot(bands, max_bucket).groupBy("band", "bh").agg(
+        F.collect_list(id_col).alias("__ids")
+    )
     return (
         g.select(F.explode("__ids").alias("doc_a"), "__ids")
         .select(
@@ -135,6 +135,29 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+
+
+def _drop_hot(
+    bands: DataFrame, max_bucket: int | None, keys: tuple[str, ...] = ("band", "bh")
+) -> DataFrame:
+    """Remove over-cap buckets BEFORE any ``collect_list``, so a
+    mega-bucket's member array is never materialized in an aggregation
+    buffer (a 10⁸-doc boilerplate bucket would otherwise build a ~GB list
+    just to be discarded by a size filter). The hot set is detected by a
+    map-side-combined count — tiny shuffle, and hot buckets are rare by
+    construction, so the anti-join side broadcasts and the big frame is
+    never shuffled for the filter. Cost: one extra pass over ``bands``'
+    lineage — callers persist the short per-doc signature frame ahead of
+    this (as the q_* queries do), which makes that pass a cheap projection."""
+    if max_bucket is None:
+        return bands
+    hot = (
+        bands.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_bucket)
+        .select(*keys)
+    )
+    return bands.join(F.broadcast(hot), list(keys), "left_anti")
 
 
 def lsh_cross_candidates(
@@ -162,12 +185,10 @@ def lsh_cross_candidates(
             F.col(id_col).alias("__id"), "band", "bh", F.lit("r").alias("__side")
         )
     )
-    g = u.groupBy("band", "bh").agg(
+    g = _drop_hot(u, max_bucket).groupBy("band", "bh").agg(
         F.collect_list(F.when(F.col("__side") == "l", F.col("__id"))).alias("__l"),
         F.collect_list(F.when(F.col("__side") == "r", F.col("__id"))).alias("__r"),
     )
-    if max_bucket is not None:
-        g = g.where(F.size("__l") + F.size("__r") <= max_bucket)
     return (
         g.select(F.explode("__l").alias("left_id"), "__r")
         .select("left_id", F.explode("__r").alias("right_id"))
@@ -447,7 +468,7 @@ def simhash_near_pairs(
     hashes: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    max_bucket: int | None = 1000,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash, banded 4 × 16 bits (Manku et al.):
     candidates are pairs agreeing exactly on ≥ 1 band (a plain equi-join on
@@ -468,14 +489,14 @@ def simhash_near_pairs(
             f"max_hamming={max_hamming} breaks the {SIMHASH_BANDS}-band "
             "pigeonhole recall guarantee (needs max_hamming < bands)"
         )
-    bands = simhash_bands(hashes, id_col)
+    bands = _drop_hot(
+        simhash_bands(hashes, id_col), max_bucket, keys=("band", "bkey")
+    )
     g = bands.groupBy("band", "bkey").agg(
         F.collect_list(
             F.struct(F.col(id_col).alias("id"), F.col("simhash"))
         ).alias("__m")
     )
-    if max_bucket is not None:
-        g = g.where(F.size("__m") <= max_bucket)
     return (
         g.select(F.explode("__m").alias("a"), "__m")
         .select(

@@ -120,7 +120,12 @@ def freshness_report(
         parts.append(
             agg.withColumn(
                 "status",
-                F.when(F.col("age_hours") > err_h, F.lit("fail"))
+                # an EMPTY source (max(ts) NULL → age NULL) is the dead-feed
+                # condition the SLA exists to catch: every comparison with
+                # NULL is false, so without this branch it would fall through
+                # to 'pass' (the scalar freshness() already fails it)
+                F.when(F.col("latest_ts").isNull(), F.lit("fail"))
+                .when(F.col("age_hours") > err_h, F.lit("fail"))
                 .when(F.col("age_hours") > warn_h, F.lit("warn"))
                 .otherwise(F.lit("pass")),
             )

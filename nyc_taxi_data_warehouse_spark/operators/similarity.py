@@ -102,13 +102,17 @@ def _codebook_source(
       path bit-for-bit; plan size is O(1) in k.
 
     Returns ``(codebook_column, one_row_df_or_None)``; callers crossJoin
-    the one-row frame when present."""
-    stats = centroids.agg(
-        F.count(F.lit(1)).alias("k"),
-        F.max(F.size(V.as_double(vec_col))).alias("dim"),
-    ).first()
-    if stats["k"] * (stats["dim"] or 0) <= max_inline_cells:
-        rows = centroids.select(F.col(src_id), V.as_double(vec_col)).collect()
+    the one-row frame when present.
+
+    One action either way: the k rows are collected once (a Spark
+    broadcast pulls the build side to the driver regardless, so the
+    collect costs nothing extra) and the inline-vs-broadcast decision is
+    made from ``len(rows) × dim`` driver-side — the broadcast frame is
+    then rebuilt from the local rows, never by re-running the centroids
+    plan."""
+    rows = centroids.select(F.col(src_id), V.as_double(vec_col)).collect()
+    dim = len(rows[0][1]) if rows else 0
+    if len(rows) * dim <= max_inline_cells:
         return (
             F.array(
                 *[
@@ -121,12 +125,19 @@ def _codebook_source(
             ),
             None,
         )
-    cb = centroids.select(
-        F.struct(
-            F.col(src_id).cast(id_dt).alias("cid"),
-            V.as_double(vec_col).alias("cv"),
-        ).alias("__c")
-    ).agg(F.collect_list("__c").alias("__codebook"))
+    spark = centroids.sparkSession
+    cb = (
+        spark.createDataFrame(
+            [(r[0], list(r[1])) for r in rows], ["cid", "cv"]
+        )
+        .select(
+            F.struct(
+                F.col("cid").cast(id_dt).alias("cid"),
+                F.col("cv").alias("cv"),
+            ).alias("__c")
+        )
+        .agg(F.collect_list("__c").alias("__codebook"))
+    )
     return F.col("__codebook"), cb
 
 

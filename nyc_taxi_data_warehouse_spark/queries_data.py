@@ -1058,11 +1058,10 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _text_corpus(_docs(spark, sf_dir))
     sh = dedup.shingle_rows(corpus)
-    sig = dedup.minhash_signatures(sh, num_hashes=_NH)
+    # persisted: the capped pair generation consumes bands twice (hot-set
+    # detection + the grouped collect); one short row per doc
+    sig = dedup.minhash_signatures(sh, num_hashes=_NH).persist()
     pairs = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, num_hashes=_NH))
-    # no persists needed: connected_components materializes the edge set
-    # once (localCheckpoint or parquet spill), so the LSH DAG above is
-    # computed exactly once
     spill = (
         _cc_spill_dir()
         if os.environ.get("SPARK_GRAFT_CC_SPILL") == "1"
@@ -1073,24 +1072,14 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CC_SPILL_DIR: list[str] = []
-
-
 def _cc_spill_dir() -> str:
-    """Fixed per-process spill dir for q_dedup_cluster, registered for
-    removal at exit (the parquet write inside connected_components uses
-    mode=overwrite, so re-invocations reuse the same path)."""
-    if not _CC_SPILL_DIR:
-        import atexit
-        import os
-        import shutil
-        import tempfile
+    """Fixed per-process spill dir for q_dedup_cluster — see
+    :func:`.util.session_tmpdir` (the parquet write inside
+    connected_components uses mode=overwrite, so re-invocations reuse
+    the same path)."""
+    from .util import session_tmpdir
 
-        d = os.path.join(tempfile.gettempdir(), f"spark_graft_cc_spill_{os.getpid()}")
-        os.makedirs(d, exist_ok=True)
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        _CC_SPILL_DIR.append(d)
-    return _CC_SPILL_DIR[0]
+    return session_tmpdir("cc_spill")
 
 
 _SQL_DEDUP_CLUSTER = (
@@ -1186,7 +1175,10 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     their parent through doc_id % 1_000_000)."""
     docs = _docs(spark, sf_dir)
     corpus = _text_corpus(docs)
-    sig = dedup.minhash_signatures(dedup.shingle_rows(corpus), num_hashes=_NH)
+    # persisted: capped pair generation consumes bands twice
+    sig = dedup.minhash_signatures(
+        dedup.shingle_rows(corpus), num_hashes=_NH
+    ).persist()
     pairs = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, num_hashes=_NH))
     dim = docs.select("doc_id", "source")
     j = (

@@ -1124,7 +1124,8 @@ fresh AS (
 
 _SQL_FRESHNESS = """
 SELECT source, latest_ts, age_hours,
-       CASE WHEN age_hours > err_h THEN 'fail'
+       CASE WHEN latest_ts IS NULL THEN 'fail'
+            WHEN age_hours > err_h THEN 'fail'
             WHEN age_hours > warn_h THEN 'warn'
             ELSE 'pass' END AS status
 FROM fresh"""
@@ -1205,27 +1206,15 @@ FROM stg_trips GROUP BY 1"""
 
 
 _STREAM_SINK_SEQ = [0]
-_STREAM_FEED_DIRS: dict[str, str] = {}
 
 
 def _stream_feed_dir(name: str) -> str:
-    """Fixed per-process staging dir for a streaming query's file feed,
-    removed at interpreter exit — repeated gate/bench invocations reuse
-    (and overwrite) one directory instead of leaking a mkdtemp per run
-    (same pattern as the dedup-cluster spill dir)."""
-    if name not in _STREAM_FEED_DIRS:
-        import atexit
-        import os
-        import shutil
-        import tempfile
+    """Fixed per-process staging dir for a streaming query's file feed —
+    see :func:`..util.session_tmpdir` (mode=overwrite clears it per
+    invocation)."""
+    from .util import session_tmpdir
 
-        d = os.path.join(
-            tempfile.gettempdir(), f"spark_graft_{name}_{os.getpid()}"
-        )
-        os.makedirs(d, exist_ok=True)
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        _STREAM_FEED_DIRS[name] = d
-    return _STREAM_FEED_DIRS[name]
+    return session_tmpdir(name)
 
 
 def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -117,17 +117,19 @@ class ManifestTable:
             if version < 0:
                 return []
             return self._manifest(version)["files"]
-        last_err: FileNotFoundError | None = None
-        for _ in range(self.max_retries):
+        for attempt in range(max(self.max_retries, 1)):
             v = self.latest_version()
             if v < 0:
                 return []
             try:
                 return self._manifest(v)["files"]
-            except FileNotFoundError as e:  # vacuumed under us; head moved on
-                last_err = e
+            except FileNotFoundError:  # vacuumed under us; head moved on
+                time.sleep(0.01 * (attempt + 1))
                 continue
-        raise last_err
+        raise FileNotFoundError(
+            f"{self.path}: head manifest kept vanishing across "
+            f"{max(self.max_retries, 1)} reads (vacuum churn?)"
+        )
 
     # -- read ---------------------------------------------------------------
 
@@ -220,11 +222,22 @@ class ManifestTable:
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
         vs = self._versions()
-        keep = vs[-keep_versions:] if vs else []
-        live: set[str] = set()
-        for v in keep:
-            live.update(self._manifest(v)["files"])
         cutoff = time.time() - retention_seconds
+        # decide the surviving manifest set FIRST, then keep every file any
+        # survivor references: a superseded manifest inside the retention
+        # window keeps its data too, so time-travel reads of it can never
+        # return dangling paths (and a crash mid-pass leaves only orphans —
+        # reclaimed next vacuum — never a manifest pointing at deleted data)
+        doomed = [
+            v
+            for v in vs[: max(0, len(vs) - keep_versions)]
+            if os.path.getmtime(os.path.join(self.commits_dir, f"v{v}.json"))
+            <= cutoff
+        ]
+        live: set[str] = set()
+        for v in vs:
+            if v not in doomed:
+                live.update(self._manifest(v)["files"])
         deleted = []
         for batch in os.listdir(self.data_dir):
             bdir = os.path.join(self.data_dir, batch)
@@ -240,8 +253,6 @@ class ManifestTable:
             ):
                 deleted.extend(members)
                 shutil.rmtree(bdir)
-        for v in vs[: max(0, len(vs) - keep_versions)]:
-            mpath = os.path.join(self.commits_dir, f"v{v}.json")
-            if os.path.getmtime(mpath) <= cutoff:
-                os.unlink(mpath)
+        for v in doomed:
+            os.unlink(os.path.join(self.commits_dir, f"v{v}.json"))
         return sorted(deleted)

@@ -88,10 +88,20 @@ def decode_image_batch(df: DataFrame, use_fake: bool = False) -> DataFrame:
                 ids, nb, ws, hs, means, hashes = [], [], [], [], [], []
                 for mid, b in zip(pdf["media_id"], pdf["payload"]):
                     raw = bytes(b or b"")
-                    img = Image.open(io.BytesIO(raw))
-                    gray = np.asarray(img.convert("L"), dtype=np.uint8)
                     ids.append(mid)
                     nb.append(len(raw))
+                    # a NULL/corrupt payload yields NULL features instead of
+                    # failing the task (one bad row must not abort the job);
+                    # filter on width IS NULL downstream to audit them
+                    try:
+                        img = Image.open(io.BytesIO(raw))
+                        gray = np.asarray(img.convert("L"), dtype=np.uint8)
+                    except Exception:
+                        ws.append(None)
+                        hs.append(None)
+                        means.append(None)
+                        hashes.append(None)
+                        continue
                     ws.append(img.width)
                     hs.append(img.height)
                     means.append(float(gray.sum(dtype=np.int64) / gray.size))
@@ -100,9 +110,9 @@ def decode_image_batch(df: DataFrame, use_fake: bool = False) -> DataFrame:
                     {
                         "media_id": ids,
                         "n_bytes": pd.Series(nb, dtype="int32"),
-                        "width": pd.Series(ws, dtype="int32"),
-                        "height": pd.Series(hs, dtype="int32"),
-                        "mean_byte": means,
+                        "width": pd.Series(ws, dtype="Int32"),
+                        "height": pd.Series(hs, dtype="Int32"),
+                        "mean_byte": pd.Series(means, dtype="float64"),
                         "feature_hash": hashes,
                     }
                 )
@@ -168,10 +178,15 @@ def resize_image_batch(
             for pdf in batches:
                 payloads = []
                 for b in pdf["payload"]:
-                    img = Image.open(io.BytesIO(bytes(b or b"")))
-                    buf = io.BytesIO()
-                    img.resize((target_w, target_h)).save(buf, format="PNG")
-                    payloads.append(buf.getvalue())
+                    # NULL/corrupt payloads pass through as NULL (one bad
+                    # row must not abort the job)
+                    try:
+                        img = Image.open(io.BytesIO(bytes(b or b"")))
+                        buf = io.BytesIO()
+                        img.resize((target_w, target_h)).save(buf, format="PNG")
+                        payloads.append(buf.getvalue())
+                    except Exception:
+                        payloads.append(None)
                 yield pd.DataFrame(
                     {
                         "media_id": pdf["media_id"],

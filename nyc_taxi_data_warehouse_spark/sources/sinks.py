@@ -242,14 +242,21 @@ class WriterLease:
         try:
             return fn()
         finally:
-            # unlink only if the breaker still carries OUR token: if fn (or
-            # the host) stalled past the 30s breaker expiry, a rival broke
-            # and re-created it, and an unconditional unlink here would
-            # destroy the rival's LIVE breaker — the same takeover race the
-            # lease release() guards against.
+            # unlink only if the breaker still carries OUR token AND is
+            # unexpired: if fn (or the host) stalled past the 30s breaker
+            # expiry, a rival may break and re-create it, and an
+            # unconditional unlink would destroy the rival's LIVE breaker.
+            # The token guard alone still leaves a read-then-unlink window
+            # (rival replaces an expired breaker between our read and
+            # unlink); requiring OUR breaker to be unexpired closes it —
+            # rivals only ever remove EXPIRED breakers, so an unexpired
+            # read (modulo the microseconds to the unlink vs the 30 s TTL)
+            # cannot have been replaced. An expired breaker of ours is left
+            # for the expiry path to reap.
             cur = self._read(breaker)
             if cur is not self._MISSING and cur is not None and (
                 cur.get("token") == btoken
+                and cur.get("expires_at", 0) > time.time()
             ):
                 try:
                     os.unlink(breaker)

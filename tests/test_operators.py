@@ -966,3 +966,22 @@ def test_merge_upsert_update_skip_insert_keep(spark):
         ["id"], "ver",
     ).collect()
     assert tie[0].v == "s"
+
+
+def test_freshness_report_empty_source_fails(spark):
+    """An empty feed (max ts NULL) is the dead-feed condition: the report
+    must say 'fail', not fall through NULL comparisons to 'pass'."""
+    from nyc_taxi_data_warehouse_spark.operators import quality
+
+    empty = spark.createDataFrame([], "ts timestamp")
+    full = spark.createDataFrame(
+        [("2024-01-01 00:00:00",)], "ts string"
+    ).select(F.col("ts").cast("timestamp"))
+    got = {
+        r.source: r.status
+        for r in quality.freshness_report(
+            [("dead", empty, "ts", 2, 4), ("ok", full, "ts", 2, 4)],
+            as_of="2024-01-01 01:00:00",
+        ).collect()
+    }
+    assert got == {"dead": "fail", "ok": "pass"}

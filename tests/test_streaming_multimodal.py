@@ -73,6 +73,8 @@ def test_multimodal_real_decode_with_pillow(spark):
     rows = [
         ("m1", "image", bytearray(_png_bytes(8, 6, 200)), None, None, None),
         ("m2", "image", bytearray(_png_bytes(3, 3, 0)), None, None, None),
+        ("m3", "image", None, None, None, None),  # NULL payload
+        ("m4", "image", bytearray(b"not an image"), None, None, None),
     ]
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     got = {
@@ -85,6 +87,10 @@ def test_multimodal_real_decode_with_pillow(spark):
     assert len(got["m1"].feature_hash) == 32
     # decode-derived hash: uniform 8×6 and uniform 3×3 differ
     assert got["m1"].feature_hash != got["m2"].feature_hash
+    # NULL/corrupt payloads yield NULL features, not a task failure
+    for bad in ("m3", "m4"):
+        assert got[bad].width is None and got[bad].feature_hash is None
+    assert got["m3"].n_bytes == 0 and got["m4"].n_bytes == 12
 
 
 def test_multimodal_real_resize_with_pillow(spark):
