@@ -368,6 +368,45 @@ SELECT md5(canon) AS canon_hash,
 FROM canon GROUP BY 1"""
 
 
+def q_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta interop gated END-TO-END: two lineitem slices go through the
+    protocol-conformant writer (`sources/delta_read.py::write_delta`) as
+    an overwrite + an append — versioned commit JSON, immutable batch
+    dirs — then come back through the log-replay reader and aggregate.
+    The oracle computes the identical aggregate over the same slices
+    directly, so the whole write→commit→replay→scan path is value-hashed.
+    The table dir is the reused per-process scratch (overwrite removes
+    every previously-live file first, so re-invocations are stable)."""
+    from .sources import delta_read as D
+    from .util import session_tmpdir
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    t = session_tmpdir("delta_roundtrip")
+    D.write_delta(li.where(F.col("l_orderkey") % 7 == 0), t, mode="overwrite")
+    D.write_delta(li.where(F.col("l_orderkey") % 7 == 3), t, mode="append")
+    back = D.read_delta(spark, t)
+    return back.groupBy((F.col("l_orderkey") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long"))
+        .cast("long")
+        .alias("sum_qty"),
+    )
+
+
+_SQL_DELTA_ROUNDTRIP = """
+WITH src AS (
+    SELECT l_orderkey, l_quantity FROM lineitem WHERE l_orderkey % 7 = 0
+    UNION ALL
+    SELECT l_orderkey, l_quantity FROM lineitem WHERE l_orderkey % 7 = 3
+)
+SELECT l_orderkey % 10 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM src GROUP BY 1"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per corpus doc (Manku et al.)."""
     return dedup.simhash(_text_corpus(_docs(spark, sf_dir)))
@@ -2756,6 +2795,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lsh_hot_buckets": q_lsh_hot_buckets,
     "q_containment": q_containment,
     "q_normalize_dedup": q_normalize_dedup,
+    "q_delta_roundtrip": q_delta_roundtrip,
     "q_simhash": q_simhash,
     "q_simhash_near": q_simhash_near,
     "q_text_quality": q_text_quality,
@@ -2818,6 +2858,7 @@ ORACLES: dict[str, str] = {
     "q_lsh_hot_buckets": _SQL_LSH_HOT_BUCKETS,
     "q_containment": _SQL_CONTAINMENT,
     "q_normalize_dedup": _SQL_NORMALIZE_DEDUP,
+    "q_delta_roundtrip": _SQL_DELTA_ROUNDTRIP,
     "q_simhash": _SQL_SIMHASH,
     "q_simhash_near": _SQL_SIMHASH_NEAR,
     "q_text_quality": _SQL_TEXT_QUALITY,

@@ -154,3 +154,81 @@ def read_delta(
     if not files:
         raise FileNotFoundError(f"delta table {path} has no live files at v{v}")
     return spark.read.option("basePath", path).parquet(*files)
+
+
+def write_delta(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Minimal protocol-conformant Delta writer (append / overwrite of an
+    unpartitioned table): immutable uniquely-named data batch + one
+    atomically-published commit JSON per version. Commits use the same
+    put-if-absent primitive as :class:`.manifest.ManifestTable` (Delta's
+    own commit rule — exactly one writer wins ``N.json``), with
+    optimistic retry recomputing the head (and, for overwrite, the remove
+    set) on conflict. Emits protocol 1/2 + metaData on the first commit,
+    so the table is readable by a real Delta runtime as well as
+    :func:`read_delta`. Returns the committed version."""
+    import time
+    import uuid
+
+    from .manifest import CommitConflictError, _put_if_absent
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    spark = df.sparkSession
+    log_dir = _log_dir(path)
+    os.makedirs(log_dir, exist_ok=True)
+
+    batch = f"batch-{uuid.uuid4().hex}"
+    df.write.parquet(os.path.join(path, batch))
+    now_ms = int(time.time() * 1000)
+    adds = [
+        {
+            "add": {
+                "path": f"{batch}/{f}",
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(path, batch, f)),
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+        }
+        for f in sorted(os.listdir(os.path.join(path, batch)))
+        if f.endswith(".parquet")
+    ]
+
+    for attempt in range(20):
+        head = latest_delta_version(path)
+        actions: list[dict] = []
+        if head < 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": uuid.uuid4().hex,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": df.schema.json(),
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": now_ms,
+                    }
+                }
+            )
+        if mode == "overwrite" and head >= 0:
+            _, live, _ = delta_snapshot(spark, path, head)
+            actions.extend(
+                {
+                    "remove": {
+                        "path": os.path.relpath(f, path),
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+                for f in live
+            )
+        actions.extend(adds)
+        payload = "\n".join(json.dumps(a) for a in actions) + "\n"
+        target = os.path.join(log_dir, f"{head + 1:020d}.json")
+        if _put_if_absent(target, payload):
+            return head + 1
+        time.sleep(0.01 * (attempt + 1))  # lost the commit race; re-resolve
+    raise CommitConflictError(f"{path}: lost 20 delta commit races")

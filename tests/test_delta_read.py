@@ -117,3 +117,39 @@ def test_delta_protocol_gate(spark, tmp_path):
                             "size": 1, "modificationTime": 0, "dataChange": True}}])
     with pytest.raises(D.DeltaProtocolError):
         D.read_delta(spark, t)
+
+
+def test_write_delta_roundtrip_append_overwrite(spark, tmp_path):
+    t = str(tmp_path / "wtable")
+    v0 = D.write_delta(spark.range(5).toDF("id"), t, mode="append")
+    v1 = D.write_delta(spark.range(10, 13).toDF("id"), t, mode="append")
+    assert (v0, v1) == (0, 1)
+    assert _ids(D.read_delta(spark, t)) == [0, 1, 2, 3, 4, 10, 11, 12]
+    assert _ids(D.read_delta(spark, t, version=0)) == [0, 1, 2, 3, 4]
+    v2 = D.write_delta(spark.range(100, 102).toDF("id"), t, mode="overwrite")
+    assert v2 == 2
+    assert _ids(D.read_delta(spark, t)) == [100, 101]
+    # the overwritten history is still time-travelable
+    assert _ids(D.read_delta(spark, t, version=1)) == [0, 1, 2, 3, 4, 10, 11, 12]
+    # first commit carries protocol + metaData (real-runtime readability)
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json")) as f:
+        kinds = [next(iter(json.loads(ln))) for ln in f if ln.strip()]
+    assert kinds[:2] == ["protocol", "metaData"]
+
+
+def test_write_delta_concurrent_appends_both_land(spark, tmp_path):
+    import threading
+
+    t = str(tmp_path / "ctable")
+    D.write_delta(spark.range(1).toDF("id"), t)  # seed v0
+
+    def add(lo):
+        D.write_delta(spark.range(lo, lo + 2).toDF("id"), t, mode="append")
+
+    threads = [threading.Thread(target=add, args=(lo,)) for lo in (10, 20)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=60)
+    assert D.latest_delta_version(t) == 2  # both racers committed
+    assert _ids(D.read_delta(spark, t)) == [0, 10, 11, 20, 21]
