@@ -1,0 +1,239 @@
+"""Product quantization (PQ) for approximate nearest-neighbor search
+(Jégou, Douze, Schmid: "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011) — the memory-side complement to IVF blocking in
+`operators/similarity.py`: IVF prunes WHICH corpus vectors are scored,
+PQ compresses HOW each vector is stored and scored. A 64-dim float
+vector (256 bytes) becomes m=4 one-byte codes; search scans codes with
+per-subspace lookup tables instead of touching raw vectors — the shape
+that lets a 100 TB embedding corpus fit scan-speed storage.
+
+Every stage is exact-integer so the whole lifecycle is bit-reproducible
+across engines (the NOTES "SRP oracle lesson" applied to PQ):
+
+- vectors quantize to ``floor(x·quant)`` int64 up front;
+- codebook training is per-subspace Lloyd's with **integer floor-mean
+  centroids** (``sum // count`` per coordinate) and exact-integer
+  squared-L2 assignment — no float accumulation anywhere;
+- encoding is the same integer argmin;
+- ADC (asymmetric distance computation) search scores a corpus code
+  against a query by summing integer subspace dot products — ties
+  break on neighbor id, so top-k is deterministic.
+
+Spark shapes (nothing corpus-sized ever crosses a shuffle as vectors):
+
+- **fit**: per iteration, ONE narrow map stage folds the inlined
+  codebook per row (assignment for all m subspaces at once), then a
+  (subspace, code, pos) partial aggregation shuffles only m·k·(dim/m)
+  = k·dim running sums regardless of corpus size — the same boundary
+  `kmeans_fit_exact` uses. The k·m codebook lives driver-side, exactly
+  the footprint a broadcast variable would occupy.
+- **encode**: one narrow map stage, no shuffle.
+- **search**: corpus codes crossJoin a broadcast query batch; the
+  scoring fold reads the inlined codebook — no shuffle of the corpus.
+
+The reference has no PQ (its similarity surface is exact SQL joins);
+this is part of the beyond-reference training-data wave alongside
+IVF/LSH/SimHash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+Codebook = list[list[list[int]]]  # [subspace][code_id] -> int centroid
+
+
+def _int_fold(pairs: Column) -> Column:
+    """Exact int64 left-fold sum of an array<long>."""
+    return F.aggregate(pairs, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _l2_int(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance between two array<long>."""
+    return _int_fold(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+
+
+def _dot_int(a: Column, b: Column) -> Column:
+    """Exact integer dot product between two array<long>."""
+    return _int_fold(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def _slices(qcol: Column, m: int, sub: int) -> Column:
+    """array of m contiguous subvector slices of a quantized vector."""
+    return F.array(*[F.slice(qcol, s * sub + 1, sub) for s in range(m)])
+
+
+def _cb_lit(cb_sub: list[list[int]]) -> Column:
+    """One subspace's codebook as a literal array<array<long>>."""
+    return F.array(
+        *[F.array(*[F.lit(int(x)).cast("long") for x in cv]) for cv in cb_sub]
+    )
+
+
+def _best_code(slice_col: Column, cb_sub: list[list[int]]) -> Column:
+    """argmin_{code} L2(slice, centroid) with deterministic ties (smaller
+    code id wins): array_min over (dist, code) structs orders by dist
+    first, code second — both exact integers."""
+    scored = F.array(
+        *[
+            F.struct(
+                _l2_int(
+                    slice_col,
+                    F.array(*[F.lit(int(x)).cast("long") for x in cv]),
+                ).alias("d"),
+                F.lit(c).alias("cid"),
+            )
+            for c, cv in enumerate(cb_sub)
+        ]
+    )
+    return F.array_min(scored)["cid"]
+
+
+def pq_fit(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 2,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Codebook:
+    """Train m per-subspace codebooks of k integer centroids each.
+
+    Seeding is deterministic and partition-order independent (the k
+    vectors with smallest ``(md5(id), id)``; code id = seed rank), so
+    any engine — or a SQL oracle — rebuilds the identical codebook.
+    Per Lloyd iteration: one narrow assignment map + one k·dim partial
+    aggregation; centroids update to per-coordinate ``sum // count``
+    (exact floor), empty cells keep their previous centroid.
+
+    Returns the driver-side codebook ``cb[subspace][code] -> int
+    vector`` (k·m rows — the broadcast-variable boundary)."""
+    v = vectors.select(
+        F.col(id_col), V.quantize(vec_col, quant).alias("__q")
+    ).persist()
+    seeds = (
+        v.withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .select("__q")
+        .collect()
+    )
+    dim = len(seeds[0][0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    cb: Codebook = [
+        [[int(x) for x in r[0][s * sub : (s + 1) * sub]] for r in seeds]
+        for s in range(m)
+    ]
+    sl = v.select(F.col(id_col), _slices(F.col("__q"), m, sub).alias("__sl"))
+    for _ in range(n_iter):
+        assigned = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    _best_code(F.col("__sl")[s], cb[s]).alias("code"),
+                    F.col("__sl")[s].alias("sv"),
+                )
+                for s in range(m)
+            ]
+        )
+        sums = (
+            sl.select(F.explode(assigned).alias("e"))
+            .select("e.sub", "e.code", F.posexplode("e.sv").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], dict[int, int]] = {}
+        for r in sums:
+            acc.setdefault((r["sub"], r["code"]), {})[r["pos"]] = int(r["s"]) // int(
+                r["n"]
+            )
+        cb = [
+            [
+                [acc[(s, c)][i] for i in range(sub)] if (s, c) in acc else cv
+                for c, cv in enumerate(cb[s])
+            ]
+            for s in range(m)
+        ]
+    v.unpersist()
+    return cb
+
+
+def pq_codebook_df(spark, cb: Codebook) -> DataFrame:
+    """The codebook as a (subspace, code_id, cv array<long>) DataFrame."""
+    rows = [
+        (s, c, [int(x) for x in cv])
+        for s, sub_cb in enumerate(cb)
+        for c, cv in enumerate(sub_cb)
+    ]
+    return spark.createDataFrame(rows, ["subspace", "code_id", "cv"])
+
+
+def pq_encode(
+    vectors: DataFrame,
+    cb: Codebook,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to its m nearest-centroid codes — one narrow
+    map stage (inlined codebook fold), no shuffle, no join. Returns
+    (id, codes array<int>)."""
+    m = len(cb)
+    sub = len(cb[0][0])
+    q = V.quantize(vec_col, quant)
+    codes = F.array(
+        *[_best_code(F.slice(q, s * sub + 1, sub), cb[s]) for s in range(m)]
+    )
+    return vectors.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    cb: Codebook,
+    k: int = 5,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: each corpus CODE row is scored against each query by
+    summing per-subspace integer dot products dot(q_s, centroid[code_s])
+    — the corpus vectors themselves are never read. Query batch is
+    broadcast; the corpus streams with no shuffle; the only exchange is
+    the final per-query top-k window on the (small) scored frame.
+
+    Scores are exact integers (approximate dot product on the quant
+    lattice), ties break on neighbor id — fully deterministic."""
+    m = len(cb)
+    sub = len(cb[0][0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _slices(V.quantize(vec_col, quant), m, sub).alias("__qs"),
+    )
+    score = None
+    for s in range(m):
+        d = _dot_int(
+            F.col("__qs")[s],
+            F.element_at(_cb_lit(cb[s]), F.col("codes")[s] + 1),
+        )
+        score = d if score is None else score + d
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .crossJoin(F.broadcast(q))
+        .select("query_id", "neighbor_id", score.alias("adc_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adc_score", F.col("rn").alias("rank"))
+    )

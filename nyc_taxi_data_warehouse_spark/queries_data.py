@@ -2039,6 +2039,140 @@ FROM a{n_iter + 1} GROUP BY cid""")
 _SQL_KMEANS_CELLS = _sql_kmeans_cells()
 
 
+_PQ_M, _PQ_K, _PQ_ITER = 4, 8, 2
+
+
+def q_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook build (`operators/pq.pq_fit`): m=4
+    per-subspace Lloyd's with exact-integer floor-mean centroids and
+    integer-L2 assignment, md5-of-id seeding. The whole training loop is
+    on the integer lattice, so the oracle (an unrolled per-subspace
+    Lloyd's in SQL) reproduces every centroid coordinate bit-for-bit.
+    Output: one row per (subspace, code) with the centroid serialized as
+    a ','-joined string (array gate outputs avoided by repo policy)."""
+    from .operators import pq
+
+    e = _scale_out(_emb(spark, sf_dir))
+    cb = pq.pq_fit(e, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, quant=_KMEANS_QUANT)
+    return pq.pq_codebook_df(spark, cb).select(
+        "subspace", "code_id", F.array_join("cv", ",").alias("cv_str")
+    )
+
+
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end PQ ANN lifecycle: fit → encode the corpus to m codes
+    per vector → ADC top-5 for the deterministic query subset
+    (vec_id%50=0). Search never touches raw corpus vectors — scores are
+    integer subspace-dot-table sums over the 1-byte codes, ties broken
+    on neighbor id, so the full result frame is hash-reproducible."""
+    from .operators import pq
+
+    e = _emb(spark, sf_dir)
+    corpus = _scale_out(e)
+    cb = pq.pq_fit(corpus, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, quant=_KMEANS_QUANT)
+    codes = pq.pq_encode(corpus, cb, quant=_KMEANS_QUANT)
+    out = pq.pq_search(
+        e.where(F.col("vec_id") % 50 == 0), codes, cb, k=5, quant=_KMEANS_QUANT
+    )
+    return out.select(
+        "query_id", "neighbor_id", "adc_score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _sql_pq_ctes(
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    n_iter: int = _PQ_ITER,
+    dim: int = 64,
+    quant: int = _KMEANS_QUANT,
+) -> str:
+    """Unrolled per-subspace Lloyd's-in-SQL twin of `pq.pq_fit` +
+    `pq.pq_encode`: subspace is a data dimension (CROSS JOIN range(0,m)
+    + 1-based inclusive list slicing), so one CTE chain trains all m
+    codebooks at once. Every sum is CAST back to BIGINT (DuckDB HUGEINT
+    lesson); the floor-mean divides exact integer sums as doubles —
+    safe because quotients are ≤ quant·max|x| with ≥1/n distance to the
+    nearest integer when fractional (n = cell size), far above double
+    ulp at that magnitude."""
+    sub = dim // m
+    parts = [
+        f"""v AS (
+    SELECT vec_id, list_transform(embedding,
+        x -> CAST(floor(CAST(x AS DOUBLE) * {quant}) AS BIGINT)) AS q
+    FROM embeddings
+), sl AS (
+    SELECT vec_id, s.s AS sub,
+           v.q[CAST(s.s * {sub} + 1 AS INTEGER) : CAST(s.s * {sub} + {sub} AS INTEGER)] AS sv
+    FROM v CROSS JOIN range(0, {m}) s(s)
+), seed AS (
+    SELECT vec_id, rn - 1 AS code_id FROM (
+        SELECT vec_id, row_number() OVER (
+            ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rn
+        FROM v) WHERE rn <= {k}
+), c0 AS (
+    SELECT sl.sub, seed.code_id, sl.sv AS cv
+    FROM seed JOIN sl USING (vec_id)
+)"""
+    ]
+    for t in range(1, n_iter + 2):
+        parts.append(f""", d{t} AS (
+    SELECT sl.vec_id, sl.sub, c.code_id,
+           CAST(sum((sl.sv[r.i] - c.cv[r.i]) * (sl.sv[r.i] - c.cv[r.i]))
+                AS BIGINT) AS dist
+    FROM sl JOIN c{t - 1} c USING (sub) CROSS JOIN range(1, {sub + 1}) r(i)
+    GROUP BY 1, 2, 3
+), a{t} AS (
+    SELECT vec_id, sub, code_id FROM (
+        SELECT vec_id, sub, code_id, row_number() OVER (
+            PARTITION BY vec_id, sub ORDER BY dist ASC, code_id ASC) AS rn
+        FROM d{t}) WHERE rn = 1
+)""")
+        if t <= n_iter:
+            parts.append(f""", n{t} AS (
+    SELECT sub, code_id, list(mu ORDER BY pos) AS cv FROM (
+        SELECT a.sub, a.code_id, r.i AS pos,
+               CAST(floor(CAST(sum(sl.sv[r.i]) AS DOUBLE) / count(*))
+                    AS BIGINT) AS mu
+        FROM a{t} a JOIN sl USING (vec_id, sub)
+        CROSS JOIN range(1, {sub + 1}) r(i)
+        GROUP BY 1, 2, 3)
+    GROUP BY 1, 2
+), c{t} AS (
+    SELECT c.sub, c.code_id, coalesce(n.cv, c.cv) AS cv
+    FROM c{t - 1} c LEFT JOIN n{t} n USING (sub, code_id)
+)""")
+    return "".join(parts)
+
+
+_SQL_PQ_CODEBOOK = (
+    "WITH "
+    + _sql_pq_ctes()
+    + f"""
+SELECT sub AS subspace, code_id, array_to_string(cv, ',') AS cv_str
+FROM c{_PQ_ITER}"""
+)
+
+_SQL_PQ_SEARCH = (
+    "WITH "
+    + _sql_pq_ctes()
+    + f""", qsl AS (
+    SELECT vec_id AS query_id, sub, sv FROM sl WHERE vec_id % 50 = 0
+), sc AS (
+    SELECT qsl.query_id, e.vec_id AS neighbor_id,
+           CAST(sum(qsl.sv[r.i] * c.cv[r.i]) AS BIGINT) AS adc_score
+    FROM a{_PQ_ITER + 1} e
+    JOIN c{_PQ_ITER} c USING (sub, code_id)
+    JOIN qsl USING (sub)
+    CROSS JOIN range(1, {64 // _PQ_M + 1}) r(i)
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_score, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC) AS rank
+    FROM sc) WHERE rank <= 5"""
+)
+
+
 _MIXTURE_CAPS = {f"src{i}": (15 if i % 2 == 0 else 5) for i in range(18)}
 
 
@@ -2781,6 +2915,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_split_assign": q_split_assign,
     "q_dedup_keep_best": q_dedup_keep_best,
     "q_kmeans_cells": q_kmeans_cells,
+    "q_pq_codebook": q_pq_codebook,
+    "q_pq_search": q_pq_search,
     "q_chunk_docs": q_chunk_docs,
     "q_pack_sequences": q_pack_sequences,
     "q_cross_corpus_neardup": q_cross_corpus_neardup,
@@ -2844,6 +2980,8 @@ ORACLES: dict[str, str] = {
     "q_split_assign": _SQL_SPLIT_ASSIGN,
     "q_dedup_keep_best": _SQL_DEDUP_KEEP_BEST,
     "q_kmeans_cells": _SQL_KMEANS_CELLS,
+    "q_pq_codebook": _SQL_PQ_CODEBOOK,
+    "q_pq_search": _SQL_PQ_SEARCH,
     "q_chunk_docs": _SQL_CHUNK_DOCS,
     "q_pack_sequences": _SQL_PACK_SEQUENCES,
     "q_cross_corpus_neardup": _SQL_CROSS_CORPUS_NEARDUP,

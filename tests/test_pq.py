@@ -1,0 +1,102 @@
+"""Product-quantization operator tests: determinism, code validity, ADC
+score exactness against a numpy reconstruction, and retrieval sanity on
+well-separated clusters."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_warehouse_spark.operators import pq
+
+
+def _clustered(spark, n_per=10, dim=8):
+    """4 well-separated axis-aligned clusters; cluster c owns ids
+    [c*n_per, (c+1)*n_per). Values in [-1, 1] like real embeddings."""
+    rows = []
+    for c in range(4):
+        for i in range(n_per):
+            base = [0.0] * dim
+            base[c * 2] = 0.9
+            base[c * 2 + 1] = -0.7
+            # deterministic small jitter so members differ
+            jit = [((i * 7 + d * 3) % 5 - 2) / 100.0 for d in range(dim)]
+            rows.append((c * n_per + i, [b + j for b, j in zip(base, jit)]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return _clustered(spark).persist()
+
+
+def test_fit_is_deterministic(spark, corpus):
+    cb1 = pq.pq_fit(corpus, m=2, k=4, n_iter=2)
+    cb2 = pq.pq_fit(corpus, m=2, k=4, n_iter=2)
+    assert cb1 == cb2
+    assert len(cb1) == 2 and all(len(s) == 4 for s in cb1)
+    assert all(len(cv) == 4 for s in cb1 for cv in s)  # dim/m coords
+    assert all(isinstance(x, int) for s in cb1 for cv in s for x in cv)
+
+
+def test_dim_not_divisible_raises(spark, corpus):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.pq_fit(corpus, m=3, k=2, n_iter=1)
+
+
+def test_encode_codes_in_range(spark, corpus):
+    cb = pq.pq_fit(corpus, m=2, k=4, n_iter=2)
+    enc = pq.pq_encode(corpus, cb).collect()
+    assert len(enc) == 40
+    for r in enc:
+        assert len(r["codes"]) == 2
+        assert all(0 <= c < 4 for c in r["codes"])
+
+
+def test_adc_score_matches_numpy_reconstruction(spark, corpus):
+    """The returned adc_score must equal the exact integer dot product of
+    the quantized query slices with the coded centroids — recomputed
+    independently driver-side."""
+    import math
+
+    cb = pq.pq_fit(corpus, m=2, k=4, n_iter=2)
+    codes = {r["vec_id"]: r["codes"] for r in pq.pq_encode(corpus, cb).collect()}
+    vecs = {r["vec_id"]: r["embedding"] for r in corpus.collect()}
+    got = pq.pq_search(
+        corpus.where(F.col("vec_id").isin([0, 25])), pq.pq_encode(corpus, cb), cb, k=3
+    ).collect()
+    assert got
+    for r in got:
+        q = [math.floor(x * 1000) for x in vecs[r["query_id"]]]
+        expect = 0
+        for s in range(2):
+            cent = cb[s][codes[r["neighbor_id"]][s]]
+            qs = q[s * 4 : (s + 1) * 4]
+            expect += sum(a * b for a, b in zip(qs, cent))
+        assert r["adc_score"] == expect
+
+
+def test_search_retrieves_own_cluster(spark, corpus):
+    """With 4 separated clusters and k=4 codes per subspace, every
+    query's top-3 neighbors come from the query's own cluster."""
+    cb = pq.pq_fit(corpus, m=2, k=4, n_iter=3)
+    enc = pq.pq_encode(corpus, cb)
+    out = pq.pq_search(
+        corpus.where(F.col("vec_id") % 10 == 0), enc, cb, k=3
+    ).collect()
+    assert len(out) == 4 * 3
+    for r in out:
+        assert r["neighbor_id"] // 10 == r["query_id"] // 10
+
+
+def test_codebook_df_roundtrip(spark, corpus):
+    cb = pq.pq_fit(corpus, m=2, k=4, n_iter=1)
+    df = pq.pq_codebook_df(spark, cb).collect()
+    assert len(df) == 8
+    back: dict = {}
+    for r in df:
+        back.setdefault(r["subspace"], {})[r["code_id"]] = list(r["cv"])
+    assert [
+        [back[s][c] for c in range(4)] for s in range(2)
+    ] == cb
