@@ -2173,6 +2173,103 @@ SELECT query_id, neighbor_id, adc_score, rank FROM (
 )
 
 
+_BPE_MERGES = 6
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (`operators/bpe.bpe_train`): one
+    corpus-scale word count, then 6 merge rounds over the vocab-sized
+    word-freq table — each round one pair aggregation + a 1-row top-pair
+    collect + a literal replace. The learned merge table is the
+    tokenizer artifact; exact-integer counts with (count desc, pair asc)
+    ties make it bit-reproducible against the unrolled SQL twin (top
+    pair per round via scalar subqueries)."""
+    from .operators import bpe
+
+    return bpe.bpe_train(_scale_out(_docs(spark, sf_dir)), _BPE_MERGES)
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the freshly learned BPE merges
+    (`operators/bpe.apply_merges`): per document, the post-merge subword
+    count — the sequence-length statistic a training pipeline needs
+    before packing. Gates the merge APPLICATION path (greedy
+    left-to-right literal replaces) on top of the training path."""
+    from .operators import bpe
+
+    d = _scale_out(_docs(spark, sf_dir))
+    mt = bpe.bpe_train(d, _BPE_MERGES)
+    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]
+    out = bpe.apply_merges(d, merges)
+    return out.select(
+        "doc_id", F.size("tokens").cast("long").alias("n_bpe_tokens")
+    )
+
+
+def _sql_bpe_ctes(n_merges: int = _BPE_MERGES) -> str:
+    """Unrolled BPE-training-in-SQL twin of `bpe.bpe_train`: per round,
+    pair counts from the DELIM-split symbol strings, the top pair by
+    (count desc, lhs asc, rhs asc) via LIMIT 1, and a replace() whose
+    search/replacement strings are scalar subqueries on that top row —
+    replace() is left-to-right non-overlapping in both engines, which is
+    exactly greedy BPE merge application."""
+    parts = [
+        """wf AS (
+    SELECT word, count(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS word
+        FROM documents)
+    GROUP BY 1
+), s0 AS (
+    SELECT word, array_to_string(list_transform(range(1, length(word) + 1),
+        i -> substr(word, CAST(i AS INTEGER), 1)), '  ') AS sym, freq
+    FROM wf
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(f""", p{r} AS (
+    SELECT p['lhs'] AS lhs, p['rhs'] AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM (
+        SELECT unnest(list_transform(range(1, len(s)),
+            i -> struct_pack(lhs := s[CAST(i AS INTEGER)],
+                             rhs := s[CAST(i AS INTEGER) + 1]))) AS p, freq
+        FROM (SELECT string_split(sym, '  ') AS s, freq FROM s{r - 1}))
+    GROUP BY 1, 2
+), t{r} AS (
+    SELECT lhs, rhs, pair_count FROM p{r}
+    ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1
+), s{r} AS (
+    SELECT word, replace(sym, (SELECT lhs || '  ' || rhs FROM t{r}),
+                   (SELECT lhs || rhs FROM t{r})) AS sym, freq
+    FROM s{r - 1}
+)""")
+    return "".join(parts)
+
+
+_SQL_BPE_MERGES = (
+    "WITH "
+    + _sql_bpe_ctes()
+    + "\n"
+    + " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, lhs, rhs, pair_count FROM t{r}"
+        for r in range(1, _BPE_MERGES + 1)
+    )
+)
+
+_SQL_BPE_TOKENIZE = (
+    "WITH "
+    + _sql_bpe_ctes()
+    + f"""
+SELECT d.doc_id,
+       CAST(sum(len(string_split(s{_BPE_MERGES}.sym, '  '))) AS BIGINT) AS n_bpe_tokens
+FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS word
+    FROM documents) d
+JOIN s{_BPE_MERGES} USING (word)
+GROUP BY 1"""
+)
+
+
 _MIXTURE_CAPS = {f"src{i}": (15 if i % 2 == 0 else 5) for i in range(18)}
 
 
@@ -2917,6 +3014,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kmeans_cells": q_kmeans_cells,
     "q_pq_codebook": q_pq_codebook,
     "q_pq_search": q_pq_search,
+    "q_bpe_merges": q_bpe_merges,
+    "q_bpe_tokenize": q_bpe_tokenize,
     "q_chunk_docs": q_chunk_docs,
     "q_pack_sequences": q_pack_sequences,
     "q_cross_corpus_neardup": q_cross_corpus_neardup,
@@ -2982,6 +3081,8 @@ ORACLES: dict[str, str] = {
     "q_kmeans_cells": _SQL_KMEANS_CELLS,
     "q_pq_codebook": _SQL_PQ_CODEBOOK,
     "q_pq_search": _SQL_PQ_SEARCH,
+    "q_bpe_merges": _SQL_BPE_MERGES,
+    "q_bpe_tokenize": _SQL_BPE_TOKENIZE,
     "q_chunk_docs": _SQL_CHUNK_DOCS,
     "q_pack_sequences": _SQL_PACK_SEQUENCES,
     "q_cross_corpus_neardup": _SQL_CROSS_CORPUS_NEARDUP,
