@@ -1,0 +1,99 @@
+"""Z-order (Morton-curve) data clustering for lake writes.
+
+At 100 TB, file-skipping is the first line of defense: parquet
+readers prune files whose column min/max stats exclude the predicate.
+Sorting by ONE column makes every file full-range on every OTHER
+column, so only single-column predicates skip. Interleaving the bits
+of two (or more) rank-bucketed columns into a Morton z-value and
+range-partitioning on it gives every file a bounded min/max RECTANGLE
+in the multi-column space — predicates on any clustered column skip
+(the technique behind Delta/Databricks OPTIMIZE ZORDER BY).
+
+All integer math: values normalize to a 2^bits grid via
+``(x - min) * 2^bits // (range + 1)`` (non-negative, so truncation ==
+floor in every engine) and the interleave is an unrolled shift/mask
+sum — deterministic, SQL-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BITS = 8  # per-column grid bits; z-value uses 2*BITS
+
+
+def grid_expr(col: Column | str, lo: Column, hi: Column, bits: int = BITS) -> Column:
+    """Normalize a value to the [0, 2^bits) integer grid given inclusive
+    bounds. (x-lo)*2^bits/(hi-lo+1) is < 2^bits for x ≤ hi and
+    non-negative, so floor == truncation; the double division is exact
+    enough (quotient distance to an integer when fractional is ≥
+    1/(range+1), far above ulp at this magnitude)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(
+        (c - lo).cast("long") * F.lit(1 << bits) / (hi - lo + 1).cast("long")
+    ).cast("long")
+
+
+def interleave_expr(xg: Column, yg: Column, bits: int = BITS) -> Column:
+    """Morton interleave of two grid coordinates: bit b of x lands at
+    2b, bit b of y at 2b+1. Unrolled shift/mask sum (JVM-side integer
+    ops, no UDF)."""
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(xg, b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(F.shiftright(yg, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    return z
+
+
+def with_zvalue(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = BITS,
+    z_col: str = "z",
+) -> DataFrame:
+    """Append the Morton z-value of (x_col, y_col). Column bounds come
+    from a 1-row broadcast-aggregate crossJoin (the repo's corpus-stats
+    shape) — one extra aggregation, no collect, no second scan action."""
+    bounds = df.agg(
+        F.min(x_col).alias("__xlo"),
+        F.max(x_col).alias("__xhi"),
+        F.min(y_col).alias("__ylo"),
+        F.max(y_col).alias("__yhi"),
+    )
+    z = interleave_expr(
+        grid_expr(x_col, F.col("__xlo"), F.col("__xhi"), bits),
+        grid_expr(y_col, F.col("__ylo"), F.col("__yhi"), bits),
+        bits,
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(z_col, z)
+        .drop("__xlo", "__xhi", "__ylo", "__yhi")
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int,
+    bits: int = BITS,
+) -> None:
+    """Write parquet clustered on the (x_col, y_col) z-curve: range-
+    partition on the z-value (contiguous curve segments per file, so
+    each file covers a bounded rectangle) and sort within partitions so
+    row groups cluster too. The z column is dropped before writing."""
+    zdf = with_zvalue(df, x_col, y_col, bits, z_col="__z")
+    (
+        zdf.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -919,6 +919,64 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 GROUP BY r_name, n_name"""
 
 
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-curve clustering diagnostic (`operators/zorder`): each
+    lineitem row maps to the 16-bit z-value of its rank-bucketed
+    (l_partkey, l_suppkey), rolled up to 1024 curve cells with per-cell
+    key bounds — the rectangle stats that predict parquet file-skipping
+    quality after a `write_zordered` layout. Bounds ride a 1-row
+    broadcast-aggregate crossJoin; the interleave is an unrolled JVM
+    shift/mask sum, all integer-exact."""
+    from .operators import zorder
+
+    li = nyc_views.load_tables(spark, sf_dir)["lineitem"].select(
+        "l_partkey", "l_suppkey"
+    )
+    z = zorder.with_zvalue(li, "l_partkey", "l_suppkey")
+    return z.groupBy(F.shiftright(F.col("z"), 6).alias("z_cell")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_partkey").alias("min_pk"),
+        F.max("l_partkey").alias("max_pk"),
+        F.min("l_suppkey").alias("min_sk"),
+        F.max("l_suppkey").alias("max_sk"),
+    )
+
+
+def _sql_zorder_cells(bits: int = 8) -> str:
+    """Dialect twin of `zorder.grid_expr` + `interleave_expr`: identical
+    double-division grid normalization (exact: non-negative, quotient
+    < 2^bits, fractional distance ≥ 1/(range+1)) and the same unrolled
+    shift/mask interleave."""
+    grid = (
+        "CAST(floor(CAST(({c} - {lo}) AS DOUBLE) * {n} / ({hi} - {lo} + 1))"
+        " AS BIGINT)"
+    )
+    xg = grid.format(c="l_partkey", lo="xlo", hi="xhi", n=1 << bits)
+    yg = grid.format(c="l_suppkey", lo="ylo", hi="yhi", n=1 << bits)
+    z = " + ".join(
+        f"(((xg >> {b}) & 1) << {2 * b}) + (((yg >> {b}) & 1) << {2 * b + 1})"
+        for b in range(bits)
+    )
+    return f"""
+WITH b AS (
+    SELECT min(l_partkey) AS xlo, max(l_partkey) AS xhi,
+           min(l_suppkey) AS ylo, max(l_suppkey) AS yhi
+    FROM lineitem
+), g AS (
+    SELECT l_partkey, l_suppkey, {xg} AS xg, {yg} AS yg
+    FROM lineitem CROSS JOIN b
+), zz AS (
+    SELECT l_partkey, l_suppkey, {z} AS z FROM g
+)
+SELECT z >> 6 AS z_cell, count(*) AS n_rows,
+       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+       min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+FROM zz GROUP BY 1"""
+
+
+_SQL_ZORDER_CELLS = _sql_zorder_cells()
+
+
 def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation (`operators/skew.py::salted_agg`),
     driver-gated: the hot-key mitigation must be bit-identical to the plain
@@ -1528,6 +1586,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_union_summary": q_union_summary,
     "q_merge_dedup": q_merge_dedup,
     "q_star_join": q_star_join,
+    "q_zorder_cells": q_zorder_cells,
     "q_skew_agg": q_skew_agg,
     "q_skew_join": q_skew_join,
     "q_incremental_agg": q_incremental_agg,
@@ -1572,6 +1631,7 @@ WHERE pickup_datetime IS NOT NULL AND dropoff_datetime IS NOT NULL
 SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
 FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5000""",
     "q_star_join": _SQL_STAR_JOIN,
+    "q_zorder_cells": _SQL_ZORDER_CELLS,
     "q_skew_agg": _SQL_SKEW_AGG,
     "q_skew_join": _SQL_SKEW_JOIN,
     "q_incremental_agg": _with(
