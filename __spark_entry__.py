@@ -39,6 +39,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-4 queries land in the middle (between FIRST and LAST), inside
 # the window; tests/test_registry.py pins the bookkeeping.
 _CHECK_FIRST = [
+    # (0) first-evidence: never driver-gated (4 mid-round-4 additions +
+    # the 5 new PQ/BPE/z-order queries) — highest priority
+    "q_lsh_hot_buckets", "q_containment", "q_normalize_dedup",
+    "q_delta_roundtrip", "q_pq_codebook", "q_pq_search",
+    "q_bpe_merges", "q_bpe_tokenize", "q_zorder_cells",
     # (1) stale: last driver evidence is round 1
     "q_dropna", "q_limit", "q_minmax", "q_semi_join",
     # (2) touched this round: banded SimHash + capped-LSH oracles, and the
@@ -47,7 +52,8 @@ _CHECK_FIRST = [
     "q_lsh_recall", "q_centroid_assign", "q_ann_ivf", "q_ann_recall",
     "q_embedding_neardup", "q_cell_quality", "q_knn_bruteforce",
     "q_stream_hourly",
-    # (3) r2-green, oldest evidence first
+    # (3) r2-green, oldest evidence first (25 fit; the 5 overflow moved
+    # to the _CHECK_LAST head as round-5 window candidates)
     "q_ngram_jaccard", "q_text_quality", "q_split_assign",
     "q_dedup_keep_best", "q_chunk_docs", "q_pack_sequences",
     "q_mixture_sample", "q_srp_lsh", "q_srp_near_pairs",
@@ -55,12 +61,13 @@ _CHECK_FIRST = [
     "q_skew_agg", "q_skew_join", "q_incremental_agg",
     "q_cube", "q_merge_upsert", "q_weighted_sample", "q_freshness",
     "q_bm25", "q_winsorize", "q_pmi", "q_conversion_funnel",
-    "q_retention_cohort", "q_backfill_synthetic", "q_quality_report",
-    "q_gapfill", "q_sessions", "q_topk_per_group", "q_asof_join",
+    "q_retention_cohort", "q_backfill_synthetic",
 ]
 _CHECK_LAST = [
-    # deferred r2-green (trivial per-row text functions, untouched this
-    # round) — round-5 window candidates
+    # deferred r2-green (window overflow + trivial per-row text
+    # functions, untouched this round) — round-5 window candidates
+    "q_quality_report", "q_gapfill", "q_sessions", "q_topk_per_group",
+    "q_asof_join",
     "q_token_count", "q_lang_id", "q_fingerprint", "q_repetition",
     "q_length_histogram", "q_percentiles_approx", "q_filter_funnel",
     # r3-green (freshest evidence)
