@@ -1,0 +1,459 @@
+"""Apache Iceberg table interop — read via metadata/manifest replay and
+a minimal protocol-conformant v2 writer, per the public Iceberg table
+spec (https://iceberg.apache.org/spec/). Companion to
+:mod:`.delta_read`: Delta covers the JSON-log format, this covers the
+Avro-manifest format, so a user can POINT the engine at either lake
+layout without extra runtime jars.
+
+Layout recap (spec §"Table Metadata" / §"Manifests"):
+
+- ``metadata/v{N}.metadata.json`` — the table root document: schema,
+  snapshots, current snapshot pointer; ``version-hint.text`` names the
+  current N. A new metadata file per commit, put-if-absent = the commit
+  atomicity point (the same O_EXCL boundary the Delta writer uses).
+- each snapshot points at a **manifest list** (Avro, one row per
+  manifest with partition/row stats) which points at **manifests**
+  (Avro, one row per data file: status, path, format, counts).
+- snapshot(S) = live data files = entries with status != DELETED in
+  S's manifests. Time travel = pick a different snapshot id.
+
+All manifest decoding is driver-side KB-scale metadata work via
+:mod:`.avro_io`; the data read stays one plain parquet scan (Iceberg
+data files embed partition columns, so no directory-layout recovery is
+needed and column pruning/pushdown work unchanged).
+
+Honest boundaries (raise, never mis-read): row-level deletes (v2
+position/equality delete files), format-version > 2, non-parquet data
+files, and nested schema evolution by field-id remapping (the reader
+serves the parquet schema as written).
+
+The writer produces unpartitioned v2 tables (append/overwrite, flat
+schemas) whose metadata follows the spec's required fields — readable
+by real Iceberg runtimes and by this reader; it is the fixture path for
+round-trip gating, not a full catalog implementation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import avro_io
+
+_VMETA_RE = re.compile(r"^v(\d+)\.metadata\.json$")
+
+
+class IcebergProtocolError(RuntimeError):
+    """The table requires features this implementation does not cover."""
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, "metadata")
+
+
+def is_iceberg_table(path: str) -> bool:
+    d = _meta_dir(path)
+    return os.path.isdir(d) and any(
+        _VMETA_RE.match(n) for n in os.listdir(d)
+    )
+
+
+def _metadata_versions(path: str) -> list[int]:
+    d = _meta_dir(path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(m.group(1)) for n in os.listdir(d) if (m := _VMETA_RE.match(n))
+    )
+
+
+def _current_version(path: str) -> int:
+    """Newest committed metadata version. The directory listing, not
+    version-hint.text, is authoritative: the hint is written AFTER the
+    put-if-absent commit, so a crash in between leaves it one behind
+    (Iceberg's own HadoopTableOperations probes past the hint the same
+    way)."""
+    versions = _metadata_versions(path)
+    if not versions:
+        raise IcebergProtocolError(f"{path}: no metadata/v*.metadata.json")
+    return versions[-1]
+
+
+def _load_metadata(path: str, version: int | None = None) -> dict:
+    if version is None:
+        version = _current_version(path)
+    with open(os.path.join(_meta_dir(path), f"v{version}.metadata.json")) as f:
+        meta = json.load(f)
+    if meta.get("format-version", 1) > 2:
+        raise IcebergProtocolError(
+            f"format-version {meta['format-version']} > 2 not supported"
+        )
+    return meta
+
+
+def _local_path(uri: str, table_path: str) -> str:
+    if uri.startswith("file://"):
+        return uri[len("file://") :]
+    if "://" in uri:
+        raise IcebergProtocolError(f"non-local file uri {uri!r}")
+    if os.path.isabs(uri):
+        return uri
+    return os.path.join(table_path, uri)
+
+
+def _pick_snapshot(meta: dict, snapshot_id: int | None) -> dict | None:
+    snaps = meta.get("snapshots", [])
+    if snapshot_id is not None:
+        for s in snaps:
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise IcebergProtocolError(f"snapshot {snapshot_id} not found")
+    cur = meta.get("current-snapshot-id")
+    if cur in (None, -1):
+        return None
+    for s in snaps:
+        if s["snapshot-id"] == cur:
+            return s
+    raise IcebergProtocolError(f"current snapshot {cur} missing from list")
+
+
+def _live_data_files(meta: dict, snap: dict, table_path: str) -> list[str]:
+    if "manifest-list" in snap:
+        _, mlist = avro_io.read_ocf(_local_path(snap["manifest-list"], table_path))
+        manifests = []
+        for m in mlist:
+            if m.get("content", 0) == 1:
+                raise IcebergProtocolError(
+                    "table has delete manifests (row-level deletes): "
+                    "not supported by this reader"
+                )
+            manifests.append(m["manifest_path"])
+    else:  # v1 inline manifest array
+        manifests = list(snap.get("manifests", []))
+    files: list[str] = []
+    for mpath in manifests:
+        _, entries = avro_io.read_ocf(_local_path(mpath, table_path))
+        for e in entries:
+            if e["status"] == 2:  # DELETED
+                continue
+            df_rec = e["data_file"]
+            if df_rec.get("content", 0) != 0:
+                raise IcebergProtocolError(
+                    "position/equality delete files not supported"
+                )
+            fmt = str(df_rec["file_format"]).upper()
+            if fmt != "PARQUET":
+                raise IcebergProtocolError(f"unsupported file format {fmt}")
+            files.append(_local_path(df_rec["file_path"], table_path))
+    return files
+
+
+_ICE_TO_SPARK = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamptz": "timestamp",
+    "string": "string",
+    "binary": "binary",
+}
+
+
+def _empty_frame(spark: SparkSession, meta: dict) -> DataFrame:
+    schemas = meta.get("schemas")
+    schema = (
+        next(s for s in schemas if s["schema-id"] == meta["current-schema-id"])
+        if schemas
+        else meta["schema"]
+    )
+    parts = []
+    for f in schema["fields"]:
+        t = f["type"]
+        if not isinstance(t, str):
+            raise IcebergProtocolError("nested types not supported")
+        m = re.match(r"^decimal\((\d+),\s*(\d+)\)$", t)
+        spark_t = f"decimal({m.group(1)},{m.group(2)})" if m else _ICE_TO_SPARK.get(t)
+        if spark_t is None:
+            raise IcebergProtocolError(f"unsupported type {t!r}")
+        parts.append(f"`{f['name']}` {spark_t}")
+    return spark.createDataFrame([], ", ".join(parts))
+
+
+def read_iceberg(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """DataFrame over an Iceberg table's current (or a named) snapshot."""
+    meta = _load_metadata(path)
+    snap = _pick_snapshot(meta, snapshot_id)
+    if snap is None:
+        return _empty_frame(spark, meta)
+    files = _live_data_files(meta, snap, path)
+    if not files:
+        return _empty_frame(spark, meta)
+    return spark.read.parquet(*files)
+
+
+def snapshots(path: str) -> list[dict]:
+    """(snapshot-id, timestamp-ms, operation) history, oldest first."""
+    meta = _load_metadata(path)
+    return [
+        {
+            "snapshot_id": s["snapshot-id"],
+            "timestamp_ms": s.get("timestamp-ms"),
+            "operation": (s.get("summary") or {}).get("operation"),
+        }
+        for s in sorted(meta.get("snapshots", []), key=lambda s: s.get("timestamp-ms") or 0)
+    ]
+
+
+# --- writer ----------------------------------------------------------------
+
+_SPARK_TO_ICE = {
+    "boolean": "boolean",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "timestamp": "timestamp",
+    "string": "string",
+    "binary": "binary",
+}
+
+# spec-required manifest-list schema (v2), field ids per the table spec
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+        {
+            "name": "sequence_number",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 3,
+        },
+        {
+            "name": "file_sequence_number",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 4,
+        },
+        {
+            "name": "data_file",
+            "field-id": 2,
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    {
+                        "name": "partition",
+                        "field-id": 102,
+                        "type": {"type": "record", "name": "r102", "fields": []},
+                    },
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                ],
+            },
+        },
+    ],
+}
+
+
+def _spark_schema_to_iceberg(df: DataFrame) -> tuple[dict, int]:
+    fields = []
+    for i, f in enumerate(df.schema.fields, start=1):
+        t = f.dataType.typeName()
+        if t == "decimal":
+            ice_t = f"decimal({f.dataType.precision},{f.dataType.scale})"
+        else:
+            ice_t = _SPARK_TO_ICE.get(t)
+        if ice_t is None:
+            raise IcebergProtocolError(
+                f"unsupported column type {t!r} (flat schemas only)"
+            )
+        fields.append(
+            {"id": i, "name": f.name, "required": False, "type": ice_t}
+        )
+    return (
+        {"type": "struct", "schema-id": 0, "fields": fields},
+        len(fields),
+    )
+
+
+def write_iceberg(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    base_version: int | None = None,
+) -> int:
+    """Append or overwrite an unpartitioned Iceberg v2 table; returns the
+    new snapshot id. Each call writes an immutable parquet batch dir, a
+    manifest, a manifest list, and commits ``v{N}.metadata.json`` with
+    O_EXCL put-if-absent — racing writers: exactly one wins, the loser
+    raises FileExistsError and can retry on the new base (same contract
+    as the Delta writer and the manifest table).
+
+    The base version is resolved ONCE (or pinned via ``base_version``)
+    and the commit targets base+1, so a rival that commits base+1 first
+    makes this write FAIL instead of silently dropping the rival's
+    snapshot from history."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode {mode!r}")
+    meta_d = _meta_dir(path)
+    os.makedirs(meta_d, exist_ok=True)
+    if base_version is None:
+        versions = _metadata_versions(path)
+        base_version = versions[-1] if versions else None
+    prev = _load_metadata(path, base_version) if base_version else None
+    if prev and mode == "append":
+        prev_snap = _pick_snapshot(prev, None)
+    else:
+        prev_snap = None
+
+    # 1. immutable data batch
+    batch = os.path.join(path, "data", f"batch-{uuid.uuid4().hex}")
+    df.write.parquet(batch)
+    import pyarrow.parquet as pq
+
+    data_files = []
+    for name in sorted(os.listdir(batch)):
+        if name.endswith(".parquet") and not name.startswith("."):
+            fp = os.path.join(batch, name)
+            data_files.append(
+                (fp, pq.ParquetFile(fp).metadata.num_rows, os.path.getsize(fp))
+            )
+
+    snapshot_id = uuid.uuid4().int >> 65  # positive 63-bit
+    seq = (prev.get("last-sequence-number", 0) + 1) if prev else 1
+
+    # 2. manifest for the new files
+    manifest_path = os.path.join(meta_d, f"manifest-{uuid.uuid4().hex}.avro")
+    avro_io.write_ocf(
+        manifest_path,
+        _MANIFEST_SCHEMA,
+        [
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,  # inherited from the snapshot
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": fp,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": nrows,
+                    "file_size_in_bytes": size,
+                },
+            }
+            for fp, nrows, size in data_files
+        ],
+    )
+
+    # 3. manifest list: new manifest (+ carried-forward ones on append)
+    entries = [
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(data_files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(n for _, n, _ in data_files),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    if prev_snap is not None and "manifest-list" in prev_snap:
+        _, carried = avro_io.read_ocf(
+            _local_path(prev_snap["manifest-list"], path)
+        )
+        entries.extend(carried)
+    mlist_path = os.path.join(
+        meta_d, f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
+    )
+    avro_io.write_ocf(mlist_path, _MANIFEST_LIST_SCHEMA, entries)
+
+    # 4. new table metadata, committed put-if-absent
+    now_ms = int(time.time() * 1000)
+    schema, last_col = _spark_schema_to_iceberg(df)
+    snap = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": mlist_path,
+        "summary": {"operation": mode},
+        "schema-id": 0,
+    }
+    snapshots_list = (prev.get("snapshots", []) if prev else []) + [snap]
+    meta = {
+        "format-version": 2,
+        "table-uuid": (prev or {}).get("table-uuid", str(uuid.uuid4())),
+        "location": path,
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": last_col,
+        "current-schema-id": 0,
+        "schemas": [schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": snapshots_list,
+        "snapshot-log": [
+            {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]}
+            for s in snapshots_list
+        ],
+        "metadata-log": [],
+    }
+    version = (base_version + 1) if base_version else 1
+    target = os.path.join(meta_d, f"v{version}.metadata.json")
+    fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)  # commit point
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+    except BaseException:
+        os.unlink(target)
+        raise
+    with open(os.path.join(meta_d, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return snapshot_id

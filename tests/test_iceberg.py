@@ -1,0 +1,161 @@
+"""Iceberg interop tests: avro OCF round-trip, write→read round-trip,
+append/overwrite snapshot semantics, time travel, and the protocol
+boundaries (delete files, foreign formats) raising instead of
+mis-reading."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_warehouse_spark.sources import avro_io, iceberg
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_avro_ocf_roundtrip(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "n", "type": ["null", "long"], "default": None},
+            {"name": "a", "type": {"type": "array", "items": "int"}},
+            {"name": "m", "type": {"type": "map", "values": "double"}},
+            {"name": "b", "type": "bytes"},
+            {"name": "f", "type": "boolean"},
+        ],
+    }
+    recs = [
+        {"s": "x", "n": 12345678901234, "a": [1, -2], "m": {"k": 1.5}, "b": b"\x00", "f": True},
+        {"s": "", "n": None, "a": [], "m": {}, "b": b"", "f": False},
+    ]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"t_{codec}.avro")
+        avro_io.write_ocf(p, schema, recs, codec=codec)
+        s2, got = avro_io.read_ocf(p)
+        assert s2 == schema and got == recs
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+    iceberg.write_iceberg(df, t, mode="overwrite")
+    assert iceberg.is_iceberg_table(t)
+    back = iceberg.read_iceberg(spark, t)
+    assert _rows(back) == _rows(df)
+
+
+def test_append_and_overwrite_snapshots(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    a = spark.range(10).select(F.col("id"))
+    b = spark.range(10, 25).select(F.col("id"))
+    s1 = iceberg.write_iceberg(a, t, mode="overwrite")
+    s2 = iceberg.write_iceberg(b, t, mode="append")
+    assert iceberg.read_iceberg(spark, t).count() == 25
+    # time travel to the first snapshot
+    assert iceberg.read_iceberg(spark, t, snapshot_id=s1).count() == 10
+    # overwrite replaces the live set but keeps history
+    s3 = iceberg.write_iceberg(a, t, mode="overwrite")
+    assert iceberg.read_iceberg(spark, t).count() == 10
+    assert iceberg.read_iceberg(spark, t, snapshot_id=s2).count() == 25
+    ops = [s["operation"] for s in iceberg.snapshots(t)]
+    assert ops == ["overwrite", "append", "overwrite"]
+    assert s3 != s2 != s1
+
+
+def test_empty_table_and_missing_snapshot(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.range(5).select(F.col("id"))
+    iceberg.write_iceberg(df, t)
+    with pytest.raises(iceberg.IcebergProtocolError, match="not found"):
+        iceberg.read_iceberg(spark, t, snapshot_id=123456)
+
+
+def test_delete_manifests_raise(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    iceberg.write_iceberg(spark.range(5).select(F.col("id")), t)
+    meta = iceberg._load_metadata(t)
+    snap = iceberg._pick_snapshot(meta, None)
+    # inject a delete manifest (content=1) into the manifest list
+    mlist = iceberg._local_path(snap["manifest-list"], t)
+    schema, entries = avro_io.read_ocf(mlist)
+    entries.append({**entries[0], "content": 1})
+    avro_io.write_ocf(mlist, schema, entries)
+    with pytest.raises(iceberg.IcebergProtocolError, match="delete manifests"):
+        iceberg.read_iceberg(spark, t)
+
+
+def test_foreign_format_raises(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    iceberg.write_iceberg(spark.range(5).select(F.col("id")), t)
+    meta = iceberg._load_metadata(t)
+    snap = iceberg._pick_snapshot(meta, None)
+    mlist = iceberg._local_path(snap["manifest-list"], t)
+    _, mentries = avro_io.read_ocf(mlist)
+    mpath = iceberg._local_path(mentries[0]["manifest_path"], t)
+    schema, entries = avro_io.read_ocf(mpath)
+    for e in entries:
+        e["data_file"]["file_format"] = "ORC"
+    avro_io.write_ocf(mpath, schema, entries)
+    with pytest.raises(iceberg.IcebergProtocolError, match="file format"):
+        iceberg.read_iceberg(spark, t)
+
+
+def test_v1_inline_manifests_supported(spark, tmp_path):
+    """A hand-built v1 table (snapshot lists manifests directly, no
+    manifest-list indirection) reads correctly."""
+    t = str(tmp_path / "v1tbl")
+    # build via the writer, then rewrite metadata in v1 shape
+    iceberg.write_iceberg(spark.range(7).select(F.col("id")), t)
+    meta = iceberg._load_metadata(t)
+    snap = iceberg._pick_snapshot(meta, None)
+    _, mentries = avro_io.read_ocf(iceberg._local_path(snap["manifest-list"], t))
+    v1 = {
+        "format-version": 1,
+        "table-uuid": meta["table-uuid"],
+        "location": t,
+        "last-updated-ms": meta["last-updated-ms"],
+        "last-column-id": meta["last-column-id"],
+        "schema": meta["schemas"][0],
+        "partition-spec": [],
+        "properties": {},
+        "current-snapshot-id": snap["snapshot-id"],
+        "snapshots": [
+            {
+                "snapshot-id": snap["snapshot-id"],
+                "timestamp-ms": snap["timestamp-ms"],
+                "manifests": [m["manifest_path"] for m in mentries],
+                "summary": {"operation": "append"},
+            }
+        ],
+    }
+    with open(os.path.join(t, "metadata", "v2.metadata.json"), "w") as f:
+        json.dump(v1, f)
+    with open(os.path.join(t, "metadata", "version-hint.text"), "w") as f:
+        f.write("2")
+    assert iceberg.read_iceberg(spark, t).count() == 7
+
+
+def test_commit_is_put_if_absent(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    iceberg.write_iceberg(spark.range(3).select(F.col("id")), t)
+    # a rival commits v2 while this writer still holds base v1: the
+    # pinned-base commit must collide on O_EXCL, not overwrite history
+    s_rival = iceberg.write_iceberg(
+        spark.range(10).select(F.col("id")), t, mode="append"
+    )
+    with pytest.raises(FileExistsError):
+        iceberg.write_iceberg(
+            spark.range(5).select(F.col("id")), t, mode="append", base_version=1
+        )
+    # the rival's snapshot is intact
+    assert iceberg.read_iceberg(spark, t, snapshot_id=s_rival).count() == 13
