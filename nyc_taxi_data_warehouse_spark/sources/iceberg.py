@@ -214,6 +214,85 @@ def snapshots(path: str) -> list[dict]:
     ]
 
 
+def count_rows(path: str, snapshot_id: int | None = None) -> int:
+    """Row count from manifest metadata alone — no data file is opened.
+    The aggregate-pushdown trick Iceberg enables at 100 TB: manifests
+    carry per-file ``record_count``, so COUNT(*) is a KB-scale metadata
+    read instead of a table scan."""
+    meta = _load_metadata(path)
+    snap = _pick_snapshot(meta, snapshot_id)
+    if snap is None:
+        return 0
+    total = 0
+    if "manifest-list" in snap:
+        _, mlist = avro_io.read_ocf(_local_path(snap["manifest-list"], path))
+        manifests = [m["manifest_path"] for m in mlist if m.get("content", 0) == 0]
+    else:
+        manifests = list(snap.get("manifests", []))
+    for mpath in manifests:
+        _, entries = avro_io.read_ocf(_local_path(mpath, path))
+        for e in entries:
+            if e["status"] != 2 and e["data_file"].get("content", 0) == 0:
+                total += e["data_file"]["record_count"]
+    return total
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
+    """Drop all but the newest ``keep_last`` snapshots and delete data
+    files referenced ONLY by the expired ones (the Iceberg maintenance
+    operation that bounds history growth). Survivor-set deletion: a file
+    is removed only if no retained snapshot references it. Returns the
+    deleted file paths. Commits new metadata put-if-absent like any
+    write."""
+    base_version = _current_version(path)
+    meta = _load_metadata(path, base_version)
+    snaps = sorted(
+        meta.get("snapshots", []), key=lambda s: s.get("timestamp-ms") or 0
+    )
+    if len(snaps) <= keep_last:
+        return []
+    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+
+    def _files_of(snap_list):
+        out = set()
+        for s in snap_list:
+            try:
+                out.update(_live_data_files(meta, s, path))
+            except IcebergProtocolError:
+                # unreadable/exotic snapshot: keep its files (safe side)
+                if s in kept:
+                    raise
+        return out
+
+    keep_files = _files_of(kept)
+    dead = sorted(_files_of(expired) - keep_files)
+    kept_ids = {s["snapshot-id"] for s in kept}
+    new_meta = dict(meta)
+    new_meta["snapshots"] = kept
+    new_meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log", []) if e["snapshot-id"] in kept_ids
+    ]
+    meta_d = _meta_dir(path)
+    target = os.path.join(meta_d, f"v{base_version + 1}.metadata.json")
+    fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(new_meta, f)
+    except BaseException:
+        os.unlink(target)
+        raise
+    with open(os.path.join(meta_d, "version-hint.text"), "w") as f:
+        f.write(str(base_version + 1))
+    # files only after the commit: a crash before this point leaves
+    # orphans (re-runnable), never a corrupt table
+    for fp in dead:
+        try:
+            os.unlink(fp)
+        except FileNotFoundError:
+            pass
+    return dead
+
+
 # --- writer ----------------------------------------------------------------
 
 _SPARK_TO_ICE = {

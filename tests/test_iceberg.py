@@ -145,6 +145,48 @@ def test_v1_inline_manifests_supported(spark, tmp_path):
     assert iceberg.read_iceberg(spark, t).count() == 7
 
 
+def test_count_rows_is_metadata_only(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    iceberg.write_iceberg(spark.range(40).select(F.col("id")), t)
+    s2 = iceberg.write_iceberg(spark.range(17).select(F.col("id")), t, mode="append")
+    assert iceberg.count_rows(t) == 57
+    assert iceberg.count_rows(t, snapshot_id=s2) == 57
+    # still correct after the data dir is made unreadable to a scan
+    # (proves no data file is opened)
+    meta = iceberg._load_metadata(t)
+    snap = iceberg._pick_snapshot(meta, None)
+    for fp in iceberg._live_data_files(meta, snap, t):
+        os.rename(fp, fp + ".hidden")
+    assert iceberg.count_rows(t) == 57
+    for root, _, names in os.walk(t):
+        for n in names:
+            if n.endswith(".hidden"):
+                os.rename(os.path.join(root, n), os.path.join(root, n[:-7]))
+
+
+def test_expire_snapshots_keeps_survivor_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    s1 = iceberg.write_iceberg(spark.range(10).select(F.col("id")), t)
+    s2 = iceberg.write_iceberg(
+        spark.range(10, 15).select(F.col("id")), t, mode="append"
+    )
+    dead = iceberg.expire_snapshots(t, keep_last=1)
+    # snapshot 1's files are ALSO referenced by snapshot 2 (append carries
+    # manifests forward): nothing may be deleted
+    assert dead == []
+    assert iceberg.read_iceberg(spark, t).count() == 15
+    with pytest.raises(iceberg.IcebergProtocolError, match="not found"):
+        iceberg.read_iceberg(spark, t, snapshot_id=s1)
+
+    # an overwrite makes the old files exclusive to expired history
+    iceberg.write_iceberg(spark.range(3).select(F.col("id")), t, mode="overwrite")
+    dead = iceberg.expire_snapshots(t, keep_last=1)
+    assert dead  # pre-overwrite batches deleted
+    assert iceberg.read_iceberg(spark, t).count() == 3
+    assert iceberg.count_rows(t) == 3
+    assert s2 not in {s["snapshot_id"] for s in iceberg.snapshots(t)}
+
+
 def test_commit_is_put_if_absent(spark, tmp_path):
     t = str(tmp_path / "tbl")
     iceberg.write_iceberg(spark.range(3).select(F.col("id")), t)
