@@ -407,6 +407,55 @@ SELECT l_orderkey % 10 AS bucket,
 FROM src GROUP BY 1"""
 
 
+def q_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg interop gated END-TO-END (the Avro-manifest sibling of
+    `q_delta_roundtrip`): two lineitem slices go through the v2 writer
+    (`sources/iceberg.py::write_iceberg`) as overwrite + append — data
+    batch, Avro manifest, manifest list, put-if-absent metadata commit —
+    then come back through the manifest-replay reader and aggregate; a
+    `count_rows` manifest-only count is cross-checked against the scan
+    before returning. The oracle computes the identical aggregate over
+    the same slices directly, so write→manifest→replay→scan is
+    value-hashed."""
+    from .sources import iceberg as I
+    from .util import session_tmpdir
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    t = session_tmpdir("iceberg_roundtrip")
+    import shutil
+
+    shutil.rmtree(t, ignore_errors=True)  # reused scratch: fresh table per run
+    I.write_iceberg(li.where(F.col("l_orderkey") % 7 == 1), t, mode="overwrite")
+    I.write_iceberg(li.where(F.col("l_orderkey") % 7 == 4), t, mode="append")
+    back = I.read_iceberg(spark, t)
+    n_meta = I.count_rows(t)
+    n_scan = back.count()
+    if n_meta != n_scan:
+        raise RuntimeError(
+            f"manifest count {n_meta} != scanned count {n_scan}"
+        )
+    return back.groupBy((F.col("l_orderkey") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long"))
+        .cast("long")
+        .alias("sum_qty"),
+    )
+
+
+_SQL_ICEBERG_ROUNDTRIP = """
+WITH src AS (
+    SELECT l_orderkey, l_quantity FROM lineitem WHERE l_orderkey % 7 = 1
+    UNION ALL
+    SELECT l_orderkey, l_quantity FROM lineitem WHERE l_orderkey % 7 = 4
+)
+SELECT l_orderkey % 10 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM src GROUP BY 1"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per corpus doc (Manku et al.)."""
     return dedup.simhash(_text_corpus(_docs(spark, sf_dir)))
@@ -3031,6 +3080,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_containment": q_containment,
     "q_normalize_dedup": q_normalize_dedup,
     "q_delta_roundtrip": q_delta_roundtrip,
+    "q_iceberg_roundtrip": q_iceberg_roundtrip,
     "q_simhash": q_simhash,
     "q_simhash_near": q_simhash_near,
     "q_text_quality": q_text_quality,
@@ -3098,6 +3148,7 @@ ORACLES: dict[str, str] = {
     "q_containment": _SQL_CONTAINMENT,
     "q_normalize_dedup": _SQL_NORMALIZE_DEDUP,
     "q_delta_roundtrip": _SQL_DELTA_ROUNDTRIP,
+    "q_iceberg_roundtrip": _SQL_ICEBERG_ROUNDTRIP,
     "q_simhash": _SQL_SIMHASH,
     "q_simhash_near": _SQL_SIMHASH_NEAR,
     "q_text_quality": _SQL_TEXT_QUALITY,
