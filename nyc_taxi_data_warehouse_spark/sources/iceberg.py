@@ -122,7 +122,54 @@ def _pick_snapshot(meta: dict, snapshot_id: int | None) -> dict | None:
     raise IcebergProtocolError(f"current snapshot {cur} missing from list")
 
 
-def _live_data_files(meta: dict, snap: dict, table_path: str) -> list[str]:
+def _schema_fields(meta: dict) -> list[dict]:
+    schemas = meta.get("schemas")
+    schema = (
+        next(s for s in schemas if s["schema-id"] == meta["current-schema-id"])
+        if schemas
+        else meta["schema"]
+    )
+    return schema["fields"]
+
+
+def _bounds_map(raw) -> dict[int, bytes]:
+    """Bound maps arrive as Avro array<key/value record> (or None)."""
+    if not raw:
+        return {}
+    return {e["key"]: e["value"] for e in raw}
+
+
+def _file_matches(df_rec: dict, where, fields: list[dict]) -> bool:
+    """Can this data file contain rows matching every (col, op, value)
+    predicate? Missing bounds ⇒ must read (prune only on proof)."""
+    by_name = {f["name"]: f for f in fields}
+    lo_m = _bounds_map(df_rec.get("lower_bounds"))
+    hi_m = _bounds_map(df_rec.get("upper_bounds"))
+    for col, op, val in where:
+        f = by_name.get(col)
+        if f is None or not isinstance(f["type"], str):
+            continue
+        fid, t = f["id"], f["type"]
+        lo = _deserialize_bound(t, lo_m[fid]) if fid in lo_m else None
+        hi = _deserialize_bound(t, hi_m[fid]) if fid in hi_m else None
+        if op in ("=", "==") and (
+            (lo is not None and val < lo) or (hi is not None and val > hi)
+        ):
+            return False
+        if op in (">", ">=") and hi is not None and (
+            val > hi or (op == ">" and val == hi)
+        ):
+            return False
+        if op in ("<", "<=") and lo is not None and (
+            val < lo or (op == "<" and val == lo)
+        ):
+            return False
+    return True
+
+
+def _live_data_files(
+    meta: dict, snap: dict, table_path: str, where=None
+) -> list[str]:
     if "manifest-list" in snap:
         _, mlist = avro_io.read_ocf(_local_path(snap["manifest-list"], table_path))
         manifests = []
@@ -149,6 +196,8 @@ def _live_data_files(meta: dict, snap: dict, table_path: str) -> list[str]:
             fmt = str(df_rec["file_format"]).upper()
             if fmt != "PARQUET":
                 raise IcebergProtocolError(f"unsupported file format {fmt}")
+            if where and not _file_matches(df_rec, where, _schema_fields(meta)):
+                continue
             files.append(_local_path(df_rec["file_path"], table_path))
     return files
 
@@ -188,17 +237,37 @@ def _empty_frame(spark: SparkSession, meta: dict) -> DataFrame:
 
 
 def read_iceberg(
-    spark: SparkSession, path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
-    """DataFrame over an Iceberg table's current (or a named) snapshot."""
+    """DataFrame over an Iceberg table's current (or a named) snapshot.
+
+    ``where`` — optional [(col, op, value), ...] with op in
+    ``= < <= > >=`` — prunes whole FILES via the manifests' per-column
+    bounds before Spark opens anything (the metadata tier of Iceberg's
+    scan planning; parquet row-group pruning then applies within the
+    survivors). Pruning is proof-based: files lacking bounds are read.
+    The predicate is ALSO applied to the returned frame, so results are
+    correct even though pruning is coarse."""
     meta = _load_metadata(path)
     snap = _pick_snapshot(meta, snapshot_id)
     if snap is None:
         return _empty_frame(spark, meta)
-    files = _live_data_files(meta, snap, path)
+    files = _live_data_files(meta, snap, path, where)
     if not files:
         return _empty_frame(spark, meta)
-    return spark.read.parquet(*files)
+    df = spark.read.parquet(*files)
+    from pyspark.sql import functions as F
+
+    for col, op, val in where or []:
+        c = F.col(col)
+        df = df.where(
+            {"=": c == val, "==": c == val, "<": c < val,
+             "<=": c <= val, ">": c > val, ">=": c >= val}[op]
+        )
+    return df
 
 
 def snapshots(path: str) -> list[dict]:
@@ -363,11 +432,92 @@ _MANIFEST_SCHEMA = {
                     },
                     {"name": "record_count", "type": "long", "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                    # per-file column bounds (spec: map<field-id, bytes>;
+                    # Iceberg encodes non-string-key maps as Avro arrays
+                    # of key/value records)
+                    {
+                        "name": "lower_bounds",
+                        "field-id": 125,
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "logicalType": "map",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k126_v127",
+                                    "fields": [
+                                        {"name": "key", "type": "int", "field-id": 126},
+                                        {"name": "value", "type": "bytes", "field-id": 127},
+                                    ],
+                                },
+                            },
+                        ],
+                        "default": None,
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "field-id": 128,
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "logicalType": "map",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k129_v130",
+                                    "fields": [
+                                        {"name": "key", "type": "int", "field-id": 129},
+                                        {"name": "value", "type": "bytes", "field-id": 130},
+                                    ],
+                                },
+                            },
+                        ],
+                        "default": None,
+                    },
                 ],
             },
         },
     ],
 }
+
+
+# --- single-value serialization (spec Appendix D) --------------------------
+
+import struct as _struct
+
+
+def _serialize_bound(ice_type: str, v):
+    """Iceberg single-value binary serialization for bound maps."""
+    if ice_type == "int":
+        return _struct.pack("<i", int(v))
+    if ice_type == "long":
+        return _struct.pack("<q", int(v))
+    if ice_type == "float":
+        return _struct.pack("<f", float(v))
+    if ice_type == "double":
+        return _struct.pack("<d", float(v))
+    if ice_type == "string":
+        return str(v).encode("utf-8")
+    if ice_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    return None  # unsupported: omit the bound (always legal)
+
+
+def _deserialize_bound(ice_type: str, b: bytes):
+    if ice_type == "int":
+        return _struct.unpack("<i", b)[0]
+    if ice_type == "long":
+        return _struct.unpack("<q", b)[0]
+    if ice_type == "float":
+        return _struct.unpack("<f", b)[0]
+    if ice_type == "double":
+        return _struct.unpack("<d", b)[0]
+    if ice_type == "string":
+        return b.decode("utf-8")
+    if ice_type == "boolean":
+        return b != b"\x00"
+    return None
 
 
 def _spark_schema_to_iceberg(df: DataFrame) -> tuple[dict, int]:
@@ -426,12 +576,46 @@ def write_iceberg(
     df.write.parquet(batch)
     import pyarrow.parquet as pq
 
+    ice_types = {
+        f.name: (_SPARK_TO_ICE.get(f.dataType.typeName()) or "")
+        for f in df.schema.fields
+    }
+    field_ids = {f.name: i for i, f in enumerate(df.schema.fields, start=1)}
+
+    def _footer_bounds(md):
+        """(lower, upper) bound maps from parquet row-group stats —
+        field-id keyed, spec Appendix D serialization; columns without
+        stats (or unsupported types) are omitted, which readers must
+        treat as unbounded."""
+        lo: dict[str, object] = {}
+        hi: dict[str, object] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = col.statistics
+                name = col.path_in_schema
+                if st is None or not st.has_min_max or name not in field_ids:
+                    continue
+                lo[name] = st.min if name not in lo else min(lo[name], st.min)
+                hi[name] = st.max if name not in hi else max(hi[name], st.max)
+        lo_out, hi_out = [], []
+        for name in lo:
+            blo = _serialize_bound(ice_types[name], lo[name])
+            bhi = _serialize_bound(ice_types[name], hi[name])
+            if blo is not None and bhi is not None:
+                lo_out.append({"key": field_ids[name], "value": blo})
+                hi_out.append({"key": field_ids[name], "value": bhi})
+        return lo_out or None, hi_out or None
+
     data_files = []
     for name in sorted(os.listdir(batch)):
         if name.endswith(".parquet") and not name.startswith("."):
             fp = os.path.join(batch, name)
+            md = pq.ParquetFile(fp).metadata
+            lo, hi = _footer_bounds(md)
             data_files.append(
-                (fp, pq.ParquetFile(fp).metadata.num_rows, os.path.getsize(fp))
+                (fp, md.num_rows, os.path.getsize(fp), lo, hi)
             )
 
     snapshot_id = uuid.uuid4().int >> 65  # positive 63-bit
@@ -455,9 +639,11 @@ def write_iceberg(
                     "partition": {},
                     "record_count": nrows,
                     "file_size_in_bytes": size,
+                    "lower_bounds": lo,
+                    "upper_bounds": hi,
                 },
             }
-            for fp, nrows, size in data_files
+            for fp, nrows, size, lo, hi in data_files
         ],
     )
 
@@ -474,7 +660,7 @@ def write_iceberg(
             "added_files_count": len(data_files),
             "existing_files_count": 0,
             "deleted_files_count": 0,
-            "added_rows_count": sum(n for _, n, _ in data_files),
+            "added_rows_count": sum(n for _, n, _, _, _ in data_files),
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
         }

@@ -187,6 +187,50 @@ def test_expire_snapshots_keeps_survivor_files(spark, tmp_path):
     assert s2 not in {s["snapshot_id"] for s in iceberg.snapshots(t)}
 
 
+def test_manifest_bounds_prune_files(spark, tmp_path):
+    """Files whose manifest min/max exclude the predicate are never
+    handed to the scan; results stay correct (residual filter applied)."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 2).alias("v"),
+        F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 4, "0")).alias("s"),
+    )
+    iceberg.write_iceberg(df.repartitionByRange(8, "id"), t)
+    meta = iceberg._load_metadata(t)
+    snap = iceberg._pick_snapshot(meta, None)
+    all_files = iceberg._live_data_files(meta, snap, t)
+    assert len(all_files) == 8
+    pruned = iceberg._live_data_files(meta, snap, t, where=[("id", ">=", 900)])
+    assert 0 < len(pruned) < len(all_files)
+    got = iceberg.read_iceberg(spark, t, where=[("id", ">=", 900)])
+    assert got.count() == 100
+    assert got.agg(F.min("id")).collect()[0][0] == 900
+    # string bounds prune too
+    pruned_s = iceberg._live_data_files(meta, snap, t, where=[("s", "<", "k0100")])
+    assert 0 < len(pruned_s) < len(all_files)
+    assert iceberg.read_iceberg(spark, t, where=[("s", "<", "k0100")]).count() == 100
+    # equality outside the table range prunes everything
+    assert iceberg._live_data_files(meta, snap, t, where=[("id", "=", 5000)]) == []
+    assert iceberg.read_iceberg(spark, t, where=[("id", "=", 5000)]).count() == 0
+
+
+def test_bounds_absent_means_read(spark, tmp_path):
+    """A manifest without bounds (older writer) must never be pruned."""
+    t = str(tmp_path / "tbl")
+    iceberg.write_iceberg(spark.range(10).select(F.col("id")), t)
+    meta = iceberg._load_metadata(t)
+    snap = iceberg._pick_snapshot(meta, None)
+    mlist = iceberg._local_path(snap["manifest-list"], t)
+    _, mentries = avro_io.read_ocf(mlist)
+    mpath = iceberg._local_path(mentries[0]["manifest_path"], t)
+    schema, entries = avro_io.read_ocf(mpath)
+    for e in entries:
+        e["data_file"]["lower_bounds"] = None
+        e["data_file"]["upper_bounds"] = None
+    avro_io.write_ocf(mpath, schema, entries)
+    assert iceberg.read_iceberg(spark, t, where=[("id", ">=", 9)]).count() == 1
+
+
 def test_commit_is_put_if_absent(spark, tmp_path):
     t = str(tmp_path / "tbl")
     iceberg.write_iceberg(spark.range(3).select(F.col("id")), t)
