@@ -546,6 +546,7 @@ def write_iceberg(
     path: str,
     mode: str = "overwrite",
     base_version: int | None = None,
+    properties: dict[str, str] | None = None,
 ) -> int:
     """Append or overwrite an unpartitioned Iceberg v2 table; returns the
     new snapshot id. Each call writes an immutable parquet batch dir, a
@@ -701,7 +702,9 @@ def write_iceberg(
         "last-partition-id": 999,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
-        "properties": {},
+        # table properties persist across commits (overwrite replaces
+        # DATA, not table configuration); explicit keys win
+        "properties": {**(prev or {}).get("properties", {}), **(properties or {})},
         "current-snapshot-id": snapshot_id,
         "snapshots": snapshots_list,
         "snapshot-log": [
