@@ -61,6 +61,10 @@ HEADLINE = [
     # pinned-predictor FORECAST_EVAL frame
     "q_kmeans_cells",
     "q_forecast_eval",
+    # round-4 additions: PQ ANN lifecycle (fit→encode→ADC search) and the
+    # Morton z-curve clustering diagnostic
+    "q_pq_search",
+    "q_zorder_cells",
 ]
 
 # Per-query repeat count: the median of 3 runs is reported, so a single
