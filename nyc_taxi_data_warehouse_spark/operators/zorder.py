@@ -25,13 +25,21 @@ BITS = 8  # per-column grid bits; z-value uses 2*BITS
 
 def grid_expr(col: Column | str, lo: Column, hi: Column, bits: int = BITS) -> Column:
     """Normalize a value to the [0, 2^bits) integer grid given inclusive
-    bounds. (x-lo)*2^bits/(hi-lo+1) is < 2^bits for x ≤ hi and
-    non-negative, so floor == truncation; the double division is exact
-    enough (quotient distance to an integer when fractional is ≥
-    1/(range+1), far above ulp at this magnitude)."""
-    c = F.col(col) if isinstance(col, str) else col
+    bounds. All arithmetic in DOUBLE — scaling happens BEFORE any
+    truncation, so fractional columns (lat/lon-style doubles) spread
+    across the grid instead of collapsing to one cell (review
+    regression: an early cast-to-long of (x - lo) floored every
+    sub-unit difference to 0). (x-lo)*2^bits/(hi-lo+1) is < 2^bits for
+    x ≤ hi and non-negative; for integer columns the result is
+    bit-identical to the SQL twin (exact double subtraction/division at
+    these magnitudes). The +1 in the denominator keeps hi in-range
+    without a clamp; for fractional domains narrower than 1.0 it costs
+    grid resolution (range/(range+1) of the cells) but stays monotone —
+    acceptable for clustering, not for equality bucketing."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
     return F.floor(
-        (c - lo).cast("long") * F.lit(1 << bits) / (hi - lo + 1).cast("long")
+        (c - lo.cast("double")) * F.lit(1 << bits)
+        / (hi.cast("double") - lo.cast("double") + 1)
     ).cast("long")
 
 

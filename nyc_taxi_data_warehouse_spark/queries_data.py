@@ -2257,20 +2257,25 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_bpe_ctes(n_merges: int = _BPE_MERGES) -> str:
     """Unrolled BPE-training-in-SQL twin of `bpe.bpe_train`: per round,
-    pair counts from the DELIM-split symbol strings, the top pair by
-    (count desc, lhs asc, rhs asc) via LIMIT 1, and a replace() whose
+    pair counts from the bracket-split symbol strings (symbols are
+    individually ␞…␟-bracketed — see `operators/bpe.py` — so a pair
+    match can never cross a symbol boundary), the top pair by (count
+    desc, lhs asc, rhs asc) via LIMIT 1, and a replace() whose
     search/replacement strings are scalar subqueries on that top row —
     replace() is left-to-right non-overlapping in both engines, which is
     exactly greedy BPE merge application."""
+    # chr(30)=␞ OPEN, chr(31)=␟ CLOSE; split token = ␟␞
     parts = [
         """wf AS (
     SELECT word, count(*) AS freq FROM (
         SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS word
         FROM documents)
+    WHERE word NOT LIKE '%' || chr(30) || '%'
+      AND word NOT LIKE '%' || chr(31) || '%'
     GROUP BY 1
 ), s0 AS (
     SELECT word, array_to_string(list_transform(range(1, length(word) + 1),
-        i -> substr(word, CAST(i AS INTEGER), 1)), '  ') AS sym, freq
+        i -> chr(30) || substr(word, CAST(i AS INTEGER), 1) || chr(31)), '') AS sym, freq
     FROM wf
 )"""
     ]
@@ -2281,14 +2286,17 @@ def _sql_bpe_ctes(n_merges: int = _BPE_MERGES) -> str:
         SELECT unnest(list_transform(range(1, len(s)),
             i -> struct_pack(lhs := s[CAST(i AS INTEGER)],
                              rhs := s[CAST(i AS INTEGER) + 1]))) AS p, freq
-        FROM (SELECT string_split(sym, '  ') AS s, freq FROM s{r - 1}))
+        FROM (SELECT string_split(substr(sym, 2, length(sym) - 2),
+                                  chr(31) || chr(30)) AS s, freq
+              FROM s{r - 1}))
     GROUP BY 1, 2
 ), t{r} AS (
     SELECT lhs, rhs, pair_count FROM p{r}
     ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1
 ), s{r} AS (
-    SELECT word, replace(sym, (SELECT lhs || '  ' || rhs FROM t{r}),
-                   (SELECT lhs || rhs FROM t{r})) AS sym, freq
+    SELECT word, replace(sym,
+        (SELECT chr(30) || lhs || chr(31) || chr(30) || rhs || chr(31) FROM t{r}),
+        (SELECT chr(30) || lhs || rhs || chr(31) FROM t{r})) AS sym, freq
     FROM s{r - 1}
 )""")
     return "".join(parts)
@@ -2309,7 +2317,9 @@ _SQL_BPE_TOKENIZE = (
     + _sql_bpe_ctes()
     + f"""
 SELECT d.doc_id,
-       CAST(sum(len(string_split(s{_BPE_MERGES}.sym, '  '))) AS BIGINT) AS n_bpe_tokens
+       CAST(sum(len(string_split(substr(s{_BPE_MERGES}.sym, 2,
+                length(s{_BPE_MERGES}.sym) - 2), chr(31) || chr(30))))
+            AS BIGINT) AS n_bpe_tokens
 FROM (
     SELECT doc_id,
            unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS word

@@ -75,3 +75,32 @@ def test_merge_count_stops_when_pairs_exhausted(spark):
 def test_word_freqs_counts(spark, docs):
     wf = {r["word"]: r["freq"] for r in bpe.word_freqs(docs).collect()}
     assert wf["low"] == 3 and wf["lower"] == 2 and wf["new"] == 2
+
+
+def test_merge_never_crosses_symbol_boundary(spark):
+    """Review regression: with separator-joined symbols, pair (b, c)
+    matched the PREFIX of the merged symbol 'cd' inside 'bcd'. The
+    bracketed representation must tokenize 'bcd' as [b, cd], and the
+    learned vocabulary must cover every emitted token."""
+    d = spark.createDataFrame(
+        [(1, "cd cd cd cd bc bc bc bcd")], ["doc_id", "text"]
+    )
+    mt = [tuple(r) for r in bpe.bpe_train(d, 2).collect()]
+    assert [(m[1], m[2]) for m in mt] == [("c", "d"), ("b", "c")]
+    toks = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe.apply_merges(d, [(m[1], m[2]) for m in mt]).collect()
+    }
+    # 'bcd' = [b][c][d] -> merge (c,d) -> [b][cd]; merge (b,c) must NOT
+    # fire (c is inside symbol 'cd')
+    assert toks[1] == ["cd"] * 4 + ["bc"] * 3 + ["b", "cd"]
+    vocab = {"c", "d", "b", "cd", "bc"}
+    assert set(toks[1]) <= vocab
+
+
+def test_bracket_words_are_dropped(spark):
+    d = spark.createDataFrame(
+        [(1, "ok ok\x1ebad also\x1fbad ok")], ["doc_id", "text"]
+    )
+    wf = {r["word"]: r["freq"] for r in bpe.word_freqs(d).collect()}
+    assert wf == {"ok": 2}

@@ -46,6 +46,20 @@ def test_zvalue_matches_reference_morton(spark):
     assert got[1000] == _morton(255, 255)
 
 
+def test_fractional_columns_spread_across_grid(spark):
+    """Review regression: lat/lon-style doubles must yield many distinct
+    z-values, not collapse to one cell via premature long truncation."""
+    n = 200
+    rows = [
+        (i, 40.5 + 0.2 * (i % 20) / 20.0, -74.0 + 0.4 * (i // 20) / 10.0)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["id", "lat", "lon"])
+    zs = zorder.with_zvalue(df, "lat", "lon")
+    distinct = zs.select("z").distinct().count()
+    assert distinct > n // 4  # many cells, not 1
+
+
 def _file_spans(spark, path, col):
     spans = []
     for f in glob.glob(os.path.join(path, "part-*.parquet")):
