@@ -73,9 +73,26 @@ def freshness(
     UTC timestamps), which is the `dbt source freshness` operational mode;
     pass a pinned instant for reproducible tests/oracles."""
     if now is None:
-        from datetime import timezone
+        # wall-clock mode compares EPOCH SECONDS, both sides engine-free
+        # of timezone rendering: collect() converts TimestampType via the
+        # driver's SYSTEM timezone (not the session's UTC), so naive
+        # datetime arithmetic against UTC now() mis-ages sources by the
+        # system-TZ offset on any non-UTC driver. unix_timestamp()
+        # evaluates under the session timezone and returns a TZ-free long.
+        import time
 
-        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        row = df.agg(
+            F.max(ts_col).alias("max_ts"),
+            F.unix_timestamp(F.max(ts_col)).alias("max_epoch"),
+        ).collect()[0]
+        if row.max_ts is None:
+            return CheckResult("freshness", "fail", 0, "source empty")
+        age = timedelta(seconds=time.time() - row.max_epoch)
+        if age > error_after:
+            return CheckResult("freshness", "fail", 1, f"age={age}")
+        if age > warn_after:
+            return CheckResult("freshness", "warn", 1, f"age={age}")
+        return CheckResult("freshness", "pass", 0, f"age={age}")
     row = df.agg(F.max(ts_col).alias("max_ts")).collect()[0]
     if row.max_ts is None:
         return CheckResult("freshness", "fail", 0, "source empty")

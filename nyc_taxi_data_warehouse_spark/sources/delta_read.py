@@ -131,16 +131,42 @@ def delta_snapshot(
             spark, os.path.join(log_dir, f"{cp:020d}.checkpoint.parquet"), live, meta
         )
         start = cp + 1
-    for cv in _commit_versions(log_dir):
-        if cv < start or cv > v:
-            continue
+    needed = list(range(start, v + 1))
+    have = [cv for cv in _commit_versions(log_dir) if start <= cv <= v]
+    if have != needed:
+        # log cleanup removed commits below the newest checkpoint: the
+        # requested version cannot be reconstructed — raising beats
+        # silently presenting a partial replay as a valid snapshot
+        missing = sorted(set(needed) - set(have))
+        raise FileNotFoundError(
+            f"{path}: version {v} not reconstructible — commit files "
+            f"{missing[:5]}{'...' if len(missing) > 5 else ''} missing "
+            f"(vacuumed log?)"
+        )
+    for cv in have:
         with open(os.path.join(log_dir, f"{cv:020d}.json")) as f:
             for line in f:
                 line = line.strip()
                 if line:
                     _apply(live, json.loads(line), meta)
-    files = sorted(os.path.join(path, p) for p in live)
+    files = sorted(_data_path(path, p) for p in live)
     return v, files, (meta[-1] if meta else {})
+
+
+def _data_path(table_path: str, p: str) -> str:
+    """Resolve an add/remove action path: the protocol stores RELATIVE
+    paths URL-encoded (RFC 2396) — partition dirs with spaces/colons
+    arrive as %20/%3A — or an absolute URI. Live-map KEYS stay raw
+    (add and remove encode identically, so keying is self-consistent);
+    decoding happens only here at filesystem resolution."""
+    from urllib.parse import unquote
+
+    decoded = unquote(p)
+    if decoded.startswith("file://"):
+        return decoded[len("file://") :]
+    if "://" in decoded:
+        raise DeltaProtocolError(f"non-local data file uri {p!r}")
+    return os.path.join(table_path, decoded)
 
 
 def read_delta(

@@ -139,10 +139,21 @@ def _bounds_map(raw) -> dict[int, bytes]:
     return {e["key"]: e["value"] for e in raw}
 
 
-def _file_matches(df_rec: dict, where, fields: list[dict]) -> bool:
+_WHERE_OPS = ("=", "==", "<", "<=", ">", ">=")
+
+
+def _check_where(where) -> None:
+    for pred in where or []:
+        if len(pred) != 3 or pred[1] not in _WHERE_OPS:
+            raise ValueError(
+                f"unsupported predicate {pred!r}: expected (col, op, value) "
+                f"with op in {_WHERE_OPS}"
+            )
+
+
+def _file_matches(df_rec: dict, where, by_name: dict[str, dict]) -> bool:
     """Can this data file contain rows matching every (col, op, value)
     predicate? Missing bounds ⇒ must read (prune only on proof)."""
-    by_name = {f["name"]: f for f in fields}
     lo_m = _bounds_map(df_rec.get("lower_bounds"))
     hi_m = _bounds_map(df_rec.get("upper_bounds"))
     for col, op, val in where:
@@ -170,6 +181,12 @@ def _file_matches(df_rec: dict, where, fields: list[dict]) -> bool:
 def _live_data_files(
     meta: dict, snap: dict, table_path: str, where=None
 ) -> list[str]:
+    _check_where(where)
+    # schema lookup hoisted out of the per-entry loop (thousands of data
+    # files share one schema; the metadata path must stay cheap)
+    by_name = (
+        {f["name"]: f for f in _schema_fields(meta)} if where else {}
+    )
     if "manifest-list" in snap:
         _, mlist = avro_io.read_ocf(_local_path(snap["manifest-list"], table_path))
         manifests = []
@@ -196,7 +213,7 @@ def _live_data_files(
             fmt = str(df_rec["file_format"]).upper()
             if fmt != "PARQUET":
                 raise IcebergProtocolError(f"unsupported file format {fmt}")
-            if where and not _file_matches(df_rec, where, _schema_fields(meta)):
+            if where and not _file_matches(df_rec, where, by_name):
                 continue
             files.append(_local_path(df_rec["file_path"], table_path))
     return files
@@ -217,14 +234,8 @@ _ICE_TO_SPARK = {
 
 
 def _empty_frame(spark: SparkSession, meta: dict) -> DataFrame:
-    schemas = meta.get("schemas")
-    schema = (
-        next(s for s in schemas if s["schema-id"] == meta["current-schema-id"])
-        if schemas
-        else meta["schema"]
-    )
     parts = []
-    for f in schema["fields"]:
+    for f in _schema_fields(meta):
         t = f["type"]
         if not isinstance(t, str):
             raise IcebergProtocolError("nested types not supported")
@@ -251,6 +262,7 @@ def read_iceberg(
     survivors). Pruning is proof-based: files lacking bounds are read.
     The predicate is ALSO applied to the returned frame, so results are
     correct even though pruning is coarse."""
+    _check_where(where)
     meta = _load_metadata(path)
     snap = _pick_snapshot(meta, snapshot_id)
     if snap is None:

@@ -153,3 +153,34 @@ def test_write_delta_concurrent_appends_both_land(spark, tmp_path):
         th.join(timeout=60)
     assert D.latest_delta_version(t) == 2  # both racers committed
     assert _ids(D.read_delta(spark, t)) == [0, 10, 11, 20, 21]
+
+
+def test_url_encoded_paths_resolve(spark, tmp_path):
+    """Protocol: add/remove paths are URL-encoded relative paths — a
+    partition dir with a space arrives as %20 and must decode before
+    filesystem resolution."""
+    t = str(tmp_path / "enc")
+    _write_data(t, "city=New York/f1.parquet", [1, 2, 3])
+    _commit(t, 0, [_PROTO, _META,
+                   {"add": {"path": "city=New%20York/f1.parquet",
+                            "partitionValues": {"city": "New York"},
+                            "size": 1, "modificationTime": 0,
+                            "dataChange": True}}])
+    assert _ids(D.read_delta(spark, t)) == [1, 2, 3]
+    # remove with the same encoded key drops it
+    _commit(t, 1, [{"remove": {"path": "city=New%20York/f1.parquet",
+                               "dataChange": True}}])
+    with pytest.raises(FileNotFoundError, match="no live files"):
+        D.read_delta(spark, t)
+
+
+def test_vacuumed_log_gap_raises_not_empty(spark, tmp_path):
+    """Time travel below the oldest surviving commit must raise, not
+    return an empty snapshot presented as valid."""
+    t = _basic_table(tmp_path)
+    # simulate log cleanup: commit 0 removed, checkpoint-free table
+    os.unlink(os.path.join(t, "_delta_log", f"{0:020d}.json"))
+    with pytest.raises(FileNotFoundError, match="not reconstructible"):
+        D.delta_snapshot(spark, t, version=1)
+    with pytest.raises(FileNotFoundError, match="not reconstructible"):
+        D.delta_snapshot(spark, t, version=0)

@@ -245,3 +245,10 @@ def test_commit_is_put_if_absent(spark, tmp_path):
         )
     # the rival's snapshot is intact
     assert iceberg.read_iceberg(spark, t, snapshot_id=s_rival).count() == 13
+
+
+def test_unsupported_predicate_op_raises(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    iceberg.write_iceberg(spark.range(5).select(F.col("id")), t)
+    with pytest.raises(ValueError, match="unsupported predicate"):
+        iceberg.read_iceberg(spark, t, where=[("id", "!=", 3)])
