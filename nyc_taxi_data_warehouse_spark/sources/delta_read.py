@@ -108,11 +108,35 @@ def _replay_checkpoint(spark: SparkSession, cp_file: str, live: dict, meta: list
         _apply(live, {k: v for k, v in d.items() if v is not None}, meta)
 
 
+def _add_matches(add: dict, where) -> bool:
+    """File-skip decision from the add action's ``stats`` JSON (protocol:
+    numRecords/minValues/maxValues per column). No stats ⇒ must read."""
+    import json as _json
+
+    from .pruning import range_may_match
+
+    stats = add.get("stats")
+    if not stats:
+        return True
+    s = _json.loads(stats) if isinstance(stats, str) else stats
+    mins = s.get("minValues") or {}
+    maxs = s.get("maxValues") or {}
+    for col, op, val in where:
+        if not range_may_match(mins.get(col), maxs.get(col), op, val):
+            return False
+    return True
+
+
 def delta_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    where: list[tuple] | None = None,
 ) -> tuple[int, list[str], dict]:
     """(version, absolute live data files, last metaData action) of a
-    snapshot — the log replay itself, exposed for tests/inspection."""
+    snapshot — the log replay itself, exposed for tests/inspection.
+    ``where`` [(col, op, value), ...] prunes files via add.stats bounds
+    (proof-based: files without stats are kept)."""
     log_dir = _log_dir(path)
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"{path} is not a Delta table (no _delta_log)")
@@ -149,7 +173,14 @@ def delta_snapshot(
                 line = line.strip()
                 if line:
                     _apply(live, json.loads(line), meta)
-    files = sorted(_data_path(path, p) for p in live)
+    from .pruning import check_where
+
+    check_where(where)
+    files = sorted(
+        _data_path(path, p)
+        for p, add in live.items()
+        if not where or _add_matches(add, where)
+    )
     return v, files, (meta[-1] if meta else {})
 
 
@@ -170,16 +201,74 @@ def _data_path(table_path: str, p: str) -> str:
 
 
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
     """Snapshot read of a Delta table (``version`` time-travels). The data
     scan is ordinary parquet with partition-column recovery anchored at the
     table root, so Catalyst's partition pruning / column pruning / filter
-    pushdown apply exactly as on a native lake table."""
-    v, files, _ = delta_snapshot(spark, path, version)
+    pushdown apply exactly as on a native lake table.
+
+    ``where`` [(col, op, value), ...] with op in ``= < <= > >=`` skips
+    whole files via the commit log's per-file ``stats`` before Spark
+    opens anything (Delta's data-skipping tier), then applies the
+    residual predicate to the survivors."""
+    v, files, meta_action = delta_snapshot(spark, path, version, where)
     if not files:
+        if where:
+            # everything pruned: an empty frame with the table schema
+            from pyspark.sql.types import StructType
+
+            schema_str = meta_action.get("schemaString", "")
+            try:
+                schema = StructType.fromJson(json.loads(schema_str))
+            except Exception as exc:
+                raise FileNotFoundError(
+                    f"delta table {path}: all files pruned and schemaString "
+                    f"unusable for an empty frame"
+                ) from exc
+            return spark.createDataFrame([], schema)
         raise FileNotFoundError(f"delta table {path} has no live files at v{v}")
-    return spark.read.option("basePath", path).parquet(*files)
+    df = spark.read.option("basePath", path).parquet(*files)
+    from pyspark.sql import functions as F
+
+    for col, op, val in where or []:
+        c = F.col(col)
+        df = df.where(
+            {"=": c == val, "==": c == val, "<": c < val,
+             "<=": c <= val, ">": c > val, ">=": c >= val}[op]
+        )
+    return df
+
+
+def _parquet_stats_json(fp: str) -> str:
+    """The add action's ``stats`` JSON (numRecords / minValues /
+    maxValues) from the parquet footer — the data the reader's file
+    skipping runs on. Only JSON-native value types are recorded
+    (int/float/str/bool); columns without footer stats are omitted,
+    which readers must treat as unbounded."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fp).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            if not isinstance(st.min, (int, float, str, bool)):
+                continue
+            name = col.path_in_schema
+            mins[name] = st.min if name not in mins else min(mins[name], st.min)
+            maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+    return json.dumps(
+        {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs}
+    )
 
 
 def write_delta(df: DataFrame, path: str, mode: str = "append") -> int:
@@ -214,6 +303,7 @@ def write_delta(df: DataFrame, path: str, mode: str = "append") -> int:
                 "size": os.path.getsize(os.path.join(path, batch, f)),
                 "modificationTime": now_ms,
                 "dataChange": True,
+                "stats": _parquet_stats_json(os.path.join(path, batch, f)),
             }
         }
         for f in sorted(os.listdir(os.path.join(path, batch)))

@@ -139,16 +139,8 @@ def _bounds_map(raw) -> dict[int, bytes]:
     return {e["key"]: e["value"] for e in raw}
 
 
-_WHERE_OPS = ("=", "==", "<", "<=", ">", ">=")
-
-
-def _check_where(where) -> None:
-    for pred in where or []:
-        if len(pred) != 3 or pred[1] not in _WHERE_OPS:
-            raise ValueError(
-                f"unsupported predicate {pred!r}: expected (col, op, value) "
-                f"with op in {_WHERE_OPS}"
-            )
+from .pruning import check_where as _check_where
+from .pruning import range_may_match as _range_may_match
 
 
 def _file_matches(df_rec: dict, where, by_name: dict[str, dict]) -> bool:
@@ -163,17 +155,7 @@ def _file_matches(df_rec: dict, where, by_name: dict[str, dict]) -> bool:
         fid, t = f["id"], f["type"]
         lo = _deserialize_bound(t, lo_m[fid]) if fid in lo_m else None
         hi = _deserialize_bound(t, hi_m[fid]) if fid in hi_m else None
-        if op in ("=", "==") and (
-            (lo is not None and val < lo) or (hi is not None and val > hi)
-        ):
-            return False
-        if op in (">", ">=") and hi is not None and (
-            val > hi or (op == ">" and val == hi)
-        ):
-            return False
-        if op in ("<", "<=") and lo is not None and (
-            val < lo or (op == "<" and val == lo)
-        ):
+        if not _range_may_match(lo, hi, op, val):
             return False
     return True
 

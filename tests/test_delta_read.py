@@ -184,3 +184,30 @@ def test_vacuumed_log_gap_raises_not_empty(spark, tmp_path):
         D.delta_snapshot(spark, t, version=1)
     with pytest.raises(FileNotFoundError, match="not reconstructible"):
         D.delta_snapshot(spark, t, version=0)
+
+
+def test_stats_based_file_skipping(spark, tmp_path):
+    """write_delta records add.stats; read_delta(where=...) prunes whole
+    files on those bounds and filters the survivors."""
+    t = str(tmp_path / "skip")
+    df = spark.range(1000).toDF("id").repartitionByRange(8, "id")
+    D.write_delta(df, t, mode="overwrite")
+    all_files = D.delta_snapshot(spark, t)[1]
+    assert len(all_files) == 8
+    pruned = D.delta_snapshot(spark, t, where=[("id", ">=", 900)])[1]
+    assert 0 < len(pruned) < len(all_files)
+    got = D.read_delta(spark, t, where=[("id", ">=", 900)])
+    assert got.count() == 100
+    assert min(r.id for r in got.collect()) == 900
+    # out-of-range equality prunes everything but returns an EMPTY frame
+    # with the table schema, not an error
+    empty = D.read_delta(spark, t, where=[("id", "=", 5000)])
+    assert empty.count() == 0
+    assert empty.schema.fieldNames() == ["id"]
+
+
+def test_stats_absent_never_prunes(spark, tmp_path):
+    t = _basic_table(tmp_path)  # hand-built adds carry no stats
+    files_all = D.delta_snapshot(spark, t)[1]
+    files_where = D.delta_snapshot(spark, t, where=[("id", ">=", 10**9)])[1]
+    assert files_where == files_all
