@@ -66,6 +66,15 @@ def _slices(qcol: Column, m: int, sub: int) -> Column:
     return F.array(*[F.slice(qcol, s * sub + 1, sub) for s in range(m)])
 
 
+def _quantized(vec_col: str, quant: int | None) -> Column:
+    """The integer input vector: ``floor(x·quant)`` per element, or the
+    column as-is cast to long when ``quant is None`` (already-integer
+    inputs, e.g. IVF residuals — quantizing twice would rescale)."""
+    if quant is None:
+        return F.transform(F.col(vec_col), lambda x: x.cast("long"))
+    return V.quantize(vec_col, quant)
+
+
 def _cb_lit(cb_sub: list[list[int]]) -> Column:
     """One subspace's codebook as a literal array<array<long>>."""
     return F.array(
@@ -97,11 +106,12 @@ def pq_fit(
     m: int = 4,
     k: int = 4,
     n_iter: int = 2,
-    quant: int = 1000,
+    quant: int | None = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> Codebook:
     """Train m per-subspace codebooks of k integer centroids each.
+    ``quant=None`` treats the input as already-integer vectors.
 
     Seeding is deterministic and partition-order independent (the k
     vectors with smallest ``(md5(id), id)``; code id = seed rank), so
@@ -113,7 +123,7 @@ def pq_fit(
     Returns the driver-side codebook ``cb[subspace][code] -> int
     vector`` (k·m rows — the broadcast-variable boundary)."""
     v = vectors.select(
-        F.col(id_col), V.quantize(vec_col, quant).alias("__q")
+        F.col(id_col), _quantized(vec_col, quant).alias("__q")
     ).persist()
     seeds = (
         v.withColumn("__h", F.md5(F.col(id_col).cast("string")))
@@ -178,20 +188,25 @@ def pq_codebook_df(spark, cb: Codebook) -> DataFrame:
 def pq_encode(
     vectors: DataFrame,
     cb: Codebook,
-    quant: int = 1000,
+    quant: int | None = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode each vector to its m nearest-centroid codes — one narrow
     map stage (inlined codebook fold), no shuffle, no join. Returns
-    (id, codes array<int>)."""
+    (id, *keep, codes array<int>). ``quant=None`` for already-integer
+    input; ``keep`` carries extra columns through (e.g. the IVF cell)
+    without a corpus-sized join back."""
     m = len(cb)
     sub = len(cb[0][0])
-    q = V.quantize(vec_col, quant)
+    q = _quantized(vec_col, quant)
     codes = F.array(
         *[_best_code(F.slice(q, s * sub + 1, sub), cb[s]) for s in range(m)]
     )
-    return vectors.select(F.col(id_col), codes.alias("codes"))
+    return vectors.select(
+        F.col(id_col), *[F.col(c) for c in keep], codes.alias("codes")
+    )
 
 
 def pq_search(
@@ -199,7 +214,7 @@ def pq_search(
     codes: DataFrame,
     cb: Codebook,
     k: int = 5,
-    quant: int = 1000,
+    quant: int | None = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -215,7 +230,7 @@ def pq_search(
     sub = len(cb[0][0])
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        _slices(V.quantize(vec_col, quant), m, sub).alias("__qs"),
+        _slices(_quantized(vec_col, quant), m, sub).alias("__qs"),
     )
     score = None
     for s in range(m):
@@ -237,3 +252,97 @@ def pq_search(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "adc_score", F.col("rn").alias("rank"))
     )
+
+
+# --- IVF + PQ (IVFADC) -----------------------------------------------------
+
+
+def ivfpq_residuals(
+    vectors: DataFrame,
+    coarse_cb: Codebook,
+    quant: int | None = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-cell assignment + integer residual per vector: (id, cell,
+    res array<long>). ``coarse_cb`` is an m=1 codebook (`pq_fit(m=1)` IS
+    exact-integer full-vector k-means with floor-mean centroids — the
+    right centroid scale for residuals, unlike the sum-vector cosine
+    variant in `similarity.kmeans_fit_exact`). One narrow map stage."""
+    if len(coarse_cb) != 1:
+        raise ValueError("coarse codebook must be m=1 (full-vector cells)")
+    v = vectors.select(
+        F.col(id_col), _quantized(vec_col, quant).alias("__q")
+    ).withColumn("cell", _best_code(F.col("__q"), coarse_cb[0]))
+    cent = F.element_at(_cb_lit(coarse_cb[0]), F.col("cell") + 1)
+    return v.select(
+        F.col(id_col),
+        F.col("cell"),
+        F.zip_with(F.col("__q"), cent, lambda a, b: a - b).alias("res"),
+    )
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k_cells: int = 8,
+    m: int = 4,
+    k_codes: int = 4,
+    k: int = 5,
+    coarse_iter: int = 2,
+    fine_iter: int = 1,
+    quant: int | None = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011, the FAISS `IVFx,PQy` architecture):
+    coarse k-means partitions the corpus into cells, a shared PQ
+    codebook quantizes the RESIDUAL x − centroid(cell), and a query
+    scores only codes in its own cell (single probe) via integer ADC.
+
+    Spark shapes: coarse fit + fine fit are the `pq_fit` driver-side
+    codebook boundary; encode is one narrow map; search is an equi-JOIN
+    on the cell id with the query batch broadcast — the corpus is
+    cell-pruned, never crossJoined, and top-k remains a per-query
+    window. Everything stays on the integer lattice, so results are
+    bit-reproducible (ties: smaller neighbor id)."""
+    coarse = pq_fit(
+        corpus, m=1, k=k_cells, n_iter=coarse_iter, quant=quant,
+        id_col=id_col, vec_col=vec_col,
+    )
+    res = ivfpq_residuals(corpus, coarse, quant, id_col, vec_col).persist()
+    fine = pq_fit(
+        res, m=m, k=k_codes, n_iter=fine_iter, quant=None,
+        id_col=id_col, vec_col="res",
+    )
+    codes = pq_encode(
+        res, fine, quant=None, id_col=id_col, vec_col="res", keep=("cell",)
+    )
+    sub = len(fine[0][0])
+    qres = ivfpq_residuals(queries, coarse, quant, id_col, vec_col)
+    q = qres.select(
+        F.col(id_col).alias("query_id"),
+        F.col("cell"),
+        _slices(F.col("res"), m, sub).alias("__qs"),
+    )
+    score = None
+    for s in range(m):
+        d = _dot_int(
+            F.col("__qs")[s],
+            F.element_at(_cb_lit(fine[s]), F.col("codes")[s] + 1),
+        )
+        score = d if score is None else score + d
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(q), "cell")
+        .select("query_id", "neighbor_id", score.alias("adc_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    out = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adc_score", F.col("rn").alias("rank"))
+    )
+    return out

@@ -2134,6 +2134,10 @@ def _sql_pq_ctes(
     n_iter: int = _PQ_ITER,
     dim: int = 64,
     quant: int = _KMEANS_QUANT,
+    prefix: str = "",
+    src: str = "embeddings",
+    vec: str = "embedding",
+    quantize: bool = True,
 ) -> str:
     """Unrolled per-subspace Lloyd's-in-SQL twin of `pq.pq_fit` +
     `pq.pq_encode`: subspace is a data dimension (CROSS JOIN range(0,m)
@@ -2142,53 +2146,63 @@ def _sql_pq_ctes(
     lesson); the floor-mean divides exact integer sums as doubles —
     safe because quotients are ≤ quant·max|x| with ≥1/n distance to the
     nearest integer when fractional (n = cell size), far above double
-    ulp at that magnitude."""
+    ulp at that magnitude.
+
+    Parameterized so chains compose (IVFADC): ``prefix`` namespaces
+    every CTE ({p}v, {p}sl, {p}c{t}, {p}a{t}…), ``src``/``vec`` pick
+    the input relation/column, ``quantize=False`` takes already-integer
+    vectors (residuals) verbatim."""
     sub = dim // m
+    p = prefix
+    qexpr = (
+        f"list_transform({vec}, x -> CAST(floor(CAST(x AS DOUBLE) * {quant}) AS BIGINT))"
+        if quantize
+        else f"list_transform({vec}, x -> CAST(x AS BIGINT))"
+    )
     parts = [
-        f"""v AS (
-    SELECT vec_id, list_transform(embedding,
-        x -> CAST(floor(CAST(x AS DOUBLE) * {quant}) AS BIGINT)) AS q
-    FROM embeddings
-), sl AS (
+        f"""{p}v AS (
+    SELECT vec_id, {qexpr} AS q
+    FROM {src}
+), {p}sl AS (
     SELECT vec_id, s.s AS sub,
-           v.q[CAST(s.s * {sub} + 1 AS INTEGER) : CAST(s.s * {sub} + {sub} AS INTEGER)] AS sv
-    FROM v CROSS JOIN range(0, {m}) s(s)
-), seed AS (
+           {p}v.q[CAST(s.s * {sub} + 1 AS INTEGER) : CAST(s.s * {sub} + {sub} AS INTEGER)] AS sv
+    FROM {p}v CROSS JOIN range(0, {m}) s(s)
+), {p}seed AS (
     SELECT vec_id, rn - 1 AS code_id FROM (
         SELECT vec_id, row_number() OVER (
             ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rn
-        FROM v) WHERE rn <= {k}
-), c0 AS (
-    SELECT sl.sub, seed.code_id, sl.sv AS cv
-    FROM seed JOIN sl USING (vec_id)
+        FROM {p}v) WHERE rn <= {k}
+), {p}c0 AS (
+    SELECT {p}sl.sub, {p}seed.code_id, {p}sl.sv AS cv
+    FROM {p}seed JOIN {p}sl USING (vec_id)
 )"""
     ]
     for t in range(1, n_iter + 2):
-        parts.append(f""", d{t} AS (
-    SELECT sl.vec_id, sl.sub, c.code_id,
-           CAST(sum((sl.sv[r.i] - c.cv[r.i]) * (sl.sv[r.i] - c.cv[r.i]))
+        parts.append(f""", {p}d{t} AS (
+    SELECT {p}sl.vec_id, {p}sl.sub, c.code_id,
+           CAST(sum(({p}sl.sv[r.i] - c.cv[r.i]) * ({p}sl.sv[r.i] - c.cv[r.i]))
                 AS BIGINT) AS dist
-    FROM sl JOIN c{t - 1} c USING (sub) CROSS JOIN range(1, {sub + 1}) r(i)
+    FROM {p}sl JOIN {p}c{t - 1} c USING (sub) CROSS JOIN range(1, {sub + 1}) r(i)
     GROUP BY 1, 2, 3
-), a{t} AS (
+), {p}a{t} AS (
     SELECT vec_id, sub, code_id FROM (
         SELECT vec_id, sub, code_id, row_number() OVER (
             PARTITION BY vec_id, sub ORDER BY dist ASC, code_id ASC) AS rn
-        FROM d{t}) WHERE rn = 1
+        FROM {p}d{t}) WHERE rn = 1
 )""")
         if t <= n_iter:
-            parts.append(f""", n{t} AS (
+            parts.append(f""", {p}n{t} AS (
     SELECT sub, code_id, list(mu ORDER BY pos) AS cv FROM (
         SELECT a.sub, a.code_id, r.i AS pos,
-               CAST(floor(CAST(sum(sl.sv[r.i]) AS DOUBLE) / count(*))
+               CAST(floor(CAST(sum({p}sl.sv[r.i]) AS DOUBLE) / count(*))
                     AS BIGINT) AS mu
-        FROM a{t} a JOIN sl USING (vec_id, sub)
+        FROM {p}a{t} a JOIN {p}sl USING (vec_id, sub)
         CROSS JOIN range(1, {sub + 1}) r(i)
         GROUP BY 1, 2, 3)
     GROUP BY 1, 2
-), c{t} AS (
+), {p}c{t} AS (
     SELECT c.sub, c.code_id, coalesce(n.cv, c.cv) AS cv
-    FROM c{t - 1} c LEFT JOIN n{t} n USING (sub, code_id)
+    FROM {p}c{t - 1} c LEFT JOIN {p}n{t} n USING (sub, code_id)
 )""")
     return "".join(parts)
 
@@ -2220,6 +2234,78 @@ SELECT query_id, neighbor_id, adc_score, rank FROM (
         PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC) AS rank
     FROM sc) WHERE rank <= 5"""
 )
+
+
+def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the FAISS-style composition of the engine's two ANN
+    primitives (`pq.ivfpq_search`): exact-integer coarse k-means (m=1
+    `pq_fit`) partitions the corpus into 8 cells, a shared 4×4 PQ
+    codebook quantizes the residual x − centroid(cell), and each query
+    scores only its own cell's codes via integer ADC — an equi-join on
+    the cell id, never a cross join. Oracled by composing two prefixed
+    unrolled-Lloyd's CTE chains (coarse over embeddings, fine over the
+    residual CTE) plus the within-cell scoring join."""
+    from .operators import pq
+
+    e = _emb(spark, sf_dir)
+    out = pq.ivfpq_search(
+        e.where(F.col("vec_id") % 50 == 0),
+        _scale_out(e),
+        k_cells=8,
+        m=_PQ_M,
+        k_codes=4,
+        k=5,
+        coarse_iter=2,
+        fine_iter=1,
+        quant=_KMEANS_QUANT,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "adc_score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _sql_ivfpq_search() -> str:
+    coarse = _sql_pq_ctes(
+        m=1, k=8, n_iter=2, dim=64, prefix="co", src="embeddings",
+        vec="embedding", quantize=True,
+    )
+    fine = _sql_pq_ctes(
+        m=_PQ_M, k=4, n_iter=1, dim=64, prefix="f", src="res", vec="r",
+        quantize=False,
+    )
+    sub = 64 // _PQ_M
+    return (
+        "WITH "
+        + coarse
+        + """, res AS (
+    SELECT cov.vec_id, a.code_id AS cell,
+           list_transform(range(1, 65),
+               i -> cov.q[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]) AS r
+    FROM cov
+    JOIN coa3 a USING (vec_id)
+    JOIN coc2 c ON c.sub = a.sub AND c.code_id = a.code_id
+), """
+        + fine
+        + f""", sc AS (
+    SELECT qc.vec_id AS query_id, xc.vec_id AS neighbor_id,
+           CAST(sum(qs.sv[r.i] * c.cv[r.i]) AS BIGINT) AS adc_score
+    FROM res qc
+    JOIN res xc ON xc.cell = qc.cell
+    JOIN fsl qs ON qs.vec_id = qc.vec_id
+    JOIN fa2 e ON e.vec_id = xc.vec_id AND e.sub = qs.sub
+    JOIN fc1 c ON c.sub = e.sub AND c.code_id = e.code_id
+    CROSS JOIN range(1, {sub + 1}) r(i)
+    WHERE qc.vec_id % 50 = 0
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_score, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC) AS rank
+    FROM sc) WHERE rank <= 5"""
+    )
+
+
+_SQL_IVFPQ_SEARCH = _sql_ivfpq_search()
 
 
 _BPE_MERGES = 6
@@ -3073,6 +3159,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kmeans_cells": q_kmeans_cells,
     "q_pq_codebook": q_pq_codebook,
     "q_pq_search": q_pq_search,
+    "q_ivfpq_search": q_ivfpq_search,
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_tokenize": q_bpe_tokenize,
     "q_chunk_docs": q_chunk_docs,
@@ -3141,6 +3228,7 @@ ORACLES: dict[str, str] = {
     "q_kmeans_cells": _SQL_KMEANS_CELLS,
     "q_pq_codebook": _SQL_PQ_CODEBOOK,
     "q_pq_search": _SQL_PQ_SEARCH,
+    "q_ivfpq_search": _SQL_IVFPQ_SEARCH,
     "q_bpe_merges": _SQL_BPE_MERGES,
     "q_bpe_tokenize": _SQL_BPE_TOKENIZE,
     "q_chunk_docs": _SQL_CHUNK_DOCS,

@@ -90,6 +90,43 @@ def test_search_retrieves_own_cluster(spark, corpus):
         assert r["neighbor_id"] // 10 == r["query_id"] // 10
 
 
+def test_ivfpq_residuals_are_exact(spark, corpus):
+    """residual + centroid == quantized vector, per coordinate."""
+    import math
+
+    coarse = pq.pq_fit(corpus, m=1, k=4, n_iter=2)
+    res = {r["vec_id"]: (r["cell"], r["res"])
+           for r in pq.ivfpq_residuals(corpus, coarse).collect()}
+    vecs = {r["vec_id"]: r["embedding"] for r in corpus.collect()}
+    for vid, (cell, rv) in res.items():
+        q = [math.floor(x * 1000) for x in vecs[vid]]
+        cent = coarse[0][cell]
+        assert [a + b for a, b in zip(rv, cent)] == q
+
+
+def test_ivfpq_search_stays_in_cell_and_is_deterministic(spark, corpus):
+    out1 = pq.ivfpq_search(
+        corpus.where(F.col("vec_id") % 10 == 0), corpus,
+        k_cells=4, m=2, k_codes=4, k=3,
+    ).collect()
+    out2 = pq.ivfpq_search(
+        corpus.where(F.col("vec_id") % 10 == 0), corpus,
+        k_cells=4, m=2, k_codes=4, k=3,
+    ).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    coarse = pq.pq_fit(corpus, m=1, k=4, n_iter=2)
+    cells = {r["vec_id"]: r["cell"]
+             for r in pq.ivfpq_residuals(corpus, coarse).collect()}
+    for r in out1:
+        assert cells[r["neighbor_id"]] == cells[r["query_id"]]
+
+
+def test_ivfpq_rejects_multi_subspace_coarse(spark, corpus):
+    fine = pq.pq_fit(corpus, m=2, k=2, n_iter=1)
+    with pytest.raises(ValueError, match="m=1"):
+        pq.ivfpq_residuals(corpus, fine)
+
+
 def test_codebook_df_roundtrip(spark, corpus):
     cb = pq.pq_fit(corpus, m=2, k=4, n_iter=1)
     df = pq.pq_codebook_df(spark, cb).collect()
