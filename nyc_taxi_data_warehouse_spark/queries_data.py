@@ -2236,6 +2236,83 @@ SELECT query_id, neighbor_id, adc_score, rank FROM (
 )
 
 
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of PQ ADC search against the exact cosine top-5 — the
+    compression-quality diagnostic that decides (m, k) for a deployment,
+    mirroring `q_ann_recall`'s role for IVF blocking. Self-matches are
+    guaranteed hits, so recall floors at 1/5; the interesting signal is
+    the tail. Integer ADC ranking and exact-cosine ranking come from the
+    already-oracled pipelines; the overlap count per query is exact."""
+    from .operators import pq
+
+    e = _emb(spark, sf_dir)
+    corpus = _scale_out(e)
+    queries = e.where(F.col("vec_id") % 50 == 0)
+    cb = pq.pq_fit(corpus, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, quant=_KMEANS_QUANT)
+    approx = pq.pq_search(
+        queries, pq.pq_encode(corpus, cb, quant=_KMEANS_QUANT), cb,
+        k=5, quant=_KMEANS_QUANT,
+    ).select("query_id", "neighbor_id")
+    exact = similarity.brute_force_knn(queries, corpus, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / 5.0).alias("recall_at_5"),
+        )
+    )
+
+
+def _sql_pq_recall() -> str:
+    return (
+        "WITH "
+        + _sql_pq_ctes()
+        + f""", qsl AS (
+    SELECT vec_id AS query_id, sub, sv FROM sl WHERE vec_id % 50 = 0
+), adc AS (
+    SELECT qsl.query_id, e.vec_id AS neighbor_id,
+           CAST(sum(qsl.sv[r.i] * c.cv[r.i]) AS BIGINT) AS adc_score
+    FROM a{_PQ_ITER + 1} e
+    JOIN c{_PQ_ITER} c USING (sub, code_id)
+    JOIN qsl USING (sub)
+    CROSS JOIN range(1, {64 // _PQ_M + 1}) r(i)
+    GROUP BY 1, 2
+), approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC) AS rn
+        FROM adc) WHERE rn <= 5
+), """
+        + _VEC_SQL.strip().rstrip()
+        + f""", exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id, row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY {_COS} DESC, c.neighbor_id ASC) AS rn
+        FROM q CROSS JOIN c) WHERE rn <= 5
+), hits AS (
+    SELECT query_id, count(*) AS n_hits
+    FROM approx JOIN exact USING (query_id, neighbor_id)
+    GROUP BY 1
+)
+SELECT e.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) / 5.0 AS recall_at_5
+FROM (SELECT DISTINCT query_id FROM exact) e
+LEFT JOIN hits h USING (query_id)"""
+    )
+
+
+_SQL_PQ_RECALL = _sql_pq_recall()
+
+
 def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC — the FAISS-style composition of the engine's two ANN
     primitives (`pq.ivfpq_search`): exact-integer coarse k-means (m=1
@@ -3159,6 +3236,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kmeans_cells": q_kmeans_cells,
     "q_pq_codebook": q_pq_codebook,
     "q_pq_search": q_pq_search,
+    "q_pq_recall": q_pq_recall,
     "q_ivfpq_search": q_ivfpq_search,
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_tokenize": q_bpe_tokenize,
@@ -3228,6 +3306,7 @@ ORACLES: dict[str, str] = {
     "q_kmeans_cells": _SQL_KMEANS_CELLS,
     "q_pq_codebook": _SQL_PQ_CODEBOOK,
     "q_pq_search": _SQL_PQ_SEARCH,
+    "q_pq_recall": _SQL_PQ_RECALL,
     "q_ivfpq_search": _SQL_IVFPQ_SEARCH,
     "q_bpe_merges": _SQL_BPE_MERGES,
     "q_bpe_tokenize": _SQL_BPE_TOKENIZE,
