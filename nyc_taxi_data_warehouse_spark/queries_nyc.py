@@ -977,6 +977,78 @@ FROM zz GROUP BY 1"""
 _SQL_ZORDER_CELLS = _sql_zorder_cells()
 
 
+def q_pagerank_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-importance PageRank over the trip transition graph
+    (`operators/graph.pagerank_int`): edges = (pickup_zone →
+    dropoff_zone, trip count) from staged trips, 3 damped iterations on
+    the integer lattice so every rank unit is bit-reproducible. The
+    per-iteration shape — edges ⋈ ranks on src, per-dst partial sums —
+    is the canonical distributed PageRank; here the graph is 40 zones,
+    at web scale the same plan shuffles on the edge key."""
+    from .operators import graph
+
+    edges = (
+        staging.stg_taxi_trips(_trips(spark, sf_dir))
+        .groupBy(
+            F.col("pickup_zone_id").alias("src"),
+            F.col("dropoff_zone_id").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    out = graph.pagerank_int(edges, n_iter=3)
+    return out.select(F.col("node").alias("zone_id"), "rank")
+
+
+def _sql_pagerank_zones(n_iter: int = 3, scale: int = 10**9) -> str:
+    """Unrolled integer-PageRank twin of `graph.pagerank_int`: same
+    floor-division lattice arithmetic per iteration (teleport, damped
+    contributions, uniform dangling redistribution)."""
+    parts = [f"""e AS (
+    SELECT pickup_zone_id AS src, dropoff_zone_id AS dst,
+           CAST(count(*) AS BIGINT) AS w
+    FROM stg_trips GROUP BY 1, 2
+), nd AS (
+    SELECT src AS node FROM e UNION SELECT dst FROM e
+), nn AS (
+    SELECT count(*) AS n FROM nd
+), ow AS (
+    SELECT src, CAST(sum(w) AS BIGINT) AS W FROM e GROUP BY 1
+), r0 AS (
+    SELECT node, CAST(floor(CAST({scale} AS DOUBLE) / nn.n) AS BIGINT) AS r
+    FROM nd CROSS JOIN nn
+)"""]
+    for t in range(1, n_iter + 1):
+        parts.append(f""",
+ct{t} AS (
+    SELECT e.dst AS node,
+           CAST(sum(CAST(floor(CAST(r.r AS DOUBLE) * e.w / ow.W) AS BIGINT))
+                AS BIGINT) AS c
+    FROM e JOIN ow USING (src) JOIN r{t - 1} r ON r.node = e.src
+    GROUP BY 1
+), dg{t} AS (
+    SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dang
+    FROM r{t - 1} r LEFT JOIN ow ON ow.src = r.node
+    WHERE ow.src IS NULL
+), r{t} AS (
+    SELECT nd.node,
+           CAST(floor(15.0 * {scale} / (100 * nn.n)) AS BIGINT)
+           + CAST(floor(85.0 * (coalesce(c.c, 0)
+                 + CAST(floor(CAST(d.dang AS DOUBLE) / nn.n) AS BIGINT))
+                 / 100) AS BIGINT) AS r
+    FROM nd CROSS JOIN nn CROSS JOIN dg{t} d
+    LEFT JOIN ct{t} c ON c.node = nd.node
+)""")
+    return "".join(parts)
+
+
+_SQL_PAGERANK_ZONES = _with(
+    SQL_TRIPS,
+    SQL_STG_TRIPS,
+    _sql_pagerank_zones(),
+    select='SELECT node AS zone_id, r AS "rank" FROM r3',
+)
+
+
 def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation (`operators/skew.py::salted_agg`),
     driver-gated: the hot-key mitigation must be bit-identical to the plain
@@ -1587,6 +1659,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_merge_dedup": q_merge_dedup,
     "q_star_join": q_star_join,
     "q_zorder_cells": q_zorder_cells,
+    "q_pagerank_zones": q_pagerank_zones,
     "q_skew_agg": q_skew_agg,
     "q_skew_join": q_skew_join,
     "q_incremental_agg": q_incremental_agg,
@@ -1632,6 +1705,7 @@ SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
 FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5000""",
     "q_star_join": _SQL_STAR_JOIN,
     "q_zorder_cells": _SQL_ZORDER_CELLS,
+    "q_pagerank_zones": _SQL_PAGERANK_ZONES,
     "q_skew_agg": _SQL_SKEW_AGG,
     "q_skew_join": _SQL_SKEW_JOIN,
     "q_incremental_agg": _with(
