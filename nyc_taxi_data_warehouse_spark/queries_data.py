@@ -456,6 +456,35 @@ SELECT l_orderkey % 10 AS bucket,
 FROM src GROUP BY 1"""
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC format support gated end-to-end: a lineitem slice writes to
+    ORC (Spark-native columnar sibling of parquet — same predicate
+    pushdown/column pruning surface) and reads back for an aggregate the
+    oracle computes directly over the source. Completes the format
+    matrix beside parquet, CSV, Delta, and Iceberg round-trips."""
+    from .util import session_tmpdir
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    t = session_tmpdir("orc_roundtrip")
+    li.where(F.col("l_orderkey") % 7 == 5).write.mode("overwrite").orc(t)
+    back = spark.read.orc(t)
+    return back.groupBy((F.col("l_orderkey") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long"))
+        .cast("long")
+        .alias("sum_qty"),
+    )
+
+
+_SQL_ORC_ROUNDTRIP = """
+SELECT l_orderkey % 10 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_orderkey % 7 = 5 GROUP BY 1"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per corpus doc (Manku et al.)."""
     return dedup.simhash(_text_corpus(_docs(spark, sf_dir)))
@@ -3256,6 +3285,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_normalize_dedup": q_normalize_dedup,
     "q_delta_roundtrip": q_delta_roundtrip,
     "q_iceberg_roundtrip": q_iceberg_roundtrip,
+    "q_orc_roundtrip": q_orc_roundtrip,
     "q_simhash": q_simhash,
     "q_simhash_near": q_simhash_near,
     "q_text_quality": q_text_quality,
@@ -3326,6 +3356,7 @@ ORACLES: dict[str, str] = {
     "q_normalize_dedup": _SQL_NORMALIZE_DEDUP,
     "q_delta_roundtrip": _SQL_DELTA_ROUNDTRIP,
     "q_iceberg_roundtrip": _SQL_ICEBERG_ROUNDTRIP,
+    "q_orc_roundtrip": _SQL_ORC_ROUNDTRIP,
     "q_simhash": _SQL_SIMHASH,
     "q_simhash_near": _SQL_SIMHASH_NEAR,
     "q_text_quality": _SQL_TEXT_QUALITY,
