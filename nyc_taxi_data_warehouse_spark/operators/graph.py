@@ -9,14 +9,19 @@ partition order, so two runs (or an engine and its SQL oracle) disagree
 in the last ulps. Here every quantity is an integer:
 
 - ranks live on a ``scale``-denominated lattice (default 1e9 units);
-- each edge contributes ``floor(r_u · w_uv / W_u)`` — exact-integer
-  (the double division is correctly rounded and the quotient's distance
-  to an integer, when fractional, is ≥ 1/W_u, far above ulp at rank
-  magnitude — the repo's standard floor-division safety argument);
-- damping applies as ``floor(85 · x / 100)``, teleport as
-  ``floor(15 · scale / (100 · n))``;
+- each edge contributes ``(r_u · w_uv) div W_u`` — NATIVE int64
+  division (Spark ``div`` / DuckDB ``//`` / Python ``//``, identical
+  for the non-negative values here), never a float: the
+  floor-of-double-division shortcut is only exact while quotients stay
+  under ~2^23·denominator, a bound real out-weights can break;
+- damping applies as ``(85 · x) div 100``, teleport as
+  ``(15 · scale) div (100 · n)``;
 - dangling mass (nodes with no out-edges) redistributes uniformly as
-  ``floor(D / n)``.
+  ``D div n``.
+
+Overflow bound: the largest product is ``r · w ≤ scale · max_edge_w``;
+with the default scale it stays inside int64 for edge weights up to
+~9.2e9, and Spark's ANSI mode raises (rather than wrapping) beyond.
 
 Floor losses mean total mass decays by a few units per iteration —
 irrelevant for ranking, essential for cross-engine hash equality.
@@ -72,7 +77,7 @@ def pagerank_int(
 
     r = nodes.crossJoin(F.broadcast(n_df)).select(
         "node",
-        F.floor(F.lit(float(scale)) / F.col("__n")).cast("long").alias("r"),
+        F.expr(f"CAST({scale} AS BIGINT) div __n").alias("r"),
     )
     for _ in range(n_iter):
         contrib = (
@@ -80,9 +85,7 @@ def pagerank_int(
             .join(r.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
-                F.floor(
-                    F.col("r").cast("double") * F.col("w") / F.col("__outw")
-                ).cast("long").alias("c"),
+                F.expr("r * w div __outw").alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
@@ -97,23 +100,21 @@ def pagerank_int(
             .join(contrib, "node", "left")
             .select(
                 "node",
-                (
-                    F.floor(
-                        F.lit(15.0) * scale / (F.lit(100) * F.col("__n"))
-                    ).cast("long")
-                    + F.floor(
-                        F.lit(85.0)
-                        * (
-                            F.coalesce(F.col("c"), F.lit(0))
-                            + F.floor(
-                                F.col("__dang").cast("double") / F.col("__n")
-                            ).cast("long")
-                        )
-                        / 100
-                    ).cast("long")
+                F.expr(
+                    f"CAST(15 AS BIGINT) * CAST({scale} AS BIGINT)"
+                    f" div (CAST(100 AS BIGINT) * __n)"
+                    f" + CAST(85 AS BIGINT)"
+                    f" * (coalesce(c, CAST(0 AS BIGINT)) + (__dang div __n))"
+                    f" div 100"
                 ).alias("r"),
             )
         )
         if checkpoint:
             r = r.localCheckpoint(eager=True)
+    if checkpoint:
+        # final ranks are materialized; the cached build frames are done
+        # (without checkpointing the caller still holds lazy lineage over
+        # them, so the persists transfer to the caller's lifetime)
+        e.unpersist()
+        nodes.unpersist()
     return r.select("node", F.col("r").alias("rank"))

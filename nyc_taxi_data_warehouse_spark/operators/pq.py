@@ -345,4 +345,9 @@ def ivfpq_search(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "adc_score", F.col("rn").alias("rank"))
     )
+    # the cache served the two fit phases (their collects materialized
+    # it); dropping it now means the caller's final action recomputes
+    # res once via a narrow map — bounded work — instead of the cached
+    # frame living for the session (pq_fit's own unpersist pattern)
+    res.unpersist(blocking=False)
     return out

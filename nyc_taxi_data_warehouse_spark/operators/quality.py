@@ -85,18 +85,16 @@ def freshness(
             F.max(ts_col).alias("max_ts"),
             F.unix_timestamp(F.max(ts_col)).alias("max_epoch"),
         ).collect()[0]
-        if row.max_ts is None:
-            return CheckResult("freshness", "fail", 0, "source empty")
-        age = timedelta(seconds=time.time() - row.max_epoch)
-        if age > error_after:
-            return CheckResult("freshness", "fail", 1, f"age={age}")
-        if age > warn_after:
-            return CheckResult("freshness", "warn", 1, f"age={age}")
-        return CheckResult("freshness", "pass", 0, f"age={age}")
-    row = df.agg(F.max(ts_col).alias("max_ts")).collect()[0]
-    if row.max_ts is None:
+        age = (
+            None
+            if row.max_ts is None
+            else timedelta(seconds=time.time() - row.max_epoch)
+        )
+    else:
+        row = df.agg(F.max(ts_col).alias("max_ts")).collect()[0]
+        age = None if row.max_ts is None else now - row.max_ts
+    if age is None:
         return CheckResult("freshness", "fail", 0, "source empty")
-    age = now - row.max_ts
     if age > error_after:
         return CheckResult("freshness", "fail", 1, f"age={age}")
     if age > warn_after:

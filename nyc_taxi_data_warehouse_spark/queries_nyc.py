@@ -1014,15 +1014,13 @@ def _sql_pagerank_zones(n_iter: int = 3, scale: int = 10**9) -> str:
 ), ow AS (
     SELECT src, CAST(sum(w) AS BIGINT) AS W FROM e GROUP BY 1
 ), r0 AS (
-    SELECT node, CAST(floor(CAST({scale} AS DOUBLE) / nn.n) AS BIGINT) AS r
+    SELECT node, CAST({scale} AS BIGINT) // nn.n AS r
     FROM nd CROSS JOIN nn
 )"""]
     for t in range(1, n_iter + 1):
         parts.append(f""",
 ct{t} AS (
-    SELECT e.dst AS node,
-           CAST(sum(CAST(floor(CAST(r.r AS DOUBLE) * e.w / ow.W) AS BIGINT))
-                AS BIGINT) AS c
+    SELECT e.dst AS node, CAST(sum(r.r * e.w // ow.W) AS BIGINT) AS c
     FROM e JOIN ow USING (src) JOIN r{t - 1} r ON r.node = e.src
     GROUP BY 1
 ), dg{t} AS (
@@ -1031,10 +1029,10 @@ ct{t} AS (
     WHERE ow.src IS NULL
 ), r{t} AS (
     SELECT nd.node,
-           CAST(floor(15.0 * {scale} / (100 * nn.n)) AS BIGINT)
-           + CAST(floor(85.0 * (coalesce(c.c, 0)
-                 + CAST(floor(CAST(d.dang AS DOUBLE) / nn.n) AS BIGINT))
-                 / 100) AS BIGINT) AS r
+           CAST(15 AS BIGINT) * CAST({scale} AS BIGINT)
+               // (CAST(100 AS BIGINT) * nn.n)
+           + CAST(85 AS BIGINT)
+               * (coalesce(c.c, 0) + (d.dang // nn.n)) // 100 AS r
     FROM nd CROSS JOIN nn CROSS JOIN dg{t} d
     LEFT JOIN ct{t} c ON c.node = nd.node
 )""")

@@ -187,17 +187,18 @@ def delta_snapshot(
 def _data_path(table_path: str, p: str) -> str:
     """Resolve an add/remove action path: the protocol stores RELATIVE
     paths URL-encoded (RFC 2396) — partition dirs with spaces/colons
-    arrive as %20/%3A — or an absolute URI. Live-map KEYS stay raw
+    arrive as %20/%3A — or an absolute URI (Hadoop renders local ones
+    as ``file:/abs`` with a single slash). Live-map KEYS stay raw
     (add and remove encode identically, so keying is self-consistent);
     decoding happens only here at filesystem resolution."""
     from urllib.parse import unquote
 
-    decoded = unquote(p)
-    if decoded.startswith("file://"):
-        return decoded[len("file://") :]
-    if "://" in decoded:
-        raise DeltaProtocolError(f"non-local data file uri {p!r}")
-    return os.path.join(table_path, decoded)
+    from .pruning import resolve_local
+
+    try:
+        return resolve_local(unquote(p), table_path)
+    except ValueError as exc:
+        raise DeltaProtocolError(str(exc)) from exc
 
 
 def read_delta(
@@ -231,7 +232,14 @@ def read_delta(
                 ) from exc
             return spark.createDataFrame([], schema)
         raise FileNotFoundError(f"delta table {path} has no live files at v{v}")
-    df = spark.read.option("basePath", path).parquet(*files)
+    reader = spark.read
+    root = path.rstrip("/") + "/"
+    if all(f.startswith(root) for f in files):
+        # partition-dir recovery is anchored at the table root; files
+        # addressed by absolute URIs OUTSIDE the root (legal per the
+        # protocol) would make basePath reject the read
+        reader = reader.option("basePath", path)
+    df = reader.parquet(*files)
     from pyspark.sql import functions as F
 
     for col, op, val in where or []:
@@ -254,6 +262,7 @@ def _parquet_stats_json(fp: str) -> str:
     md = pq.ParquetFile(fp).metadata
     mins: dict = {}
     maxs: dict = {}
+    covered: dict = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -264,10 +273,20 @@ def _parquet_stats_json(fp: str) -> str:
             if not isinstance(st.min, (int, float, str, bool)):
                 continue
             name = col.path_in_schema
+            covered[name] = covered.get(name, 0) + 1
             mins[name] = st.min if name not in mins else min(mins[name], st.min)
             maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+    # a column's bound is only valid if EVERY row group reported stats:
+    # a chunk without stats (size-capped strings, NaN doubles) may hold
+    # values outside the others' range, and emitting a partial bound
+    # would let readers prune files that contain matching rows
+    full = {n for n, c in covered.items() if c == md.num_row_groups}
     return json.dumps(
-        {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs}
+        {
+            "numRecords": md.num_rows,
+            "minValues": {n: v for n, v in mins.items() if n in full},
+            "maxValues": {n: v for n, v in maxs.items() if n in full},
+        }
     )
 
 

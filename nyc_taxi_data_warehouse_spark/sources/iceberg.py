@@ -97,13 +97,12 @@ def _load_metadata(path: str, version: int | None = None) -> dict:
 
 
 def _local_path(uri: str, table_path: str) -> str:
-    if uri.startswith("file://"):
-        return uri[len("file://") :]
-    if "://" in uri:
-        raise IcebergProtocolError(f"non-local file uri {uri!r}")
-    if os.path.isabs(uri):
-        return uri
-    return os.path.join(table_path, uri)
+    from .pruning import resolve_local
+
+    try:
+        return resolve_local(uri, table_path)
+    except ValueError as exc:
+        raise IcebergProtocolError(str(exc)) from exc
 
 
 def _pick_snapshot(meta: dict, snapshot_id: int | None) -> dict | None:
@@ -579,11 +578,15 @@ def write_iceberg(
 
     def _footer_bounds(md):
         """(lower, upper) bound maps from parquet row-group stats —
-        field-id keyed, spec Appendix D serialization; columns without
-        stats (or unsupported types) are omitted, which readers must
-        treat as unbounded."""
+        field-id keyed, spec Appendix D serialization. A column is
+        bounded only if EVERY row group reported stats (a statless chunk
+        — size-capped strings, NaN doubles — may hold values outside
+        the others' range, and a partial bound would let the reader
+        prune files containing matching rows); omitted bounds read as
+        unbounded, which is always safe."""
         lo: dict[str, object] = {}
         hi: dict[str, object] = {}
+        covered: dict[str, int] = {}
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):
@@ -592,10 +595,13 @@ def write_iceberg(
                 name = col.path_in_schema
                 if st is None or not st.has_min_max or name not in field_ids:
                     continue
+                covered[name] = covered.get(name, 0) + 1
                 lo[name] = st.min if name not in lo else min(lo[name], st.min)
                 hi[name] = st.max if name not in hi else max(hi[name], st.max)
         lo_out, hi_out = [], []
         for name in lo:
+            if covered.get(name, 0) != md.num_row_groups:
+                continue
             blo = _serialize_bound(ice_types[name], lo[name])
             bhi = _serialize_bound(ice_types[name], hi[name])
             if blo is not None and bhi is not None:

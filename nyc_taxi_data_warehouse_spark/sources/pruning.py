@@ -39,3 +39,27 @@ def range_may_match(lo, hi, op: str, val) -> bool:
             return False
         return True
     return True  # unknown op: never prune (callers validate upstream)
+
+
+def resolve_local(uri: str, base: str):
+    """Resolve a lake-metadata file reference to a local filesystem path.
+
+    Handles the forms real writers emit: plain relative paths (joined
+    under ``base``), absolute paths, and ``file:`` URIs in all three
+    spellings (``file:///x``, ``file:/x`` — Hadoop Path.toString —,
+    ``file://localhost/x``). Non-local schemes and foreign authorities
+    raise rather than resolving to a nonsense path under the table
+    root."""
+    import os
+    from urllib.parse import urlparse
+
+    if uri.startswith("file:"):
+        p = urlparse(uri)
+        if p.netloc not in ("", "localhost"):
+            raise ValueError(f"remote file authority in {uri!r}")
+        return p.path
+    if "://" in uri:
+        raise ValueError(f"non-local data file uri {uri!r}")
+    if os.path.isabs(uri):
+        return uri
+    return os.path.join(base, uri)

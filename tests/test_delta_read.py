@@ -211,3 +211,16 @@ def test_stats_absent_never_prunes(spark, tmp_path):
     files_all = D.delta_snapshot(spark, t)[1]
     files_where = D.delta_snapshot(spark, t, where=[("id", ">=", 10**9)])[1]
     assert files_where == files_all
+
+
+def test_hadoop_single_slash_file_uri_resolves(spark, tmp_path):
+    """Hadoop Path.toString renders local absolute URIs as 'file:/abs'
+    (single slash); resolution must not join them under the table root."""
+    t = str(tmp_path / "absuri")
+    ext = str(tmp_path / "elsewhere")
+    _write_data(ext, "f1.parquet", [7, 8])
+    _commit(t, 0, [_PROTO, _META,
+                   {"add": {"path": f"file:{ext}/f1.parquet",
+                            "partitionValues": {}, "size": 1,
+                            "modificationTime": 0, "dataChange": True}}])
+    assert _ids(D.read_delta(spark, t)) == [7, 8]
