@@ -355,6 +355,17 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     return dead
 
 
+def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
+    """Rewrite the current snapshot's data into ``target_files`` files
+    (small-file compaction, Iceberg's `rewrite_data_files`): read the
+    live set, write it back as one overwrite commit. History is kept —
+    pre-compaction snapshots still time-travel; run
+    :func:`expire_snapshots` afterwards to reclaim the old files.
+    Returns the new snapshot id."""
+    df = read_iceberg(spark, path)
+    return write_iceberg(df.coalesce(target_files), path, mode="overwrite")
+
+
 # --- writer ----------------------------------------------------------------
 
 _SPARK_TO_ICE = {
@@ -679,6 +690,20 @@ def write_iceberg(
     # 4. new table metadata, committed put-if-absent
     now_ms = int(time.time() * 1000)
     schema, last_col = _spark_schema_to_iceberg(df)
+    if mode == "append" and prev is not None:
+        prev_fields = [
+            (f["name"], f["type"]) for f in _schema_fields(prev)
+        ]
+        new_fields = [(f["name"], f["type"]) for f in schema["fields"]]
+        if prev_fields != new_fields:
+            # appending a different shape would leave files with mixed
+            # schemas behind one table schema — readers would serve
+            # whichever file's schema they sample. Schema evolution
+            # needs field-id mapping this writer does not implement.
+            raise IcebergProtocolError(
+                f"append schema {new_fields} != table schema {prev_fields}; "
+                "use mode='overwrite' to replace the table shape"
+            )
     snap = {
         "snapshot-id": snapshot_id,
         "sequence-number": seq,

@@ -252,3 +252,38 @@ def test_unsupported_predicate_op_raises(spark, tmp_path):
     iceberg.write_iceberg(spark.range(5).select(F.col("id")), t)
     with pytest.raises(ValueError, match="unsupported predicate"):
         iceberg.read_iceberg(spark, t, where=[("id", "!=", 3)])
+
+
+def test_append_schema_mismatch_raises(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    iceberg.write_iceberg(spark.range(5).select(F.col("id")), t)
+    with pytest.raises(iceberg.IcebergProtocolError, match="append schema"):
+        iceberg.write_iceberg(
+            spark.range(5).select(F.col("id"), F.lit(1.0).alias("extra")),
+            t, mode="append",
+        )
+    # overwrite with the new shape is the sanctioned path
+    iceberg.write_iceberg(
+        spark.range(3).select(F.col("id"), F.lit(1.0).alias("extra")),
+        t, mode="overwrite",
+    )
+    assert iceberg.read_iceberg(spark, t).columns == ["id", "extra"]
+
+
+def test_compact_rewrites_small_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    iceberg.write_iceberg(spark.range(50).select(F.col("id")).repartition(6), t)
+    iceberg.write_iceberg(
+        spark.range(50, 80).select(F.col("id")).repartition(4), t, mode="append"
+    )
+    meta = iceberg._load_metadata(t)
+    snap = iceberg._pick_snapshot(meta, None)
+    assert len(iceberg._live_data_files(meta, snap, t)) == 10
+    s = iceberg.compact(spark, t, target_files=1)
+    meta = iceberg._load_metadata(t)
+    snap = iceberg._pick_snapshot(meta, s)
+    assert len(iceberg._live_data_files(meta, snap, t)) == 1
+    assert iceberg.read_iceberg(spark, t).count() == 80
+    dead = iceberg.expire_snapshots(t, keep_last=1)
+    assert len(dead) == 10  # the pre-compaction small files reclaimed
+    assert iceberg.read_iceberg(spark, t).count() == 80
