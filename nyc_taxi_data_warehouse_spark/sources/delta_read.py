@@ -331,7 +331,36 @@ def write_delta(df: DataFrame, path: str, mode: str = "append") -> int:
 
     for attempt in range(20):
         head = latest_delta_version(path)
+        reschema = False
+        if head >= 0:
+            _, _, meta_action = delta_snapshot(spark, path, head)
+            declared = meta_action.get("schemaString")
+            if declared and declared != df.schema.json():
+                if mode == "append":
+                    # mixed-schema files behind one declared metaData
+                    # would make reads serve whichever file's schema
+                    # gets sampled
+                    raise DeltaProtocolError(
+                        "append schema differs from the table's metaData "
+                        "schemaString; overwrite to change shape"
+                    )
+                # overwrite replaces every live file, so re-declaring the
+                # schema is sound (protocol: last metaData wins)
+                reschema = True
         actions: list[dict] = []
+        if reschema:
+            actions.append(
+                {
+                    "metaData": {
+                        "id": uuid.uuid4().hex,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": df.schema.json(),
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": now_ms,
+                    }
+                }
+            )
         if head < 0:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}

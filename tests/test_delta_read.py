@@ -224,3 +224,35 @@ def test_hadoop_single_slash_file_uri_resolves(spark, tmp_path):
                             "partitionValues": {}, "size": 1,
                             "modificationTime": 0, "dataChange": True}}])
     assert _ids(D.read_delta(spark, t)) == [7, 8]
+
+
+def test_write_delta_append_schema_mismatch_raises(spark, tmp_path):
+    t = str(tmp_path / "guard")
+    D.write_delta(spark.range(3).toDF("id"), t)
+    import pyspark.sql.functions as F
+    with pytest.raises(D.DeltaProtocolError, match="append schema"):
+        D.write_delta(
+            spark.range(3).select(F.col("id"), F.lit(1.0).alias("x")),
+            t, mode="append",
+        )
+    # same schema still appends
+    D.write_delta(spark.range(3, 5).toDF("id"), t, mode="append")
+    assert D.read_delta(spark, t).count() == 5
+
+
+def test_write_delta_overwrite_redeclares_schema(spark, tmp_path):
+    t = str(tmp_path / "reshape")
+    import pyspark.sql.functions as F
+    D.write_delta(spark.range(3).toDF("id"), t)
+    D.write_delta(
+        spark.range(2).select(F.col("id"), F.lit(2.5).alias("x")),
+        t, mode="overwrite",
+    )
+    back = D.read_delta(spark, t)
+    assert back.columns == ["id", "x"] and back.count() == 2
+    # appends against the NEW declared schema work
+    D.write_delta(
+        spark.range(5, 7).select(F.col("id"), F.lit(1.0).alias("x")),
+        t, mode="append",
+    )
+    assert D.read_delta(spark, t).count() == 4
