@@ -45,7 +45,7 @@ _CHECK_FIRST = [
     "q_lsh_hot_buckets", "q_containment", "q_normalize_dedup",
     "q_delta_roundtrip", "q_iceberg_roundtrip", "q_pq_codebook",
     "q_pq_search", "q_pq_recall", "q_ivfpq_search", "q_bpe_merges",
-    "q_bpe_tokenize", "q_zorder_cells", "q_pagerank_zones", "q_orc_roundtrip",
+    "q_bpe_tokenize", "q_zorder_cells", "q_pagerank_zones", "q_triangle_count", "q_orc_roundtrip",
     # (1) stale: last driver evidence is round 1
     "q_dropna", "q_limit", "q_minmax", "q_semi_join",
     # (2) touched this round: banded SimHash + capped-LSH oracles, and the
@@ -62,12 +62,11 @@ _CHECK_FIRST = [
     "q_inverted_index", "q_embedding_quantize", "q_star_join",
     "q_skew_agg", "q_skew_join", "q_incremental_agg",
     "q_cube", "q_merge_upsert", "q_weighted_sample", "q_freshness",
-    "q_bm25",
 ]
 _CHECK_LAST = [
     # deferred r2-green (window overflow + trivial per-row text
     # functions, untouched this round) — round-5 window candidates
-    "q_winsorize", "q_pmi", "q_conversion_funnel", "q_retention_cohort", "q_backfill_synthetic",
+    "q_bm25", "q_winsorize", "q_pmi", "q_conversion_funnel", "q_retention_cohort", "q_backfill_synthetic",
     "q_quality_report", "q_gapfill", "q_sessions", "q_topk_per_group",
     "q_asof_join",
     "q_token_count", "q_lang_id", "q_fingerprint", "q_repetition",

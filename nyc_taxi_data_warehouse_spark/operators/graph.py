@@ -36,6 +36,59 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def undirected_simple(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Canonical undirected simple edges (a < b, loops dropped, dups
+    collapsed) from a directed multigraph frame."""
+    a = F.least(F.col(src), F.col(dst))
+    b = F.greatest(F.col(src), F.col(dst))
+    return (
+        edges.select(a.alias("a"), b.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts — the local clustering
+    signal (community density, link spam, hub detection).
+
+    Classic two-join formulation over canonical a<b edges: wedges
+    (a<b<c) from e1.b = e2.a, closed by an edge-existence join on
+    (a, c) — each triangle is produced exactly once in its sorted
+    orientation, then credited to all three corners. Every join is an
+    equi-join on node ids; at web scale the standard hardening is
+    degree-ordering the edge direction so high-degree nodes don't fan
+    out the wedge join (the a<b canonical order stands in for that
+    here). Returns (node, n_triangles) for nodes in ≥1 triangle."""
+    e = undirected_simple(edges, src, dst).persist()
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e.alias("e3"),
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    out = (
+        tri.select(F.col("x").alias("node"))
+        .union(tri.select(F.col("y").alias("node")))
+        .union(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    e.unpersist(blocking=False)
+    return out
+
+
 def pagerank_int(
     edges: DataFrame,
     n_iter: int = 3,

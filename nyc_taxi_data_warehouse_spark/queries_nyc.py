@@ -1039,6 +1039,45 @@ ct{t} AS (
     return "".join(parts)
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone triangle participation over the undirected zone
+    transition graph (`operators/graph.triangle_counts`) — the local
+    clustering-density metric. Two equi-joins produce each triangle
+    once in sorted orientation; all-integer, hash-gated."""
+    from .operators import graph
+
+    edges = staging.stg_taxi_trips(_trips(spark, sf_dir)).select(
+        F.col("pickup_zone_id").alias("src"),
+        F.col("dropoff_zone_id").alias("dst"),
+    )
+    out = graph.triangle_counts(edges)
+    return out.select(F.col("node").cast("long").alias("zone_id"), "n_triangles")
+
+
+_SQL_TRIANGLE_COUNT = _with(
+    SQL_TRIPS,
+    SQL_STG_TRIPS,
+    """e AS (
+    SELECT DISTINCT least(pickup_zone_id, dropoff_zone_id) AS a,
+                    greatest(pickup_zone_id, dropoff_zone_id) AS b
+    FROM stg_trips
+    WHERE pickup_zone_id <> dropoff_zone_id
+),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM e e1
+    JOIN e e2 ON e1.b = e2.a
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)""",
+    select="""SELECT CAST(node AS BIGINT) AS zone_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri)
+GROUP BY 1""",
+)
+
+
 _SQL_PAGERANK_ZONES = _with(
     SQL_TRIPS,
     SQL_STG_TRIPS,
@@ -1658,6 +1697,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_star_join": q_star_join,
     "q_zorder_cells": q_zorder_cells,
     "q_pagerank_zones": q_pagerank_zones,
+    "q_triangle_count": q_triangle_count,
     "q_skew_agg": q_skew_agg,
     "q_skew_join": q_skew_join,
     "q_incremental_agg": q_incremental_agg,
@@ -1704,6 +1744,7 @@ FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5000""",
     "q_star_join": _SQL_STAR_JOIN,
     "q_zorder_cells": _SQL_ZORDER_CELLS,
     "q_pagerank_zones": _SQL_PAGERANK_ZONES,
+    "q_triangle_count": _SQL_TRIANGLE_COUNT,
     "q_skew_agg": _SQL_SKEW_AGG,
     "q_skew_join": _SQL_SKEW_JOIN,
     "q_incremental_agg": _with(

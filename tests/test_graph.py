@@ -52,3 +52,20 @@ def test_popular_node_ranks_highest(spark):
     df = spark.createDataFrame(edges, ["src", "dst", "w"])
     got = {r["node"]: r["rank"] for r in graph.pagerank_int(df, n_iter=3).collect()}
     assert max(got, key=got.get) == 9
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 minus one edge: triangles {1,2,3} and {1,2,4} — nodes 1,2 in
+    two triangles, 3,4 in one. Directed dups/loops collapse first."""
+    edges = [(1, 2, 1), (2, 1, 1), (2, 3, 1), (3, 1, 1), (1, 4, 1),
+             (4, 2, 1), (3, 3, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {r["node"]: r["n_triangles"]
+           for r in graph.triangle_counts(df).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_free_graph_empty(spark):
+    df = spark.createDataFrame([(1, 2, 1), (2, 3, 1), (3, 4, 1)],
+                               ["src", "dst", "w"])
+    assert graph.triangle_counts(df).count() == 0
