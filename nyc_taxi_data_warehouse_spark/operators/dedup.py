@@ -269,6 +269,56 @@ def containment_pairs(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def dup_ngram_coverage(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Corpus-wide duplicated n-gram coverage per document — the
+    sequence-level dedup diagnostic of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (arXiv:2107.06499): what fraction of
+    a document's n-gram OCCURRENCES are n-grams that also appear in at
+    least one OTHER document.  High coverage = the doc is mostly built from
+    text repeated elsewhere (templates, mirrors, quotes) and is a removal /
+    down-weight candidate even when no single pair-wise near-dup fires.
+
+    Distinct from :func:`jaccard_pairs` (pair-wise) — this is a corpus
+    aggregate and never materializes pairs, so it scales linearly:
+
+      tokenize → explode n-grams            [1 row per occurrence]
+      (doc, gram) → occurrence count        [shuffle on (doc, gram)]
+      gram → document frequency             [shuffle on gram]
+      join + per-doc rollup                 [shuffle on doc]
+
+    The gram→df table is corpus-vocabulary-sized (too big to broadcast at
+    100 TB) so the join is a plain shuffle hash join on ``gram``; every
+    frame only ever shuffles on its natural key.  All counts are integers
+    (exact under any partial-agg order); the fraction is one per-row
+    division at the end.
+    """
+    tokd = docs.select(F.col(id_col), T.tokens(text_col).alias("__w"))
+    grams = tokd.select(
+        F.col(id_col),
+        F.explode(T.shingles_from_tokens("__w", n)).alias("gram"),
+    )
+    per = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("occ"))
+    dfs = per.groupBy("gram").agg(F.count(F.lit(1)).alias("df_docs"))
+    return (
+        per.join(dfs, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("occ").alias("n_grams"),
+            F.sum(F.when(F.col("df_docs") > 1, F.col("occ")).otherwise(F.lit(0))).alias(
+                "dup_grams"
+            ),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "dup_grams",
+            (F.col("dup_grams") / F.col("n_grams")).alias("dup_fraction"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,

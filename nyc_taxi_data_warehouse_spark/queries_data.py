@@ -368,6 +368,45 @@ SELECT md5(canon) AS canon_hash,
 FROM canon GROUP BY 1"""
 
 
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-3-gram coverage per document (Lee et al.,
+    arXiv:2107.06499): fraction of each doc's 3-gram occurrences whose gram
+    also appears in ≥1 OTHER doc.  Linear corpus aggregate — no pair join
+    anywhere — so it runs where the pair-wise detectors can't.  The
+    truncated-twin corpus makes every twinned doc's shared suffix light up
+    (twins sit near coverage 1.0; unique docs near 0)."""
+    cov = dedup.dup_ngram_coverage(_text_corpus(_docs(spark, sf_dir)))
+    return cov.select(
+        "doc_id",
+        "n_grams",
+        "dup_grams",
+        _rnd(F.col("dup_fraction"), 6).alias("dup_fraction"),
+    )
+
+
+_SQL_DUP_NGRAM_COVERAGE = (
+    "WITH "
+    + ",".join([SQL_CORPUS, SQL_TOK])
+    + """,
+grams AS (
+    SELECT doc_id, unnest(list_transform(
+        range(1, greatest(len(w) - 2, 0) + 1),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+    FROM tok
+),
+per AS (SELECT doc_id, gram, count(*) AS occ FROM grams GROUP BY 1, 2),
+dfs AS (SELECT gram, count(*) AS df_docs FROM per GROUP BY 1)
+SELECT p.doc_id,
+       CAST(sum(p.occ) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN d.df_docs > 1 THEN p.occ ELSE 0 END) AS BIGINT)
+           AS dup_grams,
+       round(1e-9 + sum(CASE WHEN d.df_docs > 1 THEN p.occ ELSE 0 END)
+             / sum(p.occ), 6) AS dup_fraction
+FROM per p JOIN dfs d USING (gram)
+GROUP BY 1"""
+)
+
+
 def q_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta interop gated END-TO-END: two lineitem slices go through the
     protocol-conformant writer (`sources/delta_read.py::write_delta`) as
@@ -3283,6 +3322,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lsh_hot_buckets": q_lsh_hot_buckets,
     "q_containment": q_containment,
     "q_normalize_dedup": q_normalize_dedup,
+    "q_dup_ngram_coverage": q_dup_ngram_coverage,
     "q_delta_roundtrip": q_delta_roundtrip,
     "q_iceberg_roundtrip": q_iceberg_roundtrip,
     "q_orc_roundtrip": q_orc_roundtrip,
@@ -3354,6 +3394,7 @@ ORACLES: dict[str, str] = {
     "q_lsh_hot_buckets": _SQL_LSH_HOT_BUCKETS,
     "q_containment": _SQL_CONTAINMENT,
     "q_normalize_dedup": _SQL_NORMALIZE_DEDUP,
+    "q_dup_ngram_coverage": _SQL_DUP_NGRAM_COVERAGE,
     "q_delta_roundtrip": _SQL_DELTA_ROUNDTRIP,
     "q_iceberg_roundtrip": _SQL_ICEBERG_ROUNDTRIP,
     "q_orc_roundtrip": _SQL_ORC_ROUNDTRIP,

@@ -111,6 +111,40 @@ def test_jaccard_exact_values(spark):
     assert abs(out[0].jaccard - 1 / 3) < 1e-12
 
 
+def test_dup_ngram_coverage_planted(spark):
+    """Doc 2 is doc 1's exact copy (coverage 1.0 both ways); doc 3 shares
+    nothing (coverage 0); doc 4 shares exactly its first trigram with 1/2."""
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, shared),
+            (2, shared),
+            (3, "completely unrelated words about parquet shuffles here"),
+            (4, "the quick brown cat naps on warm stones"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.dup_ngram_coverage(docs).collect()}
+    # 9 tokens → 7 trigrams per shared doc, all duplicated across 1↔2
+    assert out[1].n_grams == 7 and out[1].dup_grams == 7
+    assert abs(out[1].dup_fraction - 1.0) < 1e-12
+    assert abs(out[2].dup_fraction - 1.0) < 1e-12
+    assert out[3].dup_grams == 0 and out[3].dup_fraction == 0.0
+    # doc 4: only "the quick brown" is shared → 1/6 trigrams duplicated
+    assert out[4].n_grams == 6 and out[4].dup_grams == 1
+
+
+def test_dup_ngram_repeated_gram_within_one_doc_not_duplicated(spark):
+    """A gram repeated INSIDE a single doc but nowhere else is not
+    corpus-duplicated: df counts distinct docs, not occurrences."""
+    docs = spark.createDataFrame(
+        [(1, "x y z x y z x y z"), (2, "totally different tokens entirely")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.dup_ngram_coverage(docs).collect()}
+    assert out[1].n_grams == 7 and out[1].dup_grams == 0
+
+
 def test_simhash_near_for_twins(spark):
     """Docs with the SAME distinct-token set get the same 64-bit fingerprint
     (SimHash is set-based) and surface as a Hamming-0 pair; an unrelated doc
