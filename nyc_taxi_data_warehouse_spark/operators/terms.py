@@ -129,3 +129,83 @@ def top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_m: int = 10,
+    max_df: int = 100,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs sparse cosine similarity over capped-vocabulary TF vectors,
+    via an inverted-index join — the text-side analogue of the embedding
+    near-dup pass, for corpora that have no embeddings yet.
+
+    Vector model = `CountVectorizer(max_df)` + per-doc top-``top_m`` term
+    pruning + L2 cosine, the standard sparse document-similarity recipe:
+
+      1. terms with document frequency > ``max_df`` are dropped (stopwords /
+         boilerplate — the same role the LSH hot-bucket cap plays, and the
+         thing that bounds every inverted-index posting list to ``max_df``);
+      2. each doc keeps its ``top_m`` highest-TF remaining terms
+         (ties → term asc, deterministic);
+      3. pairs materialize ONLY through shared terms: postings are grouped
+         per term (one shuffle on ``term``), pairs explode map-side from the
+         ≤``max_df``-element posting array — never an all-pairs join;
+      4. dot products and squared norms are integer TF sums (exact under any
+         partial-agg order); the cosine itself is one per-row IEEE division,
+         so results are bit-reproducible across engines.
+
+    O(vocab · max_df²) candidate work, linear in corpus size for fixed caps.
+    """
+    tok = docs.select(F.col(id_col), F.explode(T.tokens(text_col)).alias("term"))
+    # tf feeds df AND the pruned postings — persist or the tokenize/explode
+    # lineage (dominant cost) runs twice (NOTES self-join lesson)
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    kept_terms = dfs.where(F.col("df") <= max_df).select("term")
+    w = Window.partitionBy(id_col).orderBy(F.desc("tf"), F.asc("term"))
+    kept = (
+        tf.join(kept_terms, "term")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= top_m)
+        .drop("__rn")
+        .persist()  # feeds norms + postings
+    )
+    norms = kept.groupBy(id_col).agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    postings = kept.groupBy("term").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("d"), F.col("tf").alias("w"))).alias("ps")
+    )
+    pairs = postings.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, a -> transform("
+                "filter(ps, b -> b.d > a.d),"
+                " b -> struct(a.d AS doc_a, b.d AS doc_b, a.w * b.w AS prod))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.prod")
+    dots = pairs.groupBy("doc_a", "doc_b").agg(F.sum("prod").alias("dot"))
+    na = norms.select(F.col(id_col).alias("doc_a"), F.col("n2").alias("n2_a"))
+    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("n2").alias("n2_b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "dot",
+            (
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("n2_a").cast("double"))
+                    * F.sqrt(F.col("n2_b").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

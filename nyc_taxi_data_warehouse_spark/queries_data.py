@@ -407,6 +407,55 @@ GROUP BY 1"""
 )
 
 
+def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-side all-pairs similarity WITHOUT embeddings: capped-vocabulary
+    TF vectors (df ≤ 100 — the stopword/boilerplate cap), per-doc top-10
+    terms, cosine via an inverted-index posting join.  Pairs only ever
+    materialize through shared sub-max_df terms, so candidate work is
+    O(vocab·max_df²), linear in corpus size.  Truncated twins share their
+    whole term profile → cosine ≈ 1; unrelated docs stay under threshold."""
+    from .operators import terms as TM
+
+    pairs = TM.sparse_cosine_pairs(
+        _text_corpus(_docs(spark, sf_dir)), top_m=10, max_df=100, threshold=0.6
+    )
+    return pairs.select(
+        "doc_a", "doc_b", "dot", _rnd(F.col("cosine"), 6).alias("cosine")
+    )
+
+
+_SQL_SPARSE_COSINE = (
+    "WITH "
+    + ",".join([SQL_CORPUS, SQL_TOK])
+    + """,
+exploded AS (SELECT doc_id, unnest(w) AS term FROM tok),
+tfx AS (SELECT doc_id, term, count(*) AS tf FROM exploded GROUP BY 1, 2),
+low_df AS (SELECT term FROM tfx GROUP BY term HAVING count(*) <= 100),
+ranked AS (
+    SELECT t.doc_id, t.term, t.tf,
+           row_number() OVER (PARTITION BY t.doc_id
+                              ORDER BY t.tf DESC, t.term ASC) AS rn
+    FROM tfx t JOIN low_df USING (term)
+),
+kept AS (SELECT doc_id, term, tf FROM ranked WHERE rn <= 10),
+norms AS (SELECT doc_id, sum(tf * tf) AS n2 FROM kept GROUP BY 1),
+dots AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+    FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b, d.dot,
+       round(1e-9 + d.dot / (sqrt(CAST(na.n2 AS DOUBLE))
+                             * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.doc_id = d.doc_a
+JOIN norms nb ON nb.doc_id = d.doc_b
+WHERE d.dot / (sqrt(CAST(na.n2 AS DOUBLE))
+               * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.6"""
+)
+
+
 def q_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta interop gated END-TO-END: two lineitem slices go through the
     protocol-conformant writer (`sources/delta_read.py::write_delta`) as
@@ -3323,6 +3372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_containment": q_containment,
     "q_normalize_dedup": q_normalize_dedup,
     "q_dup_ngram_coverage": q_dup_ngram_coverage,
+    "q_sparse_cosine": q_sparse_cosine,
     "q_delta_roundtrip": q_delta_roundtrip,
     "q_iceberg_roundtrip": q_iceberg_roundtrip,
     "q_orc_roundtrip": q_orc_roundtrip,
@@ -3395,6 +3445,7 @@ ORACLES: dict[str, str] = {
     "q_containment": _SQL_CONTAINMENT,
     "q_normalize_dedup": _SQL_NORMALIZE_DEDUP,
     "q_dup_ngram_coverage": _SQL_DUP_NGRAM_COVERAGE,
+    "q_sparse_cosine": _SQL_SPARSE_COSINE,
     "q_delta_roundtrip": _SQL_DELTA_ROUNDTRIP,
     "q_iceberg_roundtrip": _SQL_ICEBERG_ROUNDTRIP,
     "q_orc_roundtrip": _SQL_ORC_ROUNDTRIP,

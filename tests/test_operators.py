@@ -111,6 +111,55 @@ def test_jaccard_exact_values(spark):
     assert abs(out[0].jaccard - 1 / 3) < 1e-12
 
 
+def test_sparse_cosine_identical_and_disjoint(spark):
+    from nyc_taxi_data_warehouse_spark.operators import terms as TM
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = TM.sparse_cosine_pairs(docs, threshold=0.0).collect()
+    got = {(r.doc_a, r.doc_b): r for r in out}
+    assert set(got) == {(1, 2)}  # disjoint doc 3 never pairs
+    assert abs(got[(1, 2)].cosine - 1.0) < 1e-12
+    assert got[(1, 2)].dot == 4  # four unit-tf shared terms
+
+
+def test_sparse_cosine_max_df_drops_boilerplate_term(spark):
+    """A term in EVERY doc exceeds max_df and is excluded from both the
+    vectors and the pairing — docs sharing only that term never pair."""
+    from nyc_taxi_data_warehouse_spark.operators import terms as TM
+
+    docs = spark.createDataFrame(
+        [(i, f"common unique{i} other{i}") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    out = TM.sparse_cosine_pairs(docs, max_df=3, threshold=0.0).collect()
+    assert out == []
+
+
+def test_sparse_cosine_top_m_prunes_low_tf_terms(spark):
+    """With top_m=1 only each doc's highest-TF term survives: docs 1/2 keep
+    'aa' (cosine 1 on that axis); doc 3's top term is 'bb' so its overlap
+    with 1 via 'cc' is pruned away."""
+    from nyc_taxi_data_warehouse_spark.operators import terms as TM
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa aa cc"),
+            (2, "aa aa aa dd"),
+            (3, "bb bb bb cc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = TM.sparse_cosine_pairs(docs, top_m=1, threshold=0.0).collect()
+    assert {(r.doc_a, r.doc_b) for r in out} == {(1, 2)}
+
+
 def test_dup_ngram_coverage_planted(spark):
     """Doc 2 is doc 1's exact copy (coverage 1.0 both ways); doc 3 shares
     nothing (coverage 0); doc 4 shares exactly its first trigram with 1/2."""
