@@ -575,6 +575,43 @@ WHERE EXISTS (
 )"""
 
 
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated semi-join (explicit runtime filter): lineitems of
+    top-price orders.  The selective order-key set compresses into a
+    broadcast bitset that prunes the fact scan MAP-SIDE before any shuffle;
+    the confirming semi-join then touches only survivors, so the result
+    equals the plain semi-join (the oracle) while the fact-side exchange
+    carries ~a tenth of the rows.  At 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the matching slice."""
+    from .operators import bloom
+
+    t = nyc_views.load_tables(spark, sf_dir)
+    sel = (
+        t["orders"]
+        .where(F.col("o_totalprice") > 450000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    kept = bloom.bloom_semi_join(t["lineitem"], sel, "l_orderkey")
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long"))
+        .cast("long")
+        .alias("sum_qty"),
+    )
+
+
+_SQL_BLOOM_JOIN = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem l
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 450000
+)
+GROUP BY 1"""
+
+
 def q_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-rank window family: percent_rank, cume_dist, and
     quartile ntile of order price within each segment (sampled customers
@@ -1667,6 +1704,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_asof_join": q_asof_join,
     "q_interval_join": q_interval_join,
     "q_semi_join": q_semi_join,
+    "q_bloom_join": q_bloom_join,
     "q_window_stats": q_window_stats,
     "q_dropna": q_dropna,
     "q_limit": q_limit,
@@ -1730,6 +1768,7 @@ ORACLES: dict[str, str] = {
     "q_asof_join": _with(SQL_TRIPS, SQL_WEATHER, SQL_STG_TRIPS, SQL_STG_WEATHER, select=_SQL_ASOF_JOIN),
     "q_interval_join": _with(SQL_TRIPS, SQL_WEATHER, SQL_STG_TRIPS, SQL_STG_WEATHER, select=_SQL_INTERVAL_JOIN),
     "q_semi_join": _SQL_SEMI_JOIN,
+    "q_bloom_join": _SQL_BLOOM_JOIN,
     "q_window_stats": _SQL_WINDOW_STATS,
     "q_dropna": _with(
         SQL_TRIPS,

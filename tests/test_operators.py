@@ -111,6 +111,39 @@ def test_jaccard_exact_values(spark):
     assert abs(out[0].jaccard - 1 / 3) < 1e-12
 
 
+def test_bloom_semi_join_equals_exact_semi_join(spark):
+    from nyc_taxi_data_warehouse_spark.operators import bloom
+
+    dim = spark.range(0, 500).select((F.col("id") * 7).alias("k"))
+    fact = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    )
+    exact = fact.join(dim.select("k").distinct(), "k", "left_semi")
+    got = bloom.bloom_semi_join(fact, dim, "k")
+    assert got.exceptAll(exact).count() == 0
+    assert exact.exceptAll(got).count() == 0
+
+
+def test_bloom_prefilter_prunes_but_never_drops_matches(spark):
+    from nyc_taxi_data_warehouse_spark.operators import bloom
+
+    dim = spark.range(0, 200).select((F.col("id") * 13).alias("k"))
+    fact = spark.range(0, 20000).select(F.col("id").alias("k"))
+    pre = bloom.bloom_semi_join(fact, dim, "k", exact=False)
+    true_keys = {r.k for r in fact.join(dim, "k", "left_semi").collect()}
+    pre_keys = {r.k for r in pre.collect()}
+    assert true_keys <= pre_keys  # no false negatives, ever
+    assert len(pre_keys) < 0.05 * 20000  # bitset actually prunes
+
+
+def test_bloom_empty_dim_filters_everything(spark):
+    from nyc_taxi_data_warehouse_spark.operators import bloom
+
+    dim = spark.range(0, 10).where(F.lit(False)).select(F.col("id").alias("k"))
+    fact = spark.range(0, 100).select(F.col("id").alias("k"))
+    assert bloom.bloom_semi_join(fact, dim, "k", exact=False).count() == 0
+
+
 def test_sparse_cosine_identical_and_disjoint(spark):
     from nyc_taxi_data_warehouse_spark.operators import terms as TM
 
