@@ -224,6 +224,53 @@ def q_zone_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection over the per-zone daily demand series:
+    Iglewicz–Hoaglin modified z-score (0.6745·(x−median)/MAD, flag >3.5).
+    Median/MAD have a 50% breakdown point, so a feed outage or double-load
+    day cannot drag the baseline toward itself the way mean/stddev would.
+    Emits every point with its score + flag (the monitoring-table shape)."""
+    from .operators import timeseries
+
+    z = features.zone_demand(staging.stg_taxi_trips(_trips(spark, sf_dir))).select(
+        "pickup_zone_id", "trip_date", "trip_count"
+    )
+    out = timeseries.robust_anomalies(z, ["pickup_zone_id"], "trip_count")
+    return out.select(
+        "pickup_zone_id",
+        "trip_date",
+        "trip_count",
+        _rnd(F.col("med"), 4).alias("med"),
+        _rnd(F.col("mad"), 4).alias("mad"),
+        _rnd(F.col("rz"), 4).alias("rz"),
+        "is_anomaly",
+    )
+
+
+_SQL_ANOMALY_MAD_SELECT = """
+, zd AS (SELECT pickup_zone_id, trip_date, trip_count FROM zone_demand)
+, m1 AS (
+    SELECT *, quantile_cont(trip_count, 0.5)
+              OVER (PARTITION BY pickup_zone_id) AS med
+    FROM zd
+)
+, m2 AS (
+    SELECT *, quantile_cont(abs(trip_count - med), 0.5)
+              OVER (PARTITION BY pickup_zone_id) AS mad
+    FROM m1
+)
+SELECT pickup_zone_id, trip_date, trip_count,
+       round(1e-9 + med, 4) AS med,
+       round(1e-9 + mad, 4) AS mad,
+       CASE WHEN mad > 0
+            THEN round(1e-9 + 0.6745 * (trip_count - med) / mad, 4)
+       END AS rz,
+       CAST(CASE WHEN mad > 0
+                  AND abs(0.6745 * (trip_count - med) / mad) > 3.5
+                 THEN 1 ELSE 0 END AS INT) AS is_anomaly
+FROM m2"""
+
+
 def q_zone_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: broadcast LEFT join to the zone-lookup dimension, borough rollup
     (unmatched zones land in the NULL-borough bucket)."""
@@ -1720,6 +1767,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_daily": q_daily,
     "q_zone_analysis": q_zone_analysis,
     "q_zone_demand": q_zone_demand,
+    "q_anomaly_mad": q_anomaly_mad,
     "q_zone_dim": q_zone_dim,
     "q_antijoin": q_antijoin,
     "q_distinct_hours": q_distinct_hours,
@@ -1899,6 +1947,12 @@ SELECT pickup_zone_id, trip_date, trip_count,
        round(1e-9 + avg_distance, 4) AS avg_distance,
        round(1e-9 + avg_amount, 4) AS avg_amount
 FROM zone_demand""",
+    ),
+    "q_anomaly_mad": _with(
+        SQL_TRIPS,
+        SQL_STG_TRIPS,
+        SQL_ZONE_DEMAND,
+        select=_SQL_ANOMALY_MAD_SELECT,
     ),
     "q_zone_dim": _with(
         SQL_TRIPS,

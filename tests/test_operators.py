@@ -111,6 +111,48 @@ def test_jaccard_exact_values(spark):
     assert abs(out[0].jaccard - 1 / 3) < 1e-12
 
 
+def test_robust_anomalies_flags_planted_spike(spark):
+    """Series of flat 10s with one 100-spike: median 10, MAD 0... so use a
+    mildly varying series — MAD must be positive for a score to exist."""
+    from nyc_taxi_data_warehouse_spark.operators import timeseries
+
+    rows = [("a", i, v) for i, v in enumerate([10, 11, 9, 10, 12, 8, 10, 100])]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    out = {r.t: r for r in timeseries.robust_anomalies(df, ["k"], "x").collect()}
+    assert out[7].is_anomaly == 1  # the spike
+    assert all(out[i].is_anomaly == 0 for i in range(7))
+    assert out[0].med == 10.0 and out[0].mad == 1.0
+
+
+def test_robust_anomalies_zero_mad_yields_null_score_not_flag(spark):
+    """Constant series: MAD = 0 → NULL score, nothing flagged, no div-by-0."""
+    from nyc_taxi_data_warehouse_spark.operators import timeseries
+
+    df = spark.createDataFrame(
+        [("a", i, 5) for i in range(6)], "k string, t long, x long"
+    )
+    out = timeseries.robust_anomalies(df, ["k"], "x").collect()
+    assert all(r.rz is None and r.is_anomaly == 0 for r in out)
+
+
+def test_robust_anomalies_outlier_cannot_hide_itself(spark):
+    """The breakdown property mean/std z-scores lack: with a HUGE outlier,
+    a classical 3-sigma test on this series would not flag it (the outlier
+    inflates sigma); the MAD score still does."""
+    from nyc_taxi_data_warehouse_spark.operators import timeseries
+
+    vals = [10, 11, 9, 10, 12, 8, 11, 9, 10000]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)], "k string, t long, x long"
+    )
+    import statistics
+
+    mu, sigma = statistics.mean(vals), statistics.pstdev(vals)
+    assert abs(vals[-1] - mu) / sigma < 3  # classical test misses it
+    out = {r.t: r for r in timeseries.robust_anomalies(df, ["k"], "x").collect()}
+    assert out[8].is_anomaly == 1  # MAD test catches it
+
+
 def test_bloom_semi_join_equals_exact_semi_join(spark):
     from nyc_taxi_data_warehouse_spark.operators import bloom
 
