@@ -39,9 +39,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-4 queries land in the middle (between FIRST and LAST), inside
 # the window; tests/test_registry.py pins the bookkeeping.
 _CHECK_FIRST = [
-    # (0) first-evidence: never driver-gated (4 mid-round-4 additions +
-    # the extension wave: lake roundtrips, PQ/IVFADC family, BPE,
-    # z-order, PageRank) — highest priority
+    # (0) first-evidence: never driver-gated (third-session wave first:
+    # dup-ngram coverage, sparse cosine, bloom join, MAD anomalies; then
+    # the 4 mid-round-4 additions + the extension wave: lake roundtrips,
+    # PQ/IVFADC family, BPE, z-order, PageRank) — highest priority
+    "q_dup_ngram_coverage", "q_sparse_cosine", "q_bloom_join",
+    "q_anomaly_mad",
     "q_lsh_hot_buckets", "q_containment", "q_normalize_dedup",
     "q_delta_roundtrip", "q_iceberg_roundtrip", "q_pq_codebook",
     "q_pq_search", "q_pq_recall", "q_ivfpq_search", "q_bpe_merges",
@@ -61,11 +64,11 @@ _CHECK_FIRST = [
     "q_mixture_sample", "q_srp_lsh", "q_srp_near_pairs",
     "q_inverted_index", "q_embedding_quantize", "q_star_join",
     "q_skew_agg", "q_skew_join", "q_incremental_agg",
-    "q_cube", "q_merge_upsert", "q_weighted_sample", "q_freshness",
 ]
 _CHECK_LAST = [
     # deferred r2-green (window overflow + trivial per-row text
     # functions, untouched this round) — round-5 window candidates
+    "q_cube", "q_merge_upsert", "q_weighted_sample", "q_freshness",
     "q_bm25", "q_winsorize", "q_pmi", "q_conversion_funnel", "q_retention_cohort", "q_backfill_synthetic",
     "q_quality_report", "q_gapfill", "q_sessions", "q_topk_per_group",
     "q_asof_join",
