@@ -65,6 +65,12 @@ HEADLINE = [
     # Morton z-curve clustering diagnostic
     "q_pq_search",
     "q_zorder_cells",
+    # round-4 third-session additions: linear-scale dedup diagnostic,
+    # inverted-index sparse cosine, bloom runtime filter, MAD anomalies
+    "q_dup_ngram_coverage",
+    "q_sparse_cosine",
+    "q_bloom_join",
+    "q_anomaly_mad",
 ]
 
 # Per-query repeat count: the median of 3 runs is reported, so a single

@@ -319,6 +319,65 @@ def dup_ngram_coverage(
     )
 
 
+def group_shingle_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source contamination matrix: shingle-set Jaccard + asymmetric
+    containment for every pair of corpus groups (sources, snapshots,
+    languages…).  This is the source-level rollup of the doc-level
+    detectors — the curation dashboard that answers "which feeds mirror
+    each other?" before any per-doc dedup work is scheduled.
+
+    Scale shape: the heavy frame is distinct (group, shingle) — linear in
+    corpus size, shuffled on its natural key.  The self-join on ``shingle``
+    emits at most C(#groups, 2) pairs per shingle, so the pair space is
+    bounded by the GROUP count (tens), never the corpus; per-group sizes
+    broadcast by the same argument.
+    """
+    tokd = docs.select(F.col(group_col).alias("grp"), T.tokens(text_col).alias("__w"))
+    sh = (
+        tokd.select(
+            "grp",
+            F.explode(F.array_distinct(T.shingles_from_tokens("__w", n))).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+        .persist()  # feeds sizes + both self-join sides
+    )
+    sizes = sh.groupBy("grp").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(F.col("a.grp").alias("grp_a"), F.col("b.grp").alias("grp_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("grp").alias("grp_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("grp").alias("grp_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "grp_a")
+        .join(F.broadcast(sb), "grp_b")
+        .select(
+            F.col("grp_a").alias(f"{group_col}_a"),
+            F.col("grp_b").alias(f"{group_col}_b"),
+            "n_common",
+            (
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+            ).alias("jaccard"),
+            (F.col("n_common") / F.col("sz_a")).alias("containment_a"),
+            (F.col("n_common") / F.col("sz_b")).alias("containment_b"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,

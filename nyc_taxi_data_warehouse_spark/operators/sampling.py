@@ -149,3 +149,63 @@ def stratified_sample(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def quantile_bins(
+    df: DataFrame, value_col: str, num_bins: int = 10
+) -> DataFrame:
+    """Equal-frequency (quantile) binning WITHOUT a global sort — the
+    feature-discretization step of a training pipeline, in the Spark-ML
+    QuantileDiscretizer shape but integer-exact and engine-reproducible.
+
+    A naive `ntile(B) OVER (ORDER BY x)` is a single-partition global sort —
+    a scale-killer.  Instead:
+
+      1. distinct values + counts (one shuffle, value-cardinality sized);
+      2. cumulative counts over the VALUE table (window over distinct
+         values — small by construction, not corpus-sized);
+      3. boundary_i = min value whose cumulative count reaches the rank
+         threshold — the comparison is ``cle·B ≥ i·n``, pure integer
+         arithmetic, so there is NO float interpolation anywhere and no
+         cross-engine ulp risk (type-1 / inverted-CDF quantiles);
+      4. the B−1 boundaries broadcast as one sorted array; bin assignment
+         is a map-side fold (count of boundaries strictly below x) + 1.
+
+    Ties share a bin by construction.  Heavily repeated values can leave
+    later bins empty rather than splitting a tie across bins — the correct
+    equal-frequency semantics.  Adds a ``bin`` column (1..B).
+    """
+    n_tbl = df.agg(F.count(F.lit(1)).alias("__n"))
+    vc = df.groupBy(F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wv = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.withColumn("__cle", F.sum("__c").over(wv))
+    bounds = (
+        cum.crossJoin(F.broadcast(n_tbl))
+        .select(
+            "__v",
+            "__cle",
+            "__n",
+            F.explode(F.sequence(F.lit(1), F.lit(num_bins - 1))).alias("__i"),
+        )
+        .where(F.col("__cle") * num_bins >= F.col("__i") * F.col("__n"))
+        .groupBy("__i")
+        .agg(F.min("__v").alias("__bound"))
+    )
+    barr = bounds.agg(
+        F.array_sort(F.collect_list("__bound")).alias("__bounds")
+    )
+    x = F.col(value_col)
+    return (
+        df.crossJoin(F.broadcast(barr))
+        .withColumn(
+            "bin",
+            F.aggregate(
+                "__bounds",
+                F.lit(1),
+                lambda acc, b: acc + F.when(x > b, 1).otherwise(0),
+            ).cast("int"),
+        )
+        .drop("__bounds")
+    )

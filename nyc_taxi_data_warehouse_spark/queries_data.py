@@ -407,6 +407,131 @@ GROUP BY 1"""
 )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair contamination matrix over the RAW corpus (no twins):
+    shingle-set Jaccard + both containments for every source pair — the
+    "which feeds mirror each other?" dashboard that schedules the per-doc
+    dedup work.  Pair space is C(#sources,2), bounded by group count."""
+    m = dedup.group_shingle_overlap(_docs(spark, sf_dir), group_col="source")
+    return m.select(
+        "source_a",
+        "source_b",
+        "n_common",
+        _rnd(F.col("jaccard"), 6).alias("jaccard"),
+        _rnd(F.col("containment_a"), 6).alias("containment_a"),
+        _rnd(F.col("containment_b"), 6).alias("containment_b"),
+    )
+
+
+_SQL_SOURCE_OVERLAP = r"""
+WITH tok AS (
+    SELECT source,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT source, unnest(list_transform(
+        range(1, greatest(len(w) - 2, 0) + 1),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM tok
+),
+sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, CAST(i.n_common AS BIGINT) AS n_common,
+       round(1e-9 + i.n_common / (sa.sz + sb.sz - i.n_common), 6) AS jaccard,
+       round(1e-9 + i.n_common / sa.sz, 6) AS containment_a,
+       round(1e-9 + i.n_common / sb.sz, 6) AS containment_b
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b"""
+
+
+def q_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning of doc length WITHOUT a global sort
+    (`operators/sampling.py::quantile_bins`): rank-threshold boundaries from
+    a value-cardinality-sized cumulative table, broadcast, map-side assign.
+    Integer arithmetic end-to-end — no interpolation, no ulp risk.  Output
+    is the per-bin rollup (the feature-distribution report)."""
+    from .operators import sampling
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    b = sampling.quantile_bins(d, "n_chars", num_bins=10)
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+_SQL_FEATURE_BINNING = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+vc AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cle FROM vc),
+bounds AS (
+    SELECT i, min(v) AS bound
+    FROM cum, nn, range(1, 10) t(i)
+    WHERE cle * 10 >= i * n
+    GROUP BY 1
+),
+binned AS (
+    SELECT d.doc_id, d.n_chars, 1 + count(b.bound) AS bin
+    FROM documents d LEFT JOIN bounds b ON d.n_chars > b.bound
+    GROUP BY 1, 2
+)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM binned GROUP BY 1"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse change audit gated END-TO-END: what did version 1 add on
+    top of version 0?  Writes two lineitem slices through the Delta writer
+    (overwrite → version 0, append → version 1), time-travels BOTH versions
+    through the log-replay reader, and diffs them with `exceptAll`
+    (multiset semantics — duplicate rows in the appended batch survive the
+    diff).  The oracle aggregates the appended slice directly, so commit
+    protocol, time travel, and the diff algebra are all value-hashed."""
+    from .sources import delta_read as D
+    from .util import session_tmpdir
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    t = session_tmpdir("snapshot_diff")
+    # pin the versions the writer reports (re-invocations keep appending to
+    # the per-process dir, so hardcoded 0/1 would go stale mid-session)
+    v_over = D.write_delta(
+        li.where(F.col("l_orderkey") % 9 == 0), t, mode="overwrite"
+    )
+    v_app = D.write_delta(
+        li.where(F.col("l_orderkey") % 9 == 4), t, mode="append"
+    )
+    v0 = D.read_delta(spark, t, version=v_over)
+    v1 = D.read_delta(spark, t, version=v_app)
+    added = v1.exceptAll(v0)
+    return added.groupBy((F.col("l_orderkey") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_added"),
+        F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long"))
+        .cast("long")
+        .alias("sum_qty"),
+    )
+
+
+_SQL_SNAPSHOT_DIFF = """
+SELECT l_orderkey % 10 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_added,
+       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey % 9 = 4
+GROUP BY 1"""
+
+
 def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-side all-pairs similarity WITHOUT embeddings: capped-vocabulary
     TF vectors (df ≤ 100 — the stopword/boilerplate cap), per-doc top-10
@@ -3373,6 +3498,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_normalize_dedup": q_normalize_dedup,
     "q_dup_ngram_coverage": q_dup_ngram_coverage,
     "q_sparse_cosine": q_sparse_cosine,
+    "q_source_overlap": q_source_overlap,
+    "q_feature_binning": q_feature_binning,
+    "q_snapshot_diff": q_snapshot_diff,
     "q_delta_roundtrip": q_delta_roundtrip,
     "q_iceberg_roundtrip": q_iceberg_roundtrip,
     "q_orc_roundtrip": q_orc_roundtrip,
@@ -3446,6 +3574,9 @@ ORACLES: dict[str, str] = {
     "q_normalize_dedup": _SQL_NORMALIZE_DEDUP,
     "q_dup_ngram_coverage": _SQL_DUP_NGRAM_COVERAGE,
     "q_sparse_cosine": _SQL_SPARSE_COSINE,
+    "q_source_overlap": _SQL_SOURCE_OVERLAP,
+    "q_feature_binning": _SQL_FEATURE_BINNING,
+    "q_snapshot_diff": _SQL_SNAPSHOT_DIFF,
     "q_delta_roundtrip": _SQL_DELTA_ROUNDTRIP,
     "q_iceberg_roundtrip": _SQL_ICEBERG_ROUNDTRIP,
     "q_orc_roundtrip": _SQL_ORC_ROUNDTRIP,

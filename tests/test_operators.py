@@ -111,6 +111,57 @@ def test_jaccard_exact_values(spark):
     assert abs(out[0].jaccard - 1 / 3) < 1e-12
 
 
+def test_group_shingle_overlap_counts_and_ratios(spark):
+    """Sources A/B share exactly the trigrams of one common sentence; C is
+    disjoint and must not appear in the matrix at all."""
+    shared = "one two three four five"  # 3 trigrams
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta", "A"),  # 5 trigrams total
+            (2, shared + " gamma delta", "B"),
+            (3, "totally different corpus text here now", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = dedup.group_shingle_overlap(docs, group_col="source").collect()
+    got = {(r.source_a, r.source_b): r for r in out}
+    assert set(got) == {("A", "B")}
+    r = got[("A", "B")]
+    assert r.n_common == 3
+    assert abs(r.jaccard - 3 / 7) < 1e-12
+    assert abs(r.containment_a - 3 / 5) < 1e-12
+
+
+def test_quantile_bins_uniform_deciles(spark):
+    from nyc_taxi_data_warehouse_spark.operators import sampling
+
+    df = spark.range(1, 101).select(F.col("id").alias("x"))
+    out = sampling.quantile_bins(df, "x", num_bins=10)
+    per = {
+        r.bin: r.n
+        for r in out.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per == {b: 10 for b in range(1, 11)}
+    # bin edges are half-open on the right: x=10 is the last of bin 1
+    vals = {r.x: r.bin for r in out.collect()}
+    assert vals[10] == 1 and vals[11] == 2 and vals[100] == 10
+
+
+def test_quantile_bins_ties_share_a_bin(spark):
+    """95 copies of one value + 5 larger: the tie mass stays in bin 1 and
+    the tail lands in the LAST bin — ties are never split across bins."""
+    from nyc_taxi_data_warehouse_spark.operators import sampling
+
+    rows = [(1,)] * 95 + [(v,) for v in (2, 3, 4, 5, 6)]
+    df = spark.createDataFrame(rows, "x long")
+    out = sampling.quantile_bins(df, "x", num_bins=10).collect()
+    bins = {}
+    for r in out:
+        bins.setdefault(r.bin, 0)
+        bins[r.bin] += 1
+    assert bins == {1: 95, 10: 5}
+
+
 def test_robust_anomalies_flags_planted_spike(spark):
     """Series of flat 10s with one 100-spike: median 10, MAD 0... so use a
     mildly varying series — MAD must be positive for a score to exist."""
