@@ -2343,7 +2343,9 @@ def q_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     a ','-joined string (array gate outputs avoided by repo policy)."""
     from .operators import pq
 
-    e = _scale_out(_emb(spark, sf_dir))
+    # narrow fit input on purpose: partition-order-independent codebook,
+    # and the iterative fit is scheduling-bound, not data-bound
+    e = _emb(spark, sf_dir)
     cb = pq.pq_fit(e, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, quant=_KMEANS_QUANT)
     return pq.pq_codebook_df(spark, cb).select(
         "subspace", "code_id", F.array_join("cv", ",").alias("cv_str")
@@ -2360,7 +2362,10 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir)
     corpus = _scale_out(e)
-    cb = pq.pq_fit(corpus, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, quant=_KMEANS_QUANT)
+    # fit on the NARROW frame: the codebook is partition-order independent
+    # by design, and the tiny iterative aggregations pay per-task scheduling
+    # cost, not data cost — only the CPU-heavy encode wants the wide corpus
+    cb = pq.pq_fit(e, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, quant=_KMEANS_QUANT)
     codes = pq.pq_encode(corpus, cb, quant=_KMEANS_QUANT)
     out = pq.pq_search(
         e.where(F.col("vec_id") % 50 == 0), codes, cb, k=5, quant=_KMEANS_QUANT
@@ -2490,7 +2495,7 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     corpus = _scale_out(e)
     queries = e.where(F.col("vec_id") % 50 == 0)
-    cb = pq.pq_fit(corpus, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, quant=_KMEANS_QUANT)
+    cb = pq.pq_fit(e, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, quant=_KMEANS_QUANT)
     approx = pq.pq_search(
         queries, pq.pq_encode(corpus, cb, quant=_KMEANS_QUANT), cb,
         k=5, quant=_KMEANS_QUANT,
