@@ -25,7 +25,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -317,6 +317,91 @@ def dup_ngram_coverage(
             (F.col("dup_grams") / F.col("n_grams")).alias("dup_fraction"),
         )
     )
+
+
+def prefix_filter_pairs(
+    elements: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    el_col: str = "shingle",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Exact set-Jaccard join via PPJoin-style prefix filtering
+    (Xiao et al., WWW'08) — the deterministic alternative to MinHash LSH:
+    two sets with Jaccard ≥ t MUST share an element among each one's
+    ``⌊|d|·(1−t)⌋+1`` globally-RAREST elements, so only those prefix
+    elements generate candidates and the common-element explosion never
+    happens.  Unlike LSH there are no false negatives from banding
+    (completeness is a theorem, modulo the hot-bucket cap) and no
+    signature tuning.
+
+    Input is one row per distinct (id, element) — e.g. :func:`shingle_rows`
+    output; element granularity decides selectivity (word 3-grams
+    discriminate, bare tokens on a small vocabulary do not).
+
+    Plan shape: per-doc prefix selection is a window over the doc's OWN
+    elements ordered by global (df, element) — no global rank, no
+    1-partition sort; candidates come from grouped prefix-element postings
+    (the repo's map-side pair-explosion pattern) with the standard
+    ``max_bucket`` boilerplate cap; verification joins the candidate pairs
+    back to per-doc sorted element arrays and computes exact intersection
+    map-side.
+
+    Emits (doc_a, doc_b, n_inter, jaccard) for pairs with jaccard ≥ t.
+    """
+    toks = elements.select(
+        F.col(id_col), F.col(el_col).alias("tok")
+    ).persist()  # feeds df table, prefix ranking, and the verify arrays
+    dfs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    wp = Window.partitionBy(id_col)
+    wr = wp.orderBy("df", "tok")
+    ranked = (
+        toks.join(dfs, "tok")
+        .withColumn("sz", F.count(F.lit(1)).over(wp))
+        .withColumn("rn", F.row_number().over(wr))
+    )
+    prefix = ranked.where(
+        F.col("rn") <= F.floor(F.col("sz") * F.lit(1.0 - threshold)) + 1
+    )
+    postings = prefix.groupBy("tok").agg(
+        F.collect_list(id_col).alias("ids")
+    )
+    if max_bucket is not None:
+        postings = postings.where(F.size("ids") <= max_bucket)
+    cand = (
+        postings.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, a -> transform("
+                    "filter(ids, b -> b > a), b -> struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    arrs = toks.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("tok")).alias("ts"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    aa = arrs.select(
+        F.col(id_col).alias("doc_a"), F.col("ts").alias("ts_a"), F.col("sz").alias("sz_a")
+    )
+    bb = arrs.select(
+        F.col(id_col).alias("doc_b"), F.col("ts").alias("ts_b"), F.col("sz").alias("sz_b")
+    )
+    verified = (
+        cand.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("ts_a", "ts_b")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "n_inter", "jaccard")
 
 
 def group_shingle_overlap(

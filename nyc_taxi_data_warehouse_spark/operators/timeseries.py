@@ -154,3 +154,30 @@ def robust_anomalies(
         )
         .drop("__adev")
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    window: int = 7,
+    out_col: str = "rolling_med",
+) -> DataFrame:
+    """Trailing rolling median per series — the robust moving baseline
+    (`ma7`'s outlier-proof sibling): one spiked day shifts a 7-day mean by
+    1/7 of the spike but leaves the median untouched.
+
+    Exact windowed percentile over ``ROWS BETWEEN window-1 PRECEDING AND
+    CURRENT ROW``: one shuffle on the key, per-row state bounded by the
+    window length (not the series), and a median of ≤window integers is an
+    order statistic — engine-reproducible with no epsilon games.
+    """
+    w = (
+        Window.partitionBy(*[F.col(k) for k in key_cols])
+        .orderBy(order_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    return df.withColumn(
+        out_col, F.expr(f"percentile({value_col}, 0.5)").over(w)
+    )

@@ -407,6 +407,62 @@ GROUP BY 1"""
 )
 
 
+def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style exact shingle-set Jaccard join at threshold 0.5: prefix
+    filtering (each doc's ⌊|d|/2⌋+1 rarest 3-gram shingles) generates
+    candidates, exact array-intersection verifies — no signatures, no
+    banding false negatives.  Deterministic end to end (integer sizes, one
+    division).  Shingle granularity, not bare tokens: on a small synthetic
+    vocabulary token sets are all near-identical and the join degenerates
+    to all-pairs; 3-grams keep candidates to the true near-dups."""
+    pairs = dedup.prefix_filter_pairs(
+        dedup.shingle_rows(_text_corpus(_docs(spark, sf_dir))), threshold=0.5
+    )
+    return pairs.select(
+        "doc_a", "doc_b", "n_inter", _rnd(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+_SQL_PREFIX_FILTER = (
+    "WITH "
+    + ",".join([SQL_CORPUS, SQL_TOK, SQL_SH])
+    + f""",
+tokset AS (SELECT doc_id, shingle AS tok FROM sh),
+dfs AS (SELECT tok, count(*) AS df FROM tokset GROUP BY 1),
+ranked AS (
+    SELECT t.doc_id, t.tok,
+           row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn,
+           count(*) OVER (PARTITION BY t.doc_id) AS sz
+    FROM tokset t JOIN dfs d USING (tok)
+),
+prefix AS (SELECT doc_id, tok FROM ranked WHERE rn <= floor(sz * 0.5) + 1),
+pbuckets AS (
+    SELECT tok FROM prefix GROUP BY tok
+    HAVING count(*) <= {dedup.DEFAULT_MAX_BUCKET}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM prefix a
+    JOIN pbuckets USING (tok)
+    JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
+arrs AS (
+    SELECT doc_id, list(tok ORDER BY tok) AS ts, count(*) AS sz
+    FROM tokset GROUP BY 1
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(sa.ts, sb.ts)) AS BIGINT) AS n_inter,
+       round(1e-9 + len(list_intersect(sa.ts, sb.ts))
+             / (sa.sz + sb.sz - len(list_intersect(sa.ts, sb.ts))), 6)
+           AS jaccard
+FROM cand c
+JOIN arrs sa ON sa.doc_id = c.doc_a
+JOIN arrs sb ON sb.doc_id = c.doc_b
+WHERE len(list_intersect(sa.ts, sb.ts))
+      / (sa.sz + sb.sz - len(list_intersect(sa.ts, sb.ts))) >= 0.5"""
+)
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-pair contamination matrix over the RAW corpus (no twins):
     shingle-set Jaccard + both containments for every source pair — the
@@ -3506,6 +3562,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_source_overlap": q_source_overlap,
     "q_feature_binning": q_feature_binning,
     "q_snapshot_diff": q_snapshot_diff,
+    "q_prefix_filter_pairs": q_prefix_filter_pairs,
     "q_delta_roundtrip": q_delta_roundtrip,
     "q_iceberg_roundtrip": q_iceberg_roundtrip,
     "q_orc_roundtrip": q_orc_roundtrip,
@@ -3582,6 +3639,7 @@ ORACLES: dict[str, str] = {
     "q_source_overlap": _SQL_SOURCE_OVERLAP,
     "q_feature_binning": _SQL_FEATURE_BINNING,
     "q_snapshot_diff": _SQL_SNAPSHOT_DIFF,
+    "q_prefix_filter_pairs": _SQL_PREFIX_FILTER,
     "q_delta_roundtrip": _SQL_DELTA_ROUNDTRIP,
     "q_iceberg_roundtrip": _SQL_ICEBERG_ROUNDTRIP,
     "q_orc_roundtrip": _SQL_ORC_ROUNDTRIP,

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .plans import features, intermediate, marts, nyc_views, staging
@@ -269,6 +269,43 @@ SELECT pickup_zone_id, trip_date, trip_count,
                   AND abs(0.6745 * (trip_count - med) / mad) > 3.5
                  THEN 1 ELSE 0 END AS INT) AS is_anomaly
 FROM m2"""
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling median per zone (the outlier-proof moving
+    baseline beside W2's ma7): exact windowed percentile, frame-bounded
+    state, order-statistic determinism.  Reported next to the mean-based
+    ma7 so the divergence between the two IS the outlier signal."""
+    from .operators import timeseries
+
+    z = features.zone_demand(staging.stg_taxi_trips(_trips(spark, sf_dir))).select(
+        "pickup_zone_id", "trip_date", "trip_count"
+    )
+    out = timeseries.rolling_median(
+        z, ["pickup_zone_id"], "trip_date", "trip_count", window=7
+    )
+    wavg = (
+        Window.partitionBy("pickup_zone_id")
+        .orderBy("trip_date")
+        .rowsBetween(-6, 0)
+    )
+    return out.withColumn("ma7", F.avg("trip_count").over(wavg)).select(
+        "pickup_zone_id",
+        "trip_date",
+        "trip_count",
+        _rnd(F.col("rolling_med"), 4).alias("rolling_med"),
+        _rnd(F.col("ma7"), 4).alias("ma7"),
+    )
+
+
+_SQL_ROLLING_MEDIAN_SELECT = """
+, zd AS (SELECT pickup_zone_id, trip_date, trip_count FROM zone_demand)
+SELECT pickup_zone_id, trip_date, trip_count,
+       round(1e-9 + quantile_cont(trip_count, 0.5) OVER w, 4) AS rolling_med,
+       round(1e-9 + avg(trip_count) OVER w, 4) AS ma7
+FROM zd
+WINDOW w AS (PARTITION BY pickup_zone_id ORDER BY trip_date
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""
 
 
 def q_zone_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1768,6 +1805,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_zone_analysis": q_zone_analysis,
     "q_zone_demand": q_zone_demand,
     "q_anomaly_mad": q_anomaly_mad,
+    "q_rolling_median": q_rolling_median,
     "q_zone_dim": q_zone_dim,
     "q_antijoin": q_antijoin,
     "q_distinct_hours": q_distinct_hours,
@@ -1953,6 +1991,12 @@ FROM zone_demand""",
         SQL_STG_TRIPS,
         SQL_ZONE_DEMAND,
         select=_SQL_ANOMALY_MAD_SELECT,
+    ),
+    "q_rolling_median": _with(
+        SQL_TRIPS,
+        SQL_STG_TRIPS,
+        SQL_ZONE_DEMAND,
+        select=_SQL_ROLLING_MEDIAN_SELECT,
     ),
     "q_zone_dim": _with(
         SQL_TRIPS,

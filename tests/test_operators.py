@@ -111,6 +111,46 @@ def test_jaccard_exact_values(spark):
     assert abs(out[0].jaccard - 1 / 3) < 1e-12
 
 
+def test_prefix_filter_complete_vs_bruteforce(spark):
+    """PPJoin completeness theorem: every pair with shingle-Jaccard ≥ t is
+    found — compare against the brute-force jaccard_pairs on the same
+    shingle frame."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),   # high overlap with 1
+            (3, "a b c d q r s t"),   # partial overlap
+            (4, "m n o p q r s t"),   # overlaps 3 only
+            (5, "u v w x y z aa bb"),  # isolated
+        ],
+        "doc_id long, text string",
+    )
+    sh = dedup.shingle_rows(docs)
+    t = 0.4
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_pairs(sh.persist()).collect()
+        if r.jaccard >= t
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.prefix_filter_pairs(sh, threshold=t).collect()
+    }
+    assert got == brute and brute  # non-trivially equal
+
+
+def test_prefix_filter_threshold_excludes_weak_pairs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c x y"), (3, "p q r s t")],
+        "doc_id long, text string",
+    )
+    # trigrams of 1: {abc,bcd,cde}; of 2: {abc,bcx,cxy} → jaccard 1/5 < 0.5
+    out = dedup.prefix_filter_pairs(
+        dedup.shingle_rows(docs), threshold=0.5
+    ).collect()
+    assert out == []
+
+
 def test_group_shingle_overlap_counts_and_ratios(spark):
     """Sources A/B share exactly the trigrams of one common sentence; C is
     disjoint and must not appear in the matrix at all."""
@@ -160,6 +200,22 @@ def test_quantile_bins_ties_share_a_bin(spark):
         bins.setdefault(r.bin, 0)
         bins[r.bin] += 1
     assert bins == {1: 95, 10: 5}
+
+
+def test_rolling_median_resists_spike_where_mean_does_not(spark):
+    from nyc_taxi_data_warehouse_spark.operators import timeseries
+
+    rows = [("a", i, v) for i, v in enumerate([10, 10, 10, 1000, 10, 10, 10])]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    out = {
+        r.t: r
+        for r in timeseries.rolling_median(
+            df, ["k"], "t", "x", window=3
+        ).collect()
+    }
+    assert out[4].rolling_med == 10.0  # window {1000,10,10} → median 10
+    assert out[3].rolling_med == 10.0  # {10,10,1000}
+    assert out[0].rolling_med == 10.0  # partial leading frame
 
 
 def test_robust_anomalies_flags_planted_spike(spark):
