@@ -463,6 +463,59 @@ WHERE len(list_intersect(sa.ts, sb.ts))
 )
 
 
+def q_crosstab_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang × source contingency table with per-cell chi-square
+    contributions — the corpus-balance diagnostic ("is language mix
+    independent of feed?").  Margins enter as broadcast joins + the 1-row
+    grand-total crossJoin (repo pattern: never a separate count action);
+    expected counts and (o−e)²/e are per-row IEEE math over exact integer
+    margins.  Cell-level on purpose: a FINAL chi² sum would be an
+    order-dependent double aggregation; the per-cell frame is deterministic
+    and the driver-side total is one trivial reduction away for a user."""
+    d = _docs(spark, sf_dir)
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_obs"))
+    rows = d.groupBy("lang").agg(F.count(F.lit(1)).alias("row_tot"))
+    cols = d.groupBy("source").agg(F.count(F.lit(1)).alias("col_tot"))
+    grand = d.agg(F.count(F.lit(1)).alias("grand_tot"))
+    e = F.col("row_tot") * F.col("col_tot") / F.col("grand_tot")
+    return (
+        cells.join(F.broadcast(rows), "lang")
+        .join(F.broadcast(cols), "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "lang",
+            "source",
+            "n_obs",
+            "row_tot",
+            "col_tot",
+            _rnd(e, 6).alias("expected"),
+            _rnd((F.col("n_obs") - e) * (F.col("n_obs") - e) / e, 6).alias(
+                "chi2_cell"
+            ),
+        )
+    )
+
+
+_SQL_CROSSTAB = """
+WITH cells AS (
+    SELECT lang, source, count(*) AS n_obs FROM documents GROUP BY 1, 2
+),
+rows_t AS (SELECT lang, count(*) AS row_tot FROM documents GROUP BY 1),
+cols_t AS (SELECT source, count(*) AS col_tot FROM documents GROUP BY 1),
+grand AS (SELECT count(*) AS grand_tot FROM documents)
+SELECT c.lang, c.source, CAST(c.n_obs AS BIGINT) AS n_obs,
+       CAST(r.row_tot AS BIGINT) AS row_tot,
+       CAST(s.col_tot AS BIGINT) AS col_tot,
+       round(1e-9 + r.row_tot * s.col_tot / g.grand_tot, 6) AS expected,
+       round(1e-9 + (c.n_obs - r.row_tot * s.col_tot / g.grand_tot)
+                    * (c.n_obs - r.row_tot * s.col_tot / g.grand_tot)
+                    / (r.row_tot * s.col_tot / g.grand_tot), 6) AS chi2_cell
+FROM cells c
+JOIN rows_t r USING (lang)
+JOIN cols_t s USING (source)
+CROSS JOIN grand g"""
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-pair contamination matrix over the RAW corpus (no twins):
     shingle-set Jaccard + both containments for every source pair — the
@@ -3563,6 +3616,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_feature_binning": q_feature_binning,
     "q_snapshot_diff": q_snapshot_diff,
     "q_prefix_filter_pairs": q_prefix_filter_pairs,
+    "q_crosstab_independence": q_crosstab_independence,
     "q_delta_roundtrip": q_delta_roundtrip,
     "q_iceberg_roundtrip": q_iceberg_roundtrip,
     "q_orc_roundtrip": q_orc_roundtrip,
@@ -3640,6 +3694,7 @@ ORACLES: dict[str, str] = {
     "q_feature_binning": _SQL_FEATURE_BINNING,
     "q_snapshot_diff": _SQL_SNAPSHOT_DIFF,
     "q_prefix_filter_pairs": _SQL_PREFIX_FILTER,
+    "q_crosstab_independence": _SQL_CROSSTAB,
     "q_delta_roundtrip": _SQL_DELTA_ROUNDTRIP,
     "q_iceberg_roundtrip": _SQL_ICEBERG_ROUNDTRIP,
     "q_orc_roundtrip": _SQL_ORC_ROUNDTRIP,

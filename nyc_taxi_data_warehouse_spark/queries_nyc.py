@@ -508,6 +508,50 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via the VARIANT type (Spark 4):
+    `try_parse_json` parses each payload ONCE into the binary variant
+    encoding (malformed rows → NULL instead of a job abort — every 97th
+    payload is deterministically corrupted to prove it), then
+    `try_variant_get` does typed path extraction.  At scale this is the
+    replacement for per-field `get_json_object` re-parsing: one parse, many
+    typed reads.  Rollup: per-city row/bad counts + mean extracted k."""
+    w = _weather(spark, sf_dir)
+    mangled = F.when(
+        F.col("obs_id") % 97 == 0, F.concat(F.lit("{bad"), F.col("raw_json"))
+    ).otherwise(F.col("raw_json"))
+    v = F.try_parse_json(mangled)
+    parsed = w.select(
+        "city",
+        v.alias("v"),
+        F.try_variant_get(v, "$.k", "int").alias("k"),
+    )
+    return parsed.groupBy("city").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad"),
+        _rnd(F.avg("k"), 6).alias("avg_k"),
+    )
+
+
+_SQL_VARIANT_JSON_SELECT = """
+, m AS (
+    SELECT city,
+           CASE WHEN obs_id % 97 = 0 THEN '{bad' || raw_json
+                ELSE raw_json END AS j
+    FROM weather
+)
+SELECT city,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(sum(CASE WHEN NOT json_valid(j) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bad,
+       round(1e-9 + avg(CASE WHEN json_valid(j)
+                             THEN CAST(json_extract_string(j, '$.k') AS INTEGER)
+                        END), 6) AS avg_k
+FROM m GROUP BY 1"""
+
+
 def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E15: dbt_utils-style md5 surrogate key over (city, observed_at).
     Timestamp rendered with an explicit format — engines' default
@@ -1831,6 +1875,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_retention_cohort": q_retention_cohort,
     "q_project": q_project,
     "q_json_extract": q_json_extract,
+    "q_variant_json": q_variant_json,
     "q_surrogate_key": q_surrogate_key,
 }
 
@@ -2145,6 +2190,10 @@ SELECT l_orderkey AS order_key,
        CAST(l_shipdate AS DATE) AS ship_date
 FROM lineitem
 WHERE l_quantity > 0 AND l_extendedprice > 0""",
+    "q_variant_json": _with(
+        SQL_WEATHER,
+        select=_SQL_VARIANT_JSON_SELECT,
+    ),
     "q_json_extract": _with(
         SQL_WEATHER,
         select="""
