@@ -46,7 +46,8 @@ _CHECK_FIRST = [
     "q_dup_ngram_coverage", "q_sparse_cosine", "q_bloom_join",
     "q_anomaly_mad", "q_source_overlap", "q_feature_binning",
     "q_snapshot_diff", "q_rolling_median", "q_prefix_filter_pairs",
-    "q_variant_json", "q_crosstab_independence",
+    "q_variant_json", "q_crosstab_independence", "q_stream_sessions",
+    "q_event_paths",
     "q_lsh_hot_buckets", "q_containment", "q_normalize_dedup",
     "q_delta_roundtrip", "q_iceberg_roundtrip", "q_pq_codebook",
     "q_pq_search", "q_pq_recall", "q_ivfpq_search", "q_bpe_merges",
@@ -63,11 +64,11 @@ _CHECK_FIRST = [
     # to the _CHECK_LAST head as round-5 window candidates)
     "q_ngram_jaccard", "q_text_quality", "q_split_assign",
     "q_dedup_keep_best", "q_chunk_docs", "q_pack_sequences",
-    "q_mixture_sample", "q_srp_lsh",
 ]
 _CHECK_LAST = [
     # deferred r2-green (window overflow + trivial per-row text
     # functions, untouched this round) — round-5 window candidates
+    "q_mixture_sample", "q_srp_lsh",
     "q_srp_near_pairs", "q_inverted_index",
     "q_embedding_quantize", "q_star_join",
     "q_skew_agg", "q_skew_join", "q_incremental_agg",

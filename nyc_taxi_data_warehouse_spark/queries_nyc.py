@@ -1635,6 +1635,121 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: corpus-wide counts of every 3-step
+    event-type sequence along each user's timeline (lead/lead window over
+    (ts, event_id) — the unique tiebreak makes the sequence, and therefore
+    the whole result, deterministic).  One shuffle on user, one on path;
+    per-path distinct-user reach comes along in the same aggregation."""
+    t = nyc_views.load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = t["events"].select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        p.where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path"), "user_id"
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paths"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+_SQL_EVENT_PATHS = """
+WITH p AS (
+    SELECT user_id, event_type,
+           lead(event_type, 1) OVER w AS e2,
+           lead(event_type, 2) OVER w AS e3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS path,
+       CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM p
+WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY 1"""
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stretch, now driver-gated: the CUSTOM stateful streaming
+    operator (`streaming/sessionize.py::sessionize_stream`,
+    `applyInPandasWithState`) — inactivity-gap sessionization whose
+    session boundaries are data-dependent, inexpressible by any built-in
+    window.  The event feed is staged to a file stream and drained with
+    availableNow in a single micro-batch (≤4 files, no maxFilesPerTrigger),
+    so every CLOSED session is emitted deterministically; the open tail per
+    user stays in state by design and the oracle drops each user's last
+    session to mirror that.  Gate value: the Arrow state machine itself —
+    batch SQL sessionization must reproduce it row for row."""
+    from .streaming import sessionize, weather_stream
+
+    t = nyc_views.load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", "ts", "value")
+    src = _stream_feed_dir("sessions_feed")
+    ev.coalesce(4).write.mode("overwrite").parquet(src)
+
+    _STREAM_SINK_SEQ[0] += 1
+    name = f"q_stream_sessions_sink_{_STREAM_SINK_SEQ[0]}"
+    stream = spark.readStream.schema(
+        "user_id bigint, ts timestamp, value double"
+    ).parquet(src)
+    sess = sessionize.sessionize_stream(stream, gap_minutes=30)
+    q = weather_stream.run_available_now(sess, name, output_mode="update")
+    drained = q.awaitTermination(300)
+    q.stop()
+    if not drained:
+        raise RuntimeError(
+            "q_stream_sessions: availableNow drain timed out after 300s — "
+            "refusing to compare a partially-filled sink against the oracle"
+        )
+    return spark.table(name).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        _rnd(F.col("total_value"), 4).alias("total_value"),
+    )
+
+
+_SQL_STREAM_SESSIONS = """
+WITH ev AS (SELECT user_id, ts, value FROM events),
+l AS (
+    SELECT user_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+    FROM ev
+),
+g AS (
+    SELECT *, CASE WHEN pts IS NULL OR ts - pts > INTERVAL 30 MINUTE
+                   THEN 1 ELSE 0 END AS brk
+    FROM l
+),
+s AS (
+    SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM g
+),
+agg AS (
+    SELECT user_id, sid,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS INT) AS n_events,
+           sum(value) AS total_value
+    FROM s GROUP BY 1, 2
+),
+mx AS (SELECT user_id, max(sid) AS open_tail FROM agg GROUP BY 1)
+SELECT a.user_id, a.session_start, a.session_end, a.n_events,
+       round(1e-9 + a.total_value, 4) AS total_value
+FROM agg a JOIN mx USING (user_id)
+WHERE a.sid < mx.open_tail"""
+
+
 # --- SCD2 resulting-state queries (C1/C2) ----------------------------------
 # Two deterministic source batches are derived from the testdata, the
 # snapshot operator is applied twice (T1 then T2), and the FINAL snapshot
@@ -1876,6 +1991,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_project": q_project,
     "q_json_extract": q_json_extract,
     "q_variant_json": q_variant_json,
+    "q_stream_sessions": q_stream_sessions,
+    "q_event_paths": q_event_paths,
     "q_surrogate_key": q_surrogate_key,
 }
 
@@ -2194,6 +2311,8 @@ WHERE l_quantity > 0 AND l_extendedprice > 0""",
         SQL_WEATHER,
         select=_SQL_VARIANT_JSON_SELECT,
     ),
+    "q_stream_sessions": _SQL_STREAM_SESSIONS,
+    "q_event_paths": _SQL_EVENT_PATHS,
     "q_json_extract": _with(
         SQL_WEATHER,
         select="""
