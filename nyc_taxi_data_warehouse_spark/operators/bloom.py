@@ -33,8 +33,16 @@ from pyspark.sql import functions as F
 
 
 def _hashes(key: Column) -> tuple[Column, Column]:
-    """Two independent 64-bit hashes of the key (Kirsch–Mitzenmacher base)."""
-    return F.xxhash64(key), F.xxhash64(key, F.lit(1))
+    """Two independent 64-bit hashes of the key (Kirsch–Mitzenmacher base).
+
+    The key is canonicalized to STRING first: xxhash64 is type-sensitive
+    (hash(5 as int) ≠ hash(5 as long)), so hashing raw columns would make a
+    bloom built from an int dim produce FALSE NEGATIVES against a bigint
+    fact — silently violating the filter's one guarantee.  String
+    canonicalization makes build and probe agree for any pair of types
+    whose equi-join would match (ints of different widths, equal strings)."""
+    k = key.cast("string")
+    return F.xxhash64(k), F.xxhash64(k, F.lit(1))
 
 
 def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
@@ -51,7 +59,7 @@ def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
 def bloom_build(
     dim: DataFrame, key: str, num_bits: int = 1 << 20, num_hashes: int = 5
 ) -> DataFrame:
-    """One-row DataFrame with column ``bloom: array<long>`` — the bitset as
+    """One-row DataFrame with column ``__bloom: array<long>`` — the bitset as
     a DENSE word array (index = bit position / 64), built with one explode +
     one word-keyed aggregation + a word-spine left join.
 
@@ -83,7 +91,7 @@ def bloom_build(
         F.transform(
             F.array_sort(F.collect_list(F.struct("word", "mask"))),
             lambda s: s.getField("mask"),
-        ).alias("bloom")
+        ).alias("__bloom")
     )
 
 
@@ -128,8 +136,8 @@ def bloom_semi_join(
     bloom_row = bloom_build(dim, key, num_bits, num_hashes)
     tagged = fact.crossJoin(F.broadcast(bloom_row))
     kept = tagged.where(
-        bloom_might_contain(F.col(key), F.col("bloom"), num_bits, num_hashes)
-    ).drop("bloom")
+        bloom_might_contain(F.col(key), F.col("__bloom"), num_bits, num_hashes)
+    ).drop("__bloom")
     if not exact:
         return kept
     return kept.join(dim.select(key).distinct(), key, "left_semi")

@@ -299,7 +299,9 @@ def dup_ngram_coverage(
         F.col(id_col),
         F.explode(T.shingles_from_tokens("__w", n)).alias("gram"),
     )
-    per = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("occ"))
+    # per feeds BOTH the df aggregation and the join side — persist or the
+    # tokenize/explode lineage (the dominant cost) runs twice
+    per = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("occ")).persist()
     dfs = per.groupBy("gram").agg(F.count(F.lit(1)).alias("df_docs"))
     return (
         per.join(dfs, "gram")
@@ -363,11 +365,11 @@ def prefix_filter_pairs(
     prefix = ranked.where(
         F.col("rn") <= F.floor(F.col("sz") * F.lit(1.0 - threshold)) + 1
     )
-    postings = prefix.groupBy("tok").agg(
+    # cap BEFORE collect_list (via _drop_hot) so a boilerplate prefix
+    # element never materializes its mega-bucket array in an agg buffer
+    postings = _drop_hot(prefix, max_bucket, keys=("tok",)).groupBy("tok").agg(
         F.collect_list(id_col).alias("ids")
     )
-    if max_bucket is not None:
-        postings = postings.where(F.size("ids") <= max_bucket)
     cand = (
         postings.select(
             F.explode(

@@ -173,10 +173,22 @@ def quantile_bins(
 
     Ties share a bin by construction.  Heavily repeated values can leave
     later bins empty rather than splitting a tie across bins — the correct
-    equal-frequency semantics.  Adds a ``bin`` column (1..B).
+    equal-frequency semantics.  Adds a ``bin`` column (1..B); NULL values
+    are excluded from the boundary computation and get a NULL bin.
     """
-    n_tbl = df.agg(F.count(F.lit(1)).alias("__n"))
-    vc = df.groupBy(F.col(value_col).alias("__v")).agg(
+    if num_bins < 1:
+        raise ValueError(f"num_bins must be >= 1, got {num_bins}")
+    if num_bins == 1:
+        # sequence(1, 0) would DESCEND to [1, 0] and emit phantom bounds
+        # (the shingles_from_tokens descending-sequence trap) — and one bin
+        # needs no boundaries at all
+        return df.withColumn(
+            "bin",
+            F.when(F.col(value_col).isNotNull(), F.lit(1)).cast("int"),
+        )
+    nn = df.where(F.col(value_col).isNotNull())
+    n_tbl = nn.agg(F.count(F.lit(1)).alias("__n"))
+    vc = nn.groupBy(F.col(value_col).alias("__v")).agg(
         F.count(F.lit(1)).alias("__c")
     )
     wv = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
@@ -197,15 +209,13 @@ def quantile_bins(
         F.array_sort(F.collect_list("__bound")).alias("__bounds")
     )
     x = F.col(value_col)
+    fold = F.aggregate(
+        "__bounds",
+        F.lit(1),
+        lambda acc, b: acc + F.when(x > b, 1).otherwise(0),
+    ).cast("int")
     return (
         df.crossJoin(F.broadcast(barr))
-        .withColumn(
-            "bin",
-            F.aggregate(
-                "__bounds",
-                F.lit(1),
-                lambda acc, b: acc + F.when(x > b, 1).otherwise(0),
-            ).cast("int"),
-        )
+        .withColumn("bin", F.when(x.isNotNull(), fold).cast("int"))
         .drop("__bounds")
     )

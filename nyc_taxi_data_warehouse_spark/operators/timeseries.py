@@ -136,10 +136,10 @@ def robust_anomalies(
     w = Window.partitionBy(*[F.col(k) for k in key_cols])
     x = F.col(value_col)
     withmed = df.withColumn(
-        "med", F.expr(f"percentile({value_col}, 0.5)").over(w)
+        "med", F.percentile(x, F.lit(0.5)).over(w)
     ).withColumn("__adev", F.abs(x - F.col("med")))
     withmad = withmed.withColumn(
-        "mad", F.expr("percentile(__adev, 0.5)").over(w)
+        "mad", F.percentile(F.col("__adev"), F.lit(0.5)).over(w)
     )
     rz = F.lit(0.6745) * (x - F.col("med")) / F.col("mad")
     return (
@@ -179,5 +179,5 @@ def rolling_median(
         .rowsBetween(-(window - 1), 0)
     )
     return df.withColumn(
-        out_col, F.expr(f"percentile({value_col}, 0.5)").over(w)
+        out_col, F.percentile(F.col(value_col), F.lit(0.5)).over(w)
     )

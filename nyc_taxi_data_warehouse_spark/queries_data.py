@@ -473,10 +473,14 @@ def q_crosstab_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-dependent double aggregation; the per-cell frame is deterministic
     and the driver-side total is one trivial reduction away for a user."""
     d = _docs(spark, sf_dir)
-    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_obs"))
-    rows = d.groupBy("lang").agg(F.count(F.lit(1)).alias("row_tot"))
-    cols = d.groupBy("source").agg(F.count(F.lit(1)).alias("col_tot"))
-    grand = d.agg(F.count(F.lit(1)).alias("grand_tot"))
+    # one source aggregation; every margin re-aggregates the tiny cell
+    # frame (margin/cell consistency by construction, 3 scans saved)
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    ).persist()
+    rows = cells.groupBy("lang").agg(F.sum("n_obs").alias("row_tot"))
+    cols = cells.groupBy("source").agg(F.sum("n_obs").alias("col_tot"))
+    grand = cells.agg(F.sum("n_obs").alias("grand_tot"))
     e = F.col("row_tot") * F.col("col_tot") / F.col("grand_tot")
     return (
         cells.join(F.broadcast(rows), "lang")

@@ -285,6 +285,43 @@ def test_bloom_prefilter_prunes_but_never_drops_matches(spark):
     assert len(pre_keys) < 0.05 * 20000  # bitset actually prunes
 
 
+def test_bloom_mixed_key_types_no_false_negatives(spark):
+    """xxhash64 is type-sensitive; the key canonicalization must make an
+    int-keyed dim match a bigint-keyed fact (regression: 0-row result)."""
+    from nyc_taxi_data_warehouse_spark.operators import bloom
+
+    dim = spark.range(0, 50).select((F.col("id") * 2).cast("int").alias("k"))
+    fact = spark.range(0, 1000).select(F.col("id").alias("k"))  # bigint
+    got = bloom.bloom_semi_join(fact, dim, "k")
+    exact = fact.join(dim.select(F.col("k").cast("long")), "k", "left_semi")
+    assert got.count() == exact.count() == 50
+
+
+def test_bloom_fact_with_colliding_column_name(spark):
+    from nyc_taxi_data_warehouse_spark.operators import bloom
+
+    dim = spark.range(0, 10).select(F.col("id").alias("k"))
+    fact = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit("x").alias("bloom")
+    )
+    out = bloom.bloom_semi_join(fact, dim, "k")
+    assert out.count() == 10 and "bloom" in out.columns
+
+
+def test_quantile_bins_single_bin_and_nulls(spark):
+    from nyc_taxi_data_warehouse_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,)], "x long"
+    )
+    one = {r.x: r.bin for r in sampling.quantile_bins(df, "x", 1).collect()}
+    assert one == {1: 1, 2: 1, 3: 1, None: None}
+    # NULLs excluded from boundaries, NULL bin out; non-nulls unaffected
+    two = {r.x: r.bin for r in sampling.quantile_bins(df, "x", 3).collect()}
+    assert two[None] is None
+    assert two[1] == 1 and two[2] == 2 and two[3] == 3
+
+
 def test_bloom_empty_dim_filters_everything(spark):
     from nyc_taxi_data_warehouse_spark.operators import bloom
 
