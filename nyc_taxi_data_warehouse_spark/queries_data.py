@@ -1173,6 +1173,36 @@ SELECT doc_id, lang, {case} AS lang_pred,
 FROM hits"""
 
 
+def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a relational query: confusion matrix of the
+    stopword-vote language heuristic against the labelled ``lang`` column,
+    with per-true-language share (the recall diagonal).  The model-eval
+    loop a curation pipeline runs after every heuristic change — counts are
+    exact integers, the share is one per-row division."""
+    d = _docs(spark, sf_dir).select("lang", T.tokens("text").alias("__w"))
+    pred = d.select("lang", T.lang_guess_from_tokens("__w").alias("lang_pred"))
+    cm = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    wl = Window.partitionBy("lang")
+    return cm.select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        _rnd(F.col("n_docs") / F.sum("n_docs").over(wl), 6).alias("share"),
+    )
+
+
+def _langid_eval_sql() -> str:
+    return f"""
+WITH base AS ({_lang_sql()})
+SELECT lang, lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(1e-9 + count(*) / sum(count(*)) OVER (PARTITION BY lang), 6)
+           AS share
+FROM base GROUP BY 1, 2"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive document fingerprint (md5 of sorted token set)."""
     d = _docs(spark, sf_dir)
@@ -3633,6 +3663,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_curation_pipeline": q_curation_pipeline,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,
+    "q_langid_eval": q_langid_eval,
     "q_fingerprint": q_fingerprint,
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_ann_ivf": q_ann_ivf,
@@ -3711,6 +3742,7 @@ ORACLES: dict[str, str] = {
     "q_curation_pipeline": _SQL_CURATION_PIPELINE,
     "q_token_count": _SQL_TOKEN_COUNT,
     "q_lang_id": _lang_sql(),
+    "q_langid_eval": _langid_eval_sql(),
     "q_fingerprint": _SQL_FINGERPRINT,
     "q_knn_bruteforce": _SQL_KNN,
     "q_ann_ivf": _SQL_ANN_IVF,
