@@ -1635,6 +1635,77 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_demand_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of daily demand between zones — the
+    demand-covariance matrix a forecaster checks before pooling series.
+    Self-join on date (zone_a < zone_b), then the five power sums; every
+    sum is an exact integer (any partial-agg order), so the correlation is
+    one per-row IEEE expression — no engine's corr() builtin, whose
+    internal accumulation order would NOT be reproducible."""
+    z = features.zone_demand(staging.stg_taxi_trips(_trips(spark, sf_dir))).select(
+        "pickup_zone_id", "trip_date", "trip_count"
+    ).persist()  # both self-join sides
+    a = z.select(
+        F.col("pickup_zone_id").alias("zone_a"),
+        "trip_date",
+        F.col("trip_count").alias("x"),
+    )
+    b = z.select(
+        F.col("pickup_zone_id").alias("zone_b"),
+        "trip_date",
+        F.col("trip_count").alias("y"),
+    )
+    sums = (
+        a.join(b, "trip_date")
+        .where(F.col("zone_a") < F.col("zone_b"))
+        .groupBy("zone_a", "zone_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+    )  # constant series → NULL, not a div-by-zero whose NaN/inf semantics
+    # differ across engines
+    return sums.select(
+        "zone_a",
+        "zone_b",
+        F.col("n").cast("long").alias("n_days"),
+        _rnd(corr, 6).alias("corr"),
+    )
+
+
+_SQL_DEMAND_CORR_SELECT = """
+, zd AS (SELECT pickup_zone_id, trip_date, trip_count FROM zone_demand)
+, sums AS (
+    SELECT a.pickup_zone_id AS zone_a, b.pickup_zone_id AS zone_b,
+           count(*) AS n,
+           sum(a.trip_count) AS sx, sum(b.trip_count) AS sy,
+           sum(a.trip_count * b.trip_count) AS sxy,
+           sum(a.trip_count * a.trip_count) AS sxx,
+           sum(b.trip_count * b.trip_count) AS syy
+    FROM zd a JOIN zd b
+      ON a.trip_date = b.trip_date AND a.pickup_zone_id < b.pickup_zone_id
+    GROUP BY 1, 2
+)
+SELECT zone_a, zone_b, CAST(n AS BIGINT) AS n_days,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN round(1e-9 + (n * sxy - sx * sy)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+       END AS corr
+FROM sums"""
+
+
 def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral path mining: corpus-wide counts of every 3-step
     event-type sequence along each user's timeline (lead/lead window over
@@ -1993,6 +2064,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_variant_json": q_variant_json,
     "q_stream_sessions": q_stream_sessions,
     "q_event_paths": q_event_paths,
+    "q_demand_corr": q_demand_corr,
     "q_surrogate_key": q_surrogate_key,
 }
 
@@ -2159,6 +2231,12 @@ FROM zone_demand""",
         SQL_STG_TRIPS,
         SQL_ZONE_DEMAND,
         select=_SQL_ROLLING_MEDIAN_SELECT,
+    ),
+    "q_demand_corr": _with(
+        SQL_TRIPS,
+        SQL_STG_TRIPS,
+        SQL_ZONE_DEMAND,
+        select=_SQL_DEMAND_CORR_SELECT,
     ),
     "q_zone_dim": _with(
         SQL_TRIPS,
