@@ -645,6 +645,41 @@ WHERE l_orderkey % 9 = 4
 GROUP BY 1"""
 
 
+def q_iceberg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg time-travel change audit (the Iceberg face of
+    q_snapshot_diff): two commits through the v2 writer, BOTH snapshots
+    replayed by id through the manifest reader, exceptAll diff aggregated —
+    commit protocol, snapshot pinning, and the diff algebra value-hashed
+    against a direct oracle over the appended slice."""
+    from .sources import iceberg as I
+    from .util import session_tmpdir
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    t = session_tmpdir("iceberg_diff")
+    s0 = I.write_iceberg(li.where(F.col("l_orderkey") % 11 == 0), t, mode="overwrite")
+    s1 = I.write_iceberg(li.where(F.col("l_orderkey") % 11 == 5), t, mode="append")
+    v0 = I.read_iceberg(spark, t, snapshot_id=s0)
+    v1 = I.read_iceberg(spark, t, snapshot_id=s1)
+    added = v1.exceptAll(v0)
+    return added.groupBy((F.col("l_orderkey") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_added"),
+        F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long"))
+        .cast("long")
+        .alias("sum_qty"),
+    )
+
+
+_SQL_ICEBERG_DIFF = """
+SELECT l_orderkey % 10 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_added,
+       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey % 11 = 5
+GROUP BY 1"""
+
+
 def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-side all-pairs similarity WITHOUT embeddings: capped-vocabulary
     TF vectors (df ≤ 100 — the stopword/boilerplate cap), per-doc top-10
@@ -3651,6 +3686,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_snapshot_diff": q_snapshot_diff,
     "q_prefix_filter_pairs": q_prefix_filter_pairs,
     "q_crosstab_independence": q_crosstab_independence,
+    "q_iceberg_diff": q_iceberg_diff,
     "q_delta_roundtrip": q_delta_roundtrip,
     "q_iceberg_roundtrip": q_iceberg_roundtrip,
     "q_orc_roundtrip": q_orc_roundtrip,
@@ -3730,6 +3766,7 @@ ORACLES: dict[str, str] = {
     "q_snapshot_diff": _SQL_SNAPSHOT_DIFF,
     "q_prefix_filter_pairs": _SQL_PREFIX_FILTER,
     "q_crosstab_independence": _SQL_CROSSTAB,
+    "q_iceberg_diff": _SQL_ICEBERG_DIFF,
     "q_delta_roundtrip": _SQL_DELTA_ROUNDTRIP,
     "q_iceberg_roundtrip": _SQL_ICEBERG_ROUNDTRIP,
     "q_orc_roundtrip": _SQL_ORC_ROUNDTRIP,

@@ -166,3 +166,66 @@ def test_chunk_tokens_covers_every_token_exactly(spark, docs, chunk_size, overla
         # every chunk except possibly the last is exactly chunk_size long
         for k in sorted(chunks)[:-1]:
             assert len(chunks[k]) == chunk_size
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60
+    ),
+    nb=st.integers(min_value=2, max_value=8),
+)
+@settings(**SETTINGS)
+def test_quantile_bins_monotone_bounded_and_balanced(spark, vals, nb):
+    """quantile_bins invariants over random ints: (a) bins ∈ 1..B,
+    (b) monotone in the value, (c) for ALL-DISTINCT values the bin sizes
+    differ by at most 1 (the ceil/floor split of the rank thresholds)."""
+    from nyc_taxi_data_warehouse_spark.operators import sampling
+
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    out = sampling.quantile_bins(df, "x", num_bins=nb).collect()
+    assert all(1 <= r.bin <= nb for r in out)
+    by_val = sorted(out, key=lambda r: r.x)
+    assert all(
+        a.bin <= b.bin for a, b in zip(by_val, by_val[1:])
+    )  # monotone
+    if len(set(vals)) == len(vals):
+        sizes: dict[int, int] = {}
+        for r in out:
+            sizes[r.bin] = sizes.get(r.bin, 0) + 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=3,
+            max_size=8,
+        ).map(" ".join),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_prefix_filter_matches_bruteforce_on_random_corpora(spark, texts):
+    """PPJoin completeness + exactness against brute-force jaccard_pairs
+    on random tiny corpora (threshold 0.3)."""
+    from nyc_taxi_data_warehouse_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sh = dedup.shingle_rows(docs).persist()
+    t = 0.3
+    brute = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(sh).collect()
+        if r.jaccard >= t
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.prefix_filter_pairs(sh, threshold=t).collect()
+    }
+    assert set(got) == set(brute)
+    for k in got:
+        assert abs(got[k] - brute[k]) < 1e-12
