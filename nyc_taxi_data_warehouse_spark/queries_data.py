@@ -645,6 +645,81 @@ WHERE l_orderkey % 9 = 4
 GROUP BY 1"""
 
 
+def q_cdc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot reconciliation: FULL OUTER join of two table
+    versions on the natural key, classifying every key as added / removed /
+    updated / unchanged — the change feed a downstream incremental consumer
+    needs when the source has no log.  Versions are derived
+    deterministically from lineitem: v1 drops keys ≡0 (removed), adds keys
+    ≡1 shifted out of v0's range (added), and bumps the quantity on keys ≡2
+    (updated).  One shuffle per side on the join key; the classification is
+    pure expression logic."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+    )
+    base = li.where(F.col("l_orderkey") % 4 != 1)
+    v0 = base
+    v1 = base.where(F.col("l_orderkey") % 4 != 0).unionByName(
+        li.where(F.col("l_orderkey") % 4 == 1)
+    ).withColumn(
+        "qty",
+        F.when(
+            F.col("l_orderkey") % 4 == 2, F.col("qty") + 7
+        ).otherwise(F.col("qty")),
+    )
+    a = v0.select(
+        "l_orderkey", "l_linenumber", F.col("qty").alias("qty_old")
+    )
+    b = v1.select(
+        "l_orderkey", "l_linenumber", F.col("qty").alias("qty_new")
+    )
+    j = a.join(b, ["l_orderkey", "l_linenumber"], "full_outer")
+    status = (
+        F.when(F.col("qty_old").isNull(), F.lit("added"))
+        .when(F.col("qty_new").isNull(), F.lit("removed"))
+        .when(F.col("qty_old") != F.col("qty_new"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.groupBy(status.alias("change")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.coalesce("qty_new", F.lit(0)) - F.coalesce("qty_old", F.lit(0)))
+        .cast("long")
+        .alias("qty_delta"),
+    )
+
+
+_SQL_CDC_CLASSIFY = """
+WITH li AS (
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+    FROM lineitem
+),
+v0 AS (SELECT * FROM li WHERE l_orderkey % 4 <> 1),
+v1 AS (
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_orderkey % 4 = 2 THEN qty + 7 ELSE qty END AS qty
+    FROM li WHERE l_orderkey % 4 <> 1 AND l_orderkey % 4 <> 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, qty FROM li WHERE l_orderkey % 4 = 1
+),
+j AS (
+    SELECT coalesce(a.l_orderkey, b.l_orderkey) AS k1,
+           a.qty AS qty_old, b.qty AS qty_new
+    FROM v0 a FULL OUTER JOIN v1 b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+)
+SELECT CASE WHEN qty_old IS NULL THEN 'added'
+            WHEN qty_new IS NULL THEN 'removed'
+            WHEN qty_old <> qty_new THEN 'updated'
+            ELSE 'unchanged' END AS change,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(coalesce(qty_new, 0) - coalesce(qty_old, 0)) AS BIGINT)
+           AS qty_delta
+FROM j GROUP BY 1"""
+
+
 def q_iceberg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg time-travel change audit (the Iceberg face of
     q_snapshot_diff): two commits through the v2 writer, BOTH snapshots
@@ -3687,6 +3762,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_prefix_filter_pairs": q_prefix_filter_pairs,
     "q_crosstab_independence": q_crosstab_independence,
     "q_iceberg_diff": q_iceberg_diff,
+    "q_cdc_classify": q_cdc_classify,
     "q_delta_roundtrip": q_delta_roundtrip,
     "q_iceberg_roundtrip": q_iceberg_roundtrip,
     "q_orc_roundtrip": q_orc_roundtrip,
@@ -3767,6 +3843,7 @@ ORACLES: dict[str, str] = {
     "q_prefix_filter_pairs": _SQL_PREFIX_FILTER,
     "q_crosstab_independence": _SQL_CROSSTAB,
     "q_iceberg_diff": _SQL_ICEBERG_DIFF,
+    "q_cdc_classify": _SQL_CDC_CLASSIFY,
     "q_delta_roundtrip": _SQL_DELTA_ROUNDTRIP,
     "q_iceberg_roundtrip": _SQL_ICEBERG_ROUNDTRIP,
     "q_orc_roundtrip": _SQL_ORC_ROUNDTRIP,
