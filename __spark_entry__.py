@@ -29,15 +29,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver records CORRECTNESS rows for only the first 50 registry
 # entries per round.  Rotate the window each round so evidence stays
-# fresh; priority order (round 4): (1) stale-refresh for the 4 queries
-# whose last driver row is round 1 — the VERDICT r3 freshness-tail item,
-# (2) queries whose SEMANTICS or oracles changed this round (64-bit
-# banded SimHash, LSH hot-bucket caps, broadcast-codebook assignment) —
-# they need fresh rows against the new oracles, (3) the remaining
-# r2-green queries oldest-first; 7 trivially-stable untouched r2 text
-# queries wait at the LAST head for round 5, after the 50 r3-green.  New
-# round-4 queries land in the middle (between FIRST and LAST), inside
-# the window; tests/test_registry.py pins the bookkeeping.
+# fresh; priority order (round 4, third session): (0) the 18 queries
+# added this session plus the 15 earlier-round-4 never-gated ones —
+# first-evidence beats everything, (1) stale-refresh for queries whose
+# last driver row is round 1, (2) queries whose semantics or oracles
+# changed in round 4, (3) whatever r2-green entries still fit.
+# _CHECK_FIRST now fills ALL 50 window slots, so a NEW query only gets
+# driver evidence if it is ADDED TO _CHECK_FIRST (displacing a tail
+# entry into _CHECK_LAST) — the old "new queries land mid-registry,
+# inside the window" behavior no longer applies.
+# tests/test_registry.py pins the bookkeeping.
 _CHECK_FIRST = [
     # (0) first-evidence: never driver-gated (third-session wave first:
     # dup-ngram coverage, sparse cosine, bloom join, MAD anomalies; then
@@ -61,8 +62,8 @@ _CHECK_FIRST = [
     "q_lsh_recall", "q_centroid_assign", "q_ann_ivf", "q_ann_recall",
     "q_embedding_neardup", "q_cell_quality", "q_knn_bruteforce",
     "q_stream_hourly",
-    # (3) r2-green, oldest evidence first (25 fit; the 5 overflow moved
-    # to the _CHECK_LAST head as round-5 window candidates)
+    # (3) r2-green, oldest evidence first — only 2 still fit; the rest
+    # moved to the _CHECK_LAST head as round-5 window candidates
     "q_ngram_jaccard", "q_text_quality",
 ]
 _CHECK_LAST = [
