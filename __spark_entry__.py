@@ -49,7 +49,7 @@ _CHECK_FIRST = [
     "q_snapshot_diff", "q_rolling_median", "q_prefix_filter_pairs",
     "q_variant_json", "q_crosstab_independence", "q_stream_sessions",
     "q_event_paths", "q_langid_eval", "q_demand_corr", "q_iceberg_diff",
-    "q_cdc_classify",
+    "q_cdc_classify", "q_stream_join",
     "q_lsh_hot_buckets", "q_containment", "q_normalize_dedup",
     "q_delta_roundtrip", "q_iceberg_roundtrip", "q_pq_codebook",
     "q_pq_search", "q_pq_recall", "q_ivfpq_search", "q_bpe_merges",
@@ -64,10 +64,10 @@ _CHECK_FIRST = [
     "q_stream_hourly",
     # (3) r2-green, oldest evidence first — only 2 still fit; the rest
     # moved to the _CHECK_LAST head as round-5 window candidates
-    "q_ngram_jaccard", "q_text_quality",
+    "q_ngram_jaccard",
 ]
 _CHECK_LAST = [
-    "q_split_assign",
+    "q_text_quality", "q_split_assign",
     "q_dedup_keep_best", "q_chunk_docs", "q_pack_sequences",
     # deferred r2-green (window overflow + trivial per-row text
     # functions, untouched this round) — round-5 window candidates

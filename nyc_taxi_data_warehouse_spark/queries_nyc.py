@@ -1821,6 +1821,82 @@ FROM agg a JOIN mx USING (user_id)
 WHERE a.sid < mx.open_tail"""
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stretch: a true STREAM-STREAM temporal join, driver-gated —
+    error events joined to the weather observations of their preceding
+    30 minutes, both sides streaming with watermarks and a time-range join
+    condition (the state-cleanup shape; inner-join matches emit as both
+    sides arrive, so the availableNow drain yields exactly the batch
+    join).  This is the two-feed correlation pattern (clickstream ×
+    telemetry) no stream-static join covers."""
+    from .streaming import weather_stream
+
+    t = nyc_views.load_tables(spark, sf_dir)
+    wx = nyc_views.weather_from_events(t["events"]).select("obs_id", "observed_at")
+    errs = t["events"].where(F.col("event_type") == "error").select(
+        "event_id", "ts"
+    )
+    src_a = _stream_feed_dir("join_feed_err")
+    src_b = _stream_feed_dir("join_feed_wx")
+    errs.coalesce(2).write.mode("overwrite").parquet(src_a)
+    wx.coalesce(2).write.mode("overwrite").parquet(src_b)
+
+    sa = (
+        spark.readStream.schema("event_id bigint, ts timestamp")
+        .parquet(src_a)
+        .withWatermark("ts", "2 hours")
+        .withColumn("bucket", F.date_trunc("hour", "ts"))
+    )
+    # Spark requires an EQUALITY predicate in stream-stream joins; the
+    # standard shape is a coarse time-bucket equi-key with the range
+    # residual. The weather side explodes into its own hour and the next
+    # (an obs within (ts-30min, ts] lies in ts's hour or the one before,
+    # so bucketing obs forward guarantees the matching pair shares
+    # hour(ts) exactly once — no duplicates).
+    sb = (
+        spark.readStream.schema("obs_id bigint, observed_at timestamp")
+        .parquet(src_b)
+        .withWatermark("observed_at", "2 hours")
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.date_trunc("hour", "observed_at"),
+                    F.date_trunc("hour", "observed_at")
+                    + F.expr("interval 1 hour"),
+                )
+            ),
+        )
+    )
+    j = sa.join(
+        sb,
+        (sa["bucket"] == sb["bucket"])
+        & F.expr("observed_at > ts - interval 30 minutes AND observed_at <= ts"),
+        "inner",
+    )
+    _STREAM_SINK_SEQ[0] += 1
+    name = f"q_stream_join_sink_{_STREAM_SINK_SEQ[0]}"
+    q = weather_stream.run_available_now(j, name, output_mode="append")
+    drained = q.awaitTermination(300)
+    q.stop()
+    if not drained:
+        raise RuntimeError(
+            "q_stream_join: availableNow drain timed out after 300s — "
+            "refusing to compare a partially-filled sink against the oracle"
+        )
+    return spark.table(name).select("event_id", "obs_id", "ts", "observed_at")
+
+
+_SQL_STREAM_JOIN_SELECT = """
+, errs AS (
+    SELECT event_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT e.event_id, w.obs_id, e.ts, w.observed_at
+FROM errs e JOIN weather w
+  ON w.observed_at > e.ts - INTERVAL 30 MINUTE
+ AND w.observed_at <= e.ts"""
+
+
 # --- SCD2 resulting-state queries (C1/C2) ----------------------------------
 # Two deterministic source batches are derived from the testdata, the
 # snapshot operator is applied twice (T1 then T2), and the FINAL snapshot
@@ -2064,6 +2140,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_variant_json": q_variant_json,
     "q_stream_sessions": q_stream_sessions,
     "q_event_paths": q_event_paths,
+    "q_stream_join": q_stream_join,
     "q_demand_corr": q_demand_corr,
     "q_surrogate_key": q_surrogate_key,
 }
@@ -2390,6 +2467,10 @@ WHERE l_quantity > 0 AND l_extendedprice > 0""",
         select=_SQL_VARIANT_JSON_SELECT,
     ),
     "q_stream_sessions": _SQL_STREAM_SESSIONS,
+    "q_stream_join": _with(
+        SQL_WEATHER,
+        select=_SQL_STREAM_JOIN_SELECT,
+    ),
     "q_event_paths": _SQL_EVENT_PATHS,
     "q_json_extract": _with(
         SQL_WEATHER,
