@@ -152,7 +152,7 @@ def stratified_sample(
 
 
 def quantile_bins(
-    df: DataFrame, value_col: str, num_bins: int = 10
+    df: DataFrame, value_col: str, num_bins: int = 10, exact: bool = True
 ) -> DataFrame:
     """Equal-frequency (quantile) binning WITHOUT a global sort — the
     feature-discretization step of a training pipeline, in the Spark-ML
@@ -175,6 +175,15 @@ def quantile_bins(
     later bins empty rather than splitting a tie across bins — the correct
     equal-frequency semantics.  Adds a ``bin`` column (1..B); NULL values
     are excluded from the boundary computation and get a NULL bin.
+
+    Scale caveat: the exact path's cumulative window runs over DISTINCT
+    values — cheap for discrete features, but a continuous column where
+    every value is distinct makes that table corpus-sized on one
+    partition.  ``exact=False`` is the scale path for those: boundaries
+    come from ``approx_percentile`` (GK sketch — one ordinary aggregation,
+    no window, mergeable across partitions), assignment is the same
+    broadcast fold.  Same contract, approximate edges (Spark-ML
+    QuantileDiscretizer semantics).
     """
     if num_bins < 1:
         raise ValueError(f"num_bins must be >= 1, got {num_bins}")
@@ -187,6 +196,27 @@ def quantile_bins(
             F.when(F.col(value_col).isNotNull(), F.lit(1)).cast("int"),
         )
     nn = df.where(F.col(value_col).isNotNull())
+    if not exact:
+        probs = [i / num_bins for i in range(1, num_bins)]
+        barr = nn.agg(
+            F.array_distinct(
+                F.expr(
+                    f"approx_percentile({value_col}, "
+                    f"array({', '.join(map(str, probs))}), 10000)"
+                )
+            ).alias("__bounds")
+        )
+        x = F.col(value_col)
+        fold = F.aggregate(
+            "__bounds",
+            F.lit(1),
+            lambda acc, b: acc + F.when(x > b, 1).otherwise(0),
+        ).cast("int")
+        return (
+            df.crossJoin(F.broadcast(barr))
+            .withColumn("bin", F.when(x.isNotNull(), fold).cast("int"))
+            .drop("__bounds")
+        )
     n_tbl = nn.agg(F.count(F.lit(1)).alias("__n"))
     vc = nn.groupBy(F.col(value_col).alias("__v")).agg(
         F.count(F.lit(1)).alias("__c")

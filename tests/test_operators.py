@@ -322,6 +322,25 @@ def test_quantile_bins_single_bin_and_nulls(spark):
     assert two[1] == 1 and two[2] == 2 and two[3] == 3
 
 
+def test_quantile_bins_approx_path_close_to_exact(spark):
+    """The scale path (GK-sketch boundaries, no distinct-value window)
+    agrees with the exact path within one bin on a uniform column."""
+    from nyc_taxi_data_warehouse_spark.operators import sampling
+
+    df = spark.range(1, 1001).select(F.col("id").alias("x"))
+    exact = {r.x: r.bin for r in sampling.quantile_bins(df, "x", 10).collect()}
+    approx = {
+        r.x: r.bin
+        for r in sampling.quantile_bins(df, "x", 10, exact=False).collect()
+    }
+    assert all(1 <= b <= 10 for b in approx.values())
+    assert all(abs(approx[x] - exact[x]) <= 1 for x in exact)
+    # NULLs still map to NULL bin on the approx path
+    dfn = spark.createDataFrame([(1,), (None,)], "x long")
+    got = {r.x: r.bin for r in sampling.quantile_bins(dfn, "x", 3, exact=False).collect()}
+    assert got[None] is None
+
+
 def test_bloom_empty_dim_filters_everything(spark):
     from nyc_taxi_data_warehouse_spark.operators import bloom
 
