@@ -341,6 +341,23 @@ def test_quantile_bins_approx_path_close_to_exact(spark):
     assert got[None] is None
 
 
+def test_bloom_large_bitset_builds_and_prunes(spark):
+    """The 2^24-bit configuration (the 'size it up' path: 262k-word dense
+    array, 2 MiB broadcast) builds through the word spine and still
+    satisfies both contracts: zero false negatives, strong pruning."""
+    from nyc_taxi_data_warehouse_spark.operators import bloom
+
+    dim = spark.range(0, 2000).select((F.col("id") * 3).alias("k"))
+    fact = spark.range(0, 50000).select(F.col("id").alias("k"))
+    pre = bloom.bloom_semi_join(
+        fact, dim, "k", num_bits=1 << 24, num_hashes=5, exact=False
+    )
+    pre_keys = {r.k for r in pre.collect()}
+    true_keys = {r.k for r in fact.join(dim, "k", "left_semi").collect()}
+    assert true_keys <= pre_keys
+    assert len(pre_keys) < 0.05 * 50000
+
+
 def test_bloom_empty_dim_filters_everything(spark):
     from nyc_taxi_data_warehouse_spark.operators import bloom
 
