@@ -49,7 +49,8 @@ _CHECK_FIRST = [
     "q_snapshot_diff", "q_rolling_median", "q_prefix_filter_pairs",
     "q_variant_json", "q_crosstab_independence", "q_stream_sessions",
     "q_event_paths", "q_langid_eval", "q_demand_corr", "q_iceberg_diff",
-    "q_cdc_classify", "q_stream_join",
+    "q_cdc_classify", "q_stream_join", "q_preference_pairs",
+    "q_negative_samples", "q_shard_checksums",
     "q_lsh_hot_buckets", "q_containment", "q_normalize_dedup",
     "q_delta_roundtrip", "q_iceberg_roundtrip", "q_pq_codebook",
     "q_pq_search", "q_pq_recall", "q_ivfpq_search", "q_bpe_merges",
@@ -60,13 +61,12 @@ _CHECK_FIRST = [
     # assignment/codebook family riding assign_cells/kmeans_fit_exact
     "q_simhash", "q_simhash_near", "q_minhash_lsh", "q_cross_corpus_neardup",
     "q_lsh_recall", "q_centroid_assign", "q_ann_ivf", "q_ann_recall",
-    "q_embedding_neardup", "q_cell_quality", "q_knn_bruteforce",
-    "q_stream_hourly",
-    # (3) r2-green, oldest evidence first — only 2 still fit; the rest
-    # moved to the _CHECK_LAST head as round-5 window candidates
-    "q_ngram_jaccard",
+    "q_embedding_neardup", "q_cell_quality",
 ]
 _CHECK_LAST = [
+    # (3) overflow: r2-green entries that no longer fit — round-5 window
+    # candidates, oldest evidence first
+    "q_knn_bruteforce", "q_stream_hourly", "q_ngram_jaccard",
     "q_text_quality", "q_split_assign",
     "q_dedup_keep_best", "q_chunk_docs", "q_pack_sequences",
     # deferred r2-green (window overflow + trivial per-row text

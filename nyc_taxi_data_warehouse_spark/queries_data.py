@@ -1283,6 +1283,150 @@ SELECT doc_id, lang, {case} AS lang_pred,
 FROM hits"""
 
 
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly for DPO-style training: per (lang, source)
+    stratum, the best and worst document by a quality metric (vocabulary
+    size here — any score column slots in) become one (chosen, rejected)
+    row.  ONE aggregation pass via max_by/min_by over deterministic
+    struct orders — no self-join, no windows over the corpus; groups where
+    best == worst (singletons) drop out."""
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        "source",
+        "doc_id",
+        F.size(F.array_distinct(T.tokens("text"))).cast("long").alias("metric"),
+        (-F.col("doc_id")).alias("neg_id"),
+    )
+    g = d.groupBy("lang", "source").agg(
+        F.expr("max_by(doc_id, struct(metric, neg_id))").alias("chosen_id"),
+        F.max("metric").alias("chosen_score"),
+        F.expr("min_by(doc_id, struct(metric, doc_id))").alias("rejected_id"),
+        F.min("metric").alias("rejected_score"),
+    )
+    return g.where(F.col("chosen_id") != F.col("rejected_id")).select(
+        "lang",
+        "source",
+        "chosen_id",
+        "chosen_score",
+        "rejected_id",
+        "rejected_score",
+    )
+
+
+_SQL_PREFERENCE_PAIRS = r"""
+WITH m AS (
+    SELECT lang, source, doc_id,
+           CAST(len(list_distinct(list_filter(
+               string_split_regex(text, '\s+'), t -> t <> ''))) AS BIGINT)
+               AS metric
+    FROM documents
+),
+r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY lang, source
+                              ORDER BY metric DESC, doc_id ASC) AS rc,
+           row_number() OVER (PARTITION BY lang, source
+                              ORDER BY metric ASC, doc_id ASC) AS rr
+    FROM m
+),
+c AS (SELECT lang, source, doc_id AS chosen_id, metric AS chosen_score
+      FROM r WHERE rc = 1),
+x AS (SELECT lang, source, doc_id AS rejected_id, metric AS rejected_score
+      FROM r WHERE rr = 1)
+SELECT c.lang, c.source, c.chosen_id, c.chosen_score,
+       x.rejected_id, x.rejected_score
+FROM c JOIN x USING (lang, source)
+WHERE c.chosen_id <> x.rejected_id"""
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor doc draws 3 pseudo-random partner ids from the dense id space
+    via md5 — join-free, reproducible across engines and re-runs (the
+    property a training pipeline needs for resumable epochs).  Collisions
+    with the anchor advance by one (mod n).  One corpus scan + a 1-row
+    broadcast of n."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.agg(F.count(F.lit(1)).alias("__n"))
+    out = d.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(j) for j in (1, 2, 3)])).alias("neg_rank"),
+        "__n",
+    )
+    raw = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col("doc_id"), F.col("neg_rank"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = F.pmod(raw, F.col("__n"))
+    neg = F.when(cand == F.col("doc_id"), F.pmod(cand + 1, F.col("__n"))).otherwise(
+        cand
+    )
+    return out.select("doc_id", "neg_rank", neg.cast("long").alias("neg_id"))
+
+
+_SQL_NEGATIVE_SAMPLES = """
+WITH n AS (SELECT count(*) AS cnt FROM documents),
+a AS (
+    SELECT doc_id, r.neg_rank
+    FROM documents, (SELECT unnest([1, 2, 3]) AS neg_rank) r
+),
+c AS (
+    SELECT doc_id, neg_rank,
+           CAST(('0x' || substr(md5(doc_id || '#' || neg_rank), 1, 8))
+                AS BIGINT) % cnt AS cand,
+           cnt
+    FROM a, n
+)
+SELECT doc_id, CAST(neg_rank AS INT) AS neg_rank,
+       CAST(CASE WHEN cand = doc_id THEN (cand + 1) % cnt
+                 ELSE cand END AS BIGINT) AS neg_id
+FROM c"""
+
+
+def q_shard_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export delivery receipts: content-hash shard assignment
+    (8 shards) plus a per-shard ORDER-INDEPENDENT checksum — the sum of a
+    32-bit md5 slice per row, exact under any partial-agg order, so a
+    consumer re-derives it shard-by-shard after transfer without sorting
+    anything.  32-bit slices keep the int64 sum exact to ~2^30 rows per
+    shard; widen the shard count, not the slice, beyond that."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    row_h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("doc_id"), F.col("text"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(8),
+    )
+    return (
+        d.select(shard.alias("shard_id"), row_h.alias("__h"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("__h").cast("long").alias("checksum"),
+        )
+    )
+
+
+_SQL_SHARD_CHECKSUMS = """
+WITH h AS (
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 8 AS shard_id,
+           CAST(('0x' || substr(md5(doc_id || '|' || text), 1, 8))
+                AS BIGINT) AS rh
+    FROM documents
+)
+SELECT shard_id, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(rh) AS BIGINT) AS checksum
+FROM h GROUP BY 1"""
+
+
 def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier evaluation as a relational query: confusion matrix of the
     stopword-vote language heuristic against the labelled ``lang`` column,
@@ -3775,6 +3919,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_curation_pipeline": q_curation_pipeline,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,
+    "q_preference_pairs": q_preference_pairs,
+    "q_negative_samples": q_negative_samples,
+    "q_shard_checksums": q_shard_checksums,
     "q_langid_eval": q_langid_eval,
     "q_fingerprint": q_fingerprint,
     "q_knn_bruteforce": q_knn_bruteforce,
@@ -3856,6 +4003,9 @@ ORACLES: dict[str, str] = {
     "q_curation_pipeline": _SQL_CURATION_PIPELINE,
     "q_token_count": _SQL_TOKEN_COUNT,
     "q_lang_id": _lang_sql(),
+    "q_preference_pairs": _SQL_PREFERENCE_PAIRS,
+    "q_negative_samples": _SQL_NEGATIVE_SAMPLES,
+    "q_shard_checksums": _SQL_SHARD_CHECKSUMS,
     "q_langid_eval": _langid_eval_sql(),
     "q_fingerprint": _SQL_FINGERPRINT,
     "q_knn_bruteforce": _SQL_KNN,
