@@ -1,0 +1,91 @@
+"""Empirical scaling probe: run representative corpus operators at 1x/2x/4x
+synthetic corpus size and report wall-time growth factors.
+
+The point is to SHOW the complexity claims, not argue them: the linear
+operators (duplicated-n-gram coverage) should grow ~linearly, and the capped
+candidate generators (MinHash LSH, sparse cosine, prefix filter) should stay
+near-linear because their pair work is bounded per bucket/posting — a
+quadratic regression here means a cap stopped working.
+
+Usage:  python tools/scale_probe.py [sf_dir]     (default /root/testdata/sf0.1)
+Prints one JSON line: {"op": {"1": s, "2": s, "4": s, "growth_4x": r}, ...}
+
+Run on an idle host; shared-box contention distorts small multiples first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_warehouse_spark.operators import dedup, terms
+from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+from nyc_taxi_data_warehouse_spark.session import get_spark
+
+
+def _docs_at(spark, sf_dir: str, mult: int):
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    if mult == 1:
+        out = d
+    else:
+        # m distinct pseudo-docs per source doc: suffix-shifted so the
+        # corpus grows in CONTENT, not just row count (pure duplication
+        # would make every dedup op's candidate set itself quadratic)
+        out = d.select(
+            F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep"),
+            "doc_id",
+            "text",
+        ).select(
+            (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"),
+            F.expr("substring(text, rep * 7 + 1)").alias("text"),
+        )
+    target = spark.sparkContext.defaultParallelism
+    return out.repartition(target)
+
+
+def _time(fn) -> float:
+    t0 = time.perf_counter()
+    fn().write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()  # warm
+
+    ops = {
+        "dup_ngram_coverage": lambda d: dedup.dup_ngram_coverage(d),
+        "minhash_lsh_pairs": lambda d: dedup.lsh_candidate_pairs(
+            dedup.lsh_bands(
+                dedup.minhash_signatures(dedup.shingle_rows(d)).persist()
+            )
+        ),
+        "sparse_cosine": lambda d: terms.sparse_cosine_pairs(d),
+        "prefix_filter": lambda d: dedup.prefix_filter_pairs(
+            dedup.shingle_rows(d)
+        ),
+    }
+    report: dict[str, dict] = {}
+    for name, op in ops.items():
+        # throwaway m=1 run: the first execution of each op pays JVM JIT /
+        # codegen / Python-worker warmup that would masquerade as 1x cost
+        _time(lambda: op(_docs_at(spark, sf_dir, 1)))
+        times: dict[str, float] = {}
+        for m in (1, 4, 8):
+            d = _docs_at(spark, sf_dir, m)
+            times[str(m)] = _time(lambda: op(d))
+        times["growth_8x"] = round(times["8"] / times["1"], 2)
+        report[name] = times
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
