@@ -256,3 +256,19 @@ def test_write_delta_overwrite_redeclares_schema(spark, tmp_path):
         t, mode="append",
     )
     assert D.read_delta(spark, t).count() == 4
+
+
+def test_diff_queries_stable_under_reinvocation(spark, sf_dir):
+    """q_snapshot_diff / q_iceberg_diff write into reused per-process dirs,
+    so every re-invocation appends more versions; pinning the
+    writer-returned versions must keep the RESULT identical run over run
+    (the driver and bench invoke query callables more than once)."""
+    from nyc_taxi_data_warehouse_spark.queries_data import (
+        q_iceberg_diff,
+        q_snapshot_diff,
+    )
+
+    for fn in (q_snapshot_diff, q_iceberg_diff):
+        first = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        second = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        assert first == second and first
