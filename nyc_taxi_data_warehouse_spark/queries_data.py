@@ -22,6 +22,9 @@ from .operators import dedup, similarity
 from .plans.nyc_views import load_tables
 
 
+_KMEANS_QUANT = 1000  # embedding quantization lattice (SRP lesson)
+
+
 def _rnd(c, n: int):
     """Epsilon-shifted rounding (see queries_nyc._rnd)."""
     return F.round(c + F.lit(1e-9), n)
@@ -1281,6 +1284,60 @@ hits AS (
 SELECT doc_id, lang, {case} AS lang_pred,
        hits_en, hits_es, hits_fr, hits_de
 FROM hits"""
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding feature health: n / mean / variance for
+    every vector coordinate — the drift monitor an embedding pipeline
+    checks after every model or preprocessing change.  Components quantize to
+    the integer lattice first (the SRP lesson), so the power sums are
+    exact under any partial-agg order and mean/variance are one per-row
+    expression at the end; posexplode keeps it one narrow pass + one
+    (dim)-keyed aggregation."""
+    e = _emb(spark, sf_dir)
+    q = e.select(
+        F.posexplode(V.quantize("embedding", _KMEANS_QUANT)).alias("dim_idx", "x")
+    )
+    sums = q.groupBy("dim_idx").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    mean_q = F.col("sx") / F.col("n")
+    var_q = (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ) / (F.col("n") * F.col("n"))
+    return sums.select(
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.col("n").cast("long").alias("n"),
+        F.col("sx").cast("long").alias("sum_q"),
+        _rnd(mean_q, 6).alias("mean_q"),
+        _rnd(var_q, 6).alias("var_q"),
+    )
+
+
+_SQL_EMBEDDING_STATS = f"""
+WITH u AS (
+    SELECT unnest(list_transform(
+        range(1, len(embedding) + 1),
+        i -> {{'i': i, 'x': embedding[i]}})) AS e
+    FROM embeddings
+),
+q AS (
+    SELECT e.i - 1 AS dim_idx,
+           CAST(floor(e.x * {_KMEANS_QUANT}) AS BIGINT) AS x
+    FROM u
+),
+sums AS (
+    SELECT dim_idx, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+    FROM q GROUP BY 1
+)
+SELECT CAST(dim_idx AS INT) AS dim_idx,
+       CAST(n AS BIGINT) AS n,
+       CAST(sx AS BIGINT) AS sum_q,
+       round(1e-9 + sx / n, 6) AS mean_q,
+       round(1e-9 + (n * sxx - sx * sx) / (n * n), 6) AS var_q
+FROM sums"""
 
 
 def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2666,7 +2723,6 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KMEANS_QUANT = 1000
 
 
 def _sql_kmeans_cells(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
@@ -3919,6 +3975,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_curation_pipeline": q_curation_pipeline,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,
+    "q_embedding_stats": q_embedding_stats,
     "q_preference_pairs": q_preference_pairs,
     "q_negative_samples": q_negative_samples,
     "q_shard_checksums": q_shard_checksums,
@@ -4003,6 +4060,7 @@ ORACLES: dict[str, str] = {
     "q_curation_pipeline": _SQL_CURATION_PIPELINE,
     "q_token_count": _SQL_TOKEN_COUNT,
     "q_lang_id": _lang_sql(),
+    "q_embedding_stats": _SQL_EMBEDDING_STATS,
     "q_preference_pairs": _SQL_PREFERENCE_PAIRS,
     "q_negative_samples": _SQL_NEGATIVE_SAMPLES,
     "q_shard_checksums": _SQL_SHARD_CHECKSUMS,
