@@ -206,38 +206,32 @@ def quantile_bins(
                 )
             ).alias("__bounds")
         )
-        x = F.col(value_col)
-        fold = F.aggregate(
-            "__bounds",
-            F.lit(1),
-            lambda acc, b: acc + F.when(x > b, 1).otherwise(0),
-        ).cast("int")
-        return (
-            df.crossJoin(F.broadcast(barr))
-            .withColumn("bin", F.when(x.isNotNull(), fold).cast("int"))
-            .drop("__bounds")
+    else:
+        n_tbl = nn.agg(F.count(F.lit(1)).alias("__n"))
+        vc = nn.groupBy(F.col(value_col).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__c")
         )
-    n_tbl = nn.agg(F.count(F.lit(1)).alias("__n"))
-    vc = nn.groupBy(F.col(value_col).alias("__v")).agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    wv = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = vc.withColumn("__cle", F.sum("__c").over(wv))
-    bounds = (
-        cum.crossJoin(F.broadcast(n_tbl))
-        .select(
-            "__v",
-            "__cle",
-            "__n",
-            F.explode(F.sequence(F.lit(1), F.lit(num_bins - 1))).alias("__i"),
+        wv = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+        cum = vc.withColumn("__cle", F.sum("__c").over(wv))
+        bounds = (
+            cum.crossJoin(F.broadcast(n_tbl))
+            .select(
+                "__v",
+                "__cle",
+                "__n",
+                F.explode(
+                    F.sequence(F.lit(1), F.lit(num_bins - 1))
+                ).alias("__i"),
+            )
+            .where(F.col("__cle") * num_bins >= F.col("__i") * F.col("__n"))
+            .groupBy("__i")
+            .agg(F.min("__v").alias("__bound"))
         )
-        .where(F.col("__cle") * num_bins >= F.col("__i") * F.col("__n"))
-        .groupBy("__i")
-        .agg(F.min("__v").alias("__bound"))
-    )
-    barr = bounds.agg(
-        F.array_sort(F.collect_list("__bound")).alias("__bounds")
-    )
+        barr = bounds.agg(
+            F.array_sort(F.collect_list("__bound")).alias("__bounds")
+        )
+    # one shared assignment tail: a semantics change (the strict x > b
+    # comparison, the NULL contract) cannot fork the exact/approx paths
     x = F.col(value_col)
     fold = F.aggregate(
         "__bounds",

@@ -1325,7 +1325,7 @@ WITH u AS (
 ),
 q AS (
     SELECT e.i - 1 AS dim_idx,
-           CAST(floor(e.x * {_KMEANS_QUANT}) AS BIGINT) AS x
+           CAST(floor(CAST(e.x AS DOUBLE) * {_KMEANS_QUANT}) AS BIGINT) AS x
     FROM u
 ),
 sums AS (
@@ -1345,13 +1345,14 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratum, the best and worst document by a quality metric (vocabulary
     size here — any score column slots in) become one (chosen, rejected)
     row.  ONE aggregation pass via max_by/min_by over deterministic
-    struct orders — no self-join, no windows over the corpus; groups where
-    best == worst (singletons) drop out."""
+    struct orders — no self-join, no windows over the corpus; strata that
+    cannot produce a pair (singletons, or every doc tied on the metric —
+    both resolve chosen == rejected) drop out."""
     d = _docs(spark, sf_dir).select(
         "lang",
         "source",
         "doc_id",
-        F.size(F.array_distinct(T.tokens("text"))).cast("long").alias("metric"),
+        T.distinct_word_count("text").alias("metric"),
         (-F.col("doc_id")).alias("neg_id"),
     )
     g = d.groupBy("lang", "source").agg(

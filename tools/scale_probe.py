@@ -1,4 +1,4 @@
-"""Empirical scaling probe: run representative corpus operators at 1x/2x/4x
+"""Empirical scaling probe: run representative corpus operators at 1x/4x/8x
 synthetic corpus size and report wall-time growth factors.
 
 The point is to SHOW the complexity claims, not argue them: the linear
@@ -8,7 +8,7 @@ near-linear because their pair work is bounded per bucket/posting — a
 quadratic regression here means a cap stopped working.
 
 Usage:  python tools/scale_probe.py [sf_dir]     (default /root/testdata/sf0.1)
-Prints one JSON line: {"op": {"1": s, "2": s, "4": s, "growth_4x": r}, ...}
+Prints one JSON line: {"op": {"1": s, "4": s, "8": s, "growth_8x": r}, ...}
 
 Run on an idle host; shared-box contention distorts small multiples first.
 """
@@ -78,10 +78,15 @@ def main() -> None:
         # throwaway m=1 run: the first execution of each op pays JVM JIT /
         # codegen / Python-worker warmup that would masquerade as 1x cost
         _time(lambda: op(_docs_at(spark, sf_dir, 1)))
+        spark.catalog.clearCache()
         times: dict[str, float] = {}
         for m in (1, 4, 8):
             d = _docs_at(spark, sf_dir, m)
             times[str(m)] = _time(lambda: op(d))
+            # ops persist intermediate frames (signature self-join lesson);
+            # drop them between multiples or earlier runs' cached blocks
+            # pressure the later runs and skew the very ratios we report
+            spark.catalog.clearCache()
         times["growth_8x"] = round(times["8"] / times["1"], 2)
         report[name] = times
     print(json.dumps(report))
