@@ -104,3 +104,48 @@ def missing_keys(universe: DataFrame, present: DataFrame, key: Sequence[str]) ->
         .distinct()
         .join(present.select(*key).distinct(), on=list(key), how="left_anti")
     )
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """CDC-style snapshot reconciliation: classify every key across two
+    table versions as ``added`` / ``removed`` / ``updated`` / ``unchanged``
+    — the change feed an incremental consumer derives when the source has
+    no log (the batch complement of the streaming MERGE path).
+
+    FULL OUTER join on the key (one shuffle per side), pure-expression
+    classification; ``updated`` means any compare column differs
+    (null-safe: a value appearing or disappearing counts as a change).
+    Returns key columns + ``change`` + ``<col>_old`` / ``<col>_new`` for
+    each compare column — the downstream upsert/audit has everything it
+    needs without re-reading either snapshot.
+    """
+    # explicit presence markers, NOT compare-column null probes: a present
+    # row whose compare columns are all NULL must still read as present
+    a = old.select(
+        *key,
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"{c}_old") for c in compare_cols],
+    )
+    b = new.select(
+        *key,
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"{c}_new") for c in compare_cols],
+    )
+    j = a.join(b, list(key), "full_outer")
+    present_old = F.coalesce(F.col("__in_old"), F.lit(False))
+    present_new = F.coalesce(F.col("__in_new"), F.lit(False))
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
+    status = (
+        F.when(~present_old & present_new, F.lit("added"))
+        .when(present_old & ~present_new, F.lit("removed"))
+        .when(changed, F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.withColumn("change", status).drop("__in_old", "__in_new")

@@ -672,20 +672,10 @@ def q_cdc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") % 4 == 2, F.col("qty") + 7
         ).otherwise(F.col("qty")),
     )
-    a = v0.select(
-        "l_orderkey", "l_linenumber", F.col("qty").alias("qty_old")
-    )
-    b = v1.select(
-        "l_orderkey", "l_linenumber", F.col("qty").alias("qty_new")
-    )
-    j = a.join(b, ["l_orderkey", "l_linenumber"], "full_outer")
-    status = (
-        F.when(F.col("qty_old").isNull(), F.lit("added"))
-        .when(F.col("qty_new").isNull(), F.lit("removed"))
-        .when(F.col("qty_old") != F.col("qty_new"), F.lit("updated"))
-        .otherwise(F.lit("unchanged"))
-    )
-    return j.groupBy(status.alias("change")).agg(
+    from .operators import merge as M
+
+    j = M.snapshot_delta(v0, v1, ["l_orderkey", "l_linenumber"], ["qty"])
+    return j.groupBy("change").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(F.coalesce("qty_new", F.lit(0)) - F.coalesce("qty_old", F.lit(0)))
         .cast("long")

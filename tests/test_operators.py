@@ -1323,3 +1323,25 @@ def test_freshness_report_empty_source_fails(spark):
         ).collect()
     }
     assert got == {"dead": "fail", "ok": "pass"}
+
+
+def test_snapshot_delta_classification_with_null_values(spark):
+    """snapshot_delta presence must come from the join markers, not the
+    compare columns: a present row with a NULL value is 'unchanged' when
+    both sides are NULL, 'updated' when a value appears or disappears."""
+    from nyc_taxi_data_warehouse_spark.operators import merge as M
+
+    old = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, 40)], "k long, v long"
+    )
+    new = spark.createDataFrame(
+        [(1, 10), (2, None), (3, None), (5, 50)], "k long, v long"
+    )
+    out = {r.k: r.change for r in M.snapshot_delta(old, new, ["k"], ["v"]).collect()}
+    assert out == {
+        1: "unchanged",
+        2: "unchanged",   # NULL == NULL (null-safe)
+        3: "updated",     # value disappeared, row still present
+        4: "removed",
+        5: "added",
+    }
