@@ -229,3 +229,30 @@ def test_prefix_filter_matches_bruteforce_on_random_corpora(spark, texts):
     assert set(got) == set(brute)
     for k in got:
         assert abs(got[k] - brute[k]) < 1e-12
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        unique=True,
+        min_size=1,
+        max_size=40,
+    ),
+    bits_pow=st.integers(min_value=10, max_value=16),
+)
+@settings(**SETTINGS)
+def test_bloom_never_false_negative(spark, keys, bits_pow):
+    """The bloom filter's one guarantee, over random key sets and filter
+    sizes (down to 1024 bits, where false POSITIVES are rampant but false
+    negatives must still be impossible)."""
+    from nyc_taxi_data_warehouse_spark.operators import bloom
+
+    dim = spark.createDataFrame([(k,) for k in keys], "k long")
+    probe = spark.createDataFrame(
+        [(k,) for k in keys] + [(k + 1, ) for k in keys], "k long"
+    )
+    pre = bloom.bloom_semi_join(
+        probe, dim, "k", num_bits=1 << bits_pow, num_hashes=3, exact=False
+    )
+    surviving = {r.k for r in pre.collect()}
+    assert set(keys) <= surviving
