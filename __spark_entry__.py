@@ -51,6 +51,7 @@ _CHECK_FIRST = [
     "q_event_paths", "q_langid_eval", "q_demand_corr", "q_iceberg_diff",
     "q_cdc_classify", "q_stream_join", "q_preference_pairs",
     "q_negative_samples", "q_shard_checksums", "q_embedding_stats",
+    "q_dedup_plan",
     "q_lsh_hot_buckets", "q_containment", "q_normalize_dedup",
     "q_delta_roundtrip", "q_iceberg_roundtrip", "q_pq_codebook",
     "q_pq_search", "q_pq_recall", "q_ivfpq_search", "q_bpe_merges",
@@ -61,10 +62,9 @@ _CHECK_FIRST = [
     # assignment/codebook family riding assign_cells/kmeans_fit_exact
     "q_simhash", "q_simhash_near", "q_minhash_lsh", "q_cross_corpus_neardup",
     "q_lsh_recall", "q_centroid_assign", "q_ann_ivf", "q_ann_recall",
-    "q_embedding_neardup",
 ]
 _CHECK_LAST = [
-    "q_cell_quality",
+    "q_embedding_neardup", "q_cell_quality",
     # (3) overflow: r2-green entries that no longer fit — round-5 window
     # candidates, oldest evidence first
     "q_knn_bruteforce", "q_stream_hourly", "q_ngram_jaccard",

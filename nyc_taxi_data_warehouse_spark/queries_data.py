@@ -371,6 +371,42 @@ SELECT md5(canon) AS canon_hash,
 FROM canon GROUP BY 1"""
 
 
+def q_dedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE output of the exact-dedup stage: a removal plan —
+    one row per doc to DELETE, naming the canonical survivor it duplicates
+    (min doc_id per content hash).  This is the artifact the pipeline
+    executes and audits, as opposed to the group-level report
+    (q_dedup_exact).  Every third doc gets an exact copy planted at
+    id+5,000,000, so the plan is non-trivial and fully deterministic."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+    )
+    keys = (
+        _scale_out(docs.unionByName(copies))
+        .select("doc_id", F.md5("text").alias("h"))
+    )
+    kept = keys.groupBy("h").agg(F.min("doc_id").alias("kept_id"))
+    return (
+        keys.join(kept, "h")
+        .where(F.col("doc_id") != F.col("kept_id"))
+        .select(F.col("doc_id").alias("removed_id"), "kept_id")
+    )
+
+
+_SQL_DEDUP_PLAN = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+),
+keys AS (SELECT doc_id, md5(text) AS h FROM corpus),
+kept AS (SELECT h, min(doc_id) AS kept_id FROM keys GROUP BY 1)
+SELECT k.doc_id AS removed_id, kp.kept_id
+FROM keys k JOIN kept kp USING (h)
+WHERE k.doc_id <> kp.kept_id"""
+
+
 def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide duplicated-3-gram coverage per document (Lee et al.,
     arXiv:2107.06499): fraction of each doc's 3-gram occurrences whose gram
@@ -3945,6 +3981,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lsh_hot_buckets": q_lsh_hot_buckets,
     "q_containment": q_containment,
     "q_normalize_dedup": q_normalize_dedup,
+    "q_dedup_plan": q_dedup_plan,
     "q_dup_ngram_coverage": q_dup_ngram_coverage,
     "q_sparse_cosine": q_sparse_cosine,
     "q_source_overlap": q_source_overlap,
@@ -4030,6 +4067,7 @@ ORACLES: dict[str, str] = {
     "q_lsh_hot_buckets": _SQL_LSH_HOT_BUCKETS,
     "q_containment": _SQL_CONTAINMENT,
     "q_normalize_dedup": _SQL_NORMALIZE_DEDUP,
+    "q_dedup_plan": _SQL_DEDUP_PLAN,
     "q_dup_ngram_coverage": _SQL_DUP_NGRAM_COVERAGE,
     "q_sparse_cosine": _SQL_SPARSE_COSINE,
     "q_source_overlap": _SQL_SOURCE_OVERLAP,
