@@ -16,20 +16,46 @@ Construction is pure DataFrame algebra, no driver-side loop:
   dim → k bit positions per key (Kirsch–Mitzenmacher double hashing:
         pos_i = h1 + i·h2 mod m, from two xxhash64 values)
       → (word, bit) → bit_or per 64-bit word            [one tiny shuffle]
-      → one row holding map<word, mask>                 [broadcast]
+      → one row holding the dense array<long> bitset    [broadcast]
 
 Membership testing is whole-stage-codegen'd expression logic (shift/mask on
-the broadcast map) — no UDF, no Python.
+the broadcast array) — no UDF, no Python.
 
 Sizing: false-positive rate ≈ (1 − e^(−k·n/m))^k; the default 2^20 bits /
-5 hashes gives <3% FP at n = 100k keys.  At 10⁹ keys use 2^33+ bits —
-the map stays ≤ num_bits/64 entries, far below broadcast limits.
+5 hashes gives <3% FP at n = 100k keys.  At 10⁹ keys use 2^33+ bits (1 GiB
+bitset — at the edge of what a broadcast should carry).  Two hard costs
+grow with ``num_bits`` and bound the practical range well below the int64
+position space: (1) the final dense-array assembly is a single-task
+``collect_list`` over num_bits/64 words — one task materializes the whole
+bitset before broadcast, so build time and driver/executor memory scale
+linearly with m regardless of key count; (2) the probe indexes the array
+with a 32-bit ``element_at`` ordinal.  ``MAX_BLOOM_BITS`` (2^36) guards
+both: beyond it the word ordinal would overflow the int index (silently
+wrapping to wrong-but-plausible probes) and the single-task assembly is
+multi-GiB anyway — callers wanting larger filters should shard the key
+space across several blooms instead.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# 2^36 bits = 8 GiB bitset = 2^30 words: the last num_bits where the probe's
+# 1-based int array ordinal (word + 1 ≤ 2^30 < 2^31) cannot overflow, and
+# already past the point where the one-task dense assembly + broadcast is
+# the dominant cost. Larger filters must be sharded, not widened.
+MAX_BLOOM_BITS = 1 << 36
+
+
+def _check_num_bits(num_bits: int) -> None:
+    if not 64 <= num_bits <= MAX_BLOOM_BITS:
+        raise ValueError(
+            f"num_bits must be in [64, 2^36], got {num_bits}: beyond 2^36 the "
+            "probe's int array ordinal overflows (wrong-but-plausible lookups) "
+            "and the single-task dense-array build is multi-GiB — shard the "
+            "key space across several blooms instead"
+        )
 
 
 def _hashes(key: Column) -> tuple[Column, Column]:
@@ -71,6 +97,7 @@ def bloom_build(
     128 KiB; size the filter accordingly — at 2^30 bits the broadcast is
     128 MiB, about the practical ceiling).  Empty dim → all-zero words →
     every probe misses, correctly."""
+    _check_num_bits(num_bits)
     pos = dim.select(
         F.explode(
             F.array(*_positions(F.col(key), num_bits, num_hashes))
@@ -102,8 +129,10 @@ def bloom_might_contain(
     logic (codegen'd), suitable as a map-side scan filter.
 
     The bloom is the DENSE word array from :func:`bloom_build`; the 1-based
-    array index word+1 is in range by construction (pmod < num_bits), so the
-    O(1) ``element_at`` never trips ANSI bounds checking."""
+    array index word+1 is in range by construction (pmod < num_bits ≤
+    MAX_BLOOM_BITS, so word+1 ≤ 2^30 fits the int ordinal), and the O(1)
+    ``element_at`` never trips ANSI bounds checking."""
+    _check_num_bits(num_bits)
     cond = F.lit(True)
     for pos in _positions(key, num_bits, num_hashes):
         # pos ≥ 0 and /64 is exact power-of-two scaling, so the cast floors

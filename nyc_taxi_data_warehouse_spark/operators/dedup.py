@@ -285,26 +285,31 @@ def dup_ngram_coverage(
 
       tokenize → explode n-grams            [1 row per occurrence]
       (doc, gram) → occurrence count        [shuffle on (doc, gram)]
-      gram → document frequency             [shuffle on gram]
-      join + per-doc rollup                 [shuffle on doc]
+      df_docs = count() over (gram)         [shuffle on gram]
+      per-doc rollup                        [shuffle on doc]
 
-    The gram→df table is corpus-vocabulary-sized (too big to broadcast at
-    100 TB) so the join is a plain shuffle hash join on ``gram``; every
-    frame only ever shuffles on its natural key.  All counts are integers
-    (exact under any partial-agg order); the fraction is one per-row
-    division at the end.
+    Document frequency is a window over the per-doc gram counts, not a
+    separate df table re-joined back: the gram→df table is corpus-
+    vocabulary-sized (too big to broadcast at 100 TB) and the join form
+    needs the per-doc frame twice (persist or recompute); the window form
+    computes it once with the same three natural-key shuffles and nothing
+    cached.  All counts are integers (exact under any partial-agg order);
+    the fraction is one per-row division at the end.
     """
     tokd = docs.select(F.col(id_col), T.tokens(text_col).alias("__w"))
     grams = tokd.select(
         F.col(id_col),
         F.explode(T.shingles_from_tokens("__w", n)).alias("gram"),
     )
-    # per feeds BOTH the df aggregation and the join side — persist or the
-    # tokenize/explode lineage (the dominant cost) runs twice
-    per = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("occ")).persist()
-    dfs = per.groupBy("gram").agg(F.count(F.lit(1)).alias("df_docs"))
+    # document frequency as a window over the per-doc gram counts — the
+    # per frame is computed ONCE (no persist to manage, no self-join): one
+    # shuffle on (doc, gram), one on gram, one on doc, each its natural key
+    per = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("occ"))
+    with_df = per.withColumn(
+        "df_docs", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    )
     return (
-        per.join(dfs, "gram")
+        with_df
         .groupBy(id_col)
         .agg(
             F.sum("occ").alias("n_grams"),
@@ -351,19 +356,31 @@ def prefix_filter_pairs(
 
     Emits (doc_a, doc_b, n_inter, jaccard) for pairs with jaccard ≥ t.
     """
-    toks = elements.select(
-        F.col(id_col), F.col(el_col).alias("tok")
-    ).persist()  # feeds df table, prefix ranking, and the verify arrays
-    dfs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # persist: toks feeds both the prefix-ranking chain and the verify
+    # arrays. The cached blocks are NOT explicitly unpersisted (the result
+    # is lazy — the cache must outlive this function); they are released by
+    # the ContextCleaner when the caller drops the returned frame (the
+    # persisted RDD is weakly referenced), and MEMORY_AND_DISK eviction
+    # bounds the interim footprint.
+    toks = elements.select(F.col(id_col), F.col(el_col).alias("tok")).persist()
     wp = Window.partitionBy(id_col)
     wr = wp.orderBy("df", "tok")
+    # global document frequency as a window over tok — one shuffle of the
+    # element frame on its natural key, no separate df table + re-join
     ranked = (
-        toks.join(dfs, "tok")
+        toks.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
         .withColumn("sz", F.count(F.lit(1)).over(wp))
         .withColumn("rn", F.row_number().over(wr))
     )
+    # prefix length |d| − ⌈t·|d|⌉ + 1 (Xiao et al. §3.1), computed
+    # integer-safe: the naive ⌊|d|·(1−t)⌋+1 loses an ulp when |d|·(1−t)
+    # is mathematically integral but (1−t) is inexact in binary (t=0.9,
+    # |d|=20 → 1.9999…e0 → floor 1, one prefix element short — a real
+    # false-negative hole in the completeness theorem). ceil(t·sz − ε)
+    # with ε=1e-9 restores the exact integer ⌈t·|d|⌉ for every |d| ≤ 10^6.
     prefix = ranked.where(
-        F.col("rn") <= F.floor(F.col("sz") * F.lit(1.0 - threshold)) + 1
+        F.col("rn")
+        <= F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold) - F.lit(1e-9)) + 1
     )
     # cap BEFORE collect_list (via _drop_hot) so a boilerplate prefix
     # element never materializes its mega-bucket array in an agg buffer
@@ -433,7 +450,10 @@ def group_shingle_overlap(
             ),
         )
         .distinct()
-        .persist()  # feeds sizes + both self-join sides
+        # feeds sizes + both self-join sides; released by the
+        # ContextCleaner once the caller drops the result (lazy result ⇒
+        # no explicit unpersist here), MEMORY_AND_DISK-evictable meanwhile
+        .persist()
     )
     sizes = sh.groupBy("grp").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -465,6 +485,12 @@ def group_shingle_overlap(
     )
 
 
+# rounds taken by the most recent connected_components call — test/telemetry
+# observability for the convergence-rate claims (O(diameter) vs O(log n));
+# driver-side coordination state only, never read by the computation itself
+LAST_CC_ROUNDS = 0
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -473,6 +499,7 @@ def connected_components(
     b_col: str = "doc_b",
     max_iter: int = 25,
     spill_dir: str | None = None,
+    mode: str = "min_label",
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs: every doc gets the
     MIN doc id of its component as `cluster_id` (the canonical representative
@@ -511,8 +538,21 @@ def connected_components(
     unchanged sum(label) IS the fixpoint (one tiny agg per round). For
     non-numeric ids sum() is NULL — that would false-converge after one
     round — so those use an exact changed-row count instead.
+
+    ``mode="large_star"`` swaps in the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SOCC'14) — O(log n) rounds on ANY graph shape, including the
+    adversarial chain graphs where min-label needs O(diameter) rounds.
+    Each round is two groupBy+join passes over the edge set (vs one for
+    min-label), so the default stays min-label for the near-dup workload
+    (star/clique components, 2-3 rounds); switch for graphs with long
+    paths (citation chains, session graphs, transitive link closures).
+    Same unique fixpoint — every node labeled with its component min —
+    verified equal property-wise in tests/test_operators.py.
     """
     from pyspark.sql.types import NumericType
+
+    global LAST_CC_ROUNDS
 
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -527,12 +567,18 @@ def connected_components(
         edges = pairs.sparkSession.read.parquet(path)
     else:
         edges = edges.localCheckpoint()
+    if mode == "large_star":
+        return _cc_two_phase(edges, nodes, id_col, max_iter)
+    if mode != "min_label":
+        raise ValueError(f"unknown cc mode {mode!r}: use 'min_label' or 'large_star'")
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint()
     numeric_ids = isinstance(labels.schema["label"].dataType, NumericType)
     prev_sum = None
-    for _ in range(max_iter):
+    LAST_CC_ROUNDS = 0
+    for _round in range(max_iter):
+        LAST_CC_ROUNDS = _round + 1
         prop = edges.join(labels, edges["src"] == labels["node"]).select(
             edges["dst"].alias("node"), labels["label"].alias("label")
         )
@@ -558,6 +604,76 @@ def connected_components(
             break
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
+def _cc_two_phase(
+    edges: DataFrame, nodes: DataFrame, id_col: str, max_iter: int
+) -> DataFrame:
+    """Alternating large-star / small-star rounds (Kiveris et al., SOCC'14)
+    over the BIDIRECTIONAL distinct edge set built by
+    :func:`connected_components`.  Invariant: the working edge set ``E``
+    is oriented (u, v) with u > v, one row per undirected edge.
+
+      large-star: per node u with m = min(Γ(u) ∪ {u}), re-link every
+        LARGER neighbor w > u directly to m — halves the depth of tall
+        trees in one round;
+      small-star: per node u (over its smaller neighbors Γ⁻), re-link
+        them and u itself to m = min(Γ⁻(u)) — flattens the short spokes.
+
+    Both passes are one groupBy + one join on the node key (natural-key
+    shuffles, partial-agg min).  The edge set only ever shrinks toward the
+    star set {(member, component-min)}, reached in O(log n) rounds on any
+    shape.  Fixpoint detection is EXACT (count match + empty set
+    difference — no hash-sum shortcut: a collision would silently emit
+    wrong clusters).  Labels: members take their star center, roots and
+    isolated nodes take themselves.
+    """
+    global LAST_CC_ROUNDS
+    E = (
+        edges.where(F.col("src") > F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .localCheckpoint()
+    )
+    LAST_CC_ROUNDS = 0
+    for _round in range(max_iter):
+        LAST_CC_ROUNDS = _round + 1
+        und = E.unionByName(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = und.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            und.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        nbr = (
+            ls.join(mins2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        new_e = (
+            nbr.unionByName(mins2.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        same_count = new_e.count() == E.count()
+        converged = same_count and new_e.exceptAll(E).isEmpty()
+        E = new_e
+        if converged:
+            break
+    centers = E.groupBy("u").agg(F.min("v").alias("__lbl"))
+    return (
+        nodes.select(F.col(id_col))
+        .join(centers.withColumnRenamed("u", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__lbl", F.col(id_col)).alias("cluster_id"),
+        )
     )
 
 

@@ -136,6 +136,59 @@ def capped_sample(
     )
 
 
+def global_index(
+    df: DataFrame, key_col: str, n_buckets: int = 256, salt: str = "gidx"
+) -> DataFrame:
+    """Dense 0-based global index over the distinct keys of ``df`` WITHOUT
+    a global sort — the rank↔key mapping a sampler needs to turn "pick
+    integer r in [0, n)" into a REAL key (negative sampling, epoch
+    addressing, shard manifests).
+
+    A naive ``row_number() OVER (ORDER BY key)`` is a single-partition
+    global sort — a scale-killer.  Two-pass bucketed ranking instead:
+
+      1. each key hashes to one of ``n_buckets`` content-stable buckets
+         (md5 — engine-reproducible), ranked within its bucket by key
+         (one shuffle, parallel in n_buckets);
+      2. per-bucket counts (n_buckets rows) turn into cumulative offsets
+         with one window over that TINY summary, broadcast back;
+      3. ``idx = offset + rank_in_bucket − 1``.
+
+    The result is a permutation of the keys ordered by (bucket, key) —
+    deterministic across runs, partitionings, and engines (the DuckDB twin
+    is ``row_number() OVER (ORDER BY bucket, key) − 1``).  Density and
+    0-basing hold for ANY key space — sparse, negative, or non-numeric.
+
+    Returns (key_col, idx).  Keys must be distinct (ranks would otherwise
+    be arbitrary among duplicates of a key).
+    """
+    ranked = df.select(key_col).withColumn(
+        "__b", hash_bucket(key_col, salt, n_buckets)
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("__b").orderBy(F.col(key_col).asc())
+        ),
+    )
+    counts = ranked.groupBy("__b").agg(F.max("__rn").alias("__cnt"))
+    offsets = counts.select(
+        "__b",
+        F.coalesce(
+            F.sum("__cnt").over(
+                Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__b")
+        .select(
+            key_col,
+            (F.col("__off") + F.col("__rn") - 1).cast("long").alias("idx"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame, group_cols: list[str], key_col: str, k: int, salt: str = ""
 ) -> DataFrame:

@@ -50,7 +50,9 @@ def tf_idf(
     job and the id-only N scan is column-pruned. At 100 TB a driver-side
     pre-count would be a full redundant corpus pass."""
     # tf feeds BOTH join sides; persist or the tokenize→explode→groupBy
-    # lineage (the dominant cost) executes twice (NOTES self-join lesson)
+    # lineage (the dominant cost) executes twice (NOTES self-join lesson).
+    # No explicit unpersist (the result is lazy): the ContextCleaner frees
+    # the blocks when the caller drops the returned frame.
     tf = term_freqs(docs, id_col, text_col).persist()
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if broadcast_vocab:
@@ -161,18 +163,21 @@ def sparse_cosine_pairs(
     O(vocab · max_df²) candidate work, linear in corpus size for fixed caps.
     """
     tok = docs.select(F.col(id_col), F.explode(T.tokens(text_col)).alias("term"))
-    # tf feeds df AND the pruned postings — persist or the tokenize/explode
-    # lineage (dominant cost) runs twice (NOTES self-join lesson)
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
-    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    kept_terms = dfs.where(F.col("df") <= max_df).select("term")
+    # document frequency as a window over the tf frame (shuffle on term)
+    # instead of a df table + re-join: tf is computed ONCE, nothing cached
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     w = Window.partitionBy(id_col).orderBy(F.desc("tf"), F.asc("term"))
     kept = (
-        tf.join(kept_terms, "term")
+        tf.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .where(F.col("__df") <= max_df)
+        .drop("__df")
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= top_m)
         .drop("__rn")
-        .persist()  # feeds norms + postings
+        # feeds norms + postings; lazy result ⇒ no explicit unpersist —
+        # the ContextCleaner frees the blocks when the caller drops the
+        # returned frame, MEMORY_AND_DISK eviction bounds them meanwhile
+        .persist()
     )
     norms = kept.groupBy(id_col).agg(
         F.sum(F.col("tf") * F.col("tf")).alias("n2")

@@ -60,7 +60,11 @@ def resample_ffill(
     ).agg(*[F.avg(c).alias(c) for c in value_cols])
     spine = hour_spine(df, ts_col)
     series = df.select(*series_cols).distinct()
-    grid = series.crossJoin(spine)
+    # the spine is one row per hour of history — KiB-scale even for decades
+    # — so pin the broadcast: at high #series an unhinted crossJoin may
+    # degrade to a shuffled cartesian, and the dense grid must always be
+    # built as (partitioned series) × (broadcast spine)
+    grid = series.crossJoin(F.broadcast(spine))
     joined = grid.join(hourly, [*series_cols, "hour_ts"], "left").withColumn(
         "__b", F.date_trunc(bucket, "hour_ts")
     )

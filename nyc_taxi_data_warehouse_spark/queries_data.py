@@ -474,7 +474,9 @@ ranked AS (
            count(*) OVER (PARTITION BY t.doc_id) AS sz
     FROM tokset t JOIN dfs d USING (tok)
 ),
-prefix AS (SELECT doc_id, tok FROM ranked WHERE rn <= floor(sz * 0.5) + 1),
+-- integer-safe prefix length |d| − ⌈t·|d|⌉ + 1, mirroring the operator
+prefix AS (SELECT doc_id, tok FROM ranked
+           WHERE rn <= sz - ceil(sz * 0.5 - 1e-9) + 1),
 pbuckets AS (
     SELECT tok FROM prefix GROUP BY tok
     HAVING count(*) <= {dedup.DEFAULT_MAX_BUCKET}
@@ -620,8 +622,9 @@ def q_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_FEATURE_BINNING = """
-WITH nn AS (SELECT count(*) AS n FROM documents),
-vc AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+WITH nn AS (SELECT count(*) AS n FROM documents WHERE n_chars IS NOT NULL),
+vc AS (SELECT n_chars AS v, count(*) AS c FROM documents
+       WHERE n_chars IS NOT NULL GROUP BY 1),
 cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cle FROM vc),
 bounds AS (
     SELECT i, min(v) AS bound
@@ -630,7 +633,12 @@ bounds AS (
     GROUP BY 1
 ),
 binned AS (
-    SELECT d.doc_id, d.n_chars, 1 + count(b.bound) AS bin
+    -- mirror quantile_bins exactly: NULL values are excluded from the
+    -- boundary computation (nn/vc above) and get a NULL bin here, so the
+    -- oracle stays valid even if the schema ever admits NULL n_chars
+    SELECT d.doc_id, d.n_chars,
+           CASE WHEN d.n_chars IS NULL THEN NULL
+                ELSE 1 + count(b.bound) END AS bin
     FROM documents d LEFT JOIN bounds b ON d.n_chars > b.bound
     GROUP BY 1, 2
 )
@@ -1425,15 +1433,22 @@ WHERE c.chosen_id <> x.rejected_id"""
 
 def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for contrastive training: each
-    anchor doc draws 3 pseudo-random partner ids from the dense id space
-    via md5 — join-free, reproducible across engines and re-runs (the
-    property a training pipeline needs for resumable epochs).  Collisions
-    with the anchor advance by one (mod n).  One corpus scan + a 1-row
-    broadcast of n."""
+    anchor draws 3 pseudo-random RANKS in [0, n) via md5 and maps them
+    back to REAL doc ids through `sampling.global_index` (bucketed dense
+    rank — no global sort, no dense-id-space assumption: works on sparse,
+    1-based, or non-numeric id spaces alike).  Collisions with the
+    anchor's own rank advance by one (mod n).  Reproducible across
+    engines, runs, and partitionings — the property a training pipeline
+    needs for resumable epochs.  One corpus scan + the two bucketed-rank
+    shuffles + a rank-equi-join to resolve ids."""
+    from .operators import sampling
+
     d = _docs(spark, sf_dir).select("doc_id")
-    n = d.agg(F.count(F.lit(1)).alias("__n"))
-    out = d.crossJoin(F.broadcast(n)).select(
+    idx = sampling.global_index(d, "doc_id")  # (doc_id, idx) permutation
+    n = idx.agg(F.count(F.lit(1)).alias("__n"))
+    out = idx.crossJoin(F.broadcast(n)).select(
         "doc_id",
+        "idx",
         F.explode(F.array(*[F.lit(j) for j in (1, 2, 3)])).alias("neg_rank"),
         "__n",
     )
@@ -1445,29 +1460,43 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("long")
     cand = F.pmod(raw, F.col("__n"))
-    neg = F.when(cand == F.col("doc_id"), F.pmod(cand + 1, F.col("__n"))).otherwise(
+    neg = F.when(cand == F.col("idx"), F.pmod(cand + 1, F.col("__n"))).otherwise(
         cand
     )
-    return out.select("doc_id", "neg_rank", neg.cast("long").alias("neg_id"))
+    picked = out.select(
+        "doc_id", "neg_rank", neg.cast("long").alias("__pick")
+    )
+    resolve = idx.select(F.col("idx").alias("__pick"), F.col("doc_id").alias("neg_id"))
+    return picked.join(resolve, "__pick").select("doc_id", "neg_rank", "neg_id")
 
 
 _SQL_NEGATIVE_SAMPLES = """
-WITH n AS (SELECT count(*) AS cnt FROM documents),
+WITH b AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(doc_id || 'gidx'), 1, 8)) AS BIGINT)
+               % 256 AS bucket
+    FROM documents
+),
+idx AS (
+    SELECT doc_id, row_number() OVER (ORDER BY bucket, doc_id) - 1 AS idx
+    FROM b
+),
+n AS (SELECT count(*) AS cnt FROM documents),
 a AS (
-    SELECT doc_id, r.neg_rank
-    FROM documents, (SELECT unnest([1, 2, 3]) AS neg_rank) r
+    SELECT doc_id, idx, r.neg_rank
+    FROM idx, (SELECT unnest([1, 2, 3]) AS neg_rank) r
 ),
 c AS (
-    SELECT doc_id, neg_rank,
+    SELECT doc_id, idx, neg_rank,
            CAST(('0x' || substr(md5(doc_id || '#' || neg_rank), 1, 8))
                 AS BIGINT) % cnt AS cand,
            cnt
     FROM a, n
 )
-SELECT doc_id, CAST(neg_rank AS INT) AS neg_rank,
-       CAST(CASE WHEN cand = doc_id THEN (cand + 1) % cnt
-                 ELSE cand END AS BIGINT) AS neg_id
-FROM c"""
+SELECT c.doc_id, CAST(c.neg_rank AS INT) AS neg_rank, i.doc_id AS neg_id
+FROM c JOIN idx i
+  ON i.idx = CASE WHEN c.cand = c.idx THEN (c.cand + 1) % c.cnt
+                  ELSE c.cand END"""
 
 
 def q_shard_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -139,6 +139,68 @@ def test_prefix_filter_complete_vs_bruteforce(spark):
     assert got == brute and brute  # non-trivially equal
 
 
+def test_prefix_filter_length_integer_exact(spark):
+    """The prefix length must equal the exact integer |d| − ⌈t·|d|⌉ + 1
+    for EVERY (size, threshold) — exhaustively vs rational arithmetic.
+    The naive ⌊sz·(1−t)⌋+1 float form loses an ulp exactly when t·sz is
+    mathematically integral but 1−t is inexact in binary (t=0.9, sz=20:
+    floor(20·0.0999…)=1, one element short → false-negative hole). The
+    engine computes sz − ceil(sz·t − 1e-9) + 1; this pins it."""
+    from fractions import Fraction
+    from math import ceil
+
+    sizes = list(range(1, 201))
+    thresholds = [0.9, 0.8, 0.75, 0.7, 2 / 3, 0.6, 0.5, 0.3, 0.1]
+    df = spark.createDataFrame([(s,) for s in sizes], "sz long")
+    for t in thresholds:
+        got = {
+            r.sz: r.plen
+            for r in df.select(
+                "sz",
+                (
+                    F.col("sz")
+                    - F.ceil(F.col("sz") * F.lit(t) - F.lit(1e-9))
+                    + 1
+                ).alias("plen"),
+            ).collect()
+        }
+        for s in sizes:
+            want = s - ceil(Fraction(t).limit_denominator(10**6) * s) + 1
+            assert got[s] == want, (s, t, got[s], want)
+
+
+def test_prefix_filter_high_threshold_complete(spark):
+    """t=0.9 with |d|=20 token sets — the exact ulp-loss shape the float
+    prefix formula got wrong. Two identical 20-element sets (J=1.0 ≥ 0.9)
+    must be found; completeness would silently break if the prefix were
+    one element short and the shared rare element fell outside it."""
+    els = [f"tok{i:02d}" for i in range(20)]
+    rows = [(0, e) for e in els] + [(1, e) for e in els]
+    # a third doc sharing only half the elements (J=1/3, excluded)
+    rows += [(2, e) for e in els[:10]] + [(2, f"zz{i:02d}") for i in range(10)]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    out = dedup.prefix_filter_pairs(sh, threshold=0.9).collect()
+    assert {(r.doc_a, r.doc_b) for r in out} == {(0, 1)}
+    assert out[0].jaccard == 1.0
+
+
+def test_bloom_num_bits_guard():
+    """num_bits beyond 2^36 would overflow the probe's int array ordinal
+    (wrong-but-plausible lookups) — both build and probe must refuse."""
+    import pytest as _pytest
+
+    from nyc_taxi_data_warehouse_spark.operators import bloom
+
+    with _pytest.raises(ValueError, match="num_bits"):
+        bloom.bloom_build(None, "k", num_bits=(1 << 36) + 64)
+    with _pytest.raises(ValueError, match="num_bits"):
+        bloom.bloom_might_contain(
+            F.col("k"), F.col("b"), num_bits=1 << 40, num_hashes=3
+        )
+    with _pytest.raises(ValueError, match="num_bits"):
+        bloom.bloom_build(None, "k", num_bits=32)
+
+
 def test_prefix_filter_threshold_excludes_weak_pairs(spark):
     docs = spark.createDataFrame(
         [(1, "a b c d e"), (2, "a b c x y"), (3, "p q r s t")],
@@ -170,6 +232,29 @@ def test_group_shingle_overlap_counts_and_ratios(spark):
     assert r.n_common == 3
     assert abs(r.jaccard - 3 / 7) < 1e-12
     assert abs(r.containment_a - 3 / 5) < 1e-12
+
+
+def test_global_index_dense_deterministic(spark):
+    """global_index emits a dense 0-based bijection over ANY key space —
+    here sparse, unordered, negative ids — identical across invocations,
+    and equal to rank in the documented (bucket, key) permutation order."""
+    from nyc_taxi_data_warehouse_spark.operators import sampling
+
+    keys = [507, -3, 9999, 0, 12, 86, -77, 1000000, 41, 7]
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    out1 = {r.doc_id: r.idx for r in sampling.global_index(df, "doc_id").collect()}
+    out2 = {r.doc_id: r.idx for r in sampling.global_index(df, "doc_id").collect()}
+    assert out1 == out2
+    assert sorted(out1.values()) == list(range(len(keys)))
+
+    def bucket(k):
+        import hashlib
+
+        h = hashlib.md5(f"{k}gidx".encode()).hexdigest()
+        return int(h[:8], 16) % 256
+
+    want_order = sorted(keys, key=lambda k: (bucket(k), k))
+    assert out1 == {k: i for i, k in enumerate(want_order)}
 
 
 def test_quantile_bins_uniform_deciles(spark):
@@ -638,6 +723,47 @@ def test_connected_components_spill_variant_identical(spark, tmp_path):
     assert spilled == base == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
 
 
+def test_connected_components_two_phase_matches_min_label(spark):
+    """large_star mode reaches the same unique fixpoint (component-min
+    labels) as the default min-label propagation, on a mixed graph of
+    chain + pair + isolated node."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 20)], "doc_id long"
+    )
+    base = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs, nodes).collect()
+    }
+    two = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(
+            pairs, nodes, mode="large_star"
+        ).collect()
+    }
+    assert two == base == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_two_phase_path_graph_log_rounds(spark):
+    """The adversarial shape for min-label: a 1000-node path (diameter
+    999, min-label needs ~999 rounds). Two-phase large-star/small-star
+    must label the whole path with node 0 within O(log n) rounds —
+    max_iter=12 would leave min-label hopelessly unconverged, so a fully
+    correct result here proves the logarithmic convergence claim."""
+    n = 1000
+    edges = spark.range(n - 1).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = dedup.connected_components(
+        edges, nodes, max_iter=12, mode="large_star"
+    )
+    got = out.groupBy("cluster_id").count().collect()
+    assert len(got) == 1
+    assert got[0].cluster_id == 0 and got[0]["count"] == n
+    assert dedup.LAST_CC_ROUNDS <= 12
+
+
 def test_connected_components_string_ids(spark):
     """String ids exercise the changed-count convergence path (sum(label)
     is NULL for strings and would false-converge after one round); the
@@ -924,6 +1050,27 @@ def test_bucketed_ffill_matches_single_window(spark):
         F.col("temp").isNotNull().alias("temp_observed"),
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ffill_grid_spine_is_broadcast(spark):
+    """The dense-grid build (series × hour spine) must plan as a BROADCAST
+    nested-loop join — the spine is hours-of-history sized (KiB) and an
+    unhinted crossJoin could degrade to a shuffled CartesianProduct at
+    high #series. Pin the plan, not just the hint."""
+    from datetime import datetime
+
+    from nyc_taxi_data_warehouse_spark.operators.timeseries import resample_ffill
+
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 3, 1, 5), 1.0), ("b", datetime(2024, 3, 1, 9), 2.0)],
+        "city string, observed_at timestamp, temp double",
+    )
+    plan = (
+        resample_ffill(df, "observed_at", ["city"], ["temp"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
 
 
 # --- similarity: kmeans build + multi-probe blocking -----------------------
