@@ -65,12 +65,33 @@ HEADLINE = [
     # Morton z-curve clustering diagnostic
     "q_pq_search",
     "q_zorder_cells",
+    # round-5 addition: IVFADC — the HEADLINE ANN serving number. The
+    # exhaustive-ADC q_pq_search above is the recall oracle (O(corpus ×
+    # queries) by construction, q_pq_recall pins recall against it); the
+    # cell-pruned IVF+ADC path is what a 100 TB deployment actually runs.
+    "q_ivfpq_search",
     # round-4 third-session additions: linear-scale dedup diagnostic,
     # inverted-index sparse cosine, bloom runtime filter, MAD anomalies
     "q_dup_ngram_coverage",
     "q_sparse_cosine",
     "q_bloom_join",
     "q_anomaly_mad",
+]
+
+# The FIXED baseline-comparable subset: exactly the 30 queries of the first
+# recorded engine bench (BENCH_r01.json). Reported every round as
+# `baseline_set_total` so round-over-round comparisons have a constant
+# denominator while HEADLINE keeps growing with new operator families —
+# never edit this list (BASELINE.md "Bench selection rule").
+BASELINE_SET = [
+    "q_enrich", "q_weather_hourly", "q_trips_weather", "q_daily",
+    "q_zone_analysis", "q_zone_demand", "q_fare_daily_features",
+    "q_merge_dedup", "q_dedup_exact", "q_minhash_lsh", "q_simhash",
+    "q_text_quality", "q_knn_bruteforce", "q_ann_ivf", "q_scd2_check",
+    "q_scd2_timestamp", "q_dedup_cluster", "q_centroid_assign",
+    "q_multimodal_features", "q_backfill_synthetic", "q_top_terms",
+    "q_text_scrub", "q_sample_hash", "q_percentiles", "q_quality_report",
+    "q_pivot", "q_asof_join", "q_interval_join", "q_gapfill", "q_sessions",
 ]
 
 # Per-query repeat count: the median of 3 runs is reported, so a single
@@ -128,6 +149,9 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
+    baseline_total = round(
+        sum(timings[q] for q in BASELINE_SET if q in timings), 3
+    )
     print(
         json.dumps(
             {
@@ -138,6 +162,8 @@ def main() -> None:
                 "sf": float(sf),
                 "runs_per_query": RUNS,
                 "aggregation": "median",
+                "baseline_set_total": baseline_total,
+                "baseline_set_n": len(BASELINE_SET),
             }
         )
     )

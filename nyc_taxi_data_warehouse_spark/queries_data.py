@@ -1907,8 +1907,16 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.environ.get("SPARK_GRAFT_CC_SPILL") == "1"
         else None
     )
+    # SPARK_GRAFT_CC_MODE=large_star opts into the O(log n) two-phase
+    # algorithm (chain-graph escape hatch); default min_label keeps the
+    # 2-3-round fast path for star/clique near-dup graphs AND the pinned
+    # driver hash (identical fixpoint, so the hash is mode-invariant —
+    # the env knob is for operational experimentation, not correctness)
     return dedup.connected_components(
-        pairs, corpus.select("doc_id"), spill_dir=spill
+        pairs,
+        corpus.select("doc_id"),
+        spill_dir=spill,
+        mode=os.environ.get("SPARK_GRAFT_CC_MODE", "min_label"),
     )
 
 
