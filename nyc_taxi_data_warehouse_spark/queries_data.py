@@ -1953,6 +1953,50 @@ SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node"""
 )
 
 
+def q_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME dedup-clustering pipeline as `q_dedup_cluster`, but the
+    connected-components step runs the alternating large-star/small-star
+    algorithm (Kiveris et al., SOCC'14 — O(log n) rounds on any graph
+    shape) instead of min-label propagation.  Both reach the identical
+    unique fixpoint (every doc labeled with its component-min id), so the
+    recursive-CTE oracle is shared verbatim — this entry gates the
+    two-phase implementation itself against DuckDB, not just against the
+    sibling Spark path."""
+    corpus = _text_corpus(_docs(spark, sf_dir))
+    sh = dedup.shingle_rows(corpus)
+    sig = dedup.minhash_signatures(sh, num_hashes=_NH).persist()
+    pairs = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, num_hashes=_NH))
+    return dedup.connected_components(
+        pairs, corpus.select("doc_id"), mode="large_star"
+    )
+
+
+def q_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0-based global index over doc ids via the bucketed two-pass
+    rank (`sampling.global_index`) — rank↔key resolution for samplers
+    without a single-partition global sort.  The oracle replays the
+    documented permutation (ORDER BY md5-bucket, key) with a plain
+    row_number, so the bucket arithmetic, offset cumulation, and join-back
+    are all value-hashed."""
+    from .operators import sampling
+
+    return sampling.global_index(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id"
+    ).select("doc_id", "idx")
+
+
+_SQL_GLOBAL_INDEX = """
+WITH b AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(doc_id || 'gidx'), 1, 8)) AS BIGINT)
+               % 256 AS bucket
+    FROM documents
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY bucket, doc_id) - 1 AS BIGINT) AS idx
+FROM b"""
+
+
 def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequent-shingle boilerplate scoring (the CCNet idea at
     shingle granularity): a 3-gram appearing in ≥2% of documents is
@@ -3978,6 +4022,8 @@ FROM documents GROUP BY CUBE(source, lang)"""
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
+    "q_cc_two_phase": q_cc_two_phase,
+    "q_global_index": q_global_index,
     "q_boilerplate": q_boilerplate,
     "q_dup_rate_by_source": q_dup_rate_by_source,
     "q_multimodal_features": q_multimodal_features,
@@ -4064,6 +4110,8 @@ ORACLES: dict[str, str] = {
     "q_dedup_exact": _SQL_DEDUP_EXACT,
     "q_minhash_lsh": _SQL_MINHASH_LSH,
     "q_dedup_cluster": _SQL_DEDUP_CLUSTER,
+    "q_cc_two_phase": _SQL_DEDUP_CLUSTER,
+    "q_global_index": _SQL_GLOBAL_INDEX,
     "q_boilerplate": _SQL_BOILERPLATE,
     "q_dup_rate_by_source": _SQL_DUP_RATE_BY_SOURCE,
     "q_multimodal_features": _SQL_MULTIMODAL,
