@@ -3193,6 +3193,75 @@ SELECT query_id, neighbor_id, adc_score, rank FROM (
 _SQL_IVFPQ_SEARCH = _sql_ivfpq_search()
 
 
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of IVFADC (single-probe, cell-pruned, residual-coded)
+    against the exact cosine top-5 — closing the ANN recall triangle:
+    `q_ann_recall` pins IVF blocking, `q_pq_recall` pins exhaustive-ADC
+    compression, this pins their COMPOSITION, which is what a deployment
+    actually serves (and what `bench.py` now reports as the headline ANN
+    number). Single-probe IVFADC recall is bounded by cell agreement
+    between query and true neighbors, so it reads LOWER than either
+    component alone — that gap is the multi-probe motivation, made
+    visible here."""
+    from .operators import pq
+
+    e = _emb(spark, sf_dir)
+    corpus = _scale_out(e)
+    queries = e.where(F.col("vec_id") % 50 == 0)
+    approx = pq.ivfpq_search(
+        queries, corpus, k_cells=8, m=_PQ_M, k_codes=4, k=5,
+        coarse_iter=2, fine_iter=1, quant=_KMEANS_QUANT,
+    ).select("query_id", "neighbor_id")
+    exact = similarity.brute_force_knn(queries, corpus, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / 5.0).alias("recall_at_5"),
+        )
+    )
+
+
+def _sql_ivfpq_recall() -> str:
+    """The full IVFADC chain nests as ONE CTE (DuckDB scopes the inner
+    WITH inside the parenthesis), composed with the same exact-cosine /
+    hits CTEs `_sql_pq_recall` uses."""
+    return (
+        "WITH approx AS (\n"
+        + _SQL_IVFPQ_SEARCH
+        + "\n), "
+        + _VEC_SQL.strip()
+        + f""", exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id, row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY {_COS} DESC, c.neighbor_id ASC) AS rn
+        FROM q CROSS JOIN c) WHERE rn <= 5
+), hits AS (
+    SELECT approx.query_id, count(*) AS n_hits
+    FROM approx JOIN exact
+      ON approx.query_id = exact.query_id
+     AND approx.neighbor_id = exact.neighbor_id
+    GROUP BY 1
+)
+SELECT e.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) / 5.0 AS recall_at_5
+FROM (SELECT DISTINCT query_id FROM exact) e
+LEFT JOIN hits h USING (query_id)"""
+    )
+
+
+_SQL_IVFPQ_RECALL = _sql_ivfpq_recall()
+
+
 _BPE_MERGES = 6
 
 
@@ -4048,6 +4117,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pq_search": q_pq_search,
     "q_pq_recall": q_pq_recall,
     "q_ivfpq_search": q_ivfpq_search,
+    "q_ivfpq_recall": q_ivfpq_recall,
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_tokenize": q_bpe_tokenize,
     "q_chunk_docs": q_chunk_docs,
@@ -4136,6 +4206,7 @@ ORACLES: dict[str, str] = {
     "q_pq_search": _SQL_PQ_SEARCH,
     "q_pq_recall": _SQL_PQ_RECALL,
     "q_ivfpq_search": _SQL_IVFPQ_SEARCH,
+    "q_ivfpq_recall": _SQL_IVFPQ_RECALL,
     "q_bpe_merges": _SQL_BPE_MERGES,
     "q_bpe_tokenize": _SQL_BPE_TOKENIZE,
     "q_chunk_docs": _SQL_CHUNK_DOCS,
