@@ -285,31 +285,32 @@ def dup_ngram_coverage(
 
       tokenize → explode n-grams            [1 row per occurrence]
       (doc, gram) → occurrence count        [shuffle on (doc, gram)]
-      df_docs = count() over (gram)         [shuffle on gram]
-      per-doc rollup                        [shuffle on doc]
+      gram → document frequency             [shuffle on gram]
+      join + per-doc rollup                 [shuffle on doc]
 
-    Document frequency is a window over the per-doc gram counts, not a
-    separate df table re-joined back: the gram→df table is corpus-
-    vocabulary-sized (too big to broadcast at 100 TB) and the join form
-    needs the per-doc frame twice (persist or recompute); the window form
-    computes it once with the same three natural-key shuffles and nothing
-    cached.  All counts are integers (exact under any partial-agg order);
-    the fraction is one per-row division at the end.
+    The gram→df table is corpus-vocabulary-sized (too big to broadcast at
+    100 TB) so the join is a plain shuffle hash join on ``gram``; every
+    frame only ever shuffles on its natural key.  All counts are integers
+    (exact under any partial-agg order); the fraction is one per-row
+    division at the end.
     """
     tokd = docs.select(F.col(id_col), T.tokens(text_col).alias("__w"))
     grams = tokd.select(
         F.col(id_col),
         F.explode(T.shingles_from_tokens("__w", n)).alias("gram"),
     )
-    # document frequency as a window over the per-doc gram counts — the
-    # per frame is computed ONCE (no persist to manage, no self-join): one
-    # shuffle on (doc, gram), one on gram, one on doc, each its natural key
-    per = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("occ"))
-    with_df = per.withColumn(
-        "df_docs", F.count(F.lit(1)).over(Window.partitionBy("gram"))
-    )
+    # per feeds BOTH the df aggregation and the join side — persist or the
+    # tokenize/explode lineage (the dominant cost) runs twice; released by
+    # the ContextCleaner once the caller drops the (lazy) result.  The df
+    # side is a map-side-combined aggregation + re-join, NOT a
+    # `count() OVER (PARTITION BY gram)` window: a window colocates every
+    # occurrence of a hot boilerplate gram in one unsplittable task,
+    # while the join form partial-aggs and AQE skew-join can split the
+    # skewed probe partition (8× probe measured the window super-linear).
+    per = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("occ")).persist()
+    dfs = per.groupBy("gram").agg(F.count(F.lit(1)).alias("df_docs"))
     return (
-        with_df
+        per.join(dfs, "gram")
         .groupBy(id_col)
         .agg(
             F.sum("occ").alias("n_grams"),
@@ -356,19 +357,24 @@ def prefix_filter_pairs(
 
     Emits (doc_a, doc_b, n_inter, jaccard) for pairs with jaccard ≥ t.
     """
-    # persist: toks feeds both the prefix-ranking chain and the verify
-    # arrays. The cached blocks are NOT explicitly unpersisted (the result
-    # is lazy — the cache must outlive this function); they are released by
-    # the ContextCleaner when the caller drops the returned frame (the
-    # persisted RDD is weakly referenced), and MEMORY_AND_DISK eviction
-    # bounds the interim footprint.
+    # persist: toks feeds the df table, the prefix-ranking chain, and the
+    # verify arrays. The cached blocks are NOT explicitly unpersisted (the
+    # result is lazy — the cache must outlive this function); they are
+    # released by the ContextCleaner when the caller drops the returned
+    # frame (the persisted RDD is weakly referenced), and MEMORY_AND_DISK
+    # eviction bounds the interim footprint.
     toks = elements.select(F.col(id_col), F.col(el_col).alias("tok")).persist()
+    # document frequency as a map-side-combined aggregation + re-join, NOT
+    # `count() OVER (PARTITION BY tok)`: a window colocates every row of a
+    # hot boilerplate token in ONE unsplittable task (Zipfian corpora make
+    # that task corpus-fraction-sized), while the join form partial-aggs
+    # the counts and AQE skew-join can split the skewed probe partition.
+    # The 8× scale probe measured the window form super-linear.
+    dfs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     wp = Window.partitionBy(id_col)
     wr = wp.orderBy("df", "tok")
-    # global document frequency as a window over tok — one shuffle of the
-    # element frame on its natural key, no separate df table + re-join
     ranked = (
-        toks.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
+        toks.join(dfs, "tok")
         .withColumn("sz", F.count(F.lit(1)).over(wp))
         .withColumn("rn", F.row_number().over(wr))
     )

@@ -1,0 +1,89 @@
+"""Distribution-drift monitoring for corpus curation pipelines.
+
+A training-data pipeline re-ingests feeds continuously; the question
+"did source X's length/quality/score distribution shift?" has to be
+answered BEFORE a drifted feed contaminates a training mix.  The
+standard scorecard metric is the Population Stability Index:
+
+    PSI = Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref)
+
+over quantile bins of the REFERENCE distribution (rule of thumb:
+< 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).
+
+Scale shape: ONE corpus scan → map-side bin assignment against the
+broadcast boundary array (integer rank-threshold deciles from
+`sampling.quantile_bounds` — no global sort, no interpolation) → two
+tiny (group × bins)-sized aggregations → the PSI fold over the dense
+group×bin grid (built from broadcast-sized frames, so missing bins
+count as zeros instead of silently dropping out of the sum).  Laplace
+smoothing ((c+1)/(n+B)) keeps empty bins finite and is replicated
+digit-for-digit by the DuckDB oracle; the only float enters at the
+final ln/multiply, rounded with the engine's epsilon-shift convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import quantile_bounds
+
+
+def psi_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    num_bins: int = 10,
+) -> DataFrame:
+    """PSI of each group's ``value_col`` distribution against the WHOLE
+    frame's distribution — the "which feed drifted?" dashboard.  Bins are
+    the frame-wide quantile bins (type-1 integer boundaries), so every
+    group is measured on the same ruler.  NULL values are excluded from
+    both distributions.  Returns (group_col, n_rows, psi) with psi the
+    raw double; callers round for cross-engine hashing."""
+    nn = df.where(F.col(value_col).isNotNull())
+    barr = quantile_bounds(nn, value_col, num_bins)
+    x = F.col(value_col)
+    bin_expr = F.aggregate(
+        "__bounds",
+        F.lit(1),
+        lambda acc, b: acc + F.when(x > b, 1).otherwise(0),
+    ).cast("int")
+    binned = nn.crossJoin(F.broadcast(barr)).select(
+        F.col(group_col).alias("grp"), bin_expr.alias("bin")
+    )
+    per_g = binned.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("c_g"))
+    per_ref = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c_r"))
+    n_g = per_g.groupBy("grp").agg(F.sum("c_g").alias("n_g"))
+    n_tbl = per_ref.agg(F.sum("c_r").alias("n_all"))
+    # dense grid: every (group, bin) cell, zeros included — all frames
+    # here are (groups × bins)-sized, so the grid build is broadcast work
+    bins = binned.sparkSession.range(1, num_bins + 1).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    grid = (
+        n_g.crossJoin(F.broadcast(bins))
+        .join(per_g, ["grp", "bin"], "left")
+        .join(F.broadcast(per_ref), "bin", "left")
+        .crossJoin(F.broadcast(n_tbl))
+        .select(
+            "grp",
+            "n_g",
+            (
+                (F.coalesce("c_g", F.lit(0)) + 1)
+                / (F.col("n_g") + num_bins)
+            ).alias("p_g"),
+            (
+                (F.coalesce("c_r", F.lit(0)) + 1)
+                / (F.col("n_all") + num_bins)
+            ).alias("p_r"),
+        )
+    )
+    term = (F.col("p_g") - F.col("p_r")) * F.log(F.col("p_g") / F.col("p_r"))
+    return grid.groupBy("grp").agg(
+        F.first("n_g").alias("n_rows"), F.sum(term).alias("psi")
+    ).select(
+        F.col("grp").alias(group_col),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "psi",
+    )

@@ -204,6 +204,52 @@ def stratified_sample(
     )
 
 
+def quantile_bounds(
+    df: DataFrame, value_col: str, num_bins: int, exact: bool = True
+) -> DataFrame:
+    """The B−1 bin boundaries of :func:`quantile_bins` as ONE row holding a
+    sorted ``__bounds`` array — shared by bin assignment here and by any
+    operator that must bin a DIFFERENT frame against this frame's
+    distribution (e.g. :mod:`.drift`'s PSI, which bins every group against
+    the corpus-wide deciles). NULL values are excluded. Exact path:
+    integer rank-threshold boundaries over the distinct-value table (no
+    float interpolation); ``exact=False``: GK-sketch approx_percentile."""
+    nn = df.where(F.col(value_col).isNotNull())
+    if not exact:
+        probs = [i / num_bins for i in range(1, num_bins)]
+        return nn.agg(
+            F.array_distinct(
+                F.expr(
+                    f"approx_percentile({value_col}, "
+                    f"array({', '.join(map(str, probs))}), 10000)"
+                )
+            ).alias("__bounds")
+        )
+    n_tbl = nn.agg(F.count(F.lit(1)).alias("__n"))
+    vc = nn.groupBy(F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wv = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.withColumn("__cle", F.sum("__c").over(wv))
+    bounds = (
+        cum.crossJoin(F.broadcast(n_tbl))
+        .select(
+            "__v",
+            "__cle",
+            "__n",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(num_bins - 1))
+            ).alias("__i"),
+        )
+        .where(F.col("__cle") * num_bins >= F.col("__i") * F.col("__n"))
+        .groupBy("__i")
+        .agg(F.min("__v").alias("__bound"))
+    )
+    return bounds.agg(
+        F.array_sort(F.collect_list("__bound")).alias("__bounds")
+    )
+
+
 def quantile_bins(
     df: DataFrame, value_col: str, num_bins: int = 10, exact: bool = True
 ) -> DataFrame:
@@ -248,41 +294,7 @@ def quantile_bins(
             "bin",
             F.when(F.col(value_col).isNotNull(), F.lit(1)).cast("int"),
         )
-    nn = df.where(F.col(value_col).isNotNull())
-    if not exact:
-        probs = [i / num_bins for i in range(1, num_bins)]
-        barr = nn.agg(
-            F.array_distinct(
-                F.expr(
-                    f"approx_percentile({value_col}, "
-                    f"array({', '.join(map(str, probs))}), 10000)"
-                )
-            ).alias("__bounds")
-        )
-    else:
-        n_tbl = nn.agg(F.count(F.lit(1)).alias("__n"))
-        vc = nn.groupBy(F.col(value_col).alias("__v")).agg(
-            F.count(F.lit(1)).alias("__c")
-        )
-        wv = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-        cum = vc.withColumn("__cle", F.sum("__c").over(wv))
-        bounds = (
-            cum.crossJoin(F.broadcast(n_tbl))
-            .select(
-                "__v",
-                "__cle",
-                "__n",
-                F.explode(
-                    F.sequence(F.lit(1), F.lit(num_bins - 1))
-                ).alias("__i"),
-            )
-            .where(F.col("__cle") * num_bins >= F.col("__i") * F.col("__n"))
-            .groupBy("__i")
-            .agg(F.min("__v").alias("__bound"))
-        )
-        barr = bounds.agg(
-            F.array_sort(F.collect_list("__bound")).alias("__bounds")
-        )
+    barr = quantile_bounds(df, value_col, num_bins, exact=exact)
     # one shared assignment tail: a semantics change (the strict x > b
     # comparison, the NULL contract) cannot fork the exact/approx paths
     x = F.col(value_col)

@@ -163,14 +163,19 @@ def sparse_cosine_pairs(
     O(vocab · max_df²) candidate work, linear in corpus size for fixed caps.
     """
     tok = docs.select(F.col(id_col), F.explode(T.tokens(text_col)).alias("term"))
-    # document frequency as a window over the tf frame (shuffle on term)
-    # instead of a df table + re-join: tf is computed ONCE, nothing cached
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds df AND the pruned postings — persist or the tokenize/explode
+    # lineage (dominant cost) runs twice (NOTES self-join lesson); released
+    # by the ContextCleaner once the caller drops the (lazy) result.  The
+    # df side stays a map-side-combined aggregation + anti-skew JOIN, not
+    # a `count() OVER (PARTITION BY term)` window: a window colocates all
+    # rows of a hot term in one unsplittable task before the max_df filter
+    # can drop them, while AQE skew-join can split the skewed join probe.
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    kept_terms = dfs.where(F.col("df") <= max_df).select("term")
     w = Window.partitionBy(id_col).orderBy(F.desc("tf"), F.asc("term"))
     kept = (
-        tf.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("term")))
-        .where(F.col("__df") <= max_df)
-        .drop("__df")
+        tf.join(kept_terms, "term")
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= top_m)
         .drop("__rn")

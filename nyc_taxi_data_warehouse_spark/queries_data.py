@@ -649,6 +649,58 @@ SELECT CAST(bin AS INT) AS bin,
 FROM binned GROUP BY 1"""
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift scorecard: each source's doc-length
+    distribution vs the corpus-wide one (`operators/drift.psi_by_group`) —
+    the monitor that flags a drifted feed BEFORE it contaminates a
+    training mix (PSI > 0.25 = shifted).  One corpus scan, map-side
+    binning against broadcast corpus-decile boundaries, then
+    (sources × bins)-sized arithmetic; Laplace smoothing keeps empty
+    bins finite and engine-reproducible."""
+    from .operators import drift
+
+    out = drift.psi_by_group(
+        _docs(spark, sf_dir).select("source", "n_chars"), "source", "n_chars"
+    )
+    return out.select("source", "n_rows", _rnd(F.col("psi"), 6).alias("psi"))
+
+
+_SQL_PSI_DRIFT = """
+WITH nn AS (
+    SELECT doc_id, source, n_chars FROM documents WHERE n_chars IS NOT NULL
+),
+n_all AS (SELECT count(*) AS n FROM nn),
+vc AS (SELECT n_chars AS v, count(*) AS c FROM nn GROUP BY 1),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cle FROM vc),
+bounds AS (
+    SELECT i, min(v) AS bound
+    FROM cum, n_all, range(1, 10) t(i)
+    WHERE cle * 10 >= i * n
+    GROUP BY 1
+),
+binned AS (
+    SELECT d.source, d.doc_id, 1 + count(b.bound) AS bin
+    FROM nn d LEFT JOIN bounds b ON d.n_chars > b.bound
+    GROUP BY 1, 2
+),
+per_g AS (SELECT source, bin, count(*) AS c_g FROM binned GROUP BY 1, 2),
+per_ref AS (SELECT bin, count(*) AS c_r FROM binned GROUP BY 1),
+n_g AS (SELECT source, sum(c_g) AS n_g FROM per_g GROUP BY 1),
+grid AS (
+    SELECT g.source, g.n_g,
+           (coalesce(pg.c_g, 0) + 1) / (g.n_g + 10) AS p_g,
+           (coalesce(pr.c_r, 0) + 1) / (n_all.n + 10) AS p_r
+    FROM n_g g
+    CROSS JOIN range(1, 11) t(bin)
+    LEFT JOIN per_g pg ON pg.source = g.source AND pg.bin = t.bin
+    LEFT JOIN per_ref pr ON pr.bin = t.bin
+    CROSS JOIN n_all
+)
+SELECT source, CAST(n_g AS BIGINT) AS n_rows,
+       round(1e-9 + sum((p_g - p_r) * ln(p_g / p_r)), 6) AS psi
+FROM grid GROUP BY 1, 2"""
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lakehouse change audit gated END-TO-END: what did version 1 add on
     top of version 0?  Writes two lineitem slices through the Delta writer
@@ -4139,6 +4191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sparse_cosine": q_sparse_cosine,
     "q_source_overlap": q_source_overlap,
     "q_feature_binning": q_feature_binning,
+    "q_psi_drift": q_psi_drift,
     "q_snapshot_diff": q_snapshot_diff,
     "q_prefix_filter_pairs": q_prefix_filter_pairs,
     "q_crosstab_independence": q_crosstab_independence,
@@ -4228,6 +4281,7 @@ ORACLES: dict[str, str] = {
     "q_sparse_cosine": _SQL_SPARSE_COSINE,
     "q_source_overlap": _SQL_SOURCE_OVERLAP,
     "q_feature_binning": _SQL_FEATURE_BINNING,
+    "q_psi_drift": _SQL_PSI_DRIFT,
     "q_snapshot_diff": _SQL_SNAPSHOT_DIFF,
     "q_prefix_filter_pairs": _SQL_PREFIX_FILTER,
     "q_crosstab_independence": _SQL_CROSSTAB,

@@ -72,6 +72,18 @@ def main() -> None:
         "prefix_filter": lambda d: dedup.prefix_filter_pairs(
             dedup.shingle_rows(d)
         ),
+        # the full clustering chain (pairs → min-label CC): growth should
+        # track the pair mass, with the iterative rounds adding only
+        # per-round fixed cost (diameter doesn't grow with corpus size on
+        # near-dup graphs)
+        "cc_min_label": lambda d: dedup.connected_components(
+            dedup.lsh_candidate_pairs(
+                dedup.lsh_bands(
+                    dedup.minhash_signatures(dedup.shingle_rows(d)).persist()
+                )
+            ),
+            d.select("doc_id"),
+        ),
     }
     report: dict[str, dict] = {}
     for name, op in ops.items():
