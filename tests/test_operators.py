@@ -393,6 +393,47 @@ def test_bloom_fact_with_colliding_column_name(spark):
     assert out.count() == 10 and "bloom" in out.columns
 
 
+def test_psi_nonnegative_and_orders_drift(spark):
+    """PSI is a sum of (p−q)·ln(p/q) terms — each term has matching signs,
+    so PSI ≥ 0 ALWAYS; a group drawn from the same distribution as the
+    corpus must score near zero, and a location-shifted group must score
+    strictly higher. Both groups share the corpus-wide decile ruler."""
+    from nyc_taxi_data_warehouse_spark.operators import drift
+
+    rows = [("same", i % 100) for i in range(500)]
+    rows += [("shifted", 200 + (i % 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "grp string, x long")
+    out = {r.grp: r for r in drift.psi_by_group(df, "grp", "x").collect()}
+    assert set(out) == {"same", "shifted"}
+    for r in out.values():
+        assert r.psi >= 0.0
+        assert r.n_rows == 500
+    # "same" spans the low half of the corpus range, "shifted" the high
+    # half — both drift from the pooled corpus equally by construction;
+    # the discriminating check needs a genuinely corpus-like group:
+    mixed = rows + [("pooledlike", i % 100) for i in range(250)] + [
+        ("pooledlike", 200 + (i % 100)) for i in range(250)
+    ]
+    df2 = spark.createDataFrame(mixed, "grp string, x long")
+    out2 = {r.grp: r.psi for r in drift.psi_by_group(df2, "grp", "x").collect()}
+    assert out2["pooledlike"] < out2["same"]
+    assert out2["pooledlike"] < out2["shifted"]
+    assert out2["pooledlike"] < 0.02  # near-zero for a corpus-like group
+
+
+def test_psi_excludes_nulls(spark):
+    """NULL values join neither the boundary derivation nor either
+    distribution; a group that is entirely NULL disappears (no rows)."""
+    from nyc_taxi_data_warehouse_spark.operators import drift
+
+    rows = [("a", i) for i in range(100)] + [("a", None)] * 20
+    rows += [("allnull", None)] * 10
+    df = spark.createDataFrame(rows, "grp string, x long")
+    out = {r.grp: r for r in drift.psi_by_group(df, "grp", "x").collect()}
+    assert "allnull" not in out
+    assert out["a"].n_rows == 100
+
+
 def test_quantile_bins_single_bin_and_nulls(spark):
     from nyc_taxi_data_warehouse_spark.operators import sampling
 
