@@ -204,6 +204,40 @@ def stratified_sample(
     )
 
 
+def top_k_prune(
+    df: DataFrame,
+    group_cols: list[str],
+    order_exprs: list,
+    k: int,
+    salt_key: str,
+    n_salt: int = 64,
+) -> DataFrame:
+    """EXACT top-k-per-group pre-prune: returns a ≤ k·n_salt-rows-per-group
+    superset guaranteed to contain each group's true top-k under
+    ``order_exprs`` — the scale-safe front half of a top-k window.
+
+    A bare ``row_number() OVER (PARTITION BY group)`` sorts each group's
+    ENTIRE row set in one unsplittable task (a low-cardinality group
+    column makes that a corpus-fraction-sized partition — same WindowExec
+    skew the NOTES "window-vs-join" lesson covers). Phase 1 ranks within
+    (group, salt-of-``salt_key``) — parallelism #groups × n_salt — and
+    keeps each salt's top-k: any row of the true global top-k ranks ≤ k
+    inside its own salt bucket, so completeness is structural, not
+    probabilistic. The caller applies its final ranking window over the
+    pruned frame; rank values equal the unpruned ones for every row that
+    survives the final ``rank ≤ k`` filter, because every row ordered
+    ahead of a true top-k row is itself top-k (and hence survives too —
+    the argument covers dense_rank as well)."""
+    salt = F.pmod(F.xxhash64(F.col(salt_key).cast("string")), F.lit(n_salt))
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order_exprs)
+    return (
+        df.withColumn("__salt", salt)
+        .withColumn("__rn1", F.row_number().over(w1))
+        .where(F.col("__rn1") <= k)
+        .drop("__rn1", "__salt")
+    )
+
+
 def quantile_bounds(
     df: DataFrame, value_col: str, num_bins: int, exact: bool = True
 ) -> DataFrame:

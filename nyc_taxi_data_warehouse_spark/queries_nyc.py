@@ -777,9 +777,16 @@ WINDOW w AS (PARTITION BY c.c_mktsegment
 
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-window family: top-3 orders by price within each market
-    segment (row_number + dense_rank over a per-group window; deterministic
-    tie-break on order key)."""
+    segment (row_number + dense_rank; deterministic tie-break on order
+    key). Scale shape: `sampling.top_k_prune` first — 5 segments over the
+    whole orders table would otherwise each sort corpus/5 rows in ONE
+    WindowExec task; the salted two-phase prune keeps ≤ 3·64 candidates
+    per segment with structural (not probabilistic) completeness, and the
+    final window's rn/drk values are provably identical on the survivors
+    (every row ranked ahead of a true top-3 row is itself top-3)."""
     from pyspark.sql import Window
+
+    from .operators.sampling import top_k_prune
 
     t = nyc_views.load_tables(spark, sf_dir)
     o, c = t["orders"], t["customer"]
@@ -787,11 +794,13 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select("c_custkey", "c_mktsegment"),
         o.o_custkey == F.col("c_custkey"),
     )
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
+    order = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    pruned = top_k_prune(
+        joined, ["c_mktsegment"], order, k=3, salt_key="o_orderkey"
     )
+    w = Window.partitionBy("c_mktsegment").orderBy(*order)
     return (
-        joined.select(
+        pruned.select(
             "c_mktsegment",
             "o_orderkey",
             "o_totalprice",

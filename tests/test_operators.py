@@ -393,6 +393,46 @@ def test_bloom_fact_with_colliding_column_name(spark):
     assert out.count() == 10 and "bloom" in out.columns
 
 
+def test_top_k_prune_preserves_exact_topk(spark):
+    """The salted two-phase prune must yield EXACTLY the same top-k rows
+    and rank values as the single-window form — including price ties that
+    straddle salt buckets, groups smaller than k, and k larger than a
+    salt bucket's share."""
+    from pyspark.sql import Window
+
+    from nyc_taxi_data_warehouse_spark.operators.sampling import top_k_prune
+
+    rows = []
+    for g in ("a", "b"):
+        for i in range(200):
+            rows.append((g, i + (1000 if g == "b" else 0), float(i % 7)))
+    rows.append(("tiny", 5000, 9.0))  # group smaller than k
+    df = spark.createDataFrame(rows, "grp string, key long, price double")
+    order = [F.desc("price"), F.asc("key")]
+    w = Window.partitionBy("grp").orderBy(*order)
+
+    def ranked(frame):
+        return (
+            frame.select(
+                "grp", "key", "price",
+                F.row_number().over(w).alias("rn"),
+                F.dense_rank().over(w).alias("drk"),
+            )
+            .where(F.col("rn") <= 5)
+        )
+
+    want = sorted(map(tuple, ranked(df).collect()))
+    got = sorted(
+        map(
+            tuple,
+            ranked(
+                top_k_prune(df, ["grp"], order, k=5, salt_key="key", n_salt=8)
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
 def test_psi_nonnegative_and_orders_drift(spark):
     """PSI is a sum of (p−q)·ln(p/q) terms — each term has matching signs,
     so PSI ≥ 0 ALWAYS; a group drawn from the same distribution as the
