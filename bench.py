@@ -65,11 +65,13 @@ HEADLINE = [
     # Morton z-curve clustering diagnostic
     "q_pq_search",
     "q_zorder_cells",
-    # round-5 addition: IVFADC — the HEADLINE ANN serving number. The
-    # exhaustive-ADC q_pq_search above is the recall oracle (O(corpus ×
-    # queries) by construction, q_pq_recall pins recall against it); the
-    # cell-pruned IVF+ADC path is what a 100 TB deployment actually runs.
+    # round-5 additions: IVFADC — the HEADLINE ANN serving number (the
+    # exhaustive-ADC q_pq_search above is the recall oracle, O(corpus ×
+    # queries) by construction; q_pq_recall pins recall against it; the
+    # cell-pruned IVF+ADC path is what a 100 TB deployment actually
+    # runs) — and the drift family's representative (per-source PSI).
     "q_ivfpq_search",
+    "q_psi_drift",
     # round-4 third-session additions: linear-scale dedup diagnostic,
     # inverted-index sparse cosine, bloom runtime filter, MAD anomalies
     "q_dup_ngram_coverage",
