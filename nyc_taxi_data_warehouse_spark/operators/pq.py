@@ -109,6 +109,27 @@ def _best_code(slice_col: Column, cb_sub: list[list[int]]) -> Column:
     return F.array_min(scored)["cid"]
 
 
+def _probe_codes(slice_col: Column, cb_sub: list[list[int]], n_probe: int) -> Column:
+    """The ``n_probe`` nearest centroid ids, ordered by (dist, code id) —
+    the multi-probe generalization of :func:`_best_code` (identical
+    ordering semantics: exact integer L2, smaller code id on ties)."""
+    scored = F.array(
+        *[
+            F.struct(
+                _l2_int(
+                    slice_col,
+                    F.lit([int(x) for x in cv]).cast("array<long>"),
+                ).alias("d"),
+                F.lit(c).alias("cid"),
+            )
+            for c, cv in enumerate(cb_sub)
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, n_probe), lambda s: s["cid"]
+    )
+
+
 def pq_fit(
     vectors: DataFrame,
     m: int = 4,
@@ -302,18 +323,28 @@ def ivfpq_search(
     quant: int | None = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011, the FAISS `IVFx,PQy` architecture):
     coarse k-means partitions the corpus into cells, a shared PQ
     codebook quantizes the RESIDUAL x − centroid(cell), and a query
-    scores only codes in its own cell (single probe) via integer ADC.
+    scores only codes in its ``n_probe`` nearest cells via integer ADC.
+
+    ``n_probe`` is the standard recall/cost dial (FAISS ``nprobe``):
+    single-probe recall is bounded by query↔neighbor cell agreement —
+    the gap `q_ivfpq_recall` makes visible — and each extra probe
+    re-scores one more cell's codes (cost × n_probe/k_cells of the
+    corpus, query-side only: the corpus index is untouched). Each
+    probed cell uses its OWN residual q − centroid(cell), exactly as
+    the corpus codes were encoded. n_probe=1 preserves the original
+    single-probe plan and hashes.
 
     Spark shapes: coarse fit + fine fit are the `pq_fit` driver-side
     codebook boundary; encode is one narrow map; search is an equi-JOIN
-    on the cell id with the query batch broadcast — the corpus is
-    cell-pruned, never crossJoined, and top-k remains a per-query
-    window. Everything stays on the integer lattice, so results are
-    bit-reproducible (ties: smaller neighbor id)."""
+    on the cell id with the (n_probe-exploded) query batch broadcast —
+    the corpus is cell-pruned, never crossJoined, and top-k remains a
+    per-query window. Everything stays on the integer lattice, so
+    results are bit-reproducible (ties: smaller neighbor id)."""
     coarse = pq_fit(
         corpus, m=1, k=k_cells, n_iter=coarse_iter, quant=quant,
         id_col=id_col, vec_col=vec_col,
@@ -327,15 +358,34 @@ def ivfpq_search(
         res, fine, quant=None, id_col=id_col, vec_col="res", keep=("cell",)
     )
     sub = len(fine[0][0])
-    qres = ivfpq_residuals(queries, coarse, quant, id_col, vec_col)
+    if n_probe <= 1:
+        qres = ivfpq_residuals(queries, coarse, quant, id_col, vec_col)
+    else:
+        # one row per (query, probed cell), each with that cell's OWN
+        # residual — the corpus-side encoding contract
+        qv = queries.select(
+            F.col(id_col), _quantized(vec_col, quant).alias("__q")
+        ).withColumn(
+            "cell", F.explode(_probe_codes(F.col("__q"), coarse[0], n_probe))
+        )
+        cent = F.element_at(_cb_lit(coarse[0]), F.col("cell") + 1)
+        qres = qv.select(
+            F.col(id_col),
+            F.col("cell"),
+            F.zip_with(F.col("__q"), cent, lambda a, b: a - b).alias("res"),
+        )
     q = qres.select(
         F.col(id_col).alias("query_id"),
         F.col("cell"),
         _slices(F.col("res"), m, sub).alias("__qs"),
     )
+    # squared-L2 residual ADC (Jégou et al. §III: d(q, x) ≈ Σ_s ||q_s −
+    # cb_s[code_s]||²), NOT a residual dot product: L2 distances are
+    # comparable ACROSS cells — the property multi-probe needs (and the
+    # single-probe ranking the paper specifies). Exact integers.
     score = None
     for s in range(m):
-        d = _dot_int(
+        d = _l2_int(
             F.col("__qs")[s],
             F.element_at(_cb_lit(fine[s]), F.col("codes")[s] + 1),
         )
@@ -343,15 +393,15 @@ def ivfpq_search(
     scored = (
         codes.withColumnRenamed(id_col, "neighbor_id")
         .join(F.broadcast(q), "cell")
-        .select("query_id", "neighbor_id", score.alias("adc_score"))
+        .select("query_id", "neighbor_id", score.alias("adc_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("adc_score"), F.asc("neighbor_id")
+        F.asc("adc_dist"), F.asc("neighbor_id")
     )
     out = (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "adc_score", F.col("rn").alias("rank"))
+        .select("query_id", "neighbor_id", "adc_dist", F.col("rn").alias("rank"))
     )
     # the cache served the two fit phases (their collects materialized
     # it); dropping it now means the caller's final action recomputes

@@ -3178,10 +3178,12 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitives (`pq.ivfpq_search`): exact-integer coarse k-means (m=1
     `pq_fit`) partitions the corpus into 8 cells, a shared 4×4 PQ
     codebook quantizes the residual x − centroid(cell), and each query
-    scores only its own cell's codes via integer ADC — an equi-join on
-    the cell id, never a cross join. Oracled by composing two prefixed
-    unrolled-Lloyd's CTE chains (coarse over embeddings, fine over the
-    residual CTE) plus the within-cell scoring join."""
+    scores only its own cell's codes via integer squared-L2 ADC (the
+    Jégou formulation — cross-cell comparable, which is what lets
+    ``n_probe`` widen the search) — an equi-join on the cell id, never a
+    cross join. Oracled by composing two prefixed unrolled-Lloyd's CTE
+    chains (coarse over embeddings, fine over the residual CTE) plus the
+    within-cell scoring join."""
     from .operators import pq
 
     e = _emb(spark, sf_dir)
@@ -3197,7 +3199,7 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         quant=_KMEANS_QUANT,
     )
     return out.select(
-        "query_id", "neighbor_id", "adc_score", F.col("rank").cast("long").alias("rank")
+        "query_id", "neighbor_id", "adc_dist", F.col("rank").cast("long").alias("rank")
     )
 
 
@@ -3225,7 +3227,8 @@ def _sql_ivfpq_search() -> str:
         + fine
         + f""", sc AS (
     SELECT qc.vec_id AS query_id, xc.vec_id AS neighbor_id,
-           CAST(sum(qs.sv[r.i] * c.cv[r.i]) AS BIGINT) AS adc_score
+           CAST(sum((qs.sv[r.i] - c.cv[r.i]) * (qs.sv[r.i] - c.cv[r.i]))
+                AS BIGINT) AS adc_dist
     FROM res qc
     JOIN res xc ON xc.cell = qc.cell
     JOIN fsl qs ON qs.vec_id = qc.vec_id
@@ -3235,9 +3238,9 @@ def _sql_ivfpq_search() -> str:
     WHERE qc.vec_id % 50 = 0
     GROUP BY 1, 2
 )
-SELECT query_id, neighbor_id, adc_score, rank FROM (
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
     SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC) AS rank
+        PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
     FROM sc) WHERE rank <= 5"""
     )
 

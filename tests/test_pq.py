@@ -121,6 +121,46 @@ def test_ivfpq_search_stays_in_cell_and_is_deterministic(spark, corpus):
         assert cells[r["neighbor_id"]] == cells[r["query_id"]]
 
 
+def test_ivfpq_multiprobe_single_probe_identical(spark, corpus):
+    """n_probe=1 must preserve the original single-probe results exactly
+    (the gated query hash depends on it)."""
+    args = dict(k_cells=4, m=2, k_codes=4, k=3)
+    qs = corpus.where(F.col("vec_id") % 10 == 0)
+    base = sorted(map(tuple, pq.ivfpq_search(qs, corpus, **args).collect()))
+    one = sorted(
+        map(tuple, pq.ivfpq_search(qs, corpus, n_probe=1, **args).collect())
+    )
+    assert one == base
+
+
+def test_ivfpq_multiprobe_expands_candidates_and_recall(spark, corpus):
+    """Probing more cells can only widen the candidate set: every scored
+    neighbor lives in one of the query's n_probe nearest cells, results
+    at n_probe=k_cells cover ALL cells (candidate set = whole corpus),
+    and recall@k vs exact cosine is monotone in n_probe."""
+    from nyc_taxi_data_warehouse_spark.operators import similarity
+
+    args = dict(k_cells=4, m=2, k_codes=4, k=3)
+    qs = corpus.where(F.col("vec_id") % 10 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_knn(qs, corpus, k=3).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in pq.ivfpq_search(qs, corpus, n_probe=n_probe, **args).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r2, rall = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= rall
+    # probe-all scores the entire corpus: in this well-separated fixture
+    # the ADC ranking recovers most of the exact top-3
+    assert rall >= 0.8
+
+
 def test_ivfpq_rejects_multi_subspace_coarse(spark, corpus):
     fine = pq.pq_fit(corpus, m=2, k=2, n_iter=1)
     with pytest.raises(ValueError, match="m=1"):
