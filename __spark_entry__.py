@@ -69,6 +69,7 @@ _CHECK_LAST = [
     # round-5 additions, never driver-gated — FIRST-evidence candidates
     # for the round-6 window (builder triple-SF sweeps cover them now)
     "q_cc_two_phase", "q_global_index", "q_ivfpq_recall", "q_psi_drift",
+    "q_ivfpq_multiprobe",
     # outside the 50-slot window this round; r3-green first (oldest
     # remaining evidence → round-6 window candidates), then r4-green
     "q_antijoin", "q_array_ops", "q_boilerplate",

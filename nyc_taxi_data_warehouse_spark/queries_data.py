@@ -3248,6 +3248,104 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM (
 _SQL_IVFPQ_SEARCH = _sql_ivfpq_search()
 
 
+def q_ivfpq_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with ``n_probe=2`` — the standard recall/cost dial: each
+    query scores codes in its TWO nearest coarse cells, each probed cell
+    using its own residual q − centroid(cell). Cross-cell score
+    comparability is exactly why the ADC is squared-L2 (a residual dot
+    product is rank-valid only within one cell — the bug the multi-probe
+    tests caught). The oracle extends the single-probe CTE chain with a
+    per-query cell ranking (top-2 by exact integer L2) and per-probed-
+    cell residual slices."""
+    from .operators import pq
+
+    e = _emb(spark, sf_dir)
+    out = pq.ivfpq_search(
+        e.where(F.col("vec_id") % 50 == 0),
+        _scale_out(e),
+        k_cells=8,
+        m=_PQ_M,
+        k_codes=4,
+        k=5,
+        coarse_iter=2,
+        fine_iter=1,
+        quant=_KMEANS_QUANT,
+        n_probe=2,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "adc_dist", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _sql_ivfpq_multiprobe(n_probe: int = 2) -> str:
+    coarse = _sql_pq_ctes(
+        m=1, k=8, n_iter=2, dim=64, prefix="co", src="embeddings",
+        vec="embedding", quantize=True,
+    )
+    fine = _sql_pq_ctes(
+        m=_PQ_M, k=4, n_iter=1, dim=64, prefix="f", src="res", vec="r",
+        quantize=False,
+    )
+    sub = 64 // _PQ_M
+    return (
+        "WITH "
+        + coarse
+        + """, res AS (
+    SELECT cov.vec_id, a.code_id AS cell,
+           list_transform(range(1, 65),
+               i -> cov.q[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]) AS r
+    FROM cov
+    JOIN coa3 a USING (vec_id)
+    JOIN coc2 c ON c.sub = a.sub AND c.code_id = a.code_id
+), """
+        + fine
+        + f""", qpd AS (
+    SELECT v.vec_id, c.code_id,
+           CAST(sum((v.q[r.i] - c.cv[r.i]) * (v.q[r.i] - c.cv[r.i]))
+                AS BIGINT) AS dist
+    FROM cov v
+    JOIN coc2 c ON TRUE
+    CROSS JOIN range(1, 65) r(i)
+    WHERE v.vec_id % 50 = 0
+    GROUP BY 1, 2
+), qprobe AS (
+    SELECT vec_id, code_id AS cell FROM (
+        SELECT vec_id, code_id, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, code_id ASC) AS rn
+        FROM qpd) WHERE rn <= {n_probe}
+), qres AS (
+    SELECT p.vec_id, p.cell,
+           list_transform(range(1, 65),
+               i -> v.q[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]) AS r
+    FROM qprobe p
+    JOIN cov v USING (vec_id)
+    JOIN coc2 c ON c.code_id = p.cell
+), qsl AS (
+    SELECT vec_id, cell, s.s AS sub,
+           qres.r[CAST(s.s * {sub} + 1 AS INTEGER)
+                  : CAST(s.s * {sub} + {sub} AS INTEGER)] AS sv
+    FROM qres CROSS JOIN range(0, {_PQ_M}) s(s)
+), sc AS (
+    SELECT qs.vec_id AS query_id, xc.vec_id AS neighbor_id,
+           CAST(sum((qs.sv[r.i] - c.cv[r.i]) * (qs.sv[r.i] - c.cv[r.i]))
+                AS BIGINT) AS adc_dist
+    FROM qsl qs
+    JOIN res xc ON xc.cell = qs.cell
+    JOIN fa2 e ON e.vec_id = xc.vec_id AND e.sub = qs.sub
+    JOIN fc1 c ON c.sub = e.sub AND c.code_id = e.code_id
+    CROSS JOIN range(1, {sub + 1}) r(i)
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+    FROM sc) WHERE rank <= 5"""
+    )
+
+
+_SQL_IVFPQ_MULTIPROBE = _sql_ivfpq_multiprobe()
+
+
 def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of IVFADC (single-probe, cell-pruned, residual-coded)
     against the exact cosine top-5 — closing the ANN recall triangle:
@@ -4173,6 +4271,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pq_recall": q_pq_recall,
     "q_ivfpq_search": q_ivfpq_search,
     "q_ivfpq_recall": q_ivfpq_recall,
+    "q_ivfpq_multiprobe": q_ivfpq_multiprobe,
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_tokenize": q_bpe_tokenize,
     "q_chunk_docs": q_chunk_docs,
@@ -4263,6 +4362,7 @@ ORACLES: dict[str, str] = {
     "q_pq_recall": _SQL_PQ_RECALL,
     "q_ivfpq_search": _SQL_IVFPQ_SEARCH,
     "q_ivfpq_recall": _SQL_IVFPQ_RECALL,
+    "q_ivfpq_multiprobe": _SQL_IVFPQ_MULTIPROBE,
     "q_bpe_merges": _SQL_BPE_MERGES,
     "q_bpe_tokenize": _SQL_BPE_TOKENIZE,
     "q_chunk_docs": _SQL_CHUNK_DOCS,
