@@ -89,44 +89,35 @@ def _cb_lit(cb_sub: list[list[int]]) -> Column:
     )
 
 
+def _scored_codes(slice_col: Column, cb_sub: list[list[int]]) -> Column:
+    """array of (dist, code id) structs — ONE transform over the single
+    codebook Literal (the (value, index) lambda supplies the code id),
+    not k unrolled per-centroid folds: the executed work is identical,
+    but the expression tree is k× smaller, and Catalyst analysis of the
+    re-inlined codebook folds is the dominant fixed cost of the PQ
+    lifecycle at bench scale (see :func:`_cb_lit`)."""
+    return F.transform(
+        _cb_lit(cb_sub),
+        lambda cv, i: F.struct(
+            _l2_int(slice_col, cv).alias("d"), i.alias("cid")
+        ),
+    )
+
+
 def _best_code(slice_col: Column, cb_sub: list[list[int]]) -> Column:
     """argmin_{code} L2(slice, centroid) with deterministic ties (smaller
     code id wins): array_min over (dist, code) structs orders by dist
-    first, code second — both exact integers.  Centroids enter as single
-    list-Literal nodes (see :func:`_cb_lit`)."""
-    scored = F.array(
-        *[
-            F.struct(
-                _l2_int(
-                    slice_col,
-                    F.lit([int(x) for x in cv]).cast("array<long>"),
-                ).alias("d"),
-                F.lit(c).alias("cid"),
-            )
-            for c, cv in enumerate(cb_sub)
-        ]
-    )
-    return F.array_min(scored)["cid"]
+    first, code second — both exact integers."""
+    return F.array_min(_scored_codes(slice_col, cb_sub))["cid"]
 
 
 def _probe_codes(slice_col: Column, cb_sub: list[list[int]], n_probe: int) -> Column:
     """The ``n_probe`` nearest centroid ids, ordered by (dist, code id) —
     the multi-probe generalization of :func:`_best_code` (identical
     ordering semantics: exact integer L2, smaller code id on ties)."""
-    scored = F.array(
-        *[
-            F.struct(
-                _l2_int(
-                    slice_col,
-                    F.lit([int(x) for x in cv]).cast("array<long>"),
-                ).alias("d"),
-                F.lit(c).alias("cid"),
-            )
-            for c, cv in enumerate(cb_sub)
-        ]
-    )
     return F.transform(
-        F.slice(F.array_sort(scored), 1, n_probe), lambda s: s["cid"]
+        F.slice(F.array_sort(_scored_codes(slice_col, cb_sub)), 1, n_probe),
+        lambda s: s["cid"],
     )
 
 
@@ -238,6 +229,37 @@ def pq_encode(
     )
 
 
+def _adc_lut(cb: Codebook, qs_col: str, dist: str) -> Column:
+    """The standard ADC distance-table trick (Jégou et al. §V.A): per
+    QUERY row, precompute ``lut[s][code] = dist(q_s, cb[s][code])`` for
+    all m·k (subspace, code) pairs.  The corpus-side score then becomes
+    m array lookups + adds instead of m sub-dimensional integer folds
+    per (corpus row × query) pair — identical integers, ~sub× less
+    expression evaluation on the corpus-sized side.  The LUT projection
+    sits below the BroadcastExchange, so it is evaluated once per query
+    row and shipped, never re-derived per corpus row."""
+    fn = _dot_int if dist == "dot" else _l2_int
+
+    # single-parameter lambda only: F.transform treats a 2-arg lambda
+    # as (value, index), so `lambda cv, s=s` would rebind s per element
+    def _sub(s: int) -> Column:
+        return F.transform(_cb_lit(cb[s]), lambda cv: fn(F.col(qs_col)[s], cv))
+
+    return F.array(*[_sub(s) for s in range(len(cb))])
+
+
+def _lut_score(m: int, lut_col: str = "__lut") -> Column:
+    """Σ_s lut[s][codes[s]] — the corpus-side ADC fold over the
+    per-query LUT (see :func:`_adc_lut`)."""
+    score = None
+    for s in range(m):
+        d = F.element_at(
+            F.element_at(F.col(lut_col), s + 1), F.col("codes")[s] + 1
+        )
+        score = d if score is None else score + d
+    return score
+
+
 def pq_search(
     queries: DataFrame,
     codes: DataFrame,
@@ -250,8 +272,9 @@ def pq_search(
     """ADC top-k: each corpus CODE row is scored against each query by
     summing per-subspace integer dot products dot(q_s, centroid[code_s])
     — the corpus vectors themselves are never read. Query batch is
-    broadcast; the corpus streams with no shuffle; the only exchange is
-    the final per-query top-k window on the (small) scored frame.
+    broadcast with a precomputed per-query distance table (`_adc_lut`);
+    the corpus streams with no shuffle; the only exchange is the final
+    per-query top-k window on the (small) scored frame.
 
     Scores are exact integers (approximate dot product on the quant
     lattice), ties break on neighbor id — fully deterministic."""
@@ -260,18 +283,13 @@ def pq_search(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _slices(_quantized(vec_col, quant), m, sub).alias("__qs"),
+    ).select(
+        "query_id", _adc_lut(cb, "__qs", "dot").alias("__lut")
     )
-    score = None
-    for s in range(m):
-        d = _dot_int(
-            F.col("__qs")[s],
-            F.element_at(_cb_lit(cb[s]), F.col("codes")[s] + 1),
-        )
-        score = d if score is None else score + d
     scored = (
         codes.withColumnRenamed(id_col, "neighbor_id")
         .crossJoin(F.broadcast(q))
-        .select("query_id", "neighbor_id", score.alias("adc_score"))
+        .select("query_id", "neighbor_id", _lut_score(m).alias("adc_score"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("adc_score"), F.asc("neighbor_id")
@@ -354,9 +372,15 @@ def ivfpq_search(
         res, m=m, k=k_codes, n_iter=fine_iter, quant=None,
         id_col=id_col, vec_col="res",
     )
+    # materialize the encoded corpus NOW, while `res` is still cached:
+    # (id, cell, m byte-codes) is the PQ-compressed index — tiny — and
+    # caching it means the caller's final action scores cached codes
+    # instead of replaying corpus scan → coarse assign → fine encode.
+    # Released by the ContextCleaner when the returned frame is dropped.
     codes = pq_encode(
         res, fine, quant=None, id_col=id_col, vec_col="res", keep=("cell",)
-    )
+    ).persist()
+    codes.count()
     sub = len(fine[0][0])
     if n_probe <= 1:
         qres = ivfpq_residuals(queries, coarse, quant, id_col, vec_col)
@@ -374,26 +398,23 @@ def ivfpq_search(
             F.col("cell"),
             F.zip_with(F.col("__q"), cent, lambda a, b: a - b).alias("res"),
         )
+    # squared-L2 residual ADC (Jégou et al. §III: d(q, x) ≈ Σ_s ||q_s −
+    # cb_s[code_s]||²), NOT a residual dot product: L2 distances are
+    # comparable ACROSS cells — the property multi-probe needs (and the
+    # single-probe ranking the paper specifies). Exact integers, folded
+    # through the per-query distance table (`_adc_lut`) so the
+    # corpus-side cost is m lookups, not m sub-dim folds.
     q = qres.select(
         F.col(id_col).alias("query_id"),
         F.col("cell"),
         _slices(F.col("res"), m, sub).alias("__qs"),
+    ).select(
+        "query_id", "cell", _adc_lut(fine, "__qs", "l2").alias("__lut")
     )
-    # squared-L2 residual ADC (Jégou et al. §III: d(q, x) ≈ Σ_s ||q_s −
-    # cb_s[code_s]||²), NOT a residual dot product: L2 distances are
-    # comparable ACROSS cells — the property multi-probe needs (and the
-    # single-probe ranking the paper specifies). Exact integers.
-    score = None
-    for s in range(m):
-        d = _l2_int(
-            F.col("__qs")[s],
-            F.element_at(_cb_lit(fine[s]), F.col("codes")[s] + 1),
-        )
-        score = d if score is None else score + d
     scored = (
         codes.withColumnRenamed(id_col, "neighbor_id")
         .join(F.broadcast(q), "cell")
-        .select("query_id", "neighbor_id", score.alias("adc_dist"))
+        .select("query_id", "neighbor_id", _lut_score(m).alias("adc_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
@@ -403,9 +424,8 @@ def ivfpq_search(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "adc_dist", F.col("rn").alias("rank"))
     )
-    # the cache served the two fit phases (their collects materialized
-    # it); dropping it now means the caller's final action recomputes
-    # res once via a narrow map — bounded work — instead of the cached
-    # frame living for the session (pq_fit's own unpersist pattern)
+    # the residual cache served the fit phases and the codes
+    # materialization above; the caller's final action reads cached
+    # codes, so res can drop immediately (pq_fit's own unpersist pattern)
     res.unpersist(blocking=False)
     return out
