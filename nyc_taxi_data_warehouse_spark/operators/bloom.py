@@ -45,6 +45,11 @@ from pyspark.sql import functions as F
 # 1-based int array ordinal (word + 1 ≤ 2^30 < 2^31) cannot overflow, and
 # already past the point where the one-task dense assembly + broadcast is
 # the dominant cost. Larger filters must be sharded, not widened.
+# NOTE: in practice Spark's ~2 GiB single-array limit (byte-addressed
+# UnsafeArrayData / broadcast) binds FIRST — a build above ~2^34 bits
+# (2^28 longs) fails loudly at assembly/broadcast time before this guard
+# ever matters; the guard exists for the silent-overflow bound, the JVM
+# enforces the practical one.
 MAX_BLOOM_BITS = 1 << 36
 
 

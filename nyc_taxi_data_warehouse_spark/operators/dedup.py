@@ -493,8 +493,29 @@ def group_shingle_overlap(
 
 # rounds taken by the most recent connected_components call — test/telemetry
 # observability for the convergence-rate claims (O(diameter) vs O(log n));
-# driver-side coordination state only, never read by the computation itself
+# driver-side coordination state only, never read by the computation itself.
+# SINGLE-THREADED ASSUMPTION: a module-global written by every call, so
+# concurrent connected_components calls in one driver race on it and the
+# value is meaningless; only read it from single-threaded test/telemetry
+# code (tests/test_operators.py does), never for control flow.
 LAST_CC_ROUNDS = 0
+
+
+def _warn_unconverged(algo: str, max_iter: int) -> None:
+    """Loud exit when a CC loop runs out of rounds before the fixpoint:
+    an unconverged large-star edge set can yield centers that are NOT
+    component minima (wrong cluster ids), and unconverged min-label
+    output is only partially-propagated mins — neither may masquerade
+    as a clean result."""
+    import warnings
+
+    warnings.warn(
+        f"connected_components[{algo}] exited after max_iter={max_iter} "
+        "rounds WITHOUT converging; cluster ids may be wrong (large_star) "
+        "or only partially propagated (min_label). Raise max_iter.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def connected_components(
@@ -639,6 +660,8 @@ def connected_components(
         labels = new_labels
         if converged:
             break
+    else:
+        _warn_unconverged("min_label", max_iter)
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )
@@ -703,6 +726,8 @@ def _cc_two_phase(
         E = new_e
         if converged:
             break
+    else:
+        _warn_unconverged("large_star", max_iter)
     centers = E.groupBy("u").agg(F.min("v").alias("__lbl"))
     return (
         nodes.select(F.col(id_col))

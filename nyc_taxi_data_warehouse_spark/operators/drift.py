@@ -10,12 +10,14 @@ standard scorecard metric is the Population Stability Index:
 over quantile bins of the REFERENCE distribution (rule of thumb:
 < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).
 
-Scale shape: ONE corpus scan → map-side bin assignment against the
-broadcast boundary array (integer rank-threshold deciles from
-`sampling.quantile_bounds` — no global sort, no interpolation) → two
-tiny (group × bins)-sized aggregations → the PSI fold over the dense
-group×bin grid (built from broadcast-sized frames, so missing bins
-count as zeros instead of silently dropping out of the sum).  Laplace
+Scale shape: one boundary pass (`sampling.quantile_bounds` — integer
+rank-threshold deciles, no global sort, no interpolation) + ONE binning
+pass: map-side bin assignment against the broadcast boundary array into
+a single (group × bin) count aggregation, from which the reference
+counts and group totals derive by re-aggregating the tiny counts frame
+— the corpus lineage feeds exactly one aggregation → the PSI fold over
+the dense group×bin grid (built from broadcast-sized frames, so missing
+bins count as zeros instead of silently dropping out of the sum).  Laplace
 smoothing ((c+1)/(n+B)) keeps empty bins finite and is replicated
 digit-for-digit by the DuckDB oracle; the only float enters at the
 final ln/multiply, rounded with the engine's epsilon-shift convention.
@@ -52,8 +54,18 @@ def psi_by_group(
     binned = nn.crossJoin(F.broadcast(barr)).select(
         F.col(group_col).alias("grp"), bin_expr.alias("bin")
     )
-    per_g = binned.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("c_g"))
-    per_ref = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c_r"))
+    # ONE aggregation consumes the corpus-sized lineage; the reference
+    # distribution and group totals re-aggregate the (groups × bins)
+    # counts frame. per_g feeds three consumers, so persist the tiny
+    # counts — or the scan + bin assignment lineage would replay per
+    # consumer (no explicit unpersist: ContextCleaner frees it when the
+    # lazy result is dropped, the terms.py/dedup.py pattern)
+    per_g = (
+        binned.groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("c_g"))
+        .persist()
+    )
+    per_ref = per_g.groupBy("bin").agg(F.sum("c_g").alias("c_r"))
     n_g = per_g.groupBy("grp").agg(F.sum("c_g").alias("n_g"))
     n_tbl = per_ref.agg(F.sum("c_r").alias("n_all"))
     # dense grid: every (group, bin) cell, zeros included — all frames

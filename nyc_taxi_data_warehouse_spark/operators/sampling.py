@@ -225,9 +225,14 @@ def top_k_prune(
     inside its own salt bucket, so completeness is structural, not
     probabilistic. The caller applies its final ranking window over the
     pruned frame; rank values equal the unpruned ones for every row that
-    survives the final ``rank ≤ k`` filter, because every row ordered
-    ahead of a true top-k row is itself top-k (and hence survives too —
-    the argument covers dense_rank as well)."""
+    survives the final ``row_number ≤ k`` filter, because every row
+    ordered ahead of a true top-k row is itself top-k (and hence
+    survives too). The guarantee requires a TOTAL order (unique
+    tie-break in ``order_exprs``) and a row_number-style final filter:
+    with ties, a row whose global dense_rank ≤ k can still be bucket
+    row_number > k and be pruned here, so a dense_rank ≤ k final filter
+    could silently lose tied rows. dense_rank VALUES are only guaranteed
+    for rows that also satisfy row_number ≤ k."""
     salt = F.pmod(F.xxhash64(F.col(salt_key).cast("string")), F.lit(n_salt))
     w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order_exprs)
     return (
@@ -247,7 +252,11 @@ def quantile_bounds(
     distribution (e.g. :mod:`.drift`'s PSI, which bins every group against
     the corpus-wide deciles). NULL values are excluded. Exact path:
     integer rank-threshold boundaries over the distinct-value table (no
-    float interpolation); ``exact=False``: GK-sketch approx_percentile."""
+    float interpolation), with the cumulative counts computed by
+    range-partitioned parallel windows + a tiny offset table — never an
+    unpartitioned global window; ``exact=False``: GK-sketch
+    approx_percentile (cheaper — no distinct-value shuffle at all — at
+    the price of approximate edges)."""
     nn = df.where(F.col(value_col).isNotNull())
     if not exact:
         probs = [i / num_bins for i in range(1, num_bins)]
@@ -263,8 +272,43 @@ def quantile_bounds(
     vc = nn.groupBy(F.col(value_col).alias("__v")).agg(
         F.count(F.lit(1)).alias("__c")
     )
-    wv = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = vc.withColumn("__cle", F.sum("__c").over(wv))
+    # cumulative counts in VALUE order without an unpartitioned window
+    # (`Window.orderBy` alone = one-task sort — corpus-sized for a
+    # continuous column where every value is distinct): range-partition
+    # the value table, run the cumulative window WITHIN each range
+    # partition (parallel), and add per-partition offsets from a
+    # #partitions-sized summary.  RangePartitioner numbers partitions in
+    # ascending value order and never splits a key, and each value's
+    # cumulative count is independent of WHERE the sampled partition
+    # boundaries fall — so the result is bit-identical to the global
+    # window (and to the SQL oracle) on any partitioning.
+    vcp = vc.repartitionByRange(32, F.col("__v")).withColumn(
+        "__p", F.spark_partition_id()
+    )
+    wp = (
+        Window.partitionBy("__p")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    part = vcp.withColumn("__pcum", F.sum("__c").over(wp))
+    offsets = (
+        part.groupBy("__p")
+        .agg(F.sum("__c").alias("__pc"))
+        .select(
+            "__p",
+            F.coalesce(
+                F.sum("__pc").over(
+                    Window.orderBy("__p").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("__off"),
+        )
+    )
+    cum = part.join(F.broadcast(offsets), "__p").withColumn(
+        "__cle", F.col("__pcum") + F.col("__off")
+    )
     bounds = (
         cum.crossJoin(F.broadcast(n_tbl))
         .select(
@@ -309,14 +353,16 @@ def quantile_bins(
     equal-frequency semantics.  Adds a ``bin`` column (1..B); NULL values
     are excluded from the boundary computation and get a NULL bin.
 
-    Scale caveat: the exact path's cumulative window runs over DISTINCT
-    values — cheap for discrete features, but a continuous column where
-    every value is distinct makes that table corpus-sized on one
-    partition.  ``exact=False`` is the scale path for those: boundaries
-    come from ``approx_percentile`` (GK sketch — one ordinary aggregation,
-    no window, mergeable across partitions), assignment is the same
-    broadcast fold.  Same contract, approximate edges (Spark-ML
-    QuantileDiscretizer semantics).
+    Scale: the exact path's cumulative counts run over DISTINCT values,
+    range-partitioned with per-partition windows + a broadcast offset
+    table (see :func:`quantile_bounds`) — fully parallel even for a
+    continuous column where every value is distinct.  ``exact=False``
+    trades the distinct-value shuffle for a single ``approx_percentile``
+    aggregation (GK sketch — mergeable across partitions, no shuffle of
+    values at all), assignment is the same broadcast fold.  Same
+    contract, approximate edges (Spark-ML QuantileDiscretizer
+    semantics); prefer it when boundary exactness is not part of the
+    output contract.
     """
     if num_bins < 1:
         raise ValueError(f"num_bins must be >= 1, got {num_bins}")
