@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from nyc_taxi_data_warehouse_spark.operators import dedup, terms
+from nyc_taxi_data_warehouse_spark.operators import dedup, drift, pq, terms
 from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
 from nyc_taxi_data_warehouse_spark.session import get_spark
 
@@ -47,6 +47,44 @@ def _docs_at(spark, sf_dir: str, mult: int):
         )
     target = spark.sparkContext.defaultParallelism
     return out.repartition(target)
+
+
+def _docs_meta_at(spark, sf_dir: str, mult: int):
+    """(source, n_chars) at mult× rows — the PSI probe input.  Content
+    growth: replicas get length-shifted n_chars so the distinct-value
+    table (the quantile-bounds work set) grows with the corpus."""
+    d = load_tables(spark, sf_dir)["documents"].select("source", "n_chars")
+    if mult == 1:
+        out = d
+    else:
+        out = d.select(
+            F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep"),
+            "source",
+            "n_chars",
+        ).select("source", (F.col("n_chars") + F.col("rep") * 13).alias("n_chars"))
+    return out.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _emb_at(spark, sf_dir: str, mult: int):
+    """Embeddings at mult× rows — the ANN probe corpus.  Replicas get a
+    deterministic per-replica perturbation of the first coordinate so
+    cell assignment sees genuinely distinct vectors."""
+    e = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    if mult == 1:
+        out = e
+    else:
+        out = e.select(
+            F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep"),
+            "vec_id",
+            "embedding",
+        ).select(
+            (F.col("vec_id") * mult + F.col("rep")).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at("embedding", 1) + F.col("rep") * 0.01),
+                F.slice("embedding", 2, 63),
+            ).alias("embedding"),
+        )
+    return out.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _time(fn) -> float:
@@ -85,15 +123,36 @@ def main() -> None:
             d.select("doc_id"),
         ),
     }
+    # round-5 additions (verdict ask): the PSI scorecard (boundary pass +
+    # one binning aggregation — should be ~linear) and the full IVFADC
+    # lifecycle (fit is corpus-linear per iteration, search is
+    # cell-pruned; the fixed codebook/action overhead should AMORTIZE,
+    # i.e. growth well UNDER linear at 8×)
+    meta_ops = {
+        "psi_by_group": (
+            lambda m: _docs_meta_at(spark, sf_dir, m),
+            lambda d: drift.psi_by_group(d, "source", "n_chars"),
+        ),
+        "ivfpq_search": (
+            lambda m: _emb_at(spark, sf_dir, m),
+            lambda d: pq.ivfpq_search(
+                d.where(F.col("vec_id") % 50 == 0), d,
+                k_cells=8, m=4, k_codes=4, k=5,
+                coarse_iter=2, fine_iter=1, quant=1000,
+            ),
+        ),
+    }
+    all_ops = {n: (lambda m: _docs_at(spark, sf_dir, m), op) for n, op in ops.items()}
+    all_ops.update(meta_ops)
     report: dict[str, dict] = {}
-    for name, op in ops.items():
+    for name, (mk, op) in all_ops.items():
         # throwaway m=1 run: the first execution of each op pays JVM JIT /
         # codegen / Python-worker warmup that would masquerade as 1x cost
-        _time(lambda: op(_docs_at(spark, sf_dir, 1)))
+        _time(lambda: op(mk(1)))
         spark.catalog.clearCache()
         times: dict[str, float] = {}
         for m in (1, 4, 8):
-            d = _docs_at(spark, sf_dir, m)
+            d = mk(m)
             times[str(m)] = _time(lambda: op(d))
             # ops persist intermediate frames (signature self-join lesson);
             # drop them between multiples or earlier runs' cached blocks
