@@ -1573,3 +1573,58 @@ def test_snapshot_delta_classification_with_null_values(spark):
         4: "removed",
         5: "added",
     }
+
+
+def test_quantile_bounds_partition_invariant(spark):
+    """The exact path's range-partitioned cumulative counts must be
+    bit-identical under ANY input partitioning (the claim that justifies
+    replacing the unpartitioned global window): same boundaries from a
+    1-partition and a 17-partition layout of the same skewed data."""
+    from nyc_taxi_data_warehouse_spark.operators import sampling
+
+    rows = [(v,) for v in list(range(1, 201)) * 3 + [5] * 140 + [199] * 60]
+    df = spark.createDataFrame(rows, "x long")
+    b1 = sampling.quantile_bounds(df.repartition(1), "x", 10).collect()[0][0]
+    b17 = sampling.quantile_bounds(df.repartition(17), "x", 10).collect()[0][0]
+    assert b1 == b17
+    # and they equal the naive driver-side type-1 quantile computation
+    vals = sorted(v for (v,) in rows)
+    n = len(vals)
+    import bisect
+
+    want = sorted(
+        {
+            min(
+                v
+                for v in sorted(set(vals))
+                if bisect.bisect_right(vals, v) * 10 >= i * n
+            )
+            for i in range(1, 10)
+        }
+    )
+    assert sorted(b1) == want
+
+
+def test_connected_components_warns_when_unconverged(spark):
+    """max_iter too small for the graph's diameter must be LOUD: an
+    unconverged large-star edge set can yield non-minimum centers, so
+    both CC loops emit a RuntimeWarning instead of silently returning."""
+    import warnings
+
+    n = 40
+    edges = spark.range(n - 1).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dedup.connected_components(edges, nodes, max_iter=2).collect()
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "converging" in str(w.message)
+        for w in caught
+    )
+    # a converged run stays silent (short path: diameter 9 « max_iter)
+    edges_s = spark.range(9).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    nodes_s = spark.range(10).withColumnRenamed("id", "doc_id")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dedup.connected_components(edges_s, nodes_s, max_iter=25).collect()
+    assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
