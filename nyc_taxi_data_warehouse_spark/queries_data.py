@@ -653,8 +653,9 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-Stability-Index drift scorecard: each source's doc-length
     distribution vs the corpus-wide one (`operators/drift.psi_by_group`) —
     the monitor that flags a drifted feed BEFORE it contaminates a
-    training mix (PSI > 0.25 = shifted).  One corpus scan, map-side
-    binning against broadcast corpus-decile boundaries, then
+    training mix (PSI > 0.25 = shifted).  One boundary pass + one
+    binning pass: map-side binning against broadcast corpus-decile
+    boundaries into a single persisted (source × bin) count frame, then
     (sources × bins)-sized arithmetic; Laplace smoothing keeps empty
     bins finite and engine-reproducible."""
     from .operators import drift
