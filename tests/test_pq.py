@@ -177,3 +177,49 @@ def test_codebook_df_roundtrip(spark, corpus):
     assert [
         [back[s][c] for c in range(4)] for s in range(2)
     ] == cb
+
+
+def test_adc_lut_equals_direct_fold_on_random_codebooks(spark):
+    """The LUT rewrite invariant: Σ_s lut[s][codes[s]] must equal the
+    direct per-pair fold Σ_s dist(q_s, cb[s][code_s]) for BOTH metrics,
+    over pseudo-random integer codebooks/queries/codes (deterministic
+    LCG — no global randomness). Pins that the distance-table
+    optimization can never drift from the scoring definition."""
+    def lcg(seed):
+        x = seed
+        while True:
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            yield x
+
+    g = lcg(42)
+    m, k, sub = 3, 5, 4
+    for trial in range(5):
+        cb = [
+            [[next(g) % 2001 - 1000 for _ in range(sub)] for _ in range(k)]
+            for _ in range(m)
+        ]
+        q = [next(g) % 2001 - 1000 for _ in range(m * sub)]
+        codes = [next(g) % k for _ in range(m)]
+        dot = sum(
+            sum(a * b for a, b in zip(q[s * sub:(s + 1) * sub], cb[s][codes[s]]))
+            for s in range(m)
+        )
+        l2 = sum(
+            sum((a - b) ** 2 for a, b in zip(q[s * sub:(s + 1) * sub], cb[s][codes[s]]))
+            for s in range(m)
+        )
+        row = spark.createDataFrame([(q, codes)], ["__qv", "codes"]).select(
+            pq._slices(F.transform("__qv", lambda x: x.cast("long")), m, sub).alias("__qs"),
+            # production codes are array<int> (the transform-index type);
+            # createDataFrame defaults Python ints to bigint
+            F.col("codes").cast("array<int>").alias("codes"),
+        ).select(
+            pq._adc_lut(cb, "__qs", "dot").alias("__lut_dot"),
+            pq._adc_lut(cb, "__qs", "l2").alias("__lut_l2"),
+            "codes",
+        ).select(
+            pq._lut_score(m, "__lut_dot").alias("sd"),
+            pq._lut_score(m, "__lut_l2").alias("sl"),
+        ).collect()[0]
+        assert row["sd"] == dot, f"trial {trial}: dot LUT {row['sd']} != {dot}"
+        assert row["sl"] == l2, f"trial {trial}: l2 LUT {row['sl']} != {l2}"
