@@ -281,7 +281,17 @@ def quantile_bounds(
     # ascending value order and never splits a key, and each value's
     # cumulative count is independent of WHERE the sampled partition
     # boundaries fall — so the result is bit-identical to the global
-    # window (and to the SQL oracle) on any partitioning.
+    # window (and to the SQL oracle) on any partitioning
+    # (tests: test_quantile_bounds_partition_invariant).
+    # Cross-branch consistency: `part` feeds BOTH the window and the
+    # offsets aggregation, so __p must resolve identically in both
+    # subtrees.  It does even without exchange reuse: RangePartitioner
+    # draws its boundary sample with deterministic per-partition seeds
+    # (byteswap32 of the partition index), so two executions over the
+    # identical vc input place every value in the same partition, and
+    # spark_partition_id then projects the same stable index.  ReuseExchange
+    # additionally collapses the two subtrees onto one materialized
+    # exchange in practice.
     vcp = vc.repartitionByRange(32, F.col("__v")).withColumn(
         "__p", F.spark_partition_id()
     )
