@@ -34,8 +34,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     (q_cc_two_phase, q_global_index, q_ivfpq_recall, q_psi_drift,
 #     q_ivfpq_multiprobe) — first driver evidence,
 # (1) the 2 queries whose implementation changed this round
-#     (q_feature_binning: GK-sketch path is now the default;
-#     q_ivfpq_search: encoded-corpus reuse on the serving path),
+#     (q_feature_binning: the exact path's cumulative counts are now
+#     value-bucketed parallel windows — exact=True REMAINS the default
+#     and the oracle still mirrors the exact cumulative-window
+#     semantics; q_ivfpq_search: ADC distance tables + encoded-corpus
+#     reuse on the serving path),
 # (2) 43 of the 49 queries whose latest driver evidence is round 3.
 # Exactly 50 entries: the window IS _CHECK_FIRST.
 # Six r3-green queries did not fit and defer to the round-7 window

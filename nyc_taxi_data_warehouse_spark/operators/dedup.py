@@ -501,12 +501,14 @@ def group_shingle_overlap(
 LAST_CC_ROUNDS = 0
 
 
-def _warn_unconverged(algo: str, max_iter: int) -> None:
+def _warn_unconverged(algo: str, max_iter: int, stacklevel: int) -> None:
     """Loud exit when a CC loop runs out of rounds before the fixpoint:
     an unconverged large-star edge set can yield centers that are NOT
     component minima (wrong cluster ids), and unconverged min-label
     output is only partially-propagated mins — neither may masquerade
-    as a clean result."""
+    as a clean result.  ``stacklevel`` must point at USER code: 3 from
+    the min-label loop (user → connected_components → here), 4 from
+    the two-phase loop (one extra dispatch frame)."""
     import warnings
 
     warnings.warn(
@@ -514,7 +516,7 @@ def _warn_unconverged(algo: str, max_iter: int) -> None:
         "rounds WITHOUT converging; cluster ids may be wrong (large_star) "
         "or only partially propagated (min_label). Raise max_iter.",
         RuntimeWarning,
-        stacklevel=3,
+        stacklevel=stacklevel,
     )
 
 
@@ -661,7 +663,7 @@ def connected_components(
         if converged:
             break
     else:
-        _warn_unconverged("min_label", max_iter)
+        _warn_unconverged("min_label", max_iter, stacklevel=3)
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )
@@ -727,7 +729,7 @@ def _cc_two_phase(
         if converged:
             break
     else:
-        _warn_unconverged("large_star", max_iter)
+        _warn_unconverged("large_star", max_iter, stacklevel=4)
     centers = E.groupBy("u").agg(F.min("v").alias("__lbl"))
     return (
         nodes.select(F.col(id_col))

@@ -58,8 +58,11 @@ def psi_by_group(
     # distribution and group totals re-aggregate the (groups × bins)
     # counts frame. per_g feeds three consumers, so persist the tiny
     # counts — or the scan + bin assignment lineage would replay per
-    # consumer (no explicit unpersist: ContextCleaner frees it when the
-    # lazy result is dropped, the terms.py/dedup.py pattern)
+    # consumer. No explicit unpersist (the result is lazy, so the cache
+    # must outlive this function): the (groups × bins) entry stays in
+    # the session CacheManager until catalog.clearCache / session end —
+    # the terms.py/dedup.py convention; bench and the driver clearCache
+    # between queries.
     per_g = (
         binned.groupBy("grp", "bin")
         .agg(F.count(F.lit(1)).alias("c_g"))

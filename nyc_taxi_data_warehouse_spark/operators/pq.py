@@ -376,7 +376,11 @@ def ivfpq_search(
     # (id, cell, m byte-codes) is the PQ-compressed index — tiny — and
     # caching it means the caller's final action scores cached codes
     # instead of replaying corpus scan → coarse assign → fine encode.
-    # Released by the ContextCleaner when the returned frame is dropped.
+    # SQL-cache lifetime caveat: Dataset.persist registers in the
+    # session CacheManager, which holds the entry until unpersist /
+    # catalog.clearCache / session end (the ContextCleaner does NOT
+    # free SQL-cached frames) — the entry is codes-sized (bytes per
+    # vector), and bench/driver harnesses clearCache between queries.
     codes = pq_encode(
         res, fine, quant=None, id_col=id_col, vec_col="res", keep=("cell",)
     ).persist()

@@ -15,6 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# parallelism of quantile_bounds' exact cumulative-count pass: the distinct
+# value table splits into this many value-contiguous buckets (rough GK
+# edges; placement only steers balance, never results)
+_CUM_BUCKETS = 32
+
 
 def hash_bucket(key, salt: str = "", n_buckets: int = 100) -> F.Column:
     """Deterministic bucket in [0, n_buckets): first 8 hex chars of
@@ -253,7 +258,7 @@ def quantile_bounds(
     the corpus-wide deciles). NULL values are excluded. Exact path:
     integer rank-threshold boundaries over the distinct-value table (no
     float interpolation), with the cumulative counts computed by
-    range-partitioned parallel windows + a tiny offset table — never an
+    value-bucketed parallel windows + a tiny offset table — never an
     unpartitioned global window; ``exact=False``: GK-sketch
     approx_percentile (cheaper — no distinct-value shuffle at all — at
     the price of approximate edges)."""
@@ -274,33 +279,55 @@ def quantile_bounds(
     )
     # cumulative counts in VALUE order without an unpartitioned window
     # (`Window.orderBy` alone = one-task sort — corpus-sized for a
-    # continuous column where every value is distinct): range-partition
-    # the value table, run the cumulative window WITHIN each range
-    # partition (parallel), and add per-partition offsets from a
-    # #partitions-sized summary.  RangePartitioner numbers partitions in
-    # ascending value order and never splits a key, and each value's
-    # cumulative count is independent of WHERE the sampled partition
-    # boundaries fall — so the result is bit-identical to the global
-    # window (and to the SQL oracle) on any partitioning
-    # (tests: test_quantile_bounds_partition_invariant).
-    # Cross-branch consistency: `part` feeds BOTH the window and the
-    # offsets aggregation, so __p must resolve identically in both
-    # subtrees.  It does even without exchange reuse: RangePartitioner
-    # draws its boundary sample with deterministic per-partition seeds
-    # (byteswap32 of the partition index), so two executions over the
-    # identical vc input place every value in the same partition, and
-    # spark_partition_id then projects the same stable index.  ReuseExchange
-    # additionally collapses the two subtrees onto one materialized
-    # exchange in practice.
-    vcp = vc.repartitionByRange(32, F.col("__v")).withColumn(
-        "__p", F.spark_partition_id()
-    )
+    # continuous column where every value is distinct): bucket the value
+    # table into value-contiguous groups, run the cumulative window
+    # WITHIN each bucket (parallel), and add per-bucket offsets from a
+    # #buckets-sized summary.  Each value's cumulative count is
+    # independent of WHERE the bucket edges fall — so the result is
+    # bit-identical to the global window (and to the SQL oracle) for ANY
+    # monotone edge placement (tests:
+    # test_quantile_bounds_partition_invariant).
+    #
+    # The bucket id is a DETERMINISTIC FUNCTION OF THE VALUE (count of
+    # driver-collected edges strictly below it), NOT of the physical
+    # partitioning: `part` feeds both the window and the offsets
+    # aggregation, and anything partitioning-dependent
+    # (repartitionByRange + spark_partition_id) could resolve
+    # differently in the two subtrees when the exchange is not reused —
+    # Spark's RangePartitioner seeds its boundary sample with the
+    # rdd.id, so two materializations of the same range exchange may
+    # place a value in different partitions.  Rough GK edges only steer
+    # balance; ties never straddle a bucket (strict > fold).
+    probs = [i / _CUM_BUCKETS for i in range(1, _CUM_BUCKETS)]
+    try:
+        edges = vc.agg(
+            F.expr(
+                f"approx_percentile(__v, array({', '.join(map(str, probs))}),"
+                " 1000)"
+            )
+        ).collect()[0][0]
+    except Exception:
+        edges = None  # non-numeric / sketch-unsupported type: one bucket
+    uniq: list = []
+    for e in edges or []:
+        if e is not None and (not uniq or e != uniq[-1]):
+            uniq.append(e)
+    if uniq:
+        pexpr = F.aggregate(
+            F.array(*[F.lit(e) for e in uniq]),
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col("__v") > b, 1).otherwise(0),
+        )
+    else:
+        pexpr = F.lit(0)
     wp = (
         Window.partitionBy("__p")
         .orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    part = vcp.withColumn("__pcum", F.sum("__c").over(wp))
+    part = vc.withColumn("__p", pexpr).withColumn(
+        "__pcum", F.sum("__c").over(wp)
+    )
     offsets = (
         part.groupBy("__p")
         .agg(F.sum("__c").alias("__pc"))
@@ -364,8 +391,8 @@ def quantile_bins(
     are excluded from the boundary computation and get a NULL bin.
 
     Scale: the exact path's cumulative counts run over DISTINCT values,
-    range-partitioned with per-partition windows + a broadcast offset
-    table (see :func:`quantile_bounds`) — fully parallel even for a
+    value-bucketed with per-bucket windows + a broadcast offset table
+    (see :func:`quantile_bounds`) — fully parallel even for a
     continuous column where every value is distinct.  ``exact=False``
     trades the distinct-value shuffle for a single ``approx_percentile``
     aggregation (GK sketch — mergeable across partitions, no shuffle of

@@ -133,10 +133,15 @@ def main() -> None:
             lambda m: _docs_meta_at(spark, sf_dir, m),
             lambda d: drift.psi_by_group(d, "source", "n_chars"),
         ),
+        # FIXED-size query batch (always the 1x frame's % 50 sample):
+        # growing queries with the corpus would conflate query-count
+        # scaling with corpus scaling and the 8x ratio could not test
+        # the corpus-amortization claim
         "ivfpq_search": (
             lambda m: _emb_at(spark, sf_dir, m),
             lambda d: pq.ivfpq_search(
-                d.where(F.col("vec_id") % 50 == 0), d,
+                _emb_at(spark, sf_dir, 1).where(F.col("vec_id") % 50 == 0),
+                d,
                 k_cells=8, m=4, k_codes=4, k=5,
                 coarse_iter=2, fine_iter=1, quant=1000,
             ),
