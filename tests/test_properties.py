@@ -256,3 +256,35 @@ def test_bloom_never_false_negative(spark, keys, bits_pow):
     )
     surviving = {r.k for r in pre.collect()}
     assert set(keys) <= surviving
+
+
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=120),
+    nb=st.sampled_from([2, 4, 10]),
+)
+@settings(**SETTINGS)
+def test_quantile_bounds_exact_equals_naive_type1(spark, vals, nb):
+    """The bucketed-parallel exact path must reproduce the naive type-1
+    (inverted-CDF) boundaries — ``min v : |{x ≤ v}|·B ≥ i·n``, ONE per
+    threshold i (duplicates retained, as the strict-> assignment fold
+    and the DuckDB oracles expect) — for random multisets (ties,
+    negatives, single-value columns). Pins that the value-bucketed
+    cumulative-count rewrite can never drift from the global-window
+    definition."""
+    import bisect
+
+    from nyc_taxi_data_warehouse_spark.operators import sampling
+
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = sorted(sampling.quantile_bounds(df, "x", nb).collect()[0][0])
+    svals = sorted(vals)
+    n = len(svals)
+    want = sorted(
+        min(
+            v
+            for v in sorted(set(svals))
+            if bisect.bisect_right(svals, v) * nb >= i * n
+        )
+        for i in range(1, nb)
+    )
+    assert got == want
