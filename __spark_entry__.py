@@ -69,7 +69,10 @@ _CHECK_FIRST = [
     "q_zone_demand", "q_zone_dim",
 ]
 _CHECK_LAST = [
-    # deferred r3-green six first (round-7 window candidates), then
+    # NEW round-6 query, never driver-gated — FIRST-evidence candidate
+    # for the round-7 window (builder replica covers it this round)
+    "q_mixture_plan",
+    # deferred r3-green six next (round-7 window candidates), then
     # r4/r5-green alphabetical
     "q_project", "q_top1", "q_distinct_hours",
     "q_array_ops", "q_char_entropy", "q_boilerplate",

@@ -141,6 +141,75 @@ def capped_sample(
     )
 
 
+def mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    weights: dict,
+    token_budget: int,
+    token_col: str,
+) -> DataFrame:
+    """Token-budget mixture PLANNING — the data-recipe calculation that
+    precedes :func:`capped_sample`: given integer mixture weights per
+    source and a total token budget, compute each source's token target,
+    sampling rate, and epoch count (rate > 1 ⇒ the source must repeat,
+    the standard up-weighting of small high-quality corpora in published
+    LLM data recipes).
+
+    Integer-exact where it matters: ``target_tokens = budget·w_g DIV
+    Σw`` and ``epochs = ceil(target/avail)`` are pure integer arithmetic
+    (bit-reproducible in any engine); only the reporting ``rate`` is a
+    float (callers round it for cross-engine hashing).  Weights are
+    INTEGER parts, not floats — float weights would make the floor
+    ulp-sensitive across engines; scale them to integers first.
+
+    Groups absent from ``weights`` are dropped (the weights dict IS the
+    mixture allowlist, the `capped_sample` convention); groups listed
+    but absent from the data simply don't appear (their target cannot
+    be served — detect via an anti-join if needed).
+
+    Scale shape: ONE groupBy over the corpus (count + token sum, fully
+    partial-aggregated map-side) to a #groups-sized frame; the weights
+    enter as an inlined literal map — no join, no driver data motion.
+    Returns (group, n_docs, avail_tokens, weight, target_tokens, rate,
+    epochs)."""
+    entries = []
+    for g, w in weights.items():
+        if int(w) < 0:
+            raise ValueError(f"negative weight for {g!r}")
+        entries += [F.lit(g), F.lit(int(w))]
+    total_w = sum(int(w) for w in weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive integer")
+    agg = (
+        df.where(F.col(group_col).isin([str(g) for g in weights]))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col(token_col)).cast("long").alias("avail_tokens"),
+        )
+        # a zero-token group cannot serve any target (and would divide by
+        # zero differently across engines: Spark NULL, DuckDB error)
+        .where(F.col("avail_tokens") > 0)
+    )
+    w = F.create_map(*entries)[F.col(group_col)].cast("long")
+    target = F.expr(
+        f"(CAST({int(token_budget)} AS BIGINT) * weight) DIV {total_w}"
+    )
+    return (
+        agg.withColumn("weight", w)
+        .withColumn("target_tokens", target)
+        .withColumn(
+            "rate", F.col("target_tokens") / F.col("avail_tokens")
+        )
+        .withColumn(
+            "epochs",
+            F.expr(
+                "(target_tokens + avail_tokens - 1) DIV avail_tokens"
+            ).cast("long"),
+        )
+    )
+
+
 def global_index(
     df: DataFrame, key_col: str, n_buckets: int = 256, salt: str = "gidx"
 ) -> DataFrame:

@@ -3556,6 +3556,56 @@ WHERE rn <= CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
                  THEN 15 ELSE 5 END"""
 
 
+_MIXTURE_WEIGHTS = {f"src{i}": (3 if i % 2 == 0 else 1) for i in range(18)}
+_MIXTURE_BUDGET = 500_000
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning (`sampling.mixture_plan`) — the
+    data-recipe calculation behind published LLM training mixes: integer
+    weights (even sources 3, odd 1, src18/src19 excluded) and a 500k
+    token budget yield each source's token target (``budget·w DIV Σw``,
+    pure integer), sampling rate, and epoch count (rate > 1 ⇒ the
+    source repeats — the up-weighting of small high-quality corpora).
+    n_chars stands in for tokens (the planner is unit-agnostic). One
+    corpus groupBy; weights inlined as a literal map."""
+    from .operators import sampling
+
+    out = sampling.mixture_plan(
+        _docs(spark, sf_dir), "source", _MIXTURE_WEIGHTS,
+        _MIXTURE_BUDGET, "n_chars",
+    )
+    return out.select(
+        "source", "n_docs", "avail_tokens", "weight", "target_tokens",
+        _rnd(F.col("rate"), 6).alias("rate"), "epochs",
+    )
+
+
+_SQL_MIXTURE_PLAN = f"""
+WITH w(source, weight) AS (VALUES {", ".join(
+    f"('src{i}', {3 if i % 2 == 0 else 1})" for i in range(18)
+)}),
+agg AS (
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS avail_tokens,
+           CAST(max(w.weight) AS BIGINT) AS weight
+    FROM documents d JOIN w ON w.source = d.source
+    GROUP BY 1
+)
+SELECT source, n_docs, avail_tokens, weight,
+       CAST(({_MIXTURE_BUDGET} * weight) // {sum(
+           3 if i % 2 == 0 else 1 for i in range(18))} AS BIGINT)
+           AS target_tokens,
+       round(1e-9 + (({_MIXTURE_BUDGET} * weight) // {sum(
+           3 if i % 2 == 0 else 1 for i in range(18))}) * 1.0
+           / avail_tokens, 6) AS rate,
+       CAST((({_MIXTURE_BUDGET} * weight) // {sum(
+           3 if i % 2 == 0 else 1 for i in range(18))}
+           + avail_tokens - 1) // avail_tokens AS BIGINT) AS epochs
+FROM agg WHERE avail_tokens > 0"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of document length per language —
     Spark `percentile` and DuckDB `quantile_cont` share the linear-
@@ -4280,6 +4330,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cross_corpus_neardup": q_cross_corpus_neardup,
     "q_filter_funnel": q_filter_funnel,
     "q_mixture_sample": q_mixture_sample,
+    "q_mixture_plan": q_mixture_plan,
     "q_srp_lsh": q_srp_lsh,
     "q_cell_quality": q_cell_quality,
     "q_ann_recall": q_ann_recall,
@@ -4371,6 +4422,7 @@ ORACLES: dict[str, str] = {
     "q_cross_corpus_neardup": _SQL_CROSS_CORPUS_NEARDUP,
     "q_filter_funnel": _SQL_FILTER_FUNNEL,
     "q_mixture_sample": _SQL_MIXTURE_SAMPLE,
+    "q_mixture_plan": _SQL_MIXTURE_PLAN,
     "q_srp_lsh": _sql_srp_lsh(),
     "q_cell_quality": _SQL_CELL_QUALITY,
     "q_ann_recall": _SQL_ANN_RECALL,

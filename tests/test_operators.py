@@ -1628,3 +1628,35 @@ def test_connected_components_warns_when_unconverged(spark):
         warnings.simplefilter("always")
         dedup.connected_components(edges_s, nodes_s, max_iter=25).collect()
     assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
+
+
+def test_mixture_plan_hand_computed(spark):
+    """Integer recipe arithmetic against hand-computed values: weights
+    a=3, b=1, z=6 (Σw=10 — a listed-but-unservable group still holds its
+    budget share) over a 1000-token budget → targets 300/100; a has only
+    100 tokens available so rate 3.0 ⇒ epochs 3 (the up-weighting case),
+    b has 500 ⇒ rate 0.2, epochs 1. Unlisted (c) and zero-token (z)
+    groups drop from the plan."""
+    from nyc_taxi_data_warehouse_spark.operators import sampling
+
+    rows = (
+        [("a", 10) for _ in range(10)]
+        + [("b", 100) for _ in range(5)]
+        + [("c", 999)]          # not in weights -> dropped
+        + [("z", 0), ("z", 0)]  # zero tokens -> dropped
+    )
+    df = spark.createDataFrame(rows, "source string, n_tok long")
+    out = {
+        r["source"]: r
+        for r in sampling.mixture_plan(
+            df, "source", {"a": 3, "b": 1, "z": 6}, 1000, "n_tok"
+        ).collect()
+    }
+    assert set(out) == {"a", "b"}
+    a, b = out["a"], out["b"]
+    assert (a["n_docs"], a["avail_tokens"], a["weight"]) == (10, 100, 3)
+    assert a["target_tokens"] == 1000 * 3 // 10 == 300
+    assert abs(a["rate"] - 3.0) < 1e-12 and a["epochs"] == 3
+    assert (b["n_docs"], b["avail_tokens"], b["weight"]) == (5, 500, 1)
+    assert b["target_tokens"] == 100
+    assert abs(b["rate"] - 0.2) < 1e-12 and b["epochs"] == 1
