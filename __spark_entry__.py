@@ -69,9 +69,10 @@ _CHECK_FIRST = [
     "q_zone_demand", "q_zone_dim",
 ]
 _CHECK_LAST = [
-    # NEW round-6 query, never driver-gated — FIRST-evidence candidate
-    # for the round-7 window (builder replica covers it this round)
-    "q_mixture_plan",
+    # NEW round-6 queries, never driver-gated — FIRST-evidence
+    # candidates for the round-7 window (builder replica covers them
+    # this round)
+    "q_mixture_plan", "q_semdedup",
     # deferred r3-green six next (round-7 window candidates), then
     # r4/r5-green alphabetical
     "q_project", "q_top1", "q_distinct_hours",

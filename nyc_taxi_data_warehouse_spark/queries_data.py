@@ -1935,6 +1935,98 @@ SELECT id_a, id_b, round(1e-9 + sim, 6) AS sim
 FROM sims WHERE sim >= 0.9"""
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup, end to end (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): centroid-blocked embedding near-dup pairs (cosine ≥
+    0.9, the `q_embedding_neardup` construction) → connected components
+    → one canonical (min-id) survivor per semantic cluster, emitted as
+    the per-vector keep/remove decision table with cluster sizes — the
+    artifact a curation pipeline joins back to drop semantic duplicates.
+
+    Scale shape: within-cell pair generation (never O(n²)), iterative CC
+    over the (small) pair set, and a #clusters-sized broadcast join for
+    the sizes — the corpus crosses exactly the shuffles the pair + CC
+    steps already need."""
+    emb = _scale_out(_emb(spark, sf_dir).where(F.col("vec_id") % 10 == 0))
+    base = emb.select("vec_id", V.as_double("embedding").alias("v"))
+    twin = base.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(-F.element_at("v", 1)), F.expr("slice(v, 2, size(v) - 1)")
+        ).alias("v"),
+    )
+    corpus = base.unionByName(twin)
+    cents = base.where(F.col("vec_id") % 50 == 0)
+    pairs = similarity.bucketed_cosine_pairs(corpus, cents, threshold=0.9)
+    labels = dedup.connected_components(
+        pairs.select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        ),
+        corpus.select(F.col("vec_id").alias("doc_id")),
+    )
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return labels.join(F.broadcast(sizes), "cluster_id").select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
+_SQL_SEMDEDUP = (
+    "WITH RECURSIVE base AS (\n"
+    "    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v\n"
+    "    FROM embeddings WHERE vec_id % 10 = 0\n"
+    "),\n"
+    "twin AS (\n"
+    "    SELECT vec_id + 1000000 AS vec_id, list_concat([-v[1]], v[2:]) AS v"
+    " FROM base\n"
+    "),\n"
+    "corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twin),\n"
+    "cents AS (SELECT * FROM base WHERE vec_id % 50 = 0),\n"
+    "assign AS (\n"
+    "    SELECT query_id AS vec_id, neighbor_id AS cell FROM (\n"
+    f"        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS sim,\n"
+    "               row_number() OVER (PARTITION BY q.vec_id\n"
+    f"                                  ORDER BY {_COS} DESC, c.vec_id ASC) AS rn\n"
+    "        FROM corpus q CROSS JOIN cents c\n"
+    "    ) WHERE rn = 1\n"
+    "),\n"
+    "tagged AS (\n"
+    "    SELECT corpus.vec_id, corpus.v, assign.cell\n"
+    "    FROM corpus JOIN assign USING (vec_id)\n"
+    "),\n"
+    "pairs AS (\n"
+    "    SELECT a.vec_id AS id_a, b.vec_id AS id_b\n"
+    "    FROM tagged a JOIN tagged b ON a.cell = b.cell AND a.vec_id < b.vec_id\n"
+    f"    WHERE {_COS.replace('q.', 'a.').replace('c.', 'b.')} >= 0.9\n"
+    "),\n"
+    "edges AS (\n"
+    "    SELECT id_a AS src, id_b AS dst FROM pairs\n"
+    "    UNION\n"
+    "    SELECT id_b AS src, id_a AS dst FROM pairs\n"
+    "),\n"
+    "reach(node, lab) AS (\n"
+    "    SELECT vec_id, vec_id FROM corpus\n"
+    "    UNION\n"
+    "    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node\n"
+    "),\n"
+    "labels AS (\n"
+    "    SELECT node AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY node\n"
+    "),\n"
+    "sizes AS (\n"
+    "    SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size\n"
+    "    FROM labels GROUP BY 1\n"
+    ")\n"
+    "SELECT l.vec_id, CAST(l.cluster_id AS BIGINT) AS cluster_id,\n"
+    "       s.cluster_size, l.vec_id = l.cluster_id AS keep\n"
+    "FROM labels l JOIN sizes s USING (cluster_id)"
+)
+
+
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: LSH candidate pairs → connected components → one
     canonical (min-id) representative per near-dup cluster. The iterative
@@ -4331,6 +4423,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_filter_funnel": q_filter_funnel,
     "q_mixture_sample": q_mixture_sample,
     "q_mixture_plan": q_mixture_plan,
+    "q_semdedup": q_semdedup,
     "q_srp_lsh": q_srp_lsh,
     "q_cell_quality": q_cell_quality,
     "q_ann_recall": q_ann_recall,
@@ -4423,6 +4516,7 @@ ORACLES: dict[str, str] = {
     "q_filter_funnel": _SQL_FILTER_FUNNEL,
     "q_mixture_sample": _SQL_MIXTURE_SAMPLE,
     "q_mixture_plan": _SQL_MIXTURE_PLAN,
+    "q_semdedup": _SQL_SEMDEDUP,
     "q_srp_lsh": _sql_srp_lsh(),
     "q_cell_quality": _SQL_CELL_QUALITY,
     "q_ann_recall": _SQL_ANN_RECALL,

@@ -1660,3 +1660,28 @@ def test_mixture_plan_hand_computed(spark):
     assert (b["n_docs"], b["avail_tokens"], b["weight"]) == (5, 500, 1)
     assert b["target_tokens"] == 100
     assert abs(b["rate"] - 0.2) < 1e-12 and b["epochs"] == 1
+
+
+def test_semdedup_decision_table_invariants(spark):
+    """The semantic-dedup decision table from the gated composition:
+    exactly ONE keep per cluster (the min id), cluster_size matches the
+    actual member count, and every vector appears exactly once."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["q_semdedup"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        keeps = [m for m in members if m["keep"]]
+        assert len(keeps) == 1 and keeps[0]["vec_id"] == cid == min(
+            m["vec_id"] for m in members
+        )
+        assert all(m["cluster_size"] == len(members) for m in members)
+    # the twin construction guarantees at least one multi-member cluster
+    assert any(len(m) > 1 for m in by_cluster.values())
