@@ -1,0 +1,248 @@
+"""Mergeable frequency/cardinality sketches: HyperLogLog and Count-Min.
+
+Both sketches are the canonical answer to "how do you count at 100 TB
+without a corpus-sized shuffle": their per-partition partial states merge
+associatively (register-wise ``max`` for HLL, counter-wise ``sum`` for
+Count-Min), so Spark's map-side partial aggregation reduces every
+partition to a fixed-size state — 2^p registers / depth×width counters —
+regardless of input size.  The only shuffled bytes are the sketch itself.
+
+Determinism: Spark's built-in ``approx_count_distinct`` is HLL++ but its
+register layout is JVM-internal, so a DuckDB oracle cannot reproduce it.
+These implementations instead derive every hash from ``md5`` (engine-
+identical by definition) and keep all register/counter arithmetic on
+exact integers, so the SAME sketch — bit for bit — is computable as plain
+SQL in any engine.  The final HLL estimate is one scalar expression over
+a 2^p-bucket integer sum (per-row double math is bit-exact across
+engines; see NOTES "Oracle float parity").
+
+HyperLogLog follows Flajolet et al. 2007 (the alpha_m bias constant and
+the small-range linear-counting correction); Count-Min follows Cormode &
+Muthukrishnan 2005 (point query = min over depth rows).  Reference
+parity: the reference delegates approximate aggregation entirely to its
+warehouse engine (SURVEY §2.4); these operators supply the equivalent
+capability Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HASH_BITS = 60  # 15 md5 hex chars -> non-negative, fits BIGINT
+
+
+def _h60(c: Column) -> Column:
+    """Deterministic 60-bit non-negative hash (md5 prefix), engine-portable.
+
+    15 hex chars = 60 bits < 2^63, so the value is representable (and
+    positive) in both Spark LongType and DuckDB BIGINT; xxhash64 is NOT
+    used because DuckDB cannot reproduce it (and it is type-sensitive —
+    see the bloom-filter lesson in NOTES).
+    """
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+# --- HyperLogLog -----------------------------------------------------------
+
+def hll_registers(
+    df: DataFrame, col: str, group_cols: tuple[str, ...] = (), p: int = 9
+) -> DataFrame:
+    """Per-group HLL register file: (group…, bucket, rho) with 2^p buckets.
+
+    bucket = low p bits of the 60-bit hash; rho = position of the first
+    1-bit in the remaining (60-p)-bit word (1-based; all-zero word →
+    60-p+1, the Flajolet convention).  rho is computed from the LENGTH of
+    the minimal binary rendering (`conv(w,10,2)` / DuckDB `bin(w)`), which
+    is exact integer logic — no float log2 whose boundary rounding could
+    disagree between engines.
+
+    groupBy(bucket).max(rho) IS the whole shuffle: at most 2^p rows per
+    group leave the map side no matter how many input rows there are.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    bits = _HASH_BITS - p
+    h = _h60(F.col(col))
+    w = F.shiftright(h, p)  # h is non-negative: arithmetic == logical shift
+    rho = (
+        F.when(w == 0, F.lit(bits + 1))
+        .otherwise(F.lit(bits + 1) - F.length(F.conv(w, 10, 2)))
+        .cast("int")
+    )
+    gcols = [F.col(g) for g in group_cols]
+    return (
+        df.select(*gcols, h.bitwiseAND(m - 1).cast("int").alias("bucket"), rho.alias("__rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("__rho").alias("rho"))
+    )
+
+
+def hll_alpha_numerator(p: int) -> float:
+    """alpha_m · m² · 2^(bits+1), folded to ONE Python double literal.
+
+    Folding the whole numerator driver-side (instead of multiplying
+    alpha · m · m · scale engine-side) removes any risk of the two engines
+    associating the float product differently; the oracle SQL embeds
+    repr() of this exact value.
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # Flajolet et al. §4, m >= 128
+    return alpha * m * m * float(1 << (_HASH_BITS - p + 1))
+
+
+def hll_estimate(
+    df: DataFrame, col: str, group_cols: tuple[str, ...] = (), p: int = 9
+) -> DataFrame:
+    """Per-group approximate COUNT(DISTINCT col): (group…, used_registers,
+    zero_registers, est_distinct).  Standard error ≈ 1.04/√(2^p).
+
+    The harmonic sum Σ 2^-rho is kept EXACT: each term is scaled by
+    2^(bits+1) so it becomes the integer 2^(bits+1-rho) (rho ≤ bits+1),
+    summed as BIGINT — associative under any partial-agg order, max
+    2^p · 2^(bits+1) < 2^62 for p ≥ 8.  Only the final one-row-per-group
+    division is floating point.  Small-range correction: linear counting
+    m·ln(m/zeros) when raw ≤ 2.5m and zero registers remain.
+    """
+    m = 1 << p
+    bits = _HASH_BITS - p
+    regs = hll_registers(df, col, group_cols, p)
+    scaled = F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), {bits + 1} - rho) AS BIGINT)")
+    per = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("used_registers"),
+        F.sum(scaled).cast("long").alias("__s"),
+    )
+    zeros = F.lit(m) - F.col("used_registers")
+    s_total = F.col("__s") + zeros.cast("long") * F.lit(1 << (bits + 1)).cast("long")
+    raw = F.lit(hll_alpha_numerator(p)) / s_total.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return per.select(
+        *group_cols,
+        "used_registers",
+        zeros.cast("int").alias("zero_registers"),
+        est.alias("est_distinct"),
+    )
+
+
+def sql_hll_estimate(
+    src_sql: str, col: str, group_cols: tuple[str, ...] = (), p: int = 9
+) -> str:
+    """DuckDB twin of hll_registers→hll_estimate over ``src_sql`` (a CTE
+    body selecting ``col`` plus ``group_cols``).  Mirrors the Spark path
+    expression-for-expression; the float numerator is the repr() of the
+    SAME Python double the engine uses."""
+    m = 1 << p
+    bits = _HASH_BITS - p
+    g = ", ".join(group_cols)
+    gcomma = f"{g}, " if g else ""
+    gby = f"GROUP BY {g}" if g else ""
+    return f"""
+hll_h AS (
+    SELECT {gcomma}
+           CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+    FROM ({src_sql})
+),
+hll_regs AS (
+    SELECT {gcomma} CAST(h % {m} AS INTEGER) AS bucket,
+           MAX(CASE WHEN h // {m} = 0 THEN {bits + 1}
+                    ELSE {bits + 1} - length(bin(h // {m})) END) AS rho
+    FROM hll_h GROUP BY {gcomma} bucket
+),
+hll_per AS (
+    SELECT {gcomma} CAST(count(*) AS INTEGER) AS used_registers,
+           CAST(sum(CAST(1 AS BIGINT) << ({bits + 1} - rho)) AS BIGINT) AS s
+    FROM hll_regs {gby}
+),
+hll_est AS (
+    SELECT {gcomma} used_registers,
+           CAST({m} - used_registers AS INTEGER) AS zero_registers,
+           CASE WHEN {hll_alpha_numerator(p)!r}
+                     / CAST(s + CAST({m} - used_registers AS BIGINT)
+                            * CAST({1 << (bits + 1)} AS BIGINT) AS DOUBLE)
+                     <= {2.5 * m!r}
+                 AND {m} - used_registers > 0
+                THEN {float(m)!r} * ln({float(m)!r}
+                     / CAST({m} - used_registers AS DOUBLE))
+                ELSE {hll_alpha_numerator(p)!r}
+                     / CAST(s + CAST({m} - used_registers AS BIGINT)
+                            * CAST({1 << (bits + 1)} AS BIGINT) AS DOUBLE)
+           END AS est_distinct
+    FROM hll_per
+)
+"""
+
+
+# --- Count-Min -------------------------------------------------------------
+
+def cm_counters(
+    counts: DataFrame,
+    token_col: str = "token",
+    cnt_col: str = "cnt",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min counter table (j, slot, c) from pre-aggregated counts.
+
+    Each of the ``depth`` rows uses an independent hash
+    md5(j || '#' || token) % width.  Folding the sketch over the
+    pre-aggregated (token, cnt) frame is identical to folding it over the
+    raw stream (counters are sums) but shuffles the vocabulary, not the
+    corpus; at most depth×width rows survive the final groupBy.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    rows = counts.select(
+        F.col(token_col).alias("__t"),
+        F.col(cnt_col).cast("long").alias("__c"),
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j"),
+    )
+    slot = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("#", F.col("j"), F.col("__t"))), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(width),
+    )
+    return (
+        rows.select("j", slot.cast("int").alias("slot"), "__c")
+        .groupBy("j", "slot")
+        .agg(F.sum("__c").cast("long").alias("c"))
+    )
+
+
+def cm_lookup(
+    counters: DataFrame,
+    probes: DataFrame,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch: per probe token, est = min over the depth
+    counters it hashes into (Cormode–Muthukrishnan; est >= true count
+    always, over-count only from collisions).  probes carries any extra
+    columns through (first-value, they are functionally dependent on the
+    token).  counters is depth×width rows — broadcast it."""
+    extra = [c for c in probes.columns if c != token_col]
+    expanded = probes.select(
+        "*", F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j")
+    )
+    slot = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("#", F.col("j"), F.col(token_col))), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(width),
+    )
+    joined = expanded.select("*", slot.cast("int").alias("slot")).join(
+        F.broadcast(counters), ["j", "slot"]
+    )
+    return joined.groupBy(token_col).agg(
+        *[F.first(c).alias(c) for c in extra],
+        F.min("c").cast("long").alias("cm_est"),
+    )

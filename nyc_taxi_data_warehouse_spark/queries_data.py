@@ -4384,6 +4384,136 @@ SELECT source, lang, count(*) AS n_docs,
 FROM documents GROUP BY CUBE(source, lang)"""
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary size by deterministic HyperLogLog (p=9,
+    512 registers, std-err ≈ 4.6%) beside the exact COUNT(DISTINCT) and
+    the realized relative error — the corpus-cardinality monitor that
+    stays cheap at 100 TB: map-side partial max reduces every partition
+    to ≤ 512 register rows per source, so the shuffle is sketch-sized,
+    not vocabulary-sized (the exact twin shuffles the full token stream).
+    Spark's builtin approx_count_distinct is HLL++ with a JVM-internal
+    register layout no oracle can replay; `operators/sketches.py` derives
+    registers from md5 so the identical sketch is plain SQL in DuckDB."""
+    from .operators import sketches
+
+    d = _scale_out(_docs(spark, sf_dir).select("source", "text"))
+    tok = d.select(
+        "source", F.explode(T.tokens("text")).alias("token")
+    ).persist()  # feeds sketch + exact twin; ContextCleaner reclaims
+    est = sketches.hll_estimate(tok, "token", group_cols=("source",), p=9)
+    exact = tok.groupBy("source").agg(
+        F.count_distinct("token").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "source").select(
+        "source",
+        "used_registers",
+        "zero_registers",
+        _rnd(F.col("est_distinct"), 4).alias("est_distinct"),
+        "exact_distinct",
+        _rnd(
+            (F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+def _hll_distinct_sql() -> str:
+    from .operators import sketches
+
+    frag = sketches.sql_hll_estimate(
+        "SELECT source, token FROM tokv", "token", ("source",), p=9
+    )
+    return f"""
+WITH tokv AS (
+    SELECT source,
+           unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+    FROM documents
+),
+{frag},
+exact AS (
+    SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS exact_distinct
+    FROM tokv GROUP BY 1
+)
+SELECT e.source, used_registers, zero_registers,
+       round(1e-9 + est_distinct, 4) AS est_distinct,
+       exact_distinct,
+       round(1e-9 + (est_distinct - exact_distinct) / exact_distinct, 6)
+           AS rel_err
+FROM hll_est e JOIN exact USING (source)"""
+
+
+def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter check: sketch the corpus token frequencies
+    into a fixed 4×1024 counter table, then point-query the exact top-15
+    tokens and report the collision over-count (cm_est ≥ exact always —
+    Cormode–Muthukrishnan).  The sketch is the 100-TB path for frequency
+    monitoring: counters partial-agg map-side to ≤ 4096 rows total no
+    matter the corpus; the exact probe list is the verification harness.
+    Top-15 selection goes through `sampling.top_k_prune` (salted two-phase)
+    so no vocabulary-sized single-task window exists in the plan."""
+    from .operators import sampling, sketches
+
+    d = _scale_out(_docs(spark, sf_dir).select("doc_id", "text"))
+    tok = d.select(F.explode(T.tokens("text")).alias("token"))
+    tc = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    ).persist()  # feeds counters + probe ranking; ContextCleaner reclaims
+    counters = sketches.cm_counters(tc, "token", "exact_cnt")
+    order = [F.desc("exact_cnt"), F.asc("token")]
+    pruned = sampling.top_k_prune(tc, [], order, k=15, salt_key="token")
+    probes = (
+        pruned.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .where(F.col("rank") <= 15)
+    )
+    out = sketches.cm_lookup(counters, probes)
+    return out.select(
+        "token",
+        F.col("rank").cast("int").alias("rank"),
+        "exact_cnt",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )
+
+
+_SQL_COUNTMIN_TOPK = """
+WITH tokv AS (
+    SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+    FROM documents
+),
+tc AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt FROM tokv GROUP BY 1
+),
+cm_rows AS (
+    SELECT jj.j,
+           CAST(CAST(('0x' || substr(md5(CAST(jj.j AS VARCHAR) || '#' || token), 1, 8))
+                     AS BIGINT) % 1024 AS INTEGER) AS slot,
+           exact_cnt
+    FROM tc, (SELECT unnest([0, 1, 2, 3]) AS j) jj
+),
+counters AS (
+    SELECT j, slot, CAST(sum(exact_cnt) AS BIGINT) AS c
+    FROM cm_rows GROUP BY 1, 2
+),
+probes AS (
+    SELECT token, exact_cnt,
+           row_number() OVER (ORDER BY exact_cnt DESC, token ASC) AS rank
+    FROM tc QUALIFY rank <= 15
+),
+probe_slots AS (
+    SELECT p.token, p.exact_cnt, p.rank, jj.j,
+           CAST(CAST(('0x' || substr(md5(CAST(jj.j AS VARCHAR) || '#' || p.token), 1, 8))
+                     AS BIGINT) % 1024 AS INTEGER) AS slot
+    FROM probes p, (SELECT unnest([0, 1, 2, 3]) AS j) jj
+)
+SELECT ps.token, CAST(ps.rank AS INTEGER) AS rank,
+       ps.exact_cnt,
+       CAST(min(c.c) AS BIGINT) AS cm_est,
+       CAST(min(c.c) - ps.exact_cnt AS BIGINT) AS overcount
+FROM probe_slots ps JOIN counters c USING (j, slot)
+GROUP BY ps.token, ps.rank, ps.exact_cnt"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -4424,6 +4554,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mixture_sample": q_mixture_sample,
     "q_mixture_plan": q_mixture_plan,
     "q_semdedup": q_semdedup,
+    "q_hll_distinct": q_hll_distinct,
+    "q_countmin_topk": q_countmin_topk,
     "q_srp_lsh": q_srp_lsh,
     "q_cell_quality": q_cell_quality,
     "q_ann_recall": q_ann_recall,
@@ -4517,6 +4649,8 @@ ORACLES: dict[str, str] = {
     "q_mixture_sample": _SQL_MIXTURE_SAMPLE,
     "q_mixture_plan": _SQL_MIXTURE_PLAN,
     "q_semdedup": _SQL_SEMDEDUP,
+    "q_hll_distinct": _hll_distinct_sql(),
+    "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     "q_srp_lsh": _sql_srp_lsh(),
     "q_cell_quality": _SQL_CELL_QUALITY,
     "q_ann_recall": _SQL_ANN_RECALL,

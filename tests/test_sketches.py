@@ -50,3 +50,89 @@ def test_count_min_sketch_is_bounded_size(spark, sf_dir):
     # serialized sketch exists and its size is set by (eps, confidence),
     # not by row count — the whole point of sketching at scale
     assert row.sk is not None and 0 < len(row.sk) < 200_000
+
+
+# --- portable (oracle-replayable) sketches: operators/sketches.py ----------
+
+def _py_rho(value: str, p: int = 9) -> tuple[int, int]:
+    """Reference bucket/rho straight from the md5 definition."""
+    import hashlib
+
+    h = int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16)
+    bits = 60 - p
+    bucket = h & ((1 << p) - 1)
+    w = h >> p
+    if w == 0:
+        return bucket, bits + 1
+    return bucket, bits + 1 - w.bit_length()
+
+
+def test_hll_registers_match_python_reference(spark):
+    from nyc_taxi_data_warehouse_spark.operators import sketches
+
+    vals = [f"tok{i}" for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = {
+        (r.bucket, r.rho)
+        for r in sketches.hll_registers(df, "v", p=9).collect()
+    }
+    want: dict[int, int] = {}
+    for v in vals:
+        b, rho = _py_rho(v)
+        want[b] = max(want.get(b, 0), rho)
+    assert got == set(want.items())
+
+
+def test_hll_estimate_within_error_bound(spark):
+    from nyc_taxi_data_warehouse_spark.operators import sketches
+
+    n = 5000
+    df = spark.createDataFrame([(f"item-{i}",) for i in range(n)], ["v"])
+    est = sketches.hll_estimate(df, "v", p=9).collect()[0].est_distinct
+    # std err = 1.04/sqrt(512) ~= 4.6%; allow 3 sigma
+    assert abs(est - n) / n < 0.14
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Partition-and-merge: max of per-half register files == whole-corpus
+    register file (the property that makes the shuffle sketch-sized)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_warehouse_spark.operators import sketches
+
+    vals = [(f"t{i}", i % 2) for i in range(400)]
+    df = spark.createDataFrame(vals, ["v", "half"])
+    whole = sketches.hll_registers(df, "v", p=6)
+    halves = sketches.hll_registers(df, "v", group_cols=("half",), p=6)
+    merged = halves.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    assert {(r.bucket, r.rho) for r in whole.collect()} == {
+        (r.bucket, r.rho) for r in merged.collect()
+    }
+
+
+def test_cm_never_underestimates_and_exact_when_wide(spark):
+    from nyc_taxi_data_warehouse_spark.operators import sketches
+
+    counts = spark.createDataFrame(
+        [(f"w{i}", (i % 7) + 1) for i in range(300)], ["token", "cnt"]
+    )
+    # narrow sketch: over-count possible, under-count never
+    counters = sketches.cm_counters(counts, "token", "cnt", depth=3, width=64)
+    est = sketches.cm_lookup(counters, counts, depth=3, width=64)
+    rows = est.collect()
+    assert len(rows) == 300
+    assert all(r.cm_est >= r.cnt for r in rows)
+    # wide sketch: 300 tokens into 4x65536 slots -> collisions vanish
+    wide = sketches.cm_counters(counts, "token", "cnt", depth=4, width=65536)
+    est_w = sketches.cm_lookup(wide, counts, depth=4, width=65536)
+    assert all(r.cm_est == r.cnt for r in est_w.collect())
+
+
+def test_cm_counter_table_is_bounded(spark):
+    from nyc_taxi_data_warehouse_spark.operators import sketches
+
+    counts = spark.createDataFrame(
+        [(f"w{i}", 1) for i in range(5000)], ["token", "cnt"]
+    )
+    counters = sketches.cm_counters(counts, "token", "cnt", depth=4, width=128)
+    assert counters.count() <= 4 * 128
