@@ -98,6 +98,39 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
     return stopword_ratio_from_tokens(tokens(text), lang)
 
 
+def mean_word_length_from_tokens(toks: Column | str) -> Column:
+    """Mean characters per token (Gopher rule input); 0.0 for empty docs.
+
+    The length sum folds to an exact integer before the single division,
+    so the value is bit-reproducible across engines.
+    """
+    toks = _col(toks)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t).cast("long")
+    )
+    return (total / F.greatest(F.size(toks), F.lit(1))).cast("double")
+
+
+def alpha_word_ratio_from_tokens(toks: Column | str) -> Column:
+    """Fraction of tokens containing at least one ASCII letter (Gopher's
+    80%-alphabetic rule; CJK scripts score 0 by construction — the rule is
+    a Latin-script filter and should be gated per-language upstream)."""
+    toks = _col(toks)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return (n_alpha / F.greatest(F.size(toks), F.lit(1))).cast("double")
+
+
+def symbol_word_ratio(text: Column | str, toks: Column | str) -> Column:
+    """(# '#' chars + # '...' runs) per word — Gopher's symbol-to-word
+    ratio, counting via length deltas (no regex, engine-identical)."""
+    t = _col(text)
+    hashes = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    ell = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+    return ((hashes + ell) / F.greatest(F.size(_col(toks)), F.lit(1))).cast(
+        "double"
+    )
+
+
 def type_token_ratio_from_tokens(toks: Column | str) -> Column:
     """Lexical diversity: distinct words / words."""
     toks = _col(toks)

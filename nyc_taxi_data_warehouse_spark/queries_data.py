@@ -4514,6 +4514,169 @@ FROM probe_slots ps JOIN counters c USING (j, slot)
 GROUP BY ps.token, ps.rank, ps.exact_cnt"""
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality filter (Rae et al. 2021, public):
+    per-document rule flags — word-count bounds, mean-word-length band,
+    ≥80% alphabetic words, ≥2 stopword hits, symbol-to-word ratio — plus
+    the composite keep verdict.  Pure JVM column expressions over ONE
+    materialized token array (the higher-order-function lesson), so the
+    filter is a map-side projection with no shuffle at any corpus size;
+    thresholds are the published ones except min-words (10, scaled to the
+    synthetic corpus' 10–100-word docs).  Flags derive from UNROUNDED
+    exact-integer-ratio doubles in both engines; rounding is display-only."""
+    d = _scale_out(_docs(spark, sf_dir).select("doc_id", "lang", "text"))
+    t = d.select("doc_id", "lang", "text", T.tokens("text").alias("__w"))
+    m = t.select(
+        "doc_id",
+        "lang",
+        T.word_count_from_tokens("__w").alias("n_words"),
+        T.mean_word_length_from_tokens("__w").alias("__mwl"),
+        T.alpha_word_ratio_from_tokens("__w").alias("__alpha"),
+        T.stopword_hits_from_tokens("__w", "en").alias("stop_hits"),
+        T.symbol_word_ratio("text", "__w").alias("__sym"),
+    )
+    r_words = F.col("n_words").between(10, 100000)
+    r_mean = F.col("__mwl").between(3.0, 10.0)
+    r_alpha = F.col("__alpha") >= 0.8
+    r_stop = F.col("stop_hits") >= 2
+    r_sym = F.col("__sym") <= 0.1
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        _rnd(F.col("__mwl"), 6).alias("mean_word_len"),
+        _rnd(F.col("__alpha"), 6).alias("alpha_ratio"),
+        "stop_hits",
+        _rnd(F.col("__sym"), 6).alias("symbol_ratio"),
+        r_words.cast("int").alias("r_words"),
+        r_mean.cast("int").alias("r_mean_len"),
+        r_alpha.cast("int").alias("r_alpha"),
+        r_stop.cast("int").alias("r_stopwords"),
+        r_sym.cast("int").alias("r_symbols"),
+        (r_words & r_mean & r_alpha & r_stop & r_sym).cast("int").alias("keep"),
+    )
+
+
+_SQL_GOPHER_RULES = """
+WITH tokd AS (
+    SELECT doc_id, lang, text,
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+    FROM documents
+),
+m AS (
+    SELECT doc_id, lang,
+        CAST(len(w) AS BIGINT) AS n_words,
+        CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT)
+            / greatest(len(w), 1) AS mwl,
+        len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+            / greatest(len(w), 1) AS alpha,
+        CAST(len(list_filter(w,
+            t -> list_contains(['the','a','of','and','to','in','is'], t)))
+            AS BIGINT) AS stop_hits,
+        (length(text) - length(replace(text, '#', ''))
+         + (length(text) - length(replace(text, '...', ''))) / 3)
+            / greatest(len(w), 1) AS sym
+    FROM tokd
+)
+SELECT doc_id, lang, n_words,
+       round(1e-9 + mwl, 6) AS mean_word_len,
+       round(1e-9 + alpha, 6) AS alpha_ratio,
+       stop_hits,
+       round(1e-9 + sym, 6) AS symbol_ratio,
+       CAST(n_words BETWEEN 10 AND 100000 AS INTEGER) AS r_words,
+       CAST(mwl BETWEEN 3.0 AND 10.0 AS INTEGER) AS r_mean_len,
+       CAST(alpha >= 0.8 AS INTEGER) AS r_alpha,
+       CAST(stop_hits >= 2 AS INTEGER) AS r_stopwords,
+       CAST(sym <= 0.1 AS INTEGER) AS r_symbols,
+       CAST(n_words BETWEEN 10 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+            AND alpha >= 0.8 AND stop_hits >= 2 AND sym <= 0.1
+            AS INTEGER) AS keep
+FROM m"""
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling selection (Xie et al. 2023): hashed-token
+    bucket models of the target (lang='en') vs the raw corpus, per-doc
+    log-likelihood-ratio score, top-200 selection.  The corpus folds to a
+    ≤4096-row bucket-count frame in one scan, the weight table broadcasts,
+    and selection goes through the salted two-phase prune — no structure in
+    the plan grows with corpus size except the one doc-id-keyed score
+    shuffle.  Ranking uses the ROUNDED score (BM25 float-sum precedent) so
+    both engines rank identical values; doc_id breaks ties totally."""
+    from .operators import sampling, selection
+
+    d = _scale_out(_docs(spark, sf_dir).select("doc_id", "lang", "text"))
+    tok = (
+        d.select(
+            "doc_id",
+            (F.col("lang") == "en").alias("is_target"),
+            F.explode(T.tokens("text")).alias("__t"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            selection.hashed_token_bucket("__t", 4096).alias("bucket"),
+        )
+        .persist()  # counts + scoring consumers; ContextCleaner reclaims
+    )
+    weights = selection.dsir_bucket_weights(tok, num_buckets=4096)
+    scored = selection.dsir_scores(tok, weights).select(
+        "doc_id", _rnd(F.col("dsir_score"), 6).alias("dsir_score")
+    )
+    scored = scored.join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    order = [F.desc("dsir_score"), F.asc("doc_id")]
+    pruned = sampling.top_k_prune(scored, [], order, k=200, salt_key="doc_id")
+    return (
+        pruned.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .where(F.col("rank") <= 200)
+        .select("doc_id", "lang", "dsir_score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+_SQL_DSIR_SELECT = """
+WITH tokd AS (
+    SELECT doc_id, lang = 'en' AS is_target,
+           unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+    FROM documents
+),
+b AS (
+    SELECT doc_id, is_target,
+           CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 4096
+                AS INTEGER) AS bucket
+    FROM tokd
+),
+cnts AS (
+    SELECT bucket,
+           CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+           CAST(count(*) AS BIGINT) AS cr
+    FROM b GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
+    FROM cnts
+),
+w AS (
+    SELECT bucket,
+           ln((CAST(ct AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + 4096.0))
+         - ln((CAST(cr AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + 4096.0))
+               AS log_w
+    FROM cnts, tot
+),
+ds AS (
+    SELECT doc_id, round(1e-9 + sum(log_w), 6) AS dsir_score
+    FROM b JOIN w USING (bucket) GROUP BY 1
+),
+r AS (
+    SELECT d.doc_id, d.lang, ds.dsir_score,
+           row_number() OVER (ORDER BY ds.dsir_score DESC, d.doc_id ASC) AS rank
+    FROM ds JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, dsir_score, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 200"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -4556,6 +4719,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_semdedup": q_semdedup,
     "q_hll_distinct": q_hll_distinct,
     "q_countmin_topk": q_countmin_topk,
+    "q_gopher_rules": q_gopher_rules,
+    "q_dsir_select": q_dsir_select,
     "q_srp_lsh": q_srp_lsh,
     "q_cell_quality": q_cell_quality,
     "q_ann_recall": q_ann_recall,
@@ -4651,6 +4816,8 @@ ORACLES: dict[str, str] = {
     "q_semdedup": _SQL_SEMDEDUP,
     "q_hll_distinct": _hll_distinct_sql(),
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
+    "q_gopher_rules": _SQL_GOPHER_RULES,
+    "q_dsir_select": _SQL_DSIR_SELECT,
     "q_srp_lsh": _sql_srp_lsh(),
     "q_cell_quality": _SQL_CELL_QUALITY,
     "q_ann_recall": _SQL_ANN_RECALL,
