@@ -78,6 +78,11 @@ HEADLINE = [
     "q_sparse_cosine",
     "q_bloom_join",
     "q_anomaly_mad",
+    # round-6 additions: portable-sketch family (HLL vocab estimate —
+    # the exact COUNT(DISTINCT) twin inside it is the denominator, the
+    # sketch itself is map-side fixed-size) and DSIR data selection
+    "q_hll_distinct",
+    "q_dsir_select",
 ]
 
 # The FIXED baseline-comparable subset: exactly the 30 queries of the first
