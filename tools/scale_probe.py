@@ -7,7 +7,8 @@ candidate generators (MinHash LSH, sparse cosine, prefix filter) should stay
 near-linear because their pair work is bounded per bucket/posting — a
 quadratic regression here means a cap stopped working.
 
-Usage:  python tools/scale_probe.py [sf_dir]     (default /root/testdata/sf0.1)
+Usage:  python tools/scale_probe.py [sf_dir] [op ...]
+        (default sf_dir /root/testdata/sf0.1; default ops: all)
 Prints one JSON line: {"op": {"1": s, "4": s, "8": s, "growth_8x": r}, ...}
 
 Run on an idle host; shared-box contention distorts small multiples first.
@@ -24,7 +25,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from nyc_taxi_data_warehouse_spark.operators import dedup, drift, pq, terms
+from nyc_taxi_data_warehouse_spark.functions import text as T
+from nyc_taxi_data_warehouse_spark.operators import (
+    dedup,
+    drift,
+    pq,
+    selection,
+    sketches,
+    terms,
+)
 from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
 from nyc_taxi_data_warehouse_spark.session import get_spark
 
@@ -122,6 +131,37 @@ def main() -> None:
             ),
             d.select("doc_id"),
         ),
+        # round-6 additions: portable sketches + DSIR — all token-stream
+        # scans folding to FIXED-size state (2^p registers / depth×width
+        # counters / num_buckets weights), so growth should be ~linear
+        # (the scan) with the shuffle constant-sized
+        "hll_estimate": lambda d: sketches.hll_estimate(
+            d.select(F.explode(T.tokens("text")).alias("token")), "token", p=9
+        ),
+        "cm_counters": lambda d: sketches.cm_counters(
+            d.select(F.explode(T.tokens("text")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt")),
+            "token",
+            "cnt",
+        ),
+        "dsir_scores": lambda d: (
+            lambda tok: selection.dsir_scores(
+                tok, selection.dsir_bucket_weights(tok)
+            )
+        )(
+            d.select(
+                "doc_id",
+                (F.col("doc_id") % 5 == 0).alias("is_target"),
+                F.explode(T.tokens("text")).alias("__t"),
+            )
+            .select(
+                "doc_id",
+                "is_target",
+                selection.hashed_token_bucket("__t", 4096).alias("bucket"),
+            )
+            .persist()
+        ),
     }
     # round-5 additions (verdict ask): the PSI scorecard (boundary pass +
     # one binning aggregation — should be ~linear) and the full IVFADC
@@ -149,6 +189,12 @@ def main() -> None:
     }
     all_ops = {n: (lambda m: _docs_at(spark, sf_dir, m), op) for n, op in ops.items()}
     all_ops.update(meta_ops)
+    only = sys.argv[2:]
+    if only:
+        unknown = [n for n in only if n not in all_ops]
+        if unknown:
+            raise SystemExit(f"unknown ops {unknown}; have {sorted(all_ops)}")
+        all_ops = {n: all_ops[n] for n in only}
     report: dict[str, dict] = {}
     for name, (mk, op) in all_ops.items():
         # throwaway m=1 run: the first execution of each op pays JVM JIT /
