@@ -4514,6 +4514,115 @@ FROM probe_slots ps JOIN counters c USING (j, slot)
 GROUP BY ps.token, ps.rank, ps.exact_cnt"""
 
 
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch algebra: merging the 20 per-source HLL register files
+    (register-wise MAX) yields BIT-IDENTICAL registers — and therefore the
+    identical estimate — to sketching the whole corpus directly.  This is
+    the property that makes distinct-counting distributable: per-partition
+    (or per-day, per-source) sketches roll up losslessly, so a 100 TB
+    backfill never re-scans history to refresh a global cardinality.  The
+    query emits both estimates, the exact global vocabulary, and the
+    merged==direct flag (always 1)."""
+    from .operators import sketches
+
+    d = _scale_out(_docs(spark, sf_dir).select("source", "text"))
+    tok = d.select(
+        "source", F.explode(T.tokens("text")).alias("token")
+    ).persist()  # three consumers; ContextCleaner reclaims
+    per_src = sketches.hll_registers(tok, "token", group_cols=("source",), p=9)
+    merged_regs = per_src.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+    def _est(regs: DataFrame, out_name: str) -> DataFrame:
+        # same estimator tail as sketches.hll_estimate, over a register frame
+        m, bits = 512, 51
+        scaled = F.expr(
+            f"CAST(shiftleft(CAST(1 AS BIGINT), {bits + 1} - rho) AS BIGINT)"
+        )
+        per = regs.agg(
+            F.count(F.lit(1)).cast("int").alias("used"),
+            F.sum(scaled).cast("long").alias("s"),
+        )
+        zeros = F.lit(m) - F.col("used")
+        s_tot = F.col("s") + zeros.cast("long") * F.lit(1 << (bits + 1)).cast("long")
+        raw = F.lit(sketches.hll_alpha_numerator(9)) / s_tot.cast("double")
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+        ).otherwise(raw)
+        return per.select(est.alias(out_name))
+
+    direct = sketches.hll_estimate(tok, "token", p=9).select(
+        F.col("est_distinct").alias("__direct")
+    )
+    merged = _est(merged_regs, "__merged")
+    exact = tok.agg(F.count_distinct("token").cast("long").alias("exact_distinct"))
+    return (
+        merged.crossJoin(direct)
+        .crossJoin(exact)
+        .select(
+            _rnd(F.col("__merged"), 4).alias("est_merged"),
+            _rnd(F.col("__direct"), 4).alias("est_direct"),
+            (F.col("__merged") == F.col("__direct")).cast("int").alias("merge_lossless"),
+            "exact_distinct",
+        )
+    )
+
+
+def _hll_union_sql() -> str:
+    from .operators import sketches
+
+    frag = sketches.sql_hll_estimate(
+        "SELECT token FROM tokv", "token", (), p=9
+    )
+    num = sketches.hll_alpha_numerator(9)
+    return f"""
+WITH tokv AS (
+    SELECT source,
+           unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+    FROM documents
+),
+src_h AS (
+    SELECT source,
+           CAST(('0x' || substr(md5(CAST(token AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+    FROM tokv
+),
+src_regs AS (
+    SELECT source, CAST(h % 512 AS INTEGER) AS bucket,
+           MAX(CASE WHEN h // 512 = 0 THEN 52
+                    ELSE 52 - length(bin(h // 512)) END) AS rho
+    FROM src_h GROUP BY source, bucket
+),
+merged_regs AS (
+    SELECT bucket, MAX(rho) AS rho FROM src_regs GROUP BY 1
+),
+merged_per AS (
+    SELECT CAST(count(*) AS INTEGER) AS used,
+           CAST(sum(CAST(1 AS BIGINT) << (52 - rho)) AS BIGINT) AS s
+    FROM merged_regs
+),
+merged_est AS (
+    SELECT CASE WHEN {num!r}
+                     / CAST(s + CAST(512 - used AS BIGINT)
+                            * CAST({1 << 52} AS BIGINT) AS DOUBLE) <= 1280.0
+                 AND 512 - used > 0
+                THEN 512.0 * ln(512.0 / CAST(512 - used AS DOUBLE))
+                ELSE {num!r}
+                     / CAST(s + CAST(512 - used AS BIGINT)
+                            * CAST({1 << 52} AS BIGINT) AS DOUBLE)
+           END AS est_merged
+    FROM merged_per
+),
+{frag},
+exact AS (
+    SELECT CAST(count(DISTINCT token) AS BIGINT) AS exact_distinct FROM tokv
+)
+SELECT round(1e-9 + m.est_merged, 4) AS est_merged,
+       round(1e-9 + e.est_distinct, 4) AS est_direct,
+       CAST(m.est_merged = e.est_distinct AS INTEGER) AS merge_lossless,
+       x.exact_distinct
+FROM merged_est m, hll_est e, exact x"""
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style document quality filter (Rae et al. 2021, public):
     per-document rule flags — word-count bounds, mean-word-length band,
@@ -4721,6 +4830,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_countmin_topk": q_countmin_topk,
     "q_gopher_rules": q_gopher_rules,
     "q_dsir_select": q_dsir_select,
+    "q_hll_union": q_hll_union,
     "q_srp_lsh": q_srp_lsh,
     "q_cell_quality": q_cell_quality,
     "q_ann_recall": q_ann_recall,
@@ -4818,6 +4928,7 @@ ORACLES: dict[str, str] = {
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     "q_gopher_rules": _SQL_GOPHER_RULES,
     "q_dsir_select": _SQL_DSIR_SELECT,
+    "q_hll_union": _hll_union_sql(),
     "q_srp_lsh": _sql_srp_lsh(),
     "q_cell_quality": _SQL_CELL_QUALITY,
     "q_ann_recall": _SQL_ANN_RECALL,
