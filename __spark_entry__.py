@@ -74,6 +74,7 @@ _CHECK_LAST = [
     # this round)
     "q_mixture_plan", "q_semdedup", "q_hll_distinct", "q_countmin_topk",
     "q_gopher_rules", "q_dsir_select", "q_hll_union",
+    "q_k_anonymity", "q_cm_join_size",
     # deferred r3-green six next (round-7 window candidates), then
     # r4/r5-green alphabetical
     "q_project", "q_top1", "q_distinct_hours",

@@ -215,6 +215,31 @@ def cm_counters(
     )
 
 
+def cm_inner_product(
+    counters_a: DataFrame, counters_b: DataFrame, depth: int = 4
+) -> DataFrame:
+    """Equi-join size estimate from two Count-Min sketches (Cormode &
+    Muthukrishnan §4.2): per depth row, Σ_slot cA·cB over-estimates
+    Σ_key fA·fB (colliding keys add cross terms, never subtract); the
+    final estimate is the min over the depth rows.  One row out.
+
+    This is the 100 TB pre-flight: both sides reduce map-side to
+    depth×width counters, so predicting a join's output size (and hence
+    its shuffle) costs two linear scans and a 4096-row join — no key
+    shuffle, no actual join.  All arithmetic stays on exact BIGINTs.
+    """
+    prod = (
+        counters_a.alias("a")
+        .join(
+            F.broadcast(counters_b.alias("b")),
+            (F.col("a.j") == F.col("b.j")) & (F.col("a.slot") == F.col("b.slot")),
+        )
+        .select(F.col("a.j").alias("j"), (F.col("a.c") * F.col("b.c")).alias("p"))
+    )
+    per_j = prod.groupBy("j").agg(F.sum("p").cast("long").alias("est"))
+    return per_j.agg(F.min("est").cast("long").alias("cm_join_est"))
+
+
 def cm_lookup(
     counters: DataFrame,
     probes: DataFrame,

@@ -4786,6 +4786,121 @@ SELECT doc_id, lang, dsir_score, CAST(rank AS INTEGER) AS rank
 FROM r WHERE rank <= 200"""
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance k-anonymity audit: group sizes over the
+    quasi-identifier tuple (nation, market segment, account-balance
+    千-bin) with the k<5 re-identification flag — the pre-release check a
+    training-data pipeline runs before shipping any customer-derived
+    table.  One hash aggregation; group count is bounded by the
+    quasi-identifier domain (~nations × segments × bins), not row count,
+    so the output never scales with the corpus."""
+    c = load_tables(spark, sf_dir)["customer"]
+    bin_ = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    g = (
+        c.select("c_nationkey", "c_mktsegment", bin_.alias("acctbal_bin"))
+        .groupBy("c_nationkey", "c_mktsegment", "acctbal_bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "acctbal_bin",
+        "group_size",
+        (F.col("group_size") < 5).cast("int").alias("at_risk"),
+    )
+
+
+_SQL_K_ANONYMITY = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_bin,
+       CAST(count(*) AS BIGINT) AS group_size,
+       CAST(count(*) < 5 AS INTEGER) AS at_risk
+FROM customer
+GROUP BY 1, 2, 3"""
+
+
+def q_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-cardinality estimation from Count-Min sketches
+    (Cormode–Muthukrishnan inner product): predict
+    |orders ⋈ lineitem ON orderkey| from two 4×4096 counter tables — two
+    linear scans + a broadcast 4096-row join instead of the real key
+    shuffle.  The optimizer-style capability a 100 TB planner wants
+    before committing to a join strategy; the estimate never
+    under-counts, and the query reports it beside the exact join size
+    and the collision over-ratio."""
+    from .operators import sketches
+
+    t = load_tables(spark, sf_dir)
+    co = sketches.cm_counters(
+        t["orders"]
+        .groupBy(F.col("o_orderkey").cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        "k",
+        "cnt",
+        width=4096,
+    )
+    cl = sketches.cm_counters(
+        t["lineitem"]
+        .groupBy(F.col("l_orderkey").cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        "k",
+        "cnt",
+        width=4096,
+    )
+    est = sketches.cm_inner_product(co, cl)
+    exact = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_join_rows"))
+    )
+    return est.crossJoin(exact).select(
+        "exact_join_rows",
+        "cm_join_est",
+        _rnd(F.col("cm_join_est") / F.col("exact_join_rows"), 6).alias(
+            "over_ratio"
+        ),
+    )
+
+
+_SQL_CM_JOIN_SIZE = """
+WITH ok AS (
+    SELECT CAST(o_orderkey AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY 1
+),
+lk AS (
+    SELECT CAST(l_orderkey AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY 1
+),
+js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+co AS (
+    SELECT j,
+           CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || k), 1, 8))
+                     AS BIGINT) % 4096 AS INTEGER) AS slot,
+           CAST(sum(cnt) AS BIGINT) AS c
+    FROM ok, js GROUP BY 1, 2
+),
+cl AS (
+    SELECT j,
+           CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || k), 1, 8))
+                     AS BIGINT) % 4096 AS INTEGER) AS slot,
+           CAST(sum(cnt) AS BIGINT) AS c
+    FROM lk, js GROUP BY 1, 2
+),
+per_j AS (
+    SELECT co.j, CAST(sum(co.c * cl.c) AS BIGINT) AS est
+    FROM co JOIN cl USING (j, slot) GROUP BY 1
+),
+est AS (SELECT CAST(min(est) AS BIGINT) AS cm_join_est FROM per_j),
+exact AS (
+    SELECT CAST(count(*) AS BIGINT) AS exact_join_rows
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT exact_join_rows, cm_join_est,
+       round(1e-9 + CAST(cm_join_est AS DOUBLE) / exact_join_rows, 6)
+           AS over_ratio
+FROM est, exact"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -4831,6 +4946,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_gopher_rules": q_gopher_rules,
     "q_dsir_select": q_dsir_select,
     "q_hll_union": q_hll_union,
+    "q_k_anonymity": q_k_anonymity,
+    "q_cm_join_size": q_cm_join_size,
     "q_srp_lsh": q_srp_lsh,
     "q_cell_quality": q_cell_quality,
     "q_ann_recall": q_ann_recall,
@@ -4929,6 +5046,8 @@ ORACLES: dict[str, str] = {
     "q_gopher_rules": _SQL_GOPHER_RULES,
     "q_dsir_select": _SQL_DSIR_SELECT,
     "q_hll_union": _hll_union_sql(),
+    "q_k_anonymity": _SQL_K_ANONYMITY,
+    "q_cm_join_size": _SQL_CM_JOIN_SIZE,
     "q_srp_lsh": _sql_srp_lsh(),
     "q_cell_quality": _SQL_CELL_QUALITY,
     "q_ann_recall": _SQL_ANN_RECALL,

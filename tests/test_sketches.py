@@ -136,3 +136,25 @@ def test_cm_counter_table_is_bounded(spark):
     )
     counters = sketches.cm_counters(counts, "token", "cnt", depth=4, width=128)
     assert counters.count() <= 4 * 128
+
+
+def test_cm_inner_product_bounds_join_size(spark):
+    from nyc_taxi_data_warehouse_spark.operators import sketches
+
+    a = spark.createDataFrame(
+        [(f"k{i}", (i % 3) + 1) for i in range(100)], ["k", "cnt"]
+    )
+    b = spark.createDataFrame(
+        [(f"k{i}", (i % 5) + 1) for i in range(0, 200, 2)], ["k", "cnt"]
+    )
+    exact = sum(((i % 3) + 1) * ((i % 5) + 1) for i in range(0, 100, 2))
+    # narrow: over-estimates, never under
+    ca = sketches.cm_counters(a, "k", "cnt", depth=3, width=32)
+    cb = sketches.cm_counters(b, "k", "cnt", depth=3, width=32)
+    est = sketches.cm_inner_product(ca, cb, depth=3).collect()[0].cm_join_est
+    assert est >= exact
+    # wide: collisions vanish -> exact inner product
+    wa = sketches.cm_counters(a, "k", "cnt", depth=4, width=65536)
+    wb = sketches.cm_counters(b, "k", "cnt", depth=4, width=65536)
+    est_w = sketches.cm_inner_product(wa, wb).collect()[0].cm_join_est
+    assert est_w == exact
