@@ -83,6 +83,8 @@ HEADLINE = [
     # sketch itself is map-side fixed-size) and DSIR data selection
     "q_hll_distinct",
     "q_dsir_select",
+    # the canonical OLAP wide-aggregate (exact integer money lattice)
+    "q_tpch_q1",
 ]
 
 # The FIXED baseline-comparable subset: exactly the 30 queries of the first

@@ -2092,6 +2092,225 @@ SELECT city, observed_at, load_ts, humidity_pct, obs_id,
 FROM stamped"""
 
 
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) over the TPC-H-shaped tables: the
+    canonical wide-aggregate scan — 8 aggregates, 2 group keys, one pushed
+    date predicate, no join.  All money/discount/tax inputs sit on decimal
+    lattices, so every SUM folds exact integer units (1e-2 for price, 1e-4
+    for disc_price, 1e-6 for charge) and divides once at the end —
+    associative under any partial-agg order (the q_star_join money-SUM
+    rule).  Averages re-derive from the exact sums.  One shuffle of ≤
+    |returnflag×linestatus| rows; Catalyst pushes the filter and prunes to
+    the 7 needed columns (verified in the plan audit)."""
+    li = nyc_views.load_tables(spark, sf_dir)["lineitem"]
+    qty_u = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    price_u = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_u = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    disc_price_u = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    charge_u = F.floor(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    agg = (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_u).alias("__sq"),
+            F.sum(price_u).alias("__sp"),
+            F.sum(disc_price_u).alias("__sdp"),
+            F.sum(charge_u).alias("__sc"),
+            F.sum(disc_u).alias("__sd"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+    n = F.col("count_order")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("__sq") / 100.0).alias("sum_qty"),
+        (F.col("__sp") / 100.0).alias("sum_base_price"),
+        (F.col("__sdp") / 10000.0).alias("sum_disc_price"),
+        (F.col("__sc") / 1000000.0).alias("sum_charge"),
+        _rnd(F.col("__sq") / 100.0 / n, 6).alias("avg_qty"),
+        _rnd(F.col("__sp") / 100.0 / n, 6).alias("avg_price"),
+        _rnd(F.col("__sd") / 100.0 / n, 6).alias("avg_disc"),
+        "count_order",
+    )
+
+
+_SQL_TPCH_Q1 = """
+WITH a AS (
+    SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+        CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sp,
+        CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                      AS BIGINT)) AS BIGINT) AS sdp,
+        CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                            * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sc,
+        CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sd,
+        CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus,
+       sq / 100.0 AS sum_qty,
+       sp / 100.0 AS sum_base_price,
+       sdp / 10000.0 AS sum_disc_price,
+       sc / 1000000.0 AS sum_charge,
+       round(1e-9 + sq / 100.0 / count_order, 6) AS avg_qty,
+       round(1e-9 + sp / 100.0 / count_order, 6) AS avg_price,
+       round(1e-9 + sd / 100.0 / count_order, 6) AS avg_disc,
+       count_order
+FROM a"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): segment-filtered customer ⋈ orders ⋈
+    lineitem with opposing date predicates, top-10 unshipped orders by
+    revenue.  customer is dim-sized → broadcast; the lineitem↔orders
+    shuffle keys on orderkey.  Revenue ranks on EXACT integer 1e-4 units
+    (never the float rendering), so the top-10 — tie-broken by orderdate,
+    orderkey — is a total order both engines agree on; TakeOrdered keeps
+    the limit partial (≤10 rows per partition reach the driver)."""
+    t = nyc_views.load_tables(spark, sf_dir)
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    rev_u = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    j = (
+        t["lineitem"]
+        .where(F.col("l_shipdate") > cutoff)
+        .join(
+            t["orders"].where(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(rev_u).alias("__rev_u")
+    )
+    out = agg.orderBy(
+        F.desc("__rev_u"), F.asc("o_orderdate"), F.asc("l_orderkey")
+    ).limit(10)
+    return out.select(
+        "l_orderkey",
+        (F.col("__rev_u") / 10000.0).alias("revenue"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+_SQL_TPCH_Q3 = """
+WITH a AS (
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS rev_u
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY 1, 2, 3
+)
+SELECT l_orderkey, rev_u / 10000.0 AS revenue, o_orderdate, o_orderpriority
+FROM a
+ORDER BY rev_u DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the 6-table join — lineitem ⋈
+    orders shuffle on orderkey, supplier/customer/nation/region ride as
+    broadcast dims, with the customer-and-supplier-share-a-nation
+    residual equality.  Revenue per nation in exact integer units; the
+    output orders on those units (total order: revenue desc, name)."""
+    t = nyc_views.load_tables(spark, sf_dir)
+    rev_u = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    j = (
+        t["lineitem"]
+        .join(
+            t["orders"].where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t["customer"]),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    agg = j.groupBy("n_name").agg(F.sum(rev_u).alias("__rev_u"))
+    return agg.select(
+        "n_name", (F.col("__rev_u") / 10000.0).alias("revenue")
+    )
+
+
+_SQL_TPCH_Q5 = """
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                     AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): the pure predicate-pushdown
+    probe — a three-way range filter folding to ONE row with no join and
+    no wide shuffle; the plan should show every predicate inside the
+    parquet scan.  Revenue (price × discount) sums in exact 1e-4 units."""
+    li = nyc_views.load_tables(spark, sf_dir)["lineitem"]
+    rev_u = F.floor(
+        F.col("l_extendedprice") * F.col("l_discount") * 10000 + F.lit(0.5)
+    ).cast("long")
+    f = li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        (F.sum(rev_u) / 10000.0).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+_SQL_TPCH_Q6 = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5)
+                     AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_backfill_synthetic": q_backfill_synthetic,
     "q_quality_report": q_quality_report,
@@ -2134,6 +2353,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_union_summary": q_union_summary,
     "q_merge_dedup": q_merge_dedup,
     "q_star_join": q_star_join,
+    "q_tpch_q1": q_tpch_q1,
+    "q_tpch_q3": q_tpch_q3,
+    "q_tpch_q5": q_tpch_q5,
+    "q_tpch_q6": q_tpch_q6,
     "q_zorder_cells": q_zorder_cells,
     "q_pagerank_zones": q_pagerank_zones,
     "q_triangle_count": q_triangle_count,
@@ -2187,6 +2410,10 @@ WHERE pickup_datetime IS NOT NULL AND dropoff_datetime IS NOT NULL
 SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
 FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5000""",
     "q_star_join": _SQL_STAR_JOIN,
+    "q_tpch_q1": _SQL_TPCH_Q1,
+    "q_tpch_q3": _SQL_TPCH_Q3,
+    "q_tpch_q5": _SQL_TPCH_Q5,
+    "q_tpch_q6": _SQL_TPCH_Q6,
     "q_zorder_cells": _SQL_ZORDER_CELLS,
     "q_pagerank_zones": _SQL_PAGERANK_ZONES,
     "q_triangle_count": _SQL_TRIANGLE_COUNT,
