@@ -75,7 +75,7 @@ _CHECK_LAST = [
     "q_mixture_plan", "q_semdedup", "q_hll_distinct", "q_countmin_topk",
     "q_gopher_rules", "q_dsir_select", "q_hll_union",
     "q_k_anonymity", "q_cm_join_size",
-    "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6",
+    "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_stream_hll",
     # deferred r3-green six next (round-7 window candidates), then
     # r4/r5-green alphabetical
     "q_project", "q_top1", "q_distinct_hours",

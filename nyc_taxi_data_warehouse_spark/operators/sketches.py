@@ -45,35 +45,48 @@ def _h60(c: Column) -> Column:
 
 # --- HyperLogLog -----------------------------------------------------------
 
+def hll_bucket(c: Column, p: int = 9) -> Column:
+    """Register index: the low p bits of the 60-bit hash."""
+    return _h60(c).bitwiseAND((1 << p) - 1).cast("int")
+
+
+def hll_rho(c: Column, p: int = 9) -> Column:
+    """rho = position of the first 1-bit in the remaining (60-p)-bit word
+    (1-based; all-zero word → 60-p+1, the Flajolet convention).  Computed
+    from the LENGTH of the minimal binary rendering (`conv(w,10,2)` /
+    DuckDB `bin(w)`) — exact integer logic, no float log2 whose boundary
+    rounding could disagree between engines.  NOTE both engines render 0
+    as '0' (length 1), so the w=0 case must stay explicit."""
+    bits = _HASH_BITS - p
+    w = F.shiftright(_h60(c), p)  # non-negative: arithmetic == logical shift
+    return (
+        F.when(w == 0, F.lit(bits + 1))
+        .otherwise(F.lit(bits + 1) - F.length(F.conv(w, 10, 2)))
+        .cast("int")
+    )
+
+
 def hll_registers(
     df: DataFrame, col: str, group_cols: tuple[str, ...] = (), p: int = 9
 ) -> DataFrame:
     """Per-group HLL register file: (group…, bucket, rho) with 2^p buckets.
 
-    bucket = low p bits of the 60-bit hash; rho = position of the first
-    1-bit in the remaining (60-p)-bit word (1-based; all-zero word →
-    60-p+1, the Flajolet convention).  rho is computed from the LENGTH of
-    the minimal binary rendering (`conv(w,10,2)` / DuckDB `bin(w)`), which
-    is exact integer logic — no float log2 whose boundary rounding could
-    disagree between engines.
-
     groupBy(bucket).max(rho) IS the whole shuffle: at most 2^p rows per
     group leave the map side no matter how many input rows there are.
+    The same `hll_bucket`/`hll_rho` expressions work on a streaming
+    DataFrame (max is a streaming-supported aggregate, and the sketch is
+    re-delivery-insensitive by construction — a duplicate row can never
+    raise a register).
     """
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
-    m = 1 << p
-    bits = _HASH_BITS - p
-    h = _h60(F.col(col))
-    w = F.shiftright(h, p)  # h is non-negative: arithmetic == logical shift
-    rho = (
-        F.when(w == 0, F.lit(bits + 1))
-        .otherwise(F.lit(bits + 1) - F.length(F.conv(w, 10, 2)))
-        .cast("int")
-    )
     gcols = [F.col(g) for g in group_cols]
     return (
-        df.select(*gcols, h.bitwiseAND(m - 1).cast("int").alias("bucket"), rho.alias("__rho"))
+        df.select(
+            *gcols,
+            hll_bucket(F.col(col), p).alias("bucket"),
+            hll_rho(F.col(col), p).alias("__rho"),
+        )
         .groupBy(*group_cols, "bucket")
         .agg(F.max("__rho").alias("rho"))
     )
@@ -95,8 +108,19 @@ def hll_alpha_numerator(p: int) -> float:
 def hll_estimate(
     df: DataFrame, col: str, group_cols: tuple[str, ...] = (), p: int = 9
 ) -> DataFrame:
-    """Per-group approximate COUNT(DISTINCT col): (group…, used_registers,
-    zero_registers, est_distinct).  Standard error ≈ 1.04/√(2^p).
+    """Per-group approximate COUNT(DISTINCT col): registers +
+    `hll_estimate_from_registers`.  Standard error ≈ 1.04/√(2^p)."""
+    return hll_estimate_from_registers(
+        hll_registers(df, col, group_cols, p), group_cols, p
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: tuple[str, ...] = (), p: int = 9
+) -> DataFrame:
+    """Estimator tail over a (group…, bucket, rho) register frame —
+    separated so rolled-up/merged/streamed register files reuse it:
+    (group…, used_registers, zero_registers, est_distinct).
 
     The harmonic sum Σ 2^-rho is kept EXACT: each term is scaled by
     2^(bits+1) so it becomes the integer 2^(bits+1-rho) (rho ≤ bits+1),
@@ -107,7 +131,6 @@ def hll_estimate(
     """
     m = 1 << p
     bits = _HASH_BITS - p
-    regs = hll_registers(df, col, group_cols, p)
     scaled = F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), {bits + 1} - rho) AS BIGINT)")
     per = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("int").alias("used_registers"),

@@ -4532,29 +4532,12 @@ def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_src = sketches.hll_registers(tok, "token", group_cols=("source",), p=9)
     merged_regs = per_src.groupBy("bucket").agg(F.max("rho").alias("rho"))
 
-    def _est(regs: DataFrame, out_name: str) -> DataFrame:
-        # same estimator tail as sketches.hll_estimate, over a register frame
-        m, bits = 512, 51
-        scaled = F.expr(
-            f"CAST(shiftleft(CAST(1 AS BIGINT), {bits + 1} - rho) AS BIGINT)"
-        )
-        per = regs.agg(
-            F.count(F.lit(1)).cast("int").alias("used"),
-            F.sum(scaled).cast("long").alias("s"),
-        )
-        zeros = F.lit(m) - F.col("used")
-        s_tot = F.col("s") + zeros.cast("long") * F.lit(1 << (bits + 1)).cast("long")
-        raw = F.lit(sketches.hll_alpha_numerator(9)) / s_tot.cast("double")
-        est = F.when(
-            (raw <= F.lit(2.5 * m)) & (zeros > 0),
-            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
-        ).otherwise(raw)
-        return per.select(est.alias(out_name))
-
     direct = sketches.hll_estimate(tok, "token", p=9).select(
         F.col("est_distinct").alias("__direct")
     )
-    merged = _est(merged_regs, "__merged")
+    merged = sketches.hll_estimate_from_registers(merged_regs, (), p=9).select(
+        F.col("est_distinct").alias("__merged")
+    )
     exact = tok.agg(F.count_distinct("token").cast("long").alias("exact_distinct"))
     return (
         merged.crossJoin(direct)

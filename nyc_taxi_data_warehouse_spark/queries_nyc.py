@@ -2311,6 +2311,135 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_quantity < 24"""
 
 
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 × sketches: approximate distinct over a STREAM with bounded
+    state.  The weather feed replays through the file source; the
+    streaming aggregation keeps one HLL register file per day —
+    `groupBy(window, bucket).max(rho)` is a streaming-supported aggregate
+    whose state is days × 2^p rows regardless of feed volume, and the
+    sketch is re-delivery-insensitive by construction (a duplicate row
+    can never raise a register), so it needs no dedup state at all.  The
+    estimator tail runs batch-side on the drained register sink; the
+    oracle recomputes registers + estimate from the batch weather view —
+    stream and batch register files must agree bit-for-bit.  The
+    distinct-counted value is the (temp×10, humidity) observation state
+    on an exact integer lattice (identical rendering both engines)."""
+    from .operators import sketches
+    from .streaming import weather_stream
+
+    src = _stream_feed_dir("weather_feed_hll")
+    _weather(spark, sf_dir).write.mode("overwrite").parquet(src)
+
+    _STREAM_SINK_SEQ[0] += 1
+    name = f"q_stream_hll_sink_{_STREAM_SINK_SEQ[0]}"
+    val = F.concat_ws(
+        "|",
+        F.floor(F.col("temp_f") * 10 + F.lit(0.5)).cast("long"),
+        F.col("humidity_pct").cast("long"),
+    )
+    stream = weather_stream.read_weather_stream(spark, src)
+    rows = (
+        stream.withWatermark("observed_at", "2 hours")
+        .where(
+            F.col("observed_at").isNotNull()
+            & F.col("temp_f").isNotNull()
+            & F.col("humidity_pct").isNotNull()
+        )
+        .select(
+            F.window("observed_at", "1 day").alias("win"), val.alias("__v")
+        )
+        .select(
+            "win",
+            sketches.hll_bucket(F.col("__v"), 9).alias("bucket"),
+            sketches.hll_rho(F.col("__v"), 9).alias("__rho"),
+        )
+    )
+    regs = rows.groupBy("win", "bucket").agg(F.max("__rho").alias("rho"))
+    q = weather_stream.run_available_now(regs, name)
+    drained = q.awaitTermination(300)
+    q.stop()
+    if not drained:
+        raise RuntimeError(
+            "q_stream_hll: availableNow drain timed out after 300s — "
+            "refusing to compare a partially-filled sink against the oracle"
+        )
+    sink = spark.table(name).select(
+        F.col("win.start").alias("day"), "bucket", "rho"
+    )
+    est = sketches.hll_estimate_from_registers(sink, ("day",), p=9)
+    exact = (
+        _weather(spark, sf_dir)
+        .where(
+            F.col("observed_at").isNotNull()
+            & F.col("temp_f").isNotNull()
+            & F.col("humidity_pct").isNotNull()
+        )
+        .select(
+            F.date_trunc("day", F.col("observed_at")).alias("day"),
+            val.alias("__v"),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("__v").cast("long").alias("exact_distinct"))
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "used_registers",
+        "zero_registers",
+        _rnd(F.col("est_distinct"), 4).alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
+_SQL_STREAM_HLL_SELECT = """
+SELECT e.day, e.used_registers, e.zero_registers,
+       round(1e-9 + e.est, 4) AS est_distinct, x.exact_distinct
+FROM (
+    SELECT day, CAST(used AS INTEGER) AS used_registers,
+           CAST(512 - used AS INTEGER) AS zero_registers,
+           CASE WHEN 8.497699123215257e+20
+                     / CAST(s + CAST(512 - used AS BIGINT)
+                            * CAST(4503599627370496 AS BIGINT) AS DOUBLE)
+                     <= 1280.0
+                 AND 512 - used > 0
+                THEN 512.0 * ln(512.0 / CAST(512 - used AS DOUBLE))
+                ELSE 8.497699123215257e+20
+                     / CAST(s + CAST(512 - used AS BIGINT)
+                            * CAST(4503599627370496 AS BIGINT) AS DOUBLE)
+           END AS est
+    FROM (
+        SELECT day, count(*) AS used,
+               CAST(sum(CAST(1 AS BIGINT) << (52 - rho)) AS BIGINT) AS s
+        FROM (
+            SELECT day, CAST(h % 512 AS INTEGER) AS bucket,
+                   MAX(CASE WHEN h // 512 = 0 THEN 52
+                            ELSE 52 - length(bin(h // 512)) END) AS rho
+            FROM (
+                SELECT CAST(date_trunc('day', observed_at) AS TIMESTAMP) AS day,
+                       CAST(('0x' || substr(md5(
+                           CAST(CAST(floor(temp_f * 10 + 0.5) AS BIGINT)
+                                AS VARCHAR)
+                           || '|' || CAST(CAST(humidity_pct AS BIGINT)
+                                          AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                FROM weather
+                WHERE observed_at IS NOT NULL AND temp_f IS NOT NULL
+                  AND humidity_pct IS NOT NULL
+            ) GROUP BY 1, 2
+        ) GROUP BY 1
+    )
+) e
+JOIN (
+    SELECT CAST(date_trunc('day', observed_at) AS TIMESTAMP) AS day,
+           CAST(count(DISTINCT CAST(CAST(floor(temp_f * 10 + 0.5) AS BIGINT)
+                                    AS VARCHAR)
+                      || '|' || CAST(CAST(humidity_pct AS BIGINT) AS VARCHAR))
+                AS BIGINT) AS exact_distinct
+    FROM weather
+    WHERE observed_at IS NOT NULL AND temp_f IS NOT NULL
+      AND humidity_pct IS NOT NULL
+    GROUP BY 1
+) x USING (day)"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_backfill_synthetic": q_backfill_synthetic,
     "q_quality_report": q_quality_report,
@@ -2353,6 +2482,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_union_summary": q_union_summary,
     "q_merge_dedup": q_merge_dedup,
     "q_star_join": q_star_join,
+    "q_stream_hll": q_stream_hll,
     "q_tpch_q1": q_tpch_q1,
     "q_tpch_q3": q_tpch_q3,
     "q_tpch_q5": q_tpch_q5,
@@ -2410,6 +2540,7 @@ WHERE pickup_datetime IS NOT NULL AND dropoff_datetime IS NOT NULL
 SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
 FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5000""",
     "q_star_join": _SQL_STAR_JOIN,
+    "q_stream_hll": _with(SQL_WEATHER, select=_SQL_STREAM_HLL_SELECT),
     "q_tpch_q1": _SQL_TPCH_Q1,
     "q_tpch_q3": _SQL_TPCH_Q3,
     "q_tpch_q5": _SQL_TPCH_Q5,
