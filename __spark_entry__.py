@@ -73,9 +73,12 @@ _CHECK_LAST = [
     # candidates for the round-7 window (builder replica covers them
     # this round)
     "q_mixture_plan", "q_semdedup", "q_hll_distinct", "q_countmin_topk",
-    "q_gopher_rules", "q_dsir_select", "q_hll_union",
+    "q_gopher_rules", "q_dsir_select", "q_hll_union", "q_hll_overlap",
     "q_k_anonymity", "q_cm_join_size",
     "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_stream_hll",
+    "q_tpch_q4", "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q12",
+    "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
+    "q_tpch_q19", "q_tpch_q22",
     # deferred r3-green six next (round-7 window candidates), then
     # r4/r5-green alphabetical
     "q_project", "q_top1", "q_distinct_hours",
@@ -134,6 +137,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(DATA)
     except ImportError:
         pass
+    try:
+        from nyc_taxi_data_warehouse_spark.queries_tpch import QUERIES as TPCH
+
+        out.update(TPCH)
+    except ImportError:
+        pass
     return _ordered(out)
 
 
@@ -147,6 +156,12 @@ def oracle_sql() -> dict[str, str]:
         from nyc_taxi_data_warehouse_spark.queries_data import ORACLES as DATA
 
         out.update(DATA)
+    except ImportError:
+        pass
+    try:
+        from nyc_taxi_data_warehouse_spark.queries_tpch import ORACLES as TPCH
+
+        out.update(TPCH)
     except ImportError:
         pass
     return _ordered(out)

@@ -199,6 +199,50 @@ hll_est AS (
 """
 
 
+def sql_hll_estimate_from_registers(
+    regs_cte: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 9,
+    prefix: str = "hll",
+) -> str:
+    """DuckDB twin of `hll_estimate_from_registers` over an EXISTING
+    (group…, bucket, rho) CTE named ``regs_cte`` — for oracles whose
+    register file is derived (merged pairs, streamed sinks) rather than
+    sketched directly from rows.  Emits ``{prefix}_per`` and
+    ``{prefix}_est`` CTE bodies (caller joins them into its WITH chain);
+    the float numerator is repr() of the same Python double the engine
+    folds, and the harmonic sum stays exact-integer (see
+    hll_estimate_from_registers)."""
+    m = 1 << p
+    bits = _HASH_BITS - p
+    g = ", ".join(group_cols)
+    gcomma = f"{g}, " if g else ""
+    gby = f"GROUP BY {g}" if g else ""
+    num = hll_alpha_numerator(p)
+    raw = (
+        f"{num!r} / CAST(s + CAST({m} - used_registers AS BIGINT)"
+        f" * CAST({1 << (bits + 1)} AS BIGINT) AS DOUBLE)"
+    )
+    return f"""
+{prefix}_per AS (
+    SELECT {gcomma} CAST(count(*) AS INTEGER) AS used_registers,
+           CAST(sum(CAST(1 AS BIGINT) << ({bits + 1} - rho)) AS BIGINT) AS s
+    FROM {regs_cte} {gby}
+),
+{prefix}_est AS (
+    SELECT {gcomma} used_registers,
+           CAST({m} - used_registers AS INTEGER) AS zero_registers,
+           CASE WHEN {raw} <= {2.5 * m!r}
+                 AND {m} - used_registers > 0
+                THEN {float(m)!r} * ln({float(m)!r}
+                     / CAST({m} - used_registers AS DOUBLE))
+                ELSE {raw}
+           END AS est_distinct
+    FROM {prefix}_per
+)
+"""
+
+
 # --- Count-Min -------------------------------------------------------------
 
 def cm_counters(

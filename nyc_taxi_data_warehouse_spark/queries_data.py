@@ -4606,6 +4606,155 @@ SELECT round(1e-9 + m.est_merged, 4) AS est_merged,
 FROM merged_est m, hll_est e, exact x"""
 
 
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap by HLL inclusion–exclusion:
+    |A∩B| ≈ est(A) + est(B) − est(A∪B), where est(A∪B) comes from the
+    register-wise MAX of the two per-source register files (the lossless
+    merge q_hll_union proves) — so estimating ALL k·(k−1)/2 pair overlaps
+    costs k fixed-size sketches + a pair-list join over ≤ k·2^p register
+    rows, never a token-level self-join.  That is the 100-TB corpus
+    cross-contamination triage: the exact intersection (the verification
+    column here, and the q_source_overlap serving path) shuffles the full
+    (source, token) set, the sketch path shuffles kilobytes.  The pair
+    register merge is two broadcast equi-joins of the tiny pair list
+    (UNION ALL of the src_a-side and src_b-side rows), not an OR-join, so
+    the plan stays hash-based.  est_intersection may go slightly negative
+    under sketch error — reported as-is beside the exact truth."""
+    from .operators import sketches
+
+    d = _scale_out(_docs(spark, sf_dir).select("source", "text"))
+    tok = d.select(
+        "source", F.explode(T.tokens("text")).alias("token")
+    ).persist()  # feeds registers + exact twin; ContextCleaner reclaims
+    regs = sketches.hll_registers(
+        tok, "token", group_cols=("source",), p=9
+    ).persist()  # singles + both pair-join sides; ContextCleaner reclaims
+    singles = sketches.hll_estimate_from_registers(regs, ("source",), p=9)
+
+    # the source list is k rows (bounded by the source domain, independent
+    # of corpus size) — a sanctioned bounded collect; enumerating the
+    # k·(k−1)/2 pair list driver-side keeps the crossJoin subtree (and its
+    # ~6 extra micro-stages) out of the plan entirely
+    srcs = sorted(r[0] for r in regs.select("source").distinct().collect())
+    pairs = spark.createDataFrame(
+        [(a, b) for a in srcs for b in srcs if a < b],
+        "src_a string, src_b string",
+    )
+    pair_rows = regs.join(
+        F.broadcast(pairs), F.col("source") == F.col("src_a")
+    ).select("src_a", "src_b", "bucket", "rho").unionAll(
+        regs.join(
+            F.broadcast(pairs), F.col("source") == F.col("src_b")
+        ).select("src_a", "src_b", "bucket", "rho")
+    )
+    union_regs = pair_rows.groupBy("src_a", "src_b", "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    union_est = sketches.hll_estimate_from_registers(
+        union_regs, ("src_a", "src_b"), p=9
+    ).select("src_a", "src_b", F.col("est_distinct").alias("__est_u"))
+
+    ea = singles.select(
+        F.col("source").alias("src_a"), F.col("est_distinct").alias("__est_a")
+    )
+    eb = singles.select(
+        F.col("source").alias("src_b"), F.col("est_distinct").alias("__est_b")
+    )
+    dt = tok.distinct().persist()  # both self-join sides; cleaner reclaims
+    exact = (
+        dt.join(
+            dt.select(
+                F.col("source").alias("__sb"), F.col("token").alias("token")
+            ),
+            "token",
+        )
+        .where(F.col("source") < F.col("__sb"))
+        .groupBy(F.col("source").alias("src_a"), F.col("__sb").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    return (
+        union_est.join(F.broadcast(ea), "src_a")
+        .join(F.broadcast(eb), "src_b")
+        .join(exact, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            _rnd(F.col("__est_a"), 4).alias("est_a"),
+            _rnd(F.col("__est_b"), 4).alias("est_b"),
+            _rnd(F.col("__est_u"), 4).alias("est_union"),
+            _rnd(
+                F.col("__est_a") + F.col("__est_b") - F.col("__est_u"), 4
+            ).alias("est_intersection"),
+            F.coalesce(F.col("exact_intersection"), F.lit(0).cast("long")).alias(
+                "exact_intersection"
+            ),
+        )
+    )
+
+
+def _hll_overlap_sql() -> str:
+    from .operators import sketches
+
+    tail_u = sketches.sql_hll_estimate_from_registers(
+        "union_regs", ("src_a", "src_b"), p=9, prefix="u"
+    )
+    tail_s = sketches.sql_hll_estimate_from_registers(
+        "src_regs", ("source",), p=9, prefix="s"
+    )
+    return f"""
+WITH tokv AS (
+    SELECT source,
+           unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+    FROM documents
+),
+src_h AS (
+    SELECT source,
+           CAST(('0x' || substr(md5(CAST(token AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+    FROM tokv
+),
+src_regs AS (
+    SELECT source, CAST(h % 512 AS INTEGER) AS bucket,
+           MAX(CASE WHEN h // 512 = 0 THEN 52
+                    ELSE 52 - length(bin(h // 512)) END) AS rho
+    FROM src_h GROUP BY source, bucket
+),
+pairs AS (
+    SELECT a.source AS src_a, b.source AS src_b
+    FROM (SELECT DISTINCT source FROM src_regs) a,
+         (SELECT DISTINCT source FROM src_regs) b
+    WHERE a.source < b.source
+),
+union_regs AS (
+    SELECT src_a, src_b, bucket, MAX(rho) AS rho FROM (
+        SELECT p.src_a, p.src_b, r.bucket, r.rho
+        FROM src_regs r JOIN pairs p ON r.source = p.src_a
+        UNION ALL
+        SELECT p.src_a, p.src_b, r.bucket, r.rho
+        FROM src_regs r JOIN pairs p ON r.source = p.src_b
+    ) GROUP BY 1, 2, 3
+),
+{tail_u},
+{tail_s},
+dt AS (SELECT DISTINCT source, token FROM tokv),
+exact AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS exact_intersection
+    FROM dt a JOIN dt b ON a.token = b.token AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT u.src_a, u.src_b,
+       round(1e-9 + sa.est_distinct, 4) AS est_a,
+       round(1e-9 + sb.est_distinct, 4) AS est_b,
+       round(1e-9 + u.est_distinct, 4) AS est_union,
+       round(1e-9 + sa.est_distinct + sb.est_distinct - u.est_distinct, 4)
+           AS est_intersection,
+       COALESCE(x.exact_intersection, CAST(0 AS BIGINT)) AS exact_intersection
+FROM u_est u
+JOIN s_est sa ON sa.source = u.src_a
+JOIN s_est sb ON sb.source = u.src_b
+LEFT JOIN exact x ON x.src_a = u.src_a AND x.src_b = u.src_b"""
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style document quality filter (Rae et al. 2021, public):
     per-document rule flags — word-count bounds, mean-word-length band,
@@ -4929,6 +5078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_gopher_rules": q_gopher_rules,
     "q_dsir_select": q_dsir_select,
     "q_hll_union": q_hll_union,
+    "q_hll_overlap": q_hll_overlap,
     "q_k_anonymity": q_k_anonymity,
     "q_cm_join_size": q_cm_join_size,
     "q_srp_lsh": q_srp_lsh,
@@ -5029,6 +5179,7 @@ ORACLES: dict[str, str] = {
     "q_gopher_rules": _SQL_GOPHER_RULES,
     "q_dsir_select": _SQL_DSIR_SELECT,
     "q_hll_union": _hll_union_sql(),
+    "q_hll_overlap": _hll_overlap_sql(),
     "q_k_anonymity": _SQL_K_ANONYMITY,
     "q_cm_join_size": _SQL_CM_JOIN_SIZE,
     "q_srp_lsh": _sql_srp_lsh(),

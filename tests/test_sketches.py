@@ -158,3 +158,22 @@ def test_cm_inner_product_bounds_join_size(spark):
     wb = sketches.cm_counters(b, "k", "cnt", depth=4, width=65536)
     est_w = sketches.cm_inner_product(wa, wb).collect()[0].cm_join_est
     assert est_w == exact
+
+
+def test_hll_overlap_inclusion_exclusion_invariants(spark, sf_dir):
+    """q_hll_overlap: the union sketch dominates each single sketch
+    (register-wise max is pointwise >=, and both estimator branches are
+    monotone in the register file), and the inclusion-exclusion estimate
+    tracks the exact intersection within a generous multiple of the p=9
+    standard error (3 estimates x 4.6% each)."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_hll_overlap
+
+    rows = q_hll_overlap(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.est_union >= max(r.est_a, r.est_b) - 1e-6
+        assert r.est_union <= r.est_a + r.est_b + 1e-6  # sub-additive
+        bound = 0.2 * r.est_union + 50
+        assert abs(r.est_intersection - r.exact_intersection) <= bound, (
+            r.src_a, r.src_b, r.est_intersection, r.exact_intersection,
+        )
