@@ -7,18 +7,26 @@ handle, adapted to the slimmed testdata schema (no partsupp table, no
 l_commitdate/l_receiptdate/l_shipmode, no p_container/c_phone — each
 adaptation is noted per query):
 
+  Q2   minimum-cost supplier (correlated-min subquery)
   Q4   semi-join with a non-equi residual (EXISTS)
   Q7   nation-pair volume shipping (disjunctive pair predicate + year)
   Q8   market-share ratio (conditional aggregate over an all-table join)
+  Q9   product profit by nation/year (expression agg over the full star)
   Q10  returned-item top-20 customers (group on a wide key + limit)
+  Q11  important stock (HAVING against a global-scalar fraction)
   Q12  conditional priority counts (CASE aggregates on a join)
   Q13  customer order-count distribution (LEFT OUTER + two-level agg)
   Q14  promo revenue ratio (broadcast dim + conditional ratio)
   Q15  top supplier via max-over-view (scalar-subquery join)
+  Q16  supplier diversity (anti-join + COUNT DISTINCT per attribute)
   Q17  small-quantity revenue (correlated per-group average)
   Q18  large-volume customers (IN-subquery with HAVING)
   Q19  disjunctive brand/size/quantity predicate join
+  Q20  dominant part suppliers (nested-aggregate semi-join chain)
+  Q21  waiting-order suppliers (decorrelated EXISTS/NOT-EXISTS)
   Q22  dormant big-balance customers (anti-join + global-scalar filter)
+
+With Q1/Q3/Q5/Q6 in queries_nyc.py this covers all 22 TPC-H shapes.
 
 Numeric policy (the repo-wide money-sum rule, NOTES.md): every SUM whose
 input sits on a decimal lattice folds exact integer units (1e-2 price,
@@ -669,7 +677,354 @@ GROUP BY 1
 ORDER BY 1"""
 
 
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier: the correlated-min subquery.  Adaptation:
+# no partsupp table, so the part↔supplier association is the DISTINCT
+# (l_partkey, l_suppkey) set observed in lineitem, and the minimized
+# "cost" is s_acctbal (1e-2 lattice, compared as integer units).  Every
+# supplier achieving its part's minimum is returned — both engines agree
+# on the achieving SET because the min is over identical integer units.
+# ---------------------------------------------------------------------------
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = nyc_views.load_tables(spark, sf_dir)
+    ps = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    parts = t["part"].where(F.col("p_size") == 15).select("p_partkey", "p_brand")
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            F.floor(F.col("s_acctbal") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("__bal_u"),
+        )
+    )
+    cand = (
+        ps.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    mn = cand.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.min("__bal_u").alias("__mn_u")
+    )
+    return cand.join(
+        F.broadcast(mn),
+        (F.col("p_partkey") == F.col("__pk"))
+        & (F.col("__bal_u") == F.col("__mn_u")),
+    ).select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+
+
+_SQL_TPCH_Q2 = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+supp AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name,
+           CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_u
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+),
+cand AS (
+    SELECT p_partkey, p_brand, s_name, s_acctbal, n_name, bal_u
+    FROM ps
+    JOIN part ON l_partkey = p_partkey
+    JOIN supp ON l_suppkey = s_suppkey
+    WHERE p_size = 15
+),
+mn AS (SELECT p_partkey AS pk, min(bal_u) AS mn_u FROM cand GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+FROM cand JOIN mn ON p_partkey = pk AND bal_u = mn_u"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year.  Adaptation: no partsupp
+# ps_supplycost, so cost is 0.6·p_retailprice per unit; profit =
+# rev − cost·qty, folded to exact 1e-4 units per row (per-row double
+# products are bit-exact cross-engine; only the SUM needs the integer
+# lattice).  The color-word p_name LIKE filter survives verbatim.
+# ---------------------------------------------------------------------------
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = nyc_views.load_tables(spark, sf_dir)
+    cost_u = F.floor(
+        F.col("p_retailprice") * 0.6 * F.col("l_quantity") * 10000 + F.lit(0.5)
+    ).cast("long")
+    profit_u = _rev_u() - cost_u
+    j = (
+        t["lineitem"]
+        .join(
+            F.broadcast(
+                t["part"].where(F.col("p_name").like("%red%"))
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    agg = j.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg(F.sum(profit_u).alias("__profit_u"))
+    return agg.select(
+        "nation",
+        F.col("o_year").cast("int").alias("o_year"),
+        (F.col("__profit_u") / 10000.0).alias("sum_profit"),
+    )
+
+
+_SQL_TPCH_Q9 = f"""
+SELECT nation, o_year, profit_u / 10000.0 AS sum_profit
+FROM (
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum({_SQL_REV_U}
+                    - CAST(floor(p_retailprice * 0.6 * l_quantity * 10000
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS profit_u
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock: per-part value with a HAVING against a global
+# scalar (fraction of total).  The 0.001 fraction comparison is
+# cross-multiplied — value_u·1000 > total_u — and the 1-row total
+# broadcasts, so no float division or second scan decides membership.
+# Adaptation: "stock value" is shipped extendedprice from lineitem
+# restricted to NATION_7 suppliers (Q11's GERMANY analog).
+# ---------------------------------------------------------------------------
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = nyc_views.load_tables(spark, sf_dir)
+    price_u = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    supp7 = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].where(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = t["lineitem"].join(
+        F.broadcast(supp7), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    per_part = val.groupBy("l_partkey").agg(F.sum(price_u).alias("__v"))
+    tot = per_part.agg(F.sum("__v").alias("__t"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .where(F.col("__v") * 1000 > F.col("__t"))
+        .select("l_partkey", (F.col("__v") / 100.0).alias("value"))
+    )
+
+
+_SQL_TPCH_Q11 = """
+WITH per_part AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS v
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+    GROUP BY 1
+),
+tot AS (SELECT CAST(sum(v) AS BIGINT) AS t FROM per_part)
+SELECT l_partkey, v / 100.0 AS value
+FROM per_part, tot
+WHERE v * 1000 > t"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier diversity per part attribute: COUNT(DISTINCT supplier)
+# after an anti-join excluding flagged suppliers.  Adaptation: the
+# part↔supplier association is the observed lineitem pair set, and the
+# "complaints" exclusion list is suppliers with negative account balance.
+# ---------------------------------------------------------------------------
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = nyc_views.load_tables(spark, sf_dir)
+    bad = t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
+    ps = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    good = ps.join(
+        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    parts = t["part"].where(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    j = good.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+_SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_suppkey = ps.l_suppkey AND s_acctbal < 0)
+GROUP BY 1, 2, 3"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 — dominant part suppliers: the nested-aggregate semi-join chain.
+# Adaptation: without partsupp availability, a supplier "dominates" a
+# part when it shipped MORE THAN HALF of that part's 1997 volume
+# (pair_qty·2 > part_total, exact integer units — the per-part total is
+# derived from the same pair aggregate, one scan).  Output: per-supplier
+# dominated-part counts over the color-filtered part subset, with name
+# and nation.
+# ---------------------------------------------------------------------------
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = nyc_views.load_tables(spark, sf_dir)
+    qty_u = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    ).join(
+        F.broadcast(
+            t["part"].where(F.col("p_name").like("blue%")).select("p_partkey")
+        ),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    sp = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty_u).alias("__q"))
+    pt = sp.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("__q").alias("__tq")
+    )
+    dom = sp.join(F.broadcast(pt), F.col("l_partkey") == F.col("__pk")).where(
+        F.col("__q") * 2 > F.col("__tq")
+    )
+    per_supp = dom.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dominated")
+    )
+    return (
+        per_supp.join(
+            F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", "n_dominated")
+    )
+
+
+_SQL_TPCH_Q20 = """
+WITH sp AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS q
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND p_name LIKE 'blue%'
+    GROUP BY 1, 2
+),
+pt AS (SELECT l_partkey AS pk, CAST(sum(q) AS BIGINT) AS tq FROM sp GROUP BY 1)
+SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS n_dominated
+FROM sp
+JOIN pt ON l_partkey = pk
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE q * 2 > tq
+GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting: the EXISTS / NOT-EXISTS
+# double-correlation, implemented (in BOTH engines) as its decorrelated
+# rewrite — per-order supplier counts and late-supplier counts, then
+# "late AND the order has other suppliers AND I am the only late one".
+# Late = shipped >60 days after the order date (no l_receiptdate /
+# l_commitdate in the testdata).  Top 20 by waiting-order count with the
+# unique s_name as tie-break (a total order).
+# ---------------------------------------------------------------------------
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = nyc_views.load_tables(spark, sf_dir)
+    lo = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.timestamp_add("DAY", F.lit(60), F.col("o_orderdate"))
+            ).alias("__late"),
+        )
+    ).persist()  # feeds the per-order aggregate AND the late-row probe
+    per_order = lo.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.count_distinct("l_suppkey").alias("__n_supp"),
+        F.count_distinct(
+            F.when(F.col("__late"), F.col("l_suppkey"))
+        ).alias("__n_late"),
+    )
+    waiting = (
+        lo.where(F.col("__late"))
+        .join(per_order, F.col("l_orderkey") == F.col("__ok"))
+        .where((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
+    )
+    numwait = waiting.groupBy("l_suppkey").agg(
+        F.count_distinct("l_orderkey").cast("long").alias("numwait")
+    )
+    out = (
+        numwait.join(
+            F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+    return out.select("s_name", "numwait")
+
+
+_SQL_TPCH_Q21 = """
+WITH lo AS (
+    SELECT l_orderkey, l_suppkey,
+           l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per_order AS (
+    SELECT l_orderkey AS ok, count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+    FROM lo GROUP BY 1
+)
+SELECT s_name, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS numwait
+FROM lo
+JOIN per_order ON l_orderkey = ok
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE late AND n_supp > 1 AND n_late = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_tpch_q2": q_tpch_q2,
+    "q_tpch_q9": q_tpch_q9,
+    "q_tpch_q11": q_tpch_q11,
+    "q_tpch_q16": q_tpch_q16,
+    "q_tpch_q20": q_tpch_q20,
+    "q_tpch_q21": q_tpch_q21,
     "q_tpch_q4": q_tpch_q4,
     "q_tpch_q7": q_tpch_q7,
     "q_tpch_q8": q_tpch_q8,
@@ -685,6 +1040,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_tpch_q2": _SQL_TPCH_Q2,
+    "q_tpch_q9": _SQL_TPCH_Q9,
+    "q_tpch_q11": _SQL_TPCH_Q11,
+    "q_tpch_q16": _SQL_TPCH_Q16,
+    "q_tpch_q20": _SQL_TPCH_Q20,
+    "q_tpch_q21": _SQL_TPCH_Q21,
     "q_tpch_q4": _SQL_TPCH_Q4,
     "q_tpch_q7": _SQL_TPCH_Q7,
     "q_tpch_q8": _SQL_TPCH_Q8,

@@ -142,3 +142,47 @@ def test_q8_share_bounded(spark, sf_dir):
     for r in qt.q_tpch_q8(spark, sf_dir).collect():
         assert 0.0 <= r.mkt_share <= 1.0
         assert r.total_revenue > 0
+
+
+def test_q2_rows_achieve_their_parts_minimum(spark, sf_dir):
+    rows = qt.q_tpch_q2(spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.p_partkey, set()).add(r.s_acctbal)
+    # all achieving suppliers of one part share the same (minimal) balance
+    assert all(len(v) == 1 for v in by_part.values())
+
+
+def test_q11_members_are_unique_and_positive_fractions(spark, sf_dir):
+    rows = qt.q_tpch_q11(spark, sf_dir).collect()
+    keys = [r.l_partkey for r in rows]
+    assert len(keys) == len(set(keys))
+    assert all(r.value > 0 for r in rows)
+
+
+def test_q16_bounds(spark, sf_dir):
+    rows = qt.q_tpch_q16(spark, sf_dir).collect()
+    keys = [(r.p_brand, r.p_type, r.p_size) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert all(1 <= r.supplier_cnt <= 100 for r in rows)
+
+
+def test_q20_dominators_are_majority_shippers(spark, sf_dir):
+    rows = qt.q_tpch_q20(spark, sf_dir).collect()
+    names = [r.s_name for r in rows]
+    assert len(names) == len(set(names))
+    assert all(r.n_dominated >= 1 for r in rows)
+
+
+def test_q21_total_order_and_limit(spark, sf_dir):
+    rows = qt.q_tpch_q21(spark, sf_dir).collect()
+    assert len(rows) <= 20
+    keys = [(-r.numwait, r.s_name) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_q9_groups_are_distinct_nation_years(spark, sf_dir):
+    rows = qt.q_tpch_q9(spark, sf_dir).collect()
+    keys = [(r.nation, r.o_year) for r in rows]
+    assert len(keys) == len(set(keys))
