@@ -85,6 +85,13 @@ HEADLINE = [
     "q_dsir_select",
     # the canonical OLAP wide-aggregate (exact integer money lattice)
     "q_tpch_q1",
+    # round-6 continuation: TPC-H family representatives beyond Q1 —
+    # the full-star expression aggregate (Q9), the decorrelated
+    # EXISTS/NOT-EXISTS with a fact-fact sort-merge join (Q21) — and the
+    # HLL inclusion-exclusion pair-overlap triage
+    "q_tpch_q9",
+    "q_tpch_q21",
+    "q_hll_overlap",
 ]
 
 # The FIXED baseline-comparable subset: exactly the 30 queries of the first
