@@ -101,7 +101,14 @@ def hll_alpha_numerator(p: int) -> float:
     repr() of this exact value.
     """
     m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)  # Flajolet et al. §4, m >= 128
+    if m == 16:
+        alpha = 0.673  # Flajolet et al. §4 small-m constants
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1.0 + 1.079 / m)  # Flajolet et al. §4, m >= 128
     return alpha * m * m * float(1 << (_HASH_BITS - p + 1))
 
 
@@ -304,7 +311,17 @@ def cm_inner_product(
         .select(F.col("a.j").alias("j"), (F.col("a.c") * F.col("b.c")).alias("p"))
     )
     per_j = prod.groupBy("j").agg(F.sum("p").cast("long").alias("est"))
-    return per_j.agg(F.min("est").cast("long").alias("cm_join_est"))
+    # A depth row with zero overlapping (j, slot) pairs has a true
+    # per-row estimate of 0, so the min must see it: outer-join the
+    # literal depth list and coalesce.  Fully disjoint sketches then
+    # correctly estimate 0 instead of returning no row / NULL.
+    all_j = counters_a.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("j")
+    )
+    per_j_full = all_j.join(F.broadcast(per_j), "j", "left").select(
+        F.coalesce(F.col("est"), F.lit(0)).cast("long").alias("est")
+    )
+    return per_j_full.agg(F.min("est").cast("long").alias("cm_join_est"))
 
 
 def cm_lookup(
@@ -331,10 +348,16 @@ def cm_lookup(
         ).cast("long"),
         F.lit(width),
     )
+    # LEFT join + coalesce-to-0: a probe token never seen by the sketch
+    # hashes into counters that were simply never materialised (the
+    # counter table stores only non-zero slots), and Count-Min defines
+    # the answer for an empty counter as 0 — so the min must run over
+    # all `depth` slots with missing ones as 0, not over the non-empty
+    # subset (which would inflate, or drop the probe entirely).
     joined = expanded.select("*", slot.cast("int").alias("slot")).join(
-        F.broadcast(counters), ["j", "slot"]
+        F.broadcast(counters), ["j", "slot"], "left"
     )
     return joined.groupBy(token_col).agg(
         *[F.first(c).alias(c) for c in extra],
-        F.min("c").cast("long").alias("cm_est"),
+        F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cm_est"),
     )

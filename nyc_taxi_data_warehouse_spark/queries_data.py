@@ -4399,7 +4399,7 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _scale_out(_docs(spark, sf_dir).select("source", "text"))
     tok = d.select(
         "source", F.explode(T.tokens("text")).alias("token")
-    ).persist()  # feeds sketch + exact twin; ContextCleaner reclaims
+    ).persist()  # feeds sketch + exact twin; cached until harness clearCache
     est = sketches.hll_estimate(tok, "token", group_cols=("source",), p=9)
     exact = tok.groupBy("source").agg(
         F.count_distinct("token").cast("long").alias("exact_distinct")
@@ -4458,7 +4458,7 @@ def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(F.explode(T.tokens("text")).alias("token"))
     tc = tok.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("exact_cnt")
-    ).persist()  # feeds counters + probe ranking; ContextCleaner reclaims
+    ).persist()  # feeds counters + probe ranking; cached until harness clearCache
     counters = sketches.cm_counters(tc, "token", "exact_cnt")
     order = [F.desc("exact_cnt"), F.asc("token")]
     pruned = sampling.top_k_prune(tc, [], order, k=15, salt_key="token")
@@ -4508,9 +4508,9 @@ probe_slots AS (
 )
 SELECT ps.token, CAST(ps.rank AS INTEGER) AS rank,
        ps.exact_cnt,
-       CAST(min(c.c) AS BIGINT) AS cm_est,
-       CAST(min(c.c) - ps.exact_cnt AS BIGINT) AS overcount
-FROM probe_slots ps JOIN counters c USING (j, slot)
+       CAST(min(coalesce(c.c, 0)) AS BIGINT) AS cm_est,
+       CAST(min(coalesce(c.c, 0)) - ps.exact_cnt AS BIGINT) AS overcount
+FROM probe_slots ps LEFT JOIN counters c USING (j, slot)
 GROUP BY ps.token, ps.rank, ps.exact_cnt"""
 
 
@@ -4528,7 +4528,7 @@ def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _scale_out(_docs(spark, sf_dir).select("source", "text"))
     tok = d.select(
         "source", F.explode(T.tokens("text")).alias("token")
-    ).persist()  # three consumers; ContextCleaner reclaims
+    ).persist()  # three consumers; cached until harness clearCache
     per_src = sketches.hll_registers(tok, "token", group_cols=("source",), p=9)
     merged_regs = per_src.groupBy("bucket").agg(F.max("rho").alias("rho"))
 
@@ -4625,10 +4625,10 @@ def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _scale_out(_docs(spark, sf_dir).select("source", "text"))
     tok = d.select(
         "source", F.explode(T.tokens("text")).alias("token")
-    ).persist()  # feeds registers + exact twin; ContextCleaner reclaims
+    ).persist()  # feeds registers + exact twin; cached until harness clearCache
     regs = sketches.hll_registers(
         tok, "token", group_cols=("source",), p=9
-    ).persist()  # singles + both pair-join sides; ContextCleaner reclaims
+    ).persist()  # singles + both pair-join sides; cached until harness clearCache
     singles = sketches.hll_estimate_from_registers(regs, ("source",), p=9)
 
     # the source list is k rows (bounded by the source domain, independent
@@ -4858,7 +4858,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_target",
             selection.hashed_token_bucket("__t", 4096).alias("bucket"),
         )
-        .persist()  # counts + scoring consumers; ContextCleaner reclaims
+        .persist()  # counts + scoring consumers; cached until harness clearCache
     )
     weights = selection.dsir_bucket_weights(tok, num_buckets=4096)
     scored = selection.dsir_scores(tok, weights).select(
@@ -5022,7 +5022,13 @@ per_j AS (
     SELECT co.j, CAST(sum(co.c * cl.c) AS BIGINT) AS est
     FROM co JOIN cl USING (j, slot) GROUP BY 1
 ),
-est AS (SELECT CAST(min(est) AS BIGINT) AS cm_join_est FROM per_j),
+per_j_full AS (
+    -- a depth row with no overlapping slots estimates 0 and must enter
+    -- the min (matches cm_inner_product's outer-join-over-depth)
+    SELECT coalesce(est, 0) AS est
+    FROM js LEFT JOIN per_j USING (j)
+),
+est AS (SELECT CAST(min(est) AS BIGINT) AS cm_join_est FROM per_j_full),
 exact AS (
     SELECT CAST(count(*) AS BIGINT) AS exact_join_rows
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey

@@ -47,6 +47,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -630,8 +631,11 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     nations = [2, 5, 9, 13, 17, 21, 24]
     bal_u = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
     cust = t["customer"].where(F.col("c_nationkey").isin(nations))
+    # Filter on bal_u > 0 (the rounded 1e-2 unit), matching the oracle's
+    # quantity exactly, so the average's membership does not depend on
+    # c_acctbal sitting on the 1e-2 lattice (round-6 advice).
     avg_row = (
-        cust.where(F.col("c_acctbal") > 0.0)
+        cust.where(bal_u > 0)
         .agg(
             F.sum(bal_u).alias("__sum_u"),
             F.count(F.lit(1)).cast("long").alias("__cnt"),
@@ -972,7 +976,13 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
                 > F.timestamp_add("DAY", F.lit(60), F.col("o_orderdate"))
             ).alias("__late"),
         )
-    ).persist()  # feeds the per-order aggregate AND the late-row probe
+    )
+    # Feeds the per-order aggregate AND the late-row probe.  DISK_ONLY,
+    # not MEMORY: lo is lineitem-sized (fact-scale at 100 TB), so a
+    # memory persist would evict executor heap; spilling the 3-column
+    # projection to local disk keeps the double-consume without the
+    # memory footprint (round-6 verdict #6).
+    lo = lo.persist(StorageLevel.DISK_ONLY)
     per_order = lo.groupBy(F.col("l_orderkey").alias("__ok")).agg(
         F.count_distinct("l_suppkey").alias("__n_supp"),
         F.count_distinct(

@@ -138,6 +138,53 @@ def test_cm_counter_table_is_bounded(spark):
     assert counters.count() <= 4 * 128
 
 
+def test_cm_lookup_unseen_probe_is_zero(spark):
+    """A probe token never seen by the sketch has every counter empty;
+    Count-Min defines that point-query as 0 (round-6 advice: left-join
+    + coalesce, not inner-join)."""
+    from nyc_taxi_data_warehouse_spark.operators import sketches
+
+    counts = spark.createDataFrame([("seen", 7)], ["token", "cnt"])
+    counters = sketches.cm_counters(counts, "token", "cnt", depth=3, width=64)
+    probes = spark.createDataFrame([("seen",), ("never",)], ["token"])
+    rows = {
+        r.token: r.cm_est
+        for r in sketches.cm_lookup(counters, probes, depth=3, width=64).collect()
+    }
+    assert rows["never"] == 0
+    assert rows["seen"] >= 7
+
+
+def test_cm_inner_product_disjoint_is_zero(spark):
+    """Two sketches over disjoint key sets (wide enough that no slots
+    collide) must estimate 0 — the empty-depth-row counts as 0 in the
+    min, instead of being skipped (round-6 advice)."""
+    from nyc_taxi_data_warehouse_spark.operators import sketches
+
+    a = spark.createDataFrame([(f"a{i}", 1) for i in range(10)], ["k", "cnt"])
+    b = spark.createDataFrame([(f"b{i}", 1) for i in range(10)], ["k", "cnt"])
+    ca = sketches.cm_counters(a, "k", "cnt", depth=4, width=65536)
+    cb = sketches.cm_counters(b, "k", "cnt", depth=4, width=65536)
+    est = sketches.cm_inner_product(ca, cb).collect()[0].cm_join_est
+    assert est == 0
+
+
+def test_hll_small_m_alpha_constants():
+    """Flajolet's per-m alpha constants apply below m=128 (round-6
+    advice): 0.673 (m=16), 0.697 (m=32), 0.709 (m=64); the asymptotic
+    formula takes over at m>=128."""
+    from nyc_taxi_data_warehouse_spark.operators import sketches
+
+    bits = 60  # _HASH_BITS
+    for p, alpha in [(4, 0.673), (5, 0.697), (6, 0.709)]:
+        m = 1 << p
+        expected = alpha * m * m * float(1 << (bits - p + 1))
+        assert sketches.hll_alpha_numerator(p) == expected
+    m = 1 << 7
+    expected = (0.7213 / (1.0 + 1.079 / m)) * m * m * float(1 << (bits - 6))
+    assert sketches.hll_alpha_numerator(7) == expected
+
+
 def test_cm_inner_product_bounds_join_size(spark):
     from nyc_taxi_data_warehouse_spark.operators import sketches
 
