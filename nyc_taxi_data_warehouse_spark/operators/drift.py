@@ -11,8 +11,9 @@ over quantile bins of the REFERENCE distribution (rule of thumb:
 < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).
 
 Scale shape: one boundary pass (`sampling.quantile_bounds` — integer
-rank-threshold deciles, no global sort, no interpolation) + ONE binning
-pass: map-side bin assignment against the broadcast boundary array into
+rank-threshold deciles, no global sort, no interpolation; the ≤ B−1
+boundary values collect driver-side, scalar-sized) + ONE binning
+pass: map-side bin assignment against the literal boundary array into
 a single (group × bin) count aggregation, from which the reference
 counts and group totals derive by re-aggregating the tiny counts frame
 — the corpus lineage feeds exactly one aggregation → the PSI fold over
@@ -44,16 +45,27 @@ def psi_by_group(
     both distributions.  Returns (group_col, n_rows, psi) with psi the
     raw double; callers round for cross-engine hashing."""
     nn = df.where(F.col(value_col).isNotNull())
-    barr = quantile_bounds(nn, value_col, num_bins)
+    # The B−1 boundaries are SCALAR-sized (≤ 9 values for deciles):
+    # collect them and fold the bin assignment over a LITERAL array.
+    # Leaving the boundary computation lazy in the serving plan
+    # (crossJoin of the one-row bounds aggregate) replicated the whole
+    # rank-threshold subtree — windows, offset joins, nested-loop
+    # broadcasts — into every consumer's plan (round-6 verdict #2: 76
+    # exchanges, 14 BNLJs); the eager scalar collect costs one boundary
+    # job and leaves a scan → fold → single-aggregation serving plan.
+    # Boundaries are bit-identical either way, so PSI values (and the
+    # SQL oracle twin) are unchanged.
+    bounds_row = quantile_bounds(nn, value_col, num_bins).collect()[0][0]
     x = F.col(value_col)
-    bin_expr = F.aggregate(
-        "__bounds",
-        F.lit(1),
-        lambda acc, b: acc + F.when(x > b, 1).otherwise(0),
-    ).cast("int")
-    binned = nn.crossJoin(F.broadcast(barr)).select(
-        F.col(group_col).alias("grp"), bin_expr.alias("bin")
-    )
+    if bounds_row:
+        bin_expr = F.aggregate(
+            F.array(*[F.lit(b) for b in bounds_row]),
+            F.lit(1),
+            lambda acc, b: acc + F.when(x > b, 1).otherwise(0),
+        ).cast("int")
+    else:
+        bin_expr = F.lit(1)
+    binned = nn.select(F.col(group_col).alias("grp"), bin_expr.alias("bin"))
     # ONE aggregation consumes the corpus-sized lineage; the reference
     # distribution and group totals re-aggregate the (groups × bins)
     # counts frame. per_g feeds three consumers, so persist the tiny

@@ -369,10 +369,16 @@ def quantile_bounds(
     # balance; ties never straddle a bucket (strict > fold).
     probs = [i / _CUM_BUCKETS for i in range(1, _CUM_BUCKETS)]
     try:
-        edges = vc.agg(
+        # Sketch the RAW rows, not the distinct-value table: the edges
+        # only steer bucket balance (any monotone placement yields the
+        # same bounds — see the invariance note below), and sketching nn
+        # directly map-combines the GK summary with NO shuffle, where
+        # sketching vc would pay the distinct groupBy exchange twice
+        # (once here, once in the bounds job).
+        edges = nn.agg(
             F.expr(
-                f"approx_percentile(__v, array({', '.join(map(str, probs))}),"
-                " 1000)"
+                f"approx_percentile({value_col}, "
+                f"array({', '.join(map(str, probs))}), 1000)"
             )
         ).collect()[0][0]
     except Exception:
