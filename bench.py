@@ -92,6 +92,13 @@ HEADLINE = [
     "q_tpch_q9",
     "q_tpch_q21",
     "q_hll_overlap",
+    # round-7 additions (round-6 verdict #5): the remaining TPC-H analog
+    # representatives so regressions in the new family stay visible —
+    # Q5 (the 6-table join star), Q13 (LEFT-OUTER fact join + two-level
+    # histogram agg), Q18 (IN-subquery with HAVING over a fact agg)
+    "q_tpch_q5",
+    "q_tpch_q13",
+    "q_tpch_q18",
 ]
 
 # The FIXED baseline-comparable subset: exactly the 30 queries of the first
