@@ -317,6 +317,88 @@ def top_k_prune(
     )
 
 
+def bucketed_value_cumsum(
+    nn: DataFrame,
+    value_col: str,
+    part_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact cumulative counts over the distinct-value table — the
+    distributed CDF primitive shared by :func:`quantile_bounds` (empty
+    ``part_cols``) and :mod:`.drift`'s per-group KS statistic (grouped).
+
+    Returns (part_cols…, ``__v``, ``__c``, ``__cle``) where ``__cle`` is
+    the number of input rows in the same partition-key with value ≤
+    ``__v`` — computed WITHOUT an unpartitioned window: rough GK edges
+    (collected driver-side, ≤ ``_CUM_BUCKETS`` scalars) split the value
+    axis into contiguous buckets, the cumulative window runs WITHIN each
+    (part…, bucket) in parallel, and per-bucket offsets come from a
+    (#parts × #buckets)-sized summary.  Every value's cumulative count
+    is independent of WHERE the bucket edges fall, so the result is
+    bit-identical to the naive global window (and to a SQL oracle's)
+    for ANY monotone edge placement.  The bucket id is a DETERMINISTIC
+    FUNCTION OF THE VALUE (count of collected edges strictly below it),
+    never of the physical partitioning — see the invariance note in
+    :func:`quantile_bounds`."""
+    vc = nn.groupBy(
+        *part_cols, F.col(value_col).alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    probs = [i / _CUM_BUCKETS for i in range(1, _CUM_BUCKETS)]
+    try:
+        # Sketch the RAW rows, not the distinct-value table: the edges
+        # only steer bucket balance (any monotone placement yields the
+        # same result), and sketching nn directly map-combines the GK
+        # summary with NO shuffle, where sketching vc would pay the
+        # distinct groupBy exchange twice.
+        edges = nn.agg(
+            F.expr(
+                f"approx_percentile({value_col}, "
+                f"array({', '.join(map(str, probs))}), 1000)"
+            )
+        ).collect()[0][0]
+    except Exception:
+        edges = None  # non-numeric / sketch-unsupported type: one bucket
+    uniq: list = []
+    for e in edges or []:
+        if e is not None and (not uniq or e != uniq[-1]):
+            uniq.append(e)
+    if uniq:
+        pexpr = F.aggregate(
+            F.array(*[F.lit(e) for e in uniq]),
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col("__v") > b, 1).otherwise(0),
+        )
+    else:
+        pexpr = F.lit(0)
+    pcols = [F.col(c) for c in part_cols]
+    wp = (
+        Window.partitionBy(*pcols, "__p")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    part = vc.withColumn("__p", pexpr).withColumn(
+        "__pcum", F.sum("__c").over(wp)
+    )
+    offsets = (
+        part.groupBy(*part_cols, "__p")
+        .agg(F.sum("__c").alias("__pc"))
+        .select(
+            *part_cols,
+            "__p",
+            F.coalesce(
+                F.sum("__pc").over(
+                    Window.partitionBy(*pcols)
+                    .orderBy("__p")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("__off"),
+        )
+    )
+    return part.join(
+        F.broadcast(offsets), [*part_cols, "__p"]
+    ).withColumn("__cle", F.col("__pcum") + F.col("__off"))
+
+
 def quantile_bounds(
     df: DataFrame, value_col: str, num_bins: int, exact: bool = True
 ) -> DataFrame:
@@ -343,84 +425,29 @@ def quantile_bounds(
             ).alias("__bounds")
         )
     n_tbl = nn.agg(F.count(F.lit(1)).alias("__n"))
-    vc = nn.groupBy(F.col(value_col).alias("__v")).agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    # cumulative counts in VALUE order without an unpartitioned window
+    # Cumulative counts in VALUE order without an unpartitioned window
     # (`Window.orderBy` alone = one-task sort — corpus-sized for a
-    # continuous column where every value is distinct): bucket the value
-    # table into value-contiguous groups, run the cumulative window
-    # WITHIN each bucket (parallel), and add per-bucket offsets from a
-    # #buckets-sized summary.  Each value's cumulative count is
-    # independent of WHERE the bucket edges fall — so the result is
+    # continuous column where every value is distinct): the value table
+    # is bucketed into value-contiguous groups by rough GK edges, the
+    # cumulative window runs WITHIN each bucket (parallel), and
+    # per-bucket offsets come from a #buckets-sized summary — see
+    # :func:`bucketed_value_cumsum`.  Each value's cumulative count is
+    # independent of WHERE the bucket edges fall, so the result is
     # bit-identical to the global window (and to the SQL oracle) for ANY
     # monotone edge placement (tests:
     # test_quantile_bounds_partition_invariant).
     #
     # The bucket id is a DETERMINISTIC FUNCTION OF THE VALUE (count of
     # driver-collected edges strictly below it), NOT of the physical
-    # partitioning: `part` feeds both the window and the offsets
-    # aggregation, and anything partitioning-dependent
+    # partitioning: the bucketed frame feeds both the window and the
+    # offsets aggregation, and anything partitioning-dependent
     # (repartitionByRange + spark_partition_id) could resolve
     # differently in the two subtrees when the exchange is not reused —
     # Spark's RangePartitioner seeds its boundary sample with the
     # rdd.id, so two materializations of the same range exchange may
     # place a value in different partitions.  Rough GK edges only steer
     # balance; ties never straddle a bucket (strict > fold).
-    probs = [i / _CUM_BUCKETS for i in range(1, _CUM_BUCKETS)]
-    try:
-        # Sketch the RAW rows, not the distinct-value table: the edges
-        # only steer bucket balance (any monotone placement yields the
-        # same bounds — see the invariance note below), and sketching nn
-        # directly map-combines the GK summary with NO shuffle, where
-        # sketching vc would pay the distinct groupBy exchange twice
-        # (once here, once in the bounds job).
-        edges = nn.agg(
-            F.expr(
-                f"approx_percentile({value_col}, "
-                f"array({', '.join(map(str, probs))}), 1000)"
-            )
-        ).collect()[0][0]
-    except Exception:
-        edges = None  # non-numeric / sketch-unsupported type: one bucket
-    uniq: list = []
-    for e in edges or []:
-        if e is not None and (not uniq or e != uniq[-1]):
-            uniq.append(e)
-    if uniq:
-        pexpr = F.aggregate(
-            F.array(*[F.lit(e) for e in uniq]),
-            F.lit(0),
-            lambda acc, b: acc + F.when(F.col("__v") > b, 1).otherwise(0),
-        )
-    else:
-        pexpr = F.lit(0)
-    wp = (
-        Window.partitionBy("__p")
-        .orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    part = vc.withColumn("__p", pexpr).withColumn(
-        "__pcum", F.sum("__c").over(wp)
-    )
-    offsets = (
-        part.groupBy("__p")
-        .agg(F.sum("__c").alias("__pc"))
-        .select(
-            "__p",
-            F.coalesce(
-                F.sum("__pc").over(
-                    Window.orderBy("__p").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ).alias("__off"),
-        )
-    )
-    cum = part.join(F.broadcast(offsets), "__p").withColumn(
-        "__cle", F.col("__pcum") + F.col("__off")
-    )
+    cum = bucketed_value_cumsum(nn, value_col)
     bounds = (
         cum.crossJoin(F.broadcast(n_tbl))
         .select(
