@@ -39,8 +39,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     q_char_entropy, q_boilerplate),
 # (2) the streaming family last checked r4/r5 (q_stream_hourly,
 #     q_stream_sessions, q_stream_join),
-# (3) 8 oldest r4-evidence entries, led by the perf-flagged
-#     q_centroid_assign.
+# (3) 6 oldest r4-evidence entries, led by the perf-flagged
+#     q_centroid_assign, then the 2 queries ADDED in round 7
+#     (q_divergence_drift, q_ks_drift — first evidence).
 # Exactly 50 entries: the window IS _CHECK_FIRST.
 # _CHECK_LAST is ordered stalest-evidence-first so the round-8 window
 # can be rebuilt by taking its head; the 50 r6-green entries sit at
@@ -62,9 +63,12 @@ _CHECK_FIRST = [
     "q_stream_hourly", "q_stream_sessions", "q_stream_join",
     "q_centroid_assign", "q_ann_ivf", "q_ann_recall",
     "q_anomaly_mad", "q_bpe_merges", "q_bpe_tokenize",
-    "q_cdc_classify", "q_containment",
+    # round-7 NEW queries (first evidence beats stale refresh; they
+    # displace q_cdc_classify/q_containment to the _CHECK_LAST head)
+    "q_divergence_drift", "q_ks_drift",
 ]
 _CHECK_LAST = [
+    "q_cdc_classify", "q_containment",
     "q_cross_corpus_neardup", "q_crosstab_independence", "q_dedup_plan",
     "q_delta_roundtrip", "q_demand_corr", "q_dropna",
     "q_embedding_stats", "q_event_paths", "q_iceberg_diff",

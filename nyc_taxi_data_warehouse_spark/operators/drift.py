@@ -26,10 +26,10 @@ final ln/multiply, rounded with the engine's epsilon-shift convention.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .sampling import quantile_bounds
+from .sampling import bucketed_value_cumsum, quantile_bounds
 
 
 def psi_by_group(
@@ -44,6 +44,27 @@ def psi_by_group(
     group is measured on the same ruler.  NULL values are excluded from
     both distributions.  Returns (group_col, n_rows, psi) with psi the
     raw double; callers round for cross-engine hashing."""
+    grid = _binned_grid(df, group_col, value_col, num_bins)
+    term = (F.col("p_g") - F.col("p_r")) * F.log(F.col("p_g") / F.col("p_r"))
+    return grid.groupBy("grp").agg(
+        F.first("n_g").alias("n_rows"), F.sum(term).alias("psi")
+    ).select(
+        F.col("grp").alias(group_col),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "psi",
+    )
+
+
+def _binned_grid(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    num_bins: int,
+) -> DataFrame:
+    """The dense (group × quantile-bin) probability grid every binned
+    divergence shares: (grp, n_g, p_g, p_r) with Laplace-smoothed
+    fractions ((c+1)/(n+B)) so empty bins stay finite — one corpus
+    aggregation, then (groups × bins)-sized arithmetic."""
     nn = df.where(F.col(value_col).isNotNull())
     # The B−1 boundaries are SCALAR-sized (≤ 9 values for deciles):
     # collect them and fold the bin assignment over a LITERAL array.
@@ -106,11 +127,144 @@ def psi_by_group(
             ).alias("p_r"),
         )
     )
-    term = (F.col("p_g") - F.col("p_r")) * F.log(F.col("p_g") / F.col("p_r"))
+    return grid
+
+
+def divergence_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    num_bins: int = 10,
+) -> DataFrame:
+    """The full binned-divergence scorecard over the shared
+    :func:`_binned_grid`: PSI plus the three metrics a drift monitor
+    usually reports alongside it —
+
+    - ``kl_div``   KL(group ‖ reference) = Σ p_g·ln(p_g/p_r): the
+      excess log-loss of modelling the group with the reference mix;
+    - ``js_div``   Jensen–Shannon divergence (½KL(p_g‖m) + ½KL(p_r‖m),
+      m the midpoint): symmetric, bounded by ln 2 — the metric to
+      threshold when feeds of very different sizes are compared;
+    - ``chi2``     n_g · Σ (p_g−p_r)²/p_r: the Pearson statistic on the
+      smoothed fractions, comparable against χ²(B−1) critical values.
+
+    Same Laplace smoothing and quantile ruler as :func:`psi_by_group`,
+    so all four metrics agree on what a "bin" is; one corpus
+    aggregation total.  Returns (group_col, n_rows, psi, kl_div,
+    js_div, chi2) as raw doubles — callers round."""
+    grid = _binned_grid(df, group_col, value_col, num_bins)
+    p_g, p_r = F.col("p_g"), F.col("p_r")
+    m = (p_g + p_r) / 2
+    psi = (p_g - p_r) * F.log(p_g / p_r)
+    kl = p_g * F.log(p_g / p_r)
+    js = (p_g * F.log(p_g / m) + p_r * F.log(p_r / m)) / 2
+    chi2 = (p_g - p_r) * (p_g - p_r) / p_r
     return grid.groupBy("grp").agg(
-        F.first("n_g").alias("n_rows"), F.sum(term).alias("psi")
+        F.first("n_g").alias("n_rows"),
+        F.sum(psi).alias("psi"),
+        F.sum(kl).alias("kl_div"),
+        F.sum(js).alias("js_div"),
+        (F.first("n_g") * F.sum(chi2)).alias("chi2"),
     ).select(
         F.col("grp").alias(group_col),
         F.col("n_rows").cast("long").alias("n_rows"),
         "psi",
+        "kl_div",
+        "js_div",
+        "chi2",
+    )
+
+
+def ks_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic of each group's
+    ``value_col`` distribution against the WHOLE frame's:
+    D_g = sup_v |F_g(v) − F(v)| — the binning-free complement to the
+    PSI scorecard (no ruler to choose, sensitive to any CDF gap).
+
+    Scale shape: both CDFs come from :func:`.sampling.
+    bucketed_value_cumsum` (distinct-value tables, value-bucketed
+    parallel windows — never an unpartitioned sort).  The sup is
+    attained at a step of either CDF, i.e. at one of the corpus's
+    distinct values, so the group CDFs are evaluated on the global
+    distinct-value axis: a (groups × V) grid where V is the DISTINCT
+    value count — value-cardinality work, not corpus-sized (for a
+    continuous column at 100 TB prefer the binned scorecard, where the
+    ruler bounds the work).  Fill-forward of each group's step function
+    across the axis runs within (group, value-bucket) windows plus a
+    (groups × buckets) carry table — same parallelism argument as the
+    cumsum itself.  The comparison |F_g·n − F·n_g| stays in exact
+    integers; the single division by n_g·n happens once at the end, so
+    the statistic is bit-reproducible against a SQL oracle.
+
+    Returns (group_col, n_rows, ks) with ks the raw double."""
+    nn = df.where(F.col(value_col).isNotNull())
+    gcum = bucketed_value_cumsum(nn, value_col, (group_col,)).select(
+        F.col(group_col).alias("grp"), "__v", "__p", F.col("__cle").alias("__gle")
+    )
+    acum = bucketed_value_cumsum(nn, value_col).select(
+        "__v", "__p", F.col("__cle").alias("__ale")
+    )
+    n_g = gcum.groupBy("grp").agg(F.max("__gle").alias("n_g"))
+    n_tbl = acum.agg(F.max("__ale").alias("n_all"))
+    groups = n_g.select("grp", "n_g")
+    # carry-in per (group, bucket): the group's cumulative count at the
+    # END of every earlier bucket — built over the FULL (groups ×
+    # buckets) grid, because a bucket where the group has no values at
+    # all still needs the carry from its last populated predecessor
+    # (the left join alone would leave it NULL → a spurious CDF reset
+    # to 0).  (groups × buckets)-sized throughout.
+    buckets = acum.select("__p").distinct()
+    bucket_last = gcum.groupBy("grp", "__p").agg(F.max("__gle").alias("__bl"))
+    carry = (
+        groups.select("grp")
+        .crossJoin(F.broadcast(buckets))
+        .join(bucket_last, ["grp", "__p"], "left")
+        .select(
+            "grp",
+            "__p",
+            F.coalesce(
+                F.max("__bl").over(
+                    Window.partitionBy("grp")
+                    .orderBy("__p")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("__carry"),
+        )
+    )
+    grid = (
+        acum.crossJoin(F.broadcast(groups))
+        .join(gcum, ["grp", "__v", "__p"], "left")
+        .join(F.broadcast(carry), ["grp", "__p"], "left")
+    )
+    wff = (
+        Window.partitionBy("grp", "__p")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    f_g = F.coalesce(
+        F.last("__gle", ignorenulls=True).over(wff),
+        F.col("__carry"),
+        F.lit(0),
+    )
+    diff = grid.crossJoin(F.broadcast(n_tbl)).select(
+        "grp",
+        "n_g",
+        "n_all",
+        F.abs(
+            f_g * F.col("n_all") - F.col("__ale") * F.col("n_g")
+        ).alias("__d"),
+    )
+    return diff.groupBy("grp").agg(
+        F.first("n_g").alias("__ng"),
+        F.first("n_all").alias("__na"),
+        F.max("__d").alias("__dmax"),
+    ).select(
+        F.col("grp").alias(group_col),
+        F.col("__ng").cast("long").alias("n_rows"),
+        (F.col("__dmax") / (F.col("__ng") * F.col("__na"))).alias("ks"),
     )

@@ -702,6 +702,120 @@ SELECT source, CAST(n_g AS BIGINT) AS n_rows,
 FROM grid GROUP BY 1, 2"""
 
 
+def q_divergence_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full binned-divergence scorecard
+    (`operators/drift.divergence_by_group`): PSI plus KL(group‖ref),
+    Jensen–Shannon (symmetric, ≤ ln 2 — the metric to threshold when
+    feeds of very different sizes are compared), and the Pearson χ²
+    statistic, all over the SAME corpus-decile ruler and Laplace
+    smoothing as q_psi_drift — one corpus aggregation, then
+    (sources × bins)-sized arithmetic."""
+    from .operators import drift
+
+    out = drift.divergence_by_group(
+        _docs(spark, sf_dir).select("source", "n_chars"), "source", "n_chars"
+    )
+    return out.select(
+        "source",
+        "n_rows",
+        _rnd(F.col("psi"), 6).alias("psi"),
+        _rnd(F.col("kl_div"), 6).alias("kl_div"),
+        _rnd(F.col("js_div"), 6).alias("js_div"),
+        _rnd(F.col("chi2"), 6).alias("chi2"),
+    )
+
+
+_SQL_DIVERGENCE_DRIFT = """
+WITH nn AS (
+    SELECT doc_id, source, n_chars FROM documents WHERE n_chars IS NOT NULL
+),
+n_all AS (SELECT count(*) AS n FROM nn),
+vc AS (SELECT n_chars AS v, count(*) AS c FROM nn GROUP BY 1),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cle FROM vc),
+bounds AS (
+    SELECT i, min(v) AS bound
+    FROM cum, n_all, range(1, 10) t(i)
+    WHERE cle * 10 >= i * n
+    GROUP BY 1
+),
+binned AS (
+    SELECT d.source, d.doc_id, 1 + count(b.bound) AS bin
+    FROM nn d LEFT JOIN bounds b ON d.n_chars > b.bound
+    GROUP BY 1, 2
+),
+per_g AS (SELECT source, bin, count(*) AS c_g FROM binned GROUP BY 1, 2),
+per_ref AS (SELECT bin, count(*) AS c_r FROM binned GROUP BY 1),
+n_g AS (SELECT source, sum(c_g) AS n_g FROM per_g GROUP BY 1),
+grid AS (
+    SELECT g.source, g.n_g,
+           (coalesce(pg.c_g, 0) + 1) / (g.n_g + 10) AS p_g,
+           (coalesce(pr.c_r, 0) + 1) / (n_all.n + 10) AS p_r
+    FROM n_g g
+    CROSS JOIN range(1, 11) t(bin)
+    LEFT JOIN per_g pg ON pg.source = g.source AND pg.bin = t.bin
+    LEFT JOIN per_ref pr ON pr.bin = t.bin
+    CROSS JOIN n_all
+)
+SELECT source, CAST(n_g AS BIGINT) AS n_rows,
+       round(1e-9 + sum((p_g - p_r) * ln(p_g / p_r)), 6) AS psi,
+       round(1e-9 + sum(p_g * ln(p_g / p_r)), 6) AS kl_div,
+       round(1e-9 + sum((p_g * ln(p_g / ((p_g + p_r) / 2))
+                         + p_r * ln(p_r / ((p_g + p_r) / 2))) / 2), 6)
+           AS js_div,
+       round(1e-9 + n_g * sum((p_g - p_r) * (p_g - p_r) / p_r), 6) AS chi2
+FROM grid GROUP BY source, n_g"""
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov drift per source
+    (`operators/drift.ks_by_group`): sup_v |F_source(v) − F_corpus(v)|
+    with both CDFs from value-bucketed parallel cumulative windows
+    (never an unpartitioned sort) and the comparison in exact integers
+    |F_g·n − F·n_g| — the binning-free complement to the PSI/divergence
+    scorecard (no ruler to choose; sensitive to any CDF gap).  Work is
+    value-cardinality × sources, not corpus-sized."""
+    from .operators import drift
+
+    out = drift.ks_by_group(
+        _docs(spark, sf_dir).select("source", "n_chars"), "source", "n_chars"
+    )
+    return out.select("source", "n_rows", _rnd(F.col("ks"), 6).alias("ks"))
+
+
+_SQL_KS_DRIFT = """
+WITH nn AS (
+    SELECT source, n_chars AS v FROM documents WHERE n_chars IS NOT NULL
+),
+gv AS (SELECT v, count(*) AS c FROM nn GROUP BY 1),
+acum AS (SELECT v, sum(c) OVER (ORDER BY v) AS ale FROM gv),
+gvc AS (SELECT source, v, count(*) AS c FROM nn GROUP BY 1, 2),
+gcum AS (
+    SELECT source, v,
+           sum(c) OVER (PARTITION BY source ORDER BY v) AS gle
+    FROM gvc
+),
+ng AS (SELECT source, count(*) AS n_g FROM nn GROUP BY 1),
+na AS (SELECT count(*) AS n_all FROM nn),
+grid AS (
+    SELECT s.source, a.v, a.ale, g.gle
+    FROM (SELECT DISTINCT source FROM nn) s
+    CROSS JOIN acum a
+    LEFT JOIN gcum g ON g.source = s.source AND g.v = a.v
+),
+ff AS (
+    SELECT source, v, ale,
+           coalesce(last_value(gle IGNORE NULLS) OVER (
+               PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS fg
+    FROM grid
+)
+SELECT f.source, CAST(ng.n_g AS BIGINT) AS n_rows,
+       round(1e-9 + max(abs(fg * na.n_all - ale * ng.n_g))
+                    / (ng.n_g * na.n_all), 6) AS ks
+FROM ff f JOIN ng USING (source) CROSS JOIN na
+GROUP BY 1, 2, ng.n_g, na.n_all"""
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lakehouse change audit gated END-TO-END: what did version 1 add on
     top of version 0?  Writes two lineitem slices through the Delta writer
@@ -5134,6 +5248,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_source_overlap": q_source_overlap,
     "q_feature_binning": q_feature_binning,
     "q_psi_drift": q_psi_drift,
+    "q_divergence_drift": q_divergence_drift,
+    "q_ks_drift": q_ks_drift,
     "q_snapshot_diff": q_snapshot_diff,
     "q_prefix_filter_pairs": q_prefix_filter_pairs,
     "q_crosstab_independence": q_crosstab_independence,
@@ -5235,6 +5351,8 @@ ORACLES: dict[str, str] = {
     "q_source_overlap": _SQL_SOURCE_OVERLAP,
     "q_feature_binning": _SQL_FEATURE_BINNING,
     "q_psi_drift": _SQL_PSI_DRIFT,
+    "q_divergence_drift": _SQL_DIVERGENCE_DRIFT,
+    "q_ks_drift": _SQL_KS_DRIFT,
     "q_snapshot_diff": _SQL_SNAPSHOT_DIFF,
     "q_prefix_filter_pairs": _SQL_PREFIX_FILTER,
     "q_crosstab_independence": _SQL_CROSSTAB,

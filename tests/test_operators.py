@@ -474,6 +474,75 @@ def test_psi_excludes_nulls(spark):
     assert out["a"].n_rows == 100
 
 
+def test_ks_by_group_matches_naive(spark):
+    """Exact two-sample KS vs a brute-force Python computation over the
+    union of distinct values: the bucketed-window CDF + fill-forward +
+    carry machinery must agree to the last ulp (the statistic is an
+    integer max divided once)."""
+    import bisect
+    import random
+
+    from nyc_taxi_data_warehouse_spark.operators import drift
+
+    rng = random.Random(7)
+    rows = [("a", rng.randint(0, 50)) for _ in range(300)]
+    rows += [("b", rng.randint(20, 90)) for _ in range(200)]
+    rows += [("c", rng.randint(0, 90)) for _ in range(150)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.g: (r.n_rows, r.ks) for r in drift.ks_by_group(df, "g", "v").collect()}
+    allv = sorted({v for _, v in rows})
+    n = len(rows)
+    svals = sorted(v for _, v in rows)
+    for g in ("a", "b", "c"):
+        gv = sorted(v for gg, v in rows if gg == g)
+        n_g = len(gv)
+        d = max(
+            abs(bisect.bisect_right(gv, v) * n - bisect.bisect_right(svals, v) * n_g)
+            for v in allv
+        )
+        assert out[g][0] == n_g
+        assert abs(out[g][1] - d / (n_g * n)) < 1e-12
+
+
+def test_ks_by_group_bounds_and_self(spark):
+    """0 ≤ KS ≤ 1; a group that IS the corpus scores exactly 0, and a
+    group disjoint in value range from most of the corpus scores high."""
+    from nyc_taxi_data_warehouse_spark.operators import drift
+
+    rows = [("whole", i % 37) for i in range(370)]
+    out = {r.g: r.ks for r in drift.ks_by_group(
+        spark.createDataFrame(rows, "g string, v long"), "g", "v"
+    ).collect()}
+    assert out["whole"] == 0.0
+    rows2 = [("low", i % 10) for i in range(500)] + [
+        ("high", 1000 + i % 10) for i in range(500)
+    ]
+    out2 = {r.g: r.ks for r in drift.ks_by_group(
+        spark.createDataFrame(rows2, "g string, v long"), "g", "v"
+    ).collect()}
+    assert all(0.0 <= v <= 1.0 for v in out2.values())
+    assert out2["low"] >= 0.45 and out2["high"] >= 0.45
+
+
+def test_divergence_by_group_invariants(spark):
+    """psi column equals psi_by_group bit-for-bit (shared grid); KL and
+    χ² are nonnegative; JS is nonnegative and bounded by ln 2."""
+    import math
+
+    from nyc_taxi_data_warehouse_spark.operators import drift
+
+    rows = [("same", i % 100) for i in range(500)]
+    rows += [("shifted", 200 + (i % 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "grp string, x long")
+    dv = {r.grp: r for r in drift.divergence_by_group(df, "grp", "x").collect()}
+    psi = {r.grp: r.psi for r in drift.psi_by_group(df, "grp", "x").collect()}
+    for g, r in dv.items():
+        assert r.psi == psi[g]
+        assert r.kl_div >= 0.0
+        assert r.chi2 >= 0.0
+        assert 0.0 <= r.js_div <= math.log(2) + 1e-12
+
+
 def test_quantile_bins_single_bin_and_nulls(spark):
     from nyc_taxi_data_warehouse_spark.operators import sampling
 
