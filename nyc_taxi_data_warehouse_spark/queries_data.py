@@ -11,6 +11,7 @@ in the oracle SQL.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -5097,6 +5098,91 @@ FROM customer
 GROUP BY 1, 2, 3"""
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's companion (Machanavajjhala et
+    al.): a quasi-identifier group can be large yet still leak if its
+    SENSITIVE attribute is homogeneous.  QI = the q_k_anonymity tuple
+    (nation, segment, balance 千-bin); sensitive = the customer's order
+    priority (via the orders join).  Reports BOTH standard variants per
+    QI group: distinct-l (count of distinct sensitive values) and
+    entropy-l (entropy of the sensitive distribution ≥ ln l), with the
+    l=3 at-risk flag.  Shape: two map-side-combinable aggregations —
+    (QI, sensitive) counts then QI rollup; entropy folds exact integer
+    counts as ln(n) − Σ c·ln(c)/n, one float log per (QI, sensitive)
+    row, output bounded by the QI × priority domain, never row count."""
+    t = load_tables(spark, sf_dir)
+    bin_ = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    j = (
+        t["orders"]
+        .join(
+            F.broadcast(
+                t["customer"].select(
+                    "c_custkey",
+                    "c_nationkey",
+                    "c_mktsegment",
+                    bin_.alias("acctbal_bin"),
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_nationkey", "c_mktsegment", "acctbal_bin", "o_orderpriority"
+        )
+    )
+    per_sv = j.groupBy(
+        "c_nationkey", "c_mktsegment", "acctbal_bin", "o_orderpriority"
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    per_qi = per_sv.groupBy("c_nationkey", "c_mktsegment", "acctbal_bin").agg(
+        F.sum("__c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("distinct_sensitive"),
+        F.sum(F.col("__c") * F.log("__c")).alias("__clnc"),
+    )
+    entropy = F.log(F.col("n_rows")) - F.col("__clnc") / F.col("n_rows")
+    return per_qi.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "acctbal_bin",
+        "n_rows",
+        "distinct_sensitive",
+        _rnd(entropy, 6).alias("entropy"),
+        # threshold epsilon-shifted: a UNIFORM 3-value group has entropy
+        # exactly ln 3, and the JVM-vs-libm last-ulp difference would
+        # otherwise decide the flag (the repo-wide "no float decides
+        # membership" rule)
+        (
+            (F.col("distinct_sensitive") < 3)
+            | (entropy < F.lit(math.log(3.0) - 1e-9))
+        ).cast("int").alias("at_risk_l3"),
+    )
+
+
+_SQL_L_DIVERSITY = f"""
+WITH j AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_bin,
+           o_orderpriority
+    FROM orders JOIN customer ON o_custkey = c_custkey
+),
+per_sv AS (
+    SELECT c_nationkey, c_mktsegment, acctbal_bin, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS c
+    FROM j GROUP BY 1, 2, 3, 4
+),
+per_qi AS (
+    SELECT c_nationkey, c_mktsegment, acctbal_bin,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS distinct_sensitive,
+           sum(c * ln(c)) AS clnc
+    FROM per_sv GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, acctbal_bin, n_rows, distinct_sensitive,
+       round(1e-9 + ln(n_rows) - clnc / n_rows, 6) AS entropy,
+       CAST(distinct_sensitive < 3
+            OR (ln(n_rows) - clnc / n_rows) < {math.log(3.0) - 1e-9!r}
+            AS INTEGER) AS at_risk_l3
+FROM per_qi"""
+
+
 def q_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-flight join-cardinality estimation from Count-Min sketches
     (Cormode–Muthukrishnan inner product): predict
@@ -5232,6 +5318,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hll_union": q_hll_union,
     "q_hll_overlap": q_hll_overlap,
     "q_k_anonymity": q_k_anonymity,
+    "q_l_diversity": q_l_diversity,
     "q_cm_join_size": q_cm_join_size,
     "q_srp_lsh": q_srp_lsh,
     "q_cell_quality": q_cell_quality,
@@ -5335,6 +5422,7 @@ ORACLES: dict[str, str] = {
     "q_hll_union": _hll_union_sql(),
     "q_hll_overlap": _hll_overlap_sql(),
     "q_k_anonymity": _SQL_K_ANONYMITY,
+    "q_l_diversity": _SQL_L_DIVERSITY,
     "q_cm_join_size": _SQL_CM_JOIN_SIZE,
     "q_srp_lsh": _sql_srp_lsh(),
     "q_cell_quality": _SQL_CELL_QUALITY,
