@@ -202,12 +202,18 @@ def ks_by_group(
 
     Returns (group_col, n_rows, ks) with ks the raw double."""
     nn = df.where(F.col(value_col).isNotNull())
+    # Both CDF frames feed THREE consumers each (totals, carry/buckets,
+    # grid join) — persist them or every reference replays the whole
+    # scan → distinct → bucketed-window lineage and the plan carries
+    # three copies of each subtree.  Both are value-cardinality-sized
+    # (distinct values, not corpus rows); cached until harness
+    # clearCache, the drift-module convention.
     gcum = bucketed_value_cumsum(nn, value_col, (group_col,)).select(
         F.col(group_col).alias("grp"), "__v", "__p", F.col("__cle").alias("__gle")
-    )
+    ).persist()
     acum = bucketed_value_cumsum(nn, value_col).select(
         "__v", "__p", F.col("__cle").alias("__ale")
-    )
+    ).persist()
     n_g = gcum.groupBy("grp").agg(F.max("__gle").alias("n_g"))
     n_tbl = acum.agg(F.max("__ale").alias("n_all"))
     groups = n_g.select("grp", "n_g")

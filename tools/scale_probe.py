@@ -173,6 +173,19 @@ def main() -> None:
             lambda m: _docs_meta_at(spark, sf_dir, m),
             lambda d: drift.psi_by_group(d, "source", "n_chars"),
         ),
+        # round-7 additions: the divergence scorecard shares psi's one
+        # corpus aggregation (growth should track psi); exact KS is
+        # value-cardinality × groups work — the content-growth replicas
+        # shift n_chars, so the distinct-value axis grows with the
+        # corpus and the probe exercises the real scaling dimension
+        "divergence_by_group": (
+            lambda m: _docs_meta_at(spark, sf_dir, m),
+            lambda d: drift.divergence_by_group(d, "source", "n_chars"),
+        ),
+        "ks_by_group": (
+            lambda m: _docs_meta_at(spark, sf_dir, m),
+            lambda d: drift.ks_by_group(d, "source", "n_chars"),
+        ),
         # FIXED-size query batch (always the 1x frame's % 50 sample):
         # growing queries with the corpus would conflate query-count
         # scaling with corpus scaling and the 8x ratio could not test
