@@ -44,14 +44,8 @@ def psi_by_group(
     group is measured on the same ruler.  NULL values are excluded from
     both distributions.  Returns (group_col, n_rows, psi) with psi the
     raw double; callers round for cross-engine hashing."""
-    grid = _binned_grid(df, group_col, value_col, num_bins)
-    term = (F.col("p_g") - F.col("p_r")) * F.log(F.col("p_g") / F.col("p_r"))
-    return grid.groupBy("grp").agg(
-        F.first("n_g").alias("n_rows"), F.sum(term).alias("psi")
-    ).select(
-        F.col("grp").alias(group_col),
-        F.col("n_rows").cast("long").alias("n_rows"),
-        "psi",
+    return psi_from_grid(
+        _binned_grid(df, group_col, value_col, num_bins), group_col
     )
 
 
@@ -101,12 +95,20 @@ def _binned_grid(
         .agg(F.count(F.lit(1)).alias("c_g"))
         .persist()
     )
+    return grid_from_counts(per_g, num_bins)
+
+
+def grid_from_counts(per_g: DataFrame, num_bins: int) -> DataFrame:
+    """The smoothed probability grid from an ALREADY-AGGREGATED
+    (grp, bin, c_g) counts frame — shared by the batch path above and by
+    streaming drift monitors, whose (window × bin) counts arrive from a
+    drained streaming aggregation sink."""
     per_ref = per_g.groupBy("bin").agg(F.sum("c_g").alias("c_r"))
     n_g = per_g.groupBy("grp").agg(F.sum("c_g").alias("n_g"))
     n_tbl = per_ref.agg(F.sum("c_r").alias("n_all"))
     # dense grid: every (group, bin) cell, zeros included — all frames
     # here are (groups × bins)-sized, so the grid build is broadcast work
-    bins = binned.sparkSession.range(1, num_bins + 1).select(
+    bins = per_g.sparkSession.range(1, num_bins + 1).select(
         F.col("id").cast("int").alias("bin")
     )
     grid = (
@@ -128,6 +130,19 @@ def _binned_grid(
         )
     )
     return grid
+
+
+def psi_from_grid(grid: DataFrame, group_col: str) -> DataFrame:
+    """The PSI fold over a probability grid — the shared tail of
+    :func:`psi_by_group` and the streaming monitor."""
+    term = (F.col("p_g") - F.col("p_r")) * F.log(F.col("p_g") / F.col("p_r"))
+    return grid.groupBy("grp").agg(
+        F.first("n_g").alias("n_rows"), F.sum(term).alias("psi")
+    ).select(
+        F.col("grp").alias(group_col),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "psi",
+    )
 
 
 def divergence_by_group(

@@ -2440,6 +2440,108 @@ JOIN (
 ) x USING (day)"""
 
 
+def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 × drift: a STREAMING distribution-drift monitor with bounded
+    state — per-day PSI of the temperature distribution against the
+    whole feed's, the production shape for "did today's feed drift?".
+    The reference decile boundaries are trained batch-side
+    (`sampling.quantile_bounds`, exact type-1; ≤ 9 scalars collected)
+    and folded into the stream as a LITERAL array, so the streaming
+    aggregation is a plain `groupBy(window, bin).count()` whose state is
+    days × 10 rows regardless of feed volume — and counts replayed
+    through the availableNow file source are exactly-once.  The PSI
+    tail (`drift.grid_from_counts` + `psi_from_grid` — the SAME
+    arithmetic as the batch q_psi_drift) runs batch-side on the drained
+    (day × bin) sink; the oracle recomputes boundaries, bins, counts,
+    and the smoothed fold from the batch weather view, so stream and
+    batch count frames must agree exactly."""
+    from .operators import drift
+    from .operators.sampling import quantile_bounds
+    from .streaming import weather_stream
+
+    notnull = F.col("observed_at").isNotNull() & F.col("temp_f").isNotNull()
+    w = _weather(spark, sf_dir).where(notnull)
+    bounds_row = quantile_bounds(w, "temp_f", 10).collect()[0][0]
+    x = F.col("temp_f")
+    if bounds_row:
+        bin_expr = F.aggregate(
+            F.array(*[F.lit(b) for b in bounds_row]),
+            F.lit(1),
+            lambda acc, b: acc + F.when(x > b, 1).otherwise(0),
+        ).cast("int")
+    else:
+        bin_expr = F.lit(1)
+
+    src = _stream_feed_dir("weather_feed_psi")
+    _weather(spark, sf_dir).write.mode("overwrite").parquet(src)
+    _STREAM_SINK_SEQ[0] += 1
+    name = f"q_stream_psi_sink_{_STREAM_SINK_SEQ[0]}"
+    stream = weather_stream.read_weather_stream(spark, src)
+    counts = (
+        stream.withWatermark("observed_at", "2 hours")
+        .where(notnull)
+        .select(
+            F.window("observed_at", "1 day").alias("win"),
+            bin_expr.alias("bin"),
+        )
+        .groupBy("win", "bin")
+        .agg(F.count(F.lit(1)).alias("c_g"))
+    )
+    q = weather_stream.run_available_now(counts, name)
+    drained = q.awaitTermination(300)
+    q.stop()
+    if not drained:
+        raise RuntimeError(
+            "q_stream_psi: availableNow drain timed out after 300s — "
+            "refusing to compare a partially-filled sink against the oracle"
+        )
+    sink = spark.table(name).select(
+        F.col("win.start").alias("grp"), "bin", "c_g"
+    )
+    out = drift.psi_from_grid(drift.grid_from_counts(sink, 10), "day")
+    return out.select("day", "n_rows", _rnd(F.col("psi"), 6).alias("psi"))
+
+
+_SQL_STREAM_PSI_SELECT = """
+SELECT day, CAST(n_g AS BIGINT) AS n_rows,
+       round(1e-9 + sum((p_g - p_r) * ln(p_g / p_r)), 6) AS psi
+FROM (
+    WITH nn AS (
+        SELECT obs_id,
+               CAST(date_trunc('day', observed_at) AS TIMESTAMP) AS day,
+               temp_f AS v
+        FROM weather
+        WHERE observed_at IS NOT NULL AND temp_f IS NOT NULL
+    ),
+    n_all AS (SELECT count(*) AS n FROM nn),
+    vc AS (SELECT v, count(*) AS c FROM nn GROUP BY 1),
+    cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cle FROM vc),
+    bounds AS (
+        SELECT i, min(v) AS bound
+        FROM cum, n_all, range(1, 10) t(i)
+        WHERE cle * 10 >= i * n
+        GROUP BY 1
+    ),
+    binned AS (
+        SELECT d.day, d.obs_id, 1 + count(b.bound) AS bin
+        FROM nn d LEFT JOIN bounds b ON d.v > b.bound
+        GROUP BY 1, 2
+    ),
+    per_g AS (SELECT day, bin, count(*) AS c_g FROM binned GROUP BY 1, 2),
+    per_ref AS (SELECT bin, count(*) AS c_r FROM binned GROUP BY 1),
+    n_g AS (SELECT day, sum(c_g) AS n_g FROM per_g GROUP BY 1)
+    SELECT g.day, g.n_g,
+           (coalesce(pg.c_g, 0) + 1) / (g.n_g + 10) AS p_g,
+           (coalesce(pr.c_r, 0) + 1) / (n_all.n + 10) AS p_r
+    FROM n_g g
+    CROSS JOIN range(1, 11) t(bin)
+    LEFT JOIN per_g pg ON pg.day = g.day AND pg.bin = t.bin
+    LEFT JOIN per_ref pr ON pr.bin = t.bin
+    CROSS JOIN n_all
+)
+GROUP BY day, n_g"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_backfill_synthetic": q_backfill_synthetic,
     "q_quality_report": q_quality_report,
@@ -2483,6 +2585,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_merge_dedup": q_merge_dedup,
     "q_star_join": q_star_join,
     "q_stream_hll": q_stream_hll,
+    "q_stream_psi": q_stream_psi,
     "q_tpch_q1": q_tpch_q1,
     "q_tpch_q3": q_tpch_q3,
     "q_tpch_q5": q_tpch_q5,
@@ -2541,6 +2644,7 @@ SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
 FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5000""",
     "q_star_join": _SQL_STAR_JOIN,
     "q_stream_hll": _with(SQL_WEATHER, select=_SQL_STREAM_HLL_SELECT),
+    "q_stream_psi": _with(SQL_WEATHER, select=_SQL_STREAM_PSI_SELECT),
     "q_tpch_q1": _SQL_TPCH_Q1,
     "q_tpch_q3": _SQL_TPCH_Q3,
     "q_tpch_q5": _SQL_TPCH_Q5,
