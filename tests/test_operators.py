@@ -1674,6 +1674,29 @@ def test_quantile_bounds_partition_invariant(spark):
     assert sorted(b1) == want
 
 
+def test_bucketed_value_cumsum_grouped_matches_naive(spark):
+    """The grouped variant (part_cols) of the distributed-CDF primitive:
+    per-group cumulative counts over distinct values must equal the
+    naive per-group computation under any physical partitioning."""
+    import bisect
+    import random
+
+    from nyc_taxi_data_warehouse_spark.operators import sampling
+
+    rng = random.Random(11)
+    rows = [(rng.choice("abc"), rng.randint(0, 40)) for _ in range(600)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    for nparts in (1, 13):
+        out = sampling.bucketed_value_cumsum(
+            df.repartition(nparts), "v", ("g",)
+        ).collect()
+        got = {(r["g"], r["__v"]): r["__cle"] for r in out}
+        for g in "abc":
+            gv = sorted(v for gg, v in rows if gg == g)
+            for v in set(gv):
+                assert got[(g, v)] == bisect.bisect_right(gv, v)
+
+
 def test_connected_components_warns_when_unconverged(spark):
     """max_iter too small for the graph's diameter must be LOUD: an
     unconverged large-star edge set can yield non-minimum centers, so
