@@ -62,15 +62,16 @@ _CHECK_FIRST = [
     "q_array_ops", "q_char_entropy", "q_boilerplate",
     "q_stream_hourly", "q_stream_sessions", "q_stream_join",
     "q_centroid_assign", "q_ann_ivf", "q_ann_recall",
-    "q_anomaly_mad",
     # round-7 NEW queries (first evidence beats stale refresh; they
-    # displace q_cdc_classify/q_containment/q_bpe_tokenize/q_bpe_merges
-    # to the _CHECK_LAST head)
+    # displace five r4-green entries — q_cdc_classify, q_containment,
+    # q_bpe_tokenize, q_bpe_merges, q_anomaly_mad — to the
+    # _CHECK_LAST head)
     "q_divergence_drift", "q_ks_drift", "q_l_diversity",
-    "q_stream_psi",
+    "q_stream_psi", "q_stream_cm",
 ]
 _CHECK_LAST = [
     "q_cdc_classify", "q_containment", "q_bpe_tokenize", "q_bpe_merges",
+    "q_anomaly_mad",
     "q_cross_corpus_neardup", "q_crosstab_independence", "q_dedup_plan",
     "q_delta_roundtrip", "q_demand_corr", "q_dropna",
     "q_embedding_stats", "q_event_paths", "q_iceberg_diff",

@@ -4684,6 +4684,85 @@ FROM probe_slots ps LEFT JOIN counters c USING (j, slot)
 GROUP BY ps.token, ps.rank, ps.exact_cnt"""
 
 
+_CM_SINK_SEQ = [0]
+
+
+def q_stream_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 × sketches: Count-Min heavy-hitter monitoring over a STREAM
+    with bounded state — the streaming counterpart of `q_countmin_topk`.
+    The document feed replays through the file source and folds straight
+    into the 4×1024 counter table via the SAME `sketches.cm_counters`
+    the batch path uses (counters are sums, so the streaming aggregation
+    is exactly-once under the availableNow replay and its state is ≤
+    depth×width rows regardless of feed volume — no watermark needed for
+    an unwindowed complete-mode aggregate).  Batch-side, the exact
+    top-15 tokens probe the DRAINED counter sink via `cm_lookup`; the
+    oracle is literally `_SQL_COUNTMIN_TOPK` — stream counters must
+    equal batch counters exactly for the hashes to match."""
+    from pyspark.sql import types as ST
+
+    from .operators import sampling, sketches
+    from .util import session_tmpdir
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    src = session_tmpdir("doc_feed_cm")
+    d.write.mode("overwrite").parquet(src)
+    schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("text", ST.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+    )
+    tok = stream.select(
+        F.explode(T.tokens("text")).alias("token"), F.lit(1).alias("cnt")
+    )
+    counters = sketches.cm_counters(tok, "token", "cnt")
+    _CM_SINK_SEQ[0] += 1
+    name = f"q_stream_cm_sink_{_CM_SINK_SEQ[0]}"
+    q = (
+        counters.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drained = q.awaitTermination(300)
+    q.stop()
+    if not drained:
+        raise RuntimeError(
+            "q_stream_cm: availableNow drain timed out after 300s — "
+            "refusing to compare a partially-filled sink against the oracle"
+        )
+    sink = spark.table(name).select("j", "slot", "c")
+
+    tok_b = _docs(spark, sf_dir).select(
+        F.explode(T.tokens("text")).alias("token")
+    )
+    tc = (
+        tok_b.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .persist()  # feeds ranking twice; cached until harness clearCache
+    )
+    order = [F.desc("exact_cnt"), F.asc("token")]
+    pruned = sampling.top_k_prune(tc, [], order, k=15, salt_key="token")
+    probes = pruned.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    ).where(F.col("rank") <= 15)
+    out = sketches.cm_lookup(sink, probes)
+    return out.select(
+        "token",
+        F.col("rank").cast("int").alias("rank"),
+        "exact_cnt",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )
+
+
 def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch algebra: merging the 20 per-source HLL register files
     (register-wise MAX) yields BIT-IDENTICAL registers — and therefore the
@@ -5336,6 +5415,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_semdedup": q_semdedup,
     "q_hll_distinct": q_hll_distinct,
     "q_countmin_topk": q_countmin_topk,
+    "q_stream_cm": q_stream_cm,
     "q_gopher_rules": q_gopher_rules,
     "q_dsir_select": q_dsir_select,
     "q_hll_union": q_hll_union,
@@ -5440,6 +5520,8 @@ ORACLES: dict[str, str] = {
     "q_semdedup": _SQL_SEMDEDUP,
     "q_hll_distinct": _hll_distinct_sql(),
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
+    # identical oracle: stream counters must equal batch counters exactly
+    "q_stream_cm": _SQL_COUNTMIN_TOPK,
     "q_gopher_rules": _SQL_GOPHER_RULES,
     "q_dsir_select": _SQL_DSIR_SELECT,
     "q_hll_union": _hll_union_sql(),
