@@ -361,3 +361,75 @@ def cm_lookup(
         *[F.first(c).alias(c) for c in extra],
         F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cm_est"),
     )
+
+
+def bloom_bits(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Portable Bloom filter as a relational bit table: one row per SET
+    bit position (``bit`` BIGINT in [0, m_bits)), built with the same
+    md5(j || '#' || key) hashing family as the Count-Min counters —
+    engine-independent (any SQL engine rebuilds or probes it), mergeable
+    by plain UNION/DISTINCT (a Bloom filter's bits OR together), and at
+    most ``m_bits`` rows no matter the input cardinality.  The classic
+    data-shipping primitive: ship the bit table, not the key set, and
+    pre-filter a fact scan before the join (no false negatives; false
+    positives bounded by the (m, k, n) choice)."""
+    if k_hashes < 1 or m_bits < 2:
+        raise ValueError(f"need k >= 1 and m >= 2, got k={k_hashes} m={m_bits}")
+    rows = df.select(
+        F.col(key_col).cast("string").alias("__k"),
+        F.explode(F.array(*[F.lit(j) for j in range(k_hashes)])).alias("j"),
+    )
+    pos = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("#", F.col("j"), F.col("__k"))), 1, 12),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(m_bits),
+    )
+    return rows.select(pos.alias("bit")).distinct()
+
+
+def bloom_probe(
+    bits: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Membership probe against a :func:`bloom_bits` table: adds
+    ``may_contain`` (1 = all k bit positions set — present OR false
+    positive; 0 = definitely absent).  The bit table is ≤ m_bits rows —
+    broadcast it; the probe side stays a narrow map + one small join,
+    never a shuffle of the probe corpus."""
+    expanded = probes.select(
+        "*",
+        F.explode(F.array(*[F.lit(j) for j in range(k_hashes)])).alias("j"),
+    )
+    pos = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("j"), F.col(key_col).cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(m_bits),
+    )
+    hit = expanded.select(
+        *probes.columns, pos.alias("bit")
+    ).join(
+        F.broadcast(bits.withColumn("__set", F.lit(1))), "bit", "left"
+    )
+    return hit.groupBy(*probes.columns).agg(
+        F.min(F.coalesce(F.col("__set"), F.lit(0))).cast("int").alias(
+            "may_contain"
+        )
+    )

@@ -4684,6 +4684,113 @@ FROM probe_slots ps LEFT JOIN counters c USING (j, slot)
 GROUP BY ps.token, ps.rank, ps.exact_cnt"""
 
 
+def q_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter (`sketches.bloom_bits`/`bloom_probe`) —
+    completing the engine-independent sketch trio (HLL registers,
+    Count-Min counters, Bloom bits): the has-orders customer set folds
+    to a ≤ m-row bit-position table (md5 hash family, rebuildable by any
+    SQL engine; bits OR-merge by UNION/DISTINCT), every customer probes
+    it, and the query reports per-segment membership, maybe-counts, the
+    FALSE-POSITIVE count against the exact semi-join truth, and the
+    structurally-zero false-negative count.  m=4096, k=4 sized so the
+    false-positive rate is non-trivial and the measurement means
+    something.  This is the ship-the-filter-not-the-keys join preflight:
+    at 100 TB the bit table broadcasts in kilobytes and prunes the fact
+    scan before the real join."""
+    from .operators import sketches
+
+    t = load_tables(spark, sf_dir)
+    m_bits, k_hashes = 4096, 4
+    members = t["orders"].select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    bits = sketches.bloom_bits(members, "custkey", m_bits, k_hashes)
+    probes = t["customer"].select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    probed = sketches.bloom_probe(bits, probes, "custkey", m_bits, k_hashes)
+    flagged = probed.join(
+        members.withColumn("__m", F.lit(1)), "custkey", "left"
+    ).select(
+        "c_mktsegment",
+        "may_contain",
+        F.coalesce("__m", F.lit(0)).alias("is_member"),
+    )
+    return (
+        flagged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("is_member").cast("long").alias("n_members"),
+            F.sum("may_contain").cast("long").alias("n_maybe"),
+            F.sum(
+                ((F.col("may_contain") == 1) & (F.col("is_member") == 0))
+                .cast("int")
+            ).cast("long").alias("n_false_pos"),
+            F.sum(
+                ((F.col("may_contain") == 0) & (F.col("is_member") == 1))
+                .cast("int")
+            ).cast("long").alias("n_false_neg"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            "n_members",
+            "n_maybe",
+            "n_false_pos",
+            "n_false_neg",
+            _rnd(
+                F.col("n_false_pos")
+                / F.greatest(F.col("n_customers") - F.col("n_members"), F.lit(1)),
+                6,
+            ).alias("fpr"),
+        )
+    )
+
+
+_SQL_BLOOM_PORTABLE = """
+WITH members AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+bits AS (
+    SELECT DISTINCT
+           CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#'
+                                    || CAST(custkey AS VARCHAR)), 1, 12))
+                AS BIGINT) % 4096 AS bit
+    FROM members, js
+),
+probe_pos AS (
+    SELECT c.c_custkey AS custkey, c.c_mktsegment,
+           CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || '#'
+                                    || CAST(c.c_custkey AS VARCHAR)), 1, 12))
+                AS BIGINT) % 4096 AS bit
+    FROM customer c, js j
+),
+probed AS (
+    SELECT p.custkey, p.c_mktsegment,
+           CAST(min(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS INTEGER)
+               AS may_contain
+    FROM probe_pos p LEFT JOIN bits b USING (bit)
+    GROUP BY 1, 2
+),
+flagged AS (
+    SELECT p.c_mktsegment, p.may_contain,
+           CASE WHEN m.custkey IS NULL THEN 0 ELSE 1 END AS is_member
+    FROM probed p LEFT JOIN members m USING (custkey)
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(is_member) AS BIGINT) AS n_members,
+       CAST(sum(may_contain) AS BIGINT) AS n_maybe,
+       CAST(sum(CASE WHEN may_contain = 1 AND is_member = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       CAST(sum(CASE WHEN may_contain = 0 AND is_member = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+       round(1e-9 + CAST(sum(CASE WHEN may_contain = 1 AND is_member = 0
+                                  THEN 1 ELSE 0 END) AS DOUBLE)
+                    / greatest(count(*) - sum(is_member), 1), 6) AS fpr
+FROM flagged
+GROUP BY 1"""
+
+
 _CM_SINK_SEQ = [0]
 
 
@@ -5416,6 +5523,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hll_distinct": q_hll_distinct,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
+    "q_bloom_portable": q_bloom_portable,
     "q_gopher_rules": q_gopher_rules,
     "q_dsir_select": q_dsir_select,
     "q_hll_union": q_hll_union,
@@ -5522,6 +5630,7 @@ ORACLES: dict[str, str] = {
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,
+    "q_bloom_portable": _SQL_BLOOM_PORTABLE,
     "q_gopher_rules": _SQL_GOPHER_RULES,
     "q_dsir_select": _SQL_DSIR_SELECT,
     "q_hll_union": _hll_union_sql(),

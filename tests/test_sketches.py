@@ -224,3 +224,48 @@ def test_hll_overlap_inclusion_exclusion_invariants(spark, sf_dir):
         assert abs(r.est_intersection - r.exact_intersection) <= bound, (
             r.src_a, r.src_b, r.est_intersection, r.exact_intersection,
         )
+
+
+def test_bloom_no_false_negatives_and_bounded(spark):
+    """Every member key must probe may_contain=1 (Bloom filters have
+    zero false negatives by construction), and the bit table is at most
+    m rows regardless of input cardinality."""
+    from nyc_taxi_data_warehouse_spark.operators import sketches
+
+    members = spark.createDataFrame(
+        [(i,) for i in range(500)], ["k"]
+    )
+    bits = sketches.bloom_bits(members, "k", m_bits=2048, k_hashes=4)
+    assert bits.count() <= 2048
+    probed = sketches.bloom_probe(bits, members, "k", m_bits=2048, k_hashes=4)
+    assert probed.filter(F.col("may_contain") == 0).count() == 0
+
+
+def test_bloom_definitely_absent_when_wide(spark):
+    """With m huge relative to n, non-member probes come back 0 — the
+    filter actually filters (and a false positive would need a 4-way
+    hash collision in a 2^20 table over 20 keys: vanishingly unlikely,
+    deterministic given md5)."""
+    from nyc_taxi_data_warehouse_spark.operators import sketches
+
+    members = spark.createDataFrame([(f"in{i}",) for i in range(20)], ["k"])
+    others = spark.createDataFrame([(f"out{i}",) for i in range(20)], ["k"])
+    bits = sketches.bloom_bits(members, "k", m_bits=1 << 20, k_hashes=4)
+    probed = sketches.bloom_probe(bits, others, "k", m_bits=1 << 20, k_hashes=4)
+    assert probed.filter(F.col("may_contain") == 1).count() == 0
+
+
+def test_bloom_bits_or_merge_equals_union_build(spark):
+    """Bloom bits OR together: union+distinct of two bit tables equals
+    the bit table of the unioned key sets — the mergeability contract
+    that lets per-partition filters roll up without a rebuild."""
+    from nyc_taxi_data_warehouse_spark.operators import sketches
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(50)], ["k"])
+    b = spark.createDataFrame([(f"b{i}",) for i in range(50)], ["k"])
+    ba = sketches.bloom_bits(a, "k", m_bits=1024, k_hashes=3)
+    bb = sketches.bloom_bits(b, "k", m_bits=1024, k_hashes=3)
+    merged = ba.union(bb).distinct()
+    direct = sketches.bloom_bits(a.union(b), "k", m_bits=1024, k_hashes=3)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
