@@ -5392,6 +5392,177 @@ SELECT c_nationkey, c_mktsegment, acctbal_bin, n_rows, distinct_sensitive,
 FROM per_qi"""
 
 
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li, Venkatasubramanian 2007) — the third
+    leg of the governance trio after k-anonymity and l-diversity: a QI
+    group passes l-diversity yet still leaks if its sensitive-attribute
+    DISTRIBUTION differs from the table's (skewness attack).  t is the
+    Earth Mover's Distance between the group's and the global ordinal
+    distribution of order priority (same QI/sensitive choice as
+    q_l_diversity): with m ordered values, EMD = (1/(m−1)) Σ_{i<m}
+    |CumP_g(i) − CumQ(i)|.  Exactness: cumulative-count differences are
+    cross-multiplied into integers (|C_g·n − C·n_g|) and divided ONCE
+    at the end; the t>0.2 at-risk flag is decided by the pure-integer
+    inequality 5·Σ|…| > n_g·n·(m−1), so no float ever decides
+    membership.  Shape: (QI, sensitive) counts → (QI-groups × m) grid
+    via a broadcast of the m-row global axis — all work bounded by the
+    QI × priority domain, never the corpus row count."""
+    t = load_tables(spark, sf_dir)
+    bin_ = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    qi_cols = ["c_nationkey", "c_mktsegment", "acctbal_bin"]
+    j = (
+        t["orders"]
+        .join(
+            F.broadcast(
+                t["customer"].select(
+                    "c_custkey",
+                    "c_nationkey",
+                    "c_mktsegment",
+                    bin_.alias("acctbal_bin"),
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(*qi_cols, "o_orderpriority")
+    )
+    per_sv = j.groupBy(*qi_cols, "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("__cg")
+    )
+    # Global axis: per-priority counts + global cumulative + n + m —
+    # bounded by the priority domain (5 rows), derived from per_sv so
+    # the corpus is scanned once.
+    glob = per_sv.groupBy("o_orderpriority").agg(
+        F.sum("__cg").cast("long").alias("__c")
+    )
+    axis = glob.select(
+        "o_orderpriority",
+        "__c",
+        F.sum("__c")
+        .over(
+            Window.orderBy("o_orderpriority").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("long")
+        .alias("__cum"),
+        F.row_number().over(Window.orderBy("o_orderpriority")).alias("__rn"),
+        F.sum("__c").over(Window.partitionBy()).cast("long").alias("__n"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("__m"),
+    )
+    qi = per_sv.groupBy(*qi_cols).agg(F.sum("__cg").cast("long").alias("n_rows"))
+    grid = (
+        qi.crossJoin(F.broadcast(axis))
+        .join(per_sv, qi_cols + ["o_orderpriority"], "left")
+        .select(
+            *qi_cols,
+            "n_rows",
+            "__rn",
+            "__m",
+            "__n",
+            "__cum",
+            F.coalesce("__cg", F.lit(0)).alias("__cg"),
+        )
+    )
+    wcum = (
+        Window.partitionBy(*qi_cols)
+        .orderBy("__rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_g = F.sum("__cg").over(wcum).cast("long")
+    diff = grid.select(
+        *qi_cols,
+        "n_rows",
+        "__m",
+        "__n",
+        F.when(
+            F.col("__rn") < F.col("__m"),
+            F.abs(cum_g * F.col("__n") - F.col("__cum") * F.col("n_rows")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__d"),
+    )
+    agg = diff.groupBy(*qi_cols).agg(
+        F.first("n_rows").alias("n_rows"),
+        F.first("__m").alias("__m"),
+        F.first("__n").alias("__n"),
+        F.sum("__d").cast("long").alias("__emd_num"),
+    )
+    den = (
+        F.col("n_rows")
+        * F.col("__n")
+        * F.greatest(F.col("__m") - 1, F.lit(1))
+    )
+    return agg.select(
+        *qi_cols,
+        F.col("n_rows").cast("long").alias("n_rows"),
+        _rnd(F.col("__emd_num") / den, 6).alias("t_closeness"),
+        (F.col("__emd_num") * 5 > den).cast("int").alias("at_risk_t02"),
+    )
+
+
+_SQL_T_CLOSENESS = """
+WITH j AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_bin,
+           o_orderpriority
+    FROM orders JOIN customer ON o_custkey = c_custkey
+),
+per_sv AS (
+    SELECT c_nationkey, c_mktsegment, acctbal_bin, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS cg
+    FROM j GROUP BY 1, 2, 3, 4
+),
+axis AS (
+    SELECT o_orderpriority, c,
+           CAST(sum(c) OVER (ORDER BY o_orderpriority
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           row_number() OVER (ORDER BY o_orderpriority) AS rn,
+           CAST(sum(c) OVER () AS BIGINT) AS n,
+           CAST(count(*) OVER () AS BIGINT) AS m
+    FROM (SELECT o_orderpriority, CAST(sum(cg) AS BIGINT) AS c
+          FROM per_sv GROUP BY 1)
+),
+qi AS (
+    SELECT c_nationkey, c_mktsegment, acctbal_bin,
+           CAST(sum(cg) AS BIGINT) AS n_rows
+    FROM per_sv GROUP BY 1, 2, 3
+),
+grid AS (
+    SELECT q.c_nationkey, q.c_mktsegment, q.acctbal_bin, q.n_rows,
+           a.rn, a.m, a.n, a.cum, COALESCE(p.cg, 0) AS cg
+    FROM qi q CROSS JOIN axis a
+    LEFT JOIN per_sv p
+      ON p.c_nationkey = q.c_nationkey
+     AND p.c_mktsegment = q.c_mktsegment
+     AND p.acctbal_bin = q.acctbal_bin
+     AND p.o_orderpriority = a.o_orderpriority
+),
+diff AS (
+    SELECT c_nationkey, c_mktsegment, acctbal_bin, n_rows, m, n,
+           CASE WHEN rn < m THEN
+               abs(CAST(sum(cg) OVER (
+                       PARTITION BY c_nationkey, c_mktsegment, acctbal_bin
+                       ORDER BY rn ROWS UNBOUNDED PRECEDING) AS BIGINT) * n
+                   - cum * n_rows)
+           ELSE 0 END AS d
+    FROM grid
+),
+agg AS (
+    SELECT c_nationkey, c_mktsegment, acctbal_bin,
+           any_value(n_rows) AS n_rows, any_value(m) AS m,
+           any_value(n) AS n, CAST(sum(d) AS BIGINT) AS emd_num
+    FROM diff GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, acctbal_bin,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       round(1e-9 + CAST(emd_num AS DOUBLE)
+             / (n_rows * n * greatest(m - 1, 1)), 6) AS t_closeness,
+       CAST(emd_num * 5 > n_rows * n * greatest(m - 1, 1) AS INTEGER)
+           AS at_risk_t02
+FROM agg"""
+
+
 def q_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-flight join-cardinality estimation from Count-Min sketches
     (Cormode–Muthukrishnan inner product): predict
@@ -5530,6 +5701,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hll_overlap": q_hll_overlap,
     "q_k_anonymity": q_k_anonymity,
     "q_l_diversity": q_l_diversity,
+    "q_t_closeness": q_t_closeness,
     "q_cm_join_size": q_cm_join_size,
     "q_srp_lsh": q_srp_lsh,
     "q_cell_quality": q_cell_quality,
@@ -5637,6 +5809,7 @@ ORACLES: dict[str, str] = {
     "q_hll_overlap": _hll_overlap_sql(),
     "q_k_anonymity": _SQL_K_ANONYMITY,
     "q_l_diversity": _SQL_L_DIVERSITY,
+    "q_t_closeness": _SQL_T_CLOSENESS,
     "q_cm_join_size": _SQL_CM_JOIN_SIZE,
     "q_srp_lsh": _sql_srp_lsh(),
     "q_cell_quality": _SQL_CELL_QUALITY,

