@@ -4791,6 +4791,172 @@ FROM flagged
 GROUP BY 1"""
 
 
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-ruler histogram registers — the quantile leg of
+    the portable-sketch family (HLL→distinct, Count-Min→frequency,
+    Bloom→membership, histogram→quantiles): per-shard (l_returnflag)
+    bin-count tables over a FIXED literal ruler (bin = price_u div 5e5,
+    ~21 bins) sum-merge into the whole-corpus histogram with zero loss
+    (no data-dependent edges → no re-bucketing on merge; the
+    ``merge_lossless`` column states it relationally, like
+    q_hll_union).  The merged ~21-row histogram then answers p25/50/75/
+    p90: estimate = the lower edge of the first bin whose cumulative
+    count reaches the type-1 target rank, compared against the EXACT
+    type-1 quantile (bucketed-window distributed CDF, never an
+    unpartitioned sort) with the |err| < bin-width guarantee as a
+    verification column.  All ranks and errors are integer units; the
+    registers are the 100 TB shape — each executor emits ≤ #bins rows,
+    merge is a map-side sum, history rolls up without rescans."""
+    from .operators.sampling import bucketed_value_cumsum
+
+    t = load_tables(spark, sf_dir)
+    w_bin = 500_000
+    li = t["lineitem"].select(
+        F.col("l_returnflag").alias("shard"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    binc = F.expr(f"CAST(v div {w_bin} AS BIGINT)")
+    regs = li.groupBy("shard", binc.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    merged = regs.groupBy("bin").agg(F.sum("cnt").cast("long").alias("cnt"))
+    direct = li.groupBy(binc.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt2")
+    )
+    lossless = merged.join(direct, "bin", "full_outer").agg(
+        F.min(
+            (
+                F.col("cnt").isNotNull()
+                & F.col("cnt2").isNotNull()
+                & (F.col("cnt") == F.col("cnt2"))
+            ).cast("int")
+        ).alias("merge_lossless")
+    )
+    hist = merged.select(
+        "bin",
+        "cnt",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("long")
+        .alias("cum"),
+    )
+    nrow = merged.agg(F.sum("cnt").cast("long").alias("n"))
+    qs = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(p) for p in (25, 50, 75, 90)])
+            ).alias("pct")
+        )
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "pct",
+            "n",
+            F.expr("CAST((pct * n + 99) div 100 AS BIGINT)").alias("target"),
+        )
+    )
+    est = (
+        qs.join(F.broadcast(hist), F.col("cum") >= F.col("target"))
+        .groupBy("pct")
+        .agg(F.min("bin").cast("long").alias("est_bin"))
+    )
+    cdf = bucketed_value_cumsum(li, "v")
+    exact = (
+        cdf.crossJoin(F.broadcast(qs))
+        .where(F.col("__cle") >= F.col("target"))
+        .groupBy("pct")
+        .agg(F.min("__v").cast("long").alias("exact_u"))
+    )
+    return (
+        qs.join(est, "pct")
+        .join(exact, "pct")
+        .crossJoin(F.broadcast(lossless))
+        .select(
+            "pct",
+            F.col("n").alias("n_rows"),
+            F.col("target").alias("target_rank"),
+            "est_bin",
+            (F.col("est_bin") * w_bin).cast("long").alias("est_u"),
+            "exact_u",
+            F.abs(F.col("exact_u") - F.col("est_bin") * w_bin)
+            .cast("long")
+            .alias("abs_err_u"),
+            F.lit(w_bin).cast("long").alias("bin_width_u"),
+            (F.abs(F.col("exact_u") - F.col("est_bin") * w_bin) < w_bin)
+            .cast("int")
+            .alias("within_bound"),
+            "merge_lossless",
+        )
+    )
+
+
+_SQL_HISTOGRAM_QUANTILES = """
+WITH li AS (
+    SELECT l_returnflag AS shard,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+    FROM lineitem
+),
+regs AS (
+    SELECT shard, CAST(v // 500000 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM li GROUP BY 1, 2
+),
+merged AS (
+    SELECT bin, CAST(sum(cnt) AS BIGINT) AS cnt FROM regs GROUP BY 1
+),
+direct AS (
+    SELECT CAST(v // 500000 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS cnt2
+    FROM li GROUP BY 1
+),
+lossless AS (
+    SELECT CAST(min(CASE WHEN m.cnt IS NOT NULL AND d.cnt2 IS NOT NULL
+                          AND m.cnt = d.cnt2 THEN 1 ELSE 0 END)
+               AS INTEGER) AS merge_lossless
+    FROM merged m FULL OUTER JOIN direct d USING (bin)
+),
+hist AS (
+    SELECT bin, cnt,
+           CAST(sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum
+    FROM merged
+),
+nrow AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM merged),
+qs AS (
+    SELECT pct, n, CAST((pct * n + 99) // 100 AS BIGINT) AS target
+    FROM (SELECT unnest([25, 50, 75, 90]) AS pct), nrow
+),
+est AS (
+    SELECT q.pct, CAST(min(h.bin) AS BIGINT) AS est_bin
+    FROM qs q JOIN hist h ON h.cum >= q.target
+    GROUP BY 1
+),
+cdf AS (
+    SELECT v, CAST(sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cle
+    FROM (SELECT v, count(*) AS cnt FROM li GROUP BY 1)
+),
+exact AS (
+    SELECT q.pct, CAST(min(c.v) AS BIGINT) AS exact_u
+    FROM qs q JOIN cdf c ON c.cle >= q.target
+    GROUP BY 1
+)
+SELECT q.pct, q.n AS n_rows, q.target AS target_rank,
+       e.est_bin, CAST(e.est_bin * 500000 AS BIGINT) AS est_u,
+       x.exact_u,
+       CAST(abs(x.exact_u - e.est_bin * 500000) AS BIGINT) AS abs_err_u,
+       CAST(500000 AS BIGINT) AS bin_width_u,
+       CAST(abs(x.exact_u - e.est_bin * 500000) < 500000 AS INTEGER)
+           AS within_bound,
+       l.merge_lossless
+FROM qs q JOIN est e USING (pct) JOIN exact x USING (pct)
+CROSS JOIN lossless l"""
+
+
 _CM_SINK_SEQ = [0]
 
 
@@ -5695,6 +5861,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
+    "q_histogram_quantiles": q_histogram_quantiles,
     "q_gopher_rules": q_gopher_rules,
     "q_dsir_select": q_dsir_select,
     "q_hll_union": q_hll_union,
@@ -5803,6 +5970,7 @@ ORACLES: dict[str, str] = {
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,
     "q_bloom_portable": _SQL_BLOOM_PORTABLE,
+    "q_histogram_quantiles": _SQL_HISTOGRAM_QUANTILES,
     "q_gopher_rules": _SQL_GOPHER_RULES,
     "q_dsir_select": _SQL_DSIR_SELECT,
     "q_hll_union": _hll_union_sql(),

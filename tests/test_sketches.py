@@ -269,3 +269,18 @@ def test_bloom_bits_or_merge_equals_union_build(spark):
     direct = sketches.bloom_bits(a.union(b), "k", m_bits=1024, k_hashes=3)
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
+
+
+def test_histogram_quantiles_bounds(spark, sf_dir):
+    """The fixed-ruler histogram estimate sits at its bin's lower edge,
+    so est <= exact < est + width; the shard registers merge losslessly
+    (fixed edges => sum-merge is exact by construction)."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_histogram_quantiles
+
+    rows = q_histogram_quantiles(spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.merge_lossless == 1
+        assert r.within_bound == 1
+        assert r.est_u <= r.exact_u < r.est_u + r.bin_width_u
+        assert r.abs_err_u == r.exact_u - r.est_u
