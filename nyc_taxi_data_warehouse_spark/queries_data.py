@@ -4957,6 +4957,89 @@ FROM qs q JOIN est e USING (pct) JOIN exact x USING (pct)
 CROSS JOIN lossless l"""
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the daily event series
+    (STL-lite, additive): trend = centered 7-day moving average
+    (emitted only where the window is FULL — a partial edge window
+    would bias the trend), seasonal = day-of-week mean of the detrended
+    series, residual = y − trend − seasonal.  The anomaly-detection
+    companion to W1/W2's trailing features: residuals are what you
+    threshold once weekly seasonality is explained away.
+
+    Exactness: the trend numerator stays the integer 7-day sum and the
+    seasonal numerator the integer Σ(7·y − sum7); each divides ONCE by
+    its integer denominator, and the residual chains the two doubles
+    left-to-right identically in both engines before the epsilon-shifted
+    rounding.  Shape: one corpus scan → a day-grain aggregate; every
+    window runs over the post-aggregation day frame (≤ #days rows), so
+    the decomposition costs one map-side-combinable groupBy at any
+    corpus size."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    w = daily.select(
+        "d",
+        "y",
+        F.sum("y").over(w7).cast("long").alias("sum7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("cnt7"),
+        (F.dayofweek("d") - F.lit(1)).cast("int").alias("dow"),
+    )
+    seas = (
+        w.where(F.col("cnt7") == 7)
+        .groupBy("dow")
+        .agg(
+            F.sum(F.lit(7) * F.col("y") - F.col("sum7"))
+            .cast("long")
+            .alias("s_num"),
+            F.count(F.lit(1)).cast("long").alias("s_cnt"),
+        )
+    )
+    seasonal = F.col("s_num") / (F.lit(7) * F.col("s_cnt"))
+    full = F.col("cnt7") == 7
+    return w.join(F.broadcast(seas), "dow").select(
+        "d",
+        "dow",
+        "y",
+        F.when(full, _rnd(F.col("sum7") / F.lit(7.0), 6)).alias("trend"),
+        _rnd(seasonal, 6).alias("seasonal"),
+        F.when(
+            full,
+            _rnd(F.col("y") - F.col("sum7") / F.lit(7.0) - seasonal, 6),
+        ).alias("residual"),
+    )
+
+
+_SQL_SEASONAL_DECOMPOSE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+w AS (
+    SELECT d, y,
+           CAST(sum(y) OVER w7 AS BIGINT) AS sum7,
+           CAST(count(*) OVER w7 AS BIGINT) AS cnt7,
+           CAST(date_part('dow', d) AS INTEGER) AS dow
+    FROM daily
+    WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+seas AS (
+    SELECT dow, CAST(sum(7 * y - sum7) AS BIGINT) AS s_num,
+           CAST(count(*) AS BIGINT) AS s_cnt
+    FROM w WHERE cnt7 = 7 GROUP BY 1
+)
+SELECT w.d, w.dow, w.y,
+       CASE WHEN w.cnt7 = 7
+            THEN round(1e-9 + w.sum7 / 7.0, 6) END AS trend,
+       round(1e-9 + CAST(s.s_num AS DOUBLE) / (7 * s.s_cnt), 6) AS seasonal,
+       CASE WHEN w.cnt7 = 7
+            THEN round(1e-9 + w.y - w.sum7 / 7.0
+                       - CAST(s.s_num AS DOUBLE) / (7 * s.s_cnt), 6)
+       END AS residual
+FROM w JOIN seas s USING (dow)"""
+
+
 _CM_SINK_SEQ = [0]
 
 
@@ -5862,6 +5945,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
     "q_histogram_quantiles": q_histogram_quantiles,
+    "q_seasonal_decompose": q_seasonal_decompose,
     "q_gopher_rules": q_gopher_rules,
     "q_dsir_select": q_dsir_select,
     "q_hll_union": q_hll_union,
@@ -5971,6 +6055,7 @@ ORACLES: dict[str, str] = {
     "q_stream_cm": _SQL_COUNTMIN_TOPK,
     "q_bloom_portable": _SQL_BLOOM_PORTABLE,
     "q_histogram_quantiles": _SQL_HISTOGRAM_QUANTILES,
+    "q_seasonal_decompose": _SQL_SEASONAL_DECOMPOSE,
     "q_gopher_rules": _SQL_GOPHER_RULES,
     "q_dsir_select": _SQL_DSIR_SELECT,
     "q_hll_union": _hll_union_sql(),

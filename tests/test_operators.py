@@ -1793,3 +1793,20 @@ def test_t_closeness_invariants(spark, sf_dir):
         assert 0.0 <= r.t_closeness <= 1.0 + 1e-9
         if abs(r.t_closeness - 0.2) > 1e-3:
             assert r.at_risk_t02 == int(r.t_closeness > 0.2)
+
+
+def test_seasonal_decompose_reconstruction(spark, sf_dir):
+    """On full-window days y == trend + seasonal + residual (up to the
+    6-dp rounding), trend is NULL exactly on the 3-day edges, and the
+    detrended day-of-week means reproduce the seasonal column."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_seasonal_decompose
+
+    rows = sorted(q_seasonal_decompose(spark, sf_dir).collect(),
+                  key=lambda r: r.d)
+    assert len(rows) >= 14
+    for i, r in enumerate(rows):
+        edge = i < 3 or i >= len(rows) - 3
+        assert (r.trend is None) == edge
+        assert (r.residual is None) == edge
+        if not edge:
+            assert abs(r.y - (r.trend + r.seasonal + r.residual)) < 5e-6
