@@ -5040,6 +5040,180 @@ SELECT w.d, w.dow, w.y,
 FROM w JOIN seas s USING (dow)"""
 
 
+_BLOOM_SINK_SEQ = [0]
+
+
+def q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 × sketches: streaming membership filter with bounded state —
+    the Bloom leg beside q_stream_hll (distinct) and q_stream_cm
+    (frequency).  The event feed replays through the file source and
+    folds into one per-day Bloom bit table (`groupBy(window, bit)` —
+    state ≤ days × m rows regardless of feed volume; a bit can only ever
+    be SET, so the sketch is re-delivery-insensitive by construction and
+    needs no dedup state).  Batch-side, the first day's user cohort
+    probes each day's drained bit table — the streaming form of the
+    returning-user preflight: ship kilobytes of bits, not the user set —
+    and the query reports per day the maybe-count against the exact
+    cohort∩day truth (false positives measured, false negatives
+    structurally zero).  The oracle rebuilds bits + probes relationally
+    from the batch events view: stream and batch bit tables must agree
+    bit-for-bit."""
+    from pyspark.sql import types as ST
+
+    from .util import session_tmpdir
+
+    m_bits, k_hashes = 1024, 3
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .select("ts", "user_id")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    )
+    src = session_tmpdir("event_feed_bloom")
+    ev.write.mode("overwrite").parquet(src)
+    schema = ST.StructType(
+        [
+            ST.StructField("ts", ST.TimestampType()),
+            ST.StructField("user_id", ST.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+    )
+
+    def _pos(jc, keyc):
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat_ws("#", jc, keyc)), 1, 12), 16, 10
+            ).cast("long"),
+            F.lit(m_bits),
+        )
+
+    rows = stream.select(
+        F.window("ts", "1 day").alias("win"),
+        F.col("user_id").cast("string").alias("__k"),
+        F.explode(F.array(*[F.lit(j) for j in range(k_hashes)])).alias("j"),
+    ).select("win", _pos(F.col("j"), F.col("__k")).alias("bit"))
+    bits = rows.groupBy("win", "bit").agg(F.max(F.lit(1)).alias("__set"))
+    _BLOOM_SINK_SEQ[0] += 1
+    name = f"q_stream_bloom_sink_{_BLOOM_SINK_SEQ[0]}"
+    q = (
+        bits.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drained = q.awaitTermination(300)
+    q.stop()
+    if not drained:
+        raise RuntimeError(
+            "q_stream_bloom: availableNow drain timed out after 300s — "
+            "refusing to compare a partially-filled sink against the oracle"
+        )
+    sink = spark.table(name).select(
+        F.col("win.start").alias("day"), "bit", "__set"
+    )
+
+    du = (
+        ev.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+        .persist()  # four consumers; cached until harness clearCache
+    )
+    d0 = du.agg(F.min("day").alias("__d0"))
+    cohort = (
+        du.join(F.broadcast(d0), F.col("day") == F.col("__d0"))
+        .select("user_id")
+        .distinct()
+    )
+    cpos = cohort.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(j) for j in range(k_hashes)])).alias("j"),
+    ).select(
+        "user_id",
+        _pos(F.col("j"), F.col("user_id").cast("string")).alias("bit"),
+    )
+    days = du.select("day").distinct()
+    hit = (
+        cpos.crossJoin(F.broadcast(days))
+        .join(F.broadcast(sink), ["day", "bit"], "left")
+        .groupBy("day", "user_id")
+        .agg(F.min(F.coalesce(F.col("__set"), F.lit(0))).alias("__may"))
+    )
+    maybe = hit.groupBy("day").agg(
+        F.sum("__may").cast("long").alias("n_maybe")
+    )
+    ov = (
+        du.join(cohort, "user_id")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("__ov"))
+    )
+    nu = du.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    nc = cohort.agg(F.count(F.lit(1)).cast("long").alias("n_cohort"))
+    return (
+        nu.join(maybe, "day")
+        .join(ov, "day", "left")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "day",
+            "n_users",
+            "n_cohort",
+            F.coalesce("__ov", F.lit(0)).cast("long").alias("n_true_overlap"),
+            "n_maybe",
+            (F.col("n_maybe") - F.coalesce("__ov", F.lit(0)))
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+    )
+
+
+_SQL_STREAM_BLOOM = """
+WITH ev AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+du AS (SELECT DISTINCT day, user_id FROM ev),
+d0 AS (SELECT min(day) AS d0 FROM du),
+cohort AS (SELECT DISTINCT user_id FROM du, d0 WHERE day = d0),
+js AS (SELECT unnest([0, 1, 2]) AS j),
+bits AS (
+    SELECT DISTINCT day,
+           CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#'
+                                    || CAST(user_id AS VARCHAR)), 1, 12))
+                AS BIGINT) % 1024 AS bit
+    FROM du, js
+),
+cpos AS (
+    SELECT c.user_id,
+           CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || '#'
+                                    || CAST(c.user_id AS VARCHAR)), 1, 12))
+                AS BIGINT) % 1024 AS bit
+    FROM cohort c, js j
+),
+days AS (SELECT DISTINCT day FROM du),
+hit AS (
+    SELECT d.day, p.user_id,
+           min(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS may
+    FROM days d CROSS JOIN cpos p
+    LEFT JOIN bits b ON b.day = d.day AND b.bit = p.bit
+    GROUP BY 1, 2
+),
+maybe AS (SELECT day, CAST(sum(may) AS BIGINT) AS n_maybe FROM hit GROUP BY 1),
+ov AS (
+    SELECT du.day, CAST(count(*) AS BIGINT) AS ov
+    FROM du JOIN cohort USING (user_id) GROUP BY 1
+),
+nu AS (SELECT day, CAST(count(*) AS BIGINT) AS n_users FROM du GROUP BY 1),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cohort FROM cohort)
+SELECT n.day, n.n_users, c.n_cohort,
+       CAST(COALESCE(o.ov, 0) AS BIGINT) AS n_true_overlap,
+       m.n_maybe,
+       CAST(m.n_maybe - COALESCE(o.ov, 0) AS BIGINT) AS n_false_pos
+FROM nu n JOIN maybe m USING (day) LEFT JOIN ov o USING (day)
+CROSS JOIN nc c"""
+
+
 _CM_SINK_SEQ = [0]
 
 
@@ -5946,6 +6120,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bloom_portable": q_bloom_portable,
     "q_histogram_quantiles": q_histogram_quantiles,
     "q_seasonal_decompose": q_seasonal_decompose,
+    "q_stream_bloom": q_stream_bloom,
     "q_gopher_rules": q_gopher_rules,
     "q_dsir_select": q_dsir_select,
     "q_hll_union": q_hll_union,
@@ -6056,6 +6231,7 @@ ORACLES: dict[str, str] = {
     "q_bloom_portable": _SQL_BLOOM_PORTABLE,
     "q_histogram_quantiles": _SQL_HISTOGRAM_QUANTILES,
     "q_seasonal_decompose": _SQL_SEASONAL_DECOMPOSE,
+    "q_stream_bloom": _SQL_STREAM_BLOOM,
     "q_gopher_rules": _SQL_GOPHER_RULES,
     "q_dsir_select": _SQL_DSIR_SELECT,
     "q_hll_union": _hll_union_sql(),
