@@ -5040,6 +5040,94 @@ SELECT w.d, w.dow, w.y,
 FROM w JOIN seas s USING (dow)"""
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-contamination audit — the check a training pipeline runs
+    AFTER dedup clustering and split assignment: a duplicate cluster
+    whose members straddle train and eval means the held-out metric is
+    measuring memorization.  Composes the exact-dup twin corpus
+    (q_dedup_exact's construction), the deterministic content-hash
+    split (`sampling.train_val_test_split`, so twins with different ids
+    scatter across splits and leakage genuinely exists), and a
+    per-cluster rollup, reporting per split: total docs, docs in
+    multi-member clusters, docs whose cluster straddles splits, and —
+    the number that matters — eval docs whose cluster also contains a
+    TRAIN doc.  Shape: one hash aggregation on the content hash plus a
+    same-key join (the exchange is reused), output bounded by 3 rows."""
+    from .operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    dups = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    corpus = _scale_out(docs.select("doc_id", "text").unionByName(dups))
+    sp = sampling.train_val_test_split(
+        corpus, "doc_id", val_pct=10, test_pct=10, salt="sp"
+    )
+    dh = sp.select(F.md5("text").alias("h"), "doc_id", "split")
+    cl = dh.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("c_docs"),
+        F.count_distinct("split").cast("long").alias("n_splits"),
+        F.max((F.col("split") == "train").cast("int")).alias("has_train"),
+    )
+    return (
+        dh.join(cl, "h")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("c_docs") > 1).cast("int"))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.sum((F.col("n_splits") > 1).cast("int"))
+            .cast("long")
+            .alias("n_cross_split_docs"),
+            F.sum(
+                ((F.col("has_train") == 1) & (F.col("split") != "train"))
+                .cast("int")
+            )
+            .cast("long")
+            .alias("n_train_contaminated"),
+        )
+    )
+
+
+_SQL_SPLIT_LEAKAGE = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text FROM documents
+    WHERE doc_id % 3 = 0
+),
+sp AS (
+    SELECT doc_id, text,
+           CASE WHEN bucket < 10 THEN 'test'
+                WHEN bucket < 20 THEN 'val'
+                ELSE 'train' END AS split
+    FROM (
+        SELECT doc_id, text, ({_HEXVAL}) % 100 AS bucket
+        FROM (SELECT doc_id, text,
+                     substr(md5(CAST(doc_id AS VARCHAR) || 'sp'), 1, 8) AS h
+              FROM corpus)
+    )
+),
+dh AS (SELECT md5(text) AS h, doc_id, split FROM sp),
+cl AS (
+    SELECT h, CAST(count(*) AS BIGINT) AS c_docs,
+           CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+           max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train
+    FROM dh GROUP BY 1
+)
+SELECT d.split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c.c_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_docs,
+       CAST(sum(CASE WHEN c.n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cross_split_docs,
+       CAST(sum(CASE WHEN c.has_train = 1 AND d.split <> 'train'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_train_contaminated
+FROM dh d JOIN cl c USING (h)
+GROUP BY 1"""
+
+
 _BLOOM_SINK_SEQ = [0]
 
 
@@ -6121,6 +6209,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_histogram_quantiles": q_histogram_quantiles,
     "q_seasonal_decompose": q_seasonal_decompose,
     "q_stream_bloom": q_stream_bloom,
+    "q_split_leakage": q_split_leakage,
     "q_gopher_rules": q_gopher_rules,
     "q_dsir_select": q_dsir_select,
     "q_hll_union": q_hll_union,
@@ -6232,6 +6321,7 @@ ORACLES: dict[str, str] = {
     "q_histogram_quantiles": _SQL_HISTOGRAM_QUANTILES,
     "q_seasonal_decompose": _SQL_SEASONAL_DECOMPOSE,
     "q_stream_bloom": _SQL_STREAM_BLOOM,
+    "q_split_leakage": _SQL_SPLIT_LEAKAGE,
     "q_gopher_rules": _SQL_GOPHER_RULES,
     "q_dsir_select": _SQL_DSIR_SELECT,
     "q_hll_union": _hll_union_sql(),

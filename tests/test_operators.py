@@ -1810,3 +1810,26 @@ def test_seasonal_decompose_reconstruction(spark, sf_dir):
         assert (r.residual is None) == edge
         if not edge:
             assert abs(r.y - (r.trend + r.seasonal + r.residual)) < 5e-6
+
+
+def test_split_leakage_detects_planted_twins(spark, sf_dir):
+    """The twin construction guarantees cross-split duplicate clusters,
+    so the audit must actually fire: some eval split carries
+    train-contaminated docs, and the per-split counts nest
+    (contaminated <= cross-split <= dup <= total)."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_split_leakage
+
+    rows = {r.split: r for r in q_split_leakage(spark, sf_dir).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    for r in rows.values():
+        assert (
+            r.n_train_contaminated
+            <= r.n_cross_split_docs
+            <= r.n_dup_docs
+            <= r.n_docs
+        )
+    assert rows["train"].n_train_contaminated == 0
+    assert (
+        rows["val"].n_train_contaminated + rows["test"].n_train_contaminated
+        > 0
+    )
