@@ -73,7 +73,7 @@ _CHECK_LAST = [
     # head = round-8 first-evidence candidates (landed after the r7
     # window froze), then stalest-first refresh order
     "q_bloom_portable", "q_histogram_quantiles", "q_seasonal_decompose",
-    "q_stream_bloom", "q_split_leakage",
+    "q_stream_bloom", "q_split_leakage", "q_pca_power",
     "q_cdc_classify", "q_containment", "q_bpe_tokenize", "q_bpe_merges",
     "q_anomaly_mad",
     "q_cross_corpus_neardup", "q_crosstab_independence", "q_dedup_plan",

@@ -5040,6 +5040,185 @@ SELECT w.d, w.dow, w.y,
 FROM w JOIN seas s USING (dow)"""
 
 
+# 24 rounds: the synthetic corpus is near-isotropic (λ2/λ1 ≈ 0.93), so
+# power iteration needs ~24 rounds for a ≥0.98 Rayleigh/λ1 ratio; each
+# round is a 64×64 integer matvec — driver-side free, 24 unrolled CTEs
+# oracle-side.
+_PCA_ITERS = 24
+
+
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding distribution by
+    bit-reproducible power iteration — the spectral feature-health
+    monitor beside q_embedding_stats' per-dimension moments (a single
+    dominant direction = collapsed embeddings; its variance share is
+    the collapse metric).
+
+    Numerics: components quantize to the integer lattice, the scatter
+    matrix S = n·Σxxᵀ − (Σx)(Σx)ᵀ is EXACT integers, and every power
+    step stays integer — matrix·vector in int64 (S pre-shrunk by a
+    sign-safe div 2^16 so each SCALE=1000 round provably fits, and the
+    per-round rescale caps magnitudes independent of round count),
+    rescaling by sign(w)·(|w|·1000 div max|w|) (abs-then-div on BOTH
+    engines because Spark `div` truncates while DuckDB `//` floors —
+    they only agree on non-negatives, the PageRank lesson).  The
+    Rayleigh quotient and loadings divide exact integers once at the
+    end (IEEE sqrt is correctly rounded, so ‖v‖ is engine-identical).
+
+    Shape: one corpus scan → posexplode → a vec_id-keyed self-join
+    whose output is dim²-bounded (64² rows), then every iteration is a
+    broadcast join over the dim² frame.  At larger dim you block the
+    outer product by sub-dim (the PQ layout); the corpus is never
+    shuffled twice."""
+    e = _emb(spark, sf_dir)
+    q = e.select(
+        "vec_id",
+        F.posexplode(V.quantize("embedding", _KMEANS_QUANT)).alias("i", "x"),
+    ).persist()  # sums + both self-join sides; cached until harness clearCache
+    sums = q.groupBy("i").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    pairs = (
+        q.alias("a")
+        .join(q.alias("b"), "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).cast("long").alias("sxx"))
+    )
+    s_rows = (
+        pairs.join(
+            F.broadcast(sums.select("i", "n", F.col("sx").alias("sxi"))), "i"
+        )
+        .join(
+            F.broadcast(
+                sums.select(F.col("i").alias("j"), F.col("sx").alias("sxj"))
+            ),
+            "j",
+        )
+        .selectExpr("i", "j", "n * sxx - sxi * sxj AS s")
+        .selectExpr(
+            "i",
+            "j",
+            "CASE WHEN s < 0 THEN -((-s) div 65536) "
+            "ELSE s div 65536 END AS sq",
+        )
+        .collect()  # dim²-bounded (64² rows) — codebook-sized, like the
+        # PQ/k-means centroid collects: the corpus-sized work is the ONE
+        # scatter-matrix aggregation above; iterating the 4096-entry S
+        # relationally cost ~25 tiny shuffle stages of pure latency
+    )
+    s_mat = {(r.i, r.j): r.sq for r in s_rows}
+    dims = sorted({i for i, _ in s_mat})
+    # exact-integer power iteration, formulas mirroring the SQL twin
+    # (abs-then-floor-div keeps Spark div / DuckDB // / Python // equal)
+    vvec = {i: 1 for i in dims}
+
+    def _matvec(vv_):
+        return {
+            i: sum(s_mat.get((i, j), 0) * vv_[j] for j in dims) for i in dims
+        }
+
+    for _ in range(_PCA_ITERS):
+        w = _matvec(vvec)
+        m = max(max(abs(x) for x in w.values()), 1)
+        vvec = {
+            i: (-((-w[i]) * 1000 // m) if w[i] < 0 else w[i] * 1000 // m)
+            for i in dims
+        }
+    u = _matvec(vvec)
+    vsv = sum(vvec[i] * u[i] for i in dims)
+    vv = sum(vvec[i] * vvec[i] for i in dims)
+    tr = sum(s_mat.get((i, i), 0) for i in dims)
+    # floats are NOT computed in Python (Python round() is banker's;
+    # F.round is half-up): re-inject the exact integers and let Spark
+    # divide + epsilon-round, exactly as the oracle does
+    fin = spark.createDataFrame(
+        [(i, vvec[i]) for i in dims], "i int, v long"
+    )
+    return fin.select(
+        F.col("i").cast("int").alias("dim_idx"),
+        F.col("v").cast("long").alias("v_q"),
+        _rnd(F.col("v") / F.sqrt(F.lit(vv).cast("double")), 6).alias(
+            "loading"
+        ),
+        _rnd(F.lit(vsv) / F.lit(vv).cast("double"), 4).alias("rayleigh_q"),
+        _rnd(F.lit(vsv) / F.lit(vv * tr).cast("double"), 6).alias(
+            "var_share"
+        ),
+    )
+
+
+def _sql_pca_power() -> str:
+    iters = []
+    prev = "v0"
+    for r in range(1, _PCA_ITERS + 1):
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so a
+        # 24-deep chain each referencing smat + the previous v would
+        # expand to an exponentially-sized plan (observed as "Too many
+        # open files" from the re-opened parquet leaves).
+        iters.append(
+            f"""w{r} AS MATERIALIZED (
+    SELECT s.i AS i, CAST(sum(s.sq * v.v) AS BIGINT) AS w
+    FROM smat s JOIN {prev} v ON s.j = v.i GROUP BY 1
+),
+m{r} AS MATERIALIZED (SELECT greatest(max(abs(w)), 1) AS m FROM w{r}),
+v{r} AS MATERIALIZED (
+    SELECT i, CAST(CASE WHEN w < 0 THEN -(((-w) * 1000) // m)
+                        ELSE (w * 1000) // m END AS BIGINT) AS v
+    FROM w{r}, m{r}
+)"""
+        )
+        prev = f"v{r}"
+    return f"""
+WITH un AS (
+    SELECT vec_id, unnest(list_transform(
+        range(1, len(embedding) + 1),
+        k -> {{'i': k, 'x': embedding[k]}})) AS e
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id, e.i - 1 AS i,
+           CAST(floor(CAST(e.x AS DOUBLE) * {_KMEANS_QUANT}) AS BIGINT) AS x
+    FROM un
+),
+sums AS (
+    SELECT i, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+    FROM q GROUP BY 1
+),
+pairs AS (
+    SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS sxx
+    FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2
+),
+sfull AS (
+    SELECT p.i, p.j, si.n * p.sxx - si.sx * sj.sx AS s
+    FROM pairs p JOIN sums si ON p.i = si.i JOIN sums sj ON p.j = sj.i
+),
+smat AS MATERIALIZED (
+    SELECT i, j, CAST(CASE WHEN s < 0 THEN -((-s) // 65536)
+                           ELSE s // 65536 END AS BIGINT) AS sq
+    FROM sfull
+),
+v0 AS MATERIALIZED (SELECT DISTINCT i, CAST(1 AS BIGINT) AS v FROM smat),
+{', '.join(iters)},
+u AS (
+    SELECT s.i AS i, CAST(sum(s.sq * v.v) AS BIGINT) AS u
+    FROM smat s JOIN v{_PCA_ITERS} v ON s.j = v.i GROUP BY 1
+),
+fin AS (SELECT t.i, t.v, u.u FROM v{_PCA_ITERS} t JOIN u USING (i)),
+scal AS (
+    SELECT CAST(sum(v * u) AS BIGINT) AS vsv,
+           CAST(sum(v * v) AS BIGINT) AS vv
+    FROM fin
+),
+tr AS (SELECT CAST(sum(sq) AS BIGINT) AS tr FROM smat WHERE i = j)
+SELECT CAST(f.i AS INTEGER) AS dim_idx,
+       CAST(f.v AS BIGINT) AS v_q,
+       round(1e-9 + f.v / sqrt(CAST(s.vv AS DOUBLE)), 6) AS loading,
+       round(1e-9 + s.vsv / CAST(s.vv AS DOUBLE), 4) AS rayleigh_q,
+       round(1e-9 + s.vsv / CAST(s.vv * t.tr AS DOUBLE), 6) AS var_share
+FROM fin f CROSS JOIN scal s CROSS JOIN tr t"""
+
+
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-contamination audit — the check a training pipeline runs
     AFTER dedup clustering and split assignment: a duplicate cluster
@@ -6210,6 +6389,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_seasonal_decompose": q_seasonal_decompose,
     "q_stream_bloom": q_stream_bloom,
     "q_split_leakage": q_split_leakage,
+    "q_pca_power": q_pca_power,
     "q_gopher_rules": q_gopher_rules,
     "q_dsir_select": q_dsir_select,
     "q_hll_union": q_hll_union,
@@ -6322,6 +6502,7 @@ ORACLES: dict[str, str] = {
     "q_seasonal_decompose": _SQL_SEASONAL_DECOMPOSE,
     "q_stream_bloom": _SQL_STREAM_BLOOM,
     "q_split_leakage": _SQL_SPLIT_LEAKAGE,
+    "q_pca_power": _sql_pca_power(),
     "q_gopher_rules": _SQL_GOPHER_RULES,
     "q_dsir_select": _SQL_DSIR_SELECT,
     "q_hll_union": _hll_union_sql(),

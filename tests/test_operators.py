@@ -1833,3 +1833,29 @@ def test_split_leakage_detects_planted_twins(spark, sf_dir):
         rows["val"].n_train_contaminated + rows["test"].n_train_contaminated
         > 0
     )
+
+
+def test_pca_power_rayleigh_approaches_top_eigenvalue(spark, sf_dir):
+    """The integer power iteration's Rayleigh quotient must be a lower
+    bound on (and after 24 rounds close to) numpy's top eigenvalue of
+    the SAME integer scatter matrix, and the loading vector is unit
+    norm.  Near-isotropic corpus => var_share stays near 1/dim."""
+    import numpy as np
+
+    from nyc_taxi_data_warehouse_spark.queries_data import q_pca_power
+    from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+
+    rows = sorted(
+        q_pca_power(spark, sf_dir).collect(), key=lambda r: r.dim_idx
+    )
+    emb = load_tables(spark, sf_dir)["embeddings"].select("embedding").collect()
+    X = np.floor(np.array([r.embedding for r in emb], dtype=np.float64) * 1000)
+    n = X.shape[0]
+    S = n * (X.T @ X) - np.outer(X.sum(0), X.sum(0))
+    lam1 = np.linalg.eigvalsh(S)[-1] / 65536.0
+    ray = rows[0].rayleigh_q
+    assert ray <= lam1 * (1 + 1e-6)
+    assert ray >= 0.8 * lam1
+    norm = sum(r.loading**2 for r in rows) ** 0.5
+    assert abs(norm - 1.0) < 1e-3
+    assert 0.0 < rows[0].var_share <= 1.0
