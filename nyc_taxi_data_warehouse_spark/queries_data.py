@@ -5040,6 +5040,109 @@ SELECT w.d, w.dow, w.y,
 FROM w JOIN seas s USING (dow)"""
 
 
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: the top-50 part pairs that
+    ship together in one order, with support and lift — the association
+    layer between per-token PMI (q_pmi) and per-order aggregates.
+    Pair generation is the grouped-array pattern (one shuffle on the
+    order key, pairs exploded map-side with x > anchor), so candidate
+    mass is Σ C(basket, 2) — bounded by basket size, never |parts|².
+    Ranking is on the INTEGER pair count with (part_a, part_b)
+    tie-breaks (the cut crosses a tie region at every SF, so the order
+    must be total); lift = c_ab·n / (c_a·c_b) divides exact integers
+    once.  At 100 TB this is the same plan: the explode is map-side,
+    the pair aggregate combines partially, and only 50 rows meet the
+    broadcast count joins."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    b = li.select("l_orderkey", "l_partkey").distinct().persist()
+    # ContextCleaner note: cached until harness clearCache (repo policy)
+    items = b.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("ps")
+    )
+
+    def _gt(anchor):
+        def inner(x):
+            return x > anchor
+
+        return inner
+
+    pairs = items.select(
+        F.explode("ps").alias("pa"), "ps"
+    ).select(
+        "pa",
+        F.explode(F.filter("ps", _gt(F.col("pa")))).alias("pb"),
+    )
+    pc = pairs.groupBy("pa", "pb").agg(
+        F.count(F.lit(1)).cast("long").alias("pair_count")
+    )
+    top = pc.orderBy(
+        F.desc("pair_count"), F.asc("pa"), F.asc("pb")
+    ).limit(50)
+    ic = b.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = b.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    return (
+        top.join(
+            F.broadcast(ic.select(F.col("l_partkey").alias("pa"),
+                                  F.col("c").alias("count_a"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(ic.select(F.col("l_partkey").alias("pb"),
+                                  F.col("c").alias("count_b"))),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("pa").cast("long").alias("part_a"),
+            F.col("pb").cast("long").alias("part_b"),
+            "pair_count",
+            "count_a",
+            "count_b",
+            "n_orders",
+            _rnd(F.col("pair_count") / F.col("n_orders"), 6).alias("support"),
+            _rnd(
+                (F.col("pair_count") * F.col("n_orders"))
+                / (F.col("count_a") * F.col("count_b")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+_SQL_MARKET_BASKET = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pc AS (
+    SELECT a.l_partkey AS pa, b2.l_partkey AS pb,
+           CAST(count(*) AS BIGINT) AS pair_count
+    FROM b a JOIN b b2
+      ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+    GROUP BY 1, 2
+),
+top AS (
+    SELECT * FROM pc ORDER BY pair_count DESC, pa, pb LIMIT 50
+),
+ic AS (
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1
+),
+n AS (
+    SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b
+)
+SELECT CAST(t.pa AS BIGINT) AS part_a, CAST(t.pb AS BIGINT) AS part_b,
+       t.pair_count, ia.c AS count_a, ib.c AS count_b, n.n_orders,
+       round(1e-9 + t.pair_count / CAST(n.n_orders AS DOUBLE), 6)
+           AS support,
+       round(1e-9 + (t.pair_count * n.n_orders)
+             / CAST(ia.c * ib.c AS DOUBLE), 4) AS lift
+FROM top t
+JOIN ic ia ON ia.l_partkey = t.pa
+JOIN ic ib ON ib.l_partkey = t.pb
+CROSS JOIN n"""
+
+
 # 24 rounds: the synthetic corpus is near-isotropic (λ2/λ1 ≈ 0.93), so
 # power iteration needs ~24 rounds for a ≥0.98 Rayleigh/λ1 ratio; each
 # round is a 64×64 integer matvec — driver-side free, 24 unrolled CTEs
@@ -6390,6 +6493,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_bloom": q_stream_bloom,
     "q_split_leakage": q_split_leakage,
     "q_pca_power": q_pca_power,
+    "q_market_basket": q_market_basket,
     "q_gopher_rules": q_gopher_rules,
     "q_dsir_select": q_dsir_select,
     "q_hll_union": q_hll_union,
@@ -6503,6 +6607,7 @@ ORACLES: dict[str, str] = {
     "q_stream_bloom": _SQL_STREAM_BLOOM,
     "q_split_leakage": _SQL_SPLIT_LEAKAGE,
     "q_pca_power": _sql_pca_power(),
+    "q_market_basket": _SQL_MARKET_BASKET,
     "q_gopher_rules": _SQL_GOPHER_RULES,
     "q_dsir_select": _SQL_DSIR_SELECT,
     "q_hll_union": _hll_union_sql(),

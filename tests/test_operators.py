@@ -1859,3 +1859,39 @@ def test_pca_power_rayleigh_approaches_top_eigenvalue(spark, sf_dir):
     norm = sum(r.loading**2 for r in rows) ** 0.5
     assert abs(norm - 1.0) < 1e-3
     assert 0.0 < rows[0].var_share <= 1.0
+
+
+def test_market_basket_pair_counts_and_lift(spark, sf_dir):
+    """Grouped-array pair explosion must equal the naive self-join pair
+    count, pairs are canonical (a < b), and lift agrees with the
+    definition on every emitted row."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_market_basket
+
+    rows = q_market_basket(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+
+    b = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    naive = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("pa"), F.col("y.l_partkey").alias("pb")
+        )
+        .count()
+        .collect()
+    )
+    naive_counts = {(r.pa, r.pb): r["count"] for r in naive}
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert naive_counts[(r.part_a, r.part_b)] == r.pair_count
+        expect_lift = (r.pair_count * r.n_orders) / (r.count_a * r.count_b)
+        assert abs(r.lift - expect_lift) < 1e-3
