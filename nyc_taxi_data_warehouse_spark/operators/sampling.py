@@ -210,6 +210,75 @@ def mixture_plan(
     )
 
 
+def mixture_temperature(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    token_budget: int,
+) -> DataFrame:
+    """Temperature-scaled mixture planning (α = 0.5): weights are
+    derived FROM the data as w_g = ⌊√avail_g⌋ instead of a hand-tuned
+    literal map — the multinomial temperature trick of published
+    multilingual/multi-source LLM recipes (up-weight small sources,
+    damp the head).  α = 0.5 specifically because IEEE sqrt is
+    correctly rounded, so ⌊√n⌋ is bit-identical in any engine, while a
+    general pow(x, α) is NOT a correctly-rounded libm call — the only
+    temperature with an exact cross-engine witness.
+
+    Integer-exact end-to-end: targets are ``budget·w_g DIV Σw`` with Σw
+    a 1-row broadcast aggregate (no driver motion, no literal map), the
+    temperature-1 proportional baseline ``budget·avail_g DIV Σavail``
+    rides along, and ``boost = target/proportional`` divides the two
+    integers once.  Shape: ONE map-side-combinable groupBy to a
+    #groups-sized frame + two 1-row broadcasts.  Returns (group,
+    n_docs, avail_tokens, weight, target_tokens, prop_tokens, boost,
+    rate, epochs)."""
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    agg = (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col(token_col)).cast("long").alias("avail_tokens"),
+        )
+        .where(F.col("avail_tokens") > 0)
+        .withColumn(
+            "weight",
+            F.floor(F.sqrt(F.col("avail_tokens").cast("double")))
+            .cast("long"),
+        )
+    )
+    tot = agg.agg(
+        F.sum("weight").cast("long").alias("__tw"),
+        F.sum("avail_tokens").cast("long").alias("__ta"),
+    )
+    b = int(token_budget)
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target_tokens",
+            F.expr(f"(CAST({b} AS BIGINT) * weight) DIV __tw"),
+        )
+        .withColumn(
+            "prop_tokens",
+            F.expr(f"(CAST({b} AS BIGINT) * avail_tokens) DIV __ta"),
+        )
+        .withColumn(
+            "boost",
+            F.col("target_tokens")
+            / F.greatest(F.col("prop_tokens"), F.lit(1)).cast("double"),
+        )
+        .withColumn("rate", F.col("target_tokens") / F.col("avail_tokens"))
+        .withColumn(
+            "epochs",
+            F.expr(
+                "(target_tokens + avail_tokens - 1) DIV avail_tokens"
+            ).cast("long"),
+        )
+        .drop("__tw", "__ta")
+    )
+
+
 def global_index(
     df: DataFrame, key_col: str, n_buckets: int = 256, salt: str = "gidx"
 ) -> DataFrame:

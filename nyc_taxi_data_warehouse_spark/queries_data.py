@@ -3868,6 +3868,65 @@ SELECT source, n_docs, avail_tokens, weight,
 FROM agg WHERE avail_tokens > 0"""
 
 
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 mixture planning (`sampling.mixture_temperature`):
+    weights derive FROM the data as ⌊√avail⌋ — the multinomial
+    temperature trick that up-weights small sources (α = 0.5 is the one
+    temperature with an exact cross-engine witness: IEEE sqrt is
+    correctly rounded, libm pow is not).  Reports each source's
+    temperature target beside the temperature-1 proportional baseline
+    and the resulting boost — small sources boost > 1, the head damps.
+    One corpus groupBy + two 1-row broadcasts; all integer until the
+    two reporting divisions."""
+    from .operators import sampling
+
+    out = sampling.mixture_temperature(
+        _docs(spark, sf_dir), "source", "n_chars", _MIXTURE_BUDGET
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        "weight",
+        "target_tokens",
+        "prop_tokens",
+        _rnd(F.col("boost"), 4).alias("boost"),
+        _rnd(F.col("rate"), 6).alias("rate"),
+        "epochs",
+    )
+
+
+_SQL_MIXTURE_TEMPERATURE = f"""
+WITH agg AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS avail_tokens
+    FROM documents GROUP BY 1
+    HAVING sum(n_chars) > 0
+),
+w AS (
+    SELECT *, CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE))) AS BIGINT)
+        AS weight
+    FROM agg
+),
+tot AS (
+    SELECT CAST(sum(weight) AS BIGINT) AS tw,
+           CAST(sum(avail_tokens) AS BIGINT) AS ta
+    FROM w
+)
+SELECT source, n_docs, avail_tokens, weight,
+       CAST(({_MIXTURE_BUDGET} * weight) // tw AS BIGINT) AS target_tokens,
+       CAST(({_MIXTURE_BUDGET} * avail_tokens) // ta AS BIGINT)
+           AS prop_tokens,
+       round(1e-9 + (({_MIXTURE_BUDGET} * weight) // tw)
+             / CAST(greatest(({_MIXTURE_BUDGET} * avail_tokens) // ta, 1)
+                    AS DOUBLE), 4) AS boost,
+       round(1e-9 + (({_MIXTURE_BUDGET} * weight) // tw) * 1.0
+             / avail_tokens, 6) AS rate,
+       CAST((({_MIXTURE_BUDGET} * weight) // tw + avail_tokens - 1)
+            // avail_tokens AS BIGINT) AS epochs
+FROM w, tot"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of document length per language —
     Spark `percentile` and DuckDB `quantile_cont` share the linear-
@@ -6494,6 +6553,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_split_leakage": q_split_leakage,
     "q_pca_power": q_pca_power,
     "q_market_basket": q_market_basket,
+    "q_mixture_temperature": q_mixture_temperature,
     "q_gopher_rules": q_gopher_rules,
     "q_dsir_select": q_dsir_select,
     "q_hll_union": q_hll_union,
@@ -6608,6 +6668,7 @@ ORACLES: dict[str, str] = {
     "q_split_leakage": _SQL_SPLIT_LEAKAGE,
     "q_pca_power": _sql_pca_power(),
     "q_market_basket": _SQL_MARKET_BASKET,
+    "q_mixture_temperature": _SQL_MIXTURE_TEMPERATURE,
     "q_gopher_rules": _SQL_GOPHER_RULES,
     "q_dsir_select": _SQL_DSIR_SELECT,
     "q_hll_union": _hll_union_sql(),

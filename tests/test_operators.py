@@ -1895,3 +1895,29 @@ def test_market_basket_pair_counts_and_lift(spark, sf_dir):
         assert naive_counts[(r.part_a, r.part_b)] == r.pair_count
         expect_lift = (r.pair_count * r.n_orders) / (r.count_a * r.count_b)
         assert abs(r.lift - expect_lift) < 1e-3
+
+
+def test_mixture_temperature_flattens_the_mix(spark):
+    """Temperature 0.5 must up-weight the small source and damp the
+    large one relative to proportional sampling, with integer targets
+    summing to <= budget and exact isqrt weights."""
+    import math
+
+    from nyc_taxi_data_warehouse_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [("big", 10_000)] * 50 + [("small", 10_000)] * 2,
+        ["source", "toks"],
+    )
+    rows = {
+        r.source: r
+        for r in sampling.mixture_temperature(
+            df, "source", "toks", 600_000
+        ).collect()
+    }
+    for r in rows.values():
+        assert r.weight == math.isqrt(r.avail_tokens)
+    assert rows["small"].boost > 1.0 > rows["big"].boost
+    assert (
+        sum(r.target_tokens for r in rows.values()) <= 600_000
+    )
