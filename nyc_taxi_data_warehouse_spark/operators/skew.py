@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -70,3 +70,61 @@ def salted_broadcast_join(
     )
     out = f.join(d, on=[key, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Join-key skew diagnostic — the observability half of this module
+    (salting is the mitigation; this tells you whether you need it, and
+    for which keys).  Reports the ``top_n`` heaviest keys with count,
+    share, and cumulative share, each row also carrying the global
+    summary: row count, distinct-key count, the Herfindahl
+    concentration index HHI = Σ(c_k/n)² and its reciprocal — the
+    EFFECTIVE number of keys a shuffle actually spreads over (uniform ⇒
+    n_keys; one hot key ⇒ →1; AQE skew-split or salting is warranted
+    when eff_keys ≪ shuffle partitions).
+
+    Exactness: HHI's numerator Σc² and every count are exact integers;
+    shares divide once per output row.  Shape: ONE map-side-combinable
+    groupBy to a key-cardinality frame (persisted: it feeds the top-N
+    prune AND the 1-row summary), a TakeOrdered for the top N (never a
+    full sort), and windows only over the N-row pruned frame."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).persist()  # two consumers; cached until harness clearCache
+    summary = counts.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("__c2"),
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(top_n)
+    w = (
+        Window.orderBy(F.desc("cnt"), F.asc("key"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = top.select(
+        "key",
+        "cnt",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("key")))
+        .cast("int")
+        .alias("rank"),
+        F.sum("cnt").over(w).cast("long").alias("__cum"),
+    )
+    return ranked.crossJoin(F.broadcast(summary)).select(
+        "rank",
+        "key",
+        "cnt",
+        "n_rows",
+        "n_keys",
+        (F.col("cnt") / F.col("n_rows")).alias("share"),
+        (F.col("__cum") / F.col("n_rows")).alias("cum_share"),
+        (F.col("__c2") / (F.col("n_rows") * F.col("n_rows")).cast("double"))
+        .alias("hhi"),
+        (
+            (F.col("n_rows") * F.col("n_rows"))
+            / F.col("__c2").cast("double")
+        ).alias("eff_keys"),
+    )

@@ -3927,6 +3927,61 @@ SELECT source, n_docs, avail_tokens, weight,
 FROM w, tot"""
 
 
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (`skew.key_skew_report`) — the
+    observability companion to the salting operators and the Count-Min
+    join-size preflight: before committing a 100 TB shuffle, read the
+    top heavy keys, their cumulative share, and the Herfindahl-derived
+    EFFECTIVE key count (eff_keys ≪ shuffle partitions ⇒ salt or let
+    AQE split).  One key-cardinality aggregation (persisted for its two
+    consumers), TakeOrdered top-20, windows only over the 20-row
+    pruned frame; Σc² stays an exact integer."""
+    from .operators import skew
+
+    out = skew.key_skew_report(
+        load_tables(spark, sf_dir)["orders"], "o_custkey", top_n=20
+    )
+    return out.select(
+        "rank",
+        F.col("key").cast("long").alias("key"),
+        "cnt",
+        "n_rows",
+        "n_keys",
+        _rnd(F.col("share"), 6).alias("share"),
+        _rnd(F.col("cum_share"), 6).alias("cum_share"),
+        _rnd(F.col("hhi"), 8).alias("hhi"),
+        _rnd(F.col("eff_keys"), 4).alias("eff_keys"),
+    )
+
+
+_SQL_KEY_SKEW = """
+WITH counts AS (
+    SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY 1
+),
+summary AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt * cnt) AS BIGINT) AS c2
+    FROM counts
+),
+top AS (SELECT * FROM counts ORDER BY cnt DESC, key LIMIT 20),
+ranked AS (
+    SELECT key, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INTEGER)
+               AS rank,
+           CAST(sum(cnt) OVER (ORDER BY cnt DESC, key
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+    FROM top
+)
+SELECT rank, CAST(key AS BIGINT) AS key, cnt, n_rows, n_keys,
+       round(1e-9 + cnt / CAST(n_rows AS DOUBLE), 6) AS share,
+       round(1e-9 + cum / CAST(n_rows AS DOUBLE), 6) AS cum_share,
+       round(1e-9 + c2 / CAST(n_rows * n_rows AS DOUBLE), 8) AS hhi,
+       round(1e-9 + (n_rows * n_rows) / CAST(c2 AS DOUBLE), 4) AS eff_keys
+FROM ranked, summary"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of document length per language —
     Spark `percentile` and DuckDB `quantile_cont` share the linear-
@@ -6554,6 +6609,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pca_power": q_pca_power,
     "q_market_basket": q_market_basket,
     "q_mixture_temperature": q_mixture_temperature,
+    "q_key_skew": q_key_skew,
     "q_gopher_rules": q_gopher_rules,
     "q_dsir_select": q_dsir_select,
     "q_hll_union": q_hll_union,
@@ -6669,6 +6725,7 @@ ORACLES: dict[str, str] = {
     "q_pca_power": _sql_pca_power(),
     "q_market_basket": _SQL_MARKET_BASKET,
     "q_mixture_temperature": _SQL_MIXTURE_TEMPERATURE,
+    "q_key_skew": _SQL_KEY_SKEW,
     "q_gopher_rules": _SQL_GOPHER_RULES,
     "q_dsir_select": _SQL_DSIR_SELECT,
     "q_hll_union": _hll_union_sql(),

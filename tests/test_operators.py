@@ -1921,3 +1921,21 @@ def test_mixture_temperature_flattens_the_mix(spark):
     assert (
         sum(r.target_tokens for r in rows.values()) <= 600_000
     )
+
+
+def test_key_skew_report_flags_a_hot_key(spark):
+    """A 90%-one-key frame must surface the hot key at rank 1 with
+    ~0.9 share and eff_keys collapsing toward 1; a uniform frame keeps
+    eff_keys equal to the key count."""
+    from nyc_taxi_data_warehouse_spark.operators import skew
+
+    hot = spark.createDataFrame(
+        [(1,)] * 900 + [(k,) for k in range(2, 102)], ["k"]
+    )
+    rows = skew.key_skew_report(hot, "k", top_n=5).collect()
+    top = next(r for r in rows if r.rank == 1)
+    assert top.key == 1 and abs(top.share - 0.9) < 1e-6
+    assert rows[0].eff_keys < 2.0
+    uni = spark.createDataFrame([(k,) for k in range(50)] * 4, ["k"])
+    u = skew.key_skew_report(uni, "k", top_n=3).collect()[0]
+    assert abs(u.eff_keys - 50.0) < 1e-6
