@@ -3982,6 +3982,80 @@ SELECT rank, CAST(key AS BIGINT) AS key, cnt, n_rows, n_keys,
 FROM ranked, summary"""
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsampling of the purchase-value stream — the
+    bar-chart/observability rollup (open/high/low/close/volume per
+    window) done as ONE aggregation: open and close are `min_by`/
+    `max_by` over the total (ts, event_id) order (event_id breaks ts
+    ties, the W3 argmax discipline — no corpus window, no self-join),
+    high/low/volume are plain min/max/sum on the exact 1e-2 integer
+    lattice.  The oracle ranks first/last per hour relationally
+    (DuckDB's arg_min/arg_max has no struct overload).  Map-side
+    combinable at any scale; output bounded by the hour domain."""
+    ev = load_tables(spark, sf_dir)["events"]
+    e = ev.where(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v_u"),
+        "ts",
+        "event_id",
+    )
+    ordk = F.struct("ts", "event_id")
+    return (
+        e.groupBy("hour_ts")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+            F.min_by("v_u", ordk).cast("long").alias("open_u"),
+            F.max("v_u").cast("long").alias("high_u"),
+            F.min("v_u").cast("long").alias("low_u"),
+            F.max_by("v_u", ordk).cast("long").alias("close_u"),
+            F.sum("v_u").cast("long").alias("sum_u"),
+        )
+        .select(
+            "hour_ts",
+            "n_trades",
+            "open_u",
+            "high_u",
+            "low_u",
+            "close_u",
+            "sum_u",
+            _rnd(F.col("sum_u") / 100.0 / F.col("n_trades"), 4).alias(
+                "avg_value"
+            ),
+        )
+    )
+
+
+_SQL_OHLC_BARS = """
+WITH e AS (
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_u,
+           ts, event_id
+    FROM events
+    WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
+),
+r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY hour_ts
+                              ORDER BY ts, event_id) AS rn_a,
+           row_number() OVER (PARTITION BY hour_ts
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM e
+)
+SELECT hour_ts,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       CAST(max(CASE WHEN rn_a = 1 THEN v_u END) AS BIGINT) AS open_u,
+       CAST(max(v_u) AS BIGINT) AS high_u,
+       CAST(min(v_u) AS BIGINT) AS low_u,
+       CAST(max(CASE WHEN rn_d = 1 THEN v_u END) AS BIGINT) AS close_u,
+       CAST(sum(v_u) AS BIGINT) AS sum_u,
+       round(1e-9 + sum(v_u) / 100.0 / count(*), 4) AS avg_value
+FROM r GROUP BY 1"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of document length per language —
     Spark `percentile` and DuckDB `quantile_cont` share the linear-
@@ -6610,6 +6684,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_market_basket": q_market_basket,
     "q_mixture_temperature": q_mixture_temperature,
     "q_key_skew": q_key_skew,
+    "q_ohlc_bars": q_ohlc_bars,
     "q_gopher_rules": q_gopher_rules,
     "q_dsir_select": q_dsir_select,
     "q_hll_union": q_hll_union,
@@ -6726,6 +6801,7 @@ ORACLES: dict[str, str] = {
     "q_market_basket": _SQL_MARKET_BASKET,
     "q_mixture_temperature": _SQL_MIXTURE_TEMPERATURE,
     "q_key_skew": _SQL_KEY_SKEW,
+    "q_ohlc_bars": _SQL_OHLC_BARS,
     "q_gopher_rules": _SQL_GOPHER_RULES,
     "q_dsir_select": _SQL_DSIR_SELECT,
     "q_hll_union": _hll_union_sql(),

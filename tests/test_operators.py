@@ -1939,3 +1939,17 @@ def test_key_skew_report_flags_a_hot_key(spark):
     uni = spark.createDataFrame([(k,) for k in range(50)] * 4, ["k"])
     u = skew.key_skew_report(uni, "k", top_n=3).collect()[0]
     assert abs(u.eff_keys - 50.0) < 1e-6
+
+
+def test_ohlc_bars_invariants(spark, sf_dir):
+    """low <= open/close <= high on every bar, volume-average sits in
+    [low, high], and counts are positive."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_ohlc_bars
+
+    rows = q_ohlc_bars(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.low_u <= r.open_u <= r.high_u
+        assert r.low_u <= r.close_u <= r.high_u
+        assert r.low_u <= r.sum_u / r.n_trades <= r.high_u
+        assert r.n_trades > 0
