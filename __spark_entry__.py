@@ -75,7 +75,7 @@ _CHECK_LAST = [
     "q_bloom_portable", "q_histogram_quantiles", "q_seasonal_decompose",
     "q_stream_bloom", "q_split_leakage", "q_pca_power",
     "q_market_basket", "q_mixture_temperature", "q_key_skew",
-    "q_ohlc_bars",
+    "q_ohlc_bars", "q_attribution",
     "q_cdc_classify", "q_containment", "q_bpe_tokenize", "q_bpe_merges",
     "q_anomaly_mad",
     "q_cross_corpus_neardup", "q_crosstab_independence", "q_dedup_plan",

@@ -4056,6 +4056,115 @@ SELECT hour_ts,
 FROM r GROUP BY 1"""
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution — the marketing
+    rollup beside the funnel and path queries: every purchase credits
+    (a) the user's FIRST preceding non-purchase event and (b) the LAST
+    one before the purchase, and the query reports per (model, channel)
+    conversion counts, reached users, and within-model share.  Both
+    credits come from ONE pass of per-user windows over the total
+    (ts, event_id) order (`first/last(..., ignorenulls)` with a
+    channel column nulled on purchases) — no self-join, no as-of
+    range probe; window partitions are bounded by per-user activity,
+    the same shape as q_event_paths.  The (model, channel) unpivot is a
+    map-side explode; shares divide exact integers over the
+    post-aggregation frame."""
+    ev = load_tables(spark, sf_dir)["events"]
+    e = ev.where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_type") != "purchase", F.col("event_type")
+        ).alias("ch"),
+    )
+    w_before = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = e.select(
+        "event_type",
+        F.first("ch", ignorenulls=True).over(w_before).alias("first_ch"),
+        F.last("ch", ignorenulls=True).over(w_before).alias("last_ch"),
+        "user_id",
+    ).where(
+        (F.col("event_type") == "purchase") & F.col("last_ch").isNotNull()
+    )
+    credits = touched.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.col("first_ch").alias("channel"),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.col("last_ch").alias("channel"),
+                ),
+            )
+        ).alias("c"),
+    ).select("user_id", "c.model", "c.channel")
+    agg = credits.groupBy("model", "channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+    tot = agg.groupBy("model").agg(
+        F.sum("n_conversions").cast("long").alias("__t")
+    )
+    return agg.join(F.broadcast(tot), "model").select(
+        "model",
+        "channel",
+        "n_conversions",
+        "n_users",
+        _rnd(F.col("n_conversions") / F.col("__t"), 6).alias("share"),
+    )
+
+
+_SQL_ATTRIBUTION = """
+WITH e AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN event_type <> 'purchase' THEN event_type END AS ch
+    FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+),
+touched AS (
+    SELECT event_type,
+           first_value(ch IGNORE NULLS) OVER w AS first_ch,
+           last_value(ch IGNORE NULLS) OVER w AS last_ch,
+           user_id
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+credits AS (
+    SELECT user_id, 'first_touch' AS model, first_ch AS channel
+    FROM touched WHERE event_type = 'purchase' AND last_ch IS NOT NULL
+    UNION ALL
+    SELECT user_id, 'last_touch' AS model, last_ch AS channel
+    FROM touched WHERE event_type = 'purchase' AND last_ch IS NOT NULL
+),
+agg AS (
+    SELECT model, channel,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM credits GROUP BY 1, 2
+),
+tot AS (
+    SELECT model, CAST(sum(n_conversions) AS BIGINT) AS t
+    FROM agg GROUP BY 1
+)
+SELECT a.model, a.channel, a.n_conversions, a.n_users,
+       round(1e-9 + a.n_conversions / CAST(t.t AS DOUBLE), 6) AS share
+FROM agg a JOIN tot t USING (model)"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of document length per language —
     Spark `percentile` and DuckDB `quantile_cont` share the linear-
@@ -6685,6 +6794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mixture_temperature": q_mixture_temperature,
     "q_key_skew": q_key_skew,
     "q_ohlc_bars": q_ohlc_bars,
+    "q_attribution": q_attribution,
     "q_gopher_rules": q_gopher_rules,
     "q_dsir_select": q_dsir_select,
     "q_hll_union": q_hll_union,
@@ -6802,6 +6912,7 @@ ORACLES: dict[str, str] = {
     "q_mixture_temperature": _SQL_MIXTURE_TEMPERATURE,
     "q_key_skew": _SQL_KEY_SKEW,
     "q_ohlc_bars": _SQL_OHLC_BARS,
+    "q_attribution": _SQL_ATTRIBUTION,
     "q_gopher_rules": _SQL_GOPHER_RULES,
     "q_dsir_select": _SQL_DSIR_SELECT,
     "q_hll_union": _hll_union_sql(),

@@ -1953,3 +1953,23 @@ def test_ohlc_bars_invariants(spark, sf_dir):
         assert r.low_u <= r.close_u <= r.high_u
         assert r.low_u <= r.sum_u / r.n_trades <= r.high_u
         assert r.n_trades > 0
+
+
+def test_attribution_models_balance(spark, sf_dir):
+    """Both attribution models credit the SAME purchases, so their
+    conversion totals must match, shares sum to 1 within each model,
+    and no purchase ever credits the 'purchase' channel."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_attribution
+
+    rows = q_attribution(spark, sf_dir).collect()
+    by_model = {}
+    for r in rows:
+        assert r.channel != "purchase"
+        by_model.setdefault(r.model, []).append(r)
+    assert set(by_model) == {"first_touch", "last_touch"}
+    totals = {
+        m: sum(r.n_conversions for r in rs) for m, rs in by_model.items()
+    }
+    assert totals["first_touch"] == totals["last_touch"]
+    for rs in by_model.values():
+        assert abs(sum(r.share for r in rs) - 1.0) < 1e-4
