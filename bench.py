@@ -99,6 +99,15 @@ HEADLINE = [
     "q_tpch_q5",
     "q_tpch_q13",
     "q_tpch_q18",
+    # round-7 continuation: representatives of the new waves — the
+    # streaming-Bloom membership monitor (bounded-state stream path),
+    # the exact-KS drift statistic (value-cardinality CDF machinery),
+    # the basket-bounded association miner, and the spectral collapse
+    # monitor (scatter-matrix self-join + driver-side eigen-iteration)
+    "q_stream_bloom",
+    "q_ks_drift",
+    "q_market_basket",
+    "q_pca_power",
 ]
 
 # The FIXED baseline-comparable subset: exactly the 30 queries of the first
