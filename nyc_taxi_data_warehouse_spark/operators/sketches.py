@@ -433,3 +433,183 @@ def bloom_probe(
             "may_contain"
         )
     )
+
+
+# --- KMV (bottom-k / K-Minimum-Values) distinct sketch ----------------------
+
+def kmv_bottom_k(
+    df: DataFrame, col: str, group_cols: tuple[str, ...] = (), k: int = 64
+) -> DataFrame:
+    """Per-group bottom-k distinct-hash sketch: (group…, h) with at most
+    k rows per group, h = the k smallest distinct 60-bit md5 hashes of
+    ``col`` (Beyer et al. 2007, "On synopses for distinct-value
+    estimation").  Mergeable by construction: the bottom-k of a UNION of
+    bottom-k tables is the bottom-k of the union of the inputs — see
+    :func:`kmv_merge`.
+
+    Plan shape: distinct (group, h) — a map-side-combinable aggregate —
+    then a per-group row_number prune.  The window sorts only the
+    DISTINCT-value table; at 100 TB scale pre-filter with a coarse
+    per-partition bottom-k (mapPartitions top-k or a broadcast threshold
+    from a first GK pass) before the exact window so the sorted frame is
+    O(k · partitions), not O(distinct).  The hash is total-ordered and
+    collision-free at these cardinalities (60-bit space), so ties cannot
+    occur and the prune is deterministic.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    gcols = [F.col(g) for g in group_cols]
+    hashed = (
+        df.select(*gcols, _h60(F.col(col)).alias("h")).distinct()
+    )
+    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy("h")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_merge(
+    tables: list[DataFrame], group_cols: tuple[str, ...] = (), k: int = 64
+) -> DataFrame:
+    """Union bottom-k sketch tables and re-prune to the global bottom-k —
+    the KMV set-union estimator input.  Each input is ≤ k rows per
+    group, so the union is sketch-sized; no re-hash of any corpus."""
+    u = tables[0]
+    for t in tables[1:]:
+        u = u.unionByName(t)
+    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy("h")
+    return (
+        u.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate_from_bottom(
+    bottom: DataFrame, group_cols: tuple[str, ...] = (), k: int = 64
+) -> DataFrame:
+    """Estimator tail over a bottom-k table: (group…, n_kept, est_distinct).
+
+    If a group kept fewer than k hashes the sketch IS the distinct set and
+    the estimate is exact (n_kept); otherwise the unbiased estimator
+    (k-1) / U_(k) with U_(k) = h_k / 2^60 — folded driver-side to ONE
+    double literal divided by the integer k-th hash, so both engines
+    perform the identical single division.  Standard error ≈ 1/sqrt(k-2).
+    """
+    num = float(k - 1) * float(1 << _HASH_BITS)  # one Python-folded literal
+    agg = bottom.groupBy(*[F.col(g) for g in group_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("h").alias("__hk"),
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(num) / F.col("__hk").cast("double"))
+    return agg.select(
+        *group_cols,
+        "n_kept",
+        F.round(est + F.lit(1e-9), 4).alias("est_distinct"),
+    )
+
+
+# --- Misra-Gries / SpaceSaving mergeable heavy-hitter summary ---------------
+
+def _mg_delta_from_ranked(
+    ranked: DataFrame,
+    weight_col: str,
+    group_cols: tuple[str, ...],
+    k: int,
+) -> DataFrame:
+    """(group…, delta): the (k+1)-th largest weight per group (0 when the
+    group has ≤ k keys) off an already row_number-ranked count table."""
+    return ranked.groupBy(*group_cols).agg(
+        F.max(
+            F.when(F.col("__rn") == k + 1, F.col(weight_col)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("delta")
+    )
+
+
+def mg_deltas(
+    counts: DataFrame,
+    key_col: str,
+    weight_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 16,
+) -> DataFrame:
+    """Per-group MG(k) subtraction amount for EVERY group in ``counts`` —
+    including groups whose summary ends up empty (all weights equal the
+    (k+1)-th).  Error accounting must sum these over all shards, not just
+    shards with surviving rows, so this is exposed separately from
+    :func:`mg_compress`."""
+    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(
+        F.col(weight_col).desc(), F.col(key_col).asc()
+    )
+    ranked = counts.withColumn("__rn", F.row_number().over(w))
+    return _mg_delta_from_ranked(ranked, weight_col, group_cols, k)
+
+
+def mg_compress(
+    counts: DataFrame,
+    key_col: str,
+    weight_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 16,
+) -> DataFrame:
+    """Compress an exact (group…, key, weight) count table to a
+    Misra-Gries summary of at most k rows per group: subtract the
+    (k+1)-th largest weight (0 when the group has ≤ k keys) and keep the
+    strictly positive remainders (Agarwal et al. 2012, "Mergeable
+    summaries", §3.1 — this one-shot reduction is exactly MG(k) run over
+    the counted stream).  Returns (group…, key, weight, delta): delta is
+    the subtracted amount, the per-summary undercount bound every
+    surviving key absorbs at most once.
+
+    Deterministic: the (k+1)-th weight is read off a (weight DESC, key
+    ASC) row_number — a total order.  The window sorts the per-group KEY
+    table (already aggregated), not the stream.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    gcols = [F.col(g) for g in group_cols]
+    w = Window.partitionBy(*gcols).orderBy(
+        F.col(weight_col).desc(), F.col(key_col).asc()
+    )
+    ranked = counts.withColumn("__rn", F.row_number().over(w))
+    delta = _mg_delta_from_ranked(ranked, weight_col, group_cols, k)
+    joined = (
+        ranked.where(F.col("__rn") <= k)
+        .drop("__rn")
+        .join(F.broadcast(delta), list(group_cols)) if group_cols
+        else ranked.where(F.col("__rn") <= k).drop("__rn").crossJoin(
+            F.broadcast(delta)
+        )
+    )
+    return joined.where(F.col(weight_col) > F.col("delta")).select(
+        *group_cols,
+        F.col(key_col).alias("key"),
+        (F.col(weight_col) - F.col("delta")).cast("long").alias("weight"),
+        "delta",
+    )
+
+
+def mg_merge(
+    summaries: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    k: int = 16,
+) -> DataFrame:
+    """Merge shard-level MG summaries (a (group…, key, weight) frame where
+    each shard contributed ≤ k rows): sum weights per key, then
+    :func:`mg_compress` the merged table back to k rows.  The merged
+    estimate underestimates every key's true count by at most
+    Σ shard deltas + merge delta ≤ n/(k+1) (the mergeable-summaries
+    bound); it never overestimates."""
+    merged = summaries.groupBy(*group_cols, "key").agg(
+        F.sum("weight").cast("long").alias("weight")
+    )
+    return mg_compress(merged, "key", "weight", group_cols, k)

@@ -6741,6 +6741,245 @@ SELECT exact_join_rows, cm_join_est,
 FROM est, exact"""
 
 
+_KMV_K = 64
+# (k-1) * 2^60 folded to ONE Python double literal (exactly representable:
+# 63 needs 6 mantissa bits) — both engines divide the same literal by the
+# same integer k-th hash, so the estimate is bit-identical.
+_KMV_NUM = float(_KMV_K - 1) * float(1 << 60)
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k / K-Minimum-Values) distinct-count sketch (Beyer et
+    al. 2007): per-event-type user-day cardinality from a 64-row hash
+    sketch, plus the set-UNION estimate from merging the five per-type
+    sketches (`sketches.kmv_merge`) — the mergeability that HLL shares
+    but exact COUNT(DISTINCT) does not.  The shuffled state is ≤ k
+    distinct hashes per group regardless of input size; the exact
+    distinct counts ride along as the verification harness.  Groups
+    below k hashes take the exact path (the sketch IS the set)."""
+    from .operators import sketches
+
+    ev = load_tables(spark, sf_dir)["events"]
+    base = ev.select(
+        "event_type",
+        F.concat_ws("#", F.col("user_id"), F.to_date("ts")).alias("v"),
+    )
+    bott = sketches.kmv_bottom_k(base, "v", ("event_type",), _KMV_K).persist()
+    est_t = sketches.kmv_estimate_from_bottom(
+        bott, ("event_type",), _KMV_K
+    ).withColumnRenamed("event_type", "scope")
+    merged = sketches.kmv_merge([bott.select("h")], (), _KMV_K)
+    est_all = sketches.kmv_estimate_from_bottom(merged, (), _KMV_K).select(
+        F.lit("ALL").alias("scope"), "n_kept", "est_distinct"
+    )
+    exact_t = (
+        base.distinct()
+        .groupBy(F.col("event_type").alias("scope"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
+    )
+    exact_all = (
+        base.select("v")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
+        .select(F.lit("ALL").alias("scope"), "exact_distinct")
+    )
+    est = est_t.unionByName(est_all)
+    exact = exact_t.unionByName(exact_all)
+    return est.join(exact, "scope").select(
+        "scope",
+        "n_kept",
+        "est_distinct",
+        "exact_distinct",
+        _rnd(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+_SQL_KMV_DISTINCT = f"""
+WITH base AS (
+    SELECT event_type,
+           CAST(user_id AS VARCHAR) || '#' ||
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS v
+    FROM events
+),
+h AS (
+    SELECT DISTINCT event_type,
+           CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h
+    FROM base
+),
+rb AS (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM h
+),
+bott AS (SELECT event_type, h FROM rb WHERE rn <= {_KMV_K}),
+est_t AS (
+    SELECT event_type AS scope, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(max(h) AS BIGINT) AS hk
+    FROM bott GROUP BY 1
+),
+mh AS (SELECT DISTINCT h FROM bott),
+rm AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM mh),
+est_all AS (
+    SELECT 'ALL' AS scope, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(max(h) AS BIGINT) AS hk
+    FROM rm WHERE rn <= {_KMV_K}
+),
+uni AS (SELECT * FROM est_t UNION ALL SELECT * FROM est_all),
+vals AS (
+    SELECT scope, n_kept,
+           round(1e-9 + CASE WHEN n_kept < {_KMV_K}
+                             THEN CAST(n_kept AS DOUBLE)
+                             ELSE {_KMV_NUM!r} / CAST(hk AS DOUBLE) END,
+                 4) AS est_distinct
+    FROM uni
+),
+exact_t AS (
+    SELECT event_type AS scope,
+           CAST(count(DISTINCT v) AS BIGINT) AS exact_distinct
+    FROM base GROUP BY 1
+),
+exact_all AS (
+    SELECT 'ALL' AS scope,
+           CAST(count(DISTINCT v) AS BIGINT) AS exact_distinct
+    FROM base
+),
+ex AS (SELECT * FROM exact_t UNION ALL SELECT * FROM exact_all)
+SELECT v.scope, v.n_kept, v.est_distinct, e.exact_distinct,
+       round(1e-9 + abs(v.est_distinct - e.exact_distinct)
+             / e.exact_distinct, 4) AS rel_err
+FROM vals v JOIN ex e USING (scope)"""
+
+
+_MG_K = 16
+_MG_SHARDS = 8
+
+
+def q_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries / SpaceSaving mergeable heavy hitters (Agarwal et al.
+    2012): shard the event stream by record hash (each shard models one
+    mapper's MG(k) summary, ≤ k rows), merge the shard summaries
+    (`sketches.mg_merge`) and verify the theorem against exact counts —
+    every surviving key satisfies 0 ≤ exact − est ≤ bound where bound =
+    Σ shard deltas + merge delta ≤ n/(k+1).  The cluster-scale shape:
+    only k·shards summary rows ever shuffle, never the key universe —
+    the deterministic counterpart to Count-Min top-k (no collision
+    overcount; undercount bounded instead)."""
+    from .operators import sketches
+
+    ev = load_tables(spark, sf_dir)["events"]
+    base = ev.select(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(_MG_SHARDS),
+        ).alias("shard"),
+        F.col("user_id").alias("key"),
+    )
+    counts = base.groupBy("shard", "key").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).persist()  # feeds the summary AND the delta accounting; sketch-sized
+    ssum = sketches.mg_compress(counts, "key", "cnt", ("shard",), _MG_K)
+    # sum EVERY shard's delta (a shard whose summary emptied still
+    # contributes its subtraction to the undercount bound)
+    shard_delta = sketches.mg_deltas(
+        counts, "key", "cnt", ("shard",), _MG_K
+    ).agg(F.sum("delta").cast("long").alias("d1"))
+    merged = sketches.mg_merge(ssum.select("key", "weight"), (), _MG_K)
+    exact = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    out = (
+        merged.join(exact, "key")
+        .crossJoin(F.broadcast(shard_delta))
+        .select(
+            "key",
+            F.col("weight").alias("est"),
+            "exact_cnt",
+            (F.col("exact_cnt") - F.col("weight")).cast("long").alias(
+                "undercount"
+            ),
+            (F.col("d1") + F.col("delta")).cast("long").alias("bound"),
+        )
+        .withColumn(
+            "ok",
+            (
+                (F.col("undercount") >= 0)
+                & (F.col("undercount") <= F.col("bound"))
+            ).cast("int"),
+        )
+    )
+    w = Window.orderBy(F.desc("est"), F.asc("key"))
+    return out.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+_SQL_MG_TOPK = f"""
+WITH base AS (
+    SELECT CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % {_MG_SHARDS} AS BIGINT) AS shard,
+           user_id AS key
+    FROM events
+),
+counts AS (
+    SELECT shard, key, CAST(count(*) AS BIGINT) AS cnt
+    FROM base GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY shard
+                                 ORDER BY cnt DESC, key ASC) AS rn
+    FROM counts
+),
+sdelta AS (
+    SELECT shard,
+           CAST(max(CASE WHEN rn = {_MG_K + 1} THEN cnt ELSE 0 END)
+                AS BIGINT) AS delta
+    FROM ranked GROUP BY 1
+),
+ssum AS (
+    SELECT r.key, CAST(r.cnt - d.delta AS BIGINT) AS weight
+    FROM ranked r JOIN sdelta d USING (shard)
+    WHERE r.rn <= {_MG_K} AND r.cnt > d.delta
+),
+merged AS (
+    SELECT key, CAST(sum(weight) AS BIGINT) AS weight
+    FROM ssum GROUP BY 1
+),
+mranked AS (
+    SELECT *, row_number() OVER (ORDER BY weight DESC, key ASC) AS rn
+    FROM merged
+),
+mdelta AS (
+    SELECT CAST(max(CASE WHEN rn = {_MG_K + 1} THEN weight ELSE 0 END)
+                AS BIGINT) AS delta
+    FROM mranked
+),
+fin AS (
+    SELECT key, CAST(weight - delta AS BIGINT) AS est, delta
+    FROM mranked, mdelta
+    WHERE rn <= {_MG_K} AND weight > delta
+),
+exact AS (
+    SELECT user_id AS key, CAST(count(*) AS BIGINT) AS exact_cnt
+    FROM events GROUP BY 1
+),
+d1 AS (SELECT CAST(sum(delta) AS BIGINT) AS d1 FROM sdelta)
+SELECT f.key, f.est, e.exact_cnt,
+       CAST(e.exact_cnt - f.est AS BIGINT) AS undercount,
+       CAST(d1.d1 + f.delta AS BIGINT) AS bound,
+       CAST(CASE WHEN e.exact_cnt - f.est >= 0
+                  AND e.exact_cnt - f.est <= d1.d1 + f.delta
+                 THEN 1 ELSE 0 END AS INTEGER) AS ok,
+       CAST(row_number() OVER (ORDER BY f.est DESC, f.key ASC)
+            AS INTEGER) AS rank
+FROM fin f JOIN exact e USING (key), d1"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -6782,6 +7021,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mixture_plan": q_mixture_plan,
     "q_semdedup": q_semdedup,
     "q_hll_distinct": q_hll_distinct,
+    "q_kmv_distinct": q_kmv_distinct,
+    "q_mg_topk": q_mg_topk,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -6899,6 +7140,8 @@ ORACLES: dict[str, str] = {
     "q_mixture_plan": _SQL_MIXTURE_PLAN,
     "q_semdedup": _SQL_SEMDEDUP,
     "q_hll_distinct": _hll_distinct_sql(),
+    "q_kmv_distinct": _SQL_KMV_DISTINCT,
+    "q_mg_topk": _SQL_MG_TOPK,
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

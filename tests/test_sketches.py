@@ -284,3 +284,83 @@ def test_histogram_quantiles_bounds(spark, sf_dir):
         assert r.within_bound == 1
         assert r.est_u <= r.exact_u < r.est_u + r.bin_width_u
         assert r.abs_err_u == r.exact_u - r.est_u
+
+
+def test_kmv_bottom_k_bounded_and_mergeable(spark, sf_dir):
+    """Sketch ≤ k rows per group; the merge of per-group sketches equals
+    the sketch built directly over the whole input (the KMV union law)."""
+    from nyc_taxi_data_warehouse_spark.operators import sketches
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", F.col("l_orderkey").cast("string").alias("v")
+    )
+    k = 32
+    per_group = sketches.kmv_bottom_k(li, "v", ("l_returnflag",), k)
+    sizes = per_group.groupBy("l_returnflag").count().collect()
+    assert all(r["count"] <= k for r in sizes)
+    merged = sketches.kmv_merge([per_group.select("h")], (), k)
+    direct = sketches.kmv_bottom_k(li, "v", (), k)
+    assert sorted(r.h for r in merged.collect()) == sorted(
+        r.h for r in direct.collect()
+    )
+
+
+def test_kmv_estimate_exact_below_k_and_bounded_above(spark):
+    from nyc_taxi_data_warehouse_spark.operators import sketches
+
+    df = spark.range(2000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    k = 64
+    bott = sketches.kmv_bottom_k(df, "v", ("g",), k)
+    est = sketches.kmv_estimate_from_bottom(bott, ("g",), k).collect()[0]
+    # 2000 distinct >> k: the estimator path, se ~= 1/sqrt(k-2) ~= 12.7%
+    assert est.n_kept == k
+    assert abs(est.est_distinct - 2000) / 2000 < 0.5
+    small = spark.range(10).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    sb = sketches.kmv_bottom_k(small, "v", ("g",), k)
+    se = sketches.kmv_estimate_from_bottom(sb, ("g",), k).collect()[0]
+    assert se.n_kept == 10 and se.est_distinct == 10.0  # exact path
+
+
+def test_mg_summary_never_overestimates_and_bound_holds(spark, sf_dir):
+    """The mergeable-summaries theorem on real data: for every surviving
+    key, 0 <= exact - est <= sum(shard deltas) + merge delta."""
+    from nyc_taxi_data_warehouse_spark.operators import sketches
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        F.pmod(F.crc32(F.col("event_id").cast("string")), F.lit(4)).alias(
+            "shard"
+        ),
+        F.col("user_id").alias("key"),
+    )
+    counts = base.groupBy("shard", "key").agg(F.count("*").alias("cnt"))
+    k = 8
+    ssum = sketches.mg_compress(counts, "key", "cnt", ("shard",), k)
+    d1 = sketches.mg_deltas(counts, "key", "cnt", ("shard",), k).agg(
+        F.sum("delta")
+    ).collect()[0][0]
+    merged = sketches.mg_merge(ssum.select("key", "weight"), (), k)
+    exact = {
+        r.key: r.cnt
+        for r in base.groupBy("key").agg(F.count("*").alias("cnt")).collect()
+    }
+    rows = merged.collect()
+    assert 0 < len(rows) <= k
+    for r in rows:
+        under = exact[r.key] - r.weight
+        assert 0 <= under <= d1 + r.delta
+
+
+def test_mg_compress_is_exact_when_k_covers_keys(spark):
+    from nyc_taxi_data_warehouse_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 2)], ["key", "cnt"]
+    ).select("key", F.col("cnt").cast("long").alias("cnt"))
+    out = sketches.mg_compress(df, "key", "cnt", (), k=8).collect()
+    assert {(r.key, r.weight) for r in out} == {("a", 5), ("b", 3), ("c", 2)}
+    assert all(r.delta == 0 for r in out)
