@@ -6980,6 +6980,185 @@ SELECT f.key, f.est, e.exact_cnt,
 FROM fin f JOIN exact e USING (key), d1"""
 
 
+def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS trend per event-type daily series — the
+    regression-as-aggregation pattern: slope, intercept and R² computed
+    from SIX exact-integer power sums (n, Σx, Σy, Σxy, Σx², Σy²) in ONE
+    map-side-combinable aggregation, then a handful of per-row double
+    divisions.  No ML library, no iterative solver, no collect of the
+    series — the same single pass works on a 100 TB fact because the
+    shuffled state is six numbers per group.  x = days since the global
+    first day (a broadcast scalar), y = daily event count."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    d0 = daily.agg(F.min("day").alias("d0"))
+    xy = daily.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        F.datediff("day", "d0").cast("long").alias("x"),
+        "y",
+    )
+    sums = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    sxx_n = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    sxy_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    syy_n = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    intercept_num = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    r2 = F.when(
+        syy_n > 0,
+        (sxy_n.cast("double") * sxy_n.cast("double"))
+        / (sxx_n.cast("double") * syy_n.cast("double")),
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "sy",
+        _rnd(sxy_n.cast("double") / sxx_n.cast("double"), 6).alias("slope"),
+        _rnd(
+            intercept_num.cast("double") / sxx_n.cast("double"), 6
+        ).alias("intercept"),
+        _rnd(r2, 6).alias("r2"),
+    )
+
+
+_SQL_TREND_OLS = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+d0 AS (SELECT min(day) AS d0 FROM daily),
+xy AS (
+    SELECT event_type, CAST(datediff('day', d0, day) AS BIGINT) AS x, y
+    FROM daily, d0
+),
+sums AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM xy GROUP BY 1
+)
+SELECT event_type, n AS n_days, sy,
+       round(1e-9 + CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+       round(1e-9 + CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept,
+       round(1e-9 + CASE WHEN n * syy - sy * sy > 0 THEN
+             (CAST(n * sxy - sx * sy AS DOUBLE)
+              * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) END, 6) AS r2
+FROM sums"""
+
+
+# log10(1 + 1/d) folded to Python double literals — both engines consume
+# the identical constants, so no cross-engine log rounding can differ.
+_BENFORD_P = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+# chi2(8 df, alpha=0.05) critical value
+_BENFORD_CRIT = 15.507
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals — the
+    fraud/synthetic-data screen: exact digit counts (one aggregation over
+    a 9-value domain) vs the log10(1+1/d) expectation, per-digit χ²
+    contribution and the group total against the 15.507 critical value
+    (8 df, α=0.05).  Expectation constants are driver-folded literals;
+    the only aggregation after the digit histogram runs over nine rows.
+    Synthetic uniform prices are expected to FAIL Benford — the flag
+    demonstrating the detector fires is part of the contract."""
+    od = load_tables(spark, sf_dir)["orders"]
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        od.where(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    p_expr = F.element_at(
+        F.create_map(
+            *[
+                x
+                for d in range(1, 10)
+                for x in (F.lit(d), F.lit(_BENFORD_P[d]))
+            ]
+        ),
+        F.col("digit"),
+    )
+    tot = obs.agg(F.sum("obs").cast("long").alias("n"))
+    per = obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "obs",
+        "n",
+        p_expr.alias("__p"),
+    )
+    contrib = (
+        (F.col("obs").cast("double") - F.col("n").cast("double") * F.col("__p"))
+        * (F.col("obs").cast("double") - F.col("n").cast("double") * F.col("__p"))
+        / (F.col("n").cast("double") * F.col("__p"))
+    )
+    per = per.select(
+        "digit",
+        "obs",
+        "n",
+        _rnd(F.col("obs") / F.col("n").cast("double"), 6).alias("share"),
+        _rnd(F.col("__p"), 6).alias("exp_p"),
+        _rnd(contrib, 6).alias("contrib"),
+        contrib.alias("__c"),
+    )
+    chi = per.agg(_rnd(F.sum("__c"), 4).alias("chi2"))
+    return (
+        per.drop("__c")
+        .crossJoin(F.broadcast(chi))
+        .withColumn(
+            "benford_ok", (F.col("chi2") < F.lit(_BENFORD_CRIT)).cast("int")
+        )
+    )
+
+
+def _sql_benford() -> str:
+    vals = ", ".join(f"({d}, {_BENFORD_P[d]!r})" for d in range(1, 10))
+    return f"""
+WITH exp_p AS (SELECT * FROM (VALUES {vals}) AS t(digit, p)),
+obs AS (
+    SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                       1, 1) AS INTEGER) AS digit,
+           CAST(count(*) AS BIGINT) AS obs
+    FROM orders WHERE o_totalprice > 0 GROUP BY 1
+),
+tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM obs),
+per AS (
+    SELECT o.digit, o.obs, t.n,
+           round(1e-9 + o.obs / CAST(t.n AS DOUBLE), 6) AS share,
+           round(1e-9 + e.p, 6) AS exp_p,
+           round(1e-9 + (CAST(o.obs AS DOUBLE) - CAST(t.n AS DOUBLE) * e.p)
+                 * (CAST(o.obs AS DOUBLE) - CAST(t.n AS DOUBLE) * e.p)
+                 / (CAST(t.n AS DOUBLE) * e.p), 6) AS contrib,
+           (CAST(o.obs AS DOUBLE) - CAST(t.n AS DOUBLE) * e.p)
+           * (CAST(o.obs AS DOUBLE) - CAST(t.n AS DOUBLE) * e.p)
+           / (CAST(t.n AS DOUBLE) * e.p) AS c
+    FROM obs o JOIN exp_p e USING (digit), tot t
+),
+chi AS (SELECT round(1e-9 + sum(c), 4) AS chi2 FROM per)
+SELECT p.digit, p.obs, p.n, p.share, p.exp_p, p.contrib, c.chi2,
+       CAST(CASE WHEN c.chi2 < {_BENFORD_CRIT!r} THEN 1 ELSE 0 END
+            AS INTEGER) AS benford_ok
+FROM per p, chi c"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -7023,6 +7202,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hll_distinct": q_hll_distinct,
     "q_kmv_distinct": q_kmv_distinct,
     "q_mg_topk": q_mg_topk,
+    "q_trend_ols": q_trend_ols,
+    "q_benford": q_benford,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -7142,6 +7323,8 @@ ORACLES: dict[str, str] = {
     "q_hll_distinct": _hll_distinct_sql(),
     "q_kmv_distinct": _SQL_KMV_DISTINCT,
     "q_mg_topk": _SQL_MG_TOPK,
+    "q_trend_ols": _SQL_TREND_OLS,
+    "q_benford": _sql_benford(),
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

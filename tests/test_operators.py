@@ -1973,3 +1973,57 @@ def test_attribution_models_balance(spark, sf_dir):
     assert totals["first_touch"] == totals["last_touch"]
     for rs in by_model.values():
         assert abs(sum(r.share for r in rs) - 1.0) < 1e-4
+
+
+def test_trend_ols_matches_numpy_polyfit(spark, sf_dir):
+    """The six-power-sum closed form must reproduce numpy's least-squares
+    fit (slope/intercept) and the squared Pearson correlation on the
+    collected per-type daily series."""
+    import numpy as np
+
+    from nyc_taxi_data_warehouse_spark.queries_data import q_trend_ols
+
+    rows = {r.event_type: r for r in q_trend_ols(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .count()
+        .collect()
+    )
+    d0 = min(r.day for r in daily)
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append(
+            ((r.day - d0).days, r["count"])
+        )
+    for et, pts in series.items():
+        x = np.array([p[0] for p in pts], dtype=float)
+        y = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        r2 = np.corrcoef(x, y)[0, 1] ** 2
+        got = rows[et]
+        assert abs(got.slope - slope) < 1e-4
+        assert abs(got.intercept - intercept) < 1e-3
+        assert abs(got.r2 - r2) < 1e-4
+        assert got.n_days == len(pts)
+
+
+def test_benford_chi2_accounting(spark, sf_dir):
+    """Digit shares sum to 1, contributions sum to the reported chi2, the
+    expectation column is the Benford pmf, and uniform synthetic prices
+    are correctly flagged as non-Benford."""
+    import math
+
+    from nyc_taxi_data_warehouse_spark.queries_data import q_benford
+
+    rows = q_benford(spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    n = rows[0].n
+    assert sum(r.obs for r in rows) == n
+    chi2 = rows[0].chi2
+    assert abs(sum(r.contrib for r in rows) - chi2) < 1e-2
+    for r in rows:
+        assert abs(r.exp_p - math.log10(1 + 1 / r.digit)) < 1e-5
+    # uniform [1000, 500000] prices are decisively non-Benford
+    assert rows[0].benford_ok == 0 and chi2 > 15.507
