@@ -7159,6 +7159,226 @@ SELECT p.digit, p.obs, p.n, p.share, p.exp_p, p.contrib, c.chi2,
 FROM per p, chi c"""
 
 
+_BOOT_B = 32
+# Poisson(1) CDF thresholds scaled to the 52-bit hash space as EXACT
+# integers (Python-folded): r(u) = #{j : u >= t_j} for j = 0..6, so the
+# resample count is decided by integer comparisons only — no float
+# boundary can disagree cross-engine.  Truncation at r <= 7 is part of
+# the estimator's definition (P(r > 7 | lambda=1) ~ 1e-5).
+_BOOT_T = [
+    int(sum(math.exp(-1.0) / math.factorial(i) for i in range(j + 1)) * (1 << 52))
+    for j in range(7)
+]
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean purchase value — THE way to
+    bootstrap a 100 TB metric: instead of materializing B resampled
+    copies, each row draws B independent Poisson(1) resample counts from
+    md5(replicate # row) and every replicate reduces in the SAME single
+    pass (map-side combinable; shuffled state = B partial sums).  The
+    replicate means' order statistics give the CI (ranks 2 and 31 of 32
+    ≈ a 94% interval); the point estimate rides along.  Counts come from
+    integer threshold comparisons against the Python-folded Poisson CDF
+    lattice, so every engine draws the identical resample."""
+    ev = load_tables(spark, sf_dir)["events"]
+    base = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v_u"),
+    )
+    rep = base.select(
+        "v_u",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(_BOOT_B)])
+        ).alias("b"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("b"), F.col("event_id"))), 1, 13
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("u"),
+    )
+    r = sum(
+        [F.when(F.col("u") >= F.lit(t), 1).otherwise(0) for t in _BOOT_T],
+        F.lit(0),
+    ).cast("long")
+    reps = (
+        rep.select("b", "v_u", r.alias("r"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("r") * F.col("v_u")).cast("long").alias("s"),
+            F.sum("r").cast("long").alias("n_resampled"),
+        )
+        .select(
+            F.col("b").cast("int").alias("b"),
+            "n_resampled",
+            _rnd(F.col("s") / 100.0 / F.col("n_resampled"), 6).alias(
+                "mean_b"
+            ),
+        )
+    )
+    point = base.agg(
+        _rnd(F.sum("v_u") / 100.0 / F.count(F.lit(1)), 6).alias("point_mean")
+    )
+    w = Window.orderBy("mean_b", "b")  # 32-row frame: safe unpartitioned
+    ranked = reps.withColumn("__rk", F.row_number().over(w))
+    ci = ranked.agg(
+        F.max(F.when(F.col("__rk") == 2, F.col("mean_b"))).alias("ci_lo"),
+        F.max(
+            F.when(F.col("__rk") == _BOOT_B - 1, F.col("mean_b"))
+        ).alias("ci_hi"),
+    )
+    return (
+        ranked.drop("__rk")
+        .crossJoin(F.broadcast(point))
+        .crossJoin(F.broadcast(ci))
+    )
+
+
+def _sql_bootstrap_ci() -> str:
+    rsum = " + ".join(
+        f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _BOOT_T
+    )
+    return f"""
+WITH base AS (
+    SELECT event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_u
+    FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+rep AS (
+    SELECT v_u, b,
+           CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '#' ||
+                                     CAST(event_id AS VARCHAR)), 1, 13))
+                AS BIGINT) AS u
+    FROM base, (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b)
+),
+cnt AS (SELECT b, v_u, CAST({rsum} AS BIGINT) AS r FROM rep),
+reps AS (
+    SELECT CAST(b AS INTEGER) AS b,
+           CAST(sum(r) AS BIGINT) AS n_resampled,
+           round(1e-9 + CAST(sum(r * v_u) AS BIGINT) / 100.0
+                 / CAST(sum(r) AS BIGINT), 6) AS mean_b
+    FROM cnt GROUP BY 1
+),
+point AS (
+    SELECT round(1e-9 + CAST(sum(v_u) AS BIGINT) / 100.0 / count(*), 6)
+        AS point_mean
+    FROM base
+),
+ranked AS (
+    SELECT *, row_number() OVER (ORDER BY mean_b, b) AS rk FROM reps
+),
+ci AS (
+    SELECT max(CASE WHEN rk = 2 THEN mean_b END) AS ci_lo,
+           max(CASE WHEN rk = {_BOOT_B - 1} THEN mean_b END) AS ci_hi
+    FROM ranked
+)
+SELECT r.b, r.n_resampled, r.mean_b, p.point_mean, c.ci_lo, c.ci_hi
+FROM ranked r, point p, ci c"""
+
+
+_EWMA_LAGS = 16  # dyadic window: weight 2^(16-l) for lag l in 1..16
+
+
+def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over the per-type daily count series with
+    alpha = 1/2 — the one smoothing constant whose weights (2^(16-l))
+    are exact integers, so the chart is bit-reproducible: numerator and
+    denominator accumulate as integer lag sums (missing leading lags
+    drop out of BOTH), the smoothed level divides once, and the spike
+    (y > 2·ewma) / drop (y < ewma/2) flags compare cross-multiplied
+    integers — no float ever decides an alert.  Windows only over the
+    post-aggregation (type × day) frame; the alert thresholds use the
+    PRIOR 16 days only (lag 1..16), so the monitored day never damps its
+    own alarm."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = sum(
+        [
+            F.coalesce(F.lag("y", lag).over(w), F.lit(0))
+            * F.lit(1 << (_EWMA_LAGS - lag))
+            for lag in range(1, _EWMA_LAGS + 1)
+        ],
+        F.lit(0),
+    ).cast("long")
+    den = sum(
+        [
+            F.when(
+                F.lag("y", lag).over(w).isNotNull(),
+                F.lit(1 << (_EWMA_LAGS - lag)),
+            ).otherwise(0)
+            for lag in range(1, _EWMA_LAGS + 1)
+        ],
+        F.lit(0),
+    ).cast("long")
+    out = daily.select(
+        "event_type", "day", "y", num.alias("__num"), den.alias("__den")
+    )
+    return out.select(
+        "event_type",
+        "day",
+        "y",
+        F.when(
+            F.col("__den") > 0,
+            _rnd(F.col("__num") / F.col("__den").cast("double"), 4),
+        ).alias("ewma"),
+        F.when(
+            F.col("__den") > 0,
+            (F.col("y") * F.col("__den") > 2 * F.col("__num")).cast("int"),
+        )
+        .otherwise(0)
+        .alias("spike_flag"),
+        F.when(
+            F.col("__den") > 0,
+            (2 * F.col("y") * F.col("__den") < F.col("__num")).cast("int"),
+        )
+        .otherwise(0)
+        .alias("drop_flag"),
+    )
+
+
+def _sql_ewma_anomaly() -> str:
+    num = " + ".join(
+        f"coalesce(lag(y, {lag}) OVER w, 0) * {1 << (_EWMA_LAGS - lag)}"
+        for lag in range(1, _EWMA_LAGS + 1)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(y, {lag}) OVER w IS NOT NULL"
+        f" THEN {1 << (_EWMA_LAGS - lag)} ELSE 0 END)"
+        for lag in range(1, _EWMA_LAGS + 1)
+    )
+    return f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+lagged AS (
+    SELECT event_type, day, y,
+           CAST({num} AS BIGINT) AS num,
+           CAST({den} AS BIGINT) AS den
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, day, y,
+       CASE WHEN den > 0
+            THEN round(1e-9 + num / CAST(den AS DOUBLE), 4) END AS ewma,
+       CAST(CASE WHEN den > 0 AND y * den > 2 * num THEN 1 ELSE 0 END
+            AS INTEGER) AS spike_flag,
+       CAST(CASE WHEN den > 0 AND 2 * y * den < num THEN 1 ELSE 0 END
+            AS INTEGER) AS drop_flag
+FROM lagged"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -7204,6 +7424,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mg_topk": q_mg_topk,
     "q_trend_ols": q_trend_ols,
     "q_benford": q_benford,
+    "q_bootstrap_ci": q_bootstrap_ci,
+    "q_ewma_anomaly": q_ewma_anomaly,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -7325,6 +7547,8 @@ ORACLES: dict[str, str] = {
     "q_mg_topk": _SQL_MG_TOPK,
     "q_trend_ols": _SQL_TREND_OLS,
     "q_benford": _sql_benford(),
+    "q_bootstrap_ci": _sql_bootstrap_ci(),
+    "q_ewma_anomaly": _sql_ewma_anomaly(),
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

@@ -2027,3 +2027,52 @@ def test_benford_chi2_accounting(spark, sf_dir):
         assert abs(r.exp_p - math.log10(1 + 1 / r.digit)) < 1e-5
     # uniform [1000, 500000] prices are decisively non-Benford
     assert rows[0].benford_ok == 0 and chi2 > 15.507
+
+
+def test_bootstrap_ci_brackets_point_and_counts_near_n(spark, sf_dir):
+    """Poisson(1) resamples average ~n rows per replicate; the CI must
+    bracket most replicate means and (for a well-behaved mean) the point
+    estimate; replicate draws are deterministic (same call → same CI)."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_bootstrap_ci
+
+    rows = q_bootstrap_ci(spark, sf_dir).collect()
+    assert len(rows) == 32
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).count()
+    for r in rows:
+        assert abs(r.n_resampled - n) < 5 * (n ** 0.5) + 10
+    lo, hi = rows[0].ci_lo, rows[0].ci_hi
+    assert lo <= hi
+    inside = sum(1 for r in rows if lo <= r.mean_b <= hi)
+    assert inside >= 28  # 30 of 32 by construction (ranks 2..31)
+    assert lo <= rows[0].point_mean <= hi
+    again = q_bootstrap_ci(spark, sf_dir).collect()
+    assert {(r.b, r.mean_b) for r in again} == {(r.b, r.mean_b) for r in rows}
+
+
+def test_ewma_anomaly_matches_recurrence(spark, sf_dir):
+    """The lag-sum formulation equals the textbook finite EWMA of the
+    prior <=16 observations, and a planted 10x spike day trips the flag."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_ewma_anomaly
+
+    rows = sorted(
+        q_ewma_anomaly(spark, sf_dir).collect(),
+        key=lambda r: (r.event_type, r.day),
+    )
+    series = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append(r)
+    for rs in series.values():
+        ys = [r.y for r in rs]
+        assert rs[0].ewma is None and rs[0].spike_flag == 0
+        for i, r in enumerate(rs):
+            if i == 0:
+                continue
+            lags = ys[max(0, i - 16):i][::-1]  # lag 1 first
+            num = sum(y * (1 << (16 - l)) for l, y in enumerate(lags, 1))
+            den = sum((1 << (16 - l)) for l in range(1, len(lags) + 1))
+            assert abs(r.ewma - num / den) < 1e-3
+            assert r.spike_flag == (1 if r.y * den > 2 * num else 0)
+            assert r.drop_flag == (1 if 2 * r.y * den < num else 0)
