@@ -171,3 +171,52 @@ def pagerank_int(
         e.unpersist()
         nodes.unpersist()
     return r.select("node", F.col("r").alias("rank"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iter: int = 16,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Unweighted single/multi-source shortest paths (BFS hop distance)
+    by layered frontier expansion — the distributed BFS shape: each
+    round is ONE equi-join of the current frontier against the edge
+    frame plus an anti-join against the settled set, so a node's first
+    reach IS its minimum hop count (no min-relaxation needed, unlike
+    weighted SSSP).  ``sources`` is a 1-column (node) frame; returns
+    (node, hops) for every reachable node.
+
+    Per-round work is frontier-sized, not graph-sized; the per-round
+    ``count()`` is the scalar convergence action (the CC precedent) and
+    ``localCheckpoint`` truncates the growing union lineage.  Rounds =
+    graph diameter ≤ max_iter.  At cluster scale the edge frame should
+    be pre-partitioned on ``src`` so every round's join reuses the same
+    exchange."""
+    dist = sources.select(
+        F.col(sources.columns[0]).alias("node"), F.lit(0).alias("hops")
+    ).localCheckpoint()
+    frontier = dist.select("node")
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
+    if e.rdd.getNumPartitions() < e.sparkSession.sparkContext.defaultParallelism:
+        e = e.repartition(e.sparkSession.sparkContext.defaultParallelism, "__s")
+    e = e.persist()
+    try:
+        for i in range(1, max_iter + 1):
+            cand = (
+                frontier.join(e, frontier["node"] == e["__s"])
+                .select(F.col("__d").alias("node"))
+                .distinct()
+            )
+            new = cand.join(dist, "node", "left_anti").select(
+                "node", F.lit(i).alias("hops")
+            )
+            new = new.localCheckpoint()
+            if new.count() == 0:
+                break
+            dist = dist.unionByName(new).localCheckpoint()
+            frontier = new.select("node")
+    finally:
+        e.unpersist(blocking=False)
+    return dist

@@ -1260,6 +1260,56 @@ _SQL_PAGERANK_ZONES = _with(
 )
 
 
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances over the directed zone transition graph from
+    the smallest zone id (`operators/graph.bfs_hops`) — the reachability
+    /radius primitive. Layered frontier expansion: first reach = minimum
+    hops, one frontier⋈edges equi-join + settled anti-join per round,
+    rounds = diameter. The oracle is a recursive CTE whose UNION dedup
+    bounds the walk at (node × depth) rows — the relational statement of
+    the same fixpoint."""
+    from .operators import graph
+
+    edges = staging.stg_taxi_trips(_trips(spark, sf_dir)).select(
+        F.col("pickup_zone_id").alias("src"),
+        F.col("dropoff_zone_id").alias("dst"),
+    )
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    )
+    source = nodes.agg(F.min("node").alias("node"))
+    out = graph.bfs_hops(edges, source, max_iter=16)
+    return out.select(
+        F.col("node").cast("long").alias("zone_id"),
+        F.col("hops").cast("int").alias("hops"),
+    )
+
+
+_SQL_SHORTEST_PATH = _with(
+    SQL_TRIPS,
+    SQL_STG_TRIPS,
+    """e AS (
+    SELECT DISTINCT pickup_zone_id AS src, dropoff_zone_id AS dst
+    FROM stg_trips
+),
+nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+s0 AS (SELECT min(node) AS node FROM nd),
+walk AS (
+    WITH RECURSIVE w(node, d) AS (
+        SELECT node, 0 FROM s0
+        UNION
+        SELECT e.dst, w.d + 1
+        FROM w JOIN e ON e.src = w.node
+        WHERE w.d < 16
+    )
+    SELECT node, d FROM w
+)""",
+    select="""SELECT CAST(node AS BIGINT) AS zone_id,
+       CAST(min(d) AS INTEGER) AS hops
+FROM walk GROUP BY 1""",
+)
+
+
 def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation (`operators/skew.py::salted_agg`),
     driver-gated: the hot-key mitigation must be bit-identical to the plain
@@ -2592,6 +2642,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q6": q_tpch_q6,
     "q_zorder_cells": q_zorder_cells,
     "q_pagerank_zones": q_pagerank_zones,
+    "q_shortest_path": q_shortest_path,
     "q_triangle_count": q_triangle_count,
     "q_skew_agg": q_skew_agg,
     "q_skew_join": q_skew_join,
@@ -2651,6 +2702,7 @@ FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5000""",
     "q_tpch_q6": _SQL_TPCH_Q6,
     "q_zorder_cells": _SQL_ZORDER_CELLS,
     "q_pagerank_zones": _SQL_PAGERANK_ZONES,
+    "q_shortest_path": _SQL_SHORTEST_PATH,
     "q_triangle_count": _SQL_TRIANGLE_COUNT,
     "q_skew_agg": _SQL_SKEW_AGG,
     "q_skew_join": _SQL_SKEW_JOIN,

@@ -69,3 +69,29 @@ def test_triangle_free_graph_empty(spark):
     df = spark.createDataFrame([(1, 2, 1), (2, 3, 1), (3, 4, 1)],
                                ["src", "dst", "w"])
     assert graph.triangle_counts(df).count() == 0
+
+
+def test_bfs_hops_matches_networkx_free_reference(spark):
+    """Hand-built graph with a 2-component topology: hop counts must
+    match the textbook BFS, and the second component stays unreached."""
+    from nyc_taxi_data_warehouse_spark.operators import graph
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4), (4, 1), (8, 9)],
+        ["src", "dst"],
+    )
+    src = spark.createDataFrame([(1,)], ["node"])
+    got = {r.node: r.hops for r in graph.bfs_hops(edges, src).collect()}
+    assert got == {1: 0, 2: 1, 5: 1, 3: 2, 4: 2}
+
+
+def test_bfs_hops_multi_source_takes_nearest(spark):
+    from nyc_taxi_data_warehouse_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 3)], ["src", "dst"]
+    )
+    src = spark.createDataFrame([(1,), (10,)], ["node"])
+    got = {r.node: r.hops for r in graph.bfs_hops(edges, src).collect()}
+    assert got == {1: 0, 10: 0, 2: 1, 3: 1}  # 3 via 10, not via 1->2->3
