@@ -7379,6 +7379,155 @@ SELECT event_type, day, y,
 FROM lagged"""
 
 
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams —
+    the behavioral-model fit: consecutive pairs from ONE `lead` window
+    per user on the (ts, event_id) total order (no self-join), exact
+    pair/row-marginal counts, transition probability = one division.
+    The window partitions by user, so the sort is per-user-sized and the
+    pair generation is embarrassingly parallel at any scale; output is
+    bounded by |event_type|²."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    marg = pairs.groupBy("from_type").agg(
+        F.sum("n_pairs").cast("long").alias("n_from")
+    )
+    return pairs.join(F.broadcast(marg), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_pairs",
+        "n_from",
+        _rnd(F.col("n_pairs") / F.col("n_from").cast("double"), 6).alias(
+            "p_transition"
+        ),
+    )
+
+
+_SQL_MARKOV_TRANSITIONS = """
+WITH pairs AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+),
+cnt AS (
+    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+marg AS (
+    SELECT from_type, CAST(sum(n_pairs) AS BIGINT) AS n_from
+    FROM cnt GROUP BY 1
+)
+SELECT c.from_type, c.to_type, c.n_pairs, m.n_from,
+       round(1e-9 + c.n_pairs / CAST(m.n_from AS DOUBLE), 6) AS p_transition
+FROM cnt c JOIN marg m USING (from_type)"""
+
+
+# z²(alpha=0.05, two-sided) = 1.96² — the significance cutoff compares
+# cross-multiplied EXACT integers against this one rational constant
+_AB_Z2_NUM = 38416  # 1.96² = 3.8416 = 38416 / 10000
+_AB_Z2_DEN = 10000
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B significance test on the exact integer lattice —
+    the experimentation primitive: users split by id parity, conversion
+    = did the user purchase, per-variant (converted, total) from one
+    user-grain aggregation.  The pooled z² statistic is a ratio of
+    integer polynomials, so the significant flag comes from a
+    cross-multiplied INTEGER comparison against 1.96² = 38416/10⁴ — no
+    float ever decides significance; the reported z rides along as one
+    sqrt of the same exact rational (IEEE sqrt is correctly rounded).
+    z² = (c1·n2 − c2·n1)² · n · 10⁴  >  38416 · c·(n−c) · n1·n2  ⇒ sig.
+    Int64 bound: d²·n·10⁴ < 2⁶³ holds through ~40k users per variant;
+    beyond that swap the flag to the (still deterministic) double z²
+    comparison or rescale counts to thousands first."""
+    ev = load_tables(spark, sf_dir)["events"]
+    # conversion = a HIGH-VALUE purchase (>150): every synthetic user has
+    # some purchase, so the naive definition saturates (c = n ⇒ zero
+    # pooled variance); the thresholded rate is non-degenerate at all SFs
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    per = users.groupBy(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("c"),
+    )
+    a = per.where(F.col("variant") == 0).select(
+        F.col("n").alias("n1"), F.col("c").alias("c1")
+    )
+    b = per.where(F.col("variant") == 1).select(
+        F.col("n").alias("n2"), F.col("c").alias("c2")
+    )
+    j = a.crossJoin(b)  # 1×1 rows
+    d = F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")
+    n = F.col("n1") + F.col("n2")
+    c = F.col("c1") + F.col("c2")
+    lhs = d * d * n * F.lit(_AB_Z2_DEN)
+    rhs = F.lit(_AB_Z2_NUM) * c * (n - c) * F.col("n1") * F.col("n2")
+    z2 = (d * d * n).cast("double") / (
+        c * (n - c) * F.col("n1") * F.col("n2")
+    ).cast("double")
+    return j.select(
+        "n1",
+        "c1",
+        "n2",
+        "c2",
+        _rnd(F.col("c1") / F.col("n1").cast("double"), 6).alias("rate1"),
+        _rnd(F.col("c2") / F.col("n2").cast("double"), 6).alias("rate2"),
+        _rnd(F.sqrt(z2), 4).alias("z_abs"),
+        (lhs > rhs).cast("int").alias("significant"),
+    )
+
+
+_SQL_AB_TEST = f"""
+WITH users AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' AND value > 150
+                    THEN 1 ELSE 0 END) AS converted
+    FROM events GROUP BY 1
+),
+per AS (
+    SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(converted) AS BIGINT) AS c
+    FROM users GROUP BY 1
+),
+j AS (
+    SELECT a.n AS n1, a.c AS c1, b.n AS n2, b.c AS c2
+    FROM (SELECT n, c FROM per WHERE variant = 0) a,
+         (SELECT n, c FROM per WHERE variant = 1) b
+)
+SELECT n1, c1, n2, c2,
+       round(1e-9 + c1 / CAST(n1 AS DOUBLE), 6) AS rate1,
+       round(1e-9 + c2 / CAST(n2 AS DOUBLE), 6) AS rate2,
+       round(1e-9 + sqrt(CAST((c1*n2 - c2*n1) * (c1*n2 - c2*n1) * (n1+n2)
+                              AS DOUBLE)
+             / CAST((c1+c2) * (n1+n2-c1-c2) * n1 * n2 AS DOUBLE)), 4)
+           AS z_abs,
+       CAST(CASE WHEN (c1*n2 - c2*n1) * (c1*n2 - c2*n1) * (n1+n2)
+                      * {_AB_Z2_DEN}
+                      > {_AB_Z2_NUM} * (c1+c2) * (n1+n2-c1-c2) * n1 * n2
+                 THEN 1 ELSE 0 END AS INTEGER) AS significant
+FROM j"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -7426,6 +7575,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_benford": q_benford,
     "q_bootstrap_ci": q_bootstrap_ci,
     "q_ewma_anomaly": q_ewma_anomaly,
+    "q_markov_transitions": q_markov_transitions,
+    "q_ab_test": q_ab_test,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -7549,6 +7700,8 @@ ORACLES: dict[str, str] = {
     "q_benford": _sql_benford(),
     "q_bootstrap_ci": _sql_bootstrap_ci(),
     "q_ewma_anomaly": _sql_ewma_anomaly(),
+    "q_markov_transitions": _SQL_MARKOV_TRANSITIONS,
+    "q_ab_test": _SQL_AB_TEST,
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

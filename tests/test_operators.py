@@ -2076,3 +2076,39 @@ def test_ewma_anomaly_matches_recurrence(spark, sf_dir):
             assert abs(r.ewma - num / den) < 1e-3
             assert r.spike_flag == (1 if r.y * den > 2 * num else 0)
             assert r.drop_flag == (1 if 2 * r.y * den < num else 0)
+
+
+def test_markov_transitions_rows_normalize(spark, sf_dir):
+    """Each from-state's transition probabilities sum to 1 and pair
+    counts reconcile with the per-user sequence lengths (pairs = events
+    - users, since each user's last event has no successor)."""
+    from nyc_taxi_data_warehouse_spark.queries_data import (
+        q_markov_transitions,
+    )
+
+    rows = q_markov_transitions(spark, sf_dir).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for rs in by_from.values():
+        assert abs(sum(r.p_transition for r in rs) - 1.0) < 1e-4
+        assert all(r.n_from == rs[0].n_from for r in rs)
+        assert sum(r.n_pairs for r in rs) == rs[0].n_from
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_pairs for r in rows) == n_events - n_users
+
+
+def test_ab_test_matches_scipy_free_formula(spark, sf_dir):
+    """The integer-lattice flag must agree with the float two-proportion
+    z-test computed from the same counts."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_ab_test
+
+    r = q_ab_test(spark, sf_dir).collect()[0]
+    p1, p2 = r.c1 / r.n1, r.c2 / r.n2
+    p = (r.c1 + r.c2) / (r.n1 + r.n2)
+    z = abs(p1 - p2) / (p * (1 - p) * (1 / r.n1 + 1 / r.n2)) ** 0.5
+    assert abs(r.z_abs - z) < 1e-3
+    assert r.significant == (1 if z > 1.96 else 0)
+    assert 0 < r.c1 < r.n1 and 0 < r.c2 < r.n2  # non-degenerate fixture
