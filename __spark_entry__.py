@@ -74,7 +74,7 @@ _CHECK_LAST = [
     # window froze), then stalest-first refresh order
     "q_kmv_distinct", "q_mg_topk", "q_trend_ols", "q_benford",
     "q_bootstrap_ci", "q_ewma_anomaly", "q_shortest_path",
-    "q_markov_transitions", "q_ab_test",
+    "q_markov_transitions", "q_ab_test", "q_watermark_audit",
     "q_bloom_portable", "q_histogram_quantiles", "q_seasonal_decompose",
     "q_stream_bloom", "q_split_leakage", "q_pca_power",
     "q_market_basket", "q_mixture_temperature", "q_key_skew",

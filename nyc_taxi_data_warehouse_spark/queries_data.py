@@ -7528,6 +7528,127 @@ SELECT n1, c1, n2, c2,
 FROM j"""
 
 
+_WM_CHOICES_S = [60, 300, 900]  # candidate watermarks to audit
+_WM_JITTER_S = 1800  # planted ingestion delay: md5(event_id) % 30 min
+
+
+def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark tuning audit — "how much data would a W-second
+    watermark drop?": for each candidate W, count rows whose event time
+    trails the high-watermark (max event time over all EARLIER arrivals)
+    by more than W.  The synthetic feed arrives in event-time order, so
+    a deterministic md5 ingestion delay (≤30 min) is planted first — the
+    same planted-construction discipline as the dedup twins.
+
+    Scale shape: the running max is NOT one corpus-wide window — arrivals
+    bucket by hour, each bucket computes its internal 1-preceding running
+    max in parallel, and a tiny per-bucket max table (cumulative-maxed
+    over the ~hundreds of buckets) broadcasts back as the carry-in; the
+    composition equals the strict-predecessor max on the total
+    (arrival, event_id) order.  All time arithmetic on integer
+    microseconds; the oracle states the same fixpoint as one window."""
+    ev = load_tables(spark, sf_dir)["events"]
+    jit = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % F.lit(_WM_JITTER_S)
+    ) * F.lit(1_000_000)
+    base = ev.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + jit).alias("arr_us"),
+    )
+    b = base.withColumn("bucket", F.col("arr_us") - F.pmod(F.col("arr_us"), F.lit(3_600_000_000)))
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("arr_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bmax = b.groupBy("bucket").agg(F.max("t_us").alias("bmax"))
+    # cumulative max over the tiny bucket frame, EXCLUSIVE of own bucket
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    carry = bmax.select(
+        "bucket", F.max("bmax").over(w_b).alias("carry")
+    )
+    hw = (
+        b.withColumn("in_max", F.max("t_us").over(w_in))
+        .join(F.broadcast(carry), "bucket")
+        .select(
+            "t_us",
+            # greatest skips NULLs: first-arrival-in-bucket rows take the
+            # carry; bucket-0 rows with no carry take the in-bucket max
+            F.greatest("in_max", "carry").alias("hw_prev"),
+        )
+    )
+    wm = hw.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [(w,) for w in _WM_CHOICES_S], ["w_seconds"]
+            ).select(F.col("w_seconds").cast("int").alias("w_seconds"))
+        )
+    )
+    late = F.col("hw_prev").isNotNull() & (
+        F.col("t_us")
+        < F.col("hw_prev") - F.col("w_seconds").cast("long") * 1_000_000
+    )
+    return wm.groupBy("w_seconds").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(late.cast("long")).cast("long").alias("n_late"),
+        _rnd(
+            F.sum(late.cast("long")) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("share_late"),
+        (
+            F.max(
+                F.when(
+                    F.col("hw_prev").isNotNull(),
+                    F.greatest(
+                        F.col("hw_prev") - F.col("t_us"), F.lit(0)
+                    ),
+                ).otherwise(0)
+            )
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("max_lateness_s"),
+    )
+
+
+def _sql_watermark_audit() -> str:
+    ws = ", ".join(str(w) for w in _WM_CHOICES_S)
+    return f"""
+WITH base AS (
+    SELECT event_id, epoch_us(ts) AS t_us,
+           epoch_us(ts) + (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                                 1, 15)) AS BIGINT)
+                           % {_WM_JITTER_S}) * 1000000 AS arr_us
+    FROM events
+),
+hw AS (
+    SELECT t_us,
+           max(t_us) OVER (ORDER BY arr_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS hw_prev
+    FROM base
+),
+wm AS (SELECT CAST(unnest([{ws}]) AS INTEGER) AS w_seconds)
+SELECT w.w_seconds,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN hw_prev IS NOT NULL
+                      AND t_us < hw_prev - CAST(w.w_seconds AS BIGINT)
+                                           * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       round(1e-9 + sum(CASE WHEN hw_prev IS NOT NULL
+                              AND t_us < hw_prev
+                                  - CAST(w.w_seconds AS BIGINT) * 1000000
+                             THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS share_late,
+       CAST(max(CASE WHEN hw_prev IS NOT NULL
+                     THEN greatest(hw_prev - t_us, 0) ELSE 0 END)
+            // 1000000 AS BIGINT) AS max_lateness_s
+FROM hw, wm w GROUP BY 1"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -7577,6 +7698,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ewma_anomaly": q_ewma_anomaly,
     "q_markov_transitions": q_markov_transitions,
     "q_ab_test": q_ab_test,
+    "q_watermark_audit": q_watermark_audit,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -7702,6 +7824,7 @@ ORACLES: dict[str, str] = {
     "q_ewma_anomaly": _sql_ewma_anomaly(),
     "q_markov_transitions": _SQL_MARKOV_TRANSITIONS,
     "q_ab_test": _SQL_AB_TEST,
+    "q_watermark_audit": _sql_watermark_audit(),
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

@@ -2112,3 +2112,46 @@ def test_ab_test_matches_scipy_free_formula(spark, sf_dir):
     assert abs(r.z_abs - z) < 1e-3
     assert r.significant == (1 if z > 1.96 else 0)
     assert 0 < r.c1 < r.n1 and 0 < r.c2 < r.n2  # non-degenerate fixture
+
+
+def test_watermark_audit_bucketed_equals_naive_window(spark, sf_dir):
+    """The hour-bucketed carry composition must equal the strict-
+    predecessor running max stated as one naive window, and lateness
+    must be monotone in the watermark choice."""
+    from nyc_taxi_data_warehouse_spark.queries_data import (
+        _WM_JITTER_S,
+        q_watermark_audit,
+    )
+
+    rows = sorted(
+        q_watermark_audit(spark, sf_dir).collect(), key=lambda r: r.w_seconds
+    )
+    assert [r.w_seconds for r in rows] == [60, 300, 900]
+    assert rows[0].n_late >= rows[1].n_late >= rows[2].n_late
+    assert all(r.n_rows == rows[0].n_rows for r in rows)
+    assert rows[0].n_late > 0  # the planted jitter produces lateness
+    assert all(r.max_lateness_s <= _WM_JITTER_S for r in rows)
+    # naive single-window replica of the 60s row
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = (
+        W.orderBy("arr_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    jit = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(_WM_JITTER_S)
+    ) * F.lit(1_000_000)
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    naive = (
+        ev.select("event_id", t.alias("t_us"), (t + jit).alias("arr_us"))
+        .withColumn("hw_prev", F.max("t_us").over(w))
+        .where(F.col("t_us") < F.col("hw_prev") - F.lit(60_000_000))
+        .count()
+    )
+    assert naive == rows[0].n_late
