@@ -81,11 +81,24 @@ def hll_registers(
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
     gcols = [F.col(g) for g in group_cols]
+    # materialize the 60-bit hash ONCE in its own projection: bucket and
+    # rho both derive from it, and inlining _h60 into each would compute
+    # md5+conv twice per input row (the round-2 "materialize the token
+    # array" lesson; ~35% of the register-build cost at sf0.1).  Math is
+    # unchanged — bit-identical registers.
+    bits = _HASH_BITS - p
+    hashed = df.select(*gcols, _h60(F.col(col)).alias("__h"))
+    w = F.shiftright(F.col("__h"), p)
+    rho = (
+        F.when(w == 0, F.lit(bits + 1))
+        .otherwise(F.lit(bits + 1) - F.length(F.conv(w, 10, 2)))
+        .cast("int")
+    )
     return (
-        df.select(
+        hashed.select(
             *gcols,
-            hll_bucket(F.col(col), p).alias("bucket"),
-            hll_rho(F.col(col), p).alias("__rho"),
+            F.col("__h").bitwiseAND((1 << p) - 1).cast("int").alias("bucket"),
+            rho.alias("__rho"),
         )
         .groupBy(*group_cols, "bucket")
         .agg(F.max("__rho").alias("rho"))

@@ -2398,10 +2398,21 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.window("observed_at", "1 day").alias("win"), val.alias("__v")
         )
+        # hash once, derive bucket+rho from it (hll_registers does the
+        # same batch-side; inlining would run md5 twice per row)
+        .select(
+            "win", sketches._h60(F.col("__v")).alias("__h")
+        )
         .select(
             "win",
-            sketches.hll_bucket(F.col("__v"), 9).alias("bucket"),
-            sketches.hll_rho(F.col("__v"), 9).alias("__rho"),
+            F.col("__h").bitwiseAND((1 << 9) - 1).cast("int").alias("bucket"),
+            F.when(F.shiftright("__h", 9) == 0, F.lit(60 - 9 + 1))
+            .otherwise(
+                F.lit(60 - 9 + 1)
+                - F.length(F.conv(F.shiftright("__h", 9), 10, 2))
+            )
+            .cast("int")
+            .alias("__rho"),
         )
     )
     regs = rows.groupBy("win", "bucket").agg(F.max("__rho").alias("rho"))
