@@ -7649,6 +7649,229 @@ SELECT w.w_seconds,
 FROM hw, wm w GROUP BY 1"""
 
 
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-day distinct-user counts from per-day HLL register
+    files — the rolling-cardinality pattern exact COUNT(DISTINCT) can't
+    do at scale: a day's users are sketched ONCE into ≤512 register rows,
+    and each 7-day window is a register-wise MAX over the 7 contributing
+    day files (each register row fans out to its ≤7 target days — a
+    bounded explode of sketch rows, never of events).  History is never
+    rescanned: yesterday's registers are immutable, today's window reuses
+    them — the same property that makes the 100 TB backfill incremental.
+    Exact windowed distincts ride along as verification."""
+    from .operators import sketches
+
+    ev = load_tables(spark, sf_dir)["events"]
+    base = ev.select(F.to_date("ts").alias("day"), "user_id")
+    regs = sketches.hll_registers(base, "user_id", ("day",), p=9)
+    days = base.select("day").distinct()
+    fan = regs.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("t_day"),
+        "bucket",
+        "rho",
+    ).join(F.broadcast(days.select(F.col("day").alias("t_day"))), "t_day")
+    win_regs = fan.groupBy("t_day", "bucket").agg(F.max("rho").alias("rho"))
+    est = sketches.hll_estimate_from_registers(win_regs, ("t_day",), p=9)
+    du = base.distinct()
+    exact = (
+        days.alias("t")
+        .join(
+            du.alias("e"),
+            (F.col("e.day") >= F.date_sub(F.col("t.day"), 6))
+            & (F.col("e.day") <= F.col("t.day")),
+        )
+        .groupBy(F.col("t.day").alias("t_day"))
+        .agg(F.count_distinct("e.user_id").cast("long").alias("exact_7d"))
+    )
+    return est.join(exact, "t_day").select(
+        F.col("t_day").alias("day"),
+        "used_registers",
+        _rnd(F.col("est_distinct"), 4).alias("est_7d"),
+        "exact_7d",
+        _rnd(
+            (F.col("est_distinct") - F.col("exact_7d")) / F.col("exact_7d"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+def _sql_sliding_distinct() -> str:
+    from .operators import sketches
+
+    tail = sketches.sql_hll_estimate_from_registers(
+        "win_regs", ("t_day",), p=9, prefix="s"
+    )
+    return f"""
+WITH base AS (
+    SELECT CAST(ts AS DATE) AS day, user_id FROM events
+),
+h AS (
+    SELECT day,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+    FROM base
+),
+regs AS (
+    SELECT day,
+           CAST(h % 512 AS INTEGER) AS bucket,
+           CAST(max(CASE WHEN h // 512 = 0 THEN 52
+                         ELSE 52 - length(bin(h // 512)) END)
+                AS INTEGER) AS rho
+    FROM h GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM base),
+win_regs AS (
+    SELECT d.day AS t_day, r.bucket,
+           CAST(max(r.rho) AS INTEGER) AS rho
+    FROM days d JOIN regs r
+      ON r.day >= d.day - 6 AND r.day <= d.day
+    GROUP BY 1, 2
+),
+{tail},
+exact AS (
+    SELECT d.day AS t_day,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_7d
+    FROM days d JOIN (SELECT DISTINCT day, user_id FROM base) e
+      ON e.day >= d.day - 6 AND e.day <= d.day
+    GROUP BY 1
+)
+SELECT s.t_day AS day, s.used_registers,
+       round(1e-9 + s.est_distinct, 4) AS est_7d,
+       x.exact_7d,
+       round(1e-9 + (s.est_distinct - x.exact_7d) / x.exact_7d, 6)
+           AS rel_err
+FROM s_est s JOIN exact x USING (t_day)"""
+
+
+_RRF_C = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
+_RRF_DEPTH = 50  # fuse only each ranker's top-50 (the production shape)
+_RRF_TOP = 20
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    ranking (q_bm25's exact pipeline) and the embedding-cosine ranking
+    (vec_id 0 as the query; q_knn_bruteforce's exact scorer) — the
+    lexical+vector fusion every RAG stack runs.  Production shape: each
+    ranker contributes only its top-50 (rank lists, not score lists —
+    RRF is scale-free by construction), fusion is a full outer join of
+    two ≤50-row lists, score = Σ 1/(60+rank) with absent ranks
+    contributing 0.  Determinism: lexical ranks order by the ROUNDED
+    BM25 (both engines rank identical values), vector ranks by the
+    per-row exact cosine — both tie-break on doc_id.  At corpus scale
+    swap the ranking windows for `sampling.top_k_prune`; the fusion join
+    itself never grows past 2·depth rows."""
+    from .operators import similarity
+
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        q_bm25(spark, sf_dir)
+        .withColumn("rank_lex", F.row_number().over(w_lex))
+        .where(F.col("rank_lex") <= _RRF_DEPTH)
+        .select("doc_id", "rank_lex")
+    )
+    emb = _emb(spark, sf_dir)
+    knn = similarity.brute_force_knn(
+        emb.where(F.col("vec_id") == 0), _scale_out(emb), k=_RRF_DEPTH
+    )
+    w_vec = Window.orderBy(F.desc("sim"), F.asc("doc_id"))
+    vec = (
+        knn.select(F.col("neighbor_id").alias("doc_id"), "sim")
+        .withColumn("rank_vec", F.row_number().over(w_vec))
+        .select("doc_id", "rank_vec")
+    )
+    fused = lex.join(vec, "doc_id", "full")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("rank_lex")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("rank_vec")), F.lit(0.0)
+    )
+    w_f = Window.orderBy(F.desc("__rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("__rrf", rrf)
+        .withColumn("fused_rank", F.row_number().over(w_f).cast("int"))
+        .where(F.col("fused_rank") <= _RRF_TOP)
+        .select(
+            "fused_rank",
+            "doc_id",
+            F.col("rank_lex").cast("int").alias("rank_lex"),
+            F.col("rank_vec").cast("int").alias("rank_vec"),
+            _rnd(F.col("__rrf"), 6).alias("rrf_score"),
+        )
+    )
+
+
+_SQL_RRF_FUSION = rf"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+    FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tok),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(w) AS term FROM tok)
+    WHERE term IN ('hash', 'join', 'scan')
+    GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+scored AS (
+    SELECT t.doc_id,
+           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (t.tf * 2.2)
+           / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS c
+    FROM tf t
+    JOIN dfreq d USING (term)
+    JOIN dl l USING (doc_id)
+    CROSS JOIN stats s
+),
+bm AS (
+    SELECT doc_id, round(1e-9 + sum(c), 6) AS bm25
+    FROM scored GROUP BY 1
+),
+lex AS (
+    SELECT doc_id, rank_lex FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+        FROM bm
+    ) WHERE rank_lex <= {_RRF_DEPTH}
+),
+q AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+),
+c AS (
+    SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+),
+vs AS (
+    SELECT c.doc_id, {_COS} AS sim FROM c, q
+),
+vec AS (
+    SELECT doc_id, rank_vec FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY sim DESC, doc_id) AS rank_vec
+        FROM vs
+    ) WHERE rank_vec <= {_RRF_DEPTH}
+),
+fused AS (
+    SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.rank_lex, v.rank_vec,
+           coalesce(1.0 / ({_RRF_C} + l.rank_lex), 0.0)
+           + coalesce(1.0 / ({_RRF_C} + v.rank_vec), 0.0) AS rrf
+    FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER)
+           AS fused_rank,
+       doc_id,
+       CAST(rank_lex AS INTEGER) AS rank_lex,
+       CAST(rank_vec AS INTEGER) AS rank_vec,
+       round(1e-9 + rrf, 6) AS rrf_score
+FROM fused
+QUALIFY fused_rank <= {_RRF_TOP}"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -7699,6 +7922,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_markov_transitions": q_markov_transitions,
     "q_ab_test": q_ab_test,
     "q_watermark_audit": q_watermark_audit,
+    "q_sliding_distinct": q_sliding_distinct,
+    "q_rrf_fusion": q_rrf_fusion,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -7825,6 +8050,8 @@ ORACLES: dict[str, str] = {
     "q_markov_transitions": _SQL_MARKOV_TRANSITIONS,
     "q_ab_test": _SQL_AB_TEST,
     "q_watermark_audit": _sql_watermark_audit(),
+    "q_sliding_distinct": _sql_sliding_distinct(),
+    "q_rrf_fusion": _SQL_RRF_FUSION,
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

@@ -2155,3 +2155,48 @@ def test_watermark_audit_bucketed_equals_naive_window(spark, sf_dir):
         .count()
     )
     assert naive == rows[0].n_late
+
+
+def test_sliding_distinct_window_union_is_lossless(spark, sf_dir):
+    """A day's 7-day register union must equal sketching the window's
+    users directly: same estimate, and within the HLL error bound of the
+    exact windowed distinct."""
+    from nyc_taxi_data_warehouse_spark.operators import sketches
+    from nyc_taxi_data_warehouse_spark.queries_data import q_sliding_distinct
+
+    rows = q_sliding_distinct(spark, sf_dir).collect()
+    assert len(rows) > 7
+    for r in rows:
+        assert abs(r.rel_err) < 0.20  # p=9 ~4.6% se; generous 4x margin
+    # pick the last day: direct sketch over the raw 7-day slice
+    last = max(r.day for r in rows)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sl = ev.select(F.to_date("ts").alias("day"), "user_id").where(
+        (F.col("day") >= F.date_sub(F.lit(last), 6))
+        & (F.col("day") <= F.lit(last))
+    )
+    direct = sketches.hll_estimate(sl, "user_id", (), p=9).collect()[0]
+    got = [r for r in rows if r.day == last][0]
+    assert abs(got.est_7d - direct.est_distinct) < 1e-3  # est_7d is rounded(4)
+
+
+def test_rrf_fusion_scores_and_provenance(spark, sf_dir):
+    """Every fused row carries at least one source rank, the score equals
+    the RRF formula of its ranks, and fused order is score-descending."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_rrf_fusion
+
+    rows = sorted(q_rrf_fusion(spark, sf_dir).collect(), key=lambda r: r.fused_rank)
+    assert [r.fused_rank for r in rows] == list(range(1, len(rows) + 1))
+    prev = None
+    for r in rows:
+        assert r.rank_lex is not None or r.rank_vec is not None
+        want = (1.0 / (60 + r.rank_lex) if r.rank_lex else 0.0) + (
+            1.0 / (60 + r.rank_vec) if r.rank_vec else 0.0
+        )
+        assert abs(r.rrf_score - want) < 1e-5
+        if prev is not None:
+            assert r.rrf_score <= prev + 1e-9
+        prev = r.rrf_score
+    # both modalities must actually contribute to the fused top
+    assert any(r.rank_lex is not None for r in rows)
+    assert any(r.rank_vec is not None for r in rows)
