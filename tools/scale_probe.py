@@ -96,6 +96,32 @@ def _emb_at(spark, sf_dir: str, mult: int):
     return out.repartition(spark.sparkContext.defaultParallelism)
 
 
+def _events_at(spark, sf_dir: str, mult: int):
+    """Events at mult× rows — the behavioral/sketch probe stream.
+    Replicas get shifted ids and per-replica jittered user/ts so key
+    cardinality AND the time axis grow with the stream (pure row
+    duplication would leave every distinct/sketch op's state flat)."""
+    e = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    if mult == 1:
+        out = e
+    else:
+        out = e.select(
+            F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep"),
+            "event_id", "ts", "user_id", "event_type", "value",
+        ).select(
+            (F.col("event_id") * mult + F.col("rep")).alias("event_id"),
+            (
+                F.col("ts") + F.make_interval(secs=F.col("rep") * 17)
+            ).alias("ts"),
+            (F.col("user_id") * mult + F.col("rep")).alias("user_id"),
+            "event_type",
+            "value",
+        )
+    return out.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _time(fn) -> float:
     t0 = time.perf_counter()
     fn().write.mode("overwrite").format("noop").save()
@@ -200,8 +226,93 @@ def main() -> None:
             ),
         ),
     }
+    # round-7 continuation additions over the events stream: the Poisson
+    # bootstrap is a B×-explode folding to B partial sums (linear scan,
+    # constant shuffle); KMV/MG fold to ≤k rows per group/shard (their
+    # windows sort only distinct-hash / key tables); the sliding HLL
+    # fans out REGISTER rows (≤7·512/day) never events; the watermark
+    # audit's bucketed running max is hour-parallel
+    from nyc_taxi_data_warehouse_spark import queries_data as _qd
+
+    def _boot(d):
+        rep = d.where(F.col("event_type") == "purchase").select(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v_u"),
+            F.explode(F.array(*[F.lit(b) for b in range(32)])).alias("b"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", F.col("b"), F.col("event_id"))),
+                    1, 13,
+                ), 16, 10,
+            ).cast("long").alias("u"),
+        )
+        r = sum(
+            [F.when(F.col("u") >= F.lit(t), 1).otherwise(0) for t in _qd._BOOT_T],
+            F.lit(0),
+        ).cast("long")
+        return rep.select("b", "v_u", r.alias("r")).groupBy("b").agg(
+            F.sum(F.col("r") * F.col("v_u")).alias("s"), F.sum("r").alias("n")
+        )
+
+    events_ops = {
+        "poisson_bootstrap": (
+            lambda m: _events_at(spark, sf_dir, m),
+            _boot,
+        ),
+        "kmv_bottom_k": (
+            lambda m: _events_at(spark, sf_dir, m),
+            lambda d: sketches.kmv_estimate_from_bottom(
+                sketches.kmv_bottom_k(
+                    d.select(
+                        "event_type",
+                        F.concat_ws("#", "user_id", F.to_date("ts")).alias("v"),
+                    ),
+                    "v", ("event_type",), 64,
+                ),
+                ("event_type",), 64,
+            ),
+        ),
+        "mg_merge": (
+            lambda m: _events_at(spark, sf_dir, m),
+            lambda d: sketches.mg_merge(
+                sketches.mg_compress(
+                    d.select(
+                        F.pmod(F.crc32(F.col("event_id").cast("string")),
+                               F.lit(8)).alias("shard"),
+                        F.col("user_id").alias("key"),
+                    ).groupBy("shard", "key").agg(F.count("*").alias("cnt")),
+                    "key", "cnt", ("shard",), 16,
+                ).select("key", "weight"),
+                (), 16,
+            ),
+        ),
+        "sliding_hll": (
+            lambda m: _events_at(spark, sf_dir, m),
+            lambda d: (
+                lambda regs, days: sketches.hll_estimate_from_registers(
+                    regs.select(
+                        F.explode(
+                            F.sequence(F.col("day"), F.date_add("day", 6))
+                        ).alias("t_day"),
+                        "bucket", "rho",
+                    ).join(
+                        F.broadcast(days.select(F.col("day").alias("t_day"))),
+                        "t_day",
+                    ).groupBy("t_day", "bucket").agg(F.max("rho").alias("rho")),
+                    ("t_day",), 9,
+                )
+            )(
+                sketches.hll_registers(
+                    d.select(F.to_date("ts").alias("day"), "user_id"),
+                    "user_id", ("day",), 9,
+                ),
+                d.select(F.to_date("ts").alias("day")).distinct(),
+            ),
+        ),
+    }
+
     all_ops = {n: (lambda m: _docs_at(spark, sf_dir, m), op) for n, op in ops.items()}
     all_ops.update(meta_ops)
+    all_ops.update(events_ops)
     only = sys.argv[2:]
     if only:
         unknown = [n for n in only if n not in all_ops]
