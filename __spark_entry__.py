@@ -75,7 +75,7 @@ _CHECK_LAST = [
     "q_kmv_distinct", "q_mg_topk", "q_trend_ols", "q_benford",
     "q_bootstrap_ci", "q_ewma_anomaly", "q_shortest_path",
     "q_markov_transitions", "q_ab_test", "q_watermark_audit",
-    "q_sliding_distinct", "q_rrf_fusion",
+    "q_sliding_distinct", "q_rrf_fusion", "q_rank_functions", "q_set_ops",
     "q_bloom_portable", "q_histogram_quantiles", "q_seasonal_decompose",
     "q_stream_bloom", "q_split_leakage", "q_pca_power",
     "q_market_basket", "q_mixture_temperature", "q_key_skew",

@@ -7872,6 +7872,106 @@ FROM fused
 QUALIFY fused_rank <= {_RRF_TOP}"""
 
 
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SQL ranking-function surface in one frame — rank,
+    dense_rank, percent_rank, ntile(4), cume_dist per order-priority
+    over customer spend (exact 1e-2 integer lattice, custkey
+    tie-break ⇒ a total order, so every function is deterministic).
+    percent_rank/cume_dist/ntile need the whole partition — computed
+    over the per-(priority, customer) KEY table (bounded by the customer
+    domain, not the fact), then pruned to the top-10; the spend
+    aggregation is the only fact-sized pass."""
+    od = load_tables(spark, sf_dir)["orders"]
+    spend = od.groupBy(
+        "o_orderpriority", "o_custkey"
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("spend_u")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("spend_u"), F.asc("o_custkey")
+    )
+    ranked = spend.select(
+        "o_orderpriority",
+        "o_custkey",
+        "spend_u",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("dense_rnk"),
+        _rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        _rnd(F.cume_dist().over(w), 6).alias("cume"),
+    )
+    return ranked.where(F.col("rnk") <= 10)
+
+
+_SQL_RANK_FUNCTIONS = """
+WITH spend AS (
+    SELECT o_orderpriority, o_custkey,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS spend_u
+    FROM orders GROUP BY 1, 2
+),
+ranked AS (
+    SELECT o_orderpriority, o_custkey, spend_u,
+           CAST(rank() OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS dense_rnk,
+           round(1e-9 + percent_rank() OVER w, 6) AS pct_rank,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(1e-9 + cume_dist() OVER w, 6) AS cume
+    FROM spend
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY spend_u DESC, o_custkey ASC)
+)
+SELECT * FROM ranked WHERE rnk <= 10"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-operation semantics — INTERSECT ALL / EXCEPT ALL /
+    INTERSECT (distinct) between the urgent-order and low-order customer
+    MULTISETS: bag semantics (min/difference of multiplicities) are the
+    part of the SQL surface UNION/anti-join queries don't touch, and
+    Spark's intersectAll/exceptAll compile to the same aggregate-
+    replicate plans any engine uses.  Output: per-mode row and distinct
+    cardinalities (the multiplicity-sensitive pair differs from the
+    distinct pair exactly when bag semantics matter)."""
+    od = load_tables(spark, sf_dir)["orders"]
+    a = od.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = od.where(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+
+    def summ(df: DataFrame, mode: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct("o_custkey").cast("long").alias("n_distinct"),
+        ).select(F.lit(mode).alias("mode"), "n_rows", "n_distinct")
+
+    return (
+        summ(a.intersectAll(b), "intersect_all")
+        .unionByName(summ(a.exceptAll(b), "except_all"))
+        .unionByName(summ(a.intersect(b), "intersect_distinct"))
+    )
+
+
+_SQL_SET_OPS = """
+WITH a AS (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+b AS (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+),
+ia AS (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b),
+ea AS (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b),
+id_ AS (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+SELECT 'intersect_all' AS mode, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct FROM ia
+UNION ALL
+SELECT 'except_all', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT) FROM ea
+UNION ALL
+SELECT 'intersect_distinct', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT) FROM id_"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -7924,6 +8024,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_watermark_audit": q_watermark_audit,
     "q_sliding_distinct": q_sliding_distinct,
     "q_rrf_fusion": q_rrf_fusion,
+    "q_rank_functions": q_rank_functions,
+    "q_set_ops": q_set_ops,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -8052,6 +8154,8 @@ ORACLES: dict[str, str] = {
     "q_watermark_audit": _sql_watermark_audit(),
     "q_sliding_distinct": _sql_sliding_distinct(),
     "q_rrf_fusion": _SQL_RRF_FUSION,
+    "q_rank_functions": _SQL_RANK_FUNCTIONS,
+    "q_set_ops": _SQL_SET_OPS,
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

@@ -2200,3 +2200,46 @@ def test_rrf_fusion_scores_and_provenance(spark, sf_dir):
     # both modalities must actually contribute to the fused top
     assert any(r.rank_lex is not None for r in rows)
     assert any(r.rank_vec is not None for r in rows)
+
+
+def test_rank_functions_internal_consistency(spark, sf_dir):
+    """rank >= dense_rank, percent_rank = (rank-1)/(n-1) recomputed from
+    the partition sizes, quartile in 1..4 and monotone in rank."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_rank_functions
+
+    rows = q_rank_functions(spark, sf_dir).collect()
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_by_prio = {
+        r.o_orderpriority: r.n
+        for r in od.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    by_prio = {}
+    for r in rows:
+        assert r.rnk >= r.dense_rnk >= 1
+        assert 1 <= r.quartile <= 4
+        n = n_by_prio[r.o_orderpriority]
+        assert abs(r.pct_rank - (r.rnk - 1) / (n - 1)) < 1e-4
+        assert 0 < r.cume <= 1
+        by_prio.setdefault(r.o_orderpriority, []).append(r)
+    for rs in by_prio.values():
+        rs.sort(key=lambda r: r.rnk)
+        assert all(
+            a.quartile <= b.quartile for a, b in zip(rs, rs[1:])
+        )
+
+
+def test_set_ops_bag_identities(spark, sf_dir):
+    """|A ∩all B| + |A \\all B| = |A| (multiset partition identity), and
+    the distinct intersect is bounded by the bag intersect."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_set_ops
+
+    rows = {r.mode: r for r in q_set_ops(spark, sf_dir).collect()}
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_a = od.where(F.col("o_orderpriority") == "1-URGENT").count()
+    ia, ea = rows["intersect_all"], rows["except_all"]
+    assert ia.n_rows + ea.n_rows == n_a
+    idd = rows["intersect_distinct"]
+    assert idd.n_rows == idd.n_distinct <= ia.n_rows
+    assert ia.n_distinct == idd.n_distinct
