@@ -7972,6 +7972,156 @@ SELECT 'intersect_distinct', CAST(count(*) AS BIGINT),
        CAST(count(DISTINCT o_custkey) AS BIGINT) FROM id_"""
 
 
+_DP_EPS = [(1, 10), (1, 1)]  # epsilon as exact rationals: 1/10, 1/1
+_DP_MIN_COUNT = 10
+# ln(1/0.05): the 95% Laplace CI half-width multiplier, driver-folded
+_DP_CI95 = math.log(20.0)
+
+
+def q_dp_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release planner — the fourth leg of the
+    governance family (k-anon / l-div / t-close audit WHO is exposed;
+    this plans WHAT a Laplace release would cost in utility): for each
+    (source × lang) histogram cell and each ε, the Laplace scale
+    b = Δ/ε (sensitivity 1 for counts), expected absolute error b,
+    95% CI half-width b·ln20, relative error b/count, and the
+    suppression flag (count < 10 or expected rel-err > 0.5 ⇒ the cell
+    should be suppressed or coarsened before release).  Deterministic
+    planning arithmetic over exact cell counts — no fake noise is drawn;
+    ε arrives as exact rationals so b is one engine-identical division."""
+    d = _docs(spark, sf_dir)
+    cells = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    eps = spark.createDataFrame(
+        [(num, den) for num, den in _DP_EPS], "eps_num int, eps_den int"
+    )
+    j = cells.crossJoin(F.broadcast(eps))
+    b = F.col("eps_den").cast("double") / F.col("eps_num").cast("double")
+    rel = b / F.col("n").cast("double")
+    return j.select(
+        "source",
+        "lang",
+        "n",
+        _rnd(F.col("eps_num") / F.col("eps_den").cast("double"), 4).alias(
+            "epsilon"
+        ),
+        _rnd(b, 4).alias("laplace_b"),
+        _rnd(b * F.lit(_DP_CI95), 4).alias("ci95_halfwidth"),
+        _rnd(rel, 6).alias("expected_rel_err"),
+        (
+            (F.col("n") < _DP_MIN_COUNT)
+            | (F.col("eps_den") * 2 > F.col("n") * F.col("eps_num"))
+        )
+        .cast("int")
+        .alias("suppress"),
+    )
+
+
+def _sql_dp_budget() -> str:
+    eps_vals = ", ".join(f"({n}, {d})" for n, d in _DP_EPS)
+    return f"""
+WITH cells AS (
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1, 2
+),
+eps AS (
+    SELECT CAST(eps_num AS INTEGER) AS eps_num,
+           CAST(eps_den AS INTEGER) AS eps_den
+    FROM (VALUES {eps_vals}) AS t(eps_num, eps_den)
+)
+SELECT c.source, c.lang, c.n,
+       round(1e-9 + eps_num / CAST(eps_den AS DOUBLE), 4) AS epsilon,
+       round(1e-9 + eps_den / CAST(eps_num AS DOUBLE), 4) AS laplace_b,
+       round(1e-9 + eps_den / CAST(eps_num AS DOUBLE) * {_DP_CI95!r}, 4)
+           AS ci95_halfwidth,
+       round(1e-9 + eps_den / CAST(eps_num AS DOUBLE) / c.n, 6)
+           AS expected_rel_err,
+       CAST(CASE WHEN c.n < {_DP_MIN_COUNT}
+                  OR eps_den * 2 > c.n * eps_num
+                 THEN 1 ELSE 0 END AS INTEGER) AS suppress
+FROM cells c, eps"""
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative cohort lifetime value — the retention query's revenue
+    twin: users cohorted by first-seen day, purchase revenue bucketed by
+    cohort age, then a running sum per cohort divides ONCE by cohort
+    size.  Revenue stays on the exact 1e-2 integer lattice through the
+    cumulative window (which runs over the bounded cohort × age frame,
+    never events); the only fact-sized work is the two aggregations."""
+    ev = load_tables(spark, sf_dir)["events"]
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    size = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    rev = (
+        ev.where(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .join(F.broadcast(first), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("age_days"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("rev_u")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.withColumn("cum_rev_u", F.sum("rev_u").over(w).cast("long"))
+    return cum.join(F.broadcast(size), "cohort_day").select(
+        "cohort_day",
+        "age_days",
+        "rev_u",
+        "cum_rev_u",
+        "cohort_users",
+        _rnd(
+            F.col("cum_rev_u") / 100.0 / F.col("cohort_users").cast("double"),
+            4,
+        ).alias("ltv_per_user"),
+    )
+
+
+_SQL_COHORT_LTV = """
+WITH first AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+    FROM events GROUP BY 1
+),
+size_ AS (
+    SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_users
+    FROM first GROUP BY 1
+),
+rev AS (
+    SELECT f.cohort_day,
+           CAST(datediff('day', f.cohort_day, CAST(e.ts AS DATE))
+                AS INTEGER) AS age_days,
+           CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_u
+    FROM events e JOIN first f USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT *, CAST(sum(rev_u) OVER (PARTITION BY cohort_day ORDER BY age_days
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_rev_u
+    FROM rev
+)
+SELECT c.cohort_day, c.age_days, c.rev_u, c.cum_rev_u, s.cohort_users,
+       round(1e-9 + c.cum_rev_u / 100.0 / s.cohort_users, 4)
+           AS ltv_per_user
+FROM cum c JOIN size_ s USING (cohort_day)"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -8026,6 +8176,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rrf_fusion": q_rrf_fusion,
     "q_rank_functions": q_rank_functions,
     "q_set_ops": q_set_ops,
+    "q_dp_budget": q_dp_budget,
+    "q_cohort_ltv": q_cohort_ltv,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -8156,6 +8308,8 @@ ORACLES: dict[str, str] = {
     "q_rrf_fusion": _SQL_RRF_FUSION,
     "q_rank_functions": _SQL_RANK_FUNCTIONS,
     "q_set_ops": _SQL_SET_OPS,
+    "q_dp_budget": _sql_dp_budget(),
+    "q_cohort_ltv": _SQL_COHORT_LTV,
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

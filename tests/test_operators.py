@@ -2243,3 +2243,51 @@ def test_set_ops_bag_identities(spark, sf_dir):
     idd = rows["intersect_distinct"]
     assert idd.n_rows == idd.n_distinct <= ia.n_rows
     assert ia.n_distinct == idd.n_distinct
+
+
+def test_dp_budget_planning_invariants(spark, sf_dir):
+    """Tighter epsilon => larger scale, wider CI, larger expected error;
+    small cells are always suppressed; rel-err = b/n exactly."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_dp_budget
+
+    rows = q_dp_budget(spark, sf_dir).collect()
+    by_cell = {}
+    for r in rows:
+        assert abs(r.expected_rel_err - r.laplace_b / r.n) < 1e-4
+        assert r.ci95_halfwidth > r.laplace_b  # ln20 > 1
+        if r.n < 10:
+            assert r.suppress == 1
+        by_cell.setdefault((r.source, r.lang), []).append(r)
+    for cell in by_cell.values():
+        cell.sort(key=lambda r: r.epsilon)
+        assert cell[0].laplace_b > cell[-1].laplace_b  # eps 0.1 noisier than 1.0
+        assert cell[0].suppress >= cell[-1].suppress
+
+
+def test_cohort_ltv_is_monotone_and_reconciles(spark, sf_dir):
+    """Cumulative revenue is non-decreasing in age within a cohort, and
+    the final cumulative sums across cohorts equal total purchase
+    revenue on the integer lattice."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_cohort_ltv
+
+    rows = sorted(
+        q_cohort_ltv(spark, sf_dir).collect(),
+        key=lambda r: (str(r.cohort_day), r.age_days),
+    )
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_day, []).append(r)
+    total = 0
+    for rs in by_cohort.values():
+        for a, b in zip(rs, rs[1:]):
+            assert b.cum_rev_u == a.cum_rev_u + b.rev_u
+        total += rs[-1].cum_rev_u
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = (
+        ev.where(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).cast("long"))
+        .collect()[0][0]
+    )
+    assert total == want
