@@ -390,6 +390,7 @@ def bucketed_value_cumsum(
     nn: DataFrame,
     value_col: str,
     part_cols: tuple[str, ...] = (),
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Exact cumulative counts over the distinct-value table — the
     distributed CDF primitive shared by :func:`quantile_bounds` (empty
@@ -407,10 +408,18 @@ def bucketed_value_cumsum(
     for ANY monotone edge placement.  The bucket id is a DETERMINISTIC
     FUNCTION OF THE VALUE (count of collected edges strictly below it),
     never of the physical partitioning — see the invariance note in
-    :func:`quantile_bounds`."""
+    :func:`quantile_bounds`.
+
+    With ``weight_col`` the cumulative is the SUM OF WEIGHTS (exact
+    integers expected) instead of the row count — the weighted-CDF
+    variant weighted quantiles need; the bucket machinery is identical
+    because only the measure changes, never the value axis."""
+    measure = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(F.col(weight_col))
+    )
     vc = nn.groupBy(
         *part_cols, F.col(value_col).alias("__v")
-    ).agg(F.count(F.lit(1)).alias("__c"))
+    ).agg(measure.cast("long").alias("__c"))
     probs = [i / _CUM_BUCKETS for i in range(1, _CUM_BUCKETS)]
     try:
         # Sketch the RAW rows, not the distinct-value table: the edges

@@ -8122,6 +8122,134 @@ SELECT c.cohort_day, c.age_days, c.rev_u, c.cum_rev_u, s.cohort_users,
 FROM cum c JOIN size_ s USING (cohort_day)"""
 
 
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier of parts over (total quantity, total
+    revenue) — the multi-objective shortlist operator: a part survives
+    iff no other part weakly dominates it with at least one strict edge.
+    Scale shape: never the O(n²) dominance join — per-part aggregates
+    reduce to a QTY-LEVEL table (≤ one row per distinct quantity), each
+    level keeps its max revenue, and a strictly-greater-level running
+    max (window over the level table, not the fact) decides dominance:
+    keep iff rev = level max AND rev > every higher level's max.  The
+    oracle states the textbook NOT EXISTS definition instead of this
+    algebra, so the gate checks the DECOMPOSITION, not just parity.
+    All measures on the exact integer lattice."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    parts = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty_u"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("rev_u"),
+    )
+    qlvl = parts.groupBy("qty_u").agg(F.max("rev_u").alias("__qmax"))
+    w = Window.orderBy(F.desc("qty_u")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lvl = qlvl.withColumn("__m1", F.max("__qmax").over(w))
+    keep = parts.join(F.broadcast(lvl), "qty_u").where(
+        (F.col("rev_u") == F.col("__qmax"))
+        & (F.col("__m1").isNull() | (F.col("__m1") < F.col("rev_u")))
+    )
+    return keep.select("l_partkey", "qty_u", "rev_u")
+
+
+_SQL_SKYLINE = """
+WITH parts AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_u,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_u
+    FROM lineitem GROUP BY 1
+)
+SELECT p.l_partkey, p.qty_u, p.rev_u
+FROM parts p
+WHERE NOT EXISTS (
+    SELECT 1 FROM parts q
+    WHERE q.qty_u >= p.qty_u AND q.rev_u >= p.rev_u
+      AND (q.qty_u > p.qty_u OR q.rev_u > p.rev_u)
+)"""
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted quantiles (p25 / median / p75) of the per-line price,
+    weighted by quantity, per return flag — the value-weighted
+    distribution summary unweighted percentiles can't answer (every
+    unit of quantity counts, not every line).  Rides the SAME
+    distributed-CDF primitive as feature binning and the KS statistic
+    (`sampling.bucketed_value_cumsum`, here with its weighted measure):
+    value-bucketed parallel windows, no corpus-wide sort; the quantile
+    is the smallest value whose cumulative weight crosses the
+    cross-multiplied INTEGER threshold (4·cumw ≥ k·total)."""
+    from .operators import sampling
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    base = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_u"),
+        F.col("l_quantity").cast("long").alias("qty_w"),
+    )
+    cum = sampling.bucketed_value_cumsum(
+        base, "price_u", ("l_returnflag",), weight_col="qty_w"
+    )
+    tot = cum.groupBy("l_returnflag").agg(
+        F.sum("__c").cast("long").alias("total_w")
+    )
+    j = cum.join(F.broadcast(tot), "l_returnflag")
+    return j.groupBy("l_returnflag").agg(
+        F.first("total_w").alias("total_weight"),
+        F.min(
+            F.when(4 * F.col("__cle") >= F.col("total_w"), F.col("__v"))
+        )
+        .cast("long")
+        .alias("wp25_u"),
+        F.min(
+            F.when(2 * F.col("__cle") >= F.col("total_w"), F.col("__v"))
+        )
+        .cast("long")
+        .alias("wmedian_u"),
+        F.min(
+            F.when(4 * F.col("__cle") >= 3 * F.col("total_w"), F.col("__v"))
+        )
+        .cast("long")
+        .alias("wp75_u"),
+    )
+
+
+_SQL_WEIGHTED_MEDIAN = """
+WITH base AS (
+    SELECT l_returnflag,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_u,
+           CAST(l_quantity AS BIGINT) AS qty_w
+    FROM lineitem
+),
+vc AS (
+    SELECT l_returnflag, price_u AS v, CAST(sum(qty_w) AS BIGINT) AS c
+    FROM base GROUP BY 1, 2
+),
+cum AS (
+    SELECT l_returnflag, v,
+           CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cle
+    FROM vc
+),
+tot AS (
+    SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS total_w
+    FROM vc GROUP BY 1
+)
+SELECT c.l_returnflag,
+       CAST(t.total_w AS BIGINT) AS total_weight,
+       CAST(min(CASE WHEN 4 * c.cle >= t.total_w THEN c.v END)
+            AS BIGINT) AS wp25_u,
+       CAST(min(CASE WHEN 2 * c.cle >= t.total_w THEN c.v END)
+            AS BIGINT) AS wmedian_u,
+       CAST(min(CASE WHEN 4 * c.cle >= 3 * t.total_w THEN c.v END)
+            AS BIGINT) AS wp75_u
+FROM cum c JOIN tot t USING (l_returnflag)
+GROUP BY 1, 2"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -8178,6 +8306,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_set_ops": q_set_ops,
     "q_dp_budget": q_dp_budget,
     "q_cohort_ltv": q_cohort_ltv,
+    "q_skyline": q_skyline,
+    "q_weighted_median": q_weighted_median,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -8310,6 +8440,8 @@ ORACLES: dict[str, str] = {
     "q_set_ops": _SQL_SET_OPS,
     "q_dp_budget": _sql_dp_budget(),
     "q_cohort_ltv": _SQL_COHORT_LTV,
+    "q_skyline": _SQL_SKYLINE,
+    "q_weighted_median": _SQL_WEIGHTED_MEDIAN,
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

@@ -2291,3 +2291,68 @@ def test_cohort_ltv_is_monotone_and_reconciles(spark, sf_dir):
         .collect()[0][0]
     )
     assert total == want
+
+
+def test_skyline_is_exactly_the_undominated_set(spark, sf_dir):
+    """Level-decomposition output must equal the brute-force dominance
+    check computed driver-side over the collected part aggregates."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_skyline
+
+    got = {
+        (r.l_partkey, r.qty_u, r.rev_u)
+        for r in q_skyline(spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pts = [
+        (r.l_partkey, r.q, r.v)
+        for r in li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("q"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            ).alias("v"),
+        )
+        .collect()
+    ]
+    want = {
+        (k, q, v)
+        for (k, q, v) in pts
+        if not any(
+            q2 >= q and v2 >= v and (q2 > q or v2 > v)
+            for (_, q2, v2) in pts
+        )
+    }
+    assert got == want and got
+
+
+def test_weighted_median_matches_expansion(spark, sf_dir):
+    """The weighted type-1 quantiles must equal the unweighted quantiles
+    of the weight-EXPANDED multiset (each line replicated qty times)."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_weighted_median
+
+    rows = {r.l_returnflag: r for r in q_weighted_median(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    data = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("p"),
+        F.col("l_quantity").cast("long").alias("w"),
+    ).collect()
+    import math as _m
+
+    by_flag = {}
+    for r in data:
+        by_flag.setdefault(r.l_returnflag, []).append((r.p, r.w))
+    for flag, pts in by_flag.items():
+        expanded = []
+        for p, w in pts:
+            expanded.extend([p] * w)
+        expanded.sort()
+        n = len(expanded)
+        got = rows[flag]
+        assert got.total_weight == n
+        # smallest v with cumw >= k/4 * total == element at ceil(k*n/4)-1
+        assert got.wp25_u == expanded[_m.ceil(n / 4) - 1]
+        assert got.wmedian_u == expanded[_m.ceil(n / 2) - 1]
+        assert got.wp75_u == expanded[_m.ceil(3 * n / 4) - 1]
