@@ -8250,6 +8250,160 @@ FROM cum c JOIN tot t USING (l_returnflag)
 GROUP BY 1, 2"""
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the token frequency spectrum — log-log OLS
+    of ln(freq) on ln(rank), the corpus-health diagnostic (natural text
+    sits near slope −1; a collapsed or templated corpus doesn't).  Same
+    regression-as-aggregation shape as q_trend_ols, but the power sums
+    are floats (ln terms), so each is epsilon-rounded before the
+    closed-form division — both engines then derive slope/R² from
+    IDENTICAL inputs.  Rank comes from the exact integer (count, token)
+    total order; only the vocabulary table is ever sorted."""
+    d = _scale_out(_docs(spark, sf_dir).select("doc_id", "text"))
+    tc = (
+        d.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    xy = tc.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _rnd(F.sum("x"), 6).alias("sx"),
+        _rnd(F.sum("y"), 6).alias("sy"),
+        _rnd(F.sum(F.col("x") * F.col("y")), 6).alias("sxy"),
+        _rnd(F.sum(F.col("x") * F.col("x")), 6).alias("sxx"),
+        _rnd(F.sum(F.col("y") * F.col("y")), 6).alias("syy"),
+    )
+    sxx_n = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    sxy_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    syy_n = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        F.col("n").alias("vocab_size"),
+        _rnd(sxy_n / sxx_n, 6).alias("zipf_slope"),
+        _rnd(sxy_n * sxy_n / (sxx_n * syy_n), 6).alias("r2"),
+    )
+
+
+_SQL_ZIPF_FIT = r"""
+WITH tokv AS (
+    SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                              t -> t <> '')) AS token
+    FROM documents
+),
+tc AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tokv GROUP BY 1
+),
+xy AS (
+    SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, token ASC)
+                   AS DOUBLE)) AS x,
+           ln(CAST(cnt AS DOUBLE)) AS y
+    FROM tc
+),
+sums AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(1e-9 + sum(x), 6) AS sx,
+           round(1e-9 + sum(y), 6) AS sy,
+           round(1e-9 + sum(x * y), 6) AS sxy,
+           round(1e-9 + sum(x * x), 6) AS sxx,
+           round(1e-9 + sum(y * y), 6) AS syy
+    FROM xy
+)
+SELECT n AS vocab_size,
+       round(1e-9 + (n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           AS zipf_slope,
+       round(1e-9 + (n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM sums"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quintiles per user, the classic behavioral partition: one user-grain
+    aggregation (R = days from last event to the corpus max day, F =
+    event count, M = purchase cents), ntile(5) on each axis over the
+    USER table (bounded by the user domain; tie-broken by user_id so
+    every quintile edge is deterministic), then segment-level rollups.
+    Output bounded by 5³ segments."""
+    ev = load_tables(spark, sf_dir)["events"]
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + F.lit(0.5)),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("monetary_u"),
+    )
+    mx = per_user.agg(F.max("last_day").alias("max_day"))
+    base = per_user.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.datediff("max_day", "last_day").cast("long").alias("recency_d"),
+        "freq",
+        "monetary_u",
+    )
+    # quintile 5 = best (most recent / most frequent / highest spend)
+    r_w = Window.orderBy(F.desc("recency_d"), F.asc("user_id"))
+    f_w = Window.orderBy(F.asc("freq"), F.asc("user_id"))
+    m_w = Window.orderBy(F.asc("monetary_u"), F.asc("user_id"))
+    scored = base.select(
+        "user_id",
+        "recency_d",
+        "freq",
+        "monetary_u",
+        F.ntile(5).over(r_w).cast("int").alias("r_score"),
+        F.ntile(5).over(f_w).cast("int").alias("f_score"),
+        F.ntile(5).over(m_w).cast("int").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        _rnd(F.avg("recency_d"), 4).alias("avg_recency_d"),
+        _rnd(F.avg("freq"), 4).alias("avg_freq"),
+        _rnd(F.avg("monetary_u") / 100.0, 4).alias("avg_monetary"),
+    )
+
+
+_SQL_RFM_SEGMENTS = """
+WITH per_user AS (
+    SELECT user_id,
+           max(CAST(ts AS DATE)) AS last_day,
+           CAST(count(*) AS BIGINT) AS freq,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS monetary_u
+    FROM events GROUP BY 1
+),
+mx AS (SELECT max(last_day) AS max_day FROM per_user),
+base AS (
+    SELECT user_id,
+           CAST(datediff('day', last_day, max_day) AS BIGINT) AS recency_d,
+           freq, monetary_u
+    FROM per_user, mx
+),
+scored AS (
+    SELECT user_id, recency_d, freq, monetary_u,
+           CAST(ntile(5) OVER (ORDER BY recency_d DESC, user_id ASC)
+                AS INTEGER) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY freq ASC, user_id ASC)
+                AS INTEGER) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary_u ASC, user_id ASC)
+                AS INTEGER) AS m_score
+    FROM base
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(1e-9 + avg(recency_d), 4) AS avg_recency_d,
+       round(1e-9 + avg(freq), 4) AS avg_freq,
+       round(1e-9 + avg(monetary_u) / 100.0, 4) AS avg_monetary
+FROM scored GROUP BY 1, 2, 3"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -8308,6 +8462,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cohort_ltv": q_cohort_ltv,
     "q_skyline": q_skyline,
     "q_weighted_median": q_weighted_median,
+    "q_zipf_fit": q_zipf_fit,
+    "q_rfm_segments": q_rfm_segments,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -8442,6 +8598,8 @@ ORACLES: dict[str, str] = {
     "q_cohort_ltv": _SQL_COHORT_LTV,
     "q_skyline": _SQL_SKYLINE,
     "q_weighted_median": _SQL_WEIGHTED_MEDIAN,
+    "q_zipf_fit": _SQL_ZIPF_FIT,
+    "q_rfm_segments": _SQL_RFM_SEGMENTS,
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

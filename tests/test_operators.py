@@ -2356,3 +2356,47 @@ def test_weighted_median_matches_expansion(spark, sf_dir):
         assert got.wp25_u == expanded[_m.ceil(n / 4) - 1]
         assert got.wmedian_u == expanded[_m.ceil(n / 2) - 1]
         assert got.wp75_u == expanded[_m.ceil(3 * n / 4) - 1]
+
+
+def test_zipf_fit_matches_numpy_loglog(spark, sf_dir):
+    import numpy as np
+
+    from nyc_taxi_data_warehouse_spark.queries_data import q_zipf_fit
+
+    got = q_zipf_fit(spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from nyc_taxi_data_warehouse_spark.functions import text as T
+
+    tc = (
+        ev.select(F.explode(T.tokens("text")).alias("t"))
+        .groupBy("t")
+        .count()
+        .collect()
+    )
+    cnts = sorted((r["count"], r.t) for r in tc)[::-1]
+    x = np.log(np.arange(1, len(cnts) + 1, dtype=float))
+    y = np.log(np.array([c for c, _ in cnts], dtype=float))
+    slope, _ = np.polyfit(x, y, 1)
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert got.vocab_size == len(cnts)
+    assert abs(got.zipf_slope - slope) < 1e-3
+    assert abs(got.r2 - r2) < 1e-3
+    assert got.zipf_slope < 0  # frequency decreases with rank
+
+
+def test_rfm_segments_partition_users(spark, sf_dir):
+    from nyc_taxi_data_warehouse_spark.queries_data import q_rfm_segments
+
+    rows = q_rfm_segments(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+    # each axis's quintiles must each hold ~n/5 users
+    for axis in ("r_score", "f_score", "m_score"):
+        per = {}
+        for r in rows:
+            per[r[axis]] = per.get(r[axis], 0) + r.n_users
+        assert set(per) == {1, 2, 3, 4, 5}
+        assert max(per.values()) - min(per.values()) <= 1
