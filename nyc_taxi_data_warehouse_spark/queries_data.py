@@ -8404,6 +8404,87 @@ SELECT r_score, f_score, m_score,
 FROM scored GROUP BY 1, 2, 3"""
 
 
+_OHLC_SINK_SEQ = [0]
+
+
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 × downsampling: the hourly OHLC bars computed ON THE STREAM —
+    the live market-data/observability rollup.  The purchase feed
+    replays through the file source and folds into the SAME one-pass
+    min_by/max_by aggregation as batch `q_ohlc_bars` (all five measures
+    are order-insensitive declarative aggregates, so the streaming state
+    is ONE row per hour and the availableNow replay is exactly-once);
+    the oracle is literally `_SQL_OHLC_BARS` — stream bars must equal
+    batch bars bit-for-bit."""
+    from pyspark.sql import types as ST
+
+    from .util import session_tmpdir
+
+    ev = load_tables(spark, sf_dir)["events"].where(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    src = session_tmpdir("purchase_feed_ohlc")
+    ev.select("event_id", "ts", "value").write.mode("overwrite").parquet(src)
+    schema = ST.StructType(
+        [
+            ST.StructField("event_id", ST.LongType()),
+            ST.StructField("ts", ST.TimestampNTZType()),
+            ST.StructField("value", ST.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+    )
+    e = stream.select(
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v_u"),
+        "ts",
+        "event_id",
+    )
+    ordk = F.struct("ts", "event_id")
+    bars = e.groupBy("hour_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trades"),
+        F.min_by("v_u", ordk).cast("long").alias("open_u"),
+        F.max("v_u").cast("long").alias("high_u"),
+        F.min("v_u").cast("long").alias("low_u"),
+        F.max_by("v_u", ordk).cast("long").alias("close_u"),
+        F.sum("v_u").cast("long").alias("sum_u"),
+    )
+    _OHLC_SINK_SEQ[0] += 1
+    name = f"q_stream_ohlc_sink_{_OHLC_SINK_SEQ[0]}"
+    q = (
+        bars.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drained = q.awaitTermination(300)
+    q.stop()
+    if not drained:
+        raise RuntimeError(
+            "q_stream_ohlc: availableNow drain timed out after 300s — "
+            "refusing to compare a partially-filled sink against the oracle"
+        )
+    sink = spark.table(name)
+    return sink.select(
+        "hour_ts",
+        "n_trades",
+        "open_u",
+        "high_u",
+        "low_u",
+        "close_u",
+        "sum_u",
+        _rnd(F.col("sum_u") / 100.0 / F.col("n_trades"), 4).alias(
+            "avg_value"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -8464,6 +8545,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_weighted_median": q_weighted_median,
     "q_zipf_fit": q_zipf_fit,
     "q_rfm_segments": q_rfm_segments,
+    "q_stream_ohlc": q_stream_ohlc,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -8600,6 +8682,8 @@ ORACLES: dict[str, str] = {
     "q_weighted_median": _SQL_WEIGHTED_MEDIAN,
     "q_zipf_fit": _SQL_ZIPF_FIT,
     "q_rfm_segments": _SQL_RFM_SEGMENTS,
+    # identical oracle: stream bars must equal batch bars exactly
+    "q_stream_ohlc": _SQL_OHLC_BARS,
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

@@ -2400,3 +2400,16 @@ def test_rfm_segments_partition_users(spark, sf_dir):
             per[r[axis]] = per.get(r[axis], 0) + r.n_users
         assert set(per) == {1, 2, 3, 4, 5}
         assert max(per.values()) - min(per.values()) <= 1
+
+
+def test_stream_ohlc_equals_batch(spark, sf_dir):
+    """The streaming bars must be row-identical to the batch query —
+    the exactly-once / order-insensitivity contract of the sink."""
+    from nyc_taxi_data_warehouse_spark.queries_data import (
+        q_ohlc_bars,
+        q_stream_ohlc,
+    )
+
+    batch = {tuple(r) for r in q_ohlc_bars(spark, sf_dir).collect()}
+    stream = {tuple(r) for r in q_stream_ohlc(spark, sf_dir).collect()}
+    assert stream == batch and stream
