@@ -8485,6 +8485,268 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard similarity between event-type user-day sets estimated
+    from KMV sketches — the direct-ratio companion to q_hll_overlap's
+    inclusion-exclusion: J ≈ |B_k(A∪B) ∩ A ∩ B| / |B_k(A∪B)| (Beyer et
+    al. 2007 §5; for h in the union's bottom-k, h ∈ A ⟺ h ∈ B_k(A) since
+    the union's k-th hash is ≤ A's k-th hash, so sketch membership IS
+    set membership there).  All pair work runs over ≤ k rows per pair —
+    the k·(k−1)/2 cross-source similarity matrix from fixed-size
+    sketches; exact Jaccards ride along as verification."""
+    from .operators import sketches
+
+    ev = load_tables(spark, sf_dir)["events"]
+    base = ev.select(
+        "event_type",
+        F.concat_ws("#", F.col("user_id"), F.to_date("ts")).alias("v"),
+    )
+    bott = sketches.kmv_bottom_k(base, "v", ("event_type",), _KMV_K).persist()
+    tp = bott.select("event_type").distinct()
+    pairs = (
+        tp.select(F.col("event_type").alias("src_a"))
+        .crossJoin(tp.select(F.col("event_type").alias("src_b")))
+        .where(F.col("src_a") < F.col("src_b"))
+    )
+    sides = bott.join(
+        F.broadcast(pairs), F.col("event_type") == F.col("src_a")
+    ).select("src_a", "src_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")).unionByName(
+        bott.join(
+            F.broadcast(pairs), F.col("event_type") == F.col("src_b")
+        ).select(
+            "src_a", "src_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+        )
+    )
+    merged = sides.groupBy("src_a", "src_b", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    w = Window.partitionBy("src_a", "src_b").orderBy("h")
+    unionk = merged.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= _KMV_K
+    )
+    est = unionk.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_k"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long"))
+        .cast("long")
+        .alias("n_match"),
+    )
+    du = base.distinct()
+    ex_sizes = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    inter = (
+        du.alias("x")
+        .join(du.alias("y"), "v")
+        .where(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("src_a"),
+            F.col("y.event_type").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    exact = (
+        pairs.join(
+            F.broadcast(ex_sizes.withColumnRenamed("event_type", "src_a")),
+            "src_a",
+        )
+        .withColumnRenamed("sz", "sz_a")
+        .join(
+            F.broadcast(ex_sizes.withColumnRenamed("event_type", "src_b")),
+            "src_b",
+        )
+        .withColumnRenamed("sz", "sz_b")
+        .join(inter, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce(F.col("n_inter"), F.lit(0)).cast("long").alias(
+                "n_inter"
+            ),
+            (F.col("sz_a") + F.col("sz_b")).alias("__szsum"),
+        )
+    )
+    return est.join(exact, ["src_a", "src_b"]).select(
+        "src_a",
+        "src_b",
+        "n_union_k",
+        "n_match",
+        _rnd(F.col("n_match") / F.col("n_union_k").cast("double"), 6).alias(
+            "j_est"
+        ),
+        _rnd(
+            F.col("n_inter")
+            / (F.col("__szsum") - F.col("n_inter")).cast("double"),
+            6,
+        ).alias("j_exact"),
+    )
+
+
+_SQL_KMV_JACCARD = f"""
+WITH base AS (
+    SELECT event_type,
+           CAST(user_id AS VARCHAR) || '#' ||
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS v
+    FROM events
+),
+h AS (
+    SELECT DISTINCT event_type,
+           CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h
+    FROM base
+),
+rb AS (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM h
+),
+bott AS (SELECT event_type, h FROM rb WHERE rn <= {_KMV_K}),
+tp AS (SELECT DISTINCT event_type FROM bott),
+pairs AS (
+    SELECT a.event_type AS src_a, b.event_type AS src_b
+    FROM tp a, tp b WHERE a.event_type < b.event_type
+),
+merged AS (
+    SELECT p.src_a, p.src_b, t.h,
+           max(CASE WHEN t.event_type = p.src_a THEN 1 ELSE 0 END) AS in_a,
+           max(CASE WHEN t.event_type = p.src_b THEN 1 ELSE 0 END) AS in_b
+    FROM pairs p JOIN bott t
+      ON t.event_type IN (p.src_a, p.src_b)
+    GROUP BY 1, 2, 3
+),
+unionk AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+                                     ORDER BY h) AS rn
+        FROM merged
+    ) WHERE rn <= {_KMV_K}
+),
+est AS (
+    SELECT src_a, src_b,
+           CAST(count(*) AS BIGINT) AS n_union_k,
+           CAST(sum(in_a * in_b) AS BIGINT) AS n_match
+    FROM unionk GROUP BY 1, 2
+),
+du AS (SELECT DISTINCT event_type, v FROM base),
+sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS sz FROM du GROUP BY 1),
+inter AS (
+    SELECT x.event_type AS src_a, y.event_type AS src_b,
+           CAST(count(*) AS BIGINT) AS n_inter
+    FROM du x JOIN du y ON x.v = y.v AND x.event_type < y.event_type
+    GROUP BY 1, 2
+)
+SELECT e.src_a, e.src_b, e.n_union_k, e.n_match,
+       round(1e-9 + e.n_match / CAST(e.n_union_k AS DOUBLE), 6) AS j_est,
+       round(1e-9 + coalesce(i.n_inter, 0)
+             / CAST(a.sz + b.sz - coalesce(i.n_inter, 0) AS DOUBLE), 6)
+           AS j_exact
+FROM est e
+JOIN sz a ON a.event_type = e.src_a
+JOIN sz b ON b.event_type = e.src_b
+LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b"""
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-centroid drift per label vs the global centroid — the
+    embedding-health monitor beside per-dim q_embedding_stats: cosine is
+    computed directly on the exact INTEGER per-dim sums (cosine is
+    scale-invariant, so Σx works in place of the mean — no division
+    enters the angle), the L2 mean-shift accumulates per-dim double
+    terms whose 64-term sum is epsilon-rounded before the final sqrt.
+    One posexplode + two bounded aggregations (dims × labels rows);
+    detects a source/label whose embedding distribution walked away from
+    the corpus — the SemDeDup/IVF health preflight."""
+    e = _emb(spark, sf_dir)
+    q = _scale_out(e).select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("x").cast("double") * _KMEANS_QUANT)
+        .cast("long")
+        .alias("xq"),
+    )
+    per = q.groupBy("label", "dim").agg(
+        F.sum("xq").cast("long").alias("s_l")
+    )
+    glob = per.groupBy("dim").agg(F.sum("s_l").cast("long").alias("s_g"))
+    nl = e.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_l"))
+    n = e.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    j = (
+        per.join(F.broadcast(glob), "dim")
+        .join(F.broadcast(nl), "label")
+        .crossJoin(F.broadcast(n))
+    )
+    diff = (
+        F.col("s_l").cast("double") / F.col("n_l")
+        - F.col("s_g").cast("double") / F.col("n_all")
+    ) / F.lit(float(_KMEANS_QUANT))
+    agg = j.groupBy("label").agg(
+        F.first("n_l").alias("n_vecs"),
+        F.sum(F.col("s_l") * F.col("s_g")).cast("long").alias("__dot"),
+        F.sum(F.col("s_l") * F.col("s_l")).cast("long").alias("__a2"),
+        F.sum(F.col("s_g") * F.col("s_g")).cast("long").alias("__b2"),
+        _rnd(F.sum(diff * diff), 6).alias("__l2sq"),
+    )
+    return agg.select(
+        "label",
+        "n_vecs",
+        _rnd(
+            F.col("__dot")
+            / (
+                F.sqrt(F.col("__a2").cast("double"))
+                * F.sqrt(F.col("__b2").cast("double"))
+            ),
+            6,
+        ).alias("cos_to_global"),
+        _rnd(F.sqrt(F.col("__l2sq")), 6).alias("l2_shift"),
+    )
+
+
+_SQL_EMBEDDING_DRIFT = f"""
+WITH u AS (
+    SELECT label, unnest(list_transform(
+        range(1, len(embedding) + 1),
+        i -> {{'i': i, 'x': embedding[i]}})) AS e
+    FROM embeddings
+),
+q AS (
+    SELECT label, e.i - 1 AS dim,
+           CAST(floor(CAST(e.x AS DOUBLE) * {_KMEANS_QUANT}) AS BIGINT) AS xq
+    FROM u
+),
+per AS (
+    SELECT label, dim, CAST(sum(xq) AS BIGINT) AS s_l
+    FROM q GROUP BY 1, 2
+),
+gsum AS (SELECT dim, CAST(sum(s_l) AS BIGINT) AS s_g FROM per GROUP BY 1),
+nl AS (
+    SELECT label, CAST(count(*) AS BIGINT) AS n_l FROM embeddings GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM embeddings),
+j AS (
+    SELECT p.label, p.s_l, g.s_g, nl.n_l, n.n_all
+    FROM per p JOIN gsum g USING (dim) JOIN nl USING (label), n
+),
+agg AS (
+    SELECT label,
+           CAST(max(n_l) AS BIGINT) AS n_vecs,
+           CAST(sum(s_l * s_g) AS BIGINT) AS dot,
+           CAST(sum(s_l * s_l) AS BIGINT) AS a2,
+           CAST(sum(s_g * s_g) AS BIGINT) AS b2,
+           round(1e-9 + sum(
+               ((CAST(s_l AS DOUBLE) / n_l - CAST(s_g AS DOUBLE) / n_all)
+                / {float(_KMEANS_QUANT)!r})
+               * ((CAST(s_l AS DOUBLE) / n_l - CAST(s_g AS DOUBLE) / n_all)
+                  / {float(_KMEANS_QUANT)!r})), 6) AS l2sq
+    FROM j GROUP BY 1
+)
+SELECT label, n_vecs,
+       round(1e-9 + dot / (sqrt(CAST(a2 AS DOUBLE))
+                           * sqrt(CAST(b2 AS DOUBLE))), 6)
+           AS cos_to_global,
+       round(1e-9 + sqrt(l2sq), 6) AS l2_shift
+FROM agg"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -8546,6 +8808,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_zipf_fit": q_zipf_fit,
     "q_rfm_segments": q_rfm_segments,
     "q_stream_ohlc": q_stream_ohlc,
+    "q_kmv_jaccard": q_kmv_jaccard,
+    "q_embedding_drift": q_embedding_drift,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -8684,6 +8948,8 @@ ORACLES: dict[str, str] = {
     "q_rfm_segments": _SQL_RFM_SEGMENTS,
     # identical oracle: stream bars must equal batch bars exactly
     "q_stream_ohlc": _SQL_OHLC_BARS,
+    "q_kmv_jaccard": _SQL_KMV_JACCARD,
+    "q_embedding_drift": _SQL_EMBEDDING_DRIFT,
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

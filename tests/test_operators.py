@@ -2413,3 +2413,45 @@ def test_stream_ohlc_equals_batch(spark, sf_dir):
     batch = {tuple(r) for r in q_ohlc_bars(spark, sf_dir).collect()}
     stream = {tuple(r) for r in q_stream_ohlc(spark, sf_dir).collect()}
     assert stream == batch and stream
+
+
+def test_kmv_jaccard_estimates_track_exact(spark, sf_dir):
+    """j_est must sit within the KMV error envelope of j_exact, and the
+    sketch never invents similarity for near-disjoint sets."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_kmv_jaccard
+
+    rows = q_kmv_jaccard(spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    for r in rows:
+        assert 0 <= r.j_est <= 1 and 0 <= r.j_exact <= 1
+        assert r.n_match <= r.n_union_k
+        # se ~ sqrt(J(1-J)/k) <= 0.0625 at k=64; allow 4x
+        assert abs(r.j_est - r.j_exact) < 0.25
+
+
+def test_embedding_drift_numpy_parity(spark, sf_dir):
+    import numpy as np
+
+    from nyc_taxi_data_warehouse_spark.queries_data import (
+        _KMEANS_QUANT,
+        q_embedding_drift,
+    )
+
+    rows = {r.label: r for r in q_embedding_drift(spark, sf_dir).collect()}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(
+            np.floor(np.array(r.embedding, dtype=np.float64) * _KMEANS_QUANT)
+        )
+    allv = [v for vs in by_label.values() for v in vs]
+    g = np.sum(allv, axis=0)
+    gm = g / len(allv)
+    for label, vs in by_label.items():
+        s = np.sum(vs, axis=0)
+        cos = float(s @ g / (np.linalg.norm(s) * np.linalg.norm(g)))
+        l2 = float(np.linalg.norm((s / len(vs) - gm) / _KMEANS_QUANT))
+        got = rows[label]
+        assert got.n_vecs == len(vs)
+        assert abs(got.cos_to_global - cos) < 1e-4
+        assert abs(got.l2_shift - l2) < 1e-4
