@@ -8747,6 +8747,178 @@ SELECT label, n_vecs,
 FROM agg"""
 
 
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-event analysis — the funnel's latency half: per user, the
+    gap from first view to first purchase (users who purchased after
+    viewing), summarized as exact type-1 quartiles over integer seconds
+    plus the exact-ratio mean.  The quartiles come from the same
+    conditional-min-over-cumulative-CDF shape as q_weighted_median
+    (value-bucketed windows via `sampling.bucketed_value_cumsum`, no
+    corpus sort); thresholds are cross-multiplied integers.  One
+    user-grain aggregation is the only event-sized pass."""
+    from .operators import sampling
+
+    ev = load_tables(spark, sf_dir)["events"]
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", t_us)).alias("__v"),
+        F.min(F.when(F.col("event_type") == "purchase", t_us)).alias("__p"),
+    )
+    ttc = per_user.where(
+        F.col("__v").isNotNull()
+        & F.col("__p").isNotNull()
+        & (F.col("__p") >= F.col("__v"))
+    ).select(
+        ((F.col("__p") - F.col("__v")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("ttc_s")
+    )
+    cum = sampling.bucketed_value_cumsum(ttc, "ttc_s", ())
+    tot = cum.agg(
+        F.sum("__c").cast("long").alias("n_users"),
+        F.sum(F.col("__v") * F.col("__c")).cast("long").alias("sum_s"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    return j.agg(
+        F.first("n_users").alias("n_users"),
+        F.min(
+            F.when(4 * F.col("__cle") >= F.col("n_users"), F.col("__v"))
+        )
+        .cast("long")
+        .alias("p25_s"),
+        F.min(
+            F.when(2 * F.col("__cle") >= F.col("n_users"), F.col("__v"))
+        )
+        .cast("long")
+        .alias("median_s"),
+        F.min(
+            F.when(4 * F.col("__cle") >= 3 * F.col("n_users"), F.col("__v"))
+        )
+        .cast("long")
+        .alias("p75_s"),
+        _rnd(
+            F.first("sum_s") / F.first("n_users").cast("double"), 4
+        ).alias("mean_s"),
+    )
+
+
+_SQL_TIME_TO_CONVERT = """
+WITH per_user AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+           min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+    FROM events GROUP BY 1
+),
+ttc AS (
+    SELECT CAST((p - v) // 1000000 AS BIGINT) AS ttc_s
+    FROM per_user
+    WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+),
+vc AS (SELECT ttc_s AS v, CAST(count(*) AS BIGINT) AS c FROM ttc GROUP BY 1),
+cum AS (
+    SELECT v, c,
+           CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cle
+    FROM vc
+),
+tot AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n_users,
+           CAST(sum(v * c) AS BIGINT) AS sum_s
+    FROM vc
+)
+SELECT t.n_users,
+       CAST(min(CASE WHEN 4 * c.cle >= t.n_users THEN c.v END)
+            AS BIGINT) AS p25_s,
+       CAST(min(CASE WHEN 2 * c.cle >= t.n_users THEN c.v END)
+            AS BIGINT) AS median_s,
+       CAST(min(CASE WHEN 4 * c.cle >= 3 * t.n_users THEN c.v END)
+            AS BIGINT) AS p75_s,
+       round(1e-9 + t.sum_s / CAST(t.n_users AS DOUBLE), 4) AS mean_s
+FROM cum c, tot t GROUP BY t.n_users, t.sum_s"""
+
+
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree/reciprocity profile of the zone transition graph — the
+    graph-observability preflight for PageRank/triangle runs: per-zone
+    distinct out/in degree and reciprocated-edge count (A→B with B→A),
+    from the distinct edge table only (one self-join on the reversed
+    key, all equi-joins; fact touched once)."""
+    from .plans import nyc_views, staging
+
+    li = staging.stg_taxi_trips(
+        nyc_views.trips_from_events(load_tables(spark, sf_dir)["events"])
+    )
+    e = (
+        li.select(
+            F.col("pickup_zone_id").alias("src"),
+            F.col("dropoff_zone_id").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()  # three consumers; edge-table-sized
+    )
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).withColumn("__r", F.lit(1))
+    recip = (
+        e.join(rev, ["src", "dst"], "left")
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("out_deg"),
+            F.sum(F.coalesce(F.col("__r"), F.lit(0)))
+            .cast("long")
+            .alias("n_reciprocal"),
+        )
+    )
+    ind = e.groupBy(F.col("dst").alias("src")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg")
+    )
+    return (
+        recip.join(ind, "src", "full")
+        .select(
+            F.col("src").cast("long").alias("zone_id"),
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            F.coalesce("n_reciprocal", F.lit(0))
+            .cast("long")
+            .alias("n_reciprocal"),
+        )
+    )
+
+
+from .plans.nyc_views import SQL_TRIPS as _SQL_TRIPS_BLOCK  # noqa: E402
+from .plans.staging import SQL_STG_TRIPS as _SQL_STG_TRIPS_BLOCK  # noqa: E402
+
+_SQL_GRAPH_DEGREE = (
+    "WITH "
+    + _SQL_TRIPS_BLOCK.strip().rstrip(",")
+    + ",\n"
+    + _SQL_STG_TRIPS_BLOCK.strip().rstrip(",")
+    + """,
+e AS (
+    SELECT DISTINCT pickup_zone_id AS src, dropoff_zone_id AS dst
+    FROM stg_trips WHERE pickup_zone_id <> dropoff_zone_id
+),
+recip AS (
+    SELECT e.src,
+           CAST(count(*) AS BIGINT) AS out_deg,
+           CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reciprocal
+    FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
+    GROUP BY 1
+),
+ind AS (
+    SELECT dst AS src, CAST(count(*) AS BIGINT) AS in_deg
+    FROM e GROUP BY 1
+)
+SELECT CAST(coalesce(recip.src, ind.src) AS BIGINT) AS zone_id,
+       CAST(coalesce(out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg,
+       CAST(coalesce(n_reciprocal, 0) AS BIGINT) AS n_reciprocal
+FROM recip FULL OUTER JOIN ind ON recip.src = ind.src"""
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -8810,6 +8982,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_ohlc": q_stream_ohlc,
     "q_kmv_jaccard": q_kmv_jaccard,
     "q_embedding_drift": q_embedding_drift,
+    "q_time_to_convert": q_time_to_convert,
+    "q_graph_degree": q_graph_degree,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -8950,6 +9124,8 @@ ORACLES: dict[str, str] = {
     "q_stream_ohlc": _SQL_OHLC_BARS,
     "q_kmv_jaccard": _SQL_KMV_JACCARD,
     "q_embedding_drift": _SQL_EMBEDDING_DRIFT,
+    "q_time_to_convert": _SQL_TIME_TO_CONVERT,
+    "q_graph_degree": _SQL_GRAPH_DEGREE,
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

@@ -2455,3 +2455,40 @@ def test_embedding_drift_numpy_parity(spark, sf_dir):
         assert got.n_vecs == len(vs)
         assert abs(got.cos_to_global - cos) < 1e-4
         assert abs(got.l2_shift - l2) < 1e-4
+
+
+def test_time_to_convert_quartiles_match_sorted_list(spark, sf_dir):
+    from nyc_taxi_data_warehouse_spark.queries_data import q_time_to_convert
+
+    got = q_time_to_convert(spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", t)).alias("v"),
+            F.min(F.when(F.col("event_type") == "purchase", t)).alias("p"),
+        )
+        .where("v IS NOT NULL AND p IS NOT NULL AND p >= v")
+        .collect()
+    )
+    import math as _m
+
+    vals = sorted((r.p - r.v) // 1_000_000 for r in per)
+    n = len(vals)
+    assert got.n_users == n
+    assert got.p25_s == vals[_m.ceil(n / 4) - 1]
+    assert got.median_s == vals[_m.ceil(n / 2) - 1]
+    assert got.p75_s == vals[_m.ceil(3 * n / 4) - 1]
+    assert abs(got.mean_s - sum(vals) / n) < 1e-3
+    assert got.p25_s <= got.median_s <= got.p75_s
+
+
+def test_graph_degree_totals_and_reciprocity_bounds(spark, sf_dir):
+    from nyc_taxi_data_warehouse_spark.queries_data import q_graph_degree
+
+    rows = q_graph_degree(spark, sf_dir).collect()
+    # handshake: sum of out-degrees == sum of in-degrees == |E|
+    assert sum(r.out_deg for r in rows) == sum(r.in_deg for r in rows) > 0
+    for r in rows:
+        assert 0 <= r.n_reciprocal <= r.out_deg
