@@ -108,6 +108,17 @@ HEADLINE = [
     "q_ks_drift",
     "q_market_basket",
     "q_pca_power",
+    # round-7 third continuation: representatives of the final wave —
+    # the single-pass Poisson bootstrap (B-explode folding to B partial
+    # sums), the KMV bottom-k distinct sketch, the Misra-Gries mergeable
+    # heavy hitters, the sliding-window HLL register re-use, the hybrid
+    # lexical+vector RRF fusion, and the bucketed watermark audit
+    "q_bootstrap_ci",
+    "q_kmv_distinct",
+    "q_mg_topk",
+    "q_sliding_distinct",
+    "q_rrf_fusion",
+    "q_watermark_audit",
 ]
 
 # The FIXED baseline-comparable subset: exactly the 30 queries of the first
