@@ -8919,6 +8919,211 @@ FROM recip FULL OUTER JOIN ind ON recip.src = ind.src"""
 )
 
 
+_MICROAGG_K = 10
+
+
+def q_microagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Microaggregation — the k-anonymization TRANSFORM completing the
+    governance family (the audits say who is exposed; this actually
+    anonymizes): order totals sorted on the value axis are grouped into
+    runs of k=10 adjacent rows (last group absorbs the remainder) and
+    each group releases only (size, mean, min, max).  No row-level
+    global sort: the value-CDF (`sampling.bucketed_value_cumsum`) gives
+    each DISTINCT value its ordinal interval [cle−c, cle−1], the
+    covered group ids follow arithmetically (a tiny bounded explode of
+    value rows across ≤2 groups), and per-group stats are one
+    aggregation.  Every group-size column verifies ≥ k."""
+    from .operators import sampling
+
+    od = load_tables(spark, sf_dir)["orders"]
+    base = od.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_u")
+    )
+    cum = sampling.bucketed_value_cumsum(base, "price_u", ())
+    tot = cum.agg(F.sum("__c").cast("long").alias("n"))
+    k = F.lit(_MICROAGG_K)
+    j = cum.crossJoin(F.broadcast(tot))
+    ng = F.greatest(F.col("n") / k, F.lit(1)).cast("long")  # n div k
+    lo_ord = F.col("__cle") - F.col("__c")
+    hi_ord = F.col("__cle") - 1
+    g_lo = F.least((lo_ord / k).cast("long"), ng - 1)
+    g_hi = F.least((hi_ord / k).cast("long"), ng - 1)
+    ex = j.select(
+        F.col("__v"),
+        F.col("__c"),
+        lo_ord.alias("__lo"),
+        hi_ord.alias("__hi"),
+        F.col("n"),
+        ng.alias("__ng"),
+        F.explode(F.sequence(g_lo, g_hi)).alias("group_id"),
+    )
+    g_start = F.col("group_id") * k
+    g_end = F.when(
+        F.col("group_id") == F.col("__ng") - 1, F.col("n") - 1
+    ).otherwise((F.col("group_id") + 1) * k - 1)
+    overlap = (
+        F.least(g_end, F.col("__hi")) - F.greatest(g_start, F.col("__lo")) + 1
+    )
+    per = ex.select(
+        "group_id", "__v", overlap.cast("long").alias("__o")
+    ).groupBy("group_id").agg(
+        F.sum("__o").cast("long").alias("n_rows"),
+        F.sum(F.col("__o") * F.col("__v")).cast("long").alias("__s"),
+        F.min("__v").cast("long").alias("min_u"),
+        F.max("__v").cast("long").alias("max_u"),
+    )
+    return per.select(
+        F.col("group_id").cast("long").alias("group_id"),
+        "n_rows",
+        _rnd(F.col("__s") / 100.0 / F.col("n_rows"), 4).alias("mean_price"),
+        "min_u",
+        "max_u",
+        (F.col("n_rows") >= _MICROAGG_K).cast("int").alias("k_ok"),
+    )
+
+
+_SQL_MICROAGG = f"""
+WITH base AS (
+    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_u
+    FROM orders
+),
+vc AS (
+    SELECT price_u AS v, CAST(count(*) AS BIGINT) AS c
+    FROM base GROUP BY 1
+),
+cum AS (
+    SELECT v, c,
+           CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cle
+    FROM vc
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vc),
+ex AS (
+    SELECT v, c, cle - c AS lo, cle - 1 AS hi, n,
+           greatest(n // {_MICROAGG_K}, 1) AS ng,
+           unnest(range(least((cle - c) // {_MICROAGG_K},
+                              greatest(n // {_MICROAGG_K}, 1) - 1),
+                        least((cle - 1) // {_MICROAGG_K},
+                              greatest(n // {_MICROAGG_K}, 1) - 1) + 1))
+               AS group_id
+    FROM cum, tot
+),
+per AS (
+    SELECT group_id,
+           CAST(sum(least(CASE WHEN group_id = ng - 1 THEN n - 1
+                               ELSE (group_id + 1) * {_MICROAGG_K} - 1 END,
+                          hi)
+                    - greatest(group_id * {_MICROAGG_K}, lo) + 1)
+                AS BIGINT) AS n_rows,
+           CAST(sum((least(CASE WHEN group_id = ng - 1 THEN n - 1
+                                ELSE (group_id + 1) * {_MICROAGG_K} - 1 END,
+                           hi)
+                     - greatest(group_id * {_MICROAGG_K}, lo) + 1) * v)
+                AS BIGINT) AS s,
+           CAST(min(v) AS BIGINT) AS min_u,
+           CAST(max(v) AS BIGINT) AS max_u
+    FROM ex GROUP BY 1
+)
+SELECT CAST(group_id AS BIGINT) AS group_id, n_rows,
+       round(1e-9 + s / 100.0 / n_rows, 4) AS mean_price,
+       min_u, max_u,
+       CAST(CASE WHEN n_rows >= {_MICROAGG_K} THEN 1 ELSE 0 END
+            AS INTEGER) AS k_ok
+FROM per"""
+
+
+_SLIDE_SINK_SEQ = [0]
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 sliding (overlapping) windows — the streaming surface the
+    tumbling q_stream_hourly doesn't touch: 2-hour windows sliding by
+    1 hour over the purchase feed, so every event lands in exactly two
+    windows.  Streaming state = one row per open window (bounded by the
+    time axis); counts and lattice sums are order-insensitive ⇒ the
+    availableNow replay is exactly-once.  The oracle restates the window
+    algebra relationally: each event fans out to its two covering
+    1h-grid starts."""
+    from pyspark.sql import types as ST
+
+    from .util import session_tmpdir
+
+    ev = load_tables(spark, sf_dir)["events"].where(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    src = session_tmpdir("purchase_feed_slide")
+    ev.select("event_id", "ts", "value").write.mode("overwrite").parquet(src)
+    schema = ST.StructType(
+        [
+            ST.StructField("event_id", ST.LongType()),
+            ST.StructField("ts", ST.TimestampNTZType()),
+            ST.StructField("value", ST.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("sum_u"),
+        )
+    )
+    _SLIDE_SINK_SEQ[0] += 1
+    name = f"q_stream_sliding_sink_{_SLIDE_SINK_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drained = q.awaitTermination(300)
+    q.stop()
+    if not drained:
+        raise RuntimeError(
+            "q_stream_sliding: availableNow drain timed out after 300s — "
+            "refusing to compare a partially-filled sink against the oracle"
+        )
+    sink = spark.table(name)
+    return sink.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "n_trades",
+        "sum_u",
+        _rnd(F.col("sum_u") / 100.0 / F.col("n_trades"), 4).alias(
+            "avg_value"
+        ),
+    )
+
+
+_SQL_STREAM_SLIDING = """
+WITH ev AS (
+    SELECT ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_u
+    FROM events
+    WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
+),
+fan AS (
+    SELECT date_trunc('hour', ts) - to_hours(o) AS win_start, v_u
+    FROM ev, (SELECT unnest([0, 1]) AS o)
+)
+SELECT win_start,
+       win_start + to_hours(2) AS win_end,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       CAST(sum(v_u) AS BIGINT) AS sum_u,
+       round(1e-9 + sum(v_u) / 100.0 / count(*), 4) AS avg_value
+FROM fan GROUP BY 1"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -8984,6 +9189,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_drift": q_embedding_drift,
     "q_time_to_convert": q_time_to_convert,
     "q_graph_degree": q_graph_degree,
+    "q_microagg": q_microagg,
+    "q_stream_sliding": q_stream_sliding,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -9126,6 +9333,8 @@ ORACLES: dict[str, str] = {
     "q_embedding_drift": _SQL_EMBEDDING_DRIFT,
     "q_time_to_convert": _SQL_TIME_TO_CONVERT,
     "q_graph_degree": _SQL_GRAPH_DEGREE,
+    "q_microagg": _SQL_MICROAGG,
+    "q_stream_sliding": _SQL_STREAM_SLIDING,
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

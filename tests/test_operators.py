@@ -2492,3 +2492,37 @@ def test_graph_degree_totals_and_reciprocity_bounds(spark, sf_dir):
     assert sum(r.out_deg for r in rows) == sum(r.in_deg for r in rows) > 0
     for r in rows:
         assert 0 <= r.n_reciprocal <= r.out_deg
+
+
+def test_microagg_partitions_sorted_rows_into_k_groups(spark, sf_dir):
+    """Groups tile the sorted multiset: sizes k (last absorbs remainder),
+    every k_ok set, ranges non-overlapping and ordered, totals reconcile."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_microagg
+
+    rows = sorted(q_microagg(spark, sf_dir).collect(), key=lambda r: r.group_id)
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = od.count()
+    assert sum(r.n_rows for r in rows) == n
+    assert len(rows) == max(n // 10, 1)
+    for r in rows[:-1]:
+        assert r.n_rows == 10
+    assert rows[-1].n_rows >= 10
+    assert all(r.k_ok == 1 for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_u <= b.min_u  # value-ordered, non-overlapping
+        assert a.min_u / 100 <= a.mean_price <= a.max_u / 100 + 1e-9
+
+
+def test_stream_sliding_every_event_in_two_windows(spark, sf_dir):
+    from nyc_taxi_data_warehouse_spark.queries_data import q_stream_sliding
+
+    rows = q_stream_sliding(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.where(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).count()
+    assert sum(r.n_trades for r in rows) == 2 * n
+    for r in rows:
+        assert (r.win_end - r.win_start).total_seconds() == 7200
