@@ -9124,6 +9124,77 @@ SELECT win_start,
 FROM fan GROUP BY 1"""
 
 
+_PHRASES = [("hash", "join"), ("scan", "filter"), ("join", "scan")]
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a POSITIONAL inverted index — the
+    retrieval capability the bag-of-words q_inverted_index / q_bm25 pair
+    can't express: a bigram phrase matches where the second term's
+    posting position equals the first's + 1, i.e. one equi-join of two
+    position-filtered posting lists on (doc, pos+1).  Per-phrase hit and
+    occurrence counts; at corpus scale this is the standard
+    positional-postings merge, sharded by term — the probe terms
+    broadcast, the index never re-sorts."""
+    d = _scale_out(_docs(spark, sf_dir).select("doc_id", "text"))
+    pos = d.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "term")
+    )
+    terms = sorted({t for p in _PHRASES for t in p})
+    pos = pos.where(F.col("term").isin(*terms)).persist()
+    phrases = spark.createDataFrame(
+        [(f"{a} {b}", a, b) for a, b in _PHRASES], "phrase string, t1 string, t2 string"
+    )
+    a = pos.join(
+        F.broadcast(phrases), F.col("term") == F.col("t1")
+    ).select("phrase", "t2", "doc_id", F.col("pos").alias("p1"))
+    b = pos.select(
+        F.col("term").alias("t2"),
+        F.col("doc_id").alias("doc_id"),
+        F.col("pos").alias("p2"),
+    )
+    hits = a.join(
+        b,
+        (a["t2"] == b["t2"])
+        & (a["doc_id"] == b["doc_id"])
+        & (b["p2"] == a["p1"] + 1),
+    )
+    return hits.groupBy("phrase").agg(
+        F.count_distinct(a["doc_id"]).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
+
+
+def _sql_phrase_search() -> str:
+    vals = ", ".join(f"('{a} {b}', '{a}', '{b}')" for a, b in _PHRASES)
+    return f"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, e.i - 1 AS pos, e.t AS term
+    FROM (
+        SELECT doc_id, unnest(list_transform(
+            range(1, len(w) + 1), i -> {{'i': i, 't': w[i]}})) AS e
+        FROM tok
+    )
+),
+ph AS (SELECT * FROM (VALUES {vals}) AS t(phrase, t1, t2)),
+hits AS (
+    SELECT ph.phrase, a.doc_id
+    FROM ph
+    JOIN pos a ON a.term = ph.t1
+    JOIN pos b ON b.term = ph.t2 AND b.doc_id = a.doc_id
+                AND b.pos = a.pos + 1
+)
+SELECT phrase,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM hits GROUP BY 1"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -9191,6 +9262,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_graph_degree": q_graph_degree,
     "q_microagg": q_microagg,
     "q_stream_sliding": q_stream_sliding,
+    "q_phrase_search": q_phrase_search,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -9335,6 +9407,7 @@ ORACLES: dict[str, str] = {
     "q_graph_degree": _SQL_GRAPH_DEGREE,
     "q_microagg": _SQL_MICROAGG,
     "q_stream_sliding": _SQL_STREAM_SLIDING,
+    "q_phrase_search": _sql_phrase_search(),
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

@@ -2526,3 +2526,23 @@ def test_stream_sliding_every_event_in_two_windows(spark, sf_dir):
     assert sum(r.n_trades for r in rows) == 2 * n
     for r in rows:
         assert (r.win_end - r.win_start).total_seconds() == 7200
+
+
+def test_phrase_search_matches_python_substring_scan(spark, sf_dir):
+    from nyc_taxi_data_warehouse_spark.queries_data import q_phrase_search
+
+    got = {r.phrase: (r.n_docs, r.n_occurrences) for r in q_phrase_search(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    for phrase in ("hash join", "scan filter", "join scan"):
+        a, b = phrase.split()
+        n_docs = n_occ = 0
+        for d in docs:
+            w = d.text.split()
+            c = sum(1 for i in range(len(w) - 1) if w[i] == a and w[i + 1] == b)
+            if c:
+                n_docs += 1
+                n_occ += c
+        if phrase in got:
+            assert got[phrase] == (n_docs, n_occ)
+        else:
+            assert n_docs == 0
