@@ -288,3 +288,110 @@ def test_quantile_bounds_exact_equals_naive_type1(spark, vals, nb):
         for i in range(1, nb)
     )
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(min_value=2, max_value=16),
+)
+@settings(**SETTINGS)
+def test_kmv_union_law_and_exact_below_k(spark, vals, k):
+    """Bottom-k of the union of per-group bottom-k tables == bottom-k of
+    the whole input, for ANY grouping; and with distinct(vals) <= k the
+    estimate is exactly the distinct count."""
+    from nyc_taxi_data_warehouse_spark.operators import sketches
+
+    rows = [(v, i % 3) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    per = sketches.kmv_bottom_k(df, "v", ("g",), k)
+    merged = sketches.kmv_merge([per.select("h")], (), k)
+    direct = sketches.kmv_bottom_k(df, "v", (), k)
+    assert sorted(r.h for r in merged.collect()) == sorted(
+        r.h for r in direct.collect()
+    )
+    nd = len(set(vals))
+    if nd <= k:
+        est = sketches.kmv_estimate_from_bottom(direct, (), k).collect()[0]
+        assert est.est_distinct == float(nd)
+
+
+@given(
+    counts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=1, max_value=40),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    k=st.integers(min_value=1, max_value=8),
+    shards=st.integers(min_value=1, max_value=4),
+)
+@settings(**SETTINGS)
+def test_mg_merge_theorem_on_random_multisets(spark, counts, k, shards):
+    """For random shard-partitioned multisets: every surviving key's
+    estimate never exceeds its true count and undershoots by at most
+    sum(shard deltas) + merge delta."""
+    from collections import Counter
+
+    from nyc_taxi_data_warehouse_spark.operators import sketches
+
+    truth = Counter()
+    rows = []
+    for i, (key, cnt) in enumerate(counts):
+        truth[key] += cnt
+        rows.append((i % shards, key, cnt))
+    df = spark.createDataFrame(rows, ["shard", "key", "cnt"]).groupBy(
+        "shard", "key"
+    ).agg(F.sum("cnt").cast("long").alias("cnt"))
+    ssum = sketches.mg_compress(df, "key", "cnt", ("shard",), k)
+    d1 = sketches.mg_deltas(df, "key", "cnt", ("shard",), k).agg(
+        F.sum("delta")
+    ).collect()[0][0]
+    merged = sketches.mg_merge(ssum.select("key", "weight"), (), k).collect()
+    assert len(merged) <= k
+    for r in merged:
+        under = truth[r.key] - r.weight
+        assert 0 <= under <= d1 + r.delta
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_bfs_hops_equals_python_bfs_on_random_digraphs(spark, edges):
+    from collections import deque
+
+    from nyc_taxi_data_warehouse_spark.operators import graph
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    src_node = min(a for a, _ in edges)
+    got = {
+        r.node: r.hops
+        for r in graph.bfs_hops(
+            df, spark.createDataFrame([(src_node,)], ["node"])
+        ).collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    want = {src_node: 0}
+    dq = deque([src_node])
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+    assert got == want
