@@ -9195,6 +9195,192 @@ SELECT phrase,
 FROM hits GROUP BY 1"""
 
 
+_CDC_W = 8  # rolling-window width for the boundary test
+_CDC_MOD = 64  # expected chunk length ~ mod (geometric)
+
+
+def q_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the backup-system / blob-dedup
+    primitive, Muthitacharoen LBFS 2001): a cut lands wherever the
+    md5 of the 8-char window at position p hits 0 mod 64, so chunk
+    boundaries depend on CONTENT, not offsets — the suffix-truncated
+    twin corpus (30 chars removed from the front) still shares almost
+    every chunk with its original, while fixed-64-char chunking loses
+    alignment and finds nothing.  Both strategies run side by side and
+    the output row per strategy carries total/distinct chunks, dup rate
+    and bytes saved — the quantitative case for CDC.  All relational:
+    position explode → boundary filter → per-doc cut ranking (per-doc
+    partitions) → substring + md5; no UDFs, no byte loops."""
+    corpus = _text_corpus(_docs(spark, sf_dir)).where(
+        F.length("text") >= _CDC_W
+    ).persist()  # feeds both strategies; cached until harness clearCache
+
+    # --- content-defined cuts: boundary at window START p ⇒ cut AFTER p-1
+    #     (chunk = [prev_cut+1, p-1]; cuts at p=1 are no-ops by range)
+    pos = corpus.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (_CDC_W - 1))
+        ).alias("p"),
+    )
+    bnd = pos.where(
+        F.conv(
+            F.substring(F.md5(F.expr(f"substring(text, p, {_CDC_W})")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _CDC_MOD
+        == 0
+    ).select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    cuts = bnd.select(
+        "doc_id",
+        (F.col("p") - 1).alias("end"),
+        F.coalesce(F.lag(F.col("p") - 1).over(w), F.lit(0)).alias("prev"),
+    ).where(F.col("end") > F.col("prev"))
+    tails = (
+        cuts.groupBy("doc_id")
+        .agg(F.max("end").alias("prev"))
+        .join(corpus, "doc_id")
+        .select("doc_id", F.length("text").alias("end"), "prev")
+        .where(F.col("end") > F.col("prev"))
+    )
+    nocut = (
+        corpus.join(bnd.select("doc_id").distinct(), "doc_id", "left_anti")
+        .select("doc_id", F.length("text").alias("end"), F.lit(0).alias("prev"))
+    )
+    cdc_chunks = (
+        cuts.unionByName(tails.select("doc_id", "end", "prev"))
+        .unionByName(nocut)
+        .join(corpus, "doc_id")
+        .select(
+            F.md5(
+                F.expr("substring(text, prev + 1, end - prev)")
+            ).alias("h"),
+            (F.col("end") - F.col("prev")).cast("long").alias("nbytes"),
+        )
+    )
+
+    # --- fixed-size 64-char chunks
+    fix_chunks = corpus.select(
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.length("text"), F.lit(_CDC_MOD)
+            )
+        ).alias("s"),
+    ).select(
+        F.md5(F.expr(f"substring(text, s, {_CDC_MOD})")).alias("h"),
+        F.least(
+            F.lit(_CDC_MOD), F.length("text") - F.col("s") + 1
+        )
+        .cast("long")
+        .alias("nbytes"),
+    )
+
+    def stats(chunks: DataFrame, label: str) -> DataFrame:
+        per = chunks.groupBy("h").agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.first("nbytes").alias("nb"),
+        )
+        return per.agg(
+            F.lit(label).alias("strategy"),
+            F.sum("c").cast("long").alias("n_chunks"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.col("c") * F.col("nb")).cast("long").alias("bytes_total"),
+            F.sum("nb").cast("long").alias("bytes_stored"),
+        )
+
+    out = stats(cdc_chunks, "cdc").unionByName(stats(fix_chunks, "fixed64"))
+    return out.select(
+        "strategy",
+        "n_chunks",
+        "n_distinct",
+        "bytes_total",
+        "bytes_stored",
+        _rnd(
+            (F.col("bytes_total") - F.col("bytes_stored"))
+            / F.col("bytes_total").cast("double"),
+            6,
+        ).alias("savings_pct"),
+    )
+
+
+_SQL_CDC_CHUNKING = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, substr(text, 31) AS text
+    FROM documents
+),
+c AS (SELECT * FROM corpus WHERE length(text) >= {_CDC_W}),
+pos AS (
+    SELECT doc_id, text, unnest(range(1, length(text) - {_CDC_W - 1} + 1))
+        AS p
+    FROM c
+),
+bnd AS (
+    SELECT doc_id, p FROM pos
+    WHERE CAST(('0x' || substr(md5(substr(text, p, {_CDC_W})), 1, 8))
+               AS BIGINT) % {_CDC_MOD} = 0
+),
+cuts AS (
+    SELECT doc_id, p - 1 AS e,
+           coalesce(lag(p - 1) OVER (PARTITION BY doc_id ORDER BY p), 0)
+               AS prev
+    FROM bnd
+),
+cuts_ok AS (SELECT * FROM cuts WHERE e > prev),
+tails AS (
+    SELECT k.doc_id, length(c.text) AS e, k.prev
+    FROM (SELECT doc_id, max(e) AS prev FROM cuts_ok GROUP BY 1) k
+    JOIN c USING (doc_id)
+    WHERE length(c.text) > k.prev
+),
+nocut AS (
+    SELECT c.doc_id, length(c.text) AS e, 0 AS prev
+    FROM c LEFT JOIN (SELECT DISTINCT doc_id FROM bnd) b USING (doc_id)
+    WHERE b.doc_id IS NULL
+),
+spans AS (
+    SELECT * FROM cuts_ok UNION ALL SELECT * FROM tails
+    UNION ALL SELECT * FROM nocut
+),
+cdc_chunks AS (
+    SELECT md5(substr(c.text, s.prev + 1, s.e - s.prev)) AS h,
+           CAST(s.e - s.prev AS BIGINT) AS nbytes
+    FROM spans s JOIN c USING (doc_id)
+),
+fix_chunks AS (
+    SELECT md5(substr(text, s, {_CDC_MOD})) AS h,
+           CAST(least({_CDC_MOD}, length(text) - s + 1) AS BIGINT) AS nbytes
+    FROM (
+        SELECT text, unnest(range(1, length(text) + 1, {_CDC_MOD})) AS s
+        FROM c
+    )
+),
+st1 AS (
+    SELECT 'cdc' AS strategy, h, CAST(count(*) AS BIGINT) AS cc,
+           CAST(max(nbytes) AS BIGINT) AS nb
+    FROM cdc_chunks GROUP BY 2
+),
+st2 AS (
+    SELECT 'fixed64' AS strategy, h, CAST(count(*) AS BIGINT) AS cc,
+           CAST(max(nbytes) AS BIGINT) AS nb
+    FROM fix_chunks GROUP BY 2
+),
+uni AS (SELECT * FROM st1 UNION ALL SELECT * FROM st2)
+SELECT strategy,
+       CAST(sum(cc) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(cc * nb) AS BIGINT) AS bytes_total,
+       CAST(sum(nb) AS BIGINT) AS bytes_stored,
+       round(1e-9 + (sum(cc * nb) - sum(nb))
+             / CAST(sum(cc * nb) AS DOUBLE), 6) AS savings_pct
+FROM uni GROUP BY 1"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -9263,6 +9449,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_microagg": q_microagg,
     "q_stream_sliding": q_stream_sliding,
     "q_phrase_search": q_phrase_search,
+    "q_cdc_chunking": q_cdc_chunking,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -9408,6 +9595,7 @@ ORACLES: dict[str, str] = {
     "q_microagg": _SQL_MICROAGG,
     "q_stream_sliding": _SQL_STREAM_SLIDING,
     "q_phrase_search": _sql_phrase_search(),
+    "q_cdc_chunking": _SQL_CDC_CHUNKING,
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

@@ -2546,3 +2546,33 @@ def test_phrase_search_matches_python_substring_scan(spark, sf_dir):
             assert got[phrase] == (n_docs, n_occ)
         else:
             assert n_docs == 0
+
+
+def test_cdc_chunking_beats_fixed_on_shifted_twins(spark, sf_dir):
+    """Content-defined cuts survive the twins' 30-char prefix shift;
+    fixed-size chunking loses alignment — the savings gap IS the
+    operator's reason to exist.  Byte accounting must reconcile."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_cdc_chunking
+
+    rows = {r.strategy: r for r in q_cdc_chunking(spark, sf_dir).collect()}
+    cdc, fix = rows["cdc"], rows["fixed64"]
+    assert cdc.savings_pct > 0.25 > fix.savings_pct
+    for r in (cdc, fix):
+        assert r.n_distinct <= r.n_chunks
+        assert r.bytes_stored <= r.bytes_total
+        assert abs(
+            r.savings_pct - (r.bytes_total - r.bytes_stored) / r.bytes_total
+        ) < 1e-4
+    # every input byte lands in exactly one chunk per strategy
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    total = sum(
+        len(d.text) + max(len(d.text) - 30, 0)
+        for d in docs
+        if len(d.text) >= 8
+    )
+    # twins shorter than 8 chars are excluded by the corpus filter
+    twin_short = sum(
+        1 for d in docs if 0 < max(len(d.text) - 30, 0) < 8
+    )
+    assert fix.bytes_total <= total
+    assert cdc.bytes_total == fix.bytes_total  # same corpus, full tiling
