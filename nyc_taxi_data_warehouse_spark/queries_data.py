@@ -9381,6 +9381,155 @@ SELECT strategy,
 FROM uni GROUP BY 1"""
 
 
+_LSH_BAND_SIZES = [1, 2, 4]  # r in the (b bands × r rows) S-curve
+_LSH_J_NUM, _LSH_J_DEN = 1, 2  # truth threshold J >= 1/2, as a rational
+
+
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-curve tuning table — precision/recall of the MinHash band
+    scheme at every (bands × rows) split of ONE 8-hash signature pass
+    (r=1: 8 bands, permissive; r=2: 4 bands; r=4: 2 bands, strict).
+    This is how the dedup threshold is actually chosen before a 100 TB
+    sweep: signatures are computed once, each config only re-groups the
+    same 8 columns into band hashes, and ground truth (exact shingle
+    Jaccard ≥ 1/2, decided by the cross-multiplied INTEGER comparison
+    (den+num)·n_common ≥ num·(sz_a+sz_b), never a float) is evaluated
+    only on shared-shingle pairs — a J ≥ 1/2 pair always shares
+    shingles, so the truth set is complete without an all-pairs scan."""
+    from .operators import dedup as dd
+
+    sh = dd.shingle_rows(_text_corpus(_docs(spark, sf_dir))).persist()
+    sig = dd.minhash_signatures(sh, num_hashes=_NH).persist()
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    truth = (
+        inter.join(sz.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(sz.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("sz", "sz_b")
+        .where(
+            (_LSH_J_DEN + _LSH_J_NUM) * F.col("nc")
+            >= _LSH_J_NUM * (F.col("sz_a") + F.col("sz_b"))
+        )
+        .select("doc_a", "doc_b", F.lit(1).alias("__t"))
+        .persist()
+    )
+    tn = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    stats = None
+    for bs in _LSH_BAND_SIZES:
+        cand = dd.lsh_candidate_pairs(
+            dd.lsh_bands(sig, num_hashes=_NH, band_size=bs)
+        )
+        st = (
+            cand.join(truth, ["doc_a", "doc_b"], "left")
+            .agg(
+                F.lit(bs).cast("int").alias("rows_per_band"),
+                F.lit(_NH // bs).cast("int").alias("n_bands"),
+                F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                F.sum(F.coalesce(F.col("__t"), F.lit(0)))
+                .cast("long")
+                .alias("tp"),
+            )
+        )
+        stats = st if stats is None else stats.unionByName(st)
+    return stats.crossJoin(F.broadcast(tn)).select(
+        "rows_per_band",
+        "n_bands",
+        "n_candidates",
+        "n_truth",
+        "tp",
+        _rnd(F.col("tp") / F.col("n_candidates").cast("double"), 6).alias(
+            "precision"
+        ),
+        _rnd(F.col("tp") / F.col("n_truth").cast("double"), 6).alias(
+            "recall"
+        ),
+    )
+
+
+def _sql_lsh_tuning() -> str:
+    parts = []
+    for bs in _LSH_BAND_SIZES:
+        bands = "\n    UNION ALL\n".join(
+            "    SELECT doc_id, {b} AS band, md5({cat}) AS bh FROM sig".format(
+                b=b,
+                cat=" || ".join(f"h{i}" for i in range(b * bs, (b + 1) * bs)),
+            )
+            for b in range(_NH // bs)
+        )
+        parts.append(f"""
+bands{bs} AS (
+{bands}
+),
+cand{bs} AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands{bs} a JOIN bands{bs} b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+st{bs} AS (
+    SELECT CAST({bs} AS INTEGER) AS rows_per_band,
+           CAST({_NH // bs} AS INTEGER) AS n_bands,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp
+    FROM cand{bs} c
+    LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)""")
+    sig_cols = ",\n        ".join(
+        f"min(substr(md5(shingle || '#{i // 4}'), {(i % 4) * 8 + 1}, 8))"
+        f" AS h{i}"
+        for i in range(_NH)
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT s.*, n.n_truth FROM st{bs} s, tn n"
+        for bs in _LSH_BAND_SIZES
+    )
+    return (
+        "WITH "
+        + ",".join([SQL_CORPUS, SQL_TOK, SQL_SH])
+        + f""",
+sig AS (
+    SELECT doc_id,
+        {sig_cols}
+    FROM sh GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS nc
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+truth AS (
+    SELECT i.doc_a, i.doc_b
+    FROM inter i
+    JOIN sz a ON a.doc_id = i.doc_a
+    JOIN sz b ON b.doc_id = i.doc_b
+    WHERE {_LSH_J_DEN + _LSH_J_NUM} * i.nc
+          >= {_LSH_J_NUM} * (a.sz + b.sz)
+),
+tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),"""
+        + ",".join(parts)
+        + f"""
+SELECT rows_per_band, n_bands, n_candidates, n_truth, tp,
+       round(1e-9 + tp / CAST(n_candidates AS DOUBLE), 6) AS precision,
+       round(1e-9 + tp / CAST(n_truth AS DOUBLE), 6) AS recall
+FROM ({unions})"""
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -9450,6 +9599,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_sliding": q_stream_sliding,
     "q_phrase_search": q_phrase_search,
     "q_cdc_chunking": q_cdc_chunking,
+    "q_lsh_tuning": q_lsh_tuning,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -9596,6 +9746,7 @@ ORACLES: dict[str, str] = {
     "q_stream_sliding": _SQL_STREAM_SLIDING,
     "q_phrase_search": _sql_phrase_search(),
     "q_cdc_chunking": _SQL_CDC_CHUNKING,
+    "q_lsh_tuning": _sql_lsh_tuning(),
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

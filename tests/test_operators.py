@@ -2576,3 +2576,23 @@ def test_cdc_chunking_beats_fixed_on_shifted_twins(spark, sf_dir):
     )
     assert fix.bytes_total <= total
     assert cdc.bytes_total == fix.bytes_total  # same corpus, full tiling
+
+
+def test_lsh_tuning_s_curve_monotonicity(spark, sf_dir):
+    """More rows per band => stricter: candidates and recall can only
+    shrink, precision can only grow (the S-curve), and every config's
+    candidate set is sound (tp <= min(n_candidates, n_truth))."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_lsh_tuning
+
+    rows = sorted(
+        q_lsh_tuning(spark, sf_dir).collect(), key=lambda r: r.rows_per_band
+    )
+    assert [r.rows_per_band for r in rows] == [1, 2, 4]
+    assert all(r.n_truth == rows[0].n_truth for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_candidates >= b.n_candidates
+        assert a.recall >= b.recall
+        assert a.precision <= b.precision + 1e-9
+    for r in rows:
+        assert r.tp <= min(r.n_candidates, r.n_truth)
+    assert rows[0].recall > 0.9  # r=1 is near-exhaustive on twin pairs
