@@ -72,6 +72,7 @@ _CHECK_FIRST = [
 _CHECK_LAST = [
     # head = round-8 first-evidence candidates (landed after the r7
     # window froze), then stalest-first refresh order
+    "q_t_closeness",
     "q_kmv_distinct", "q_mg_topk", "q_trend_ols", "q_benford",
     "q_bootstrap_ci", "q_ewma_anomaly", "q_shortest_path",
     "q_markov_transitions", "q_ab_test", "q_watermark_audit",
