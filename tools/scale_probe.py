@@ -310,9 +310,84 @@ def main() -> None:
         ),
     }
 
+    # third-wave document/stream ops: CDC chunking is a position explode
+    # (linear in corpus BYTES, boundary filter map-side); phrase search is
+    # a term-filtered positional merge; the watermark audit's running max
+    # is hour-bucket-parallel with a tiny carry table
+    def _cdc(d):
+        c = d.where(F.length("text") >= 8)
+        pos = c.select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("p"),
+        )
+        bnd = pos.where(
+            F.conv(
+                F.substring(F.md5(F.expr("substring(text, p, 8)")), 1, 8),
+                16, 10,
+            ).cast("long") % 64 == 0
+        )
+        return bnd.groupBy("doc_id").count()
+
+    def _phrase(d):
+        pos = d.select(
+            "doc_id", F.posexplode(T.tokens("text")).alias("pos", "term")
+        ).where(F.col("term").isin("hash", "join"))
+        a = pos.where(F.col("term") == "hash").select(
+            "doc_id", F.col("pos").alias("p1")
+        )
+        b = pos.where(F.col("term") == "join").select(
+            F.col("doc_id").alias("doc_id"), F.col("pos").alias("p2")
+        )
+        return (
+            a.join(b, (a["doc_id"] == b["doc_id"]) & (b["p2"] == a["p1"] + 1))
+            .groupBy(a["doc_id"]).count()
+        )
+
+    def _wm(d):
+        jit = (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+                   16, 10).cast("long") % 1800
+        ) * F.lit(1_000_000)
+        t = F.unix_micros(F.col("ts").cast("timestamp"))
+        base = d.select("event_id", t.alias("t_us"), (t + jit).alias("arr_us"))
+        b = base.withColumn(
+            "bucket",
+            F.col("arr_us") - F.pmod(F.col("arr_us"), F.lit(3_600_000_000)),
+        )
+        from pyspark.sql import Window as W
+
+        w_in = (
+            W.partitionBy("bucket").orderBy("arr_us", "event_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        bmax = b.groupBy("bucket").agg(F.max("t_us").alias("bmax"))
+        carry = bmax.select(
+            "bucket",
+            F.max("bmax").over(
+                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+            ).alias("carry"),
+        )
+        hw = (
+            b.withColumn("in_max", F.max("t_us").over(w_in))
+            .join(F.broadcast(carry), "bucket")
+            .select("t_us", F.greatest("in_max", "carry").alias("hw_prev"))
+        )
+        return hw.agg(
+            F.sum(
+                (F.col("t_us") < F.col("hw_prev") - 60_000_000).cast("long")
+            )
+        )
+
+    third_ops = {
+        "cdc_boundaries": (lambda m: _docs_at(spark, sf_dir, m), _cdc),
+        "phrase_search": (lambda m: _docs_at(spark, sf_dir, m), _phrase),
+        "watermark_audit": (lambda m: _events_at(spark, sf_dir, m), _wm),
+    }
+
     all_ops = {n: (lambda m: _docs_at(spark, sf_dir, m), op) for n, op in ops.items()}
     all_ops.update(meta_ops)
     all_ops.update(events_ops)
+    all_ops.update(third_ops)
     only = sys.argv[2:]
     if only:
         unknown = [n for n in only if n not in all_ops]
