@@ -9530,6 +9530,67 @@ FROM ({unions})"""
     )
 
 
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact running distinct-user counts per day — the first-seen
+    trick that makes cumulative COUNT(DISTINCT) linear: a user
+    contributes exactly once, on their first day, so the running
+    distinct is the running SUM of first-seen counts (one user-grain
+    min, one day-grain count, one cumulative window over the tiny day
+    frame).  The exact companion to q_sliding_distinct's register
+    algebra (sliding windows need the sketch because first-seen has no
+    per-window meaning; cumulative windows don't).  New-user share
+    rides along as the growth metric."""
+    ev = load_tables(spark, sf_dir)["events"]
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    new_per_day = first.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    active = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_distinct("user_id").cast("long").alias("active_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    j = active.join(new_per_day, "day", "left").select(
+        "day",
+        "active_users",
+        F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+    )
+    return j.select(
+        "day",
+        "active_users",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_distinct"),
+        _rnd(
+            F.coalesce(F.col("new_users"), F.lit(0))
+            / F.col("active_users").cast("double"),
+            6,
+        ).alias("new_share"),
+    )
+
+
+_SQL_CUMULATIVE_DISTINCT = """
+WITH first AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+),
+new_per_day AS (
+    SELECT day, CAST(count(*) AS BIGINT) AS new_users
+    FROM first GROUP BY 1
+),
+active AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM events GROUP BY 1
+)
+SELECT a.day, a.active_users,
+       CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(sum(coalesce(n.new_users, 0)) OVER (ORDER BY a.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct,
+       round(1e-9 + coalesce(n.new_users, 0)
+             / CAST(a.active_users AS DOUBLE), 6) AS new_share
+FROM active a LEFT JOIN new_per_day n USING (day)"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -9600,6 +9661,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_phrase_search": q_phrase_search,
     "q_cdc_chunking": q_cdc_chunking,
     "q_lsh_tuning": q_lsh_tuning,
+    "q_cumulative_distinct": q_cumulative_distinct,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -9747,6 +9809,7 @@ ORACLES: dict[str, str] = {
     "q_phrase_search": _sql_phrase_search(),
     "q_cdc_chunking": _SQL_CDC_CHUNKING,
     "q_lsh_tuning": _sql_lsh_tuning(),
+    "q_cumulative_distinct": _SQL_CUMULATIVE_DISTINCT,
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

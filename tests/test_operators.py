@@ -2596,3 +2596,27 @@ def test_lsh_tuning_s_curve_monotonicity(spark, sf_dir):
     for r in rows:
         assert r.tp <= min(r.n_candidates, r.n_truth)
     assert rows[0].recall > 0.9  # r=1 is near-exhaustive on twin pairs
+
+
+def test_cumulative_distinct_equals_direct_count(spark, sf_dir):
+    """The first-seen running sum must equal COUNT(DISTINCT) over the
+    growing prefix, checked directly on the last day and one mid day."""
+    from nyc_taxi_data_warehouse_spark.queries_data import (
+        q_cumulative_distinct,
+    )
+
+    rows = sorted(
+        q_cumulative_distinct(spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for r in (rows[len(rows) // 2], rows[-1]):
+        direct = (
+            ev.where(F.to_date("ts") <= F.lit(r.day))
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert r.cum_distinct == direct
+    assert sum(r.new_users for r in rows) == rows[-1].cum_distinct
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_distinct >= a.cum_distinct
