@@ -9591,6 +9591,138 @@ SELECT a.day, a.active_users,
 FROM active a LEFT JOIN new_per_day n USING (day)"""
 
 
+_KMINS_K = 16
+_KMINS_SINK_SEQ = [0]
+
+
+def q_stream_kmins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-mins distinct sketch ON THE STREAM (Cohen 1997 / Flajolet-
+    Martin family) — the third streaming-cardinality shape beside the
+    HLL registers (q_stream_hll) and the bottom-k KMV (batch): k=16
+    independent per-day MIN aggregates (min is order- and redelivery-
+    insensitive ⇒ exactly-once under availableNow; state = days × 16
+    values in ONE row per day).  The estimator (k−1)/Σ−ln(1−u_j) runs
+    batch-side over the drained sink as a FIXED-ORDER 16-term expression
+    on one row — no float aggregation order exists to disagree with the
+    oracle (ln is engine-exact, NOTES round-3).  Exact per-day distincts
+    verify."""
+    from pyspark.sql import types as ST
+
+    from .util import session_tmpdir
+
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    src = session_tmpdir("user_feed_kmins")
+    ev.select("user_id", "ts").write.mode("overwrite").parquet(src)
+    schema = ST.StructType(
+        [
+            ST.StructField("user_id", ST.LongType()),
+            ST.StructField("ts", ST.TimestampNTZType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+    )
+
+    def h(j: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.lit(j), F.col("user_id"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    mins = (
+        stream.select(
+            F.window("ts", "1 day").alias("win"),
+            *[h(j).alias(f"__h{j}") for j in range(_KMINS_K)],
+        )
+        .groupBy("win")
+        .agg(*[F.min(f"__h{j}").alias(f"m{j}") for j in range(_KMINS_K)])
+    )
+    _KMINS_SINK_SEQ[0] += 1
+    name = f"q_stream_kmins_sink_{_KMINS_SINK_SEQ[0]}"
+    q = (
+        mins.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drained = q.awaitTermination(300)
+    q.stop()
+    if not drained:
+        raise RuntimeError(
+            "q_stream_kmins: availableNow drain timed out after 300s — "
+            "refusing to compare a partially-filled sink against the oracle"
+        )
+    sink = spark.table(name).select(
+        F.to_date(F.col("win.start")).alias("day"),
+        *[F.col(f"m{j}") for j in range(_KMINS_K)],
+    )
+    scale = float(1 << 60)
+    s = None
+    for j in range(_KMINS_K):
+        term = -F.log(F.lit(1.0) - F.col(f"m{j}").cast("double") / scale)
+        s = term if s is None else s + term
+    est = F.lit(float(_KMINS_K - 1)) / s
+    exact = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    out = sink.select("day", _rnd(est, 4).alias("est_distinct"))
+    return out.join(exact, "day").select(
+        "day",
+        "est_distinct",
+        "exact_distinct",
+        _rnd(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+def _sql_stream_kmins() -> str:
+    mins = ",\n           ".join(
+        f"min(CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || '#' ||"
+        f" CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)) AS m{j}"
+        for j in range(_KMINS_K)
+    )
+    terms = " + ".join(
+        f"(-ln(1.0 - CAST(m{j} AS DOUBLE) / {float(1 << 60)!r}))"
+        for j in range(_KMINS_K)
+    )
+    return f"""
+WITH ev AS (
+    SELECT user_id, ts FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+mins AS (
+    SELECT CAST(ts AS DATE) AS day,
+           {mins}
+    FROM ev GROUP BY 1
+),
+exact AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+    FROM ev GROUP BY 1
+),
+est AS (
+    SELECT day,
+           round(1e-9 + {float(_KMINS_K - 1)!r} / ({terms}), 4)
+               AS est_distinct
+    FROM mins
+)
+SELECT e.day, e.est_distinct, x.exact_distinct,
+       round(1e-9 + abs(e.est_distinct - x.exact_distinct)
+             / x.exact_distinct, 4) AS rel_err
+FROM est e JOIN exact x USING (day)"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -9662,6 +9794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cdc_chunking": q_cdc_chunking,
     "q_lsh_tuning": q_lsh_tuning,
     "q_cumulative_distinct": q_cumulative_distinct,
+    "q_stream_kmins": q_stream_kmins,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -9810,6 +9943,7 @@ ORACLES: dict[str, str] = {
     "q_cdc_chunking": _SQL_CDC_CHUNKING,
     "q_lsh_tuning": _sql_lsh_tuning(),
     "q_cumulative_distinct": _SQL_CUMULATIVE_DISTINCT,
+    "q_stream_kmins": _sql_stream_kmins(),
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

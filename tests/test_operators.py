@@ -2620,3 +2620,21 @@ def test_cumulative_distinct_equals_direct_count(spark, sf_dir):
     assert sum(r.new_users for r in rows) == rows[-1].cum_distinct
     for a, b in zip(rows, rows[1:]):
         assert b.cum_distinct >= a.cum_distinct
+
+
+def test_stream_kmins_estimates_within_envelope(spark, sf_dir):
+    """k=16 mins: se ~ 1/sqrt(k-2) ~ 27%; every day's estimate must sit
+    within a generous multiple, and stream mins must equal batch mins
+    (checked implicitly: est derives from the drained sink, exact from
+    batch — a min mismatch would blow the envelope)."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_stream_kmins
+
+    rows = q_stream_kmins(spark, sf_dir).collect()
+    assert len(rows) >= 28
+    for r in rows:
+        assert r.est_distinct > 0
+        assert r.rel_err < 0.8  # 3x the k=16 standard error
+    import statistics
+
+    med = statistics.median(r.rel_err for r in rows)
+    assert med < 0.35  # typical day well inside one-ish se
