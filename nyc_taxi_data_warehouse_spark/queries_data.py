@@ -9723,6 +9723,133 @@ SELECT e.day, e.est_distinct, x.exact_distinct,
 FROM est e JOIN exact x USING (day)"""
 
 
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection — q_seasonal_decompose's
+    residuals thresholded by the median/MAD rule (q_anomaly_mad's
+    discipline applied AFTER weekly seasonality is explained away, so a
+    busy-Monday spike no longer trips the alarm).  Residuals keep the
+    decompose query's exact integer numerators and are epsilon-rounded
+    BEFORE every ranking/comparison, so the median, the MAD and the 3×
+    flag all operate on engine-identical values; the median windows run
+    over the ≤#days residual frame."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    w = daily.select(
+        "d",
+        "y",
+        F.sum("y").over(w7).cast("long").alias("sum7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("cnt7"),
+        (F.dayofweek("d") - F.lit(1)).cast("int").alias("dow"),
+    )
+    seas = (
+        w.where(F.col("cnt7") == 7)
+        .groupBy("dow")
+        .agg(
+            F.sum(F.lit(7) * F.col("y") - F.col("sum7"))
+            .cast("long")
+            .alias("s_num"),
+            F.count(F.lit(1)).cast("long").alias("s_cnt"),
+        )
+    )
+    resid = (
+        F.col("y")
+        - F.col("sum7") / F.lit(7.0)
+        - F.col("s_num") / (F.lit(7.0) * F.col("s_cnt"))
+    )
+    base = (
+        w.where(F.col("cnt7") == 7)
+        .join(F.broadcast(seas), "dow")
+        .select("d", "y", _rnd(resid, 6).alias("resid"))
+        .persist()  # day-frame-sized; feeds median + mad + output
+    )
+    wr = Window.orderBy("resid", "d")
+    n = base.agg(F.count(F.lit(1)).alias("__n"))
+    med = (
+        base.withColumn("__rk", F.row_number().over(wr))
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.min(
+                F.when(2 * F.col("__rk") >= F.col("__n"), F.col("resid"))
+            ).alias("med")
+        )
+    )
+    dev = base.crossJoin(F.broadcast(med)).select(
+        "d",
+        "y",
+        "resid",
+        "med",
+        _rnd(F.abs(F.col("resid") - F.col("med")), 6).alias("__dev"),
+    )
+    wd = Window.orderBy("__dev", "d")
+    mad = (
+        dev.withColumn("__rk", F.row_number().over(wd))
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.min(
+                F.when(2 * F.col("__rk") >= F.col("__n"), F.col("__dev"))
+            ).alias("mad")
+        )
+    )
+    return dev.crossJoin(F.broadcast(mad)).select(
+        "d",
+        "y",
+        "resid",
+        "med",
+        "mad",
+        (F.col("__dev") > 3 * F.col("mad")).cast("int").alias("anomaly"),
+    )
+
+
+_SQL_SEASONAL_ANOMALY = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+w AS (
+    SELECT d, y,
+           CAST(sum(y) OVER win AS BIGINT) AS sum7,
+           CAST(count(*) OVER win AS BIGINT) AS cnt7,
+           CAST(dayofweek(d) AS INTEGER) AS dow
+    FROM daily
+    WINDOW win AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+seas AS (
+    SELECT dow, CAST(sum(7 * y - sum7) AS BIGINT) AS s_num,
+           CAST(count(*) AS BIGINT) AS s_cnt
+    FROM w WHERE cnt7 = 7 GROUP BY 1
+),
+base AS (
+    SELECT w.d, w.y,
+           round(1e-9 + w.y - w.sum7 / 7.0
+                 - s.s_num / (7.0 * s.s_cnt), 6) AS resid
+    FROM w JOIN seas s USING (dow) WHERE w.cnt7 = 7
+),
+n AS (SELECT count(*) AS n FROM base),
+rk AS (
+    SELECT *, row_number() OVER (ORDER BY resid, d) AS rk FROM base
+),
+med AS (
+    SELECT min(CASE WHEN 2 * rk >= n.n THEN resid END) AS med
+    FROM rk, n
+),
+dev AS (
+    SELECT b.d, b.y, b.resid, m.med,
+           round(1e-9 + abs(b.resid - m.med), 6) AS dv
+    FROM base b, med m
+),
+drk AS (SELECT *, row_number() OVER (ORDER BY dv, d) AS rk FROM dev),
+mad AS (
+    SELECT min(CASE WHEN 2 * rk >= n.n THEN dv END) AS mad FROM drk, n
+)
+SELECT d.d, d.y, d.resid, d.med, mad.mad,
+       CAST(CASE WHEN d.dv > 3 * mad.mad THEN 1 ELSE 0 END AS INTEGER)
+           AS anomaly
+FROM dev d, mad"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -9795,6 +9922,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lsh_tuning": q_lsh_tuning,
     "q_cumulative_distinct": q_cumulative_distinct,
     "q_stream_kmins": q_stream_kmins,
+    "q_seasonal_anomaly": q_seasonal_anomaly,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -9944,6 +10072,7 @@ ORACLES: dict[str, str] = {
     "q_lsh_tuning": _sql_lsh_tuning(),
     "q_cumulative_distinct": _SQL_CUMULATIVE_DISTINCT,
     "q_stream_kmins": _sql_stream_kmins(),
+    "q_seasonal_anomaly": _SQL_SEASONAL_ANOMALY,
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

@@ -2638,3 +2638,23 @@ def test_stream_kmins_estimates_within_envelope(spark, sf_dir):
 
     med = statistics.median(r.rel_err for r in rows)
     assert med < 0.35  # typical day well inside one-ish se
+
+
+def test_seasonal_anomaly_median_mad_accounting(spark, sf_dir):
+    """med/mad are true type-1 medians of the residual list; the flag
+    fires iff |resid - med| > 3*mad; a 5x planted spike day trips it."""
+    import math as _m
+
+    from nyc_taxi_data_warehouse_spark.queries_data import q_seasonal_anomaly
+
+    rows = q_seasonal_anomaly(spark, sf_dir).collect()
+    res = sorted(r.resid for r in rows)
+    n = len(res)
+    med = res[_m.ceil(n / 2) - 1]
+    assert abs(rows[0].med - med) < 1e-6
+    devs = sorted(round(abs(r - med), 6) for r in res)
+    mad = devs[_m.ceil(n / 2) - 1]
+    assert abs(rows[0].mad - mad) < 1e-6
+    for r in rows:
+        want = 1 if round(abs(r.resid - r.med), 6) > 3 * r.mad else 0
+        assert r.anomaly == want
