@@ -9850,6 +9850,37 @@ SELECT d.d, d.y, d.resid, d.med, mad.mad,
 FROM dev d, mad"""
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the multidimensional-agg surface CUBE
+    and ROLLUP can't express: exactly ((source), (lang)) — two
+    independent marginals in ONE pass, no (source, lang) cells and no
+    grand total (cube would emit both, rollup a hierarchy).  Spark's
+    SQL GROUPING SETS compiles to the same single-Expand plan any
+    engine uses; grouping_id() disambiguates the marginals
+    bit-identically with DuckDB's GROUPING()."""
+    d = _docs(spark, sf_dir)
+    d.createOrReplaceTempView("__gs_docs")
+    return spark.sql(
+        """
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(grouping_id(source, lang) AS BIGINT) AS level_id
+        FROM __gs_docs
+        GROUP BY GROUPING SETS ((source), (lang))
+        """
+    )
+
+
+_SQL_GROUPING_SETS = """
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(GROUPING(source, lang) AS BIGINT) AS level_id
+FROM documents
+GROUP BY GROUPING SETS ((source), (lang))"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -9923,6 +9954,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cumulative_distinct": q_cumulative_distinct,
     "q_stream_kmins": q_stream_kmins,
     "q_seasonal_anomaly": q_seasonal_anomaly,
+    "q_grouping_sets": q_grouping_sets,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -10073,6 +10105,7 @@ ORACLES: dict[str, str] = {
     "q_cumulative_distinct": _SQL_CUMULATIVE_DISTINCT,
     "q_stream_kmins": _sql_stream_kmins(),
     "q_seasonal_anomaly": _SQL_SEASONAL_ANOMALY,
+    "q_grouping_sets": _SQL_GROUPING_SETS,
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

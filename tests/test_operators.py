@@ -2658,3 +2658,19 @@ def test_seasonal_anomaly_median_mad_accounting(spark, sf_dir):
     for r in rows:
         want = 1 if round(abs(r.resid - r.med), 6) > 3 * r.mad else 0
         assert r.anomaly == want
+
+
+def test_grouping_sets_exact_marginals_only(spark, sf_dir):
+    """Output = the source marginal plus the lang marginal, nothing
+    else; each marginal's doc counts sum to the corpus size."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_grouping_sets
+
+    rows = q_grouping_sets(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    src_rows = [r for r in rows if r.lang is None]
+    lang_rows = [r for r in rows if r.source is None]
+    assert len(src_rows) + len(lang_rows) == len(rows)
+    assert sum(r.n_docs for r in src_rows) == n
+    assert sum(r.n_docs for r in lang_rows) == n
+    assert all(r.source is not None for r in src_rows)
+    assert all(r.lang is not None for r in lang_rows)
