@@ -119,6 +119,10 @@ HEADLINE = [
     "q_sliding_distinct",
     "q_rrf_fusion",
     "q_watermark_audit",
+    # and the wave's two heaviest: content-defined chunking (position
+    # explode over corpus bytes) and the 3-config LSH tuning sweep
+    "q_cdc_chunking",
+    "q_lsh_tuning",
 ]
 
 # The FIXED baseline-comparable subset: exactly the 30 queries of the first
