@@ -9881,6 +9881,110 @@ FROM documents
 GROUP BY GROUPING SETS ((source), (lang))"""
 
 
+_ACF_MAX_LAG = 7
+
+
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event series at lags 1..7 —
+    the seasonality detector feeding the decompose/EWMA family (a lag-7
+    peak is what justifies the weekly seasonal model).  Same
+    exactness discipline as q_trend_ols: cross-multiplying by n² turns
+    the mean-centered products into pure INTEGER sums
+    (n²·Σy_t·y_{t−ℓ} − n·S·(A_ℓ+B_ℓ) + (n−ℓ)·S² over
+    n²·Σy² − n·S²), one double division per lag at the very end.  Lag
+    pairs come from one 7-column lag window over the ≤#days frame."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    w = Window.orderBy("d")
+    wide = daily.select(
+        "y",
+        *[
+            F.lag("y", lag).over(w).alias(f"__l{lag}")
+            for lag in range(1, _ACF_MAX_LAG + 1)
+        ],
+    )
+    lagged = wide.select(
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lag).alias("lag"),
+                        F.col(f"__l{lag}").alias("y_lag"),
+                    )
+                    for lag in range(1, _ACF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("x"),
+    ).select("y", F.col("x.lag").alias("lag"), F.col("x.y_lag").alias("y_lag"))
+    per_lag = (
+        lagged.where(F.col("y_lag").isNotNull())
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("y") * F.col("y_lag")).cast("long").alias("sxy"),
+            F.sum("y").cast("long").alias("a"),
+            F.sum("y_lag").cast("long").alias("b"),
+        )
+    )
+    glob = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    j = per_lag.crossJoin(F.broadcast(glob))
+    num = (
+        F.col("n") * F.col("n") * F.col("sxy")
+        - F.col("n") * F.col("s") * (F.col("a") + F.col("b"))
+        + (F.col("n") - F.col("lag")) * F.col("s") * F.col("s")
+    )
+    den = F.col("n") * F.col("n") * F.col("syy") - F.col("n") * F.col(
+        "s"
+    ) * F.col("s")
+    return j.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").alias("n_days"),
+        _rnd(num.cast("double") / den.cast("double"), 6).alias("acf"),
+    )
+
+
+def _sql_autocorrelation() -> str:
+    unions = "\n    UNION ALL\n".join(
+        f"    SELECT {lag} AS lag, y,"
+        f" lag(y, {lag}) OVER (ORDER BY d) AS y_lag FROM daily"
+        for lag in range(1, _ACF_MAX_LAG + 1)
+    )
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+lagged AS (
+{unions}
+),
+per_lag AS (
+    SELECT lag,
+           CAST(sum(y * y_lag) AS BIGINT) AS sxy,
+           CAST(sum(y) AS BIGINT) AS a,
+           CAST(sum(y_lag) AS BIGINT) AS b
+    FROM lagged WHERE y_lag IS NOT NULL GROUP BY 1
+),
+g AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS s,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM daily
+)
+SELECT CAST(lag AS INTEGER) AS lag, g.n AS n_days,
+       round(1e-9 + CAST(g.n * g.n * p.sxy
+                         - g.n * g.s * (p.a + p.b)
+                         + (g.n - p.lag) * g.s * g.s AS DOUBLE)
+             / CAST(g.n * g.n * g.syy - g.n * g.s * g.s AS DOUBLE), 6)
+           AS acf
+FROM per_lag p, g"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -9955,6 +10059,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_kmins": q_stream_kmins,
     "q_seasonal_anomaly": q_seasonal_anomaly,
     "q_grouping_sets": q_grouping_sets,
+    "q_autocorrelation": q_autocorrelation,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -10106,6 +10211,7 @@ ORACLES: dict[str, str] = {
     "q_stream_kmins": _sql_stream_kmins(),
     "q_seasonal_anomaly": _SQL_SEASONAL_ANOMALY,
     "q_grouping_sets": _SQL_GROUPING_SETS,
+    "q_autocorrelation": _sql_autocorrelation(),
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

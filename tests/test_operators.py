@@ -2674,3 +2674,27 @@ def test_grouping_sets_exact_marginals_only(spark, sf_dir):
     assert sum(r.n_docs for r in lang_rows) == n
     assert all(r.source is not None for r in src_rows)
     assert all(r.lang is not None for r in lang_rows)
+
+
+def test_autocorrelation_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from nyc_taxi_data_warehouse_spark.queries_data import q_autocorrelation
+
+    rows = {r.lag: r for r in q_autocorrelation(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = sorted(
+        (r.d, r.y)
+        for r in ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("y"))
+        .collect()
+    )
+    y = np.array([v for _, v in daily], dtype=float)
+    m = y.mean()
+    den = ((y - m) ** 2).sum()
+    for lag in range(1, 8):
+        want = (((y[lag:] - m) * (y[:-lag] - m)).sum()) / den
+        got = rows[lag]
+        assert got.n_days == len(y)
+        assert abs(got.acf - want) < 1e-4
+        assert -1.0 <= got.acf <= 1.0
