@@ -9985,6 +9985,84 @@ SELECT CAST(lag AS INTEGER) AS lag, g.n AS n_days,
 FROM per_lag p, g"""
 
 
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of customer revenue per order priority — the
+    inequality metric behind "do 20% of customers drive 80% of revenue"
+    (pairs with q_key_skew's HHI for join planning and with the mixture
+    planners for corpus balance).  Exact with NO per-row ranking: for a
+    value v with count c and cumulative count cle, its occupants' rank
+    sum is c·cle − c·(c−1)/2, so 2·Σᵢ i·xᵢ = Σ_v v·(2·c·cle − c·(c−1))
+    folds over the distinct-value CDF (`sampling.bucketed_value_cumsum`,
+    grouped) — all integers until the single G division.  G =
+    (2Σi·xᵢ − (n+1)·S) / (n·S)."""
+    from .operators import sampling
+
+    od = load_tables(spark, sf_dir)["orders"]
+    cust = od.groupBy("o_orderpriority", "o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("rev_u")
+    )
+    cum = sampling.bucketed_value_cumsum(
+        cust, "rev_u", ("o_orderpriority",)
+    )
+    agg = cum.groupBy("o_orderpriority").agg(
+        F.sum("__c").cast("long").alias("n_cust"),
+        F.sum(F.col("__v") * F.col("__c")).cast("long").alias("s"),
+        F.sum(
+            F.col("__v")
+            * (
+                2 * F.col("__c") * F.col("__cle")
+                - F.col("__c") * (F.col("__c") - 1)
+            )
+        )
+        .cast("long")
+        .alias("two_ranked"),
+    )
+    g = (
+        F.col("two_ranked").cast("double")
+        - (F.col("n_cust") + 1).cast("double") * F.col("s").cast("double")
+    ) / (F.col("n_cust").cast("double") * F.col("s").cast("double"))
+    return agg.select(
+        "o_orderpriority",
+        "n_cust",
+        F.col("s").alias("revenue_u"),
+        _rnd(g, 6).alias("gini"),
+    )
+
+
+_SQL_GINI = """
+WITH cust AS (
+    SELECT o_orderpriority, o_custkey,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_u
+    FROM orders GROUP BY 1, 2
+),
+vc AS (
+    SELECT o_orderpriority, rev_u AS v, CAST(count(*) AS BIGINT) AS c
+    FROM cust GROUP BY 1, 2
+),
+cum AS (
+    SELECT o_orderpriority, v, c,
+           CAST(sum(c) OVER (PARTITION BY o_orderpriority ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cle
+    FROM vc
+),
+agg AS (
+    SELECT o_orderpriority,
+           CAST(sum(c) AS BIGINT) AS n_cust,
+           CAST(sum(v * c) AS BIGINT) AS s,
+           CAST(sum(v * (2 * c * cle - c * (c - 1))) AS BIGINT)
+               AS two_ranked
+    FROM cum GROUP BY 1
+)
+SELECT o_orderpriority, n_cust, s AS revenue_u,
+       round(1e-9 + (CAST(two_ranked AS DOUBLE)
+                     - (n_cust + 1) * CAST(s AS DOUBLE))
+             / (n_cust * CAST(s AS DOUBLE)), 6) AS gini
+FROM agg"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -10060,6 +10138,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_seasonal_anomaly": q_seasonal_anomaly,
     "q_grouping_sets": q_grouping_sets,
     "q_autocorrelation": q_autocorrelation,
+    "q_gini": q_gini,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -10212,6 +10291,7 @@ ORACLES: dict[str, str] = {
     "q_seasonal_anomaly": _SQL_SEASONAL_ANOMALY,
     "q_grouping_sets": _SQL_GROUPING_SETS,
     "q_autocorrelation": _sql_autocorrelation(),
+    "q_gini": _SQL_GINI,
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

@@ -2698,3 +2698,32 @@ def test_autocorrelation_matches_numpy(spark, sf_dir):
         assert got.n_days == len(y)
         assert abs(got.acf - want) < 1e-4
         assert -1.0 <= got.acf <= 1.0
+
+
+def test_gini_matches_sorted_rank_formula(spark, sf_dir):
+    from nyc_taxi_data_warehouse_spark.queries_data import q_gini
+
+    rows = {r.o_orderpriority: r for r in q_gini(spark, sf_dir).collect()}
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = (
+        od.groupBy("o_orderpriority", "o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            ).alias("rev")
+        )
+        .collect()
+    )
+    by_p = {}
+    for r in cust:
+        by_p.setdefault(r.o_orderpriority, []).append(r.rev)
+    for p, revs in by_p.items():
+        revs.sort()
+        n, s = len(revs), sum(revs)
+        want = (
+            2 * sum((i + 1) * x for i, x in enumerate(revs)) - (n + 1) * s
+        ) / (n * s)
+        got = rows[p]
+        assert got.n_cust == n and got.revenue_u == s
+        assert abs(got.gini - want) < 1e-5
+        assert 0 <= got.gini < 1
