@@ -10063,6 +10063,132 @@ SELECT o_orderpriority, n_cust, s AS revenue_u,
 FROM agg"""
 
 
+_XCF_MAX_LAG = 3
+
+
+def q_crosscorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily VIEW and PURCHASE
+    series (lags −3..+3; positive lag = views lead purchases) — the
+    lead–lag diagnostic that turns q_demand_corr's contemporaneous
+    matrix into a causal-direction hint.  Same integer discipline as
+    q_autocorrelation: per-lag aligned sums stay exact integers,
+    normalized once per lag by the aligned-sample covariance terms
+    (overlap-mean convention: means/variances computed on the aligned
+    n−|ℓ| window so every lag is a proper Pearson r in [−1, 1])."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("event_type") == "view").cast("long")
+            ).alias("x"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("y"),
+        )
+    )
+    w = Window.orderBy("d")
+    wide = daily.select(
+        "x",
+        "y",
+        *[
+            F.lag("x", lag).over(w).alias(f"__x{lag}")
+            for lag in range(1, _XCF_MAX_LAG + 1)
+        ],
+        *[
+            F.lag("y", lag).over(w).alias(f"__y{lag}")
+            for lag in range(1, _XCF_MAX_LAG + 1)
+        ],
+    )
+    structs = [
+        F.struct(F.lit(0).alias("lag"), F.col("x").alias("xa"), F.col("y").alias("yb"))
+    ]
+    for lag in range(1, _XCF_MAX_LAG + 1):
+        # +lag: x leads y — pair x_{t-lag} with y_t
+        structs.append(
+            F.struct(
+                F.lit(lag).alias("lag"),
+                F.col(f"__x{lag}").alias("xa"),
+                F.col("y").alias("yb"),
+            )
+        )
+        # -lag: y leads x — pair x_t with y_{t-lag}
+        structs.append(
+            F.struct(
+                F.lit(-lag).alias("lag"),
+                F.col("x").alias("xa"),
+                F.col(f"__y{lag}").alias("yb"),
+            )
+        )
+    pairs = wide.select(F.explode(F.array(*structs)).alias("p")).select(
+        F.col("p.lag").alias("lag"),
+        F.col("p.xa").alias("xa"),
+        F.col("p.yb").alias("yb"),
+    ).where(F.col("xa").isNotNull() & F.col("yb").isNotNull())
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xa").cast("long").alias("sx"),
+        F.sum("yb").cast("long").alias("sy"),
+        F.sum(F.col("xa") * F.col("yb")).cast("long").alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).cast("long").alias("sxx"),
+        F.sum(F.col("yb") * F.col("yb")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        _rnd(
+            num.cast("double")
+            / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+            6,
+        ).alias("xcf"),
+    )
+
+
+def _sql_crosscorrelation() -> str:
+    rows = ["    SELECT 0 AS lag, x AS xa, y AS yb FROM daily"]
+    for lag in range(1, _XCF_MAX_LAG + 1):
+        rows.append(
+            f"    SELECT {lag} AS lag, lag(x, {lag}) OVER (ORDER BY d)"
+            " AS xa, y AS yb FROM daily"
+        )
+        rows.append(
+            f"    SELECT {-lag} AS lag, x AS xa,"
+            f" lag(y, {lag}) OVER (ORDER BY d) AS yb FROM daily"
+        )
+    unions = "\n    UNION ALL\n".join(rows)
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+pairs AS (
+{unions}
+),
+ok AS (SELECT * FROM pairs WHERE xa IS NOT NULL AND yb IS NOT NULL),
+sums AS (
+    SELECT lag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(xa) AS BIGINT) AS sx,
+           CAST(sum(yb) AS BIGINT) AS sy,
+           CAST(sum(xa * yb) AS BIGINT) AS sxy,
+           CAST(sum(xa * xa) AS BIGINT) AS sxx,
+           CAST(sum(yb * yb) AS BIGINT) AS syy
+    FROM ok GROUP BY 1
+)
+SELECT CAST(lag AS INTEGER) AS lag, n AS n_pairs,
+       round(1e-9 + CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS xcf
+FROM sums"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -10139,6 +10265,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_grouping_sets": q_grouping_sets,
     "q_autocorrelation": q_autocorrelation,
     "q_gini": q_gini,
+    "q_crosscorrelation": q_crosscorrelation,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -10292,6 +10419,7 @@ ORACLES: dict[str, str] = {
     "q_grouping_sets": _SQL_GROUPING_SETS,
     "q_autocorrelation": _sql_autocorrelation(),
     "q_gini": _SQL_GINI,
+    "q_crosscorrelation": _sql_crosscorrelation(),
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

@@ -2727,3 +2727,33 @@ def test_gini_matches_sorted_rank_formula(spark, sf_dir):
         assert got.n_cust == n and got.revenue_u == s
         assert abs(got.gini - want) < 1e-5
         assert 0 <= got.gini < 1
+
+
+def test_crosscorrelation_matches_numpy_aligned_pearson(spark, sf_dir):
+    import numpy as np
+
+    from nyc_taxi_data_warehouse_spark.queries_data import q_crosscorrelation
+
+    rows = {r.lag: r for r in q_crosscorrelation(spark, sf_dir).collect()}
+    assert set(rows) == {-3, -2, -1, 0, 1, 2, 3}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = sorted(
+        (r.d, r.x, r.y)
+        for r in ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum((F.col("event_type") == "view").cast("long")).alias("x"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("y"),
+        )
+        .collect()
+    )
+    x = np.array([a for _, a, _ in daily], dtype=float)
+    y = np.array([b for _, _, b in daily], dtype=float)
+    for lag, r in rows.items():
+        if lag >= 0:
+            xa, yb = (x[: len(x) - lag] if lag else x), y[lag:]
+        else:
+            xa, yb = x[-lag:], y[: len(y) + lag]
+        want = np.corrcoef(xa, yb)[0, 1]
+        assert r.n_pairs == len(xa)
+        assert abs(r.xcf - want) < 1e-4
+        assert -1 <= r.xcf <= 1
