@@ -10189,6 +10189,104 @@ SELECT CAST(lag AS INTEGER) AS lag, n AS n_pairs,
 FROM sums"""
 
 
+def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 readout beside q_gini: what revenue share do the top
+    10% / 20% of customers carry, per priority.  Rank-free like the
+    Gini — the value-CDF gives each revenue value its customer-ordinal
+    interval, the top-q cutoff ordinal is ⌈q·n⌉ as a cross-multiplied
+    integer, and a value straddling the cutoff contributes only its
+    in-quantile occupants (overlap arithmetic, same trick as
+    q_microagg's group tiling).  All integers until the share
+    divisions."""
+    from .operators import sampling
+
+    od = load_tables(spark, sf_dir)["orders"]
+    cust = od.groupBy("o_orderpriority", "o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("rev_u")
+    )
+    cum = sampling.bucketed_value_cumsum(
+        cust, "rev_u", ("o_orderpriority",)
+    )
+    tot = cum.groupBy("o_orderpriority").agg(
+        F.sum("__c").cast("long").alias("n_cust"),
+        F.sum(F.col("__v") * F.col("__c")).cast("long").alias("s"),
+    )
+    j = cum.join(F.broadcast(tot), "o_orderpriority")
+    out = None
+    for pct_num, pct_den, label in [(1, 10, "top10"), (1, 5, "top20")]:
+        # top-q customers = the qn highest ranks; a value's occupants
+        # hold ordinals (cle-c, cle]; ordinals > n - ceil(q*n) are in.
+        # k = ceil(q*n) as integers: k = (n*num + den - 1) div den
+        k = (F.col("n_cust") * pct_num + pct_den - 1) / F.lit(pct_den)
+        k = k.cast("long")
+        cutoff = F.col("n_cust") - k  # ordinals strictly above are in
+        lo = F.greatest(F.col("__cle") - F.col("__c"), cutoff)
+        take = F.greatest(F.col("__cle") - lo, F.lit(0))
+        st = j.groupBy("o_orderpriority").agg(
+            F.first("n_cust").alias("n_cust"),
+            F.first("s").alias("revenue_u"),
+            F.max(k).alias("__k"),
+            F.sum(F.col("__v") * take).cast("long").alias("__top_rev"),
+        ).select(
+            "o_orderpriority",
+            F.lit(label).alias("segment"),
+            "n_cust",
+            F.col("__k").alias("n_top"),
+            "revenue_u",
+            F.col("__top_rev").alias("top_rev_u"),
+            _rnd(
+                F.col("__top_rev") / F.col("revenue_u").cast("double"), 6
+            ).alias("rev_share"),
+        )
+        out = st if out is None else out.unionByName(st)
+    return out
+
+
+_SQL_PARETO_SHARE = """
+WITH cust AS (
+    SELECT o_orderpriority, o_custkey,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_u
+    FROM orders GROUP BY 1, 2
+),
+vc AS (
+    SELECT o_orderpriority, rev_u AS v, CAST(count(*) AS BIGINT) AS c
+    FROM cust GROUP BY 1, 2
+),
+cum AS (
+    SELECT o_orderpriority, v, c,
+           CAST(sum(c) OVER (PARTITION BY o_orderpriority ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cle
+    FROM vc
+),
+tot AS (
+    SELECT o_orderpriority, CAST(sum(c) AS BIGINT) AS n_cust,
+           CAST(sum(v * c) AS BIGINT) AS s
+    FROM vc GROUP BY 1
+),
+segs AS (
+    SELECT * FROM (VALUES (1, 10, 'top10'), (1, 5, 'top20'))
+        AS t(num, den, segment)
+),
+j AS (
+    SELECT c.*, t.n_cust, t.s, g.num, g.den, g.segment,
+           CAST((t.n_cust * g.num + g.den - 1) // g.den AS BIGINT) AS k
+    FROM cum c JOIN tot t USING (o_orderpriority), segs g
+)
+SELECT o_orderpriority, segment,
+       CAST(max(n_cust) AS BIGINT) AS n_cust,
+       CAST(max(k) AS BIGINT) AS n_top,
+       CAST(max(s) AS BIGINT) AS revenue_u,
+       CAST(sum(v * greatest(cle - greatest(cle - c, n_cust - k), 0))
+            AS BIGINT) AS top_rev_u,
+       round(1e-9 + sum(v * greatest(cle - greatest(cle - c, n_cust - k),
+                                     0))
+             / CAST(max(s) AS DOUBLE), 6) AS rev_share
+FROM j GROUP BY 1, 2"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -10266,6 +10364,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_autocorrelation": q_autocorrelation,
     "q_gini": q_gini,
     "q_crosscorrelation": q_crosscorrelation,
+    "q_pareto_share": q_pareto_share,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -10420,6 +10519,7 @@ ORACLES: dict[str, str] = {
     "q_autocorrelation": _sql_autocorrelation(),
     "q_gini": _SQL_GINI,
     "q_crosscorrelation": _sql_crosscorrelation(),
+    "q_pareto_share": _SQL_PARETO_SHARE,
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

@@ -2757,3 +2757,32 @@ def test_crosscorrelation_matches_numpy_aligned_pearson(spark, sf_dir):
         assert r.n_pairs == len(xa)
         assert abs(r.xcf - want) < 1e-4
         assert -1 <= r.xcf <= 1
+
+
+def test_pareto_share_matches_sorted_top_slice(spark, sf_dir):
+    import math as _m
+
+    from nyc_taxi_data_warehouse_spark.queries_data import q_pareto_share
+
+    rows = q_pareto_share(spark, sf_dir).collect()
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = (
+        od.groupBy("o_orderpriority", "o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))).alias(
+                "rev"
+            )
+        )
+        .collect()
+    )
+    by_p = {}
+    for r in cust:
+        by_p.setdefault(r.o_orderpriority, []).append(r.rev)
+    for r in rows:
+        revs = sorted(by_p[r.o_orderpriority], reverse=True)
+        q = 0.1 if r.segment == "top10" else 0.2
+        k = _m.ceil(q * len(revs))
+        assert r.n_top == k and r.n_cust == len(revs)
+        assert r.top_rev_u == sum(revs[:k])
+        assert abs(r.rev_share - sum(revs[:k]) / sum(revs)) < 1e-5
+        assert r.rev_share >= q  # top slice carries at least its weight
