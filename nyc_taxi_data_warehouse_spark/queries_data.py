@@ -10287,6 +10287,114 @@ SELECT o_orderpriority, segment,
 FROM j GROUP BY 1, 2"""
 
 
+def q_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey box-plot fences per priority — the third robust-outlier
+    rule beside MAD (q_anomaly_mad) and winsorization (q_winsorize):
+    type-1 quartiles off the grouped value-CDF, then the 1.5·IQR fences
+    applied as PURE-INTEGER comparisons (2v < 2q1 − 3·IQR / 2v > 2q3 +
+    3·IQR — the lattice never meets a float), outlier counts from one
+    more pass over the same distinct-value table (counts, not rows —
+    the corpus is never re-shuffled)."""
+    from .operators import sampling
+
+    od = load_tables(spark, sf_dir)["orders"]
+    base = od.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_u"),
+    )
+    cum = sampling.bucketed_value_cumsum(
+        base, "price_u", ("o_orderpriority",)
+    ).persist()  # quartiles + outlier counting; value-table-sized
+    tot = cum.groupBy("o_orderpriority").agg(
+        F.sum("__c").cast("long").alias("n")
+    )
+    j = cum.join(F.broadcast(tot), "o_orderpriority")
+    quart = j.groupBy("o_orderpriority").agg(
+        F.first("n").alias("n"),
+        F.min(
+            F.when(4 * F.col("__cle") >= F.col("n"), F.col("__v"))
+        )
+        .cast("long")
+        .alias("q1_u"),
+        F.min(
+            F.when(4 * F.col("__cle") >= 3 * F.col("n"), F.col("__v"))
+        )
+        .cast("long")
+        .alias("q3_u"),
+    )
+    f = cum.join(F.broadcast(quart), "o_orderpriority")
+    iqr = F.col("q3_u") - F.col("q1_u")
+    low = 2 * F.col("__v") < 2 * F.col("q1_u") - 3 * iqr
+    high = 2 * F.col("__v") > 2 * F.col("q3_u") + 3 * iqr
+    return f.groupBy("o_orderpriority").agg(
+        F.first("n").alias("n"),
+        F.first("q1_u").alias("q1_u"),
+        F.first("q3_u").alias("q3_u"),
+        F.first(iqr).cast("long").alias("iqr_u"),
+        F.sum(F.when(low, F.col("__c")).otherwise(0))
+        .cast("long")
+        .alias("n_low"),
+        F.sum(F.when(high, F.col("__c")).otherwise(0))
+        .cast("long")
+        .alias("n_high"),
+    ).withColumn(
+        "outlier_pct",
+        _rnd(
+            (F.col("n_low") + F.col("n_high")) / F.col("n").cast("double"),
+            6,
+        ),
+    )
+
+
+_SQL_TUKEY_OUTLIERS = """
+WITH base AS (
+    SELECT o_orderpriority,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_u
+    FROM orders
+),
+vc AS (
+    SELECT o_orderpriority, price_u AS v, CAST(count(*) AS BIGINT) AS c
+    FROM base GROUP BY 1, 2
+),
+cum AS (
+    SELECT o_orderpriority, v, c,
+           CAST(sum(c) OVER (PARTITION BY o_orderpriority ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cle
+    FROM vc
+),
+tot AS (
+    SELECT o_orderpriority, CAST(sum(c) AS BIGINT) AS n FROM vc GROUP BY 1
+),
+quart AS (
+    SELECT c.o_orderpriority, max(t.n) AS n,
+           CAST(min(CASE WHEN 4 * c.cle >= t.n THEN c.v END)
+                AS BIGINT) AS q1_u,
+           CAST(min(CASE WHEN 4 * c.cle >= 3 * t.n THEN c.v END)
+                AS BIGINT) AS q3_u
+    FROM cum c JOIN tot t USING (o_orderpriority)
+    GROUP BY 1
+)
+SELECT c.o_orderpriority,
+       CAST(max(q.n) AS BIGINT) AS n,
+       max(q.q1_u) AS q1_u, max(q.q3_u) AS q3_u,
+       CAST(max(q.q3_u - q.q1_u) AS BIGINT) AS iqr_u,
+       CAST(sum(CASE WHEN 2 * c.v < 2 * q.q1_u - 3 * (q.q3_u - q.q1_u)
+                     THEN c.c ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(sum(CASE WHEN 2 * c.v > 2 * q.q3_u + 3 * (q.q3_u - q.q1_u)
+                     THEN c.c ELSE 0 END) AS BIGINT) AS n_high,
+       round(1e-9 + (sum(CASE WHEN 2 * c.v < 2 * q.q1_u
+                                   - 3 * (q.q3_u - q.q1_u)
+                              THEN c.c ELSE 0 END)
+                     + sum(CASE WHEN 2 * c.v > 2 * q.q3_u
+                                     + 3 * (q.q3_u - q.q1_u)
+                                THEN c.c ELSE 0 END))
+             / CAST(max(q.n) AS DOUBLE), 6) AS outlier_pct
+FROM cum c JOIN quart q USING (o_orderpriority)
+GROUP BY 1"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -10365,6 +10473,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_gini": q_gini,
     "q_crosscorrelation": q_crosscorrelation,
     "q_pareto_share": q_pareto_share,
+    "q_tukey_outliers": q_tukey_outliers,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -10520,6 +10629,7 @@ ORACLES: dict[str, str] = {
     "q_gini": _SQL_GINI,
     "q_crosscorrelation": _sql_crosscorrelation(),
     "q_pareto_share": _SQL_PARETO_SHARE,
+    "q_tukey_outliers": _SQL_TUKEY_OUTLIERS,
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

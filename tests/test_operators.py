@@ -2786,3 +2786,30 @@ def test_pareto_share_matches_sorted_top_slice(spark, sf_dir):
         assert r.top_rev_u == sum(revs[:k])
         assert abs(r.rev_share - sum(revs[:k]) / sum(revs)) < 1e-5
         assert r.rev_share >= q  # top slice carries at least its weight
+
+
+def test_tukey_outliers_match_python_quartiles(spark, sf_dir):
+    import math as _m
+
+    from nyc_taxi_data_warehouse_spark.queries_data import q_tukey_outliers
+
+    rows = {r.o_orderpriority: r for r in q_tukey_outliers(spark, sf_dir).collect()}
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    data = od.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).alias("p"),
+    ).collect()
+    by_p = {}
+    for r in data:
+        by_p.setdefault(r.o_orderpriority, []).append(r.p)
+    for p, vals in by_p.items():
+        vals.sort()
+        n = len(vals)
+        q1 = vals[_m.ceil(n / 4) - 1]
+        q3 = vals[_m.ceil(3 * n / 4) - 1]
+        iqr = q3 - q1
+        low = sum(1 for v in vals if 2 * v < 2 * q1 - 3 * iqr)
+        high = sum(1 for v in vals if 2 * v > 2 * q3 + 3 * iqr)
+        got = rows[p]
+        assert (got.q1_u, got.q3_u, got.iqr_u) == (q1, q3, iqr)
+        assert (got.n_low, got.n_high, got.n) == (low, high, n)
