@@ -10395,6 +10395,59 @@ FROM cum c JOIN quart q USING (o_orderpriority)
 GROUP BY 1"""
 
 
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness — the product-health ratio: per day, exact
+    daily actives over exact trailing-7-day actives (the range join on
+    the distinct (day, user) table that q_sliding_distinct's sketch
+    replaces at 100 TB; here the exact path IS the point, and the
+    day×user frame is the only thing joined — never raw events).
+    Stickiness = one division; 1.0 means every weekly user showed up
+    today."""
+    ev = load_tables(spark, sf_dir)["events"]
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct().persist()
+    dau = du.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    days = du.select("day").distinct()
+    wau = (
+        days.alias("t")
+        .join(
+            du.alias("e"),
+            (F.col("e.day") >= F.date_sub(F.col("t.day"), 6))
+            & (F.col("e.day") <= F.col("t.day")),
+        )
+        .groupBy(F.col("t.day").alias("day"))
+        .agg(F.count_distinct("e.user_id").cast("long").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        _rnd(F.col("dau") / F.col("wau").cast("double"), 6).alias(
+            "stickiness"
+        ),
+    )
+
+
+_SQL_STICKINESS = """
+WITH du AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+dau AS (
+    SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1
+),
+days AS (SELECT DISTINCT day FROM du),
+wau AS (
+    SELECT t.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau
+    FROM days t JOIN du e
+      ON e.day >= t.day - 6 AND e.day <= t.day
+    GROUP BY 1
+)
+SELECT d.day, d.dau, w.wau,
+       round(1e-9 + d.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
+FROM dau d JOIN wau w USING (day)"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -10474,6 +10527,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_crosscorrelation": q_crosscorrelation,
     "q_pareto_share": q_pareto_share,
     "q_tukey_outliers": q_tukey_outliers,
+    "q_stickiness": q_stickiness,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -10630,6 +10684,7 @@ ORACLES: dict[str, str] = {
     "q_crosscorrelation": _sql_crosscorrelation(),
     "q_pareto_share": _SQL_PARETO_SHARE,
     "q_tukey_outliers": _SQL_TUKEY_OUTLIERS,
+    "q_stickiness": _SQL_STICKINESS,
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

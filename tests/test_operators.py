@@ -2813,3 +2813,14 @@ def test_tukey_outliers_match_python_quartiles(spark, sf_dir):
         got = rows[p]
         assert (got.q1_u, got.q3_u, got.iqr_u) == (q1, q3, iqr)
         assert (got.n_low, got.n_high, got.n) == (low, high, n)
+
+
+def test_stickiness_bounds_and_first_day_identity(spark, sf_dir):
+    from nyc_taxi_data_warehouse_spark.queries_data import q_stickiness
+
+    rows = sorted(q_stickiness(spark, sf_dir).collect(), key=lambda r: r.day)
+    for r in rows:
+        assert 0 < r.dau <= r.wau
+        assert abs(r.stickiness - r.dau / r.wau) < 1e-5
+    # day 1 has no history: WAU == DAU, stickiness == 1
+    assert rows[0].dau == rows[0].wau and abs(rows[0].stickiness - 1.0) < 1e-9
