@@ -10448,6 +10448,93 @@ SELECT d.day, d.dau, w.wau,
 FROM dau d JOIN wau w USING (day)"""
 
 
+# (z_{alpha/2} + z_beta)^2 for alpha=0.05 two-sided, power=0.80 —
+# driver-folded literal so both engines consume the identical double
+_POWER_Z2 = (1.959963984540054 + 0.8416212335729143) ** 2
+_POWER_MDES = [(1, 100), (1, 50), (1, 20)]  # absolute MDEs 1%, 2%, 5%
+
+
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sample-size planner — q_ab_test's design-side twin:
+    for each minimum detectable effect, the per-variant n required at
+    alpha=0.05 / power 0.80 from the observed baseline conversion
+    (n = z²·2p(1−p)/δ², z² a driver-folded literal, p the exact
+    integer ratio from the control variant), plus the feasible flag
+    against the users actually available.  Deterministic planning
+    arithmetic, the q_dp_budget discipline applied to experimentation."""
+    ev = load_tables(spark, sf_dir)["events"]
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    base = users.where(F.pmod(F.col("user_id"), F.lit(2)) == 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("converted").cast("long").alias("c0"),
+    )
+    avail = users.agg(F.count(F.lit(1)).cast("long").alias("n_avail"))
+    mde = spark.createDataFrame(
+        _POWER_MDES, "mde_num int, mde_den int"
+    )
+    j = base.crossJoin(F.broadcast(avail)).crossJoin(F.broadcast(mde))
+    p = F.col("c0") / F.col("n0").cast("double")
+    delta = F.col("mde_num") / F.col("mde_den").cast("double")
+    n_req = F.ceil(
+        F.lit(_POWER_Z2) * 2 * p * (1 - p) / (delta * delta)
+    ).cast("long")
+    return j.select(
+        _rnd(delta, 4).alias("mde"),
+        "n0",
+        "c0",
+        _rnd(p, 6).alias("p_baseline"),
+        n_req.alias("n_required_per_variant"),
+        "n_avail",
+        (2 * n_req <= F.col("n_avail")).cast("int").alias("feasible"),
+    )
+
+
+def _sql_power_analysis() -> str:
+    vals = ", ".join(f"({n}, {d})" for n, d in _POWER_MDES)
+    return f"""
+WITH users AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' AND value > 150
+                    THEN 1 ELSE 0 END) AS converted
+    FROM events GROUP BY 1
+),
+base AS (
+    SELECT CAST(count(*) AS BIGINT) AS n0,
+           CAST(sum(converted) AS BIGINT) AS c0
+    FROM users WHERE user_id % 2 = 0
+),
+avail AS (SELECT CAST(count(*) AS BIGINT) AS n_avail FROM users),
+mde AS (
+    SELECT CAST(mde_num AS INTEGER) AS mde_num,
+           CAST(mde_den AS INTEGER) AS mde_den
+    FROM (VALUES {vals}) AS t(mde_num, mde_den)
+)
+SELECT round(1e-9 + mde_num / CAST(mde_den AS DOUBLE), 4) AS mde,
+       b.n0, b.c0,
+       round(1e-9 + b.c0 / CAST(b.n0 AS DOUBLE), 6) AS p_baseline,
+       CAST(ceil({_POWER_Z2!r} * 2 * (b.c0 / CAST(b.n0 AS DOUBLE))
+                 * (1 - b.c0 / CAST(b.n0 AS DOUBLE))
+                 / ((mde_num / CAST(mde_den AS DOUBLE))
+                    * (mde_num / CAST(mde_den AS DOUBLE))))
+            AS BIGINT) AS n_required_per_variant,
+       a.n_avail,
+       CAST(CASE WHEN 2 * CAST(ceil({_POWER_Z2!r} * 2
+                     * (b.c0 / CAST(b.n0 AS DOUBLE))
+                     * (1 - b.c0 / CAST(b.n0 AS DOUBLE))
+                     / ((mde_num / CAST(mde_den AS DOUBLE))
+                        * (mde_num / CAST(mde_den AS DOUBLE))))
+                 AS BIGINT) <= a.n_avail
+                 THEN 1 ELSE 0 END AS INTEGER) AS feasible
+FROM base b, avail a, mde"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -10528,6 +10615,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pareto_share": q_pareto_share,
     "q_tukey_outliers": q_tukey_outliers,
     "q_stickiness": q_stickiness,
+    "q_power_analysis": q_power_analysis,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -10685,6 +10773,7 @@ ORACLES: dict[str, str] = {
     "q_pareto_share": _SQL_PARETO_SHARE,
     "q_tukey_outliers": _SQL_TUKEY_OUTLIERS,
     "q_stickiness": _SQL_STICKINESS,
+    "q_power_analysis": _sql_power_analysis(),
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

@@ -2824,3 +2824,22 @@ def test_stickiness_bounds_and_first_day_identity(spark, sf_dir):
         assert abs(r.stickiness - r.dau / r.wau) < 1e-5
     # day 1 has no history: WAU == DAU, stickiness == 1
     assert rows[0].dau == rows[0].wau and abs(rows[0].stickiness - 1.0) < 1e-9
+
+
+def test_power_analysis_scaling_law(spark, sf_dir):
+    """Halving the MDE quadruples the required n (within ceil rounding);
+    the formula reproduces the textbook z-test sample size."""
+    from nyc_taxi_data_warehouse_spark.queries_data import q_power_analysis
+
+    rows = sorted(q_power_analysis(spark, sf_dir).collect(), key=lambda r: r.mde)
+    assert [r.mde for r in rows] == [0.01, 0.02, 0.05]
+    p = rows[0].p_baseline
+    z2 = (1.959963984540054 + 0.8416212335729143) ** 2
+    import math as _m
+
+    for r in rows:
+        want = _m.ceil(z2 * 2 * p * (1 - p) / (r.mde ** 2))
+        assert abs(r.n_required_per_variant - want) <= 1
+        assert r.feasible == (1 if 2 * r.n_required_per_variant <= r.n_avail else 0)
+    # quadratic law: n(1%) ~ 4x n(2%)
+    assert 3.5 < rows[0].n_required_per_variant / rows[1].n_required_per_variant < 4.5
