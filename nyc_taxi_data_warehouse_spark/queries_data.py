@@ -10535,6 +10535,86 @@ SELECT round(1e-9 + mde_num / CAST(mde_den AS DOUBLE), 4) AS mde,
 FROM base b, avail a, mde"""
 
 
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily revenue split — the acquisition/retention
+    decomposition: a purchase is 'new' iff it lands on the buyer's
+    first-seen day (the q_cumulative_distinct first-seen frame,
+    broadcast back onto the fact once); exact lattice revenue per
+    bucket, shares = one division each.  One user-grain min + one
+    fact-grain aggregation."""
+    ev = load_tables(spark, sf_dir)["events"]
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    pur = (
+        ev.where(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .join(F.broadcast(first), "user_id")
+        .select(
+            F.to_date("ts").alias("day"),
+            (F.to_date("ts") == F.col("first_day")).alias("is_new"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("v_u"),
+        )
+    )
+    agg = pur.groupBy("day").agg(
+        F.sum(F.when(F.col("is_new"), F.col("v_u")).otherwise(0))
+        .cast("long")
+        .alias("new_rev_u"),
+        F.sum(F.when(~F.col("is_new"), F.col("v_u")).otherwise(0))
+        .cast("long")
+        .alias("ret_rev_u"),
+        F.sum(F.col("is_new").cast("long")).cast("long").alias("new_purchases"),
+        F.sum((~F.col("is_new")).cast("long")).cast("long").alias(
+            "ret_purchases"
+        ),
+    )
+    return agg.select(
+        "day",
+        "new_purchases",
+        "ret_purchases",
+        "new_rev_u",
+        "ret_rev_u",
+        _rnd(
+            F.col("new_rev_u")
+            / F.greatest(
+                (F.col("new_rev_u") + F.col("ret_rev_u")).cast("double"),
+                F.lit(1.0),
+            ),
+            6,
+        ).alias("new_rev_share"),
+    )
+
+
+_SQL_NEW_VS_RETURNING = """
+WITH first AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+    FROM events GROUP BY 1
+),
+pur AS (
+    SELECT CAST(e.ts AS DATE) AS day,
+           CAST(e.ts AS DATE) = f.first_day AS is_new,
+           CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS v_u
+    FROM events e JOIN first f USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+)
+SELECT day,
+       CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_purchases,
+       CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+           AS ret_purchases,
+       CAST(sum(CASE WHEN is_new THEN v_u ELSE 0 END) AS BIGINT)
+           AS new_rev_u,
+       CAST(sum(CASE WHEN is_new THEN 0 ELSE v_u END) AS BIGINT)
+           AS ret_rev_u,
+       round(1e-9 + sum(CASE WHEN is_new THEN v_u ELSE 0 END)
+             / greatest(CAST(sum(v_u) AS DOUBLE), 1.0), 6)
+           AS new_rev_share
+FROM pur GROUP BY 1"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -10616,6 +10696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tukey_outliers": q_tukey_outliers,
     "q_stickiness": q_stickiness,
     "q_power_analysis": q_power_analysis,
+    "q_new_vs_returning": q_new_vs_returning,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -10774,6 +10855,7 @@ ORACLES: dict[str, str] = {
     "q_tukey_outliers": _SQL_TUKEY_OUTLIERS,
     "q_stickiness": _SQL_STICKINESS,
     "q_power_analysis": _sql_power_analysis(),
+    "q_new_vs_returning": _SQL_NEW_VS_RETURNING,
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

@@ -2843,3 +2843,24 @@ def test_power_analysis_scaling_law(spark, sf_dir):
         assert r.feasible == (1 if 2 * r.n_required_per_variant <= r.n_avail else 0)
     # quadratic law: n(1%) ~ 4x n(2%)
     assert 3.5 < rows[0].n_required_per_variant / rows[1].n_required_per_variant < 4.5
+
+
+def test_new_vs_returning_reconciles_with_totals(spark, sf_dir):
+    from nyc_taxi_data_warehouse_spark.queries_data import q_new_vs_returning
+
+    rows = sorted(
+        q_new_vs_returning(spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pur = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    total_rev = pur.agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+    ).collect()[0][0]
+    total_n = pur.count()
+    assert sum(r.new_rev_u + r.ret_rev_u for r in rows) == total_rev
+    assert sum(r.new_purchases + r.ret_purchases for r in rows) == total_n
+    # day 1: everyone is new; late days: mostly returning
+    assert rows[0].ret_purchases == 0 and rows[0].new_rev_share == 1.0
+    assert rows[-1].new_rev_share < 0.5
