@@ -84,7 +84,7 @@ _CHECK_LAST = [
     "q_lsh_tuning", "q_cumulative_distinct", "q_stream_kmins",
     "q_seasonal_anomaly", "q_grouping_sets", "q_autocorrelation", "q_gini",
     "q_crosscorrelation", "q_pareto_share", "q_tukey_outliers", "q_stickiness",
-    "q_power_analysis", "q_new_vs_returning",
+    "q_power_analysis", "q_new_vs_returning", "q_heatmap",
     "q_bloom_portable", "q_histogram_quantiles", "q_seasonal_decompose",
     "q_stream_bloom", "q_split_leakage", "q_pca_power",
     "q_market_basket", "q_mixture_temperature", "q_key_skew",

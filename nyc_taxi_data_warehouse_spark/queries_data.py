@@ -10615,6 +10615,51 @@ SELECT day,
 FROM pur GROUP BY 1"""
 
 
+def q_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week demand heatmap — the load-profile
+    matrix behind capacity planning and the zone-demand features: one
+    map-side-combinable aggregation over the (7 × 24)-bounded grid,
+    global share and within-weekday peak rank riding along (rank
+    windows over the 168-row grid, never the fact)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    grid = ev.groupBy(
+        (F.dayofweek(F.to_date("ts")) - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    tot = grid.agg(F.sum("n_events").cast("long").alias("total"))
+    w = Window.partitionBy("dow").orderBy(
+        F.desc("n_events"), F.asc("hour")
+    )
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            _rnd(F.col("n_events") / F.col("total").cast("double"), 6).alias(
+                "share"
+            ),
+            F.row_number().over(w).cast("int").alias("rank_in_dow"),
+        )
+    )
+
+
+_SQL_HEATMAP = """
+WITH grid AS (
+    SELECT CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS dow,
+           CAST(hour(ts) AS INTEGER) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM grid)
+SELECT g.dow, g.hour, g.n_events,
+       round(1e-9 + g.n_events / CAST(t.total AS DOUBLE), 6) AS share,
+       CAST(row_number() OVER (PARTITION BY g.dow
+                               ORDER BY g.n_events DESC, g.hour ASC)
+            AS INTEGER) AS rank_in_dow
+FROM grid g, tot t"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_cluster": q_dedup_cluster,
@@ -10697,6 +10742,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stickiness": q_stickiness,
     "q_power_analysis": q_power_analysis,
     "q_new_vs_returning": q_new_vs_returning,
+    "q_heatmap": q_heatmap,
     "q_countmin_topk": q_countmin_topk,
     "q_stream_cm": q_stream_cm,
     "q_bloom_portable": q_bloom_portable,
@@ -10856,6 +10902,7 @@ ORACLES: dict[str, str] = {
     "q_stickiness": _SQL_STICKINESS,
     "q_power_analysis": _sql_power_analysis(),
     "q_new_vs_returning": _SQL_NEW_VS_RETURNING,
+    "q_heatmap": _SQL_HEATMAP,
     "q_countmin_topk": _SQL_COUNTMIN_TOPK,
     # identical oracle: stream counters must equal batch counters exactly
     "q_stream_cm": _SQL_COUNTMIN_TOPK,

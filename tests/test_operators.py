@@ -2864,3 +2864,16 @@ def test_new_vs_returning_reconciles_with_totals(spark, sf_dir):
     # day 1: everyone is new; late days: mostly returning
     assert rows[0].ret_purchases == 0 and rows[0].new_rev_share == 1.0
     assert rows[-1].new_rev_share < 0.5
+
+
+def test_heatmap_grid_bounds_and_share_sums(spark, sf_dir):
+    from nyc_taxi_data_warehouse_spark.queries_data import q_heatmap
+
+    rows = q_heatmap(spark, sf_dir).collect()
+    assert len(rows) <= 168
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert sum(r.n_events for r in rows) == ev.count()
+    for r in rows:
+        assert 0 <= r.dow <= 6 and 0 <= r.hour <= 23
+        assert 1 <= r.rank_in_dow <= 24
