@@ -43,7 +43,13 @@ def psi_by_group(
     the frame-wide quantile bins (type-1 integer boundaries), so every
     group is measured on the same ruler.  NULL values are excluded from
     both distributions.  Returns (group_col, n_rows, psi) with psi the
-    raw double; callers round for cross-engine hashing."""
+    raw double; callers round for cross-engine hashing.
+
+    NOT lazy: calling this function runs one Spark job immediately (the
+    scalar quantile-boundary collect — see :func:`_binned_grid`) and
+    leaves a small (groups × bins) counts frame cached in the session;
+    the cache entry lives until ``spark.catalog.clearCache()`` or
+    session end (the harness clears between queries)."""
     return psi_from_grid(
         _binned_grid(df, group_col, value_col, num_bins), group_col
     )
@@ -166,7 +172,11 @@ def divergence_by_group(
     Same Laplace smoothing and quantile ruler as :func:`psi_by_group`,
     so all four metrics agree on what a "bin" is; one corpus
     aggregation total.  Returns (group_col, n_rows, psi, kl_div,
-    js_div, chi2) as raw doubles — callers round."""
+    js_div, chi2) as raw doubles — callers round.
+
+    NOT lazy: like :func:`psi_by_group`, construction runs the scalar
+    quantile-boundary job eagerly and leaves the (groups × bins) counts
+    frame cached until ``clearCache``/session end."""
     grid = _binned_grid(df, group_col, value_col, num_bins)
     p_g, p_r = F.col("p_g"), F.col("p_r")
     m = (p_g + p_r) / 2
@@ -215,7 +225,15 @@ def ks_by_group(
     integers; the single division by n_g·n happens once at the end, so
     the statistic is bit-reproducible against a SQL oracle.
 
-    Returns (group_col, n_rows, ks) with ks the raw double."""
+    Returns (group_col, n_rows, ks) with ks the raw double.
+
+    Cache ownership: the two CDF frames (value-cardinality-sized, not
+    corpus-sized) are persisted here and NOT unpersisted — the result
+    is lazy, so their lifetime must extend to the caller's final
+    action; they stay in the session CacheManager until
+    ``spark.catalog.clearCache()`` or session end (the harness clears
+    between queries — long-lived sessions should clearCache
+    themselves)."""
     nn = df.where(F.col(value_col).isNotNull())
     # Both CDF frames feed THREE consumers each (totals, carry/buckets,
     # grid join) — persist them or every reference replays the whole

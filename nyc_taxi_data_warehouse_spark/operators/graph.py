@@ -194,9 +194,11 @@ def bfs_hops(
     graph diameter ≤ max_iter.  At cluster scale the edge frame should
     be pre-partitioned on ``src`` so every round's join reuses the same
     exchange."""
+    # distinct: duplicate source rows must not become duplicate
+    # (node, hops=0) result rows (sources is seed-sized, cheap to dedup)
     dist = sources.select(
         F.col(sources.columns[0]).alias("node"), F.lit(0).alias("hops")
-    ).localCheckpoint()
+    ).distinct().localCheckpoint()
     frontier = dist.select("node")
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
     if e.rdd.getNumPartitions() < e.sparkSession.sparkContext.defaultParallelism:

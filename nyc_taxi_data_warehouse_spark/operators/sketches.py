@@ -417,34 +417,44 @@ def bloom_probe(
 ) -> DataFrame:
     """Membership probe against a :func:`bloom_bits` table: adds
     ``may_contain`` (1 = all k bit positions set — present OR false
-    positive; 0 = definitely absent).  The bit table is ≤ m_bits rows —
-    broadcast it; the probe side stays a narrow map + one small join,
-    never a shuffle of the probe corpus."""
-    expanded = probes.select(
-        "*",
-        F.explode(F.array(*[F.lit(j) for j in range(k_hashes)])).alias("j"),
-    )
-    pos = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("#", F.col("j"), F.col(key_col).cast("string"))),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(m_bits),
-    )
-    hit = expanded.select(
-        *probes.columns, pos.alias("bit")
-    ).join(
-        F.broadcast(bits.withColumn("__set", F.lit(1))), "bit", "left"
-    )
-    return hit.groupBy(*probes.columns).agg(
-        F.min(F.coalesce(F.col("__set"), F.lit(0))).cast("int").alias(
-            "may_contain"
+    positive; 0 = definitely absent).  Row-preserving: the output has
+    exactly the input's rows (duplicates included) and columns of any
+    type survive untouched — each of the k hash positions is checked by
+    its own broadcast left join against the ≤ m_bits-row bit table, so
+    the probe side is k map-side hash joins and NEVER a shuffle of the
+    probe corpus (the previous explode→groupBy shape collapsed
+    duplicate probe rows and shuffled the corpus)."""
+    out = probes
+    flags = []
+    bit_tbl = bits.select("bit")
+    for j in range(k_hashes):
+        pos_j = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "#", F.lit(j), F.col(key_col).cast("string")
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(m_bits),
         )
+        b = F.broadcast(
+            bit_tbl.select(
+                F.col("bit").alias(f"__b{j}"), F.lit(1).alias(f"__s{j}")
+            )
+        )
+        out = out.withColumn(f"__p{j}", pos_j).join(
+            b, F.col(f"__p{j}") == F.col(f"__b{j}"), "left"
+        )
+        flags.append(F.coalesce(F.col(f"__s{j}"), F.lit(0)))
+    return out.select(
+        *probes.columns, F.least(*flags).cast("int").alias("may_contain")
     )
 
 

@@ -90,8 +90,11 @@ def key_skew_report(
     Exactness: HHI's numerator Σc² and every count are exact integers;
     shares divide once per output row.  Shape: ONE map-side-combinable
     groupBy to a key-cardinality frame (persisted: it feeds the top-N
-    prune AND the 1-row summary), a TakeOrdered for the top N (never a
-    full sort), and windows only over the N-row pruned frame."""
+    prune AND the 1-row summary; the cache entry lives until
+    ``spark.catalog.clearCache()`` or session end — the result is lazy,
+    so this function cannot unpersist it), a TakeOrdered for the top N
+    (never a full sort), and windows only over the N-row pruned
+    frame."""
     counts = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     ).persist()  # two consumers; cached until harness clearCache
