@@ -60,7 +60,9 @@ _CHECK_LAST = [
     # round-8 additions), then stalest-evidence-first refresh order;
     # tail = the 50 entries driver-checked green in round 7
     "q_market_basket", "q_mixture_temperature", "q_key_skew",
-    "q_ohlc_bars", "q_attribution", "q_cdc_classify",
+    "q_ohlc_bars", "q_attribution",
+    "q_cusum_changepoint", "q_quantile_summary", "q_entity_resolution",
+    "q_frequent_sequences", "q_cdc_classify",
     "q_containment", "q_bpe_tokenize", "q_bpe_merges",
     "q_anomaly_mad", "q_cross_corpus_neardup", "q_crosstab_independence",
     "q_dedup_plan", "q_delta_roundtrip", "q_demand_corr",
@@ -152,6 +154,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(TPCH)
     except ImportError:
         pass
+    try:
+        from nyc_taxi_data_warehouse_spark.queries_mining import (
+            QUERIES as MINING,
+        )
+
+        out.update(MINING)
+    except ImportError:
+        pass
     return _ordered(out)
 
 
@@ -171,6 +181,14 @@ def oracle_sql() -> dict[str, str]:
         from nyc_taxi_data_warehouse_spark.queries_tpch import ORACLES as TPCH
 
         out.update(TPCH)
+    except ImportError:
+        pass
+    try:
+        from nyc_taxi_data_warehouse_spark.queries_mining import (
+            ORACLES as MINING,
+        )
+
+        out.update(MINING)
     except ImportError:
         pass
     return _ordered(out)

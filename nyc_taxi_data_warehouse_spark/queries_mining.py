@@ -1,0 +1,600 @@
+"""Round-8 mining/monitoring wave: CUSUM changepoint detection, a
+mergeable distributed quantile summary, blocking-based entity
+resolution, and sequential-pattern mining — four operators a
+large-scale curation/observability stack runs beside the dedup and
+sketch families, each with a DuckDB oracle twin.
+
+Determinism discipline (the repo-wide rules): alert/selection decisions
+are made on exact integers (cross-multiplied comparisons, scaled
+deviations, rank counts), per-row double arithmetic is bit-exact across
+engines, and every reported double is epsilon-shift rounded on BOTH
+sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.sampling import bucketed_value_cumsum
+from .plans.nyc_views import load_tables
+
+
+def _rnd(c, n: int):
+    """Epsilon-shifted rounding (see queries_nyc._rnd)."""
+    return F.round(c + F.lit(1e-9), n)
+
+
+# --- CUSUM changepoint ------------------------------------------------------
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM control chart over the per-type daily event-count
+    series — the sequential changepoint detector (Page 1954) a feed
+    monitor runs where EWMA smooths: CUSUM accumulates small persistent
+    shifts that never individually trip a spike threshold.
+
+    The recurrence S_t = max(0, S_{t-1} + d_t) looks iterative, but the
+    classic prefix identity makes it ONE window pass:
+    S_t = P_t − min(0, min_{j≤t} P_j) with P the running sum of the
+    deviations — so Spark expresses it as two stacked window aggregates
+    (running sum, then running min), no recursion, no UDF, and the plan
+    reuses a single (type, day)-sorted exchange.  Deviations are scaled
+    to exact integers (d_up = n_days·y − total − total div 10: the
+    day's count against the type's mean with a 10 % allowance,
+    multiplied through by n_days so no division ever happens), so every
+    cusum value and alarm flag is integer-exact and bit-reproducible.
+    Alarm when the accumulated scaled excess tops 2·total ≈ two mean
+    days' worth of drift.  Shape: one corpus aggregation to the
+    (type × day) grain, then windows over that tiny frame only."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("y").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    base = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        "y",
+        "total",
+        F.expr(
+            "CAST(n_days * y - total - total div 10 AS BIGINT)"
+        ).alias("__dup"),
+        F.expr(
+            "CAST(total - n_days * y - total div 10 AS BIGINT)"
+        ).alias("__ddn"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = base.select(
+        "event_type",
+        "day",
+        "y",
+        "total",
+        F.sum("__dup").over(w).alias("__pup"),
+        F.sum("__ddn").over(w).alias("__pdn"),
+    )
+    cus = pre.select(
+        "event_type",
+        "day",
+        "y",
+        "total",
+        (F.col("__pup") - F.least(F.lit(0), F.min("__pup").over(w)))
+        .cast("long")
+        .alias("cusum_up"),
+        (F.col("__pdn") - F.least(F.lit(0), F.min("__pdn").over(w)))
+        .cast("long")
+        .alias("cusum_dn"),
+    )
+    return cus.select(
+        "event_type",
+        "day",
+        "y",
+        "cusum_up",
+        (F.col("cusum_up") > 2 * F.col("total")).cast("int").alias("alarm_up"),
+        "cusum_dn",
+        (F.col("cusum_dn") > 2 * F.col("total")).cast("int").alias("alarm_dn"),
+    )
+
+
+_SQL_CUSUM_CHANGEPOINT = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+tot AS (
+    SELECT event_type, CAST(sum(y) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM daily GROUP BY 1
+),
+base AS (
+    SELECT d.event_type, d.day, d.y, t.total,
+           CAST(t.n_days * d.y - t.total - t.total // 10 AS BIGINT) AS dup,
+           CAST(t.total - t.n_days * d.y - t.total // 10 AS BIGINT) AS ddn
+    FROM daily d JOIN tot t USING (event_type)
+),
+pre AS (
+    SELECT *, sum(dup) OVER w AS pup, sum(ddn) OVER w AS pdn
+    FROM base
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cus AS (
+    SELECT event_type, day, y, total,
+           CAST(pup - least(0, min(pup) OVER w) AS BIGINT) AS cusum_up,
+           CAST(pdn - least(0, min(pdn) OVER w) AS BIGINT) AS cusum_dn
+    FROM pre
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, y, cusum_up,
+       CAST(cusum_up > 2 * total AS INT) AS alarm_up,
+       cusum_dn,
+       CAST(cusum_dn > 2 * total AS INT) AS alarm_dn
+FROM cus"""
+
+
+# --- Mergeable distributed quantile summary ---------------------------------
+
+_QS_SHARDS = 8
+_QS_GRID = 32
+_QS_TARGETS = (10, 250, 500, 750, 900, 990)  # per-mille
+
+
+def q_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable ε-approximate quantile summary — the quantile leg of
+    the portable-sketch family (HLL/KMV distinct, Count-Min/Misra-Gries
+    frequency, Bloom membership): each shard keeps ≤ G grid values of
+    its own CDF, the merged summary answers any quantile with rank
+    error ≤ Σ_s ⌈n_s/G⌉, and the whole thing is a relational table any
+    engine rebuilds (the Greenwald-Khanna idea reduced to its mergeable
+    rank-bound core).
+
+    Shape: rows hash to S shards (md5 — content-addressed, partition-
+    independent); each shard's CDF comes from the shared
+    :func:`bucketed_value_cumsum` primitive (never an unpartitioned
+    sort); a row survives into the summary iff its cumulative interval
+    (cle−c, cle] crosses a grid boundary — a PURE PROJECTION test
+    ⌊cle·G/n_s⌋ > ⌊(cle−c)·G/n_s⌋, no per-shard window, no grid join.
+    The merged rank lower bound g(v) = Σ_s max{cle_s : v_s ≤ v} and the
+    answer rule (min summary value with g(v) ≥ target rank) run
+    DRIVER-SIDE over the collected ≤ S·G-row summary — that IS the
+    sketch's point (ship kilobytes, decide locally; the
+    centroid-codebook precedent), and folding the answers back as
+    literals keeps the serving plan one cached-CDF aggregation instead
+    of a pyramid of sketch-sized joins (the psi_drift plan-bloat
+    lesson: 128 exchanges → ~30).  NOT lazy: construction runs the
+    cumsum and two sketch-sized collects eagerly.  Every decision is on
+    exact integers; the only doubles in the output are actual data
+    values, never arithmetic.  At 100 TB the summaries are what ships
+    between workers/engines — kilobytes per shard regardless of corpus
+    size."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    shard = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", "l_orderkey", "l_linenumber")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(_QS_SHARDS),
+    )
+    rows = li.select(
+        F.col("l_extendedprice").alias("v"), shard.alias("shard")
+    )
+    # sentinel shard −1 = the GLOBAL CDF: one union doubles the rows but
+    # halves the cumsum machinery (ONE edge-sketch job, ONE distinct
+    # shuffle, ONE window pass compute both the per-shard and the global
+    # cumulative tables)
+    both = rows.unionByName(
+        rows.select("v", F.lit(-1).cast("long").alias("shard"))
+    )
+    allcdf = bucketed_value_cumsum(both, "v", ("shard",)).select(
+        "shard", "__v", "__c", "__cle"
+    ).persist()  # feeds the shard summaries AND the global exact side
+    cdf = allcdf.where(F.col("shard") >= 0)
+    # shard totals: ≤ S scalars — collected (the boundary-collect
+    # precedent in drift)
+    n_s = {
+        r.shard: r.n_s
+        for r in cdf.groupBy("shard")
+        .agg(F.max("__cle").alias("n_s"))
+        .collect()
+    }
+    n = sum(n_s.values())
+    # summary rows: the cumulative interval crosses a grid boundary;
+    # ≤ S·G rows — THE sketch, collected driver-side to decide locally
+    nsh_map = F.create_map(
+        *[x for s, v in n_s.items() for x in (F.lit(s), F.lit(v))]
+    )
+    summ_rows = (
+        cdf.withColumn("__ns", nsh_map[F.col("shard")])
+        .where(
+            F.expr(f"(__cle * {_QS_GRID}) div __ns")
+            > F.expr(f"((__cle - __c) * {_QS_GRID}) div __ns")
+        )
+        .select("shard", F.col("__v").alias("sv"), F.col("__cle").alias("scle"))
+        .collect()
+    )
+    per_shard: dict[int, list[tuple[float, int]]] = {}
+    for r in summ_rows:
+        per_shard.setdefault(r.shard, []).append((r.sv, r.scle))
+    for vals in per_shard.values():
+        vals.sort()
+
+    def _glb(v: float) -> int:
+        # merged rank lower bound: Σ_s max{cle_s : sv_s ≤ v}
+        tot = 0
+        for vals in per_shard.values():
+            best = 0
+            for sv, scle in vals:
+                if sv > v:
+                    break
+                best = scle
+            tot += best
+        return tot
+
+    cands = sorted({sv for vals in per_shard.values() for sv, _ in vals})
+    targets = [(qm, (qm * n + 999) // 1000) for qm in _QS_TARGETS]
+    est = {
+        qm: next(v for v in cands if _glb(v) >= r) for qm, r in targets
+    }
+    # ONE aggregation over the cached global CDF answers est_rank and
+    # the exact quantile for every target at once
+    gcum = allcdf.where(F.col("shard") == -1).select(
+        F.col("__v").alias("gv"), F.col("__cle").alias("gcle")
+    )
+    aggs = []
+    for qm, r in targets:
+        aggs.append(
+            F.max(
+                F.when(F.col("gv") == F.lit(est[qm]), F.col("gcle"))
+            ).alias(f"er_{qm}")
+        )
+        aggs.append(
+            F.min(
+                F.when(F.col("gcle") >= F.lit(r), F.col("gv"))
+            ).alias(f"ex_{qm}")
+        )
+    one = gcum.agg(*aggs)
+    rows_col = F.array(
+        *[
+            F.struct(
+                F.lit(qm).cast("int").alias("q_mille"),
+                F.lit(r).cast("long").alias("target_rank"),
+                F.lit(est[qm]).cast("double").alias("est_val"),
+                F.col(f"er_{qm}").cast("long").alias("est_rank"),
+                F.col(f"ex_{qm}").cast("double").alias("exact_val"),
+            )
+            for qm, r in targets
+        ]
+    )
+    return one.select(F.explode(rows_col).alias("s")).select(
+        "s.q_mille",
+        F.lit(n).cast("long").alias("n"),
+        "s.target_rank",
+        "s.est_val",
+        "s.est_rank",
+        "s.exact_val",
+        (F.col("s.est_rank") - F.col("s.target_rank"))
+        .cast("long")
+        .alias("rank_err"),
+    )
+
+
+_SQL_QUANTILE_SUMMARY = f"""
+WITH rows_ AS (
+    SELECT l_extendedprice AS v,
+           CAST(('0x' || substr(md5(l_orderkey || '#' || l_linenumber), 1, 8))
+                AS BIGINT) % {_QS_SHARDS} AS shard
+    FROM lineitem
+),
+vc AS (
+    SELECT shard, v, CAST(count(*) AS BIGINT) AS c
+    FROM rows_ GROUP BY 1, 2
+),
+cdf AS (
+    SELECT shard, v, c,
+           CAST(sum(c) OVER (PARTITION BY shard ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cle
+    FROM vc
+),
+nsh AS (SELECT shard, max(cle) AS n_s FROM cdf GROUP BY 1),
+summ AS (
+    SELECT shard, v AS sv, cle AS scle
+    FROM cdf JOIN nsh USING (shard)
+    WHERE (cle * {_QS_GRID}) // n_s > ((cle - c) * {_QS_GRID}) // n_s
+),
+candv AS (SELECT DISTINCT sv AS cv FROM summ),
+contrib AS (
+    SELECT candv.cv, s.shard, max(s.scle) AS mc
+    FROM candv JOIN summ s ON s.sv <= candv.cv
+    GROUP BY 1, 2
+),
+g AS (SELECT cv, CAST(sum(mc) AS BIGINT) AS glb FROM contrib GROUP BY 1),
+n_tbl AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM nsh),
+targets AS (
+    SELECT q_mille, n,
+           CAST((q_mille * n + 999) // 1000 AS BIGINT) AS target_rank
+    FROM (SELECT unnest([{", ".join(str(q) for q in _QS_TARGETS)}])
+                 AS q_mille), n_tbl
+),
+est AS (
+    SELECT q_mille, n, target_rank, min(cv) AS est_val
+    FROM targets JOIN g ON g.glb >= targets.target_rank
+    GROUP BY 1, 2, 3
+),
+gl AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM rows_ GROUP BY 1),
+gcum AS (
+    SELECT v AS gv,
+           CAST(sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS gcle
+    FROM gl
+),
+exact AS (
+    SELECT q_mille, min(gv) AS exact_val
+    FROM targets JOIN gcum ON gcum.gcle >= targets.target_rank
+    GROUP BY 1
+),
+est_rank AS (
+    SELECT e.q_mille, g2.gcle AS est_rank
+    FROM est e JOIN gcum g2 ON g2.gv = e.est_val
+)
+SELECT CAST(e.q_mille AS INT) AS q_mille, e.n, e.target_rank, e.est_val,
+       r.est_rank, x.exact_val,
+       CAST(r.est_rank - e.target_rank AS BIGINT) AS rank_err
+FROM est e JOIN est_rank r USING (q_mille) JOIN exact x USING (q_mille)"""
+
+
+# --- Blocking-based entity resolution ---------------------------------------
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage evaluation with blocking — the entity-resolution
+    shape every large-scale catalog/CRM dedup runs: never all-pairs;
+    candidates come only from shared (nationkey, name-digit-block)
+    blocking keys, then a cheap matcher (edit distance ≤ 2 AND balance
+    gap ≤ 1.0) decides, and the query scores the matcher against
+    planted ground truth.
+
+    Truth construction (deterministic, mirrored 1:1 in the oracle):
+    every custkey ≡ 0 (mod 3) gets a twin record (key + 10M).  Light
+    twins (mod 6 ≠ 0) drop the name's last char and shift the balance
+    by +0.25 → the matcher finds them; heavy twins (mod 6 = 0) drop two
+    chars and shift +7.5 → the balance gate rejects them, so recall is
+    structurally ≈ one half and the metric is non-degenerate.  False
+    positives arise naturally: distinct customers sharing a block whose
+    names differ in ≤ 2 trailing digits pass the name gate and
+    occasionally the balance gate.  All match decisions are exact
+    (integer edit distance; bit-exact double subtraction compared to a
+    literal).  Returns one scorecard row per nation.
+
+    Scale: the block self-join is the only quadratic term and it is
+    quadratic per block, not per corpus — block keys carry ~4 digits of
+    the entity key, so blocks stay O(corpus / 10⁴·nations); skew in a
+    hot block is the lsh_hot_buckets story and would get the same cap."""
+    cust = load_tables(spark, sf_dir)["customer"].select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    seed = cust.where(F.col("c_custkey") % 3 == 0)
+    heavy = F.col("c_custkey") % 6 == 0
+    twins = seed.select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        F.expr(
+            "substring(c_name, 1, length(c_name)"
+            " - (CASE WHEN c_custkey % 6 = 0 THEN 2 ELSE 1 END))"
+        ).alias("c_name"),
+        "c_nationkey",
+        F.when(heavy, F.col("c_acctbal") + F.lit(7.5))
+        .otherwise(F.col("c_acctbal") + F.lit(0.25))
+        .alias("c_acctbal"),
+    )
+    recs = cust.unionByName(twins).withColumn(
+        "__blk",
+        F.concat_ws(
+            "|", F.col("c_nationkey"), F.substring("c_name", 13, 4)
+        ),
+    )
+    a, b = recs.alias("a"), recs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__blk") == F.col("b.__blk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_nationkey").alias("nation"),
+        F.col("a.c_custkey").alias("ka"),
+        F.col("b.c_custkey").alias("kb"),
+        (
+            (F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 2)
+            & (F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) <= 1.0)
+        )
+        .cast("int")
+        .alias("matched"),
+        (F.col("b.c_custkey") - F.col("a.c_custkey") == 10000000)
+        .cast("int")
+        .alias("is_truth"),
+    )
+    n_rec = recs.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_records")
+    )
+    score = pairs.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand_pairs"),
+        F.sum("matched").cast("long").alias("n_matched"),
+        F.sum(F.col("matched") * F.col("is_truth")).cast("long").alias("tp"),
+        F.sum(F.col("matched") * (1 - F.col("is_truth")))
+        .cast("long")
+        .alias("fp"),
+        F.sum((1 - F.col("matched")) * F.col("is_truth"))
+        .cast("long")
+        .alias("fn"),
+    )
+    return n_rec.join(score, "nation").select(
+        F.col("nation").cast("int").alias("c_nationkey"),
+        "n_records",
+        "n_cand_pairs",
+        "n_matched",
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("n_matched") > 0,
+            _rnd(F.col("tp") / F.col("n_matched").cast("double"), 6),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            _rnd(
+                F.col("tp") / (F.col("tp") + F.col("fn")).cast("double"), 6
+            ),
+        ).alias("recall"),
+    )
+
+
+_SQL_ENTITY_RESOLUTION = """
+WITH twins AS (
+    SELECT c_custkey + 10000000 AS c_custkey,
+           substr(c_name, 1, length(c_name)
+                  - (CASE WHEN c_custkey % 6 = 0 THEN 2 ELSE 1 END))
+               AS c_name,
+           c_nationkey,
+           CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 7.5
+                ELSE c_acctbal + 0.25 END AS c_acctbal
+    FROM customer WHERE c_custkey % 3 = 0
+),
+recs AS (
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM twins
+),
+blocked AS (
+    SELECT *, c_nationkey || '|' || substr(c_name, 13, 4) AS blk FROM recs
+),
+pairs AS (
+    SELECT a.c_nationkey AS nation,
+           CAST(levenshtein(a.c_name, b.c_name) <= 2
+                AND abs(a.c_acctbal - b.c_acctbal) <= 1.0 AS INT)
+               AS matched,
+           CAST(b.c_custkey - a.c_custkey = 10000000 AS INT) AS is_truth
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+),
+n_rec AS (
+    SELECT c_nationkey AS nation, CAST(count(*) AS BIGINT) AS n_records
+    FROM recs GROUP BY 1
+),
+score AS (
+    SELECT nation,
+           CAST(count(*) AS BIGINT) AS n_cand_pairs,
+           CAST(sum(matched) AS BIGINT) AS n_matched,
+           CAST(sum(matched * is_truth) AS BIGINT) AS tp,
+           CAST(sum(matched * (1 - is_truth)) AS BIGINT) AS fp,
+           CAST(sum((1 - matched) * is_truth) AS BIGINT) AS fn
+    FROM pairs GROUP BY 1
+)
+SELECT CAST(nation AS INT) AS c_nationkey, n_records, n_cand_pairs,
+       n_matched, tp, fp, fn,
+       CASE WHEN n_matched > 0
+            THEN round(1e-9 + tp / CAST(n_matched AS DOUBLE), 6)
+       END AS precision,
+       CASE WHEN tp + fn > 0
+            THEN round(1e-9 + tp / CAST(tp + fn AS DOUBLE), 6)
+       END AS recall
+FROM n_rec JOIN score USING (nation)"""
+
+
+# --- Sequential pattern mining ----------------------------------------------
+
+def q_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-event sequential patterns over per-user event streams
+    — the support-counting core of sequence mining (PrefixSpan's
+    length-3 slice): consecutive event-type trigrams per user (ordered
+    by ts with event_id as the deterministic tiebreak), global support
+    and distinct-user reach per pattern, kept when support ≥ 0.5 % of
+    all trigrams.  Shape: ONE user-partitioned window (the standard
+    sessionization shuffle — at 100 TB this partitioning is shared with
+    sessions/funnel/attribution), then a 125-row-bounded aggregate; the
+    threshold comparison is cross-multiplied integers."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    counts = tri.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).cast("long").alias("support"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    total = counts.agg(F.sum("support").cast("long").alias("__tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("support") * 200 >= F.col("__tot"))
+        .select(
+            "e1",
+            "e2",
+            "e3",
+            "support",
+            "n_users",
+            _rnd(F.col("support") / F.col("__tot").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+    )
+
+
+_SQL_FREQUENT_SEQUENCES = """
+WITH e AS (
+    SELECT user_id, event_id, ts, event_type
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL
+),
+tri AS (
+    SELECT user_id,
+           event_type AS e1,
+           lead(event_type, 1) OVER w AS e2,
+           lead(event_type, 2) OVER w AS e3
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (
+    SELECT e1, e2, e3,
+           CAST(count(*) AS BIGINT) AS support,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM tri WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+),
+t AS (SELECT CAST(sum(support) AS BIGINT) AS tot FROM c)
+SELECT e1, e2, e3, support, n_users,
+       round(1e-9 + support / CAST(tot AS DOUBLE), 6) AS share
+FROM c, t
+WHERE support * 200 >= tot"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_cusum_changepoint": q_cusum_changepoint,
+    "q_quantile_summary": q_quantile_summary,
+    "q_entity_resolution": q_entity_resolution,
+    "q_frequent_sequences": q_frequent_sequences,
+}
+
+ORACLES: dict[str, str] = {
+    "q_cusum_changepoint": _SQL_CUSUM_CHANGEPOINT,
+    "q_quantile_summary": _SQL_QUANTILE_SUMMARY,
+    "q_entity_resolution": _SQL_ENTITY_RESOLUTION,
+    "q_frequent_sequences": _SQL_FREQUENT_SEQUENCES,
+}

@@ -1,0 +1,97 @@
+"""Round-8 mining wave: CUSUM prefix identity, quantile-summary error
+bound, entity-resolution score structure, sequence-mining mass law."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_warehouse_spark import queries_mining as qm
+
+
+def test_cusum_prefix_identity_matches_recurrence(spark, sf_dir):
+    """The window formulation S_t = P_t - min(0, min prefix P) must equal
+    the literal CUSUM recurrence S_t = max(0, S_{t-1} + d_t) replayed in
+    Python over the same integer deviations, for every type and day."""
+    out = {
+        (r.event_type, r.day): (r.cusum_up, r.cusum_dn)
+        for r in qm.q_cusum_changepoint(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.y))
+    for et, rows in series.items():
+        rows.sort()
+        total = sum(y for _, y in rows)
+        n_days = len(rows)
+        allow = total // 10
+        s_up = s_dn = 0
+        for day, y in rows:
+            s_up = max(0, s_up + (n_days * y - total - allow))
+            s_dn = max(0, s_dn + (total - n_days * y - allow))
+            assert out[(et, day)] == (s_up, s_dn), (et, day)
+
+
+def test_quantile_summary_rank_error_bound(spark, sf_dir):
+    """Merged-summary answers must overshoot the target rank by at most
+    the theoretical bound sum_s ceil(n_s/G), never undershoot, and the
+    estimated value can never be below the exact type-1 quantile."""
+    rows = qm.q_quantile_summary(spark, sf_dir).collect()
+    assert len(rows) == len(qm._QS_TARGETS)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = li.count()
+    # bound with perfectly even shards is S*ceil(n/(S*G)); allow the
+    # worst case over actual shard sizes by using ceil per shard of the
+    # maximum possible shard (n): sum_s ceil(n_s/G) <= n/G + S
+    bound = n // qm._QS_GRID + qm._QS_SHARDS
+    for r in rows:
+        assert r.est_rank >= r.target_rank
+        assert r.rank_err == r.est_rank - r.target_rank
+        assert r.rank_err <= bound, (r.q_mille, r.rank_err, bound)
+        assert r.est_val >= r.exact_val
+        assert r.n == n
+
+
+def test_entity_resolution_truth_accounting(spark, sf_dir):
+    """Planted-twin bookkeeping: tp+fn across nations equals the number
+    of planted twins, fn equals the heavy twins (balance gate rejects
+    exactly those), and recall is strictly below 1 where a heavy twin
+    exists."""
+    rows = qm.q_entity_resolution(spark, sf_dir).collect()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n_twins = cust.where(F.col("c_custkey") % 3 == 0).count()
+    n_heavy = cust.where(F.col("c_custkey") % 6 == 0).count()
+    assert sum(r.tp + r.fn for r in rows) == n_twins
+    assert sum(r.fn for r in rows) == n_heavy
+    for r in rows:
+        assert 0 <= r.tp <= r.n_matched
+        if r.precision is not None:
+            assert 0.0 <= r.precision <= 1.0
+        if r.recall is not None:
+            assert 0.0 <= r.recall <= 1.0
+
+
+def test_frequent_sequences_mass_conservation(spark, sf_dir):
+    """Total trigram mass = sum over users of max(0, n_events - 2); the
+    reported share column must equal support/total for every pattern."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    total = sum(max(0, r.c - 2) for r in per_user.collect())
+    rows = qm.q_frequent_sequences(spark, sf_dir).collect()
+    assert rows, "threshold filtered everything out"
+    for r in rows:
+        assert r.support * 200 >= total
+        assert math.isclose(
+            r.share, round(1e-9 + r.support / total, 6), abs_tol=1e-9
+        )
