@@ -5736,7 +5736,11 @@ def q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
     )
     src = session_tmpdir("event_feed_bloom")
-    ev.write.mode("overwrite").parquet(src)
+    # 16-way feed write: the single-file events scan would otherwise
+    # serialize the write onto one core AND hand the stream one input
+    # split; 16 files → parallel write + a genuine 2-micro-batch replay
+    # under maxFilesPerTrigger=8
+    ev.repartition(16).write.mode("overwrite").parquet(src)
     schema = ST.StructType(
         [
             ST.StructField("ts", ST.TimestampType()),

@@ -142,6 +142,151 @@ SELECT event_type, day, y, cusum_up,
 FROM cus"""
 
 
+_CUSUM_SINK_SEQ = [0]
+
+
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 × changepoint: the STREAMING form of the CUSUM chart — the
+    event feed replays through the file source into a
+    `groupBy(window 1 day, event_type).count()` aggregation whose state
+    is (days × types) rows regardless of feed volume (counts replayed
+    via availableNow are exactly-once), and the CUSUM tail — the SAME
+    prefix-identity windows as :func:`q_cusum_changepoint` — runs
+    batch-side over the drained daily grain.  This is the deployment
+    split a 100 TB monitor actually uses: the stream maintains only the
+    tiny per-day count state; the (cheap, grain-sized) control-chart
+    arithmetic re-runs on every refresh.  The oracle recomputes the
+    whole chain from the batch events view, so the streamed counts must
+    agree exactly with batch counts."""
+    from pyspark.sql import types as ST
+
+    from .util import session_tmpdir
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "ts", "event_type"
+    ).where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+    src = session_tmpdir("event_feed_cusum")
+    # 16 files: parallel feed write + a 2-micro-batch replay under
+    # maxFilesPerTrigger=8 (the q_stream_bloom lesson)
+    ev.repartition(16).write.mode("overwrite").parquet(src)
+    schema = ST.StructType(
+        [
+            ST.StructField("ts", ST.TimestampType()),
+            ST.StructField("event_type", ST.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+    )
+    counts = (
+        stream.select(
+            F.window("ts", "1 day").alias("win"), "event_type"
+        )
+        .groupBy("win", "event_type")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    _CUSUM_SINK_SEQ[0] += 1
+    name = f"q_stream_cusum_sink_{_CUSUM_SINK_SEQ[0]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drained = q.awaitTermination(300)
+    q.stop()
+    if not drained:
+        raise RuntimeError(
+            "q_stream_cusum: availableNow drain timed out after 300s — "
+            "refusing to compare a partially-filled sink against the oracle"
+        )
+    # localCheckpoint the (days × types)-sized drained grain: daily
+    # self-joins against its own aggregate, and two lazy reads of the
+    # same memory-sink view collide on attribute ids (conflicting-
+    # references analyzer error); the materialized grain is tiny
+    daily = spark.table(name).select(
+        "event_type",
+        F.col("win.start").alias("day"),
+        F.col("y").cast("long").alias("y"),
+    ).localCheckpoint()
+    tot = daily.groupBy("event_type").agg(
+        F.sum("y").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    base = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        "y",
+        "total",
+        F.expr(
+            "CAST(n_days * y - total - total div 10 AS BIGINT)"
+        ).alias("__dup"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = base.select(
+        "event_type",
+        "day",
+        "y",
+        "total",
+        F.sum("__dup").over(w).alias("__pup"),
+    )
+    cus = pre.select(
+        "event_type",
+        "day",
+        "y",
+        "total",
+        (F.col("__pup") - F.least(F.lit(0), F.min("__pup").over(w)))
+        .cast("long")
+        .alias("cusum_up"),
+    )
+    return cus.select(
+        "event_type",
+        "day",
+        "y",
+        "cusum_up",
+        (F.col("cusum_up") > 2 * F.col("total")).cast("int").alias("alarm_up"),
+    )
+
+
+_SQL_STREAM_CUSUM = """
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS y
+    FROM events
+    WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+),
+tot AS (
+    SELECT event_type, CAST(sum(y) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM daily GROUP BY 1
+),
+base AS (
+    SELECT d.event_type, d.day, d.y, t.total,
+           CAST(t.n_days * d.y - t.total - t.total // 10 AS BIGINT) AS dup
+    FROM daily d JOIN tot t USING (event_type)
+),
+pre AS (
+    SELECT *, sum(dup) OVER w AS pup
+    FROM base
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, y,
+       CAST(pup - least(0, min(pup) OVER w) AS BIGINT) AS cusum_up,
+       CAST(pup - least(0, min(pup) OVER w) > 2 * total AS INT) AS alarm_up
+FROM pre
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+
 # --- Mergeable distributed quantile summary ---------------------------------
 
 _QS_SHARDS = 8
@@ -587,6 +732,7 @@ WHERE support * 200 >= tot"""
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cusum_changepoint": q_cusum_changepoint,
+    "q_stream_cusum": q_stream_cusum,
     "q_quantile_summary": q_quantile_summary,
     "q_entity_resolution": q_entity_resolution,
     "q_frequent_sequences": q_frequent_sequences,
@@ -594,6 +740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "q_cusum_changepoint": _SQL_CUSUM_CHANGEPOINT,
+    "q_stream_cusum": _SQL_STREAM_CUSUM,
     "q_quantile_summary": _SQL_QUANTILE_SUMMARY,
     "q_entity_resolution": _SQL_ENTITY_RESOLUTION,
     "q_frequent_sequences": _SQL_FREQUENT_SEQUENCES,

@@ -95,3 +95,19 @@ def test_frequent_sequences_mass_conservation(spark, sf_dir):
         assert math.isclose(
             r.share, round(1e-9 + r.support / total, 6), abs_tol=1e-9
         )
+
+
+def test_stream_cusum_matches_batch_chart(spark, sf_dir):
+    """The streamed daily grain must reproduce the batch chart exactly:
+    cusum_up/alarm_up agree per (type, date) with q_cusum_changepoint."""
+    batch = {
+        (r.event_type, r.day): (r.cusum_up, r.alarm_up)
+        for r in qm.q_cusum_changepoint(spark, sf_dir).collect()
+    }
+    streamed = qm.q_stream_cusum(spark, sf_dir).collect()
+    assert len(streamed) == len(batch)
+    for r in streamed:
+        assert batch[(r.event_type, r.day.date())] == (
+            r.cusum_up,
+            r.alarm_up,
+        ), (r.event_type, r.day)
