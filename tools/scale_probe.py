@@ -384,10 +384,114 @@ def main() -> None:
         "watermark_audit": (lambda m: _events_at(spark, sf_dir, m), _wm),
     }
 
+    # round-8 ops: CUSUM is grain-sized windows after one corpus agg
+    # (linear scan, flat chart cost); the quantile summary is one CDF
+    # build + a kilobyte collect (distinct-value work grows with the
+    # jittered value axis); ER blocking is quadratic PER BLOCK with
+    # block count growing ∝ corpus (so linear overall); sequence mining
+    # is the user-partitioned lead window (linear in events)
+    def _cusum(d):
+        from pyspark.sql import Window as W
+
+        daily = d.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).cast("long").alias("y")
+        )
+        tot = daily.groupBy("event_type").agg(
+            F.sum("y").cast("long").alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        base = daily.join(F.broadcast(tot), "event_type").select(
+            "event_type", "day", "y", "total",
+            F.expr("CAST(n_days * y - total - total div 10 AS BIGINT)")
+            .alias("dup"),
+        )
+        w = (
+            W.partitionBy("event_type").orderBy("day")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        pre = base.select(
+            "event_type", "day", "total",
+            F.sum("dup").over(w).alias("pup"),
+        )
+        return pre.select(
+            "event_type", "day",
+            (F.col("pup") - F.least(F.lit(0), F.min("pup").over(w)))
+            .alias("s_up"),
+        )
+
+    def _qsummary(d):
+        from nyc_taxi_data_warehouse_spark.operators.sampling import (
+            bucketed_value_cumsum,
+        )
+
+        rows = d.select(
+            (F.col("value") + (F.col("event_id") % 997) * 0.001).alias("v"),
+            F.pmod(F.crc32(F.col("event_id").cast("string")), F.lit(8))
+            .alias("shard"),
+        )
+        cdf = bucketed_value_cumsum(rows, "v", ("shard",))
+        nsh = cdf.groupBy("shard").agg(F.max("__cle").alias("n_s"))
+        return (
+            cdf.join(F.broadcast(nsh), "shard")
+            .where(
+                F.expr("(__cle * 32) div n_s")
+                > F.expr("((__cle - __c) * 32) div n_s")
+            )
+            .select("shard", "__v", "__cle")
+        )
+
+    def _er_blocking(d):
+        recs = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("Entity#"), F.lpad(F.col("doc_id").cast("string"), 9, "0")
+            ).alias("name"),
+        )
+        twins = recs.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 100000000).alias("doc_id"),
+            F.expr("substring(name, 1, length(name) - 1)").alias("name"),
+        )
+        blocked = recs.unionByName(twins).withColumn(
+            "blk", F.substring("name", 11, 4)
+        )
+        a, b = blocked.alias("a"), blocked.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.blk") == F.col("b.blk"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .where(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 2)
+            .groupBy(F.col("a.blk"))
+            .count()
+        )
+
+    def _freqseq(d):
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        tri = d.select(
+            "user_id",
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        return tri.groupBy("e1", "e2", "e3").agg(
+            F.count(F.lit(1)).alias("support")
+        )
+
+    fourth_ops = {
+        "cusum_chart": (lambda m: _events_at(spark, sf_dir, m), _cusum),
+        "quantile_summary": (lambda m: _events_at(spark, sf_dir, m), _qsummary),
+        "er_blocking": (lambda m: _docs_at(spark, sf_dir, m), _er_blocking),
+        "frequent_sequences": (lambda m: _events_at(spark, sf_dir, m), _freqseq),
+    }
+
     all_ops = {n: (lambda m: _docs_at(spark, sf_dir, m), op) for n, op in ops.items()}
     all_ops.update(meta_ops)
     all_ops.update(events_ops)
     all_ops.update(third_ops)
+    all_ops.update(fourth_ops)
     only = sys.argv[2:]
     if only:
         unknown = [n for n in only if n not in all_ops]
