@@ -730,12 +730,147 @@ FROM c, t
 WHERE support * 200 >= tot"""
 
 
+# --- Gaps and islands (run-length encoding) ---------------------------------
+
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over per-user event streams — the classic
+    warehouse pattern (consecutive same-type runs become islands via
+    the two-row_number difference trick), reduced to a run-length
+    histogram: how long do users stay in one activity mode?  Shape:
+    both row_numbers ride the SAME user-partitioned sort (one exchange,
+    two window functions), islands aggregate by (user, type, group id),
+    and the histogram is a (types × max_run)-bounded frame.  All
+    integers end to end."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    grp = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias(
+            "__g"
+        ),
+    )
+    runs = grp.groupBy("user_id", "event_type", "__g").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return runs.groupBy("event_type", "run_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands")
+    )
+
+
+_SQL_GAPS_ISLANDS = """
+WITH e AS (
+    SELECT user_id, event_id, ts, event_type
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL
+),
+grp AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS g
+    FROM e
+),
+runs AS (
+    SELECT user_id, event_type, g, CAST(count(*) AS BIGINT) AS run_len
+    FROM grp GROUP BY 1, 2, 3
+)
+SELECT event_type, run_len, CAST(count(*) AS BIGINT) AS n_islands
+FROM runs GROUP BY 1, 2"""
+
+
+# --- Compaction planning ------------------------------------------------------
+
+_COMPACT_BINS = 16
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction plan — the table-maintenance leg beside
+    z-order/manifest/snapshot-diff: daily order "files" (row counts as
+    the size proxy) pack into target-sized rewrite bins by NEXT-FIT in
+    date order (date-ordered packing preserves partition-pruning
+    locality in the rewritten files, which is why real compactors don't
+    bin-pack optimally).  Next-fit is sequential but NOT iterative: bin
+    id = (cumulative size before this file) div target — one running
+    sum over the date-ordered file list, a pure window identity like
+    the CUSUM chart.  The report (files, rows, fill % per bin) is
+    bin-count-sized.  All boundaries are exact integers; target =
+    ceil(total/16) so the plan is scale-free."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    files = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    tot = files.agg(F.sum("sz").cast("long").alias("total"))
+    packed = (
+        files.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "sz",
+            "total",
+            (F.sum("sz").over(w) - F.col("sz")).alias("__before"),
+        )
+        .select(
+            "day",
+            "sz",
+            F.expr(
+                f"CAST(__before div ((total + {_COMPACT_BINS - 1})"
+                f" div {_COMPACT_BINS}) AS BIGINT)"
+            ).alias("bin_id"),
+            F.expr(
+                f"(total + {_COMPACT_BINS - 1}) div {_COMPACT_BINS}"
+            ).alias("__target"),
+        )
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("sz").cast("long").alias("bin_rows"),
+        _rnd(
+            F.sum("sz") * 100 / F.first("__target").cast("double"), 4
+        ).alias("fill_pct"),
+    )
+
+
+_SQL_COMPACTION_PLAN = f"""
+WITH files AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS sz
+    FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(sum(sz) AS BIGINT) AS total FROM files),
+packed AS (
+    SELECT day, sz,
+           CAST((sum(sz) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - sz)
+                // ((total + {_COMPACT_BINS - 1}) // {_COMPACT_BINS})
+                AS BIGINT) AS bin_id,
+           (total + {_COMPACT_BINS - 1}) // {_COMPACT_BINS} AS target
+    FROM files, tot
+)
+SELECT bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(sz) AS BIGINT) AS bin_rows,
+       round(1e-9 + sum(sz) * 100 / CAST(min(target) AS DOUBLE), 4)
+           AS fill_pct
+FROM packed GROUP BY 1"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cusum_changepoint": q_cusum_changepoint,
     "q_stream_cusum": q_stream_cusum,
     "q_quantile_summary": q_quantile_summary,
     "q_entity_resolution": q_entity_resolution,
     "q_frequent_sequences": q_frequent_sequences,
+    "q_gaps_islands": q_gaps_islands,
+    "q_compaction_plan": q_compaction_plan,
 }
 
 ORACLES: dict[str, str] = {
@@ -744,4 +879,6 @@ ORACLES: dict[str, str] = {
     "q_quantile_summary": _SQL_QUANTILE_SUMMARY,
     "q_entity_resolution": _SQL_ENTITY_RESOLUTION,
     "q_frequent_sequences": _SQL_FREQUENT_SEQUENCES,
+    "q_gaps_islands": _SQL_GAPS_ISLANDS,
+    "q_compaction_plan": _SQL_COMPACTION_PLAN,
 }

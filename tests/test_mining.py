@@ -111,3 +111,36 @@ def test_stream_cusum_matches_batch_chart(spark, sf_dir):
             r.cusum_up,
             r.alarm_up,
         ), (r.event_type, r.day)
+
+
+def test_gaps_islands_mass_conservation(spark, sf_dir):
+    """Every event belongs to exactly one island: sum(run_len *
+    n_islands) over the histogram equals the filtered event count."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    total = ev.count()
+    rows = qm.q_gaps_islands(spark, sf_dir).collect()
+    assert sum(r.run_len * r.n_islands for r in rows) == total
+    assert all(r.run_len >= 1 and r.n_islands >= 1 for r in rows)
+
+
+def test_compaction_plan_partitions_all_rows(spark, sf_dir):
+    """The plan covers every order exactly once, uses at most the
+    configured bin count, and closes every non-final bin at >= 100 %
+    of target (next-fit closes a bin only once the target is crossed)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    total = orders.count()
+    rows = sorted(
+        qm.q_compaction_plan(spark, sf_dir).collect(),
+        key=lambda r: r.bin_id,
+    )
+    assert sum(r.bin_rows for r in rows) == total
+    assert rows[0].bin_id >= 0
+    assert rows[-1].bin_id < qm._COMPACT_BINS
+    # bin ids are dense: `before div target` can only advance by one
+    # boundary at a time when files are smaller than the target, so the
+    # plan never skips a bin
+    assert [r.bin_id for r in rows] == list(range(len(rows)))
