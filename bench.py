@@ -123,6 +123,17 @@ HEADLINE = [
     # explode over corpus bytes) and the 3-config LSH tuning sweep
     "q_cdc_chunking",
     "q_lsh_tuning",
+    # round-8 additions: the mining/monitoring wave — prefix-identity
+    # CUSUM (batch + streaming), the mergeable quantile summary (CDF
+    # build + kilobyte sketch), blocked entity resolution, trigram
+    # sequence mining, gaps-and-islands, and next-fit compaction
+    "q_cusum_changepoint",
+    "q_stream_cusum",
+    "q_quantile_summary",
+    "q_entity_resolution",
+    "q_frequent_sequences",
+    "q_gaps_islands",
+    "q_compaction_plan",
 ]
 
 # The FIXED baseline-comparable subset: exactly the 30 queries of the first
