@@ -730,6 +730,345 @@ FROM c, t
 WHERE support * 200 >= tot"""
 
 
+# --- Shared normal-tail formula ----------------------------------------------
+
+def _p2_formula(z: str) -> str:
+    """Two-sided normal p-value 2·Q(|z|) as ONE textual SQL formula used
+    verbatim by BOTH engines (Spark parses it via F.expr, DuckDB
+    directly) — neither engine ships erf, and per-row double arithmetic
+    over an identical expression tree is bit-exact across engines (the
+    repo-wide parity rule), so the SAME Abramowitz–Stegun 26.2.17
+    polynomial (|ε| < 7.5e-8) yields hash-identical p-values.  Callers
+    must round the INPUT z identically on both sides first."""
+    az = f"abs({z})"
+    t = f"(1.0 / (1.0 + 0.2316419 * {az}))"
+    poly = (
+        f"({t} * (0.31938153 + {t} * (-0.356563782 + {t} *"
+        f" (1.781477937 + {t} * (-1.821255978 + {t} * 1.330274429)))))"
+    )
+    pdf = f"(exp(-({az} * {az}) / 2.0) * 0.3989422804014327)"
+    return f"least(1.0, 2.0 * {pdf} * {poly})"
+
+
+# --- Benjamini–Hochberg FDR ---------------------------------------------------
+
+_BH_Q_PCT = 10  # FDR level 0.10 as an exact integer percent
+
+
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over a 35-cell test family —
+    the multiple-testing control every metrics platform needs once it
+    runs one z-test per segment (q_ab_test's family-wise sibling): per
+    (event_type × weekday) cell, a two-sample z-test compares mean
+    event value between the id-parity variants; BH then adjusts the 35
+    p-values in one window pass (p_adj_i = min_{j≥i} m·p_(j)/j — a
+    REVERSE running min, the same prefix-identity family as CUSUM).
+
+    Determinism: per-cell sums accumulate on the ×100 integer lattice
+    (BIGINT — order-independent), the z statistic and the A&S normal
+    tail evaluate ONE textual formula shared verbatim with the oracle,
+    z and p are epsilon-rounded before every downstream use, ordering
+    ties break on (event_type, weekday), and the final reject compares
+    a rounded p_adj against the exact rational q = 10/100.  Shape: one
+    corpus aggregation to 35 cells; every window runs on the 35-row
+    frame."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    cells = (
+        ev.select(
+            "event_type",
+            F.dayofweek("ts").alias("weekday"),
+            F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("va"),
+            F.round(F.col("value") * 100).cast("long").alias("x"),
+        )
+        .groupBy("event_type", "weekday")
+        .agg(
+            F.sum(F.when(F.col("va") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("va") == 0, F.col("x")).otherwise(0))
+            .cast("long")
+            .alias("s_a"),
+            F.sum(
+                F.when(F.col("va") == 0, F.col("x") * F.col("x")).otherwise(0)
+            )
+            .cast("long")
+            .alias("q_a"),
+            F.sum(F.when(F.col("va") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+            F.sum(F.when(F.col("va") == 1, F.col("x")).otherwise(0))
+            .cast("long")
+            .alias("s_b"),
+            F.sum(
+                F.when(F.col("va") == 1, F.col("x") * F.col("x")).otherwise(0)
+            )
+            .cast("long")
+            .alias("q_b"),
+        )
+    )
+    z_txt = (
+        "(s_a / CAST(n_a AS DOUBLE) - s_b / CAST(n_b AS DOUBLE))"
+        " / sqrt("
+        "((q_a - (s_a / CAST(n_a AS DOUBLE)) * s_a) / (n_a - 1.0)) / n_a"
+        " + ((q_b - (s_b / CAST(n_b AS DOUBLE)) * s_b) / (n_b - 1.0)) / n_b"
+        ")"
+    )
+    scored = cells.select(
+        "event_type",
+        "weekday",
+        "n_a",
+        "n_b",
+        _rnd(F.expr(z_txt), 9).alias("z"),
+    ).select(
+        "event_type",
+        "weekday",
+        "n_a",
+        "n_b",
+        "z",
+        _rnd(F.expr(_p2_formula("z")), 10).alias("p"),
+    )
+    m = F.count(F.lit(1)).over(Window.partitionBy())
+    rnk = F.row_number().over(
+        Window.orderBy("p", "event_type", "weekday")
+    )
+    ranked = scored.select(
+        "*", m.alias("__m"), rnk.alias("__r")
+    ).select(
+        "*",
+        (F.col("p") * F.col("__m") / F.col("__r")).alias("__padj0"),
+    )
+    w_rev = (
+        Window.orderBy(F.desc("__r"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = ranked.select(
+        "event_type",
+        "weekday",
+        "n_a",
+        "n_b",
+        "z",
+        "p",
+        _rnd(F.least(F.lit(1.0), F.min("__padj0").over(w_rev)), 10).alias(
+            "p_adj"
+        ),
+    )
+    return out.select(
+        "*",
+        (F.col("p_adj") * 100 <= F.lit(_BH_Q_PCT))
+        .cast("int")
+        .alias("rejected"),
+    )
+
+
+def _sql_bh_fdr() -> str:
+    z_txt = (
+        "(s_a / CAST(n_a AS DOUBLE) - s_b / CAST(n_b AS DOUBLE))"
+        " / sqrt("
+        "((q_a - (s_a / CAST(n_a AS DOUBLE)) * s_a) / (n_a - 1.0)) / n_a"
+        " + ((q_b - (s_b / CAST(n_b AS DOUBLE)) * s_b) / (n_b - 1.0)) / n_b"
+        ")"
+    )
+    return f"""
+WITH cells AS (
+    SELECT event_type, dayofweek(ts) + 1 AS weekday,
+           CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN user_id % 2 = 0
+                    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS s_a,
+           CAST(sum(CASE WHEN user_id % 2 = 0
+                    THEN CAST(round(value * 100) AS BIGINT)
+                         * CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS q_a,
+           CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b,
+           CAST(sum(CASE WHEN user_id % 2 = 1
+                    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS s_b,
+           CAST(sum(CASE WHEN user_id % 2 = 1
+                    THEN CAST(round(value * 100) AS BIGINT)
+                         * CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS q_b
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1, 2
+),
+zs AS (
+    SELECT event_type, CAST(weekday AS INT) AS weekday, n_a, n_b,
+           round(1e-9 + {z_txt}, 9) AS z
+    FROM cells
+),
+ps AS (
+    SELECT *, round(1e-9 + {_p2_formula("z")}, 10) AS p FROM zs
+),
+ranked AS (
+    SELECT *, count(*) OVER () AS m,
+           row_number() OVER (ORDER BY p, event_type, weekday) AS r
+    FROM ps
+),
+adj AS (
+    SELECT *,
+           round(1e-9 + least(1.0, min(p * m / r) OVER (
+               ORDER BY r DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 10)
+               AS p_adj
+    FROM ranked
+)
+SELECT event_type, weekday, n_a, n_b, z, p, p_adj,
+       CAST(p_adj * 100 <= {_BH_Q_PCT} AS INT) AS rejected
+FROM adj"""
+
+
+_SQL_BH_FDR = _sql_bh_fdr()
+
+
+# --- Mann–Whitney U (rank-sum) test -------------------------------------------
+
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test per event type (id-parity variants
+    again) — the NONPARAMETRIC two-sample test the z/t family can't
+    replace when values are skewed: decides on ranks, not means.
+
+    Exactness: no row ever gets an individual rank.  The per-type value
+    CDF (:func:`bucketed_value_cumsum` — value-bucketed parallel
+    windows) gives every distinct value its occupancy interval, so the
+    tie-midrank sum folds as 2R_A = Σ_v c_A(v)·(2·cle(v) − c(v) + 1) —
+    pure BIGINT arithmetic, as is the doubled U statistic and the tie
+    correction ΣT = Σ(t³−t).  The variance/z and the A&S normal tail
+    evaluate ONE textual formula shared verbatim with the oracle over
+    the rounded z.  Shape: one corpus aggregation to the (type ×
+    distinct-value) table; everything downstream is value-cardinality
+    work."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    base = ev.select(
+        "event_type",
+        F.col("value").alias("v"),
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("va"),
+    )
+    cdf = bucketed_value_cumsum(base, "v", ("event_type",)).select(
+        "event_type", "__v", "__c", "__cle"
+    )
+    ca = (
+        base.where(F.col("va") == 0)
+        .groupBy("event_type", F.col("v").alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_a"))
+    )
+    per_v = cdf.join(ca, ["event_type", "__v"], "left").select(
+        "event_type",
+        F.coalesce("c_a", F.lit(0)).cast("long").alias("c_a"),
+        "__c",
+        "__cle",
+    )
+    agg = per_v.groupBy("event_type").agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        (F.max("__cle") - F.sum("c_a")).cast("long").alias("n_b"),
+        F.sum(
+            F.col("c_a") * (2 * F.col("__cle") - F.col("__c") + 1)
+        )
+        .cast("long")
+        .alias("two_r_a"),
+        F.sum(
+            F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c")
+        )
+        .cast("long")
+        .alias("tsum"),
+        F.max("__cle").cast("long").alias("n"),
+    )
+    z_txt = (
+        "(two_u - CAST(n_a AS DOUBLE) * n_b)"
+        " / sqrt(CAST(n_a AS DOUBLE) * n_b *"
+        " ((n + 1.0) - tsum / (CAST(n AS DOUBLE) * (n - 1.0))) / 3.0)"
+    )
+    scored = agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (F.col("two_r_a") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("long")
+        .alias("two_u"),
+        "tsum",
+        "n",
+    ).select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "two_u",
+        _rnd(F.expr(z_txt), 9).alias("z"),
+    )
+    return scored.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "two_u",
+        "z",
+        _rnd(F.expr(_p2_formula("z")), 10).alias("p"),
+    ).select(
+        "*",
+        (F.col("p") * 20 <= F.lit(1)).cast("int").alias("significant"),
+    )
+
+
+def _sql_mannwhitney() -> str:
+    z_txt = (
+        "(two_u - CAST(n_a AS DOUBLE) * n_b)"
+        " / sqrt(CAST(n_a AS DOUBLE) * n_b *"
+        " ((n + 1.0) - tsum / (CAST(n AS DOUBLE) * (n - 1.0))) / 3.0)"
+    )
+    return f"""
+WITH base AS (
+    SELECT event_type, value AS v,
+           CAST(user_id % 2 AS INT) AS va
+    FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+),
+vc AS (
+    SELECT event_type, v,
+           CAST(count(*) AS BIGINT) AS c,
+           CAST(sum(CASE WHEN va = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a
+    FROM base GROUP BY 1, 2
+),
+cdf AS (
+    SELECT event_type, v, c, c_a,
+           CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cle
+    FROM vc
+),
+agg AS (
+    SELECT event_type,
+           CAST(sum(c_a) AS BIGINT) AS n_a,
+           CAST(max(cle) - sum(c_a) AS BIGINT) AS n_b,
+           CAST(sum(c_a * (2 * cle - c + 1)) AS BIGINT) AS two_r_a,
+           CAST(sum(c * c * c - c) AS BIGINT) AS tsum,
+           CAST(max(cle) AS BIGINT) AS n
+    FROM cdf GROUP BY 1
+),
+us AS (
+    SELECT event_type, n_a, n_b,
+           CAST(two_r_a - n_a * (n_a + 1) AS BIGINT) AS two_u, tsum, n
+    FROM agg
+),
+zs AS (
+    SELECT event_type, n_a, n_b, two_u,
+           round(1e-9 + {z_txt}, 9) AS z
+    FROM us
+),
+ps AS (
+    SELECT *, round(1e-9 + {_p2_formula("z")}, 10) AS p FROM zs
+)
+SELECT event_type, n_a, n_b, two_u, z, p,
+       CAST(p * 20 <= 1 AS INT) AS significant
+FROM ps"""
+
+
+_SQL_MANNWHITNEY = _sql_mannwhitney()
+
+
 # --- Gaps and islands (run-length encoding) ---------------------------------
 
 def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -871,6 +1210,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_frequent_sequences": q_frequent_sequences,
     "q_gaps_islands": q_gaps_islands,
     "q_compaction_plan": q_compaction_plan,
+    "q_bh_fdr": q_bh_fdr,
+    "q_mannwhitney": q_mannwhitney,
 }
 
 ORACLES: dict[str, str] = {
@@ -881,4 +1222,6 @@ ORACLES: dict[str, str] = {
     "q_frequent_sequences": _SQL_FREQUENT_SEQUENCES,
     "q_gaps_islands": _SQL_GAPS_ISLANDS,
     "q_compaction_plan": _SQL_COMPACTION_PLAN,
+    "q_bh_fdr": _SQL_BH_FDR,
+    "q_mannwhitney": _SQL_MANNWHITNEY,
 }

@@ -144,3 +144,55 @@ def test_compaction_plan_partitions_all_rows(spark, sf_dir):
     # boundary at a time when files are smaller than the target, so the
     # plan never skips a bin
     assert [r.bin_id for r in rows] == list(range(len(rows)))
+
+
+def test_bh_fdr_adjustment_replay(spark, sf_dir):
+    """Replaying the BH step-up procedure in Python over the query's own
+    p-values must reproduce p_adj exactly, and the rejected set must be
+    a prefix of the p-sorted order (the step-up property)."""
+    rows = qm.q_bh_fdr(spark, sf_dir).collect()
+    m = len(rows)
+    srt = sorted(rows, key=lambda r: (r.p, r.event_type, r.weekday))
+    padj, run = [], float("inf")
+    for i in range(m - 1, -1, -1):
+        run = min(run, srt[i].p * m / (i + 1))
+        padj.append(min(1.0, run))
+    padj.reverse()
+    for r, expect in zip(srt, padj):
+        assert abs(r.p_adj - round(1e-9 + expect, 10)) < 1e-12
+    flags = [r.rejected for r in srt]
+    assert flags == sorted(flags, reverse=True), "rejections not a prefix"
+
+
+def test_mannwhitney_against_bruteforce_ranks(spark, sf_dir):
+    """2U and the tie sum must match a literal midrank computation over
+    the collected values (small at the test SF)."""
+    from collections import Counter
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    data = ev.select("event_type", "value", "user_id").collect()
+    by_type: dict[str, list] = {}
+    for r in data:
+        by_type.setdefault(r.event_type, []).append(
+            (r.value, r.user_id % 2)
+        )
+    out = {r.event_type: r for r in qm.q_mannwhitney(spark, sf_dir).collect()}
+    for et, vals in by_type.items():
+        counts = Counter(v for v, _ in vals)
+        svals = sorted(counts)
+        cum, midrank2 = 0, {}
+        tsum = 0
+        for v in svals:
+            c = counts[v]
+            midrank2[v] = 2 * cum + c + 1  # doubled midrank
+            cum += c
+            tsum += c * c * c - c
+        two_r_a = sum(midrank2[v] for v, va in vals if va == 0)
+        n_a = sum(1 for _, va in vals if va == 0)
+        r = out[et]
+        assert r.n_a == n_a
+        assert r.two_u == two_r_a - n_a * (n_a + 1)
+        assert r.n == cum if hasattr(r, "n") else True
+        assert abs(r.p) <= 1.0
