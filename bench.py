@@ -134,6 +134,8 @@ HEADLINE = [
     "q_frequent_sequences",
     "q_gaps_islands",
     "q_compaction_plan",
+    "q_bh_fdr",
+    "q_mannwhitney",
 ]
 
 # The FIXED baseline-comparable subset: exactly the 30 queries of the first
