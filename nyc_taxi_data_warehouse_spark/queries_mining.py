@@ -1202,6 +1202,192 @@ SELECT bin_id,
 FROM packed GROUP BY 1"""
 
 
+# --- SLO percentile trend + burn rate -----------------------------------------
+
+_SLO_P95_LIMIT = 150  # exact integer SLO bound on the daily p95
+
+
+def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO burn-rate report — the ops monitor over latency percentiles:
+    per-day exact type-1 p50/p95 of the event value, an SLO violation
+    flag (p95 > 150), the 7-day rolling violation count, and the burn
+    alert (≥ 3 violations in the window) — percentile TRENDS, which the
+    one-shot quantile family doesn't give.
+
+    Shape: the per-day CDF comes from :func:`bucketed_value_cumsum`
+    (day-partitioned, value-bucketed — never an unpartitioned sort);
+    each percentile is the conditional-min-over-CDF selection with a
+    cross-multiplied integer threshold (cle·100 ≥ q·n_day); the rolling
+    window runs over the ≤ #days frame.  Percentile values are data
+    values (no arithmetic); every decision is integers."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    base = ev.select(F.to_date("ts").alias("day"), F.col("value").alias("v"))
+    cdf = bucketed_value_cumsum(base, "v", ("day",)).select(
+        "day", "__v", "__cle"
+    )
+    nd = cdf.groupBy("day").agg(F.max("__cle").alias("n_day"))
+    j = cdf.join(F.broadcast(nd), "day")
+    daily = j.groupBy("day").agg(
+        F.max("__cle").cast("long").alias("n"),
+        F.min(
+            F.when(F.col("__cle") * 100 >= 50 * F.col("n_day"), F.col("__v"))
+        ).alias("p50"),
+        F.min(
+            F.when(F.col("__cle") * 100 >= 95 * F.col("n_day"), F.col("__v"))
+        ).alias("p95"),
+    )
+    flagged = daily.select(
+        "day",
+        "n",
+        "p50",
+        "p95",
+        (F.col("p95") > _SLO_P95_LIMIT).cast("int").alias("violated"),
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    return flagged.select(
+        "*",
+        F.sum("violated").over(w7).cast("long").alias("viol_7d"),
+    ).select(
+        "*",
+        (F.col("viol_7d") >= 3).cast("int").alias("burn_alert"),
+    )
+
+
+_SQL_SLO_BURN = f"""
+WITH base AS (
+    SELECT CAST(ts AS DATE) AS day, value AS v
+    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+vc AS (
+    SELECT day, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+),
+cdf AS (
+    SELECT day, v,
+           CAST(sum(c) OVER (PARTITION BY day ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cle
+    FROM vc
+),
+nd AS (SELECT day, max(cle) AS n_day FROM cdf GROUP BY 1),
+daily AS (
+    SELECT day,
+           CAST(max(cle) AS BIGINT) AS n,
+           min(CASE WHEN cle * 100 >= 50 * n_day THEN v END) AS p50,
+           min(CASE WHEN cle * 100 >= 95 * n_day THEN v END) AS p95
+    FROM cdf JOIN nd USING (day)
+    GROUP BY 1
+),
+flagged AS (
+    SELECT day, n, p50, p95,
+           CAST(p95 > {_SLO_P95_LIMIT} AS INT) AS violated
+    FROM daily
+)
+SELECT day, n, p50, p95, violated,
+       CAST(sum(violated) OVER (ORDER BY day
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS viol_7d,
+       CAST(sum(violated) OVER (ORDER BY day
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) >= 3 AS INT)
+           AS burn_alert
+FROM flagged"""
+
+
+# --- Calibration / reliability curve -------------------------------------------
+
+_CAL_LABEL_CHARS = 300  # label: "long document" (n_chars >= median-ish)
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability curve + Brier decomposition for the quality model —
+    the ML-eval leg the scoring queries (q_quality_model, q_lm_score)
+    feed: score-value bins (⌊p·10⌋), per bin the mean predicted
+    probability vs the observed positive rate (label: document length ≥
+    300 chars), the bin's Brier contribution, and the |gap| that sums to
+    ECE.
+
+    Float discipline: per-row p is engine-identical (the q_quality_model
+    inference path), but SUMS of doubles are order-dependent — so p is
+    rounded to the 1e-6 lattice and aggregated as BIGINT micro-units
+    (pi = round(p·10⁶); Brier terms (pi − y·10⁶)² stay under 2⁶³), with
+    ONE division per reported column.  Bins are ≤ 10 rows."""
+    from .queries_data import q_quality_model
+
+    scored = q_quality_model(spark, sf_dir).select("doc_id", "p_keep")
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "n_chars"
+    )
+    j = scored.join(docs, "doc_id").select(
+        F.least(F.lit(9), F.floor(F.col("p_keep") * 10)).cast("int").alias(
+            "bin"
+        ),
+        F.round(F.col("p_keep") * 1000000).cast("long").alias("pi"),
+        (F.col("n_chars") >= _CAL_LABEL_CHARS).cast("long").alias("y"),
+    )
+    per_bin = j.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pi").cast("long").alias("__sp"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(
+            (F.col("pi") - F.col("y") * 1000000)
+            * (F.col("pi") - F.col("y") * 1000000)
+        )
+        .cast("long")
+        .alias("__sb"),
+    )
+    return per_bin.select(
+        "bin",
+        "n",
+        "n_pos",
+        _rnd(F.col("__sp") / (F.col("n") * 1e6), 6).alias("mean_p"),
+        _rnd(F.col("n_pos") / F.col("n").cast("double"), 6).alias("obs_rate"),
+        _rnd(F.col("__sb") / (F.col("n") * 1e12), 6).alias("brier"),
+        _rnd(
+            F.abs(
+                F.col("__sp") / (F.col("n") * 1e6)
+                - F.col("n_pos") / F.col("n").cast("double")
+            ),
+            6,
+        ).alias("gap"),
+    )
+
+
+def _sql_calibration() -> str:
+    from .queries_data import _SQL_QM_FEATURES
+
+    return f"""
+WITH {_SQL_QM_FEATURES.strip().lstrip()},
+scored AS (
+    SELECT doc_id, round(1e-9 + 1.0 / (1.0 + exp(-z)), 6) AS p_keep
+    FROM qz
+),
+j AS (
+    SELECT least(9, CAST(floor(s.p_keep * 10) AS INT)) AS bin,
+           CAST(round(s.p_keep * 1000000) AS BIGINT) AS pi,
+           CAST(d.n_chars >= {_CAL_LABEL_CHARS} AS BIGINT) AS y
+    FROM scored s JOIN documents d USING (doc_id)
+),
+per_bin AS (
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pi) AS BIGINT) AS sp,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(sum((pi - y * 1000000) * (pi - y * 1000000)) AS BIGINT)
+               AS sb
+    FROM j GROUP BY 1
+)
+SELECT CAST(bin AS INT) AS bin, n, n_pos,
+       round(1e-9 + sp / (n * 1e6), 6) AS mean_p,
+       round(1e-9 + n_pos / CAST(n AS DOUBLE), 6) AS obs_rate,
+       round(1e-9 + sb / (n * 1e12), 6) AS brier,
+       round(1e-9 + abs(sp / (n * 1e6) - n_pos / CAST(n AS DOUBLE)), 6)
+           AS gap
+FROM per_bin"""
+
+
+_SQL_CALIBRATION = _sql_calibration()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cusum_changepoint": q_cusum_changepoint,
     "q_stream_cusum": q_stream_cusum,
@@ -1212,6 +1398,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_compaction_plan": q_compaction_plan,
     "q_bh_fdr": q_bh_fdr,
     "q_mannwhitney": q_mannwhitney,
+    "q_slo_burn": q_slo_burn,
+    "q_calibration": q_calibration,
 }
 
 ORACLES: dict[str, str] = {
@@ -1224,4 +1412,6 @@ ORACLES: dict[str, str] = {
     "q_compaction_plan": _SQL_COMPACTION_PLAN,
     "q_bh_fdr": _SQL_BH_FDR,
     "q_mannwhitney": _SQL_MANNWHITNEY,
+    "q_slo_burn": _SQL_SLO_BURN,
+    "q_calibration": _SQL_CALIBRATION,
 }

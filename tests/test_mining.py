@@ -196,3 +196,41 @@ def test_mannwhitney_against_bruteforce_ranks(spark, sf_dir):
         assert r.two_u == two_r_a - n_a * (n_a + 1)
         assert r.n == cum if hasattr(r, "n") else True
         assert abs(r.p) <= 1.0
+
+
+def test_slo_burn_percentiles_match_sorted_selection(spark, sf_dir):
+    """p50/p95 must be the literal type-1 selections from each day's
+    sorted values, and viol_7d must equal the trailing-7 violation sum."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    data = ev.select(F.to_date("ts").alias("day"), "value").collect()
+    per_day: dict = {}
+    for r in data:
+        per_day.setdefault(r.day, []).append(r.value)
+    rows = sorted(qm.q_slo_burn(spark, sf_dir).collect(), key=lambda r: r.day)
+    flags = []
+    for r in rows:
+        vals = sorted(per_day[r.day])
+        n = len(vals)
+        assert r.n == n
+        assert r.p50 == vals[-(-50 * n // 100) - 1]
+        assert r.p95 == vals[-(-95 * n // 100) - 1]
+        flags.append(r.violated)
+        assert r.viol_7d == sum(flags[-7:])
+        assert r.burn_alert == int(r.viol_7d >= 3)
+
+
+def test_calibration_bins_account_for_every_doc(spark, sf_dir):
+    """Bin populations must cover the corpus, observed rates stay in
+    [0,1], and each bin's mean_p lies inside its nominal bin range
+    (within rounding slack)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total = docs.count()
+    rows = qm.q_calibration(spark, sf_dir).collect()
+    assert sum(r.n for r in rows) == total
+    for r in rows:
+        assert 0.0 <= r.obs_rate <= 1.0
+        lo, hi = r.bin / 10.0, (r.bin + 1) / 10.0 if r.bin < 9 else 1.0
+        assert lo - 1e-6 <= r.mean_p <= hi + 1e-6, (r.bin, r.mean_p)
+        assert abs(r.gap - round(1e-9 + abs(r.mean_p - r.obs_rate), 6)) < 2e-6
