@@ -1388,6 +1388,114 @@ FROM per_bin"""
 _SQL_CALIBRATION = _sql_calibration()
 
 
+# --- Boilerplate removal transform ---------------------------------------------
+
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent-segment REMOVAL — the transform half of the
+    boilerplate story (q_boilerplate detects, this rewrites): documents
+    partition into non-overlapping 3-token segments, a segment present
+    in ≥ 5 % of documents is corpus boilerplate (templates, navigation,
+    footers at web scale), and each document is reassembled WITHOUT its
+    boilerplate segments — the RefinedWeb/CCNet cleanup step before LLM
+    training.  Non-overlapping segments (unlike the detector's sliding
+    shingles) make removal well-defined: the kept segments re-concatenate
+    in position order.
+
+    Shapes: the doc×segment frame builds once and persists (feeds the
+    doc-frequency aggregate AND the rebuild); the frequent set is
+    vocabulary-sized → broadcast; rebuild order rides
+    array_sort(collect_list(struct(seg_id, …))) — deterministic, no
+    window.  Output reports counts plus the md5 of the cleaned text, so
+    the oracle hash certifies the REWRITTEN STRING itself."""
+    from .functions import text as T
+    from .queries_data import _scale_out
+
+    d = _scale_out(
+        load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    )
+    tok = d.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "tok")
+    )
+    seg = (
+        tok.groupBy("doc_id", F.expr("pos div 3").alias("seg_id"))
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("seg_text")
+        )
+        .persist()  # feeds doc-frequency AND the rebuild
+    )
+    stats = d.agg(F.count_distinct("doc_id").alias("n_docs"))
+    frequent = (
+        seg.select("doc_id", "seg_text")
+        .distinct()
+        .groupBy("seg_text")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .where(F.col("df") * 20 >= F.col("n_docs"))
+        .select("seg_text", F.lit(1).alias("__b"))
+    )
+    marked = seg.join(F.broadcast(frequent), "seg_text", "left")
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segs"),
+        F.sum(F.coalesce(F.col("__b"), F.lit(0))).cast("long").alias(
+            "n_removed"
+        ),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__b").isNull(),
+                                F.struct("seg_id", "seg_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg_text"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+
+
+_SQL_BOILERPLATE_SCRUB = """
+WITH tokd AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, i - 1 AS pos, w[i] AS tok
+    FROM tokd, unnest(range(1, len(w) + 1)) AS t(i)
+),
+seg AS (
+    SELECT doc_id, pos // 3 AS seg_id,
+           string_agg(tok, ' ' ORDER BY pos) AS seg_text
+    FROM tok GROUP BY 1, 2
+),
+stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+freq AS (
+    SELECT seg_text
+    FROM (SELECT DISTINCT doc_id, seg_text FROM seg), stats
+    GROUP BY seg_text, n_docs
+    HAVING count(*) * 20 >= n_docs
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(CASE WHEN f.seg_text IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(s.seg_text, ' ' ORDER BY s.seg_id)
+            FILTER (WHERE f.seg_text IS NULL), '')) AS clean_md5
+FROM seg s LEFT JOIN freq f ON s.seg_text = f.seg_text
+GROUP BY 1"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cusum_changepoint": q_cusum_changepoint,
     "q_stream_cusum": q_stream_cusum,
@@ -1400,6 +1508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mannwhitney": q_mannwhitney,
     "q_slo_burn": q_slo_burn,
     "q_calibration": q_calibration,
+    "q_boilerplate_scrub": q_boilerplate_scrub,
 }
 
 ORACLES: dict[str, str] = {
@@ -1414,4 +1523,5 @@ ORACLES: dict[str, str] = {
     "q_mannwhitney": _SQL_MANNWHITNEY,
     "q_slo_burn": _SQL_SLO_BURN,
     "q_calibration": _SQL_CALIBRATION,
+    "q_boilerplate_scrub": _SQL_BOILERPLATE_SCRUB,
 }

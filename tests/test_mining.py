@@ -234,3 +234,39 @@ def test_calibration_bins_account_for_every_doc(spark, sf_dir):
         lo, hi = r.bin / 10.0, (r.bin + 1) / 10.0 if r.bin < 9 else 1.0
         assert lo - 1e-6 <= r.mean_p <= hi + 1e-6, (r.bin, r.mean_p)
         assert abs(r.gap - round(1e-9 + abs(r.mean_p - r.obs_rate), 6)) < 2e-6
+
+
+def test_boilerplate_scrub_reconstruction(spark, sf_dir):
+    """A document with nothing removed must hash to its own re-segmented
+    text, and n_removed must equal the count of its corpus-frequent
+    segments (replayed in Python)."""
+    import hashlib
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    segs_by_doc = {}
+    for r in docs:
+        toks = [t for t in r.text.split() if t]
+        segs = [
+            " ".join(toks[i : i + 3]) for i in range(0, len(toks), 3)
+        ]
+        segs_by_doc[r.doc_id] = segs
+    n_docs = len(docs)
+    df = Counter()
+    for segs in segs_by_doc.values():
+        for s in set(segs):
+            df[s] += 1
+    frequent = {s for s, d in df.items() if d * 20 >= n_docs}
+    out = {
+        r.doc_id: r
+        for r in qm.q_boilerplate_scrub(spark, sf_dir).collect()
+    }
+    for doc_id, segs in segs_by_doc.items():
+        r = out[doc_id]
+        assert r.n_segs == len(segs)
+        kept = [s for s in segs if s not in frequent]
+        assert r.n_removed == len(segs) - len(kept)
+        expect = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert r.clean_md5 == expect, doc_id
