@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators.monitor import cusum_columns, p2_formula
 from .operators.sampling import bucketed_value_cumsum
 from .plans.nyc_views import load_tables
 
@@ -68,30 +69,9 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(total - n_days * y - total div 10 AS BIGINT)"
         ).alias("__ddn"),
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    pre = base.select(
-        "event_type",
-        "day",
-        "y",
-        "total",
-        F.sum("__dup").over(w).alias("__pup"),
-        F.sum("__ddn").over(w).alias("__pdn"),
-    )
-    cus = pre.select(
-        "event_type",
-        "day",
-        "y",
-        "total",
-        (F.col("__pup") - F.least(F.lit(0), F.min("__pup").over(w)))
-        .cast("long")
-        .alias("cusum_up"),
-        (F.col("__pdn") - F.least(F.lit(0), F.min("__pdn").over(w)))
-        .cast("long")
-        .alias("cusum_dn"),
+    cus = cusum_columns(
+        base, "event_type", "day",
+        {"cusum_up": "__dup", "cusum_dn": "__ddn"},
     )
     return cus.select(
         "event_type",
@@ -225,27 +205,7 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_days * y - total - total div 10 AS BIGINT)"
         ).alias("__dup"),
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    pre = base.select(
-        "event_type",
-        "day",
-        "y",
-        "total",
-        F.sum("__dup").over(w).alias("__pup"),
-    )
-    cus = pre.select(
-        "event_type",
-        "day",
-        "y",
-        "total",
-        (F.col("__pup") - F.least(F.lit(0), F.min("__pup").over(w)))
-        .cast("long")
-        .alias("cusum_up"),
-    )
+    cus = cusum_columns(base, "event_type", "day", {"cusum_up": "__dup"})
     return cus.select(
         "event_type",
         "day",
@@ -732,22 +692,8 @@ WHERE support * 200 >= tot"""
 
 # --- Shared normal-tail formula ----------------------------------------------
 
-def _p2_formula(z: str) -> str:
-    """Two-sided normal p-value 2·Q(|z|) as ONE textual SQL formula used
-    verbatim by BOTH engines (Spark parses it via F.expr, DuckDB
-    directly) — neither engine ships erf, and per-row double arithmetic
-    over an identical expression tree is bit-exact across engines (the
-    repo-wide parity rule), so the SAME Abramowitz–Stegun 26.2.17
-    polynomial (|ε| < 7.5e-8) yields hash-identical p-values.  Callers
-    must round the INPUT z identically on both sides first."""
-    az = f"abs({z})"
-    t = f"(1.0 / (1.0 + 0.2316419 * {az}))"
-    poly = (
-        f"({t} * (0.31938153 + {t} * (-0.356563782 + {t} *"
-        f" (1.781477937 + {t} * (-1.821255978 + {t} * 1.330274429)))))"
-    )
-    pdf = f"(exp(-({az} * {az}) / 2.0) * 0.3989422804014327)"
-    return f"least(1.0, 2.0 * {pdf} * {poly})"
+#: shared engine-portable normal tail — see operators.monitor.p2_formula
+_p2_formula = p2_formula
 
 
 # --- Benjamini–Hochberg FDR ---------------------------------------------------
