@@ -1442,6 +1442,116 @@ FROM seg s LEFT JOIN freq f ON s.seg_text = f.seg_text
 GROUP BY 1"""
 
 
+# --- Cross-document repeated-span removal --------------------------------------
+
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-SPAN removal — the span-granular
+    train-data dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", reduced from suffix arrays to
+    fixed-width spans): documents partition into non-overlapping
+    5-token spans; every span that occurs more than once IN THE WHOLE
+    CORPUS survives only at its canonical first occurrence (smallest
+    (doc_id, span_id) — deterministic, partition-independent), and
+    every other occurrence — cross-document AND within-document — is
+    cut before reassembly.  Reports per doc the span counts and the
+    md5 of the rewritten text, so the oracle hash certifies the
+    transform itself.
+
+    Shapes: one doc×span frame (persisted — feeds the first-occurrence
+    aggregate AND the rebuild); the canonical table is span-cardinality
+    and joins back BY SPAN CONTENT (an equi-shuffle — the exact-dedup
+    shuffle, NOT broadcastable at corpus scale and not broadcast here);
+    first-occurrence is an integer min (doc_id·1000 + span_id — span_id
+    is bounded by doc length), so no struct ordering is needed in
+    either engine."""
+    from .functions import text as T
+    from .queries_data import _scale_out
+
+    d = _scale_out(
+        load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    )
+    tok = d.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "tok")
+    )
+    span = (
+        tok.groupBy("doc_id", F.expr("pos div 5").alias("span_id"))
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("span_text")
+        )
+        .persist()  # feeds first-occurrence AND the rebuild
+    )
+    first = span.groupBy("span_text").agg(
+        F.min(F.col("doc_id") * 1000 + F.col("span_id")).alias("__first")
+    )
+    marked = span.join(first, "span_text").select(
+        "doc_id",
+        "span_id",
+        "span_text",
+        (F.col("doc_id") * 1000 + F.col("span_id") != F.col("__first"))
+        .cast("int")
+        .alias("__cut"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("__cut").cast("long").alias("n_removed"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__cut") == 0,
+                                F.struct("span_id", "span_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s["span_text"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+
+
+_SQL_DUP_SPAN_REMOVAL = """
+WITH tokd AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, i - 1 AS pos, w[i] AS tok
+    FROM tokd, unnest(range(1, len(w) + 1)) AS t(i)
+),
+span AS (
+    SELECT doc_id, pos // 5 AS span_id,
+           string_agg(tok, ' ' ORDER BY pos) AS span_text
+    FROM tok GROUP BY 1, 2
+),
+first_occ AS (
+    SELECT span_text,
+           CAST(min(doc_id * 1000 + span_id) AS BIGINT) AS first_key
+    FROM span GROUP BY 1
+),
+marked AS (
+    SELECT s.doc_id, s.span_id, s.span_text,
+           CAST(s.doc_id * 1000 + s.span_id <> f.first_key AS INT) AS cut
+    FROM span s JOIN first_occ f USING (span_text)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(cut) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(span_text, ' ' ORDER BY span_id)
+            FILTER (WHERE cut = 0), '')) AS clean_md5
+FROM marked GROUP BY 1"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cusum_changepoint": q_cusum_changepoint,
     "q_stream_cusum": q_stream_cusum,
@@ -1455,6 +1565,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_slo_burn": q_slo_burn,
     "q_calibration": q_calibration,
     "q_boilerplate_scrub": q_boilerplate_scrub,
+    "q_dup_span_removal": q_dup_span_removal,
 }
 
 ORACLES: dict[str, str] = {
@@ -1470,4 +1581,5 @@ ORACLES: dict[str, str] = {
     "q_slo_burn": _SQL_SLO_BURN,
     "q_calibration": _SQL_CALIBRATION,
     "q_boilerplate_scrub": _SQL_BOILERPLATE_SCRUB,
+    "q_dup_span_removal": _SQL_DUP_SPAN_REMOVAL,
 }

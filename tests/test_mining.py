@@ -270,3 +270,45 @@ def test_boilerplate_scrub_reconstruction(spark, sf_dir):
         assert r.n_removed == len(segs) - len(kept)
         expect = hashlib.md5(" ".join(kept).encode()).hexdigest()
         assert r.clean_md5 == expect, doc_id
+
+
+def test_dup_span_removal_replay(spark, sf_dir):
+    """Full Python replay: first occurrence of every repeated 5-token
+    span survives, every other occurrence is cut, and the rewritten
+    text's md5 matches per document."""
+    import hashlib
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    spans_by_doc = {}
+    for r in docs:
+        toks = [t for t in r.text.split() if t]
+        spans_by_doc[r.doc_id] = [
+            " ".join(toks[i : i + 5]) for i in range(0, len(toks), 5)
+        ]
+    first = {}
+    for doc_id in sorted(spans_by_doc):
+        for sid, s in enumerate(spans_by_doc[doc_id]):
+            key = doc_id * 1000 + sid
+            if s not in first or key < first[s]:
+                first[s] = key
+    out = {
+        r.doc_id: r for r in qm.q_dup_span_removal(spark, sf_dir).collect()
+    }
+    total_removed = 0
+    for doc_id, spans in spans_by_doc.items():
+        kept = [
+            s
+            for sid, s in enumerate(spans)
+            if first[s] == doc_id * 1000 + sid
+        ]
+        r = out[doc_id]
+        assert r.n_spans == len(spans)
+        assert r.n_removed == len(spans) - len(kept)
+        total_removed += r.n_removed
+        assert r.clean_md5 == hashlib.md5(
+            " ".join(kept).encode()
+        ).hexdigest(), doc_id
+    # the corpus genuinely contains repeated spans at every SF
+    assert total_removed > 0
