@@ -480,11 +480,40 @@ def main() -> None:
             F.count(F.lit(1)).alias("support")
         )
 
+    # the two rewrite transforms: both are one content-keyed shuffle
+    # (segment/span text) + an ordered re-aggregation — the exact-dedup
+    # shape, linear in corpus tokens
+    def _span_removal(d):
+        tok = d.select(
+            "doc_id", F.posexplode(T.tokens("text")).alias("pos", "tok")
+        )
+        span = tok.groupBy(
+            "doc_id", F.expr("pos div 5").alias("span_id")
+        ).agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("span_text")
+        ).persist()
+        first = span.groupBy("span_text").agg(
+            F.min(F.col("doc_id") * 1000 + F.col("span_id")).alias("__f")
+        )
+        return (
+            span.join(first, "span_text")
+            .where(F.col("doc_id") * 1000 + F.col("span_id") != F.col("__f"))
+            .groupBy("doc_id")
+            .count()
+        )
+
     fourth_ops = {
         "cusum_chart": (lambda m: _events_at(spark, sf_dir, m), _cusum),
         "quantile_summary": (lambda m: _events_at(spark, sf_dir, m), _qsummary),
         "er_blocking": (lambda m: _docs_at(spark, sf_dir, m), _er_blocking),
         "frequent_sequences": (lambda m: _events_at(spark, sf_dir, m), _freqseq),
+        "span_removal": (lambda m: _docs_at(spark, sf_dir, m), _span_removal),
     }
 
     all_ops = {n: (lambda m: _docs_at(spark, sf_dir, m), op) for n, op in ops.items()}
