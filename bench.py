@@ -136,6 +136,11 @@ HEADLINE = [
     "q_compaction_plan",
     "q_bh_fdr",
     "q_mannwhitney",
+    # round-8 transforms: the rewrite half of the curation story
+    "q_boilerplate_scrub",
+    "q_dup_span_removal",
+    "q_slo_burn",
+    "q_calibration",
 ]
 
 # The FIXED baseline-comparable subset: exactly the 30 queries of the first
