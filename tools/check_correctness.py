@@ -110,6 +110,27 @@ def canon(rows, cols):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # CHECK_JSON_OUT=<path>: also write driver-shaped rows
+    # ({name: {rows_match, schema_match, hash_match, spark_rows,
+    # oracle_rows, err}}) so a full-registry replica sweep records
+    # evidence in the same format as CORRECTNESS_r{N}.json
+    import json as _json
+    import os as _os
+
+    json_out = _os.environ.get("CHECK_JSON_OUT")
+    report: dict[str, dict] = {}
+
+    def _rec(name, *, rows=None, orows=None, schema=True, hashm=True,
+             err=None):
+        report[name] = {
+            "rows_match": err is None and rows == orows,
+            "schema_match": err is None and schema,
+            "hash_match": err is None and hashm,
+            "spark_rows": rows,
+            "oracle_rows": orows,
+            "err": err,
+        }
+
     spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -132,10 +153,12 @@ def main() -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            _rec(name, err=f"spark error: {e}")
             n_fail += 1
             continue
         if name not in oracles:
             print(f"PASS {name}: rows-only ({len(s_rows)} rows, no oracle)")
+            _rec(name, rows=len(s_rows), orows=len(s_rows))
             n_pass += 1
             continue
         try:
@@ -149,11 +172,13 @@ def main() -> int:
             d_rows = list(zip(*pycols))
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            _rec(name, rows=len(s_rows), err=f"duckdb error: {e}")
             n_fail += 1
             continue
         dt = time.time() - t0
         if sorted(s_cols) != sorted(d_cols):
             print(f"FAIL {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            _rec(name, rows=len(s_rows), orows=len(d_rows), schema=False)
             n_fail += 1
             continue
         type_mismatch = {
@@ -163,10 +188,12 @@ def main() -> int:
         }
         if type_mismatch:
             print(f"FAIL {name}: type mismatch (spark vs duck): {type_mismatch}")
+            _rec(name, rows=len(s_rows), orows=len(d_rows), schema=False)
             n_fail += 1
             continue
         if len(s_rows) != len(d_rows):
             print(f"FAIL {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
+            _rec(name, rows=len(s_rows), orows=len(d_rows))
             n_fail += 1
             continue
         cs, cd = canon(s_rows, s_cols), canon(d_rows, d_cols)
@@ -177,11 +204,16 @@ def main() -> int:
             print(f"FAIL {name}: value mismatch at sorted-row {bad}:")
             print(f"  spark: {cs[bad] if bad is not None else '?'}")
             print(f"  duck : {cd[bad] if bad is not None else '?'}")
+            _rec(name, rows=len(s_rows), orows=len(d_rows), hashm=False)
             n_fail += 1
             continue
         print(f"PASS {name}: {len(s_rows)} rows, {dt:.1f}s")
+        _rec(name, rows=len(s_rows), orows=len(d_rows))
         n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
+    if json_out:
+        with open(json_out, "w") as fh:
+            _json.dump(report, fh, indent=1)
     return 1 if n_fail else 0
 
 
