@@ -186,3 +186,52 @@ def test_multimodal_resize_stub_contract(spark):
     if not multimodal._pil_available():
         with pytest.raises(NotImplementedError):
             multimodal.resize_image_batch(df, 4, 4, use_fake=False)
+
+
+def test_transformwithstate_sessionize_matches_legacy(spark, tmp_path):
+    """The Spark-4 StatefulProcessor port must reproduce the
+    applyInPandasWithState sessionizer exactly on a two-micro-batch
+    replay (gap split + state survival across batches).
+
+    transformWithStateInPandas talks to the state store over protobuf;
+    skip where google.protobuf is absent (this container) — the legacy
+    applyInPandasWithState test above still covers the semantics."""
+    pytest.importorskip("google.protobuf")
+    from datetime import datetime
+
+    from nyc_taxi_data_warehouse_spark.streaming import sessionize_tws
+
+    def ev(uid, minute, val=1.0):
+        return (uid, datetime(2026, 1, 1, 10 + minute // 60, minute % 60), val)
+
+    src = str(tmp_path / "sess_tws_feed")
+    spark.createDataFrame(
+        [ev(1, 0), ev(1, 5), ev(1, 10), ev(1, 50), ev(2, 0), ev(2, 20)],
+        "user_id long, ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [ev(1, 55), ev(2, 200)],
+        "user_id long, ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_tws.sessionize_stream_tws(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sess_tws_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = {
+        (r.user_id, r.session_start.minute, r.session_end.minute, r.n_events)
+        for r in spark.table("sess_tws_test").collect()
+    }
+    assert got == {(1, 0, 10, 3), (2, 0, 20, 2)}
