@@ -1552,6 +1552,124 @@ SELECT doc_id,
 FROM marked GROUP BY 1"""
 
 
+# --- Storage encoding advisor ---------------------------------------------------
+
+_ENC_COLS = (
+    "l_returnflag",
+    "l_linestatus",
+    "l_suppkey",
+    "l_quantity",
+    "l_extendedprice",
+)
+
+
+def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-encoding advisor — the storage-layout half of profiling
+    (q_profile_columns says WHAT is in a column; this says HOW to store
+    it): per fact column, exact distinct count, the within-row-group
+    run ratio (consecutive equal values inside an order, the natural
+    clustering unit — RLE's benefit measure), and the recommendation a
+    columnar writer would pick: DICTIONARY when distinct·20 ≤ rows, RLE
+    when runs cover ≥ half the rows, PLAIN otherwise — both thresholds
+    cross-multiplied integers.
+
+    Shape: one Expand pass computes every column's aggregates together
+    (the q_profile_columns pattern); the run detection lags within
+    (l_orderkey) partitions ordered by l_linenumber — small partitions,
+    never a global sort.  At 100 TB the same query runs per row-group
+    sample rather than the full fact; the report shape is unchanged."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    # extend the order to a total one (ties that remain are fully
+    # identical rows, which cannot change run counts) so lag is
+    # deterministic and the oracle sees the same sequence
+    order_cols = ["l_linenumber", *(c for c in _ENC_COLS), "l_partkey"]
+    w = Window.partitionBy("l_orderkey").orderBy(*order_cols)
+    runs = li.select(
+        "*",
+        *[
+            (F.col(c) == F.lag(c, 1).over(w)).cast("long").alias(f"__r_{c}")
+            for c in _ENC_COLS
+        ],
+    )
+    aggs = []
+    for c in _ENC_COLS:
+        aggs.append(F.count(c).cast("long").alias(f"n_{c}"))
+        aggs.append(F.count_distinct(c).cast("long").alias(f"d_{c}"))
+        aggs.append(
+            F.sum(F.coalesce(F.col(f"__r_{c}"), F.lit(0)))
+            .cast("long")
+            .alias(f"r_{c}")
+        )
+    one = runs.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', n_{c}, d_{c}, r_{c}" for c in _ENC_COLS
+    )
+    cols = one.select(
+        F.expr(
+            f"stack({len(_ENC_COLS)}, {stack})"
+            " AS (column_name, n_rows, n_distinct, n_runs)"
+        )
+    )
+    return cols.select(
+        "column_name",
+        "n_rows",
+        "n_distinct",
+        "n_runs",
+        _rnd(F.col("n_runs") / F.col("n_rows").cast("double"), 6).alias(
+            "run_ratio"
+        ),
+        F.when(F.col("n_distinct") * 20 <= F.col("n_rows"), "DICTIONARY")
+        .when(F.col("n_runs") * 2 >= F.col("n_rows"), "RLE")
+        .otherwise("PLAIN")
+        .alias("encoding"),
+    )
+
+
+def _sql_encoding_advisor() -> str:
+    lag_cols = ",\n           ".join(
+        f"CAST(CASE WHEN {c} = lag({c}) OVER w THEN 1 ELSE 0 END"
+        f" AS BIGINT) AS r_{c}"
+        for c in _ENC_COLS
+    )
+    per_col = ",\n           ".join(
+        f"CAST(count({c}) AS BIGINT) AS n_{c},"
+        f" CAST(count(DISTINCT {c}) AS BIGINT) AS d_{c},"
+        f" CAST(sum(r_{c}) AS BIGINT) AS rr_{c}"
+        for c in _ENC_COLS
+    )
+    order_tail = ", ".join(_ENC_COLS)
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, n_{c} AS n_rows,"
+        f" d_{c} AS n_distinct, rr_{c} AS n_runs FROM one"
+        for c in _ENC_COLS
+    )
+    return f"""
+WITH runs AS (
+    SELECT *,
+           {lag_cols}
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber,
+                 {order_tail}, l_partkey)
+),
+one AS (
+    SELECT {per_col}
+    FROM runs
+),
+cols AS (
+{unions}
+)
+SELECT column_name, n_rows, n_distinct, n_runs,
+       round(1e-9 + n_runs / CAST(n_rows AS DOUBLE), 6) AS run_ratio,
+       CASE WHEN n_distinct * 20 <= n_rows THEN 'DICTIONARY'
+            WHEN n_runs * 2 >= n_rows THEN 'RLE'
+            ELSE 'PLAIN' END AS encoding
+FROM cols"""
+
+
+_SQL_ENCODING_ADVISOR = _sql_encoding_advisor()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cusum_changepoint": q_cusum_changepoint,
     "q_stream_cusum": q_stream_cusum,
@@ -1566,6 +1684,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_calibration": q_calibration,
     "q_boilerplate_scrub": q_boilerplate_scrub,
     "q_dup_span_removal": q_dup_span_removal,
+    "q_encoding_advisor": q_encoding_advisor,
 }
 
 ORACLES: dict[str, str] = {
@@ -1582,4 +1701,5 @@ ORACLES: dict[str, str] = {
     "q_calibration": _SQL_CALIBRATION,
     "q_boilerplate_scrub": _SQL_BOILERPLATE_SCRUB,
     "q_dup_span_removal": _SQL_DUP_SPAN_REMOVAL,
+    "q_encoding_advisor": _SQL_ENCODING_ADVISOR,
 }

@@ -312,3 +312,23 @@ def test_dup_span_removal_replay(spark, sf_dir):
         ).hexdigest(), doc_id
     # the corpus genuinely contains repeated spans at every SF
     assert total_removed > 0
+
+
+def test_encoding_advisor_accounting(spark, sf_dir):
+    """Every advised column reports the full row count, n_runs < n_rows,
+    the ratio is consistent, and the recommendation follows the stated
+    integer thresholds."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = li.count()
+    rows = qm.q_encoding_advisor(spark, sf_dir).collect()
+    assert {r.column_name for r in rows} == set(qm._ENC_COLS)
+    for r in rows:
+        assert r.n_rows == n  # no nulls in the synthetic fact
+        assert 0 <= r.n_runs < r.n_rows
+        assert abs(r.run_ratio - round(1e-9 + r.n_runs / r.n_rows, 6)) < 1e-9
+        if r.n_distinct * 20 <= r.n_rows:
+            assert r.encoding == "DICTIONARY"
+        elif r.n_runs * 2 >= r.n_rows:
+            assert r.encoding == "RLE"
+        else:
+            assert r.encoding == "PLAIN"
