@@ -65,7 +65,8 @@ _CHECK_LAST = [
     "q_frequent_sequences", "q_stream_cusum", "q_gaps_islands",
     "q_compaction_plan", "q_bh_fdr", "q_mannwhitney",
     "q_slo_burn", "q_calibration", "q_boilerplate_scrub",
-    "q_dup_span_removal", "q_encoding_advisor", "q_cdc_classify",
+    "q_dup_span_removal", "q_encoding_advisor", "q_matryoshka_recall",
+    "q_spearman", "q_cdc_classify",
     "q_containment", "q_bpe_tokenize", "q_bpe_merges",
     "q_anomaly_mad", "q_cross_corpus_neardup", "q_crosstab_independence",
     "q_dedup_plan", "q_delta_roundtrip", "q_demand_corr",

@@ -1670,6 +1670,263 @@ FROM cols"""
 _SQL_ENCODING_ADVISOR = _sql_encoding_advisor()
 
 
+# --- Matryoshka truncation recall -----------------------------------------------
+
+_MRL_PREFIXES = (8, 16, 32)
+_MRL_K = 10
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation evaluation — the modern embedding
+    practice the ANN family needs a dial for: nested representations let
+    a deployment score with only the FIRST m dimensions (m ≪ d) and pay
+    proportionally less memory/compute; this query measures what that
+    truncation costs, as recall@10 of the m-prefix cosine top-10 against
+    the full-dimension exact top-10, per prefix width (8/16/32 of 64).
+
+    Shape: four :func:`brute_force_knn` passes over the SAME broadcast
+    query set (the exhaustive scorer is the documented recall oracle —
+    the serving path is IVF/PQ); the prefix passes score sliced arrays
+    (`F.slice` — JVM-side, no Python).  Hits count by an equi-join on
+    (query, neighbor, m); recall is an exact rational.  At 100 TB this
+    is the offline dial-tuning run before fixing a truncation width."""
+    from .operators.similarity import brute_force_knn
+    from .queries_data import _emb, _scale_out
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    corpus = _scale_out(emb)
+    full = brute_force_knn(queries, corpus, k=_MRL_K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    ).persist()  # joined against every prefix pass
+    out = None
+    for m in _MRL_PREFIXES:
+        qm_ = queries.select(
+            "vec_id", F.slice("embedding", 1, m).alias("embedding")
+        )
+        cm_ = corpus.select(
+            "vec_id", F.slice("embedding", 1, m).alias("embedding")
+        )
+        pref = brute_force_knn(qm_, cm_, k=_MRL_K).select(
+            "query_id", "neighbor_id"
+        )
+        st = (
+            pref.join(full, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.lit(m).cast("int").alias("prefix_dims"),
+                F.count_distinct("query_id").cast("long").alias("n_queries"),
+                F.lit(_MRL_K).cast("int").alias("k"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_hits"),
+            )
+        )
+        out = st if out is None else out.unionByName(st)
+    return out.select(
+        "prefix_dims",
+        "n_queries",
+        "k",
+        "n_hits",
+        _rnd(
+            F.col("n_hits")
+            / (F.col("n_queries") * F.col("k")).cast("double"),
+            6,
+        ).alias("recall_at_k"),
+    )
+
+
+def _sql_matryoshka_recall() -> str:
+    def cos(ml: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {ml} + 1),"
+            " i -> q.v[i] * c.v[i]))"
+            f" / (sqrt(list_sum(list_transform(range(1, {ml} + 1),"
+            " i -> q.v[i] * q.v[i])))"
+            f" * sqrt(list_sum(list_transform(range(1, {ml} + 1),"
+            " i -> c.v[i] * c.v[i]))))"
+        )
+
+    parts = []
+    for m in _MRL_PREFIXES:
+        parts.append(f"""
+pref{m} AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id, row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY {cos(str(m))} DESC, c.neighbor_id ASC) AS rn
+        FROM q CROSS JOIN c
+    ) WHERE rn <= {_MRL_K}
+),
+st{m} AS (
+    SELECT CAST({m} AS INT) AS prefix_dims,
+           CAST(count(DISTINCT p.query_id) AS BIGINT) AS n_queries,
+           CAST({_MRL_K} AS INT) AS k,
+           CAST(sum(CASE WHEN f.query_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+    FROM pref{m} p
+    LEFT JOIN full_t f
+      ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT * FROM st{m}" for m in _MRL_PREFIXES
+    )
+    return f"""
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id % 50 = 0
+),
+c AS (
+    SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+),
+full_t AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id, row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY {cos("len(q.v)")} DESC, c.neighbor_id ASC) AS rn
+        FROM q CROSS JOIN c
+    ) WHERE rn <= {_MRL_K}
+),
+{",".join(p.strip() for p in parts)}
+SELECT prefix_dims, n_queries, k, n_hits,
+       round(1e-9 + n_hits / CAST(n_queries * k AS DOUBLE), 6)
+           AS recall_at_k
+FROM ({unions})"""
+
+
+_SQL_MATRYOSHKA_RECALL = _sql_matryoshka_recall()
+
+
+# --- Spearman rank correlation ---------------------------------------------------
+
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the daily view-count and
+    purchase-revenue series — the rank-based leg that completes the
+    correlation family (Pearson q_demand_corr, lagged
+    q_crosscorrelation): ρ_s is Pearson on midranks, so it sees any
+    monotone relation and shrugs at outliers.
+
+    Exactness: the same no-row-gets-a-rank trick as Mann–Whitney —
+    midranks fold over each series' distinct-value table as
+    2R(v) = 2·cle − c + 1 (doubled to stay integer), every sum in the
+    closed form is BIGINT, and the final ρ (and the contrast Pearson on
+    the raw lattice values) evaluates ONE textual formula shared with
+    the oracle, in DOUBLE because n·Σb² overflows int64 on the revenue
+    lattice.  Windows only over the ≤ #days grain."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "view").cast("long"))
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+
+    def midrank2(col: str) -> DataFrame:
+        vc = daily.groupBy(F.col(col).alias("__v")).agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+        w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+        return vc.select(
+            F.col("__v").alias(col),
+            (
+                2 * F.sum("__c").over(w) - F.col("__c") + 1
+            ).cast("long").alias(f"r_{col}"),
+        )
+
+    j = daily.join(midrank2("x"), "x").join(midrank2("y"), "y")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r_x").cast("long").alias("sa"),
+        F.sum("r_y").cast("long").alias("sb"),
+        F.sum(F.col("r_x") * F.col("r_x")).cast("long").alias("saa"),
+        F.sum(F.col("r_y") * F.col("r_y")).cast("long").alias("sbb"),
+        F.sum(F.col("r_x") * F.col("r_y")).cast("long").alias("sab"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    rho = (
+        "(CAST(n AS DOUBLE) * {ab} - CAST({a} AS DOUBLE) * {b})"
+        " / sqrt((CAST(n AS DOUBLE) * {aa} - CAST({a} AS DOUBLE) * {a})"
+        " * (CAST(n AS DOUBLE) * {bb} - CAST({b} AS DOUBLE) * {b}))"
+    )
+    return agg.select(
+        "n",
+        _rnd(
+            F.expr(rho.format(a="sa", b="sb", aa="saa", bb="sbb", ab="sab")),
+            6,
+        ).alias("spearman_rho"),
+        _rnd(
+            F.expr(rho.format(a="sx", b="sy", aa="sxx", bb="syy", ab="sxy")),
+            6,
+        ).alias("pearson_rho"),
+    )
+
+
+def _sql_spearman() -> str:
+    rho = (
+        "(CAST(n AS DOUBLE) * {ab} - CAST({a} AS DOUBLE) * {b})"
+        " / sqrt((CAST(n AS DOUBLE) * {aa} - CAST({a} AS DOUBLE) * {a})"
+        " * (CAST(n AS DOUBLE) * {bb} - CAST({b} AS DOUBLE) * {b}))"
+    )
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS y
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1
+),
+rx AS (
+    SELECT x, CAST(2 * sum(count(*)) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - count(*) + 1 AS BIGINT) AS r_x
+    FROM daily GROUP BY x
+),
+ry AS (
+    SELECT y, CAST(2 * sum(count(*)) OVER (ORDER BY y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - count(*) + 1 AS BIGINT) AS r_y
+    FROM daily GROUP BY y
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(r_x) AS BIGINT) AS sa, CAST(sum(r_y) AS BIGINT) AS sb,
+           CAST(sum(r_x * r_x) AS BIGINT) AS saa,
+           CAST(sum(r_y * r_y) AS BIGINT) AS sbb,
+           CAST(sum(r_x * r_y) AS BIGINT) AS sab,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy,
+           CAST(sum(x * y) AS BIGINT) AS sxy
+    FROM daily JOIN rx USING (x) JOIN ry USING (y)
+)
+SELECT n,
+       round(1e-9 + {rho.format(a="sa", b="sb", aa="saa", bb="sbb", ab="sab")}, 6)
+           AS spearman_rho,
+       round(1e-9 + {rho.format(a="sx", b="sy", aa="sxx", bb="syy", ab="sxy")}, 6)
+           AS pearson_rho
+FROM agg"""
+
+
+_SQL_SPEARMAN = _sql_spearman()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cusum_changepoint": q_cusum_changepoint,
     "q_stream_cusum": q_stream_cusum,
@@ -1685,6 +1942,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_boilerplate_scrub": q_boilerplate_scrub,
     "q_dup_span_removal": q_dup_span_removal,
     "q_encoding_advisor": q_encoding_advisor,
+    "q_matryoshka_recall": q_matryoshka_recall,
+    "q_spearman": q_spearman,
 }
 
 ORACLES: dict[str, str] = {
@@ -1702,4 +1961,6 @@ ORACLES: dict[str, str] = {
     "q_boilerplate_scrub": _SQL_BOILERPLATE_SCRUB,
     "q_dup_span_removal": _SQL_DUP_SPAN_REMOVAL,
     "q_encoding_advisor": _SQL_ENCODING_ADVISOR,
+    "q_matryoshka_recall": _SQL_MATRYOSHKA_RECALL,
+    "q_spearman": _SQL_SPEARMAN,
 }

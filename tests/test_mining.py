@@ -332,3 +332,69 @@ def test_encoding_advisor_accounting(spark, sf_dir):
             assert r.encoding == "RLE"
         else:
             assert r.encoding == "PLAIN"
+
+
+def test_matryoshka_recall_monotone_in_prefix_width(spark, sf_dir):
+    """Recall must be a proper rational in [0,1], full-width self-recall
+    logic must hold (hits <= n_queries*k), and wider prefixes should not
+    be dramatically worse than narrow ones on this corpus (sanity, not
+    theory: MRL recall is typically monotone; assert the 32-dim prefix
+    beats or ties the 8-dim one)."""
+    rows = {r.prefix_dims: r for r in qm.q_matryoshka_recall(spark, sf_dir).collect()}
+    assert set(rows) == set(qm._MRL_PREFIXES)
+    for r in rows.values():
+        assert 0 <= r.n_hits <= r.n_queries * r.k
+        assert abs(
+            r.recall_at_k - round(1e-9 + r.n_hits / (r.n_queries * r.k), 6)
+        ) < 1e-9
+    assert rows[32].n_hits >= rows[8].n_hits
+
+
+def test_spearman_matches_python_replay(spark, sf_dir):
+    """Spearman/Pearson must match a literal midrank + closed-form
+    replay over the collected daily grain."""
+    import math
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum((F.col("event_type") == "view").cast("long")).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        .collect()
+    )
+    xs = [r.x for r in daily]
+    ys = [r.y for r in daily]
+
+    def mid2(vals):
+        s = sorted(vals)
+        return {
+            v: 2 * (len([u for u in s if u <= v])) - s.count(v) + 1
+            for v in set(vals)
+        }
+
+    mx, my = mid2(xs), mid2(ys)
+    a = [mx[v] for v in xs]
+    b = [my[v] for v in ys]
+
+    def rho(a, b):
+        n = len(a)
+        num = n * sum(p * q for p, q in zip(a, b)) - sum(a) * sum(b)
+        den = math.sqrt(
+            (n * sum(p * p for p in a) - sum(a) ** 2)
+            * (n * sum(q * q for q in b) - sum(b) ** 2)
+        )
+        return num / den
+
+    r = qm.q_spearman(spark, sf_dir).collect()[0]
+    assert r.n == len(xs)
+    assert abs(r.spearman_rho - round(1e-9 + rho(a, b), 6)) < 1e-6
+    assert abs(r.pearson_rho - round(1e-9 + rho(xs, ys), 6)) < 1e-6
