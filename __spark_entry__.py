@@ -29,105 +29,111 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver records CORRECTNESS rows for only the first 50 registry
 # entries per round.  Rotate the window each round so evidence stays
-# fresh; priority order (round 8, per the round-7 ADVICE's first item):
-# the 55 round-7 additions (q_t_closeness .. q_attribution) have never
-# had a driver row — promote the first 50 of them.  The 5 that do not
-# fit (q_market_basket, q_mixture_temperature, q_key_skew, q_ohlc_bars,
-# q_attribution) head _CHECK_LAST for round 9, followed by any round-8
-# additions, then the stalest-first refresh order; the 50 r7-green
-# entries sit at the tail.  tests/test_registry.py pins the bookkeeping.
+# fresh.  Round-9 window (per the round-8 VERDICT items 1 and 7):
+#   * slots 1-21: the 21 entries that have never had a driver-issued
+#     CORRECTNESS row (round-7 overflow + round-8 additions +
+#     q_matryoshka_recall/q_spearman);
+#   * slots 22-26: FLAGSHIP FRESHNESS POLICY — every round reserves
+#     ~5 slots for the reference-surface flagships (q_enrich,
+#     q_trips_weather, q_daily, q_zone_analysis, q_fare_daily_features)
+#     on a rotating basis, so the headline marts never go more than
+#     2 rounds without a driver row (all five last gated r6);
+#   * slots 27-50: the 24 alphabetically-first of the 37 queries whose
+#     latest driver row is round 4 (the stalest cohort).
+# _CHECK_LAST is ordered stalest-first (the remaining 13 round-4-stale
+# entries head it) so round 10 rebuilds its window by taking the head;
+# new queries added mid-round park at the HEAD of _CHECK_LAST as
+# first-evidence candidates.  tests/test_registry.py pins the
+# bookkeeping.
 _CHECK_FIRST = [
-    "q_t_closeness", "q_kmv_distinct", "q_mg_topk",
-    "q_trend_ols", "q_benford", "q_bootstrap_ci",
-    "q_ewma_anomaly", "q_shortest_path", "q_markov_transitions",
-    "q_ab_test", "q_watermark_audit", "q_sliding_distinct",
-    "q_rrf_fusion", "q_rank_functions", "q_set_ops",
-    "q_dp_budget", "q_cohort_ltv", "q_skyline",
-    "q_weighted_median", "q_zipf_fit", "q_rfm_segments",
-    "q_stream_ohlc", "q_kmv_jaccard", "q_embedding_drift",
-    "q_time_to_convert", "q_graph_degree", "q_microagg",
-    "q_stream_sliding", "q_phrase_search", "q_cdc_chunking",
-    "q_lsh_tuning", "q_cumulative_distinct", "q_stream_kmins",
-    "q_seasonal_anomaly", "q_grouping_sets", "q_autocorrelation",
-    "q_gini", "q_crosscorrelation", "q_pareto_share",
-    "q_tukey_outliers", "q_stickiness", "q_power_analysis",
-    "q_new_vs_returning", "q_heatmap", "q_bloom_portable",
-    "q_histogram_quantiles", "q_seasonal_decompose", "q_stream_bloom",
-    "q_split_leakage", "q_pca_power",
-]
-_CHECK_LAST = [
-    # head = round-9 first-evidence candidates (round-7 overflow, then
-    # round-8 additions), then stalest-evidence-first refresh order;
-    # tail = the 50 entries driver-checked green in round 7
     "q_market_basket", "q_mixture_temperature", "q_key_skew",
-    "q_ohlc_bars", "q_attribution",
-    "q_cusum_changepoint", "q_quantile_summary", "q_entity_resolution",
-    "q_frequent_sequences", "q_stream_cusum", "q_gaps_islands",
-    "q_compaction_plan", "q_bh_fdr", "q_mannwhitney",
-    "q_slo_burn", "q_calibration", "q_boilerplate_scrub",
-    "q_dup_span_removal", "q_encoding_advisor", "q_matryoshka_recall",
-    "q_spearman", "q_cdc_classify",
-    "q_containment", "q_bpe_tokenize", "q_bpe_merges",
-    "q_anomaly_mad", "q_cross_corpus_neardup", "q_crosstab_independence",
+    "q_ohlc_bars", "q_attribution", "q_cusum_changepoint",
+    "q_quantile_summary", "q_entity_resolution", "q_frequent_sequences",
+    "q_stream_cusum", "q_gaps_islands", "q_compaction_plan",
+    "q_bh_fdr", "q_mannwhitney", "q_slo_burn",
+    "q_calibration", "q_boilerplate_scrub", "q_dup_span_removal",
+    "q_encoding_advisor", "q_matryoshka_recall", "q_spearman",
+    "q_enrich", "q_trips_weather", "q_daily",
+    "q_zone_analysis", "q_fare_daily_features", "q_anomaly_mad",
+    "q_bpe_merges", "q_bpe_tokenize", "q_cdc_classify",
+    "q_containment", "q_cross_corpus_neardup", "q_crosstab_independence",
     "q_dedup_plan", "q_delta_roundtrip", "q_demand_corr",
     "q_dropna", "q_embedding_stats", "q_event_paths",
     "q_iceberg_diff", "q_iceberg_roundtrip", "q_langid_eval",
     "q_limit", "q_lsh_hot_buckets", "q_lsh_recall",
     "q_minhash_lsh", "q_minmax", "q_normalize_dedup",
-    "q_orc_roundtrip", "q_pagerank_zones", "q_pq_codebook",
-    "q_pq_recall", "q_pq_search", "q_preference_pairs",
-    "q_rolling_median", "q_semi_join", "q_shard_checksums",
-    "q_simhash", "q_simhash_near", "q_snapshot_diff",
-    "q_triangle_count", "q_variant_json", "q_zorder_cells",
-    "q_asof_join", "q_backfill_synthetic", "q_bloom_join",
-    "q_bm25", "q_cell_quality", "q_chunk_docs",
-    "q_conversion_funnel", "q_cube", "q_dedup_cluster",
-    "q_dedup_keep_best", "q_dup_ngram_coverage", "q_embedding_neardup",
-    "q_embedding_quantize", "q_filter_funnel", "q_fingerprint",
-    "q_freshness", "q_gapfill", "q_incremental_agg",
-    "q_inverted_index", "q_knn_bruteforce", "q_lang_id",
-    "q_length_histogram", "q_merge_upsert", "q_mixture_sample",
-    "q_negative_samples", "q_ngram_jaccard", "q_pack_sequences",
-    "q_percentiles_approx", "q_pmi", "q_prefix_filter_pairs",
-    "q_quality_report", "q_repetition", "q_retention_cohort",
-    "q_sessions", "q_skew_agg", "q_skew_join",
-    "q_source_overlap", "q_sparse_cosine", "q_split_assign",
-    "q_srp_lsh", "q_srp_near_pairs", "q_star_join",
-    "q_text_quality", "q_token_count", "q_topk_per_group",
-    "q_weighted_sample", "q_winsorize", "q_antijoin",
-    "q_cc_two_phase", "q_curation_pipeline", "q_daily",
+    "q_orc_roundtrip", "q_pagerank_zones",
+]
+_CHECK_LAST = [
+    "q_pq_codebook", "q_pq_recall", "q_pq_search",
+    "q_preference_pairs", "q_rolling_median", "q_semi_join",
+    "q_shard_checksums", "q_simhash", "q_simhash_near",
+    "q_snapshot_diff", "q_triangle_count", "q_variant_json",
+    "q_zorder_cells", "q_asof_join", "q_backfill_synthetic",
+    "q_bloom_join", "q_bm25", "q_cell_quality",
+    "q_chunk_docs", "q_conversion_funnel", "q_cube",
+    "q_dedup_cluster", "q_dedup_keep_best", "q_dup_ngram_coverage",
+    "q_embedding_neardup", "q_embedding_quantize", "q_filter_funnel",
+    "q_fingerprint", "q_freshness", "q_gapfill",
+    "q_incremental_agg", "q_inverted_index", "q_knn_bruteforce",
+    "q_lang_id", "q_length_histogram", "q_merge_upsert",
+    "q_mixture_sample", "q_negative_samples", "q_ngram_jaccard",
+    "q_pack_sequences", "q_percentiles_approx", "q_pmi",
+    "q_prefix_filter_pairs", "q_quality_report", "q_repetition",
+    "q_retention_cohort", "q_sessions", "q_skew_agg",
+    "q_skew_join", "q_source_overlap", "q_sparse_cosine",
+    "q_split_assign", "q_srp_lsh", "q_srp_near_pairs",
+    "q_star_join", "q_text_quality", "q_token_count",
+    "q_topk_per_group", "q_weighted_sample", "q_winsorize",
+    "q_antijoin", "q_cc_two_phase", "q_curation_pipeline",
     "q_decontaminate", "q_dedup_exact", "q_dup_rate_by_source",
-    "q_edit_distance", "q_enrich", "q_epoch_shuffle",
-    "q_eval_metrics", "q_fare_daily_features", "q_feature_binning",
-    "q_forecast_eval", "q_frame_sample", "q_global_index",
-    "q_interval_join", "q_ivfpq_multiprobe", "q_ivfpq_recall",
-    "q_ivfpq_search", "q_json_extract", "q_kmeans_cells",
-    "q_lag_ma", "q_lm_score", "q_merge_dedup",
-    "q_multimodal_features", "q_percentiles", "q_pivot",
-    "q_precip_day", "q_profile_columns", "q_psi_drift",
-    "q_quality_model", "q_rollup", "q_sample_hash",
-    "q_sample_stratified", "q_scd2_check", "q_scd2_timestamp",
-    "q_stg_trips", "q_stg_weather", "q_stream_dedup",
-    "q_surrogate_key", "q_text_scrub", "q_top_terms",
-    "q_trips_weather", "q_union_summary", "q_weather_hourly",
-    "q_window_stats", "q_zone_analysis", "q_zone_demand",
-    "q_zone_dim", "q_tpch_q1", "q_tpch_q2",
-    "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
-    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
-    "q_tpch_q9", "q_tpch_q10", "q_tpch_q11",
-    "q_tpch_q12", "q_tpch_q13", "q_tpch_q14",
-    "q_tpch_q15", "q_tpch_q16", "q_tpch_q17",
-    "q_tpch_q18", "q_tpch_q19", "q_tpch_q20",
-    "q_tpch_q21", "q_tpch_q22", "q_hll_distinct",
-    "q_hll_union", "q_hll_overlap", "q_countmin_topk",
-    "q_cm_join_size", "q_stream_hll", "q_mixture_plan",
-    "q_semdedup", "q_gopher_rules", "q_dsir_select",
-    "q_k_anonymity", "q_project", "q_top1",
-    "q_distinct_hours", "q_array_ops", "q_char_entropy",
-    "q_boilerplate", "q_stream_hourly", "q_stream_sessions",
-    "q_stream_join", "q_centroid_assign", "q_ann_ivf",
-    "q_ann_recall", "q_divergence_drift", "q_ks_drift",
-    "q_l_diversity", "q_stream_psi", "q_stream_cm",
+    "q_edit_distance", "q_epoch_shuffle", "q_eval_metrics",
+    "q_feature_binning", "q_forecast_eval", "q_frame_sample",
+    "q_global_index", "q_interval_join", "q_ivfpq_multiprobe",
+    "q_ivfpq_recall", "q_ivfpq_search", "q_json_extract",
+    "q_kmeans_cells", "q_lag_ma", "q_lm_score",
+    "q_merge_dedup", "q_multimodal_features", "q_percentiles",
+    "q_pivot", "q_precip_day", "q_profile_columns",
+    "q_psi_drift", "q_quality_model", "q_rollup",
+    "q_sample_hash", "q_sample_stratified", "q_scd2_check",
+    "q_scd2_timestamp", "q_stg_trips", "q_stg_weather",
+    "q_stream_dedup", "q_surrogate_key", "q_text_scrub",
+    "q_top_terms", "q_union_summary", "q_weather_hourly",
+    "q_window_stats", "q_zone_demand", "q_zone_dim",
+    "q_ann_ivf", "q_ann_recall", "q_array_ops",
+    "q_boilerplate", "q_centroid_assign", "q_char_entropy",
+    "q_cm_join_size", "q_countmin_topk", "q_distinct_hours",
+    "q_divergence_drift", "q_dsir_select", "q_gopher_rules",
+    "q_hll_distinct", "q_hll_overlap", "q_hll_union",
+    "q_k_anonymity", "q_ks_drift", "q_l_diversity",
+    "q_mixture_plan", "q_project", "q_semdedup",
+    "q_stream_cm", "q_stream_hll", "q_stream_hourly",
+    "q_stream_join", "q_stream_psi", "q_stream_sessions",
+    "q_top1", "q_tpch_q1", "q_tpch_q10",
+    "q_tpch_q11", "q_tpch_q12", "q_tpch_q13",
+    "q_tpch_q14", "q_tpch_q15", "q_tpch_q16",
+    "q_tpch_q17", "q_tpch_q18", "q_tpch_q19",
+    "q_tpch_q2", "q_tpch_q20", "q_tpch_q21",
+    "q_tpch_q22", "q_tpch_q3", "q_tpch_q4",
+    "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
+    "q_tpch_q8", "q_tpch_q9", "q_ab_test",
+    "q_autocorrelation", "q_benford", "q_bloom_portable",
+    "q_bootstrap_ci", "q_cdc_chunking", "q_cohort_ltv",
+    "q_crosscorrelation", "q_cumulative_distinct", "q_dp_budget",
+    "q_embedding_drift", "q_ewma_anomaly", "q_gini",
+    "q_graph_degree", "q_grouping_sets", "q_heatmap",
+    "q_histogram_quantiles", "q_kmv_distinct", "q_kmv_jaccard",
+    "q_lsh_tuning", "q_markov_transitions", "q_mg_topk",
+    "q_microagg", "q_new_vs_returning", "q_pareto_share",
+    "q_pca_power", "q_phrase_search", "q_power_analysis",
+    "q_rank_functions", "q_rfm_segments", "q_rrf_fusion",
+    "q_seasonal_anomaly", "q_seasonal_decompose", "q_set_ops",
+    "q_shortest_path", "q_skyline", "q_sliding_distinct",
+    "q_split_leakage", "q_stickiness", "q_stream_bloom",
+    "q_stream_kmins", "q_stream_ohlc", "q_stream_sliding",
+    "q_t_closeness", "q_time_to_convert", "q_trend_ols",
+    "q_tukey_outliers", "q_watermark_audit", "q_weighted_median",
+    "q_zipf_fit",
 ]
 
 

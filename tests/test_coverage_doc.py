@@ -26,3 +26,15 @@ def test_bench_headline_is_live():
     assert not missing, missing
     missing_b = [q for q in bench.BASELINE_SET if q not in live]
     assert not missing_b, missing_b
+
+
+def test_coverage_doc_pins_the_registry_count():
+    # The header's "(N entries as of round M" count must match the live
+    # registry size, not just name live queries (round-8 VERDICT item 6).
+    text = open("COVERAGE.md").read()
+    m = re.search(r"\((\d+) entries as of round", text)
+    assert m, "COVERAGE.md header lost its registry count"
+    assert int(m.group(1)) == len(entry.queries()), (
+        f"COVERAGE.md header says {m.group(1)} entries; "
+        f"live registry has {len(entry.queries())}"
+    )
