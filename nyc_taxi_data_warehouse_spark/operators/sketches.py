@@ -423,10 +423,13 @@ def bloom_probe(
     its own broadcast left join against the ≤ m_bits-row bit table, so
     the probe side is k map-side hash joins and NEVER a shuffle of the
     probe corpus (the previous explode→groupBy shape collapsed
-    duplicate probe rows and shuffled the corpus)."""
+    duplicate probe rows and shuffled the corpus).  The bit table is
+    ``.distinct()``-ed defensively: a bits input with duplicate rows
+    (e.g. a union-merge without distinct) would otherwise row-multiply
+    the probe frame through the left joins."""
     out = probes
     flags = []
-    bit_tbl = bits.select("bit")
+    bit_tbl = bits.select("bit").distinct()
     for j in range(k_hashes):
         pos_j = F.pmod(
             F.conv(
@@ -453,8 +456,10 @@ def bloom_probe(
             b, F.col(f"__p{j}") == F.col(f"__b{j}"), "left"
         )
         flags.append(F.coalesce(F.col(f"__s{j}"), F.lit(0)))
+    # F.least requires >= 2 columns; bloom_bits permits k_hashes == 1.
+    all_set = flags[0] if len(flags) == 1 else F.least(*flags)
     return out.select(
-        *probes.columns, F.least(*flags).cast("int").alias("may_contain")
+        *probes.columns, all_set.cast("int").alias("may_contain")
     )
 
 

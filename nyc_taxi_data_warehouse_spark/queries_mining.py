@@ -1461,9 +1461,11 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate AND the rebuild); the canonical table is span-cardinality
     and joins back BY SPAN CONTENT (an equi-shuffle — the exact-dedup
     shuffle, NOT broadcastable at corpus scale and not broadcast here);
-    first-occurrence is an integer min (doc_id·1000 + span_id — span_id
-    is bounded by doc length), so no struct ordering is needed in
-    either engine."""
+    first-occurrence is min(struct(doc_id, span_id)) — lexicographic
+    struct ordering, supported by both engines — so there is no packed
+    integer key to collide however long a document grows (the earlier
+    doc_id·1000+span_id packing silently collided for docs with
+    ≥1000 spans)."""
     from .functions import text as T
     from .queries_data import _scale_out
 
@@ -1487,13 +1489,13 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # feeds first-occurrence AND the rebuild
     )
     first = span.groupBy("span_text").agg(
-        F.min(F.col("doc_id") * 1000 + F.col("span_id")).alias("__first")
+        F.min(F.struct("doc_id", "span_id")).alias("__first")
     )
     marked = span.join(first, "span_text").select(
         "doc_id",
         "span_id",
         "span_text",
-        (F.col("doc_id") * 1000 + F.col("span_id") != F.col("__first"))
+        (F.struct("doc_id", "span_id") != F.col("__first"))
         .cast("int")
         .alias("__cut"),
     )
@@ -1535,13 +1537,12 @@ span AS (
     FROM tok GROUP BY 1, 2
 ),
 first_occ AS (
-    SELECT span_text,
-           CAST(min(doc_id * 1000 + span_id) AS BIGINT) AS first_key
+    SELECT span_text, min(ROW(doc_id, span_id)) AS first_key
     FROM span GROUP BY 1
 ),
 marked AS (
     SELECT s.doc_id, s.span_id, s.span_text,
-           CAST(s.doc_id * 1000 + s.span_id <> f.first_key AS INT) AS cut
+           CAST(ROW(s.doc_id, s.span_id) <> f.first_key AS INT) AS cut
     FROM span s JOIN first_occ f USING (span_text)
 )
 SELECT doc_id,

@@ -89,7 +89,20 @@ def sessionize_stream_tws(
     value_col: str = "value",
 ) -> DataFrame:
     """Per-key sessionization via ``transformWithStateInPandas`` —
-    result-identical to :func:`.sessionize.sessionize_stream`."""
+    result-identical to :func:`.sessionize.sessionize_stream`.
+
+    FIXED-SCHEMA CONSTRAINT: the output column set is pinned to
+    ``SESSION_SCHEMA`` (``user_id, session_start, session_end,
+    n_events, total_value``) regardless of ``key_col`` — the processor
+    emits the key under the literal name ``user_id``.  ``key_col`` /
+    ``ts_col`` / ``value_col`` only select INPUT columns (inherited
+    from the legacy operator's signature).  Also note: the Spark-4
+    StatefulProcessor worker requires ``google.protobuf``; in
+    environments without it this path fails at runtime and the
+    ``applyInPandasWithState`` sessionizer (:mod:`.sessionize`) is the
+    executable twin — run tests/test_streaming_multimodal.py's TWS
+    parity test once on a protobuf-equipped cluster before relying on
+    this port."""
     return events.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=_SessionProcessor(gap_minutes, ts_col, value_col),
         outputStructType=SESSION_SCHEMA,

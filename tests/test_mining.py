@@ -290,7 +290,7 @@ def test_dup_span_removal_replay(spark, sf_dir):
     first = {}
     for doc_id in sorted(spans_by_doc):
         for sid, s in enumerate(spans_by_doc[doc_id]):
-            key = doc_id * 1000 + sid
+            key = (doc_id, sid)  # lexicographic — no packed-int collision
             if s not in first or key < first[s]:
                 first[s] = key
     out = {
@@ -301,7 +301,7 @@ def test_dup_span_removal_replay(spark, sf_dir):
         kept = [
             s
             for sid, s in enumerate(spans)
-            if first[s] == doc_id * 1000 + sid
+            if first[s] == (doc_id, sid)
         ]
         r = out[doc_id]
         assert r.n_spans == len(spans)

@@ -271,6 +271,28 @@ def test_bloom_bits_or_merge_equals_union_build(spark):
     assert direct.exceptAll(merged).count() == 0
 
 
+def test_bloom_probe_k1_and_duplicate_bits_immune(spark):
+    """k_hashes=1 is a legal bloom_bits config so the probe must accept
+    it (F.least needs >= 2 args — the fold special-cases k==1), and a
+    bits table with duplicate rows (union-merge without distinct) must
+    not row-multiply the probe frame through the k left joins."""
+    from nyc_taxi_data_warehouse_spark.operators import sketches
+
+    members = spark.createDataFrame([(f"m{i}",) for i in range(30)], ["k"])
+    bits = sketches.bloom_bits(members, "k", m_bits=512, k_hashes=1)
+    probed = sketches.bloom_probe(bits, members, "k", m_bits=512, k_hashes=1)
+    assert probed.count() == 30
+    assert probed.filter(F.col("may_contain") == 0).count() == 0
+    # duplicate every bit row; probe count and flags must be unchanged
+    bits4 = sketches.bloom_bits(members, "k", m_bits=512, k_hashes=4)
+    dup_bits = bits4.union(bits4)
+    probed2 = sketches.bloom_probe(
+        dup_bits, members, "k", m_bits=512, k_hashes=4
+    )
+    assert probed2.count() == 30
+    assert probed2.filter(F.col("may_contain") == 0).count() == 0
+
+
 def test_histogram_quantiles_bounds(spark, sf_dir):
     """The fixed-ruler histogram estimate sits at its bin's lower edge,
     so est <= exact < est + width; the shard registers merge losslessly

@@ -121,11 +121,14 @@ def main() -> int:
     report: dict[str, dict] = {}
 
     def _rec(name, *, rows=None, orows=None, schema=True, hashm=True,
-             err=None):
+             err=None, oracle=True):
         report[name] = {
             "rows_match": err is None and rows == orows,
             "schema_match": err is None and schema,
-            "hash_match": err is None and hashm,
+            # rows-only entries (no oracle) record hash_match: None so the
+            # JSON evidence cannot be mistaken for an oracle-verified PASS
+            "hash_match": (err is None and hashm) if oracle else None,
+            "oracle": oracle,
             "spark_rows": rows,
             "oracle_rows": orows,
             "err": err,
@@ -158,7 +161,7 @@ def main() -> int:
             continue
         if name not in oracles:
             print(f"PASS {name}: rows-only ({len(s_rows)} rows, no oracle)")
-            _rec(name, rows=len(s_rows), orows=len(s_rows))
+            _rec(name, rows=len(s_rows), orows=len(s_rows), oracle=False)
             n_pass += 1
             continue
         try:
