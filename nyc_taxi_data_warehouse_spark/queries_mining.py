@@ -1813,7 +1813,13 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed form is BIGINT, and the final ρ (and the contrast Pearson on
     the raw lattice values) evaluates ONE textual formula shared with
     the oracle, in DOUBLE because n·Σb² overflows int64 on the revenue
-    lattice.  Windows only over the ≤ #days grain."""
+    lattice.  The cumulative count comes from
+    :func:`bucketed_value_cumsum` (value-bucketed parallel windows),
+    so NO unpartitioned window runs even if the series grain ever
+    drops below daily; ``daily`` is persisted because the primitive
+    fires one eager GK-edge job per call (two calls here) and the
+    final join replays the lineage a third time — cached until the
+    harness clearCache."""
     ev = load_tables(spark, sf_dir)["events"].where(
         F.col("ts").isNotNull() & F.col("value").isNotNull()
     )
@@ -1829,17 +1835,14 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("y"),
-    )
+    ).persist()  # two eager GK-edge jobs + the final join share this
 
     def midrank2(col: str) -> DataFrame:
-        vc = daily.groupBy(F.col(col).alias("__v")).agg(
-            F.count(F.lit(1)).cast("long").alias("__c")
-        )
-        w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-        return vc.select(
+        cum = bucketed_value_cumsum(daily.select(col), col)
+        return cum.select(
             F.col("__v").alias(col),
             (
-                2 * F.sum("__c").over(w) - F.col("__c") + 1
+                2 * F.col("__cle") - F.col("__c") + 1
             ).cast("long").alias(f"r_{col}"),
         )
 
