@@ -2877,3 +2877,32 @@ def test_heatmap_grid_bounds_and_share_sums(spark, sf_dir):
     for r in rows:
         assert 0 <= r.dow <= 6 and 0 <= r.hour <= 23
         assert 1 <= r.rank_in_dow <= 24
+
+
+def test_stream_feed_memoizes_per_key(spark, tmp_path):
+    """stream_feed writes once per (name, key) and returns the same dir
+    on later calls; a different key re-stages to a different dir."""
+    from nyc_taxi_data_warehouse_spark import util
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    d1 = util.stream_feed(df, "ut_feed", "k1", n_files=2)
+    import os
+    import time
+
+    files1 = sorted(os.listdir(d1))
+    mtime1 = max(
+        os.path.getmtime(os.path.join(d1, f)) for f in files1
+    )
+    time.sleep(0.05)
+    d2 = util.stream_feed(
+        spark.range(5).selectExpr("id", "id AS v"), "ut_feed", "k1"
+    )
+    assert d2 == d1
+    # no re-write happened: newest mtime unchanged
+    mtime2 = max(
+        os.path.getmtime(os.path.join(d1, f)) for f in sorted(os.listdir(d1))
+    )
+    assert mtime2 == mtime1
+    assert spark.read.parquet(d1).count() == 100
+    d3 = util.stream_feed(df, "ut_feed", "k2", n_files=2)
+    assert d3 != d1
