@@ -65,6 +65,11 @@ _CHECK_FIRST = [
     "q_orc_roundtrip", "q_pagerank_zones",
 ]
 _CHECK_LAST = [
+    # round-9 additions (first-evidence candidates for the round-10 window)
+    "q_roc_auc", "q_pr_curve", "q_lift_table",
+    "q_kruskal_wallis", "q_kendall_tau", "q_theil_sen",
+    "q_fk_audit", "q_partition_advisor", "q_pseudonymize",
+    "q_dp_histogram",
     "q_pq_codebook", "q_pq_recall", "q_pq_search",
     "q_preference_pairs", "q_rolling_median", "q_semi_join",
     "q_shard_checksums", "q_simhash", "q_simhash_near",
@@ -172,6 +177,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(MINING)
     except ImportError:
         pass
+    try:
+        from nyc_taxi_data_warehouse_spark.queries_eval import (
+            QUERIES as EVAL,
+        )
+
+        out.update(EVAL)
+    except ImportError:
+        pass
     return _ordered(out)
 
 
@@ -199,6 +212,14 @@ def oracle_sql() -> dict[str, str]:
         )
 
         out.update(MINING)
+    except ImportError:
+        pass
+    try:
+        from nyc_taxi_data_warehouse_spark.queries_eval import (
+            ORACLES as EVAL,
+        )
+
+        out.update(EVAL)
     except ImportError:
         pass
     return _ordered(out)

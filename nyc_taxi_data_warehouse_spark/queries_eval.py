@@ -1,0 +1,1074 @@
+"""Round-9 evaluation/integrity wave: exact classifier evaluation (ROC
+AUC, precision–recall sweep, decile lift) over the quality-model scores,
+robust rank statistics (Kruskal–Wallis, Kendall tau-b, Theil–Sen), a
+referential-integrity audit, a partition-layout advisor, a consistent
+pseudonymization transform, and a seeded discrete-noise DP histogram.
+
+These extend the reference's validation/metrics surface (the dbt tests +
+`eval_metrics` leg of aakashvardhan/nyc-taxi-data-warehouse, see
+models/marts + the MAE/MAPE eval in SURVEY §2.4 A11) to the evaluation
+stack a large-scale training-data pipeline runs beside curation: model
+eval is rank work (no row ever gets an individual rank — everything
+folds over :func:`bucketed_value_cumsum`'s distinct-value CDF), trend
+robustness is pairwise work over CALENDAR-bounded grains, and integrity
+audits are anti-joins that push down to key columns.
+
+Determinism discipline (repo-wide rules): decisions on exact integers
+(cross-multiplied thresholds, lattice counts), per-row double math is
+bit-exact across engines when both evaluate ONE textual formula, double
+SUMS never cross rows except as BIGINT micro-units, and every reported
+double is epsilon-shift rounded on BOTH sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .operators.monitor import p2_formula
+from .operators.sampling import bucketed_value_cumsum
+from .plans.nyc_views import load_tables
+
+
+def _rnd(c, n: int):
+    """Epsilon-shifted rounding (see queries_nyc._rnd)."""
+    return F.round(c + F.lit(1e-9), n)
+
+
+# --- shared scored-documents base (the q_quality_model inference path) --------
+
+_EVAL_LABEL_CHARS = 300  # label: "long document" — q_calibration's label
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, pi, y): quality-model score on the 1e-6 integer lattice
+    plus the length label, in ONE scan — the inference expression is
+    q_quality_model's verbatim (queries_data._quality_logit_z), kept
+    inline so source/n_chars ride the same projection and no join-back
+    is needed (q_calibration pays that join; the eval trio shares this
+    scan shape instead)."""
+    from .queries_data import _quality_logit_z
+
+    d = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id",
+        "text",
+        "source",
+        "n_chars",
+        T.tokens("text").alias("__w"),
+    )
+    z = _quality_logit_z(
+        T.word_count_from_tokens("__w"),
+        T.type_token_ratio_from_tokens("__w"),
+        T.punct_ratio("text"),
+        T.stopword_ratio_from_tokens("__w", "en"),
+    )
+    p_keep = _rnd(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return d.select(
+        "source",
+        F.round(p_keep * 1000000).cast("long").alias("pi"),
+        (F.col("n_chars") >= _EVAL_LABEL_CHARS).cast("long").alias("y"),
+    )
+
+
+_SQL_SCORED = """
+scored AS (
+    SELECT qz.source,
+           CAST(round(round(1e-9 + 1.0 / (1.0 + exp(-z)), 6) * 1000000)
+                AS BIGINT) AS pi,
+           CAST(d.n_chars >= 300 AS BIGINT) AS y
+    FROM qz JOIN documents d USING (doc_id)
+)"""
+
+
+def _sql_scored_prefix() -> str:
+    from .queries_data import _SQL_QM_FEATURES
+
+    return f"WITH {_SQL_QM_FEATURES},{_SQL_SCORED}"
+
+
+# --- ROC AUC -------------------------------------------------------------------
+
+_AUC_TXT = (
+    "CASE WHEN n_pos = 0 OR n_pos = n THEN NULL"
+    " ELSE (two_r - CAST(n_pos AS DOUBLE) * (n_pos + 1))"
+    " / (2.0 * n_pos * (n - n_pos)) END"
+)
+
+
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source ROC AUC of the quality model — the
+    threshold-free eval metric beside q_calibration's reliability curve:
+    AUC is the Mann–Whitney U normalized (P(score⁺ > score⁻) with ties
+    at ½), so the same no-row-gets-a-rank fold applies — the per-source
+    score CDF (:func:`bucketed_value_cumsum`, value-bucketed parallel
+    windows) gives each distinct lattice score its occupancy interval,
+    the positive midrank sum folds as 2R⁺ = Σ_v c⁺(v)·(2·cle − c + 1)
+    in pure BIGINT, and AUC = (2R⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻) evaluates
+    one shared textual formula.  Shape: one corpus scan + one
+    distinct-value aggregation per source; no all-rows window, no
+    per-row rank materialization — at 100 TB the distinct-lattice table
+    (≤ 1e6 rows/source) is the only shuffled state."""
+    base = _scored(spark, sf_dir)
+    cdf = bucketed_value_cumsum(base.select("source", "pi"), "pi", ("source",))
+    cpos = base.groupBy("source", F.col("pi").alias("__v")).agg(
+        F.sum("y").cast("long").alias("c_pos")
+    )
+    per_v = cdf.join(cpos, ["source", "__v"])
+    agg = per_v.groupBy("source").agg(
+        F.max("__cle").cast("long").alias("n"),
+        F.sum("c_pos").cast("long").alias("n_pos"),
+        F.sum(F.col("c_pos") * (2 * F.col("__cle") - F.col("__c") + 1))
+        .cast("long")
+        .alias("two_r"),
+    )
+    return agg.select(
+        "source",
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        _rnd(F.expr(_AUC_TXT), 6).alias("auc"),
+    )
+
+
+def _sql_roc_auc() -> str:
+    return f"""{_sql_scored_prefix()},
+vc AS (
+    SELECT source, pi, CAST(count(*) AS BIGINT) AS c,
+           CAST(sum(y) AS BIGINT) AS c_pos
+    FROM scored GROUP BY 1, 2
+),
+cdf AS (
+    SELECT source, pi, c, c_pos,
+           CAST(sum(c) OVER (PARTITION BY source ORDER BY pi
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cle
+    FROM vc
+),
+agg AS (
+    SELECT source, CAST(max(cle) AS BIGINT) AS n,
+           CAST(sum(c_pos) AS BIGINT) AS n_pos,
+           CAST(sum(c_pos * (2 * cle - c + 1)) AS BIGINT) AS two_r
+    FROM cdf GROUP BY 1
+)
+SELECT source, n, n_pos, (n - n_pos) AS n_neg,
+       round(1e-9 + ({_AUC_TXT}), 6) AS auc
+FROM agg"""
+
+
+# --- Precision–recall threshold sweep -------------------------------------------
+
+_PR_STEPS = tuple(range(1, 20))  # thresholds i/20, as lattice ints i*50000
+
+
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at a fixed 19-point threshold grid — the
+    operating-point sweep that picks the quality-filter cutoff: at
+    threshold i/20 a document is kept when its lattice score pi ≥
+    i·50000, so every confusion cell is an EXACT integer comparison
+    (no double ever meets a threshold).  Shape: ONE map-side pass
+    computes all 38 conditional sums + the positive total (a single
+    1-row aggregate), then `stack` unpivots to 19 rows — no threshold
+    × corpus blow-up, no second scan.  Ratios evaluate shared textual
+    formulas with explicit zero-denominator NULLs."""
+    base = _scored(spark, sf_dir)
+    aggs = [F.sum("y").cast("long").alias("n_pos")]
+    for i in _PR_STEPS:
+        t = i * 50000
+        aggs.append(
+            F.sum(F.when(F.col("pi") >= t, F.col("y")).otherwise(0))
+            .cast("long")
+            .alias(f"tp_{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("pi") >= t, 1 - F.col("y")).otherwise(0))
+            .cast("long")
+            .alias(f"fp_{i}")
+        )
+    one = base.agg(*aggs)
+    stack = ", ".join(f"{5 * i}, tp_{i}, fp_{i}" for i in _PR_STEPS)
+    rows = one.select(
+        F.expr(
+            f"stack({len(_PR_STEPS)}, {stack})"
+            " AS (threshold_pct, tp, fp)"
+        ),
+        "n_pos",
+    )
+    prec = "CASE WHEN tp + fp = 0 THEN NULL ELSE tp / CAST(tp + fp AS DOUBLE) END"
+    rec = "CASE WHEN n_pos = 0 THEN NULL ELSE tp / CAST(n_pos AS DOUBLE) END"
+    f1 = (
+        "CASE WHEN tp = 0 THEN NULL ELSE"
+        " 2.0 * tp / (CAST(tp + fp AS DOUBLE) + n_pos) END"
+    )
+    return rows.select(
+        F.col("threshold_pct").cast("int").alias("threshold_pct"),
+        "tp",
+        "fp",
+        (F.col("n_pos") - F.col("tp")).alias("fn"),
+        _rnd(F.expr(prec), 6).alias("precision"),
+        _rnd(F.expr(rec), 6).alias("recall"),
+        _rnd(F.expr(f1), 6).alias("f1"),
+    )
+
+
+def _sql_pr_curve() -> str:
+    sums = ["CAST(sum(y) AS BIGINT) AS n_pos"]
+    for i in _PR_STEPS:
+        t = i * 50000
+        sums.append(
+            f"CAST(sum(CASE WHEN pi >= {t} THEN y ELSE 0 END) AS BIGINT)"
+            f" AS tp_{i}"
+        )
+        sums.append(
+            f"CAST(sum(CASE WHEN pi >= {t} THEN 1 - y ELSE 0 END) AS BIGINT)"
+            f" AS fp_{i}"
+        )
+    legs = "\nUNION ALL\n".join(
+        f"SELECT CAST({5 * i} AS INT) AS threshold_pct, tp_{i} AS tp,"
+        f" fp_{i} AS fp, n_pos FROM one"
+        for i in _PR_STEPS
+    )
+    return f"""{_sql_scored_prefix()},
+one AS (
+    SELECT {", ".join(sums)} FROM scored
+),
+rows_ AS (
+{legs}
+)
+SELECT threshold_pct, tp, fp, (n_pos - tp) AS fn,
+       round(1e-9 + (CASE WHEN tp + fp = 0 THEN NULL
+             ELSE tp / CAST(tp + fp AS DOUBLE) END), 6) AS precision,
+       round(1e-9 + (CASE WHEN n_pos = 0 THEN NULL
+             ELSE tp / CAST(n_pos AS DOUBLE) END), 6) AS recall,
+       round(1e-9 + (CASE WHEN tp = 0 THEN NULL
+             ELSE 2.0 * tp / (CAST(tp + fp AS DOUBLE) + n_pos) END), 6)
+           AS f1
+FROM rows_"""
+
+
+# --- Decile lift / gains table ---------------------------------------------------
+
+def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift & cumulative gains of the quality model — the
+    campaign-targeting readout (top-scored decile vs the base rate).
+    Deciles come from the GLOBAL score CDF without any unpartitioned
+    row sort: a distinct lattice score v occupying positions
+    (cle−c, cle] from the bottom gets the decile of its FIRST
+    position from the TOP, d = ((n − cle)·10) div n — an integer-exact
+    rule that keeps every tie in one decile (deciles can therefore be
+    uneven; that is the deterministic, documented trade).  Per-decile
+    lift and the cumulative gain then ride a ≤10-row window."""
+    base = _scored(spark, sf_dir)
+    cdf = bucketed_value_cumsum(base.select("pi"), "pi")
+    cpos = base.groupBy(F.col("pi").alias("__v")).agg(
+        F.sum("y").cast("long").alias("c_pos")
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    per_v = cdf.join(cpos, "__v").crossJoin(F.broadcast(tot))
+    dec = per_v.groupBy(
+        F.expr("CAST(((n - __cle) * 10) div n AS INT)").alias("decile")
+    ).agg(
+        F.sum("__c").cast("long").alias("n_d"),
+        F.sum("c_pos").cast("long").alias("pos_d"),
+        F.max("n").alias("n"),
+        F.max("n_pos").alias("n_pos"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    lift = (
+        "CASE WHEN n_pos = 0 THEN NULL"
+        " ELSE (CAST(pos_d AS DOUBLE) * n) / (CAST(n_d AS DOUBLE) * n_pos) END"
+    )
+    gain = (
+        "CASE WHEN n_pos = 0 THEN NULL"
+        " ELSE cum_pos / CAST(n_pos AS DOUBLE) END"
+    )
+    return (
+        dec.select(
+            "decile",
+            "n_d",
+            "pos_d",
+            "n",
+            "n_pos",
+            F.sum("pos_d").over(w).cast("long").alias("cum_pos"),
+        )
+        .select(
+            "decile",
+            "n_d",
+            "pos_d",
+            "cum_pos",
+            _rnd(F.expr(lift), 6).alias("lift"),
+            _rnd(F.expr(gain), 6).alias("cum_gain"),
+        )
+    )
+
+
+def _sql_lift_table() -> str:
+    return f"""{_sql_scored_prefix()},
+vc AS (
+    SELECT pi, CAST(count(*) AS BIGINT) AS c,
+           CAST(sum(y) AS BIGINT) AS c_pos
+    FROM scored GROUP BY 1
+),
+cdf AS (
+    SELECT pi, c, c_pos,
+           CAST(sum(c) OVER (ORDER BY pi
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cle
+    FROM vc
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+    FROM scored
+),
+dec AS (
+    SELECT CAST(((n - cle) * 10) // n AS INT) AS decile,
+           CAST(sum(c) AS BIGINT) AS n_d,
+           CAST(sum(c_pos) AS BIGINT) AS pos_d,
+           max(n) AS n, max(n_pos) AS n_pos
+    FROM cdf, tot GROUP BY 1
+),
+cum AS (
+    SELECT decile, n_d, pos_d, n, n_pos,
+           CAST(sum(pos_d) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_pos
+    FROM dec
+)
+SELECT decile, n_d, pos_d, cum_pos,
+       round(1e-9 + (CASE WHEN n_pos = 0 THEN NULL
+             ELSE (CAST(pos_d AS DOUBLE) * n)
+                  / (CAST(n_d AS DOUBLE) * n_pos) END), 6) AS lift,
+       round(1e-9 + (CASE WHEN n_pos = 0 THEN NULL
+             ELSE cum_pos / CAST(n_pos AS DOUBLE) END), 6) AS cum_gain
+FROM cum"""
+
+
+# --- Kruskal–Wallis k-group rank test ---------------------------------------------
+
+_KW_H = "12.0 * s_micro / 1000000.0 - 3.0 * (n + 1)"
+_KW_C = "1.0 - CAST(tsum AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)"
+# Wilson–Hilferty chi²→normal: evaluated over the ROUNDED h_adj.  The
+# cube root is exp(ln(x)/3), NOT power(x, 1/3): pow is the one libm
+# entry point whose rounding differs between the JVM and DuckDB (seen
+# here at the 7th digit), while exp/ln are bit-identical across both
+# (the A&S tail and every sigmoid in this repo already rely on that).
+_KW_Z = (
+    "sqrt(4.5 * (k - 1)) * ((CASE WHEN h_adj <= 0 THEN 0.0"
+    " ELSE exp(ln(h_adj / (k - 1)) / 3.0) END)"
+    " - 1.0 + 2.0 / (9.0 * (k - 1)))"
+)
+_KW_TERM = (
+    "CAST(round(CAST(two_r AS DOUBLE) * two_r * 1000000.0"
+    " / (4.0 * n_g * n * (n + 1.0))) AS BIGINT)"
+)
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H test across ALL event-type groups — the k-group
+    extension of q_mannwhitney (one omnibus test instead of k² pairwise
+    z-tests): do the value distributions differ anywhere?
+
+    Exactness: the pooled value CDF (:func:`bucketed_value_cumsum` on
+    the ×100 lattice) gives per-group midrank sums as pure BIGINT
+    (2R_g = Σ_v c_g(2·cle − c + 1)); the per-group H term
+    2R_g²/(4·n_g·n(n+1)) ∈ [0, n_g] is quantized to 1e-6 micro-units
+    (per-row IEEE doubles are engine-identical, and the quantization is
+    part of the metric definition — double SUMS across groups would be
+    order-dependent, BIGINT micro-unit sums are exact); H, the tie
+    correction, the Wilson–Hilferty z and the upper-tail p all evaluate
+    shared textual formulas over those integers, each rounded before
+    the next stage consumes it.  Shape: one corpus aggregation to the
+    distinct-value table; everything downstream is value-cardinality
+    work."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    cdf = bucketed_value_cumsum(base.select("x"), "x")
+    cg = base.groupBy(F.col("x").alias("__v"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c_g")
+    )
+    grp = (
+        cdf.join(cg, "__v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c_g").cast("long").alias("n_g"),
+            F.sum(F.col("c_g") * (2 * F.col("__cle") - F.col("__c") + 1))
+            .cast("long")
+            .alias("two_r"),
+        )
+    )
+    tot = cdf.agg(
+        F.max("__cle").cast("long").alias("n"),
+        F.sum(F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c"))
+        .cast("long")
+        .alias("tsum"),
+    )
+    stats = grp.crossJoin(F.broadcast(tot))
+    one = stats.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.expr(_KW_TERM)).cast("long").alias("s_micro"),
+        F.max("n").alias("n"),
+        F.max("tsum").alias("tsum"),
+    )
+    scored = one.select(
+        "k",
+        "n",
+        _rnd(F.expr(f"({_KW_H}) / ({_KW_C})"), 6).alias("h_adj"),
+    ).select("k", "n", "h_adj", _rnd(F.expr(_KW_Z), 9).alias("z"))
+    p_txt = (
+        f"CASE WHEN z >= 0 THEN ({p2_formula('z')}) / 2.0"
+        f" ELSE 1.0 - ({p2_formula('z')}) / 2.0 END"
+    )
+    return scored.select(
+        "k",
+        "n",
+        "h_adj",
+        "z",
+        _rnd(F.expr(p_txt), 10).alias("p"),
+    ).select(
+        "*",
+        (F.col("p") * 20 <= F.lit(1)).cast("int").alias("significant"),
+    )
+
+
+def _sql_kruskal_wallis() -> str:
+    p_txt = (
+        f"CASE WHEN z >= 0 THEN ({p2_formula('z')}) / 2.0"
+        f" ELSE 1.0 - ({p2_formula('z')}) / 2.0 END"
+    )
+    return f"""
+WITH base AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+    FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+vc AS (
+    SELECT x, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1
+),
+cdf AS (
+    SELECT x, c,
+           CAST(sum(c) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cle
+    FROM vc
+),
+cg AS (
+    SELECT x, event_type, CAST(count(*) AS BIGINT) AS c_g
+    FROM base GROUP BY 1, 2
+),
+grp AS (
+    SELECT event_type,
+           CAST(sum(c_g) AS BIGINT) AS n_g,
+           CAST(sum(c_g * (2 * cle - c + 1)) AS BIGINT) AS two_r
+    FROM cdf JOIN cg USING (x) GROUP BY 1
+),
+tot AS (
+    SELECT CAST(max(cle) AS BIGINT) AS n,
+           CAST(sum(c * c * c - c) AS BIGINT) AS tsum
+    FROM cdf
+),
+one AS (
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum({_KW_TERM}) AS BIGINT) AS s_micro,
+           max(n) AS n, max(tsum) AS tsum
+    FROM grp, tot
+),
+scored AS (
+    SELECT k, n,
+           round(1e-9 + ({_KW_H}) / ({_KW_C}), 6) AS h_adj
+    FROM one
+),
+zed AS (
+    SELECT k, n, h_adj, round(1e-9 + {_KW_Z}, 9) AS z FROM scored
+)
+SELECT k, n, h_adj, z,
+       round(1e-9 + ({p_txt}), 10) AS p,
+       CAST(round(1e-9 + ({p_txt}), 10) * 20 <= 1 AS INT) AS significant
+FROM zed"""
+
+
+# --- Kendall tau-b on the daily series ----------------------------------------------
+
+_TAU_TXT = (
+    "CASE WHEN (n0 - tx_p) * (n0 - ty_p) = 0 THEN NULL"
+    " ELSE (nc - CAST(nd AS DOUBLE))"
+    " / sqrt(CAST(n0 - tx_p AS DOUBLE) * (n0 - ty_p)) END"
+)
+
+
+def _daily_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_spearman's (day, views, revenue-lattice) daily series."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "view").cast("long"))
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between the daily view-count and purchase-revenue
+    series — the concordance leg beside q_spearman (tau is a direct
+    probability statement: P(concordant) − P(discordant)), with the
+    standard tie-adjusted denominator.
+
+    Shape: the pairwise i<j self-join runs over the DAILY grain — a
+    calendar-bounded frame (≤731 rows/two years → ≤267k pairs at any
+    corpus size), so the quadratic pair mass is capped by the time
+    axis, never by data volume; the corpus itself is touched once by
+    the daily aggregation.  Every pair count is BIGINT; tau-b evaluates
+    one shared textual formula."""
+    daily = _daily_xy(spark, sf_dir).persist()
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        (F.col("a.x") - F.col("b.x")).alias("dx"),
+        (F.col("a.y") - F.col("b.y")).alias("dy"),
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum((F.col("dx") * F.col("dy") > 0).cast("long"))
+        .cast("long")
+        .alias("nc"),
+        F.sum((F.col("dx") * F.col("dy") < 0).cast("long"))
+        .cast("long")
+        .alias("nd"),
+        F.sum((F.col("dx") == 0).cast("long")).cast("long").alias("tx_p"),
+        F.sum((F.col("dy") == 0).cast("long")).cast("long").alias("ty_p"),
+    )
+    n1 = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return agg.crossJoin(F.broadcast(n1)).select(
+        "n_days",
+        "n0",
+        "nc",
+        "nd",
+        "tx_p",
+        "ty_p",
+        _rnd(F.expr(_TAU_TXT), 6).alias("tau_b"),
+    )
+
+
+def _sql_kendall_tau() -> str:
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS y
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1
+),
+pairs AS (
+    SELECT a.x - b.x AS dx, a.y - b.y AS dy
+    FROM daily a JOIN daily b ON a.day < b.day
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nc,
+           CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nd,
+           CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS tx_p,
+           CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ty_p
+    FROM pairs
+),
+n1 AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+SELECT n_days, n0, nc, nd, tx_p, ty_p,
+       round(1e-9 + ({_TAU_TXT}), 6) AS tau_b
+FROM agg, n1"""
+
+
+# --- Theil–Sen robust trend -----------------------------------------------------------
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the daily purchase-revenue series —
+    the estimator q_trend_ols's least squares can't match under
+    outliers: slope = median of all pairwise slopes (breakdown point
+    29%), intercept = median of the per-day residuals at that slope.
+
+    Shape & exactness: pairwise slopes ride the calendar-bounded daily
+    self-join (q_kendall_tau's cap argument); each slope is ONE per-row
+    IEEE division (engine-identical bits) rounded to the 1e-9 lattice
+    on BOTH sides before selection; both medians are CDF selections —
+    min v with 2·cle ≥ n — over :func:`bucketed_value_cumsum` (the
+    lower median: deterministic, no averaging arithmetic), so the
+    reported slope/intercept are DATA values, never computed floats."""
+    daily = (
+        _daily_xy(spark, sf_dir)
+        .select(
+            F.datediff(F.col("day"), F.lit("1970-01-01")).cast("long")
+            .alias("t"),
+            "y",
+        )
+        .persist()  # feeds the pair join AND the residual pass
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(b, F.col("a.t") < F.col("b.t"))
+        .select(
+            _rnd(
+                (F.col("b.y") - F.col("a.y"))
+                / (F.col("b.t") - F.col("a.t")).cast("double"),
+                9,
+            ).alias("s")
+        )
+        .persist()  # the CDF primitive replays lineage (GK job + join)
+    )
+    np_ = slopes.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    scdf = bucketed_value_cumsum(slopes, "s").crossJoin(F.broadcast(np_))
+    med = scdf.where(2 * F.col("__cle") >= F.col("n_pairs")).agg(
+        F.min("__v").alias("slope"), F.max("n_pairs").alias("n_pairs")
+    )
+    resid = daily.crossJoin(F.broadcast(med)).select(
+        _rnd(F.col("y") - F.col("slope") * F.col("t"), 9).alias("r"),
+        "slope",
+        "n_pairs",
+    )
+    nd_ = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    rcdf = bucketed_value_cumsum(resid.select("r"), "r").crossJoin(
+        F.broadcast(nd_)
+    )
+    imed = rcdf.where(2 * F.col("__cle") >= F.col("n_days")).agg(
+        F.min("__v").alias("intercept"), F.max("n_days").alias("n_days")
+    )
+    return med.crossJoin(F.broadcast(imed)).select(
+        "n_days", "n_pairs", "slope", "intercept"
+    )
+
+
+_SQL_THEIL_SEN = """
+WITH daily AS (
+    SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                AS BIGINT) AS t,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS y
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL
+    GROUP BY CAST(ts AS DATE)
+),
+slopes AS (
+    SELECT round(1e-9 + (b.y - a.y) / CAST(b.t - a.t AS DOUBLE), 9) AS s
+    FROM daily a JOIN daily b ON a.t < b.t
+),
+np_ AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM slopes),
+scdf AS (
+    SELECT s AS v,
+           CAST(sum(count(*)) OVER (ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cle
+    FROM slopes GROUP BY s
+),
+med AS (
+    SELECT min(v) AS slope, max(n_pairs) AS n_pairs
+    FROM scdf, np_ WHERE 2 * cle >= n_pairs
+),
+resid AS (
+    SELECT round(1e-9 + d.y - m.slope * d.t, 9) AS r
+    FROM daily d, med m
+),
+nd_ AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+rcdf AS (
+    SELECT r AS v,
+           CAST(sum(count(*)) OVER (ORDER BY r
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cle
+    FROM resid GROUP BY r
+),
+imed AS (
+    SELECT min(v) AS intercept, max(n_days) AS n_days
+    FROM rcdf, nd_ WHERE 2 * cle >= n_days
+)
+SELECT n_days, n_pairs, slope, intercept
+FROM med, imed"""
+
+
+# --- Referential-integrity audit ----------------------------------------------------
+
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders.o_orderkey",
+     "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey",
+     "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey",
+     "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation.n_nationkey",
+     "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation.n_nationkey",
+     "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region.r_regionkey",
+     "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every foreign-key edge of the
+    star schema — the dbt `relationships` test generalized into one
+    report (the reference runs one schema test per edge,
+    models/staging/schema.yml; this is all edges in one query): per
+    edge, child rows, NULL keys, distinct keys, orphan keys and orphan
+    rows (child keys with no parent).
+
+    Shape: each edge reduces the child to its DISTINCT-key frame first
+    (one hash aggregation — scans push down to the two key columns,
+    `ReadSchema` is single-column), then left-anti joins the parent
+    keys; small parents (nation/region) broadcast under AQE, large
+    parents shuffle key-only frames.  Output is edge-count-sized."""
+    tables = load_tables(spark, sf_dir)
+    out = None
+    for edge, child, fk, parent, pk in _FK_EDGES:
+        ck = tables[child].select(F.col(fk).alias("k"))
+        totals = ck.agg(
+            F.count(F.lit(1)).cast("long").alias("child_rows"),
+            F.sum(F.col("k").isNull().cast("long"))
+            .cast("long")
+            .alias("null_rows"),
+        )
+        kd = (
+            ck.where(F.col("k").isNotNull())
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).cast("long").alias("rows"))
+        )
+        nkeys = kd.agg(F.count(F.lit(1)).cast("long").alias("distinct_keys"))
+        orphans = kd.join(
+            tables[parent].select(F.col(pk).alias("k")).distinct(),
+            "k",
+            "left_anti",
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("orphan_keys"),
+            F.coalesce(F.sum("rows"), F.lit(0))
+            .cast("long")
+            .alias("orphan_rows"),
+        )
+        row = (
+            totals.crossJoin(nkeys)
+            .crossJoin(orphans)
+            .select(
+                F.lit(edge).alias("edge"),
+                "child_rows",
+                "null_rows",
+                "distinct_keys",
+                "orphan_keys",
+                "orphan_rows",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _sql_fk_audit() -> str:
+    legs = []
+    for edge, child, fk, parent, pk in _FK_EDGES:
+        legs.append(f"""
+SELECT '{edge}' AS edge,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS child_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child}
+        WHERE {fk} IS NULL) AS null_rows,
+       (SELECT CAST(count(DISTINCT {fk}) AS BIGINT) FROM {child}
+        WHERE {fk} IS NOT NULL) AS distinct_keys,
+       (SELECT CAST(count(*) AS BIGINT) FROM
+            (SELECT DISTINCT {fk} AS k FROM {child}
+             WHERE {fk} IS NOT NULL) c
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                          WHERE p.{pk} = c.k)) AS orphan_keys,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child} c
+        WHERE {fk} IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM {parent} p
+                          WHERE p.{pk} = c.{fk})) AS orphan_rows""")
+    return "\nUNION ALL\n".join(legs)
+
+
+# --- Partition-layout advisor ----------------------------------------------------------
+
+def q_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-column advisor over the event stream — the layout half
+    of q_encoding_advisor (that one picks column encodings; this picks
+    the directory key): per candidate column (event_type / event day /
+    user_id), the distinct-value count, rows behind the largest value,
+    the skew ratio, and an integer-thresholded verdict — TOO_COARSE
+    under 10 values (partitions too big to prune), BUCKET over 10 000
+    (small-files explosion — hash-bucket instead), SALT when the
+    largest value holds >10× the mean (hot-key partition), PARTITION
+    otherwise.
+
+    Shape: ONE scan — `stack` fans each row to its 3 (candidate, value)
+    legs map-side, one hash aggregation counts values, a second
+    (candidate-count-sized) rolls up the report.  All decisions are
+    cross-multiplied integers; only the reported skew ratio divides."""
+    ev = load_tables(spark, sf_dir)["events"]
+    pairs = ev.select(
+        F.expr(
+            "stack(3,"
+            " 'event_type', CAST(event_type AS STRING),"
+            " 'day', CAST(CAST(ts AS DATE) AS STRING),"
+            " 'user_id', CAST(user_id AS STRING)"
+            ") AS (candidate, val)"
+        )
+    )
+    counts = pairs.groupBy("candidate", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    rep = counts.groupBy("candidate").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_rows"),
+    )
+    verdict = (
+        "CASE WHEN n_values < 10 THEN 'TOO_COARSE'"
+        " WHEN n_values > 10000 THEN 'BUCKET'"
+        " WHEN max_rows * n_values > 10 * n_rows THEN 'SALT'"
+        " ELSE 'PARTITION' END"
+    )
+    return rep.select(
+        "candidate",
+        "n_values",
+        "n_rows",
+        "max_rows",
+        _rnd(
+            F.col("max_rows") * F.col("n_values")
+            / F.col("n_rows").cast("double"),
+            6,
+        ).alias("skew_ratio"),
+        F.expr(verdict).alias("verdict"),
+    )
+
+
+_SQL_PARTITION_ADVISOR = """
+WITH pairs AS (
+    SELECT 'event_type' AS candidate, CAST(event_type AS VARCHAR) AS val
+    FROM events
+    UNION ALL
+    SELECT 'day', CAST(CAST(ts AS DATE) AS VARCHAR) FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+),
+counts AS (
+    SELECT candidate, val, CAST(count(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY 1, 2
+),
+rep AS (
+    SELECT candidate,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(max(cnt) AS BIGINT) AS max_rows
+    FROM counts GROUP BY 1
+)
+SELECT candidate, n_values, n_rows, max_rows,
+       round(1e-9 + max_rows * n_values / CAST(n_rows AS DOUBLE), 6)
+           AS skew_ratio,
+       CASE WHEN n_values < 10 THEN 'TOO_COARSE'
+            WHEN n_values > 10000 THEN 'BUCKET'
+            WHEN max_rows * n_values > 10 * n_rows THEN 'SALT'
+            ELSE 'PARTITION' END AS verdict
+FROM rep"""
+
+
+# --- Consistent pseudonymization transform ------------------------------------------------
+
+_PSEUDO_VOCAB = ("customer", "user", "key", "order")
+
+
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent pseudonymization — the governance TRANSFORM beside the
+    k-anon/l-div/t-close audits: every occurrence of a sensitive term is
+    replaced by a deterministic surrogate (`ENT_` + md5-prefix of the
+    term), so the same entity maps to the same pseudonym corpus-wide
+    (joins and frequencies survive; the raw term does not) — the
+    standard PII-scrub shape for training corpora, run here on a fixed
+    sensitive vocabulary since the synthetic corpus has no regex-able
+    PII.  The oracle hash certifies the md5 of the REWRITTEN string.
+
+    Shape: ZERO shuffles — tokens materialize once (higher-order-
+    function lesson), the rewrite is one JVM `transform` + CASE per
+    token, and the output is per-document.  At 100 TB this is the
+    map-only pass it must be."""
+    vocab = ", ".join(f"'{t}'" for t in _PSEUDO_VOCAB)
+    d = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", T.tokens("text").alias("__w")
+    )
+    return d.select(
+        "doc_id",
+        F.size("__w").cast("long").alias("n_tokens"),
+        F.expr(
+            f"CAST(size(filter(__w, t -> t IN ({vocab}))) AS BIGINT)"
+        ).alias("n_replaced"),
+        F.md5(
+            F.expr(
+                f"concat_ws(' ', transform(__w, t -> CASE WHEN t IN ({vocab})"
+                " THEN concat('ENT_', substring(md5(t), 1, 8))"
+                " ELSE t END))"
+            )
+        ).alias("pseudo_md5"),
+    )
+
+
+def _sql_pseudonymize() -> str:
+    vocab = ", ".join(f"'{t}'" for t in _PSEUDO_VOCAB)
+    return rf"""
+WITH tokd AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(w, t -> t IN ({vocab}))) AS BIGINT)
+           AS n_replaced,
+       md5(array_to_string(list_transform(w,
+           t -> CASE WHEN t IN ({vocab})
+                THEN 'ENT_' || substr(md5(t), 1, 8)
+                ELSE t END), ' ')) AS pseudo_md5
+FROM tokd"""
+
+
+# --- Seeded discrete-noise DP histogram -------------------------------------------------
+
+_DP_EPS = 0.5  # two-sided geometric with alpha = exp(-eps)
+
+# ONE textual noise formula over (hv, hv2, n): inverse-CDF geometric
+# magnitude from the hash-uniform, hash-bit sign.  ln/floor are per-row
+# IEEE — identical bits in both engines over identical integers.
+_DP_NOISE = (
+    "CAST((CASE WHEN hv2 % 2 = 0 THEN 1 ELSE -1 END)"
+    f" * CAST(floor(ln((hv + 1) / 4294967296.0) / (-{_DP_EPS})) AS BIGINT)"
+    " AS BIGINT)"
+)
+
+
+def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP histogram RELEASE with seeded two-sided geometric noise —
+    the mechanism q_dp_budget only plans: per event-type cell, the true
+    count plus discrete noise (the geometric mechanism, the integer
+    Laplace analogue), with magnitude drawn by inverse-CDF from an
+    md5-derived uniform and sign from an md5 bit — so the release is
+    reproducible for audit (a production system would use a sealed
+    seed; determinism is what makes it ORACLE-GATED here).
+
+    Exactness: the hash integers are engine-identical (8 hex chars
+    rebuilt positionally in the oracle), the magnitude formula is ONE
+    shared textual expression (per-row ln/floor doubles are bit-exact
+    over identical inputs), and everything reported is BIGINT.  Shape:
+    one corpus aggregation to the cell table; noise is per-cell map
+    work."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("event_type").isNotNull()
+    )
+    cells = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dpn#"), F.col("event_type"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    hv2 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dps#"), F.col("event_type"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    noised = cells.select(
+        "event_type",
+        "n",
+        hv.alias("hv"),
+        hv2.alias("hv2"),
+    ).select(
+        "event_type",
+        "n",
+        F.expr(_DP_NOISE).alias("noise"),
+    )
+    return noised.select(
+        "event_type",
+        "n",
+        F.greatest(F.lit(0), F.col("n") + F.col("noise"))
+        .cast("long")
+        .alias("noisy_n"),
+        F.abs("noise").cast("long").alias("abs_err"),
+        F.lit(_DP_EPS).alias("epsilon"),
+    )
+
+
+def _hexval(h: str) -> str:
+    """DuckDB lacks base-16 conv; rebuild the 8-hex-digit integer
+    positionally (queries_data._HEXVAL's idiom, parameterized)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+def _sql_dp_histogram() -> str:
+    return f"""
+WITH cells AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY 1
+),
+hashed AS (
+    SELECT event_type, n,
+           CAST({_hexval("substr(md5('dpn#' || event_type), 1, 8)")}
+                AS BIGINT) AS hv,
+           CAST({_hexval("substr(md5('dps#' || event_type), 1, 8)")}
+                AS BIGINT) AS hv2
+    FROM cells
+),
+noised AS (
+    SELECT event_type, n, {_DP_NOISE} AS noise FROM hashed
+)
+SELECT event_type, n,
+       CAST(greatest(0, n + noise) AS BIGINT) AS noisy_n,
+       CAST(abs(noise) AS BIGINT) AS abs_err,
+       CAST({_DP_EPS} AS DOUBLE) AS epsilon
+FROM noised"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_roc_auc": q_roc_auc,
+    "q_pr_curve": q_pr_curve,
+    "q_lift_table": q_lift_table,
+    "q_kruskal_wallis": q_kruskal_wallis,
+    "q_kendall_tau": q_kendall_tau,
+    "q_theil_sen": q_theil_sen,
+    "q_fk_audit": q_fk_audit,
+    "q_partition_advisor": q_partition_advisor,
+    "q_pseudonymize": q_pseudonymize,
+    "q_dp_histogram": q_dp_histogram,
+}
+
+ORACLES: dict[str, str] = {
+    "q_roc_auc": _sql_roc_auc(),
+    "q_pr_curve": _sql_pr_curve(),
+    "q_lift_table": _sql_lift_table(),
+    "q_kruskal_wallis": _sql_kruskal_wallis(),
+    "q_kendall_tau": _sql_kendall_tau(),
+    "q_theil_sen": _SQL_THEIL_SEN,
+    "q_fk_audit": _sql_fk_audit(),
+    "q_partition_advisor": _SQL_PARTITION_ADVISOR,
+    "q_pseudonymize": _sql_pseudonymize(),
+    "q_dp_histogram": _sql_dp_histogram(),
+}

@@ -1,0 +1,235 @@
+"""Round-9 eval/integrity wave: rank-fold AUC vs a literal replay, PR
+sweep confusion identities, lift-table mass conservation, Kruskal–Wallis
+vs a Python midrank replay, tau-b pair accounting, Theil–Sen vs the
+literal pairwise-median, FK audit on planted orphans, and the
+pseudonymization rewrite round-trip."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_warehouse_spark import queries_eval as qe
+
+
+def test_roc_auc_matches_literal_pair_count(spark, sf_dir):
+    """AUC must equal the literal P(score+ > score-) + 0.5*P(tie) over
+    all (pos, neg) pairs, per source — the definition the rank fold
+    compresses."""
+    rows = {r.source: r for r in qe.q_roc_auc(spark, sf_dir).collect()}
+    base = qe._scored(spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in base:
+        by_src.setdefault(r.source, []).append((r.pi, r.y))
+    for src, items in by_src.items():
+        pos = [pi for pi, y in items if y == 1]
+        neg = [pi for pi, y in items if y == 0]
+        got = rows[src]
+        assert got.n == len(items)
+        assert got.n_pos == len(pos) and got.n_neg == len(neg)
+        if not pos or not neg:
+            assert got.auc is None
+            continue
+        wins = sum(1 for p in pos for q in neg if p > q)
+        ties = sum(1 for p in pos for q in neg if p == q)
+        auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        assert math.isclose(got.auc, auc, abs_tol=1e-6), src
+
+
+def test_pr_curve_confusion_identities(spark, sf_dir):
+    """tp+fn is the positive total at every threshold; tp and tp+fp are
+    non-increasing in the threshold; recall is non-increasing."""
+    rows = sorted(
+        qe.q_pr_curve(spark, sf_dir).collect(),
+        key=lambda r: r.threshold_pct,
+    )
+    assert [r.threshold_pct for r in rows] == [5 * i for i in range(1, 20)]
+    n_pos = rows[0].tp + rows[0].fn
+    prev_tp = prev_pred = None
+    for r in rows:
+        assert r.tp + r.fn == n_pos
+        pred = r.tp + r.fp
+        if prev_tp is not None:
+            assert r.tp <= prev_tp and pred <= prev_pred
+        prev_tp, prev_pred = r.tp, pred
+        if r.recall is not None:
+            assert math.isclose(r.recall, r.tp / n_pos, abs_tol=1e-6)
+
+
+def test_lift_table_mass_and_gain(spark, sf_dir):
+    """Decile rows partition the corpus (Σn_d = n, Σpos_d = n_pos), the
+    cumulative gain ends at 1, and every tie stays in one decile (the
+    decile of a distinct score's first-from-top position)."""
+    rows = sorted(qe.q_lift_table(spark, sf_dir).collect(),
+                  key=lambda r: r.decile)
+    base = qe._scored(spark, sf_dir).collect()
+    assert sum(r.n_d for r in rows) == len(base)
+    assert sum(r.pos_d for r in rows) == sum(r.y for r in base)
+    assert rows[-1].cum_pos == sum(r.y for r in base)
+    if rows[-1].cum_gain is not None:
+        assert math.isclose(rows[-1].cum_gain, 1.0, abs_tol=1e-6)
+    assert all(0 <= r.decile <= 9 for r in rows)
+
+
+def test_kruskal_wallis_matches_midrank_replay(spark, sf_dir):
+    """H (pre-quantization) replayed in Python with literal midranks
+    must match the BIGINT micro-unit fold to the quantization error
+    (≤ k·1e-6 on the Σterm, ×12 on H)."""
+    got = qe.q_kruskal_wallis(spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    vals = [
+        (r.event_type, int(round(r.value * 100)))
+        for r in ev.select("event_type", "value").collect()
+    ]
+    n = len(vals)
+    all_x = sorted(x for _, x in vals)
+    # midrank per distinct value
+    from collections import Counter
+
+    cnt = Counter(all_x)
+    cle, mid = 0, {}
+    for v in sorted(cnt):
+        c = cnt[v]
+        cle += c
+        mid[v] = cle - (c - 1) / 2.0
+    groups: dict[str, list] = {}
+    for g, x in vals:
+        groups.setdefault(g, []).append(x)
+    assert got.k == len(groups) and got.n == n
+    h = 12.0 / (n * (n + 1)) * sum(
+        (sum(mid[x] for x in xs)) ** 2 / len(xs) for xs in groups.values()
+    ) - 3.0 * (n + 1)
+    tsum = sum(c**3 - c for c in cnt.values())
+    h_adj = h / (1.0 - tsum / (n**3 - n))
+    assert math.isclose(got.h_adj, h_adj, abs_tol=2e-4), (got.h_adj, h_adj)
+    assert 0.0 <= got.p <= 1.0
+
+
+def test_kendall_tau_pair_accounting(spark, sf_dir):
+    """n0 = n(n-1)/2 and nc+nd+ties partitions the pairs; tau_b in
+    [-1, 1]."""
+    got = qe.q_kendall_tau(spark, sf_dir).collect()[0]
+    assert got.n0 == got.n_days * (got.n_days - 1) // 2
+    both = got.tx_p + got.ty_p  # pairs tied in x plus tied in y (may overlap)
+    assert got.nc + got.nd <= got.n0
+    assert got.n0 - (got.nc + got.nd) <= both
+    if got.tau_b is not None:
+        assert -1.0 <= got.tau_b <= 1.0
+
+
+def test_theil_sen_matches_literal_median(spark, sf_dir):
+    """Slope must be the literal lower median of all pairwise slopes on
+    the same 1e-9 lattice; intercept the lower median of residuals."""
+    got = qe.q_theil_sen(spark, sf_dir).collect()[0]
+    daily = sorted(
+        (r.t, r.y)
+        for r in qe._daily_xy(spark, sf_dir)
+        .select(
+            F.datediff(F.col("day"), F.lit("1970-01-01")).alias("t"), "y"
+        )
+        .collect()
+    )
+    slopes = sorted(
+        round((y2 - y1) / float(t2 - t1) + 1e-9, 9)
+        for i, (t1, y1) in enumerate(daily)
+        for (t2, y2) in daily[i + 1:]
+    )
+    assert got.n_pairs == len(slopes)
+    lower_med = slopes[(len(slopes) - 1) // 2]
+    assert got.slope == lower_med
+    resid = sorted(round(y - got.slope * t + 1e-9, 9) for t, y in daily)
+    assert got.intercept == resid[(len(resid) - 1) // 2]
+
+
+def test_fk_audit_counts_planted_orphans(spark, sf_dir, tmp_path):
+    """On the shipped TPC-H-ish data every edge must be orphan-free; on
+    a planted-orphan copy the audit must count exactly the plants."""
+    rows = {r.edge: r for r in qe.q_fk_audit(spark, sf_dir).collect()}
+    assert len(rows) == len(qe._FK_EDGES)
+    for r in rows.values():
+        assert r.orphan_keys == 0 and r.orphan_rows == 0
+    # plant: copy nation with 2 bogus region keys
+    d = str(tmp_path)
+    spark.read.parquet(f"{sf_dir}/nation.parquet").withColumn(
+        "n_regionkey",
+        F.when(F.col("n_nationkey") < 2, F.col("n_regionkey") + 1000)
+        .otherwise(F.col("n_regionkey")),
+    ).write.mode("overwrite").parquet(f"{d}/nation.parquet")
+    # region must copy in FULL (it is the audited edge's parent); the
+    # unrelated tables can be 1-row stubs — their edges aren't asserted
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/region.parquet")
+    for t in ("customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{t}.parquet")
+    planted = {
+        r.edge: r for r in qe.q_fk_audit(spark, d).collect()
+    }["nation.n_regionkey->region.r_regionkey"]
+    assert planted.orphan_rows == 2
+
+
+def test_pseudonymize_rewrite_roundtrip(spark, sf_dir):
+    """The reported md5 must equal a literal Python rewrite of the same
+    token stream, and n_replaced the literal vocab hit count."""
+    got = {
+        r.doc_id: r
+        for r in qe.q_pseudonymize(spark, sf_dir).limit(2000).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    vocab = set(qe._PSEUDO_VOCAB)
+    checked = 0
+    for r in docs:
+        if r.doc_id not in got:
+            continue
+        toks = [t for t in r.text.split() if t]
+        repl = [
+            "ENT_" + hashlib.md5(t.encode()).hexdigest()[:8]
+            if t in vocab else t
+            for t in toks
+        ]
+        g = got[r.doc_id]
+        assert g.n_tokens == len(toks)
+        assert g.n_replaced == sum(1 for t in toks if t in vocab)
+        assert g.pseudo_md5 == hashlib.md5(
+            " ".join(repl).encode()
+        ).hexdigest()
+        checked += 1
+    assert checked > 0
+    assert any(g.n_replaced > 0 for g in got.values())
+
+
+def test_dp_histogram_noise_is_seeded_and_bounded(spark, sf_dir):
+    """Two runs must be bit-identical (seeded mechanism), noisy counts
+    non-negative, and abs_err consistent with the released value when
+    the clamp didn't bite."""
+    a = sorted(qe.q_dp_histogram(spark, sf_dir).collect())
+    b = sorted(qe.q_dp_histogram(spark, sf_dir).collect())
+    assert a == b
+    for r in a:
+        assert r.noisy_n >= 0
+        if r.noisy_n > 0:
+            assert abs(r.noisy_n - r.n) == r.abs_err
+
+
+def test_partition_advisor_verdict_thresholds(spark, sf_dir):
+    rows = {r.candidate: r for r in
+            qe.q_partition_advisor(spark, sf_dir).collect()}
+    assert set(rows) == {"event_type", "day", "user_id"}
+    for r in rows.values():
+        if r.n_values < 10:
+            assert r.verdict == "TOO_COARSE"
+        elif r.n_values > 10000:
+            assert r.verdict == "BUCKET"
+        elif r.max_rows * r.n_values > 10 * r.n_rows:
+            assert r.verdict == "SALT"
+        else:
+            assert r.verdict == "PARTITION"

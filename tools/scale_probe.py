@@ -516,11 +516,290 @@ def main() -> None:
         "span_removal": (lambda m: _docs_at(spark, sf_dir, m), _span_removal),
     }
 
+    # round-9 probes: the remaining round-8 wave (stats + transforms +
+    # layout) plus the two round-8-tail additions.  Expected shapes:
+    # gaps/islands, BH-FDR, spearman and calibration are one corpus scan
+    # folding to a bounded frame (→ ~linear); Mann–Whitney and SLO grow
+    # along the distinct-value axis (the probe jitters values so that
+    # axis actually grows); the compaction plan's work set is the FILE
+    # list, so the probe replicates days (metadata growth, not fact
+    # growth); matryoshka recall is 4 exhaustive scans of a fixed query
+    # batch against the growing corpus (→ ~linear, amortizing fixed
+    # cost); the encoding advisor lags within (orderkey) partitions
+    # whose SIZE stays constant as the table grows (→ ~linear).
+    from pyspark.sql import Window as W9
+
+    from nyc_taxi_data_warehouse_spark.operators.sampling import (
+        bucketed_value_cumsum as _bvc,
+    )
+    from nyc_taxi_data_warehouse_spark.operators.similarity import (
+        brute_force_knn as _bfk,
+    )
+
+    def _gaps(d):
+        w_all = W9.partitionBy("user_id").orderBy("ts", "event_id")
+        w_typ = W9.partitionBy("user_id", "event_type").orderBy(
+            "ts", "event_id"
+        )
+        grp = d.select(
+            "user_id", "event_type",
+            (F.row_number().over(w_all) - F.row_number().over(w_typ))
+            .alias("__g"),
+        )
+        runs = grp.groupBy("user_id", "event_type", "__g").agg(
+            F.count(F.lit(1)).cast("long").alias("run_len")
+        )
+        return runs.groupBy("event_type", "run_len").count()
+
+    def _bh(d):
+        cells = d.select(
+            "event_type",
+            F.dayofweek("ts").alias("weekday"),
+            F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("va"),
+            F.round(F.col("value") * 100).cast("long").alias("x"),
+        ).groupBy("event_type", "weekday").agg(
+            F.sum(F.when(F.col("va") == 0, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("va") == 0, F.col("x")).otherwise(0))
+            .alias("s_a"),
+            F.sum(F.when(F.col("va") == 1, 1).otherwise(0)).alias("n_b"),
+            F.sum(F.when(F.col("va") == 1, F.col("x")).otherwise(0))
+            .alias("s_b"),
+        )
+        w = W9.orderBy(F.desc("s_a")).rowsBetween(0, W9.unboundedFollowing)
+        return cells.select(
+            "event_type", "weekday",
+            F.min(F.col("s_a") - F.col("s_b")).over(w).alias("adj"),
+        )
+
+    def _mw(d):
+        base = d.select(
+            "event_type",
+            (F.col("value") + (F.col("event_id") % 997) * 0.001).alias("v"),
+            F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("va"),
+        )
+        cdf = _bvc(base, "v", ("event_type",)).select(
+            "event_type", "__v", "__c", "__cle"
+        )
+        ca = base.where(F.col("va") == 0).groupBy(
+            "event_type", F.col("v").alias("__v")
+        ).agg(F.count(F.lit(1)).cast("long").alias("c_a"))
+        per_v = cdf.join(ca, ["event_type", "__v"], "left")
+        return per_v.groupBy("event_type").agg(
+            F.sum(
+                F.coalesce("c_a", F.lit(0))
+                * (2 * F.col("__cle") - F.col("__c") + 1)
+            ).alias("two_r_a"),
+            F.sum(
+                F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c")
+            ).alias("tsum"),
+            F.max("__cle").alias("n"),
+        )
+
+    def _slo(d):
+        base = d.select(
+            F.to_date("ts").alias("day"),
+            (F.col("value") + (F.col("event_id") % 997) * 0.001).alias("v"),
+        )
+        cdf = _bvc(base, "v", ("day",)).select("day", "__v", "__cle")
+        nd_ = cdf.groupBy("day").agg(F.max("__cle").alias("n_day"))
+        j = cdf.join(F.broadcast(nd_), "day")
+        daily = j.groupBy("day").agg(
+            F.min(
+                F.when(F.col("__cle") * 100 >= 95 * F.col("n_day"),
+                       F.col("__v"))
+            ).alias("p95"),
+        )
+        w7 = W9.orderBy("day").rowsBetween(-6, 0)
+        return daily.select(
+            "day",
+            F.sum((F.col("p95") > 150).cast("long")).over(w7).alias("v7"),
+        )
+
+    def _calib(d):
+        scored = d.select(
+            "doc_id",
+            (1 / (1 + F.exp(-(F.length("text") - 300) / 100.0))).alias("p"),
+        )
+        labels = d.select("doc_id", (F.length("text") >= 300).cast("long")
+                          .alias("y"))
+        j = scored.join(labels, "doc_id").select(
+            F.least(F.lit(9), F.floor(F.col("p") * 10)).alias("bin"),
+            F.round(F.col("p") * 1e6).cast("long").alias("pi"),
+            "y",
+        )
+        return j.groupBy("bin").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pi").alias("sp"),
+            F.sum("y").alias("n_pos"),
+            F.sum((F.col("pi") - F.col("y") * 1000000)
+                  * (F.col("pi") - F.col("y") * 1000000)).alias("sb"),
+        )
+
+    def _boil_scrub(d):
+        tok = d.select(
+            "doc_id", F.posexplode(T.tokens("text")).alias("pos", "tok")
+        )
+        seg = tok.groupBy(
+            "doc_id", F.expr("pos div 3").alias("seg_id")
+        ).agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("seg_text")
+        ).persist()
+        stats = d.agg(F.count_distinct("doc_id").alias("n_docs"))
+        frequent = (
+            seg.select("doc_id", "seg_text").distinct()
+            .groupBy("seg_text").agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(stats))
+            .where(F.col("df") * 20 >= F.col("n_docs"))
+            .select("seg_text", F.lit(1).alias("__b"))
+        )
+        marked = seg.join(F.broadcast(frequent), "seg_text", "left")
+        return marked.groupBy("doc_id").agg(
+            F.sum(F.coalesce(F.col("__b"), F.lit(0))).alias("n_removed"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.when(F.col("__b").isNull(),
+                                   F.struct("seg_id", "seg_text"))
+                        )),
+                        lambda s: s["seg_text"],
+                    ),
+                )
+            ).alias("clean_md5"),
+        )
+
+    def _compaction(d):
+        files = d.groupBy(F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).cast("long").alias("sz")
+        ).select(
+            F.date_add(
+                "day", (F.pmod(F.crc32(F.col("day").cast("string")),
+                               F.lit(731))).cast("int")
+            ).alias("day"),
+            "sz",
+        )
+        w = W9.orderBy("day").rowsBetween(W9.unboundedPreceding, 0)
+        tot = files.agg(F.sum("sz").cast("long").alias("total"))
+        packed = files.crossJoin(F.broadcast(tot)).select(
+            "day", "sz", "total",
+            (F.sum("sz").over(w) - F.col("sz")).alias("__before"),
+        ).select(
+            "day", "sz",
+            F.expr("CAST(__before div ((total + 15) div 16) AS BIGINT)")
+            .alias("bin_id"),
+        )
+        return packed.groupBy("bin_id").agg(
+            F.count(F.lit(1)).alias("n_files"), F.sum("sz").alias("bin_rows")
+        )
+
+    def _spear(d):
+        daily = d.groupBy(F.to_date("ts").alias("day")).agg(
+            F.sum((F.col("event_type") == "view").cast("long")).alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase",
+                       F.round(F.col("value") * 100).cast("long"))
+                .otherwise(0)
+            ).alias("y"),
+        ).persist()
+
+        def midrank2(col):
+            cum = _bvc(daily.select(col), col)
+            return cum.select(
+                F.col("__v").alias(col),
+                (2 * F.col("__cle") - F.col("__c") + 1).alias(f"r_{col}"),
+            )
+
+        j = daily.join(midrank2("x"), "x").join(midrank2("y"), "y")
+        return j.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("r_x") * F.col("r_y")).alias("sab"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+
+    def _mrl(d):
+        queries = _emb_at(spark, sf_dir, 1).where(F.col("vec_id") % 50 == 0)
+        full = _bfk(queries, d, k=10).select(
+            "query_id", "neighbor_id", F.lit(1).alias("__hit")
+        ).persist()
+        out = None
+        for m in (8, 16, 32):
+            qm_ = queries.select(
+                "vec_id", F.slice("embedding", 1, m).alias("embedding")
+            )
+            cm_ = d.select(
+                "vec_id", F.slice("embedding", 1, m).alias("embedding")
+            )
+            pref = _bfk(qm_, cm_, k=10).select("query_id", "neighbor_id")
+            st = pref.join(full, ["query_id", "neighbor_id"], "left").agg(
+                F.lit(m).alias("prefix_dims"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+            )
+            out = st if out is None else out.unionByName(st)
+        return out
+
+    def _lineitem_at(m):
+        li = load_tables(spark, sf_dir)["lineitem"].select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+            "l_returnflag", "l_linestatus", "l_shipmode", "l_tax",
+        )
+        if m > 1:
+            li = li.select(
+                F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("rep"),
+                *li.columns,
+            ).select(
+                (F.col("l_orderkey") * m + F.col("rep")).alias("l_orderkey"),
+                *[c for c in li.columns if c != "l_orderkey"],
+            )
+        return li.repartition(spark.sparkContext.defaultParallelism)
+
+    def _encoding(li):
+        cols = ["l_quantity", "l_returnflag", "l_linestatus",
+                "l_shipmode", "l_tax"]
+        w = W9.partitionBy("l_orderkey").orderBy(
+            "l_linenumber", *cols, "l_partkey"
+        )
+        runs = li.select(
+            "*",
+            *[(F.col(c) == F.lag(c, 1).over(w)).cast("long")
+              .alias(f"__r_{c}") for c in cols],
+        )
+        aggs = []
+        for c in cols:
+            aggs.append(F.count(c).alias(f"n_{c}"))
+            aggs.append(F.count_distinct(c).alias(f"d_{c}"))
+            aggs.append(F.sum(F.coalesce(F.col(f"__r_{c}"), F.lit(0)))
+                        .alias(f"r_{c}"))
+        return runs.agg(*aggs)
+
+    fifth_ops = {
+        "gaps_islands": (lambda m: _events_at(spark, sf_dir, m), _gaps),
+        "bh_fdr": (lambda m: _events_at(spark, sf_dir, m), _bh),
+        "mannwhitney": (lambda m: _events_at(spark, sf_dir, m), _mw),
+        "slo_burn": (lambda m: _events_at(spark, sf_dir, m), _slo),
+        "calibration": (lambda m: _docs_at(spark, sf_dir, m), _calib),
+        "boilerplate_scrub": (
+            lambda m: _docs_at(spark, sf_dir, m), _boil_scrub,
+        ),
+        "compaction_plan": (lambda m: _events_at(spark, sf_dir, m),
+                            _compaction),
+        "spearman": (lambda m: _events_at(spark, sf_dir, m), _spear),
+        "matryoshka_recall": (lambda m: _emb_at(spark, sf_dir, m), _mrl),
+        "encoding_advisor": (_lineitem_at, _encoding),
+    }
+
     all_ops = {n: (lambda m: _docs_at(spark, sf_dir, m), op) for n, op in ops.items()}
     all_ops.update(meta_ops)
     all_ops.update(events_ops)
     all_ops.update(third_ops)
     all_ops.update(fourth_ops)
+    all_ops.update(fifth_ops)
     only = sys.argv[2:]
     if only:
         unknown = [n for n in only if n not in all_ops]
