@@ -21,6 +21,7 @@ from .functions import text as T
 from .functions import vectors as V
 from .operators import dedup, similarity
 from .plans.nyc_views import load_tables
+from .util import stream_state_partitions
 
 
 _KMEANS_QUANT = 1000  # embedding quantization lattice (SRP lesson)
@@ -5767,14 +5768,15 @@ def q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = rows.groupBy("win", "bit").agg(F.max(F.lit(1)).alias("__set"))
     _BLOOM_SINK_SEQ[0] += 1
     name = f"q_stream_bloom_sink_{_BLOOM_SINK_SEQ[0]}"
-    q = (
-        bits.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    drained = q.awaitTermination(300)
+    with stream_state_partitions(spark, 8):
+        q = (
+            bits.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drained = q.awaitTermination(300)
     q.stop()
     if not drained:
         raise RuntimeError(
@@ -5922,14 +5924,15 @@ def q_stream_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters = sketches.cm_counters(tok, "token", "cnt")
     _CM_SINK_SEQ[0] += 1
     name = f"q_stream_cm_sink_{_CM_SINK_SEQ[0]}"
-    q = (
-        counters.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    drained = q.awaitTermination(300)
+    with stream_state_partitions(spark, 8):
+        q = (
+            counters.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drained = q.awaitTermination(300)
     q.stop()
     if not drained:
         raise RuntimeError(
@@ -8458,14 +8461,15 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _OHLC_SINK_SEQ[0] += 1
     name = f"q_stream_ohlc_sink_{_OHLC_SINK_SEQ[0]}"
-    q = (
-        bars.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    drained = q.awaitTermination(300)
+    with stream_state_partitions(spark, 8):
+        q = (
+            bars.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drained = q.awaitTermination(300)
     q.stop()
     if not drained:
         raise RuntimeError(
@@ -9083,14 +9087,15 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _SLIDE_SINK_SEQ[0] += 1
     name = f"q_stream_sliding_sink_{_SLIDE_SINK_SEQ[0]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    drained = q.awaitTermination(300)
+    with stream_state_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drained = q.awaitTermination(300)
     q.stop()
     if not drained:
         raise RuntimeError(
@@ -9650,14 +9655,15 @@ def q_stream_kmins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _KMINS_SINK_SEQ[0] += 1
     name = f"q_stream_kmins_sink_{_KMINS_SINK_SEQ[0]}"
-    q = (
-        mins.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    drained = q.awaitTermination(300)
+    with stream_state_partitions(spark, 8):
+        q = (
+            mins.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drained = q.awaitTermination(300)
     q.stop()
     if not drained:
         raise RuntimeError(

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from .operators.monitor import cusum_columns, p2_formula
 from .operators.sampling import bucketed_value_cumsum
 from .plans.nyc_views import load_tables
+from .util import stream_state_partitions
 
 
 def _rnd(c, n: int):
@@ -169,14 +170,15 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _CUSUM_SINK_SEQ[0] += 1
     name = f"q_stream_cusum_sink_{_CUSUM_SINK_SEQ[0]}"
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    drained = q.awaitTermination(300)
+    with stream_state_partitions(spark, 8):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drained = q.awaitTermination(300)
     q.stop()
     if not drained:
         raise RuntimeError(

@@ -28,6 +28,7 @@ from .plans.marts import (
 )
 from .plans.nyc_views import SQL_TRIPS, SQL_WEATHER, SQL_ZONES
 from .plans.staging import SQL_STG_TRIPS, SQL_STG_WEATHER
+from .util import stream_state_partitions
 
 
 def _with(*fragments: str, select: str) -> str:
@@ -1599,15 +1600,6 @@ FROM stg_trips GROUP BY 1"""
 _STREAM_SINK_SEQ = [0]
 
 
-def _stream_feed_dir(name: str) -> str:
-    """Fixed per-process staging dir for a streaming query's file feed —
-    see :func:`..util.session_tmpdir` (mode=overwrite clears it per
-    invocation)."""
-    from .util import session_tmpdir
-
-    return session_tmpdir(name)
-
-
 def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9: Structured Streaming parity for the A1 hourly rollup, as a
     driver-gated query (previously test-only).
@@ -1621,17 +1613,19 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch must agree row-for-row (complete output mode emits every window, so
     the watermark only bounds state, never drops rows here)."""
     from .streaming import weather_stream
+    from .util import stream_feed
 
-    src = _stream_feed_dir("weather_feed")
-    # mode=overwrite clears the reused per-process dir on each invocation
-    _weather(spark, sf_dir).write.mode("overwrite").parquet(src)
+    # memoized SHARED weather feed: hourly/hll/psi replay identical
+    # content, so all three stage it once per (process, sf_dir)
+    src = stream_feed(_weather(spark, sf_dir), "weather_feed", sf_dir, n_files=2)
 
     _STREAM_SINK_SEQ[0] += 1
     name = f"q_stream_hourly_sink_{_STREAM_SINK_SEQ[0]}"
     stream = weather_stream.read_weather_stream(spark, src)
     agg = weather_stream.hourly_weather_stream(stream)
-    q = weather_stream.run_available_now(agg, name)
-    drained = q.awaitTermination(300)
+    with stream_state_partitions(spark, 8):
+        q = weather_stream.run_available_now(agg, name)
+        drained = q.awaitTermination(300)
     q.stop()
     if not drained:
         raise RuntimeError(
@@ -1667,12 +1661,16 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch weather view itself — exact duplicates collapse back to the
     unique originals."""
     from .streaming import dedup_stream, weather_stream
+    from .util import stream_feed
 
     w = _weather(spark, sf_dir)
-    src = _stream_feed_dir("dedup_feed")
-    # mode=overwrite clears the reused per-process dir before the append
-    w.write.mode("overwrite").parquet(src)
-    w.where(F.col("obs_id") % 5 == 0).write.mode("append").parquet(src)
+    # originals + every-5th duplicate staged once per (process, sf_dir)
+    src = stream_feed(
+        w.unionByName(w.where(F.col("obs_id") % 5 == 0)),
+        "dedup_feed",
+        sf_dir,
+        n_files=2,
+    )
 
     _STREAM_SINK_SEQ[0] += 1
     name = f"q_stream_dedup_sink_{_STREAM_SINK_SEQ[0]}"
@@ -1680,8 +1678,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ded = dedup_stream.dedup_within_watermark(
         stream, ["obs_id"], "observed_at", delay="3650 days"
     )
-    q = weather_stream.run_available_now(ded, name, output_mode="append")
-    drained = q.awaitTermination(300)
+    with stream_state_partitions(spark, 8):
+        q = weather_stream.run_available_now(ded, name, output_mode="append")
+        drained = q.awaitTermination(300)
     q.stop()
     if not drained:
         raise RuntimeError(
@@ -1820,11 +1819,11 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     session to mirror that.  Gate value: the Arrow state machine itself —
     batch SQL sessionization must reproduce it row for row."""
     from .streaming import sessionize, weather_stream
+    from .util import stream_feed
 
     t = nyc_views.load_tables(spark, sf_dir)
     ev = t["events"].select("user_id", "ts", "value")
-    src = _stream_feed_dir("sessions_feed")
-    ev.coalesce(4).write.mode("overwrite").parquet(src)
+    src = stream_feed(ev, "sessions_feed", sf_dir, n_files=4)
 
     _STREAM_SINK_SEQ[0] += 1
     name = f"q_stream_sessions_sink_{_STREAM_SINK_SEQ[0]}"
@@ -1832,8 +1831,9 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id bigint, ts timestamp, value double"
     ).parquet(src)
     sess = sessionize.sessionize_stream(stream, gap_minutes=30)
-    q = weather_stream.run_available_now(sess, name, output_mode="update")
-    drained = q.awaitTermination(300)
+    with stream_state_partitions(spark, 8):
+        q = weather_stream.run_available_now(sess, name, output_mode="update")
+        drained = q.awaitTermination(300)
     q.stop()
     if not drained:
         raise RuntimeError(
@@ -1889,16 +1889,15 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join).  This is the two-feed correlation pattern (clickstream ×
     telemetry) no stream-static join covers."""
     from .streaming import weather_stream
+    from .util import stream_feed
 
     t = nyc_views.load_tables(spark, sf_dir)
     wx = nyc_views.weather_from_events(t["events"]).select("obs_id", "observed_at")
     errs = t["events"].where(F.col("event_type") == "error").select(
         "event_id", "ts"
     )
-    src_a = _stream_feed_dir("join_feed_err")
-    src_b = _stream_feed_dir("join_feed_wx")
-    errs.coalesce(2).write.mode("overwrite").parquet(src_a)
-    wx.coalesce(2).write.mode("overwrite").parquet(src_b)
+    src_a = stream_feed(errs, "join_feed_err", sf_dir, n_files=4)
+    src_b = stream_feed(wx, "join_feed_wx", sf_dir, n_files=2)
 
     sa = (
         spark.readStream.schema("event_id bigint, ts timestamp")
@@ -1935,8 +1934,9 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_SINK_SEQ[0] += 1
     name = f"q_stream_join_sink_{_STREAM_SINK_SEQ[0]}"
-    q = weather_stream.run_available_now(j, name, output_mode="append")
-    drained = q.awaitTermination(300)
+    with stream_state_partitions(spark, 8):
+        q = weather_stream.run_available_now(j, name, output_mode="append")
+        drained = q.awaitTermination(300)
     q.stop()
     if not drained:
         raise RuntimeError(
@@ -2376,9 +2376,10 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     on an exact integer lattice (identical rendering both engines)."""
     from .operators import sketches
     from .streaming import weather_stream
+    from .util import stream_feed
 
-    src = _stream_feed_dir("weather_feed_hll")
-    _weather(spark, sf_dir).write.mode("overwrite").parquet(src)
+    # shares q_stream_hourly's memoized weather feed
+    src = stream_feed(_weather(spark, sf_dir), "weather_feed", sf_dir, n_files=2)
 
     _STREAM_SINK_SEQ[0] += 1
     name = f"q_stream_hll_sink_{_STREAM_SINK_SEQ[0]}"
@@ -2416,8 +2417,9 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     regs = rows.groupBy("win", "bucket").agg(F.max("__rho").alias("rho"))
-    q = weather_stream.run_available_now(regs, name)
-    drained = q.awaitTermination(300)
+    with stream_state_partitions(spark, 8):
+        q = weather_stream.run_available_now(regs, name)
+        drained = q.awaitTermination(300)
     q.stop()
     if not drained:
         raise RuntimeError(
@@ -2533,8 +2535,10 @@ def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         bin_expr = F.lit(1)
 
-    src = _stream_feed_dir("weather_feed_psi")
-    _weather(spark, sf_dir).write.mode("overwrite").parquet(src)
+    from .util import stream_feed
+
+    # shares q_stream_hourly's memoized weather feed
+    src = stream_feed(_weather(spark, sf_dir), "weather_feed", sf_dir, n_files=2)
     _STREAM_SINK_SEQ[0] += 1
     name = f"q_stream_psi_sink_{_STREAM_SINK_SEQ[0]}"
     stream = weather_stream.read_weather_stream(spark, src)
@@ -2548,8 +2552,9 @@ def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("win", "bin")
         .agg(F.count(F.lit(1)).alias("c_g"))
     )
-    q = weather_stream.run_available_now(counts, name)
-    drained = q.awaitTermination(300)
+    with stream_state_partitions(spark, 8):
+        q = weather_stream.run_available_now(counts, name)
+        drained = q.awaitTermination(300)
     q.stop()
     if not drained:
         raise RuntimeError(

@@ -47,3 +47,29 @@ def stream_feed(df, name: str, key: str, n_files: int = 16) -> str:
         df.repartition(n_files).write.mode("overwrite").parquet(d)
         _STREAM_FEEDS.add((name, key))
     return d
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def stream_state_partitions(spark, n: int = 8):
+    """Scope ``spark.sql.shuffle.partitions`` around a streaming query
+    START.  A stateful streaming query FIXES its state-partition count
+    from this conf at first start, and every micro-batch then commits
+    one checkpoint file per state store per partition — at the batch
+    default of 32 a stream-stream join (4 state stores) writes 128
+    state files per batch, pure fixed cost when the keyed state is
+    kilobytes (measured on q_stream_join at sf0.1: ~17 s median at 32
+    partitions with high variance → ~10 s stable at 8).  Results are
+    hash-identical — state partitioning is internal hash routing.  The
+    conf restores on exit, so the memory-sink table the drain leaves
+    behind is consumed batch-side under the session's normal setting.
+    At cluster scale the dial goes UP with real state volume; the
+    point is that it is a per-query knob, not a session constant."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
