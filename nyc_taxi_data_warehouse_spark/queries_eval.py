@@ -1047,6 +1047,405 @@ SELECT event_type, n,
 FROM noised"""
 
 
+# --- Z-order file-skipping effectiveness ---------------------------------------------
+
+_ZE_BITS = 8          # per-dim grid bits (operators/zorder.BITS)
+_ZE_FILES_SHIFT = 2   # 8-bit grid >> 2 = 64 linear files
+_ZE_Z_SHIFT = 2 * _ZE_BITS - 6  # 16-bit z >> 10 = 64 z-order files
+# predicate windows as integer percent of each key domain
+_ZE_PREDS = (
+    (1, 10, 30, 10, 30),
+    (2, 40, 60, 0, 100),
+    (3, 0, 100, 45, 55),
+    (4, 70, 90, 70, 90),
+    (5, 25, 35, 25, 35),
+)
+
+
+def q_zorder_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping A/B: the measurement that justifies `write_zordered`
+    (q_zorder_cells shows the rectangles; this PRICES them): every
+    lineitem row is assigned to one of 64 files under (a) a linear
+    partkey-range layout and (b) the Morton z-order layout, per-file
+    (partkey, suppkey) min/max stats are computed for both, and a fixed
+    5-rectangle predicate suite counts files/rows a stats-pruning reader
+    must scan under each — the Delta/Iceberg OPTIMIZE-ZORDER decision
+    input.
+
+    All integer: grid/interleave are the shared zorder expressions,
+    file ids are bit shifts, predicate thresholds derive from the key
+    bounds by integer percent arithmetic, and overlap tests are pure
+    comparisons.  Shape: ONE corpus pass fans each row to its 2
+    (layout, file) legs via `stack`, one hash aggregation builds the
+    ≤128-row stats table, and the 5-predicate suite joins THAT — the
+    corpus is never rescanned per predicate."""
+    from .operators import zorder
+
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_partkey", "l_suppkey"
+    )
+    bounds = li.agg(
+        F.min("l_partkey").alias("__xlo"),
+        F.max("l_partkey").alias("__xhi"),
+        F.min("l_suppkey").alias("__ylo"),
+        F.max("l_suppkey").alias("__yhi"),
+    )
+    g = li.crossJoin(F.broadcast(bounds)).select(
+        "l_partkey",
+        "l_suppkey",
+        zorder.grid_expr("l_partkey", F.col("__xlo"), F.col("__xhi"),
+                         _ZE_BITS).alias("xg"),
+        zorder.grid_expr("l_suppkey", F.col("__ylo"), F.col("__yhi"),
+                         _ZE_BITS).alias("yg"),
+    )
+    z = g.select(
+        "l_partkey",
+        "l_suppkey",
+        F.shiftright("xg", _ZE_FILES_SHIFT).alias("f_lin"),
+        F.shiftright(
+            zorder.interleave_expr(F.col("xg"), F.col("yg"), _ZE_BITS),
+            _ZE_Z_SHIFT,
+        ).alias("f_z"),
+    )
+    fstats = (
+        z.select(
+            F.expr(
+                "stack(2, 'linear', f_lin, 'zorder', f_z)"
+                " AS (layout, file_id)"
+            ),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .groupBy("layout", "file_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+            F.min("l_suppkey").alias("min_sk"),
+            F.max("l_suppkey").alias("max_sk"),
+        )
+    )
+    preds = spark.createDataFrame(
+        list(_ZE_PREDS), "pred_id int, xl int, xh int, yl int, yh int"
+    )
+    pj = (
+        fstats.crossJoin(F.broadcast(preds))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "pred_id",
+            "layout",
+            "n_rows",
+            (
+                (F.col("max_pk")
+                 >= F.col("__xlo")
+                 + ((F.col("__xhi") - F.col("__xlo")) * F.col("xl"))
+                 .cast("long") / 100)
+                & (F.col("min_pk")
+                   <= F.col("__xlo")
+                   + ((F.col("__xhi") - F.col("__xlo")) * F.col("xh"))
+                   .cast("long") / 100)
+                & (F.col("max_sk")
+                   >= F.col("__ylo")
+                   + ((F.col("__yhi") - F.col("__ylo")) * F.col("yl"))
+                   .cast("long") / 100)
+                & (F.col("min_sk")
+                   <= F.col("__ylo")
+                   + ((F.col("__yhi") - F.col("__ylo")) * F.col("yh"))
+                   .cast("long") / 100)
+            ).cast("long").alias("hit"),
+        )
+    )
+    agg = pj.groupBy("pred_id").agg(
+        F.sum(F.when(F.col("layout") == "linear", F.col("hit")).otherwise(0))
+        .cast("long")
+        .alias("files_linear"),
+        F.sum(
+            F.when(F.col("layout") == "linear",
+                   F.col("hit") * F.col("n_rows")).otherwise(0)
+        )
+        .cast("long")
+        .alias("rows_linear"),
+        F.sum(F.when(F.col("layout") == "zorder", F.col("hit")).otherwise(0))
+        .cast("long")
+        .alias("files_zorder"),
+        F.sum(
+            F.when(F.col("layout") == "zorder",
+                   F.col("hit") * F.col("n_rows")).otherwise(0)
+        )
+        .cast("long")
+        .alias("rows_zorder"),
+    )
+    ratio = (
+        "CASE WHEN files_zorder = 0 THEN NULL"
+        " ELSE files_linear / CAST(files_zorder AS DOUBLE) END"
+    )
+    return agg.select(
+        "pred_id",
+        "files_linear",
+        "rows_linear",
+        "files_zorder",
+        "rows_zorder",
+        _rnd(F.expr(ratio), 6).alias("linear_over_zorder"),
+    )
+
+
+def _sql_zorder_effect() -> str:
+    grid = (
+        "CAST(floor(CAST(({c} - {lo}) AS DOUBLE) * {n} / ({hi} - {lo} + 1))"
+        " AS BIGINT)"
+    )
+    xg = grid.format(c="l_partkey", lo="xlo", hi="xhi", n=1 << _ZE_BITS)
+    yg = grid.format(c="l_suppkey", lo="ylo", hi="yhi", n=1 << _ZE_BITS)
+    z = " + ".join(
+        f"(((xg >> {b}) & 1) << {2 * b}) + (((yg >> {b}) & 1) << {2 * b + 1})"
+        for b in range(_ZE_BITS)
+    )
+    preds = "\nUNION ALL\n".join(
+        f"SELECT {p} AS pred_id, {xl} AS xl, {xh} AS xh,"
+        f" {yl} AS yl, {yh} AS yh"
+        for p, xl, xh, yl, yh in _ZE_PREDS
+    )
+    return f"""
+WITH b AS (
+    SELECT min(l_partkey) AS xlo, max(l_partkey) AS xhi,
+           min(l_suppkey) AS ylo, max(l_suppkey) AS yhi
+    FROM lineitem
+),
+g AS (
+    SELECT l_partkey, l_suppkey, {xg} AS xg, {yg} AS yg
+    FROM lineitem CROSS JOIN b
+),
+zz AS (
+    SELECT l_partkey, l_suppkey,
+           xg >> {_ZE_FILES_SHIFT} AS f_lin,
+           ({z}) >> {_ZE_Z_SHIFT} AS f_z
+    FROM g
+),
+fanned AS (
+    SELECT 'linear' AS layout, f_lin AS file_id, l_partkey, l_suppkey
+    FROM zz
+    UNION ALL
+    SELECT 'zorder', f_z, l_partkey, l_suppkey FROM zz
+),
+fstats AS (
+    SELECT layout, file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+           min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+    FROM fanned GROUP BY 1, 2
+),
+preds AS (
+{preds}
+),
+pj AS (
+    SELECT pred_id, layout, n_rows,
+           CAST(max_pk >= xlo + CAST((xhi - xlo) * xl AS BIGINT) / 100
+            AND min_pk <= xlo + CAST((xhi - xlo) * xh AS BIGINT) / 100
+            AND max_sk >= ylo + CAST((yhi - ylo) * yl AS BIGINT) / 100
+            AND min_sk <= ylo + CAST((yhi - ylo) * yh AS BIGINT) / 100
+            AS BIGINT) AS hit
+    FROM fstats CROSS JOIN preds CROSS JOIN b
+),
+agg AS (
+    SELECT pred_id,
+           CAST(sum(CASE WHEN layout = 'linear' THEN hit ELSE 0 END)
+                AS BIGINT) AS files_linear,
+           CAST(sum(CASE WHEN layout = 'linear' THEN hit * n_rows
+                    ELSE 0 END) AS BIGINT) AS rows_linear,
+           CAST(sum(CASE WHEN layout = 'zorder' THEN hit ELSE 0 END)
+                AS BIGINT) AS files_zorder,
+           CAST(sum(CASE WHEN layout = 'zorder' THEN hit * n_rows
+                    ELSE 0 END) AS BIGINT) AS rows_zorder
+    FROM pj GROUP BY 1
+)
+SELECT pred_id, files_linear, rows_linear, files_zorder, rows_zorder,
+       round(1e-9 + (CASE WHEN files_zorder = 0 THEN NULL
+             ELSE files_linear / CAST(files_zorder AS DOUBLE) END), 6)
+           AS linear_over_zorder
+FROM agg"""
+
+
+# --- Snapshot-retention vacuum plan ----------------------------------------------------
+
+_VACUUM_FILE_TTL_DAYS = 21   # a file is referenced by snapshots for 3 weeks
+_VACUUM_KEEP_DAYS = 28       # retention: keep snapshots from the last 4 weeks
+
+
+def q_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-retention vacuum plan — the GC leg of table maintenance
+    (q_compaction_plan rewrites small files; this decides which files an
+    EXPIRE SNAPSHOTS may physically delete): daily order "files" are
+    referenced by the weekly snapshots of the 21 days after they land
+    (then a rewrite drops them from newer snapshots); snapshots older
+    than 28 days before the table's head expire; a file is DELETABLE
+    iff every snapshot
+    referencing it has expired — never derived arithmetically here, but
+    by the actual file×snapshot reference join, because that is the
+    shape a real manifest walk has (and the TTL model is then swappable
+    for real lineage).
+
+    Shape: both sides of the range join are METADATA-sized (≤ #days ×
+    ≤ #weeks); the corpus is touched once by the daily aggregation.
+    All decisions are date/integer comparisons."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    files = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    snaps = files.select(
+        F.date_trunc("week", "day").cast("date").alias("snap_day")
+    ).distinct()
+    head = files.agg(F.max("day").alias("__head"))
+    refs = files.join(
+        snaps,
+        (F.col("snap_day") >= F.col("day"))
+        & (
+            F.col("snap_day")
+            < F.date_add(F.col("day"), _VACUUM_FILE_TTL_DAYS)
+        ),
+        "left",
+    )
+    per_file = refs.groupBy("day", "sz").agg(
+        F.count("snap_day").cast("long").alias("n_refs"),
+        F.max("snap_day").alias("last_ref"),
+    )
+    return per_file.crossJoin(F.broadcast(head)).select(
+        "day",
+        "sz",
+        "n_refs",
+        "last_ref",
+        (
+            (F.col("n_refs") > 0)
+            & (
+                F.col("last_ref")
+                < F.date_sub(F.col("__head"), _VACUUM_KEEP_DAYS)
+            )
+        )
+        .cast("int")
+        .alias("deletable"),
+    )
+
+
+_SQL_VACUUM_PLAN = f"""
+WITH files AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS sz
+    FROM orders GROUP BY 1
+),
+snaps AS (
+    SELECT DISTINCT CAST(date_trunc('week', day) AS DATE) AS snap_day
+    FROM files
+),
+head AS (SELECT max(day) AS head_day FROM files),
+refs AS (
+    SELECT f.day, f.sz, s.snap_day
+    FROM files f
+    LEFT JOIN snaps s
+      ON s.snap_day >= f.day
+     AND s.snap_day < f.day + INTERVAL {_VACUUM_FILE_TTL_DAYS} DAY
+),
+per_file AS (
+    SELECT day, sz,
+           CAST(count(snap_day) AS BIGINT) AS n_refs,
+           max(snap_day) AS last_ref
+    FROM refs GROUP BY 1, 2
+)
+SELECT day, sz, n_refs, last_ref,
+       CAST(n_refs > 0
+            AND last_ref < head_day - INTERVAL {_VACUUM_KEEP_DAYS} DAY
+            AS INT) AS deletable
+FROM per_file, head"""
+
+
+# --- Bloom-filter sizing advisor ---------------------------------------------------------
+
+_BLOOM_FPP = ((1, "0.01"), (2, "0.001"))  # (grid id, target fpp literal)
+
+
+def q_bloom_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing advisor — the planning step before
+    q_bloom_portable/q_bloom_join ship bits: per join-key column, the
+    EXACT distinct count n, and for each target false-positive rate the
+    optimal bit count m = ⌈−n·ln(p)/ln(2)²⌉, hash count k =
+    max(1, round(m/n·ln 2)), and KiB footprint — the m/k dial every
+    engine's bloom-join config exposes.
+
+    Exactness: NDVs are one exact aggregation; the sizing formulas
+    evaluate ONE shared textual expression over (n, p) — ln/exp are the
+    engine-identical libm calls (the pow lesson does not bite).  Shape:
+    one corpus aggregation to 3 NDVs; the grid join is literal-sized."""
+    ev = load_tables(spark, sf_dir)["events"]
+    ndv = ev.agg(
+        F.count_distinct("user_id").cast("long").alias("user_id"),
+        F.count_distinct("event_type").cast("long").alias("event_type"),
+        F.count_distinct(F.to_date("ts")).cast("long").alias("day"),
+    )
+    cols = ndv.select(
+        F.expr(
+            "stack(3, 'user_id', user_id, 'event_type', event_type,"
+            " 'day', day) AS (key_col, n)"
+        )
+    )
+    grid = spark.createDataFrame(
+        [(i, float(p)) for i, p in _BLOOM_FPP], "fpp_id int, p double"
+    )
+    m_txt = "CAST(ceil(-(CAST(n AS DOUBLE)) * ln(p) / (ln(2.0) * ln(2.0))) AS BIGINT)"
+    out = cols.crossJoin(F.broadcast(grid)).select(
+        "key_col",
+        "n",
+        "fpp_id",
+        "p",
+        F.expr(m_txt).alias("m_bits"),
+    )
+    k_txt = (
+        "CAST(greatest(1, round(CAST(m_bits AS DOUBLE) / n * ln(2.0)))"
+        " AS BIGINT)"
+    )
+    return out.select(
+        "key_col",
+        "n",
+        "fpp_id",
+        "p",
+        "m_bits",
+        F.expr(k_txt).alias("k_hashes"),
+        F.expr("CAST(ceil(m_bits / 8192.0) AS BIGINT)").alias("kib"),
+    )
+
+
+def _sql_bloom_sizing() -> str:
+    grid = "\nUNION ALL\n".join(
+        f"SELECT {i} AS fpp_id, CAST({p} AS DOUBLE) AS p"
+        for i, p in _BLOOM_FPP
+    )
+    return f"""
+WITH ndv AS (
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS user_id,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS event_type,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS day
+    FROM events
+),
+cols AS (
+    SELECT 'user_id' AS key_col, user_id AS n FROM ndv
+    UNION ALL
+    SELECT 'event_type', event_type FROM ndv
+    UNION ALL
+    SELECT 'day', day FROM ndv
+),
+grid AS (
+{grid}
+),
+sized AS (
+    SELECT key_col, n, fpp_id, p,
+           CAST(ceil(-(CAST(n AS DOUBLE)) * ln(p) / (ln(2.0) * ln(2.0)))
+                AS BIGINT) AS m_bits
+    FROM cols CROSS JOIN grid
+)
+SELECT key_col, n, fpp_id, p, m_bits,
+       CAST(greatest(1, round(CAST(m_bits AS DOUBLE) / n * ln(2.0)))
+            AS BIGINT) AS k_hashes,
+       CAST(ceil(m_bits / 8192.0) AS BIGINT) AS kib
+FROM sized"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_roc_auc": q_roc_auc,
     "q_pr_curve": q_pr_curve,
@@ -1058,6 +1457,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_partition_advisor": q_partition_advisor,
     "q_pseudonymize": q_pseudonymize,
     "q_dp_histogram": q_dp_histogram,
+    "q_zorder_effect": q_zorder_effect,
+    "q_vacuum_plan": q_vacuum_plan,
+    "q_bloom_sizing": q_bloom_sizing,
 }
 
 ORACLES: dict[str, str] = {
@@ -1071,4 +1473,7 @@ ORACLES: dict[str, str] = {
     "q_partition_advisor": _SQL_PARTITION_ADVISOR,
     "q_pseudonymize": _sql_pseudonymize(),
     "q_dp_histogram": _sql_dp_histogram(),
+    "q_zorder_effect": _sql_zorder_effect(),
+    "q_vacuum_plan": _SQL_VACUUM_PLAN,
+    "q_bloom_sizing": _sql_bloom_sizing(),
 }

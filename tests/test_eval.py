@@ -233,3 +233,66 @@ def test_partition_advisor_verdict_thresholds(spark, sf_dir):
             assert r.verdict == "SALT"
         else:
             assert r.verdict == "PARTITION"
+
+
+def test_zorder_effect_skipping_wins(spark, sf_dir):
+    """Z-order must never scan more files than linear on the 2-D
+    rectangle predicates, and must strictly win on at least one; file
+    masses reconcile per layout."""
+    rows = sorted(qe.q_zorder_effect(spark, sf_dir).collect(),
+                  key=lambda r: r.pred_id)
+    assert [r.pred_id for r in rows] == [p[0] for p in qe._ZE_PREDS]
+    wins = 0
+    for r in rows:
+        assert 0 <= r.files_zorder <= 64 and 0 <= r.files_linear <= 64
+        # the x-only band (pred 2) favors linear; the 2-D rectangles
+        # must not: z-order bounded rectangles prune on BOTH dims
+        if r.pred_id in (1, 4, 5) and r.files_zorder < r.files_linear:
+            wins += 1
+        assert r.rows_zorder >= 0 and r.rows_linear >= 0
+    assert wins >= 1, [(r.pred_id, r.files_linear, r.files_zorder)
+                       for r in rows]
+
+
+def test_vacuum_plan_reference_model(spark, sf_dir):
+    """Replay the TTL reference model literally in Python: every file's
+    ref count, last ref, and deletable flag must match."""
+    import datetime as dt
+
+    rows = {r.day: r for r in qe.q_vacuum_plan(spark, sf_dir).collect()}
+    days = sorted(rows)
+    head = max(days)
+    snaps = sorted({d - dt.timedelta(days=d.weekday()) for d in days})
+    for d, r in rows.items():
+        refs = [s for s in snaps
+                if d <= s < d + dt.timedelta(days=qe._VACUUM_FILE_TTL_DAYS)]
+        assert r.n_refs == len(refs), d
+        assert r.last_ref == (max(refs) if refs else None)
+        expect = bool(refs) and max(refs) < head - dt.timedelta(
+            days=qe._VACUUM_KEEP_DAYS
+        )
+        assert r.deletable == int(expect), d
+    # the model must exercise both outcomes on a multi-month calendar
+    if (head - min(days)).days > 60:
+        flags = {r.deletable for r in rows.values()}
+        assert flags == {0, 1}
+
+
+def test_bloom_sizing_formula(spark, sf_dir):
+    """m/k must match the textbook optimum computed in Python, and more
+    keys / tighter fpp must never shrink the filter."""
+    import math
+
+    rows = qe.q_bloom_sizing(spark, sf_dir).collect()
+    assert len(rows) == 3 * len(qe._BLOOM_FPP)
+    for r in rows:
+        m = math.ceil(-r.n * math.log(r.p) / (math.log(2.0) ** 2))
+        k = max(1, round(m / r.n * math.log(2.0)))
+        assert r.m_bits == m and r.k_hashes == k, r
+        assert r.kib == math.ceil(m / 8192.0)
+    by_col = {}
+    for r in rows:
+        by_col.setdefault(r.key_col, {})[r.p] = r.m_bits
+    for col, d in by_col.items():
+        ps = sorted(d, reverse=True)
+        assert d[ps[0]] <= d[ps[-1]], col  # tighter fpp -> more bits

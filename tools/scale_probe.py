@@ -747,7 +747,7 @@ def main() -> None:
     def _lineitem_at(m):
         li = load_tables(spark, sf_dir)["lineitem"].select(
             "l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
-            "l_returnflag", "l_linestatus", "l_shipmode", "l_tax",
+            "l_returnflag", "l_linestatus", "l_extendedprice", "l_tax",
         )
         if m > 1:
             li = li.select(
@@ -761,7 +761,7 @@ def main() -> None:
 
     def _encoding(li):
         cols = ["l_quantity", "l_returnflag", "l_linestatus",
-                "l_shipmode", "l_tax"]
+                "l_extendedprice", "l_tax"]
         w = W9.partitionBy("l_orderkey").orderBy(
             "l_linenumber", *cols, "l_partkey"
         )
