@@ -296,3 +296,82 @@ def test_bloom_sizing_formula(spark, sf_dir):
     for col, d in by_col.items():
         ps = sorted(d, reverse=True)
         assert d[ps[0]] <= d[ps[-1]], col  # tighter fpp -> more bits
+
+
+def test_ndcg_mrr_matches_literal_ranking(spark, sf_dir):
+    """Replay ranking + nDCG@10 + MRR literally in Python from the
+    candidate frame: metrics must match to the nano-quantization."""
+    got = {r.qid: r for r in qe.q_ndcg_mrr(spark, sf_dir).collect()}
+    assert set(got) == {q for q, _, _ in qe._IR_QUERIES}
+    # rebuild candidates exactly as the query does (score in micro-units)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    toks = {r.doc_id: [t for t in r.text.split() if t] for r in docs}
+    n_docs = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n_docs
+    all_terms = {t for _, a, b in qe._IR_QUERIES for t in (a, b)}
+    tf = {}
+    for d, w in toks.items():
+        for t in w:
+            if t in all_terms:
+                tf[(d, t)] = tf.get((d, t), 0) + 1
+    df = {}
+    for (d, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    import math
+
+    def c_micro(d, t):
+        idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+        dl = len(toks[d])
+        v = idf * (tf[(d, t)] * 2.2) / (
+            tf[(d, t)] + 1.2 * (0.25 + 0.75 * dl / avgdl)
+        )
+        return round(v * 1e6)
+
+    for qid, t1, t2 in qe._IR_QUERIES:
+        cand = {}
+        for d in toks:
+            terms = [t for t in (t1, t2) if (d, t) in tf]
+            if terms:
+                cand[d] = (sum(c_micro(d, t) for t in terms), len(terms))
+        ranked = sorted(cand.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        top = ranked[: qe._IR_K]
+        dcg = sum(
+            round((3 if rel >= 2 else 1) * 1e9
+                  / (math.log(i + 2) / math.log(2.0)))
+            for i, (_, (_, rel)) in enumerate(top)
+        )
+        n2 = sum(1 for _, (_, r) in cand.items() if r >= 2)
+        n1 = sum(1 for _, (_, r) in cand.items() if r == 1)
+        idcg = sum(
+            round((3 if i < min(10, n2)
+                   else (1 if i < min(10, n2 + n1) else 0)) * 1e9
+                  / (math.log(i + 2) / math.log(2.0)))
+            for i in range(qe._IR_K)
+        )
+        g = got[qid]
+        assert g.n_candidates == len(cand) and g.n2 == n2 and g.n1 == n1
+        best = next(
+            (i + 1 for i, (_, (_, rel)) in enumerate(top) if rel >= 2), None
+        )
+        assert g.best_rank2 == best
+        if idcg:
+            assert math.isclose(g.ndcg10, dcg / idcg, abs_tol=1e-5), qid
+
+
+def test_rtbf_plan_accounting(spark, sf_dir):
+    """Totals reconcile: touched <= total partitions, rewritten >=
+    deleted, amplification = rewritten/deleted."""
+    import math
+
+    rows = {r.table_name: r for r in qe.q_rtbf_plan(spark, sf_dir).collect()}
+    assert set(rows) == {"events", "orders"}
+    for r in rows.values():
+        assert 0 <= r.partitions_touched <= r.partitions_total
+        assert r.rows_to_delete <= r.rows_rewritten <= r.total_rows
+        if r.rows_to_delete:
+            assert math.isclose(
+                r.amplification, r.rows_rewritten / r.rows_to_delete,
+                abs_tol=1e-6,
+            )
