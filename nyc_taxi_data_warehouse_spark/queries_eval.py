@@ -1446,6 +1446,345 @@ SELECT key_col, n, fpp_id, p, m_bits,
 FROM sized"""
 
 
+# --- IR ranking evaluation (nDCG@10 / MRR) ----------------------------------------------
+
+_IR_QUERIES = (
+    (1, "hash", "join"),
+    (2, "table", "scan"),
+    (3, "sort", "merge"),
+    (4, "stream", "window"),
+    (5, "fast", "query"),
+)
+_IR_K = 10
+
+
+def q_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 + MRR evaluation of the BM25 ranking — the IR-eval leg
+    the retrieval family (q_bm25 / q_inverted_index / q_rrf_fusion) was
+    missing: five two-term queries score the corpus, graded relevance =
+    how many query terms the document contains (0/1/2), and each query
+    reports its top-10 DCG against the ideal ordering plus the
+    reciprocal rank of the first fully-relevant hit.
+
+    Scale & exactness: per-term BM25 contributions quantize to 1e-6
+    micro-units so the per-(query, doc) score is a BIGINT (double sums
+    across terms would be order-dependent); ranking ties break on
+    doc_id; top-10 selection is TWO-STAGE (per-shard top-10 windows,
+    then a global top-10 over ≤ 32·10 survivors per query — the
+    pattern that survives a 100 TB candidate set where one
+    window-per-query would hot-spot); every DCG/IDCG term quantizes to
+    1e-9 nano-units before summing (≤10-row sums, still kept integer);
+    the log2 discount is ln(x)/ln(2.0) — ln is engine-identical, log2
+    (like pow) is not guaranteed to be."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", T.tokens("text").alias("__w")
+    ).persist()  # feeds dl AND tf
+    dl = tok.select("doc_id", F.size("__w").cast("long").alias("dl"))
+    all_terms = sorted({t for _, a, b in _IR_QUERIES for t in (a, b)})
+    tf = (
+        tok.select("doc_id", F.explode("__w").alias("term"))
+        .where(F.col("term").isin(*all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    contrib = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            + 1.0
+        )
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.round(contrib * 1000000).cast("long").alias("c_micro"),
+        )
+    )
+    queries = spark.createDataFrame(
+        list(_IR_QUERIES), "qid int, t1 string, t2 string"
+    )
+    cand = (
+        per_term.join(
+            F.broadcast(queries),
+            (F.col("term") == F.col("t1")) | (F.col("term") == F.col("t2")),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum("c_micro").cast("long").alias("score_micro"),
+            F.count(F.lit(1)).cast("long").alias("rel"),
+        )
+        .persist()  # feeds the top-k chain AND the n1/n2 totals
+    )
+    w_shard = Window.partitionBy(
+        "qid", F.pmod(F.col("doc_id"), F.lit(32))
+    ).orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    survivors = cand.withColumn(
+        "__r", F.row_number().over(w_shard)
+    ).where(F.col("__r") <= _IR_K)
+    w_q = Window.partitionBy("qid").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    top = (
+        survivors.withColumn("rank", F.row_number().over(w_q))
+        .where(F.col("rank") <= _IR_K)
+    )
+    log2r = "ln(rank + 1.0) / ln(2.0)"
+    dcg = top.groupBy("qid").agg(
+        F.sum(
+            F.expr(
+                "CAST(round((CASE WHEN rel >= 2 THEN 3 ELSE 1 END)"
+                f" * 1e9 / ({log2r})) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("dcg_nano"),
+        F.min(F.when(F.col("rel") >= 2, F.col("rank")))
+        .cast("long")
+        .alias("best_rank2"),
+    )
+    totals = cand.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum((F.col("rel") >= 2).cast("long")).cast("long").alias("n2"),
+        F.sum((F.col("rel") == 1).cast("long")).cast("long").alias("n1"),
+    )
+    ranks = spark.range(1, _IR_K + 1).select(
+        F.col("id").cast("int").alias("rank")
+    )
+    ideal = (
+        totals.crossJoin(F.broadcast(ranks))
+        .select(
+            "qid",
+            F.expr(
+                "CASE WHEN rank <= least(10, n2) THEN 3"
+                " WHEN rank <= least(10, n2 + n1) THEN 1 ELSE 0 END"
+            ).alias("gain"),
+            "rank",
+        )
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.expr(f"CAST(round(gain * 1e9 / ({log2r})) AS BIGINT)")
+            )
+            .cast("long")
+            .alias("idcg_nano"),
+        )
+    )
+    out = totals.join(dcg, "qid").join(ideal, "qid")
+    return out.select(
+        "qid",
+        "n_candidates",
+        "n2",
+        "n1",
+        "best_rank2",
+        _rnd(
+            F.expr(
+                "CASE WHEN best_rank2 IS NULL THEN 0.0"
+                " ELSE 1.0 / best_rank2 END"
+            ),
+            6,
+        ).alias("rr"),
+        _rnd(
+            F.expr(
+                "CASE WHEN idcg_nano = 0 THEN NULL"
+                " ELSE dcg_nano / CAST(idcg_nano AS DOUBLE) END"
+            ),
+            6,
+        ).alias("ndcg10"),
+    )
+
+
+def _sql_ndcg_mrr() -> str:
+    all_terms = sorted({t for _, a, b in _IR_QUERIES for t in (a, b)})
+    terms_in = ", ".join(f"'{t}'" for t in all_terms)
+    qrows = "\nUNION ALL\n".join(
+        f"SELECT {q} AS qid, '{a}' AS t1, '{b}' AS t2"
+        for q, a, b in _IR_QUERIES
+    )
+    log2r = "ln(rank + 1.0) / ln(2.0)"
+    return rf"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+    FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tok),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(w) AS term FROM tok)
+    WHERE term IN ({terms_in})
+    GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+per_term AS (
+    SELECT t.doc_id, t.term,
+           CAST(round(
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+               * 1000000) AS BIGINT) AS c_micro
+    FROM tf t
+    JOIN dfreq d USING (term)
+    JOIN dl l USING (doc_id)
+    CROSS JOIN stats s
+),
+queries AS (
+{qrows}
+),
+cand AS (
+    SELECT q.qid, p.doc_id,
+           CAST(sum(p.c_micro) AS BIGINT) AS score_micro,
+           CAST(count(*) AS BIGINT) AS rel
+    FROM per_term p
+    JOIN queries q ON p.term = q.t1 OR p.term = q.t2
+    GROUP BY 1, 2
+),
+top AS (
+    SELECT qid, doc_id, rel,
+           row_number() OVER (PARTITION BY qid
+               ORDER BY score_micro DESC, doc_id ASC) AS rank
+    FROM cand
+),
+dcg AS (
+    SELECT qid,
+           CAST(sum(CAST(round((CASE WHEN rel >= 2 THEN 3 ELSE 1 END)
+                * 1e9 / ({log2r})) AS BIGINT)) AS BIGINT) AS dcg_nano,
+           min(CASE WHEN rel >= 2 THEN rank END) AS best_rank2
+    FROM top WHERE rank <= {_IR_K}
+    GROUP BY 1
+),
+totals AS (
+    SELECT qid,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+    FROM cand GROUP BY 1
+),
+ideal AS (
+    SELECT t.qid,
+           CAST(sum(CAST(round(
+               (CASE WHEN r.rank <= least(10, t.n2) THEN 3
+                     WHEN r.rank <= least(10, t.n2 + t.n1) THEN 1
+                     ELSE 0 END) * 1e9 / ({log2r})) AS BIGINT))
+               AS BIGINT) AS idcg_nano
+    FROM totals t
+    CROSS JOIN (SELECT unnest(range(1, {_IR_K} + 1)) AS rank) r
+    GROUP BY 1
+)
+SELECT t.qid, t.n_candidates, t.n2, t.n1, d.best_rank2,
+       round(1e-9 + (CASE WHEN d.best_rank2 IS NULL THEN 0.0
+             ELSE 1.0 / d.best_rank2 END), 6) AS rr,
+       round(1e-9 + (CASE WHEN i.idcg_nano = 0 THEN NULL
+             ELSE d.dcg_nano / CAST(i.idcg_nano AS DOUBLE) END), 6)
+           AS ndcg10
+FROM totals t JOIN dcg d USING (qid) JOIN ideal i USING (qid)"""
+
+
+# --- Right-to-be-forgotten deletion-scope plan --------------------------------------------
+
+_RTBF_MOD = 97  # deterministic request cohort: key % 97 == 0
+
+
+def q_rtbf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten deletion-scope planner — the GDPR leg of
+    governance (audits say who is exposed; q_pseudonymize scrubs;
+    this PRICES a hard delete): for a deterministic request cohort
+    (key % 97 = 0), per fact table the matched rows, the day-partitions
+    they touch, and the rewrite amplification — total rows living in
+    touched partitions per deleted row, the number that decides between
+    partition rewrite and merge-on-read deletes.
+
+    Shape: per table ONE aggregation to the day grain computes total
+    and to-delete counts together (no second scan, no join); the
+    roll-up is partition-count-sized.  All integers until the one
+    amplification division."""
+    t = load_tables(spark, sf_dir)
+    specs = (
+        ("events", t["events"].select(
+            F.to_date("ts").alias("part"),
+            F.col("user_id").alias("key"),
+        )),
+        ("orders", t["orders"].select(
+            F.to_date("o_orderdate").alias("part"),
+            F.col("o_custkey").alias("key"),
+        )),
+    )
+    out = None
+    for name, rows in specs:
+        per_part = rows.groupBy("part").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                (F.pmod(F.col("key"), F.lit(_RTBF_MOD)) == 0).cast("long")
+            )
+            .cast("long")
+            .alias("n_del"),
+        )
+        leg = per_part.agg(
+            F.lit(name).alias("table_name"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.sum("n_del").cast("long").alias("rows_to_delete"),
+            F.count(F.lit(1)).cast("long").alias("partitions_total"),
+            F.sum((F.col("n_del") > 0).cast("long"))
+            .cast("long")
+            .alias("partitions_touched"),
+            F.sum(F.when(F.col("n_del") > 0, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_rewritten"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    amp = (
+        "CASE WHEN rows_to_delete = 0 THEN NULL"
+        " ELSE rows_rewritten / CAST(rows_to_delete AS DOUBLE) END"
+    )
+    return out.select(
+        "table_name",
+        "total_rows",
+        "rows_to_delete",
+        "partitions_total",
+        "partitions_touched",
+        "rows_rewritten",
+        _rnd(F.expr(amp), 6).alias("amplification"),
+    )
+
+
+def _sql_rtbf_plan() -> str:
+    legs = []
+    for name, part, key in (
+        ("events", "CAST(ts AS DATE)", "user_id"),
+        ("orders", "CAST(o_orderdate AS DATE)", "o_custkey"),
+    ):
+        legs.append(f"""
+SELECT '{name}' AS table_name,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+       CAST(sum(n_del) AS BIGINT) AS rows_to_delete,
+       CAST(count(*) AS BIGINT) AS partitions_total,
+       CAST(sum(CASE WHEN n_del > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS partitions_touched,
+       CAST(sum(CASE WHEN n_del > 0 THEN n_rows ELSE 0 END) AS BIGINT)
+           AS rows_rewritten,
+       round(1e-9 + (CASE WHEN sum(n_del) = 0 THEN NULL
+             ELSE sum(CASE WHEN n_del > 0 THEN n_rows ELSE 0 END)
+                  / CAST(sum(n_del) AS DOUBLE) END), 6) AS amplification
+FROM (
+    SELECT {part} AS part,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN {key} % {_RTBF_MOD} = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_del
+    FROM {name} GROUP BY 1
+)""")
+    return "\nUNION ALL\n".join(legs)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_roc_auc": q_roc_auc,
     "q_pr_curve": q_pr_curve,
@@ -1460,6 +1799,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_zorder_effect": q_zorder_effect,
     "q_vacuum_plan": q_vacuum_plan,
     "q_bloom_sizing": q_bloom_sizing,
+    "q_ndcg_mrr": q_ndcg_mrr,
+    "q_rtbf_plan": q_rtbf_plan,
 }
 
 ORACLES: dict[str, str] = {
@@ -1476,4 +1817,6 @@ ORACLES: dict[str, str] = {
     "q_zorder_effect": _sql_zorder_effect(),
     "q_vacuum_plan": _SQL_VACUUM_PLAN,
     "q_bloom_sizing": _sql_bloom_sizing(),
+    "q_ndcg_mrr": _sql_ndcg_mrr(),
+    "q_rtbf_plan": _sql_rtbf_plan(),
 }
