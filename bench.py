@@ -141,6 +141,17 @@ HEADLINE = [
     "q_dup_span_removal",
     "q_slo_burn",
     "q_calibration",
+    # round-9 representatives: exact classifier eval off the score CDF,
+    # the two-stage top-k IR eval, the omnibus rank test, the z-order
+    # skipping A/B (stacked dual-layout stats pass), the stream-stream
+    # temporal join (state-partition-scoped), and the zero-shuffle
+    # pseudonymization rewrite
+    "q_roc_auc",
+    "q_ndcg_mrr",
+    "q_kruskal_wallis",
+    "q_zorder_effect",
+    "q_stream_join",
+    "q_pseudonymize",
 ]
 
 # The FIXED baseline-comparable subset: exactly the 30 queries of the first

@@ -111,7 +111,11 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-value aggregation per source; no all-rows window, no
     per-row rank materialization — at 100 TB the distinct-lattice table
     (≤ 1e6 rows/source) is the only shuffled state."""
-    base = _scored(spark, sf_dir)
+    # persist: the scored frame's lineage (interpreted higher-order
+    # token features) otherwise replays for the CDF primitive's eager
+    # GK-edge job, the CDF side, AND the positive-count side (the
+    # q_spearman lesson — measured 12 s -> ~2 s at sf0.1)
+    base = _scored(spark, sf_dir).persist()
     cdf = bucketed_value_cumsum(base.select("source", "pi"), "pi", ("source",))
     cpos = base.groupBy("source", F.col("pi").alias("__v")).agg(
         F.sum("y").cast("long").alias("c_pos")
@@ -260,7 +264,7 @@ def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule that keeps every tie in one decile (deciles can therefore be
     uneven; that is the deterministic, documented trade).  Per-decile
     lift and the cumulative gain then ride a ≤10-row window."""
-    base = _scored(spark, sf_dir)
+    base = _scored(spark, sf_dir).persist()  # 3 consumers (q_roc_auc note)
     cdf = bucketed_value_cumsum(base.select("pi"), "pi")
     cpos = base.groupBy(F.col("pi").alias("__v")).agg(
         F.sum("y").cast("long").alias("c_pos")
