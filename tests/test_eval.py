@@ -375,3 +375,37 @@ def test_rtbf_plan_accounting(spark, sf_dir):
                 r.amplification, r.rows_rewritten / r.rows_to_delete,
                 abs_tol=1e-6,
             )
+
+
+def test_knn_classify_fold_and_majority(spark, sf_dir):
+    """Fold accounting (every fold member classified exactly once) and a
+    literal numpy majority-vote replay must match."""
+    import numpy as np
+
+    rows = {r.true_label: r
+            for r in qe.q_knn_classify(spark, sf_dir).collect()}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb}
+    fold = sorted(v for v in vecs if v % qe._KNN_FOLD == 0)
+    train = sorted(v for v in vecs if v % qe._KNN_FOLD != 0)
+    assert sum(r.n_queries for r in rows.values()) == len(fold)
+    correct = {0: 0, 1: 0, 2: 0}
+    totals = {0: 0, 1: 0, 2: 0}
+    tm = np.stack([vecs[t] / np.linalg.norm(vecs[t]) for t in train])
+    for q in fold:
+        qv = vecs[q] / np.linalg.norm(vecs[q])
+        sims = tm @ qv
+        order = sorted(range(len(train)), key=lambda i: (-sims[i], train[i]))
+        top = [train[i] for i in order[: qe._KNN_K]]
+        votes = {}
+        for t in top:
+            votes[t % qe._KNN_CLASSES] = votes.get(t % qe._KNN_CLASSES, 0) + 1
+        pred = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        lbl = q % qe._KNN_CLASSES
+        totals[lbl] += 1
+        correct[lbl] += int(pred == lbl)
+    for lbl, r in rows.items():
+        assert r.n_queries == totals[lbl]
+        assert r.n_correct == correct[lbl], lbl
