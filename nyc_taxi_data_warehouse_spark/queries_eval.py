@@ -1789,6 +1789,119 @@ FROM (
     return "\nUNION ALL\n".join(legs)
 
 
+# --- kNN label-propagation accuracy ---------------------------------------------------
+
+_KNN_K = 5
+_KNN_CLASSES = 3  # deterministic label: vec_id % 3
+_KNN_FOLD = 10    # held-out fold: vec_id % 10 == 0
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-propagation accuracy — the classification eval the
+    embedding family needs beside retrieval recall (q_ann_recall grades
+    the INDEX; this grades what the neighbors are FOR): a held-out 10%
+    fold is classified by majority vote of its 5 nearest train vectors
+    (cosine), per-class accuracy reported — the standard probe for
+    "does this embedding space separate my labels".
+
+    Shape: queries are the FOLD (broadcast), corpus is the train split
+    — one linear scan per batch, the documented exhaustive-scorer
+    shape whose 100 TB serving path is IVF/PQ; votes and the winner
+    pick are ≤k-row windows per query.  Ties: neighbor rank breaks on
+    (sim desc, id asc) — per-row cosine doubles are engine-identical —
+    and the vote breaks on (count desc, label asc).  Labels are
+    deterministic id arithmetic so the eval is self-contained."""
+    from .operators.similarity import brute_force_knn
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    fold = emb.where(F.pmod(F.col("vec_id"), F.lit(_KNN_FOLD)) == 0)
+    train = emb.where(F.pmod(F.col("vec_id"), F.lit(_KNN_FOLD)) != 0)
+    knn = brute_force_knn(fold, train, k=_KNN_K)
+    votes = knn.groupBy(
+        "query_id",
+        F.pmod(F.col("neighbor_id"), F.lit(_KNN_CLASSES)).alias("pred"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cnt"), F.asc("pred")
+    )
+    picked = (
+        votes.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select("query_id", "pred")
+    )
+    return (
+        picked.groupBy(
+            F.pmod(F.col("query_id"), F.lit(_KNN_CLASSES)).cast("int")
+            .alias("true_label")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(
+                (
+                    F.col("pred")
+                    == F.pmod(F.col("query_id"), F.lit(_KNN_CLASSES))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "true_label",
+            "n_queries",
+            "n_correct",
+            _rnd(
+                F.col("n_correct") / F.col("n_queries").cast("double"), 6
+            ).alias("accuracy"),
+        )
+    )
+
+
+_SQL_KNN_CLASSIFY = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id % {_KNN_FOLD} = 0
+),
+c AS (
+    SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id % {_KNN_FOLD} <> 0
+),
+knn AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id, row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY list_sum(list_transform(range(1, len(q.v) + 1),
+                        i -> q.v[i] * c.v[i]))
+                     / (sqrt(list_sum(list_transform(range(1, len(q.v) + 1),
+                        i -> q.v[i] * q.v[i])))
+                     * sqrt(list_sum(list_transform(range(1, len(q.v) + 1),
+                        i -> c.v[i] * c.v[i])))) DESC,
+                     c.neighbor_id ASC) AS rn
+        FROM q CROSS JOIN c
+    ) WHERE rn <= {_KNN_K}
+),
+votes AS (
+    SELECT query_id, neighbor_id % {_KNN_CLASSES} AS pred,
+           count(*) AS cnt
+    FROM knn GROUP BY 1, 2
+),
+picked AS (
+    SELECT query_id, pred FROM (
+        SELECT query_id, pred, row_number() OVER (
+            PARTITION BY query_id ORDER BY cnt DESC, pred ASC) AS r
+        FROM votes
+    ) WHERE r = 1
+)
+SELECT CAST(query_id % {_KNN_CLASSES} AS INT) AS true_label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN pred = query_id % {_KNN_CLASSES}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(1e-9 + sum(CASE WHEN pred = query_id % {_KNN_CLASSES}
+             THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS accuracy
+FROM picked GROUP BY 1"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_roc_auc": q_roc_auc,
     "q_pr_curve": q_pr_curve,
@@ -1805,6 +1918,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bloom_sizing": q_bloom_sizing,
     "q_ndcg_mrr": q_ndcg_mrr,
     "q_rtbf_plan": q_rtbf_plan,
+    "q_knn_classify": q_knn_classify,
 }
 
 ORACLES: dict[str, str] = {
@@ -1823,4 +1937,5 @@ ORACLES: dict[str, str] = {
     "q_bloom_sizing": _sql_bloom_sizing(),
     "q_ndcg_mrr": _sql_ndcg_mrr(),
     "q_rtbf_plan": _sql_rtbf_plan(),
+    "q_knn_classify": _SQL_KNN_CLASSIFY,
 }

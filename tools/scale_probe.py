@@ -794,12 +794,262 @@ def main() -> None:
         "encoding_advisor": (_lineitem_at, _encoding),
     }
 
+    # round-9 wave probes: the eval trio folds over the score CDF (one
+    # corpus scan + distinct-lattice work → ~linear); Kruskal–Wallis is
+    # the pooled-CDF shape; Kendall/Theil–Sen pair mass is CALENDAR-
+    # bounded so growth should be ~flat beyond the daily aggregation;
+    # the z-order A/B is two stacked scans to a 128-row stats table;
+    # FK audit is distinct-key anti-joins (~linear in child rows);
+    # RTBF is one day-grain aggregation per table; pseudonymize is a
+    # pure map (the zero-shuffle floor); nDCG re-ranks a fixed query
+    # set against the growing corpus (two-stage top-k caps the sort).
+    from nyc_taxi_data_warehouse_spark import queries_eval as _qe
+
+    def _docs_table_at(m):
+        """documents-shaped frame at m× for queries that load_tables
+        themselves can't take — rebuild the (doc_id, text, source,
+        n_chars) shape with content growth."""
+        d = load_tables(spark, sf_dir)["documents"].select(
+            "doc_id", "text", "source", "n_chars"
+        )
+        if m > 1:
+            d = d.select(
+                F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("rep"),
+                "doc_id", "text", "source", "n_chars",
+            ).select(
+                (F.col("doc_id") * m + F.col("rep")).alias("doc_id"),
+                F.expr("substring(text, rep * 7 + 1)").alias("text"),
+                "source",
+                (F.col("n_chars") + F.col("rep") * 13).alias("n_chars"),
+            )
+        return d.repartition(spark.sparkContext.defaultParallelism)
+
+    def _scored_at(d):
+        from nyc_taxi_data_warehouse_spark.queries_data import (
+            _quality_logit_z,
+        )
+
+        t = d.select(
+            "doc_id", "text", "source", "n_chars",
+            T.tokens("text").alias("__w"),
+        )
+        z = _quality_logit_z(
+            T.word_count_from_tokens("__w"),
+            T.type_token_ratio_from_tokens("__w"),
+            T.punct_ratio("text"),
+            T.stopword_ratio_from_tokens("__w", "en"),
+        )
+        p_keep = F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) + F.lit(1e-9), 6
+        )
+        return t.select(
+            "source",
+            F.round(p_keep * 1000000).cast("long").alias("pi"),
+            (F.col("n_chars") >= 300).cast("long").alias("y"),
+        )
+
+    def _auc(d):
+        base = _scored_at(d).persist()
+        cdf = _bvc(base.select("source", "pi"), "pi", ("source",))
+        cpos = base.groupBy("source", F.col("pi").alias("__v")).agg(
+            F.sum("y").cast("long").alias("c_pos")
+        )
+        return cdf.join(cpos, ["source", "__v"]).groupBy("source").agg(
+            F.max("__cle").alias("n"),
+            F.sum("c_pos").alias("n_pos"),
+            F.sum(
+                F.col("c_pos") * (2 * F.col("__cle") - F.col("__c") + 1)
+            ).alias("two_r"),
+        )
+
+    def _kw(d):
+        base = d.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("x"),
+        ).where(F.col("event_type").isNotNull())
+        cdf = _bvc(base.select("x"), "x")
+        cg = base.groupBy(F.col("x").alias("__v"), "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("c_g")
+        )
+        return cdf.join(cg, "__v").groupBy("event_type").agg(
+            F.sum("c_g").alias("n_g"),
+            F.sum(
+                F.col("c_g") * (2 * F.col("__cle") - F.col("__c") + 1)
+            ).alias("two_r"),
+        )
+
+    def _kendall(d):
+        daily = d.groupBy(F.to_date("ts").alias("day")).agg(
+            F.sum((F.col("event_type") == "view").cast("long")).alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase",
+                       F.round(F.col("value") * 100).cast("long"))
+                .otherwise(0)
+            ).alias("y"),
+        ).persist()
+        a, b = daily.alias("a"), daily.alias("b")
+        return a.join(b, F.col("a.day") < F.col("b.day")).agg(
+            F.count(F.lit(1)).alias("n0"),
+            F.sum(
+                ((F.col("a.x") - F.col("b.x"))
+                 * (F.col("a.y") - F.col("b.y")) > 0).cast("long")
+            ).alias("nc"),
+        )
+
+    def _zorder_ab(li):
+        from nyc_taxi_data_warehouse_spark.operators import zorder as _zo
+
+        bounds = li.agg(
+            F.min("l_partkey").alias("__xlo"),
+            F.max("l_partkey").alias("__xhi"),
+            F.min("l_suppkey").alias("__ylo"),
+            F.max("l_suppkey").alias("__yhi"),
+        )
+        g = li.crossJoin(F.broadcast(bounds)).select(
+            "l_partkey", "l_suppkey",
+            _zo.grid_expr("l_partkey", F.col("__xlo"), F.col("__xhi"), 8)
+            .alias("xg"),
+            _zo.grid_expr("l_suppkey", F.col("__ylo"), F.col("__yhi"), 8)
+            .alias("yg"),
+        )
+        z = g.select(
+            "l_partkey", "l_suppkey",
+            F.shiftright("xg", 2).alias("f_lin"),
+            F.shiftright(
+                _zo.interleave_expr(F.col("xg"), F.col("yg"), 8), 10
+            ).alias("f_z"),
+        )
+        return z.select(
+            F.expr("stack(2, 'linear', f_lin, 'zorder', f_z)"
+                   " AS (layout, file_id)"),
+            "l_partkey", "l_suppkey",
+        ).groupBy("layout", "file_id").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+            F.min("l_suppkey").alias("min_sk"),
+            F.max("l_suppkey").alias("max_sk"),
+        )
+
+    def _fk(li):
+        ck = li.select(F.col("l_orderkey").alias("k"))
+        kd = ck.where(F.col("k").isNotNull()).groupBy("k").agg(
+            F.count(F.lit(1)).alias("rows")
+        )
+        parent = load_tables(spark, sf_dir)["orders"].select(
+            F.col("o_orderkey").alias("k")
+        ).distinct()
+        return kd.join(parent, "k", "left_anti").agg(
+            F.count(F.lit(1)).alias("orphan_keys"),
+            F.coalesce(F.sum("rows"), F.lit(0)).alias("orphan_rows"),
+        )
+
+    def _rtbf(d):
+        per_part = d.groupBy(F.to_date("ts").alias("part")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.pmod(F.col("user_id"), F.lit(97)) == 0).cast("long"))
+            .alias("n_del"),
+        )
+        return per_part.agg(
+            F.sum("n_rows").alias("total_rows"),
+            F.sum("n_del").alias("rows_to_delete"),
+            F.sum(F.when(F.col("n_del") > 0, F.col("n_rows")).otherwise(0))
+            .alias("rows_rewritten"),
+        )
+
+    def _pseudo(d):
+        return d.select(
+            "doc_id",
+            F.expr(
+                "CAST(size(filter(__w, t -> t IN ('customer','user','key',"
+                "'order'))) AS BIGINT)"
+            ).alias("n_replaced"),
+            F.md5(
+                F.expr(
+                    "concat_ws(' ', transform(__w, t -> CASE WHEN t IN"
+                    " ('customer','user','key','order')"
+                    " THEN concat('ENT_', substring(md5(t), 1, 8))"
+                    " ELSE t END))"
+                )
+            ).alias("pseudo_md5"),
+        ).select(F.sum("n_replaced"), F.count("pseudo_md5"))
+
+    def _ndcg(d):
+        tok = d.select("doc_id", T.tokens("text").alias("__w")).persist()
+        dl = tok.select("doc_id", F.size("__w").cast("long").alias("dl"))
+        terms = ["fast", "hash", "join", "merge", "query", "scan",
+                 "sort", "stream", "table", "window"]
+        tf = (
+            tok.select("doc_id", F.explode("__w").alias("term"))
+            .where(F.col("term").isin(*terms))
+            .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        )
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.avg("dl").alias("avgdl"))
+        contrib = (
+            F.log((F.col("n_docs") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5) + 1.0)
+            * (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl")
+                                    / F.col("avgdl")))
+        )
+        per_term = (
+            tf.join(F.broadcast(dfreq), "term").join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .select("doc_id", "term",
+                    F.round(contrib * 1e6).cast("long").alias("c_micro"))
+        )
+        queries = spark.createDataFrame(
+            [(1, "hash", "join"), (2, "table", "scan"), (3, "sort", "merge"),
+             (4, "stream", "window"), (5, "fast", "query")],
+            "qid int, t1 string, t2 string",
+        )
+        cand = per_term.join(
+            F.broadcast(queries),
+            (F.col("term") == F.col("t1")) | (F.col("term") == F.col("t2")),
+        ).groupBy("qid", "doc_id").agg(
+            F.sum("c_micro").alias("score_micro"),
+            F.count(F.lit(1)).alias("rel"),
+        )
+        from pyspark.sql import Window as W
+
+        w_shard = W.partitionBy(
+            "qid", F.pmod(F.col("doc_id"), F.lit(32))
+        ).orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        surv = cand.withColumn("__r", F.row_number().over(w_shard)).where(
+            F.col("__r") <= 10
+        )
+        w_q = W.partitionBy("qid").orderBy(
+            F.desc("score_micro"), F.asc("doc_id")
+        )
+        return surv.withColumn("rank", F.row_number().over(w_q)).where(
+            F.col("rank") <= 10
+        ).groupBy("qid").agg(F.sum("rel"))
+
+    sixth_ops = {
+        "roc_auc": (_docs_table_at, _auc),
+        "kruskal_wallis": (lambda m: _events_at(spark, sf_dir, m), _kw),
+        "kendall_pairs": (lambda m: _events_at(spark, sf_dir, m), _kendall),
+        "zorder_effect": (_lineitem_at, _zorder_ab),
+        "fk_audit_edge": (_lineitem_at, _fk),
+        "rtbf_plan": (lambda m: _events_at(spark, sf_dir, m), _rtbf),
+        "pseudonymize": (
+            lambda m: _docs_at(spark, sf_dir, m).select(
+                "doc_id", T.tokens("text").alias("__w")
+            ),
+            _pseudo,
+        ),
+        "ndcg_topk": (lambda m: _docs_at(spark, sf_dir, m), _ndcg),
+    }
+
     all_ops = {n: (lambda m: _docs_at(spark, sf_dir, m), op) for n, op in ops.items()}
     all_ops.update(meta_ops)
     all_ops.update(events_ops)
     all_ops.update(third_ops)
     all_ops.update(fourth_ops)
     all_ops.update(fifth_ops)
+    all_ops.update(sixth_ops)
     only = sys.argv[2:]
     if only:
         unknown = [n for n in only if n not in all_ops]
