@@ -746,8 +746,9 @@ def main() -> None:
 
     def _lineitem_at(m):
         li = load_tables(spark, sf_dir)["lineitem"].select(
-            "l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
-            "l_returnflag", "l_linestatus", "l_extendedprice", "l_tax",
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity", "l_returnflag", "l_linestatus",
+            "l_extendedprice", "l_tax",
         )
         if m > 1:
             li = li.select(
@@ -1072,6 +1073,8 @@ def main() -> None:
             spark.catalog.clearCache()
         times["growth_8x"] = round(times["8"] / times["1"], 2)
         report[name] = times
+        # incremental line so a later op's crash can't lose this result
+        print(f"PROBE {name} {json.dumps(times)}", flush=True)
     print(json.dumps(report))
 
 
