@@ -71,7 +71,7 @@ _CHECK_LAST = [
     "q_fk_audit", "q_partition_advisor", "q_pseudonymize",
     "q_dp_histogram", "q_zorder_effect", "q_vacuum_plan",
     "q_bloom_sizing", "q_ndcg_mrr", "q_rtbf_plan",
-    "q_knn_classify",
+    "q_knn_classify", "q_survival_km", "q_kcore",
     "q_pq_codebook", "q_pq_recall", "q_pq_search",
     "q_preference_pairs", "q_rolling_median", "q_semi_join",
     "q_shard_checksums", "q_simhash", "q_simhash_near",

@@ -1902,6 +1902,299 @@ SELECT CAST(query_id % {_KNN_CLASSES} AS INT) AS true_label,
 FROM picked GROUP BY 1"""
 
 
+# --- Kaplan–Meier survival curve ----------------------------------------------------
+
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier view→purchase conversion curve — the censoring-aware
+    time-to-event analysis q_time_to_convert's quartiles can't give:
+    users who never purchase are CENSORED at the corpus horizon instead
+    of dropped, so S(t) is an unbiased "still unconverted after t days"
+    curve (the product-limit estimator, the survival-analysis
+    workhorse).
+
+    Exactness: the at-risk count n_t comes from the duration CDF
+    (one aggregation; n_t = N − #users with duration < t); each step's
+    ln(1 − d_t/n_t) is a per-row IEEE double (engine-identical)
+    quantized to 1e-9 nano-units, and the product folds as a running
+    BIGINT sum over the ≤ #days distinct-duration frame — exact
+    regardless of physical order — with S(t) = exp(cum/1e9) evaluated
+    identically by both engines.  A step with d_t = n_t (everyone
+    remaining converts) zeroes the curve explicitly rather than passing
+    ln(0) (Spark NULL vs DuckDB -inf)."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.to_date("ts")))
+        .alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.to_date("ts")))
+        .alias("first_buy"),
+    ).where(F.col("first_view").isNotNull())
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("__h"))
+    durations = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("first_buy") >= F.col("first_view"),
+            F.datediff(F.col("first_buy"), F.col("first_view")),
+        )
+        .otherwise(F.datediff(F.col("__h"), F.col("first_view")))
+        .cast("long")
+        .alias("t"),
+        (
+            F.col("first_buy").isNotNull()
+            & (F.col("first_buy") >= F.col("first_view"))
+        )
+        .cast("long")
+        .alias("event"),
+    )
+    per_t = durations.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_at"),
+        F.sum("event").cast("long").alias("d"),
+    )
+    tot = per_t.agg(F.sum("n_at").cast("long").alias("n_total"))
+    w_lt = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    steps = per_t.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (F.col("n_at") - F.col("d")).alias("censored"),
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_at").over(w_lt), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    step_nano = (
+        "CASE WHEN d = 0 THEN CAST(0 AS BIGINT)"
+        " WHEN d >= n_risk THEN CAST(NULL AS BIGINT)"
+        " ELSE CAST(round(ln(1.0 - d / CAST(n_risk AS DOUBLE)) * 1e9)"
+        " AS BIGINT) END"
+    )
+    w_le = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    curve = steps.select(
+        "t",
+        "n_risk",
+        "d",
+        "censored",
+        F.expr(step_nano).alias("__ln"),
+    ).select(
+        "t",
+        "n_risk",
+        "d",
+        "censored",
+        F.sum("__ln").over(w_le).alias("__cum"),
+        F.max((F.col("__ln").isNull() & (F.col("d") > 0)).cast("int"))
+        .over(w_le)
+        .alias("__dead"),
+    )
+    return curve.select(
+        "t",
+        "n_risk",
+        "d",
+        "censored",
+        _rnd(
+            F.expr(
+                "CASE WHEN __dead = 1 THEN 0.0"
+                " ELSE exp(__cum / 1e9) END"
+            ),
+            6,
+        ).alias("s_km"),
+    )
+
+
+_SQL_SURVIVAL_KM = """
+WITH ev AS (
+    SELECT user_id, event_type, CAST(ts AS DATE) AS day
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+per_user AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN day END) AS first_view,
+           min(CASE WHEN event_type = 'purchase' THEN day END) AS first_buy
+    FROM ev GROUP BY 1
+),
+horizon AS (SELECT max(day) AS h FROM ev),
+durations AS (
+    SELECT CAST(CASE WHEN first_buy >= first_view
+                THEN date_diff('day', first_view, first_buy)
+                ELSE date_diff('day', first_view, h) END AS BIGINT) AS t,
+           CAST(first_buy IS NOT NULL AND first_buy >= first_view
+                AS BIGINT) AS event
+    FROM per_user, horizon
+    WHERE first_view IS NOT NULL
+),
+per_t AS (
+    SELECT t, CAST(count(*) AS BIGINT) AS n_at,
+           CAST(sum(event) AS BIGINT) AS d
+    FROM durations GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_at) AS BIGINT) AS n_total FROM per_t),
+steps AS (
+    SELECT t, d, (n_at - d) AS censored,
+           CAST(n_total - coalesce(sum(n_at) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n_risk
+    FROM per_t, tot
+),
+lns AS (
+    SELECT t, n_risk, d, censored,
+           CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+                WHEN d >= n_risk THEN CAST(NULL AS BIGINT)
+                ELSE CAST(round(ln(1.0 - d / CAST(n_risk AS DOUBLE)) * 1e9)
+                     AS BIGINT) END AS ln_nano
+    FROM steps
+),
+curve AS (
+    SELECT t, n_risk, d, censored,
+           sum(ln_nano) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           max(CASE WHEN ln_nano IS NULL AND d > 0 THEN 1 ELSE 0 END)
+               OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+    FROM lns
+)
+SELECT t, n_risk, d, censored,
+       round(1e-9 + (CASE WHEN dead = 1 THEN 0.0
+             ELSE exp(cum / 1e9) END), 6) AS s_km
+FROM curve"""
+
+
+# --- k-core decomposition (fixed-k, unrolled peel) ---------------------------------------
+
+_KCORE_K = 12
+_KCORE_ROUNDS = 8
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-core of the HEAVY-TRAFFIC zone backbone — the cohesion census
+    beside degree/triangles/PageRank: the raw zone graph is near-
+    complete (every k is trivial there), so the graph first reduces to
+    its backbone (edges with above-mean trip count — an exact
+    cross-multiplied integer test), then nodes of backbone-degree < 12
+    peel repeatedly; what survives is the load-bearing cluster the
+    periphery hangs off.
+
+    Like q_kmeans_cells' unrolled Lloyd's, the peel is a FIXED 8-round
+    unroll (both engines run the identical rounds; on a ≤#zones graph 8
+    rounds reaches the fixpoint — asserted by the pytest's replay — and
+    the unroll keeps the plan static and the oracle expressible).  Each
+    round is one semi-join of the edge table against the surviving
+    nodes + one degree aggregation — edge-table-sized work.  Output:
+    surviving zones with their final in-core degree."""
+    from .plans import nyc_views, staging
+
+    li = staging.stg_taxi_trips(
+        nyc_views.trips_from_events(load_tables(spark, sf_dir)["events"])
+    )
+    cnt = (
+        li.select(
+            F.least("pickup_zone_id", "dropoff_zone_id").alias("a"),
+            F.greatest("pickup_zone_id", "dropoff_zone_id").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = cnt.agg(
+        F.sum("cnt").cast("long").alias("__tc"),
+        F.count(F.lit(1)).cast("long").alias("__ne"),
+    )
+    e = (
+        cnt.crossJoin(F.broadcast(tot))
+        .where(F.col("cnt") * F.col("__ne") > F.col("__tc"))
+        .select("a", "b")
+    )
+    # undirected simple edges, canonical a < b, then both directions.
+    # localCheckpoint DISCIPLINE (the connected-components lesson): the
+    # edge table is checkpointed once and the survivor set once per
+    # round — without it every round's plan embeds the previous round's
+    # whole join tree and analysis time goes exponential (measured:
+    # 372 s → ~5 s for the identical result).  Both frames are
+    # zone-graph-sized, so the eager materialization is metadata cost.
+    und = e.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    both = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    nodes = both.select(F.col("a").alias("node")).distinct()
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            both.join(F.broadcast(nodes.select(F.col("node").alias("a"))),
+                      "a")
+            .join(F.broadcast(nodes.select(F.col("node").alias("b"))), "b")
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        nodes = deg.where(F.col("deg") >= _KCORE_K).select(
+            F.col("a").alias("node")
+        ).localCheckpoint()
+    final = (
+        both.join(F.broadcast(nodes.select(F.col("node").alias("a"))), "a")
+        .join(F.broadcast(nodes.select(F.col("node").alias("b"))), "b")
+        .groupBy(F.col("a").cast("long").alias("zone_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+    return final
+
+
+def _sql_kcore() -> str:
+    from .plans.nyc_views import SQL_TRIPS
+    from .plans.staging import SQL_STG_TRIPS
+
+    base = (
+        "WITH "
+        + SQL_TRIPS.strip().rstrip(",")
+        + ",\n"
+        + SQL_STG_TRIPS.strip().rstrip(",")
+        + """,
+cnt AS MATERIALIZED (
+    SELECT least(pickup_zone_id, dropoff_zone_id) AS a,
+           greatest(pickup_zone_id, dropoff_zone_id) AS b,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM stg_trips WHERE pickup_zone_id <> dropoff_zone_id
+    GROUP BY 1, 2
+),
+tot AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS tc,
+           CAST(count(*) AS BIGINT) AS ne
+    FROM cnt
+),
+und AS MATERIALIZED (
+    SELECT a, b FROM cnt, tot WHERE cnt * ne > tc
+),
+both_e AS MATERIALIZED (
+    SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+),
+n0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM both_e)"""
+    )
+    rounds = []
+    prev = "n0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+        # each round references the previous one TWICE — unmaterialized,
+        # the trips pipeline re-expands 2^rounds times (measured ~100 s
+        # oracle-side; materialized it's instant)
+        rounds.append(f""",
+d{i} AS MATERIALIZED (
+    SELECT e.a, CAST(count(*) AS BIGINT) AS deg
+    FROM both_e e
+    JOIN {prev} x ON e.a = x.node
+    JOIN {prev} y ON e.b = y.node
+    GROUP BY 1
+),
+n{i} AS MATERIALIZED (SELECT a AS node FROM d{i}
+    WHERE deg >= {_KCORE_K})""")
+        prev = f"n{i}"
+    return base + "".join(rounds) + f"""
+SELECT e.a AS zone_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM both_e e
+JOIN {prev} x ON e.a = x.node
+JOIN {prev} y ON e.b = y.node
+GROUP BY 1"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_roc_auc": q_roc_auc,
     "q_pr_curve": q_pr_curve,
@@ -1919,6 +2212,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ndcg_mrr": q_ndcg_mrr,
     "q_rtbf_plan": q_rtbf_plan,
     "q_knn_classify": q_knn_classify,
+    "q_survival_km": q_survival_km,
+    "q_kcore": q_kcore,
 }
 
 ORACLES: dict[str, str] = {
@@ -1938,4 +2233,6 @@ ORACLES: dict[str, str] = {
     "q_ndcg_mrr": _sql_ndcg_mrr(),
     "q_rtbf_plan": _sql_rtbf_plan(),
     "q_knn_classify": _SQL_KNN_CLASSIFY,
+    "q_survival_km": _SQL_SURVIVAL_KM,
+    "q_kcore": _sql_kcore(),
 }

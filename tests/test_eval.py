@@ -409,3 +409,95 @@ def test_knn_classify_fold_and_majority(spark, sf_dir):
     for lbl, r in rows.items():
         assert r.n_queries == totals[lbl]
         assert r.n_correct == correct[lbl], lbl
+
+
+def test_survival_km_matches_literal_product_limit(spark, sf_dir):
+    """Replay the KM product-limit literally in Python from per-user
+    durations: n_risk/d/censored and S(t) must match (to the nano
+    quantization)."""
+    import datetime as dt
+    import math
+
+    rows = sorted(qe.q_survival_km(spark, sf_dir).collect(),
+                  key=lambda r: r.t)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select("user_id", "event_type", F.to_date("ts").alias("day")).collect()
+    first_view, first_buy, horizon = {}, {}, dt.date.min
+    for r in ev:
+        horizon = max(horizon, r.day)
+        if r.event_type == "view":
+            if r.user_id not in first_view or r.day < first_view[r.user_id]:
+                first_view[r.user_id] = r.day
+        if r.event_type == "purchase":
+            if r.user_id not in first_buy or r.day < first_buy[r.user_id]:
+                first_buy[r.user_id] = r.day
+    durs = []
+    for u, fv in first_view.items():
+        fb = first_buy.get(u)
+        if fb is not None and fb >= fv:
+            durs.append(((fb - fv).days, 1))
+        else:
+            durs.append(((horizon - fv).days, 0))
+    from collections import Counter
+
+    d_t = Counter(t for t, e in durs if e)
+    n_t = Counter(t for t, _ in durs)
+    n = len(durs)
+    s, at_risk = 1.0, n
+    expect = {}
+    for t in sorted(n_t):
+        d = d_t.get(t, 0)
+        if d:
+            s *= 1.0 - d / at_risk
+        expect[t] = (at_risk, d, n_t[t] - d, s)
+        at_risk -= n_t[t]
+    assert [r.t for r in rows] == sorted(n_t)
+    for r in rows:
+        nr, d, c, s_exp = expect[r.t]
+        assert (r.n_risk, r.d, r.censored) == (nr, d, c), r.t
+        assert math.isclose(r.s_km, s_exp, abs_tol=1e-5), (r.t, r.s_km, s_exp)
+    # curve is non-increasing
+    vals = [r.s_km for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(vals, vals[1:]))
+
+
+def test_kcore_matches_literal_peel_and_fixpoint(spark, sf_dir):
+    """Replay the backbone build + 8-round peel literally; a 9th round
+    must change nothing (fixpoint reached within the unroll)."""
+    from collections import Counter
+
+    from nyc_taxi_data_warehouse_spark.plans import nyc_views, staging
+    from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+
+    got = {r.zone_id: r.core_degree
+           for r in qe.q_kcore(spark, sf_dir).collect()}
+    li = staging.stg_taxi_trips(
+        nyc_views.trips_from_events(load_tables(spark, sf_dir)["events"])
+    )
+    cnt = (
+        li.select(F.least("pickup_zone_id", "dropoff_zone_id").alias("a"),
+                  F.greatest("pickup_zone_id", "dropoff_zone_id").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b").count().collect()
+    )
+    tc = sum(r["count"] for r in cnt)
+    ne = len(cnt)
+    edges = {(r.a, r.b) for r in cnt if r["count"] * ne > tc}
+    nodes = {x for e in edges for x in e}
+    prev = None
+    for _ in range(qe._KCORE_ROUNDS + 1):  # +1 proves the fixpoint
+        deg = Counter()
+        for a, b in edges:
+            if a in nodes and b in nodes:
+                deg[a] += 1
+                deg[b] += 1
+        prev = set(nodes)
+        nodes = {n for n in nodes if deg[n] >= qe._KCORE_K}
+    assert nodes == prev, "peel did not reach fixpoint within the unroll"
+    deg = Counter()
+    for a, b in edges:
+        if a in nodes and b in nodes:
+            deg[a] += 1
+            deg[b] += 1
+    assert got == {n: 1 * deg[n] for n in nodes}
