@@ -29,49 +29,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver records CORRECTNESS rows for only the first 50 registry
 # entries per round.  Rotate the window each round so evidence stays
-# fresh.  Round-9 window (per the round-8 VERDICT items 1 and 7):
-#   * slots 1-21: the 21 entries that have never had a driver-issued
-#     CORRECTNESS row (round-7 overflow + round-8 additions +
-#     q_matryoshka_recall/q_spearman);
-#   * slots 22-26: FLAGSHIP FRESHNESS POLICY — every round reserves
+# fresh.  Round-10 window (per the round-9 VERDICT item 1):
+#   * slots 1-18: the 18 round-9 additions that have never had a
+#     driver-issued CORRECTNESS row (eval/stats/lakehouse/governance/
+#     kcore) — closing this loop gives every one of the 273 registry
+#     queries a driver-issued row;
+#   * slots 19-23: FLAGSHIP FRESHNESS POLICY — every round reserves
 #     ~5 slots for the reference-surface flagships (q_enrich,
 #     q_trips_weather, q_daily, q_zone_analysis, q_fare_daily_features)
 #     on a rotating basis, so the headline marts never go more than
-#     2 rounds without a driver row (all five last gated r6);
-#   * slots 27-50: the 24 alphabetically-first of the 37 queries whose
-#     latest driver row is round 4 (the stalest cohort).
-# _CHECK_LAST is ordered stalest-first (the remaining 13 round-4-stale
-# entries head it) so round 10 rebuilds its window by taking the head;
-# new queries added mid-round park at the HEAD of _CHECK_LAST as
-# first-evidence candidates.  tests/test_registry.py pins the
-# bookkeeping.
+#     2 rounds without a driver row (all five last gated r9);
+#   * slots 24-50: the 27 stalest remaining entries (head of the old
+#     _CHECK_LAST — latest driver rows round 4-5).
+# _CHECK_LAST is ordered stalest-first so round 11 rebuilds its window
+# by taking the head; the round-9 window's 45 non-flagship entries
+# (freshest evidence) sit at the TAIL.  New queries added mid-round
+# park at the HEAD of _CHECK_LAST as first-evidence candidates.
+# tests/test_registry.py pins the bookkeeping.
 _CHECK_FIRST = [
-    "q_market_basket", "q_mixture_temperature", "q_key_skew",
-    "q_ohlc_bars", "q_attribution", "q_cusum_changepoint",
-    "q_quantile_summary", "q_entity_resolution", "q_frequent_sequences",
-    "q_stream_cusum", "q_gaps_islands", "q_compaction_plan",
-    "q_bh_fdr", "q_mannwhitney", "q_slo_burn",
-    "q_calibration", "q_boilerplate_scrub", "q_dup_span_removal",
-    "q_encoding_advisor", "q_matryoshka_recall", "q_spearman",
-    "q_enrich", "q_trips_weather", "q_daily",
-    "q_zone_analysis", "q_fare_daily_features", "q_anomaly_mad",
-    "q_bpe_merges", "q_bpe_tokenize", "q_cdc_classify",
-    "q_containment", "q_cross_corpus_neardup", "q_crosstab_independence",
-    "q_dedup_plan", "q_delta_roundtrip", "q_demand_corr",
-    "q_dropna", "q_embedding_stats", "q_event_paths",
-    "q_iceberg_diff", "q_iceberg_roundtrip", "q_langid_eval",
-    "q_limit", "q_lsh_hot_buckets", "q_lsh_recall",
-    "q_minhash_lsh", "q_minmax", "q_normalize_dedup",
-    "q_orc_roundtrip", "q_pagerank_zones",
-]
-_CHECK_LAST = [
-    # round-9 additions (first-evidence candidates for the round-10 window)
     "q_roc_auc", "q_pr_curve", "q_lift_table",
-    "q_kruskal_wallis", "q_kendall_tau", "q_theil_sen",
-    "q_fk_audit", "q_partition_advisor", "q_pseudonymize",
-    "q_dp_histogram", "q_zorder_effect", "q_vacuum_plan",
-    "q_bloom_sizing", "q_ndcg_mrr", "q_rtbf_plan",
-    "q_knn_classify", "q_survival_km", "q_kcore",
+    "q_ndcg_mrr", "q_knn_classify", "q_kruskal_wallis",
+    "q_kendall_tau", "q_theil_sen", "q_survival_km",
+    "q_fk_audit", "q_partition_advisor", "q_zorder_effect",
+    "q_vacuum_plan", "q_bloom_sizing", "q_pseudonymize",
+    "q_dp_histogram", "q_rtbf_plan", "q_kcore",
+    "q_enrich", "q_trips_weather", "q_daily",
+    "q_zone_analysis", "q_fare_daily_features",
     "q_pq_codebook", "q_pq_recall", "q_pq_search",
     "q_preference_pairs", "q_rolling_median", "q_semi_join",
     "q_shard_checksums", "q_simhash", "q_simhash_near",
@@ -81,6 +64,8 @@ _CHECK_LAST = [
     "q_chunk_docs", "q_conversion_funnel", "q_cube",
     "q_dedup_cluster", "q_dedup_keep_best", "q_dup_ngram_coverage",
     "q_embedding_neardup", "q_embedding_quantize", "q_filter_funnel",
+]
+_CHECK_LAST = [
     "q_fingerprint", "q_freshness", "q_gapfill",
     "q_incremental_agg", "q_inverted_index", "q_knn_bruteforce",
     "q_lang_id", "q_length_histogram", "q_merge_upsert",
@@ -141,6 +126,22 @@ _CHECK_LAST = [
     "q_t_closeness", "q_time_to_convert", "q_trend_ols",
     "q_tukey_outliers", "q_watermark_audit", "q_weighted_median",
     "q_zipf_fit",
+    # round-9 window (driver rows issued r9 — freshest evidence)
+    "q_market_basket", "q_mixture_temperature", "q_key_skew",
+    "q_ohlc_bars", "q_attribution", "q_cusum_changepoint",
+    "q_quantile_summary", "q_entity_resolution", "q_frequent_sequences",
+    "q_stream_cusum", "q_gaps_islands", "q_compaction_plan",
+    "q_bh_fdr", "q_mannwhitney", "q_slo_burn",
+    "q_calibration", "q_boilerplate_scrub", "q_dup_span_removal",
+    "q_encoding_advisor", "q_matryoshka_recall", "q_spearman",
+    "q_anomaly_mad", "q_bpe_merges", "q_bpe_tokenize",
+    "q_cdc_classify", "q_containment", "q_cross_corpus_neardup",
+    "q_crosstab_independence", "q_dedup_plan", "q_delta_roundtrip",
+    "q_demand_corr", "q_dropna", "q_embedding_stats",
+    "q_event_paths", "q_iceberg_diff", "q_iceberg_roundtrip",
+    "q_langid_eval", "q_limit", "q_lsh_hot_buckets",
+    "q_lsh_recall", "q_minhash_lsh", "q_minmax",
+    "q_normalize_dedup", "q_orc_roundtrip", "q_pagerank_zones",
 ]
 
 

@@ -2564,8 +2564,9 @@ pairs AS (
 )
 SELECT p.doc_a, p.doc_b,
        CAST(levenshtein(ca.text, cb.text) AS INTEGER) AS edit_distance,
-       round(1e-9 + 1.0 - levenshtein(ca.text, cb.text)
-             / greatest(length(ca.text), length(cb.text)), 6) AS edit_similarity
+       round((1.0 - levenshtein(ca.text, cb.text)
+             / greatest(length(ca.text), length(cb.text))) + 1e-9, 6)
+           AS edit_similarity
 FROM pairs p
 JOIN corpus ca ON ca.doc_id = p.doc_a
 JOIN corpus cb ON cb.doc_id = p.doc_b
@@ -4324,9 +4325,9 @@ tops AS (
 )
 SELECT g.doc_id,
        len(g.w) AS n_tokens,
-       round(1e-9 + 1.0 - len(list_distinct(g.w)) / greatest(len(g.w), 1), 6)
+       round((1.0 - len(list_distinct(g.w)) / greatest(len(g.w), 1)) + 1e-9, 6)
            AS dup_token_frac,
-       round(1e-9 + 1.0 - len(list_distinct(g.g)) / greatest(len(g.g), 1), 6)
+       round((1.0 - len(list_distinct(g.g)) / greatest(len(g.g), 1)) + 1e-9, 6)
            AS dup_3gram_frac,
        round(1e-9 + coalesce(t.top / len(g.w), 0.0), 6) AS top_token_frac
 FROM grams g LEFT JOIN tops t ON g.doc_id = t.doc_id"""
@@ -5332,8 +5333,8 @@ SELECT w.d, w.dow, w.y,
             THEN round(1e-9 + w.sum7 / 7.0, 6) END AS trend,
        round(1e-9 + CAST(s.s_num AS DOUBLE) / (7 * s.s_cnt), 6) AS seasonal,
        CASE WHEN w.cnt7 = 7
-            THEN round(1e-9 + w.y - w.sum7 / 7.0
-                       - CAST(s.s_num AS DOUBLE) / (7 * s.s_cnt), 6)
+            THEN round((w.y - w.sum7 / 7.0
+                        - CAST(s.s_num AS DOUBLE) / (7 * s.s_cnt)) + 1e-9, 6)
        END AS residual
 FROM w JOIN seas s USING (dow)"""
 
@@ -6196,7 +6197,7 @@ SELECT u.src_a, u.src_b,
        round(1e-9 + sa.est_distinct, 4) AS est_a,
        round(1e-9 + sb.est_distinct, 4) AS est_b,
        round(1e-9 + u.est_distinct, 4) AS est_union,
-       round(1e-9 + sa.est_distinct + sb.est_distinct - u.est_distinct, 4)
+       round((sa.est_distinct + sb.est_distinct - u.est_distinct) + 1e-9, 4)
            AS est_intersection,
        COALESCE(x.exact_intersection, CAST(0 AS BIGINT)) AS exact_intersection
 FROM u_est u
@@ -6479,7 +6480,7 @@ per_qi AS (
     FROM per_sv GROUP BY 1, 2, 3
 )
 SELECT c_nationkey, c_mktsegment, acctbal_bin, n_rows, distinct_sensitive,
-       round(1e-9 + ln(n_rows) - clnc / n_rows, 6) AS entropy,
+       round((ln(n_rows) - clnc / n_rows) + 1e-9, 6) AS entropy,
        CAST(distinct_sensitive < 3
             OR (ln(n_rows) - clnc / n_rows) < {math.log(3.0) - 1e-9!r}
             AS INTEGER) AS at_risk_l3
@@ -9833,8 +9834,8 @@ seas AS (
 ),
 base AS (
     SELECT w.d, w.y,
-           round(1e-9 + w.y - w.sum7 / 7.0
-                 - s.s_num / (7.0 * s.s_cnt), 6) AS resid
+           round((w.y - w.sum7 / 7.0
+                  - s.s_num / (7.0 * s.s_cnt)) + 1e-9, 6) AS resid
     FROM w JOIN seas s USING (dow) WHERE w.cnt7 = 7
 ),
 n AS (SELECT count(*) AS n FROM base),

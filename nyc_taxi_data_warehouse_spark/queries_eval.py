@@ -114,7 +114,11 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the scored frame's lineage (interpreted higher-order
     # token features) otherwise replays for the CDF primitive's eager
     # GK-edge job, the CDF side, AND the positive-count side (the
-    # q_spearman lesson — measured 12 s -> ~2 s at sf0.1)
+    # q_spearman lesson — measured 12 s -> ~2 s at sf0.1).
+    # Cache lifetime (here and at every persist in this module): a
+    # queries() callable returns an unconsumed plan, so it cannot
+    # unpersist; release is the HARNESS's job — bench.py clears the
+    # cache after every run, and tools/check_correctness.py per query.
     base = _scored(spark, sf_dir).persist()
     cdf = bucketed_value_cumsum(base.select("source", "pi"), "pi", ("source",))
     cpos = base.groupBy("source", F.col("pi").alias("__v")).agg(
@@ -691,7 +695,7 @@ med AS (
     FROM scdf, np_ WHERE 2 * cle >= n_pairs
 ),
 resid AS (
-    SELECT round(1e-9 + d.y - m.slope * d.t, 9) AS r
+    SELECT round((d.y - m.slope * d.t) + 1e-9, 9) AS r
     FROM daily d, med m
 ),
 nd_ AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
@@ -965,13 +969,18 @@ _DP_NOISE = (
 
 
 def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ε-DP histogram RELEASE with seeded two-sided geometric noise —
+    """Seeded SIMULATION of the ε-DP geometric-mechanism histogram —
     the mechanism q_dp_budget only plans: per event-type cell, the true
     count plus discrete noise (the geometric mechanism, the integer
     Laplace analogue), with magnitude drawn by inverse-CDF from an
-    md5-derived uniform and sign from an md5 bit — so the release is
-    reproducible for audit (a production system would use a sealed
-    seed; determinism is what makes it ORACLE-GATED here).
+    md5-derived uniform and sign from an md5 bit.  NOT a differential-
+    privacy guarantee: the noise is a deterministic function of the
+    protected cell label itself (anyone can recompute it), which is
+    exactly what makes the release reproducible and ORACLE-GATED here.
+    A production system must replace the md5-of-label draw with a
+    sealed-seed PRNG independent of the data; the output column is
+    named ``epsilon_model`` (the parameter the simulation models), not
+    ``epsilon``, to keep the schema from overstating the guarantee.
 
     Exactness: the hash integers are engine-identical (8 hex chars
     rebuilt positionally in the oracle), the magnitude formula is ONE
@@ -1012,7 +1021,7 @@ def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("noisy_n"),
         F.abs("noise").cast("long").alias("abs_err"),
-        F.lit(_DP_EPS).alias("epsilon"),
+        F.lit(_DP_EPS).alias("epsilon_model"),
     )
 
 
@@ -1047,7 +1056,7 @@ noised AS (
 SELECT event_type, n,
        CAST(greatest(0, n + noise) AS BIGINT) AS noisy_n,
        CAST(abs(noise) AS BIGINT) AS abs_err,
-       CAST({_DP_EPS} AS DOUBLE) AS epsilon
+       CAST({_DP_EPS} AS DOUBLE) AS epsilon_model
 FROM noised"""
 
 

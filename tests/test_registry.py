@@ -35,7 +35,7 @@ def test_registry_order_is_deterministic_and_window_prioritized():
 # Reference-surface flagships: the headline marts must never go more
 # than 2 rounds without a driver CORRECTNESS row, so every round's
 # window reserves ~5 slots for them on a rotating basis (round-8
-# VERDICT item 7).  All five are in the round-9 window.
+# VERDICT item 7).  All five are in the round-10 window.
 FLAGSHIPS = [
     "q_enrich", "q_trips_weather", "q_daily",
     "q_zone_analysis", "q_fare_daily_features",
@@ -50,15 +50,15 @@ def test_flagship_freshness_policy_slots():
 
 
 def test_never_driver_checked_entries_lead_the_window():
-    # The 21 entries without any driver-issued CORRECTNESS row through
-    # round 8 must occupy the head of the round-9 window.
+    # The 18 round-9 additions without any driver-issued CORRECTNESS row
+    # through round 9 must occupy the head of the round-10 window
+    # (round-9 VERDICT item 1).
     never = [
-        "q_market_basket", "q_mixture_temperature", "q_key_skew",
-        "q_ohlc_bars", "q_attribution", "q_cusum_changepoint",
-        "q_quantile_summary", "q_entity_resolution", "q_frequent_sequences",
-        "q_stream_cusum", "q_gaps_islands", "q_compaction_plan",
-        "q_bh_fdr", "q_mannwhitney", "q_slo_burn", "q_calibration",
-        "q_boilerplate_scrub", "q_dup_span_removal", "q_encoding_advisor",
-        "q_matryoshka_recall", "q_spearman",
+        "q_roc_auc", "q_pr_curve", "q_lift_table",
+        "q_ndcg_mrr", "q_knn_classify", "q_kruskal_wallis",
+        "q_kendall_tau", "q_theil_sen", "q_survival_km",
+        "q_fk_audit", "q_partition_advisor", "q_zorder_effect",
+        "q_vacuum_plan", "q_bloom_sizing", "q_pseudonymize",
+        "q_dp_histogram", "q_rtbf_plan", "q_kcore",
     ]
     assert entry._CHECK_FIRST[: len(never)] == never

@@ -14,6 +14,14 @@ require the canonical type of every column to match Spark's declared schema
 PASS.  Usage:
 
     python tools/check_correctness.py [sf_dir] [query ...]
+    python tools/check_correctness.py --changed=<git-ref> [sf_dir]
+
+``--changed=<git-ref>`` gates every query whose implementation could have
+changed since <git-ref>: it git-diffs the engine package, builds the
+package-internal import graph (AST-level), and selects the registry
+queries whose defining module transitively imports any changed module.
+This is the evidence-can't-outrun-code mode (round-9 VERDICT item 8):
+run it with the ref of the last full sweep before committing a round.
 """
 
 from __future__ import annotations
@@ -107,9 +115,108 @@ def canon(rows, cols):
     return out
 
 
+def _pkg_import_graph(root: str) -> dict[str, set[str]]:
+    """module -> set of package-internal modules it imports (AST-level).
+    Module names are dotted, rooted at the repo ('__spark_entry__' or
+    'nyc_taxi_data_warehouse_spark.…')."""
+    import ast
+    import os
+
+    pkg = "nyc_taxi_data_warehouse_spark"
+    mods: dict[str, str] = {"__spark_entry__": os.path.join(root, "__spark_entry__.py")}
+    for dirpath, _dirs, files in os.walk(os.path.join(root, pkg)):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, f), root)
+            name = rel[:-3].replace(os.sep, ".")
+            if name.endswith(".__init__"):
+                name = name[: -len(".__init__")]
+            mods[name] = os.path.join(dirpath, f)
+    known = set(mods)
+    graph: dict[str, set[str]] = {m: set() for m in mods}
+
+    def resolve(cur: str, target: str, level: int) -> str | None:
+        if level:  # relative import: climb from the current module
+            base = cur.split(".")
+            base = base[: len(base) - level]
+            target = ".".join(base + ([target] if target else []))
+        # longest known prefix (import of a symbol FROM a module)
+        parts = target.split(".")
+        for i in range(len(parts), 0, -1):
+            cand = ".".join(parts[:i])
+            if cand in known:
+                return cand
+        return None
+
+    for name, path in mods.items():
+        try:
+            tree = ast.parse(open(path).read())
+        except SyntaxError:
+            continue
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Import):
+                for a in node.names:
+                    r = resolve(name, a.name, 0)
+                    if r:
+                        graph[name].add(r)
+            elif isinstance(node, ast.ImportFrom):
+                base = resolve(name, node.module or "", node.level)
+                if base:
+                    graph[name].add(base)
+                for a in node.names:  # `from pkg import submodule`
+                    r = resolve(
+                        name,
+                        ((node.module + ".") if node.module else "") + a.name,
+                        node.level,
+                    )
+                    if r:
+                        graph[name].add(r)
+    return graph
+
+
+def _changed_queries(ref: str, qs: dict) -> set[str]:
+    """Queries whose defining module transitively imports a module
+    changed since git ``ref`` (over-approximates: any reachable change
+    selects the query; a query is never silently skipped because the
+    change sat in a helper module)."""
+    import os
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    diff = subprocess.run(
+        ["git", "diff", "--name-only", ref, "--",
+         "nyc_taxi_data_warehouse_spark", "__spark_entry__.py"],
+        capture_output=True, text=True, cwd=root, check=True,
+    ).stdout.split()
+    changed = {
+        p[:-3].replace("/", ".").replace(".__init__", "")
+        for p in diff
+        if p.endswith(".py")
+    }
+    if not changed:
+        return set()
+    graph = _pkg_import_graph(root)
+    # transitive closure: affected = changed ∪ importers-of-affected
+    affected = set(changed)
+    moved = True
+    while moved:
+        moved = False
+        for m, deps in graph.items():
+            if m not in affected and deps & affected:
+                affected.add(m)
+                moved = True
+    return {n for n, fn in qs.items() if fn.__module__ in affected}
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--changed")]
+    changed_ref = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--changed=")),
+        None,
+    )
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     # CHECK_JSON_OUT=<path>: also write driver-shaped rows
     # ({name: {rows_match, schema_match, hash_match, spark_rows,
     # oracle_rows, err}}) so a full-registry replica sweep records
@@ -141,11 +248,22 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    if changed_ref is not None:
+        sel = _changed_queries(changed_ref, qs)
+        print(f"--changed={changed_ref}: {len(sel)} of {len(qs)} queries affected")
+        if not sel:
+            print("\n0 passed, 0 failed")
+            return 0
+        only = (only & sel) if only else sel
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        # release frames the previous query persisted (a queries()
+        # callable returns an unconsumed plan and cannot unpersist —
+        # cache lifetime is this harness's job, mirroring bench.py)
+        spark.catalog.clearCache()
         try:
             sdf = fn(spark, sf_dir)
             s_cols = [c.lower() for c in sdf.columns]

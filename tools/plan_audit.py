@@ -8,6 +8,13 @@ pushdown summary, and flags the anti-patterns that matter at 100 TB:
   narrow projection (pruning failure)
 - row-at-a-time PythonUDF in the plan (ArrowEvalPython / mapInPandas are the
   sanctioned Python crossings)
+- BNLJ_DATA_BUILD: a BroadcastNestedLoopJoin whose build side is NOT
+  provably ≤1 row.  The repo's only sanctioned BNLJ is the
+  broadcast-aggregate pattern (crossJoin of a 1-row corpus-stats frame);
+  this check walks the physical plan and accepts a build side only if it
+  bottoms out in a global (no-keys) aggregate, a ≤1-row LocalTableScan,
+  or a join/cross of such — anything else is a data×data nested loop
+  (round-9 VERDICT item 4).
 
 Usage: python tools/plan_audit.py [sf_dir] [query ...]
 """
@@ -29,6 +36,98 @@ JOIN_KINDS = (
     "BroadcastNestedLoopJoin",
     "CartesianProduct",
 )
+
+
+def _seq(s) -> list:
+    """Scala Seq -> python list (py4j)."""
+    return [s.apply(i) for i in range(s.size())]
+
+
+def _is_one_row(node) -> bool:
+    """True iff this physical subtree provably produces ≤1 row."""
+    cls = node.getClass().getSimpleName()
+    if cls in (
+        "HashAggregateExec",
+        "ObjectHashAggregateExec",
+        "SortAggregateExec",
+    ):
+        # global aggregate (no grouping keys) → exactly 1 row
+        return node.groupingExpressions().isEmpty()
+    if cls == "LocalTableScanExec":
+        return node.rows().size() <= 1
+    if cls in (
+        "BroadcastNestedLoopJoinExec",
+        "CartesianProductExec",
+        "BroadcastHashJoinExec",
+        "SortMergeJoinExec",
+        "ShuffledHashJoinExec",
+    ):
+        # a join/cross of two ≤1-row sides stays ≤1 row (the chained
+        # broadcast-aggregate pattern: stats.crossJoin(other_stats))
+        kids = _seq(node.children())
+        return len(kids) == 2 and all(_is_one_row(k) for k in kids)
+    if cls == "ReusedExchangeExec":
+        return _is_one_row(node.child())
+    if cls == "InMemoryTableScanExec":
+        return _is_one_row(node.relation().cachedPlan())
+    if cls == "AdaptiveSparkPlanExec":  # cached plans wrap in AQE
+        return _is_one_row(node.initialPlan())
+    # row-preserving / row-nonincreasing wrappers: recurse
+    kids = _seq(node.children())
+    if len(kids) == 1 and cls not in ("GenerateExec", "ExpandExec"):
+        return _is_one_row(kids[0])
+    return False
+
+
+# Queries whose BNLJ build side is intentionally multi-row but BOUNDED
+# BY CONSTRUCTION (each bound documented at the implementation): these
+# print BNLJ_BOUNDED_ALLOWED (visible, not a failure) instead of
+# BNLJ_DATA_BUILD.  Adding a name here requires a grain argument in the
+# query's docstring — the calendar/day-grain self-joins cap the pair
+# mass by the TIME AXIS (≤731 day rows at any corpus size), never by
+# data volume.
+BNLJ_BOUNDED_OK = {
+    "q_kendall_tau",   # day-grain pair self-join, ≤731 rows/side
+    "q_theil_sen",     # same day-grain pair join (slopes frame)
+}
+
+
+def bnlj_flags(df, name: str = "") -> list[str]:
+    """BNLJ_DATA_BUILD for every BroadcastNestedLoopJoin whose build side
+    is not provably ≤1 row (descends into InMemoryRelation cached plans —
+    persisted frames hide their build subtree there); BNLJ_UNVERIFIED if
+    the walk itself fails (fails VISIBLE, never silently ok)."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan()
+        if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            plan = plan.initialPlan()
+        flags: list[str] = []
+
+        def walk(node):
+            cls = node.getClass().getSimpleName()
+            if cls == "BroadcastNestedLoopJoinExec":
+                build = str(node.buildSide())
+                kids = _seq(node.children())
+                child = kids[0] if build == "BuildLeft" else kids[1]
+                if not _is_one_row(child):
+                    flags.append(
+                        "BNLJ_BOUNDED_ALLOWED"
+                        if name in BNLJ_BOUNDED_OK
+                        else "BNLJ_DATA_BUILD"
+                    )
+            for k in _seq(node.children()):
+                walk(k)
+            if cls == "ReusedExchangeExec":
+                walk(node.child())
+            elif cls == "InMemoryTableScanExec":
+                walk(node.relation().cachedPlan())
+            elif cls == "AdaptiveSparkPlanExec":  # cached-plan AQE wrapper
+                walk(node.initialPlan())
+
+        walk(plan)
+        return sorted(set(flags))
+    except Exception:  # noqa: BLE001
+        return ["BNLJ_UNVERIFIED"]
 
 
 def audit(name: str, plan: str) -> list[str]:
@@ -67,7 +166,11 @@ def main() -> int:
         joins = {k: plan.count(k + " ") + plan.count(k + "\n") for k in JOIN_KINDS}
         joins = {k: v for k, v in joins.items() if v}
         flags = audit(name, plan)
-        n_flagged += bool(flags)
+        if "BroadcastNestedLoopJoin" in plan:
+            flags += bnlj_flags(df, name)
+        # BNLJ_BOUNDED_ALLOWED is informational (documented bounded-frame
+        # pattern, printed so it stays visible) — not an audit failure
+        n_flagged += bool([f for f in flags if f != "BNLJ_BOUNDED_ALLOWED"])
         print(
             f"{name}: exchanges={plan.count('Exchange')} "
             f"joins={joins or '{}'} "
