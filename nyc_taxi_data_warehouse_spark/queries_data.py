@@ -9393,6 +9393,19 @@ FROM uni GROUP BY 1"""
 _LSH_BAND_SIZES = [1, 2, 4]  # r in the (b bands × r rows) S-curve
 _LSH_J_NUM, _LSH_J_DEN = 1, 2  # truth threshold J >= 1/2, as a rational
 
+# Ground-truth doc sample rate (percent) for the tuning table. Tuning needs
+# an UNBIASED precision/recall estimate, not the full truth set: the exact
+# shingle self-join is the one quadratic in this repo with no hot-bucket cap,
+# so at 100 TB it MUST run on a content-hash sample. Sampling happens on the
+# BASE documents before twin construction (a sampled doc keeps its planted
+# near-dup twin, so the S-curve stays informative), identically in Spark and
+# the DuckDB oracle (same md5-bucket draw). Override for a full-truth run
+# with SPARK_GRAFT_LSH_TUNE_PCT=100.
+import os as _os
+
+_LSH_TUNE_PCT = int(_os.environ.get("SPARK_GRAFT_LSH_TUNE_PCT", "50"))
+_LSH_TUNE_SALT = "lshtune"
+
 
 def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH S-curve tuning table — precision/recall of the MinHash band
@@ -9404,10 +9417,22 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ≥ 1/2, decided by the cross-multiplied INTEGER comparison
     (den+num)·n_common ≥ num·(sz_a+sz_b), never a float) is evaluated
     only on shared-shingle pairs — a J ≥ 1/2 pair always shares
-    shingles, so the truth set is complete without an all-pairs scan."""
-    from .operators import dedup as dd
+    shingles, so the truth set is complete without an all-pairs scan.
 
-    sh = dd.shingle_rows(_text_corpus(_docs(spark, sf_dir))).persist()
+    The truth set is evaluated on a deterministic content-hash sample of
+    the base docs (default 50%, `SPARK_GRAFT_LSH_TUNE_PCT`):
+    precision/recall are ratio estimators, so an unbiased doc sample gives
+    an unbiased S-curve while bounding the exact-truth join quadratically
+    (0.25× work at the 50% default)."""
+    from .operators import dedup as dd
+    from .operators import sampling
+
+    base = _docs(spark, sf_dir)
+    if _LSH_TUNE_PCT < 100:
+        base = sampling.hash_sample(
+            base, "doc_id", _LSH_TUNE_PCT, salt=_LSH_TUNE_SALT
+        )
+    sh = dd.shingle_rows(_text_corpus(base)).persist()
     sig = dd.minhash_signatures(sh, num_hashes=_NH).persist()
     inter = (
         sh.alias("a")
@@ -9505,9 +9530,24 @@ st{bs} AS (
         f"SELECT s.*, n.n_truth FROM st{bs} s, tn n"
         for bs in _LSH_BAND_SIZES
     )
+    sampled_corpus = f"""
+sampled AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               substr(md5(CAST(doc_id AS VARCHAR) || '{_LSH_TUNE_SALT}'),
+                      1, 8) AS h
+        FROM documents
+    ) WHERE ({_HEXVAL}) % 100 < {_LSH_TUNE_PCT}
+),
+corpus AS (
+    SELECT doc_id, text FROM sampled
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, substr(text, 31) AS text FROM sampled
+)
+"""
     return (
         "WITH "
-        + ",".join([SQL_CORPUS, SQL_TOK, SQL_SH])
+        + ",".join([sampled_corpus, SQL_TOK, SQL_SH])
         + f""",
 sig AS (
     SELECT doc_id,

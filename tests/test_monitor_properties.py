@@ -122,3 +122,223 @@ def test_bloom_probe_preserves_duplicate_rows(spark, keys):
     got = out.collect()
     assert Counter(r.k for r in got) == Counter(keys)
     assert all(r.may_contain == 1 for r in got)  # all probes are members
+
+
+# --- round-9 stats cores (verdict r9 #6) -----------------------------------
+#
+# Each example materializes a synthetic sf dir (events written fresh, the
+# nine untouched tables symlinked to 1-row stubs) and runs the FULL query
+# through load_tables — the same code path the driver gates — against a
+# literal Python rewrite or an algebraic invariant.
+
+import datetime as _dt
+import itertools as _it
+
+import pytest
+
+_D0 = _dt.date(2024, 1, 1)
+_ex_counter = _it.count()
+
+
+@pytest.fixture(scope="session")
+def stub_dir(spark, sf_dir, tmp_path_factory):
+    """One-row stub copies of every non-events table, written once."""
+    d = tmp_path_factory.mktemp("stubs")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"{t}.parquet"))
+    return d
+
+
+def _events_dir(spark, stub_dir, tmp_path_factory, rows):
+    """Fresh sf dir for one hypothesis example: unique path (so the
+    load_tables persist cache can never serve a stale plan), stub tables
+    symlinked, events written from `rows` of (user_id, event_type, value,
+    day_offset)."""
+    d = tmp_path_factory.mktemp(f"ev{next(_ex_counter)}")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        os.symlink(stub_dir / f"{t}.parquet", d / f"{t}.parquet")
+    ev = [
+        (
+            i,
+            _dt.datetime.combine(
+                _D0 + _dt.timedelta(days=off), _dt.time(12, 0)
+            ),
+            int(uid),
+            et,
+            float(val),
+            None,
+        )
+        for i, (uid, et, val, off) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+@given(
+    cohort=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),          # first_view day
+            st.one_of(                                        # buy delay
+                st.none(), st.integers(min_value=0, max_value=20)
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_km_curve_invariants_on_random_cohorts(
+    spark, stub_dir, tmp_path_factory, cohort
+):
+    """For ANY cohort: S is in [0,1] and monotone nonincreasing, the
+    at-risk ledger balances exactly (n_risk drops by d+censored per
+    step, first step starts at the cohort size), and S matches the
+    literal product-limit within quantization error."""
+    from nyc_taxi_data_warehouse_spark import queries_eval as qe
+
+    rows = []
+    for uid, (fv, delay) in enumerate(cohort):
+        rows.append((uid, "view", 1.0, fv))
+        if delay is not None:
+            rows.append((uid, "purchase", 1.0, fv + delay))
+    d = _events_dir(spark, stub_dir, tmp_path_factory, rows)
+    got = sorted(qe.q_survival_km(spark, d).collect(), key=lambda r: r.t)
+    assert got, cohort
+    n_total = len(cohort)
+    assert got[0].n_risk == n_total
+    ledger, surv = n_total, 1.0
+    for r in got:
+        assert r.n_risk == ledger, (r, cohort)
+        assert -1e-9 <= r.s_km <= 1.0 + 1e-9
+        surv = 0.0 if r.d >= r.n_risk else surv * (1 - r.d / r.n_risk)
+        assert abs(r.s_km - surv) <= 2e-6, (r, surv, cohort)
+        ledger -= r.d + r.censored
+    assert ledger == 0
+    for a, b in zip(got, got[1:]):
+        assert a.s_km >= b.s_km - 1e-12, (a, b)
+
+
+@given(
+    samples=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),           # group idx
+            st.integers(min_value=-300, max_value=300),      # value cents
+        ),
+        min_size=4,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_kruskal_wallis_invariant_under_group_relabeling(
+    spark, stub_dir, tmp_path_factory, samples
+):
+    """H (and z, p) must be invariant under renaming the groups — the
+    statistic depends only on the rank structure, never on labels."""
+    from hypothesis import assume
+
+    from nyc_taxi_data_warehouse_spark import queries_eval as qe
+
+    groups = sorted({g for g, _ in samples})
+    vals = {v for _, v in samples}
+    assume(len(groups) >= 2 and len(vals) >= 2)
+    rows_a = [
+        (i, f"g{g}", v / 100.0, i % 10) for i, (g, v) in enumerate(samples)
+    ]
+    relabel = {g: f"z{9 - g}" for g in groups}  # reversed, disjoint names
+    rows_b = [
+        (i, relabel[g], v / 100.0, i % 10)
+        for i, (g, v) in enumerate(samples)
+    ]
+    da = _events_dir(spark, stub_dir, tmp_path_factory, rows_a)
+    db = _events_dir(spark, stub_dir, tmp_path_factory, rows_b)
+    ra = qe.q_kruskal_wallis(spark, da).collect()[0]
+    rb = qe.q_kruskal_wallis(spark, db).collect()[0]
+    assert ra == rb, (ra, rb, samples)
+    assert ra.k == len(groups) and ra.n == len(samples)
+    assert ra.p is None or 0.0 <= ra.p <= 1.0 + 1e-9
+
+
+@given(
+    series=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),          # views
+            st.integers(min_value=-5000, max_value=5000),    # revenue cents
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_kendall_tau_matches_bruteforce_on_random_daily_series(
+    spark, stub_dir, tmp_path_factory, series
+):
+    """tau-b from the query must equal the literal O(n²) definition on
+    ANY daily series, and always lie in [-1, 1]."""
+    from nyc_taxi_data_warehouse_spark import queries_eval as qe
+
+    rows = []
+    for day, (nv, cents) in enumerate(series):
+        rows.extend((day * 100 + k, "view", 1.0, day) for k in range(nv))
+        rows.append((day * 100 + 99, "purchase", cents / 100.0, day))
+    d = _events_dir(spark, stub_dir, tmp_path_factory, rows)
+    got = qe.q_kendall_tau(spark, d).collect()[0]
+    daily = [(nv, round(cents / 100.0 * 100)) for nv, cents in series]
+    n0 = nc = nd = tx = ty = 0
+    for i in range(len(daily)):
+        for j in range(i + 1, len(daily)):
+            dx, dy = daily[i][0] - daily[j][0], daily[i][1] - daily[j][1]
+            n0 += 1
+            nc += dx * dy > 0
+            nd += dx * dy < 0
+            tx += dx == 0
+            ty += dy == 0
+    assert (got.n_days, got.n0, got.nc, got.nd, got.tx_p, got.ty_p) == (
+        len(daily), n0, nc, nd, tx, ty,
+    ), series
+    if (n0 - tx) * (n0 - ty) == 0:
+        assert got.tau_b is None
+    else:
+        tau = (nc - nd) / ((n0 - tx) * (n0 - ty)) ** 0.5
+        assert abs(got.tau_b - tau) <= 2e-6 and -1 - 1e-9 <= got.tau_b <= 1 + 1e-9
+
+
+@given(
+    series=st.lists(
+        st.integers(min_value=-100000, max_value=100000),    # revenue cents
+        min_size=2,
+        max_size=18,
+    )
+)
+@settings(**SETTINGS)
+def test_theil_sen_matches_bruteforce_on_random_daily_series(
+    spark, stub_dir, tmp_path_factory, series
+):
+    """slope/intercept must equal the literal pairwise-median definition
+    (lower median, identical rounding lattice) on ANY daily series."""
+    from nyc_taxi_data_warehouse_spark import queries_eval as qe
+
+    rows = [
+        (day, "purchase", cents / 100.0, day)
+        for day, cents in enumerate(series)
+    ]
+    d = _events_dir(spark, stub_dir, tmp_path_factory, rows)
+    got = qe.q_theil_sen(spark, d).collect()[0]
+    t0 = (_D0 - _dt.date(1970, 1, 1)).days
+    daily = [(t0 + day, cents) for day, cents in enumerate(series)]
+    slopes = sorted(
+        round(1e-9 + (y2 - y1) / (t2 - t1), 9)
+        for i, (t1, y1) in enumerate(daily)
+        for t2, y2 in daily[i + 1:]
+    )
+    assert got.n_days == len(daily) and got.n_pairs == len(slopes)
+    slope = slopes[(len(slopes) - 1) // 2]
+    assert got.slope == slope, series
+    resid = sorted(round((y - slope * t) + 1e-9, 9) for t, y in daily)
+    assert got.intercept == resid[(len(resid) - 1) // 2], series
