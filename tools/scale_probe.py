@@ -1044,6 +1044,277 @@ def main() -> None:
         "ndcg_topk": (lambda m: _docs_at(spark, sf_dir, m), _ndcg),
     }
 
+    # round-10 wave (verdict r9 #2): the nine round-9 ops without a probe.
+    # Expected shapes — survival_km: per-user agg + day-grain curve
+    # (~linear corpus scan; user cardinality grows with the stream);
+    # kcore: one corpus aggregation to the zone-pair table, then a FIXED
+    # 8-round peel over the ≤40-node backbone (growth = the agg);
+    # theil_sen: daily agg is corpus-linear, the pair join is CALENDAR-
+    # bounded (the replicas jitter ts by seconds, so the day axis — and
+    # the pair mass — stays flat: growth should track the agg alone);
+    # pr_curve: ONE map-side 39-sum aggregate (the zero-extra-shuffle
+    # floor); lift_table: score-CDF work, distinct-lattice-bounded;
+    # vacuum_plan: day-grain metadata join (replicas shift dates a year
+    # apart so the metadata axis genuinely grows); dp_histogram /
+    # bloom_sizing: one corpus agg to cell/NDV tables (~linear);
+    # knn_classify: fold×train exhaustive scorer — the fold is 10% of
+    # the corpus, so growth is ~m² BY DESIGN (the documented recall
+    # anchor; the 100 TB serving path is IVF/PQ — q_ann_ivf's probe).
+    def _km(d):
+        per_user = (
+            d.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+            .groupBy("user_id")
+            .agg(
+                F.min(F.when(F.col("event_type") == "view",
+                             F.to_date("ts"))).alias("fv"),
+                F.min(F.when(F.col("event_type") == "purchase",
+                             F.to_date("ts"))).alias("fb"),
+            )
+            .where(F.col("fv").isNotNull())
+        )
+        horizon = d.agg(F.max(F.to_date("ts")).alias("__h"))
+        dur = per_user.crossJoin(F.broadcast(horizon)).select(
+            F.when(F.col("fb") >= F.col("fv"), F.datediff("fb", "fv"))
+            .otherwise(F.datediff(F.col("__h"), F.col("fv")))
+            .cast("long")
+            .alias("t"),
+            (F.col("fb").isNotNull() & (F.col("fb") >= F.col("fv")))
+            .cast("long")
+            .alias("event"),
+        )
+        per_t = dur.groupBy("t").agg(
+            F.count(F.lit(1)).cast("long").alias("n_at"),
+            F.sum("event").cast("long").alias("d"),
+        )
+        w = W9.orderBy("t").rowsBetween(W9.unboundedPreceding, 0)
+        return per_t.select("t", "d", F.sum("n_at").over(w).alias("cum"))
+
+    def _kcore_probe(d):
+        pz = (F.col("user_id") * 17 + F.col("event_id")) % 40 + 1
+        dz = (
+            F.col("user_id") * 31 + F.floor(F.col("value")).cast("long")
+        ) % 40 + 1
+        cnt = (
+            d.select(F.least(pz, dz).alias("a"), F.greatest(pz, dz).alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        tot = cnt.agg(F.sum("cnt").alias("__tc"), F.count(F.lit(1)).alias("__ne"))
+        e = (
+            cnt.crossJoin(F.broadcast(tot))
+            .where(F.col("cnt") * F.col("__ne") > F.col("__tc"))
+            .select("a", "b")
+        )
+        und = e.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        ).distinct()
+        both = und.unionByName(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).localCheckpoint()
+        nodes = both.select(F.col("a").alias("node")).distinct()
+        for _ in range(_qe._KCORE_ROUNDS):
+            deg = (
+                both.join(F.broadcast(nodes.select(F.col("node").alias("a"))), "a")
+                .join(F.broadcast(nodes.select(F.col("node").alias("b"))), "b")
+                .groupBy("a")
+                .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            )
+            nodes = deg.where(F.col("deg") >= _qe._KCORE_K).select(
+                F.col("a").alias("node")
+            ).localCheckpoint()
+        return (
+            both.join(F.broadcast(nodes.select(F.col("node").alias("a"))), "a")
+            .join(F.broadcast(nodes.select(F.col("node").alias("b"))), "b")
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+        )
+
+    def _theil(d):
+        daily = (
+            d.groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase",
+                           F.round(F.col("value") * 100).cast("long"))
+                    .otherwise(0)
+                ).alias("y")
+            )
+            .select(
+                F.datediff(F.col("day"), F.lit("1970-01-01")).cast("long")
+                .alias("t"),
+                "y",
+            )
+            .persist()
+        )
+        a, b = daily.alias("a"), daily.alias("b")
+        slopes = a.join(b, F.col("a.t") < F.col("b.t")).select(
+            F.round(
+                (F.col("b.y") - F.col("a.y"))
+                / (F.col("b.t") - F.col("a.t")).cast("double")
+                + F.lit(1e-9),
+                9,
+            ).alias("s")
+        ).persist()
+        np_ = slopes.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        scdf = _bvc(slopes, "s").crossJoin(F.broadcast(np_))
+        return scdf.where(2 * F.col("__cle") >= F.col("n_pairs")).agg(
+            F.min("__v").alias("slope")
+        )
+
+    def _pr(d):
+        base = _scored_at(d)
+        aggs = [F.sum("y").cast("long").alias("n_pos")]
+        for i in _qe._PR_STEPS:
+            t = i * 50000
+            aggs.append(
+                F.sum(F.when(F.col("pi") >= t, F.col("y")).otherwise(0))
+                .alias(f"tp_{i}")
+            )
+            aggs.append(
+                F.sum(F.when(F.col("pi") >= t, 1 - F.col("y")).otherwise(0))
+                .alias(f"fp_{i}")
+            )
+        return base.agg(*aggs)
+
+    def _lift(d):
+        base = _scored_at(d).persist()
+        cdf = _bvc(base.select("pi"), "pi")
+        cpos = base.groupBy(F.col("pi").alias("__v")).agg(
+            F.sum("y").cast("long").alias("c_pos")
+        )
+        tot = base.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+        per_v = cdf.join(cpos, "__v").crossJoin(F.broadcast(tot))
+        return per_v.groupBy(
+            F.expr("CAST(((n - __cle) * 10) div n AS INT)").alias("decile")
+        ).agg(
+            F.sum("__c").cast("long").alias("n_d"),
+            F.sum("c_pos").cast("long").alias("pos_d"),
+        )
+
+    def _orders_at(m):
+        o = load_tables(spark, sf_dir)["orders"].select(
+            "o_orderkey", "o_orderdate"
+        )
+        if m > 1:
+            o = o.select(
+                F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("rep"),
+                "o_orderkey", "o_orderdate",
+            ).select(
+                (F.col("o_orderkey") * m + F.col("rep")).alias("o_orderkey"),
+                F.date_add(
+                    F.col("o_orderdate").cast("date"), F.col("rep") * 366
+                ).alias("o_orderdate"),
+            )
+        return o.repartition(spark.sparkContext.defaultParallelism)
+
+    def _vacuum(o):
+        files = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+            F.count(F.lit(1)).cast("long").alias("sz")
+        )
+        snaps = files.select(
+            F.date_trunc("week", "day").cast("date").alias("snap_day")
+        ).distinct()
+        head = files.agg(F.max("day").alias("__head"))
+        refs = files.join(
+            snaps,
+            (F.col("snap_day") >= F.col("day"))
+            & (F.col("snap_day") < F.date_add(F.col("day"), 21)),
+            "left",
+        )
+        per_file = refs.groupBy("day", "sz").agg(
+            F.count("snap_day").cast("long").alias("n_refs"),
+            F.max("snap_day").alias("last_ref"),
+        )
+        return per_file.crossJoin(F.broadcast(head)).select(
+            "day", "sz", "n_refs", "last_ref",
+            ((F.col("n_refs") > 0)
+             & (F.col("last_ref") < F.date_sub(F.col("__head"), 28)))
+            .cast("int").alias("deletable"),
+        )
+
+    def _dp(d):
+        cells = d.where(F.col("event_type").isNotNull()).groupBy(
+            "event_type"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        hv = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dpn#"), F.col("event_type"))), 1, 8
+            ), 16, 10,
+        ).cast("long")
+        hv2 = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dps#"), F.col("event_type"))), 1, 8
+            ), 16, 10,
+        ).cast("long")
+        noised = cells.select(
+            "event_type", "n", hv.alias("hv"), hv2.alias("hv2")
+        ).select("event_type", "n", F.expr(_qe._DP_NOISE).alias("noise"))
+        return noised.select(
+            "event_type", "n",
+            F.greatest(F.lit(0), F.col("n") + F.col("noise")).alias("noisy_n"),
+        )
+
+    def _bloomsz(d):
+        ndv = d.agg(
+            F.count_distinct("user_id").cast("long").alias("user_id"),
+            F.count_distinct("event_type").cast("long").alias("event_type"),
+            F.count_distinct(F.to_date("ts")).cast("long").alias("day"),
+        )
+        cols = ndv.select(
+            F.expr(
+                "stack(3, 'user_id', user_id, 'event_type', event_type,"
+                " 'day', day) AS (key_col, n)"
+            )
+        )
+        grid = spark.createDataFrame(
+            [(1, 0.01), (2, 0.001)], "fpp_id int, p double"
+        )
+        m_txt = (
+            "CAST(ceil(-(CAST(n AS DOUBLE)) * ln(p) / (ln(2.0) * ln(2.0)))"
+            " AS BIGINT)"
+        )
+        return cols.crossJoin(F.broadcast(grid)).select(
+            "key_col", "n", "fpp_id", "p", F.expr(m_txt).alias("m_bits")
+        )
+
+    def _knnc(d):
+        from nyc_taxi_data_warehouse_spark.operators.similarity import (
+            brute_force_knn,
+        )
+
+        fold = d.where(F.pmod(F.col("vec_id"), F.lit(_qe._KNN_FOLD)) == 0)
+        train = d.where(F.pmod(F.col("vec_id"), F.lit(_qe._KNN_FOLD)) != 0)
+        knn = brute_force_knn(fold, train, k=_qe._KNN_K)
+        votes = knn.groupBy(
+            "query_id",
+            F.pmod(F.col("neighbor_id"), F.lit(_qe._KNN_CLASSES))
+            .alias("pred"),
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        w = W9.partitionBy("query_id").orderBy(F.desc("cnt"), F.asc("pred"))
+        picked = votes.withColumn("__r", F.row_number().over(w)).where(
+            F.col("__r") == 1
+        )
+        return picked.groupBy(
+            F.pmod(F.col("query_id"), F.lit(_qe._KNN_CLASSES))
+            .alias("true_label")
+        ).agg(F.count(F.lit(1)).alias("n_queries"))
+
+    seventh_ops = {
+        "survival_km": (lambda m: _events_at(spark, sf_dir, m), _km),
+        "kcore": (lambda m: _events_at(spark, sf_dir, m), _kcore_probe),
+        "theil_sen": (lambda m: _events_at(spark, sf_dir, m), _theil),
+        "pr_curve": (_docs_table_at, _pr),
+        "lift_table": (_docs_table_at, _lift),
+        "vacuum_plan": (_orders_at, _vacuum),
+        "dp_histogram": (lambda m: _events_at(spark, sf_dir, m), _dp),
+        "bloom_sizing": (lambda m: _events_at(spark, sf_dir, m), _bloomsz),
+        "knn_classify": (lambda m: _emb_at(spark, sf_dir, m), _knnc),
+    }
+
     all_ops = {n: (lambda m: _docs_at(spark, sf_dir, m), op) for n, op in ops.items()}
     all_ops.update(meta_ops)
     all_ops.update(events_ops)
@@ -1051,7 +1322,18 @@ def main() -> None:
     all_ops.update(fourth_ops)
     all_ops.update(fifth_ops)
     all_ops.update(sixth_ops)
-    only = sys.argv[2:]
+    all_ops.update(seventh_ops)
+    args = sys.argv[2:]
+    mults = (1, 4, 8)
+    only = []
+    for a in args:
+        if a.startswith("--mults="):
+            # e.g. --mults=1,8,16,32 — the 16x/32x extension runs for the
+            # steepest growers (verdict r9 #5) without paying 5 multiples
+            # for every op
+            mults = tuple(int(x) for x in a.split("=", 1)[1].split(","))
+        else:
+            only.append(a)
     if only:
         unknown = [n for n in only if n not in all_ops]
         if unknown:
@@ -1064,14 +1346,16 @@ def main() -> None:
         _time(lambda: op(mk(1)))
         spark.catalog.clearCache()
         times: dict[str, float] = {}
-        for m in (1, 4, 8):
+        for m in mults:
             d = mk(m)
             times[str(m)] = _time(lambda: op(d))
             # ops persist intermediate frames (signature self-join lesson);
             # drop them between multiples or earlier runs' cached blocks
             # pressure the later runs and skew the very ratios we report
             spark.catalog.clearCache()
-        times["growth_8x"] = round(times["8"] / times["1"], 2)
+        times[f"growth_{mults[-1]}x"] = round(
+            times[str(mults[-1])] / times[str(mults[0])], 2
+        )
         report[name] = times
         # incremental line so a later op's crash can't lose this result
         print(f"PROBE {name} {json.dumps(times)}", flush=True)
