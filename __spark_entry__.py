@@ -55,6 +55,10 @@ _CHECK_FIRST = [
     "q_dp_histogram", "q_rtbf_plan", "q_kcore",
     "q_enrich", "q_trips_weather", "q_daily",
     "q_zone_analysis", "q_fare_daily_features",
+    # round-10 additions (first-evidence priority beats stale-refresh;
+    # the four displaced stale entries moved to the head of _CHECK_LAST)
+    "q_asof_multi", "q_priority_sample", "q_target_encode",
+    "q_isotonic_calibration",
     "q_pq_codebook", "q_pq_recall", "q_pq_search",
     "q_preference_pairs", "q_rolling_median", "q_semi_join",
     "q_shard_checksums", "q_simhash", "q_simhash_near",
@@ -62,10 +66,11 @@ _CHECK_FIRST = [
     "q_zorder_cells", "q_asof_join", "q_backfill_synthetic",
     "q_bloom_join", "q_bm25", "q_cell_quality",
     "q_chunk_docs", "q_conversion_funnel", "q_cube",
-    "q_dedup_cluster", "q_dedup_keep_best", "q_dup_ngram_coverage",
-    "q_embedding_neardup", "q_embedding_quantize", "q_filter_funnel",
+    "q_dedup_cluster", "q_dedup_keep_best",
 ]
 _CHECK_LAST = [
+    "q_dup_ngram_coverage", "q_embedding_neardup",
+    "q_embedding_quantize", "q_filter_funnel",
     "q_fingerprint", "q_freshness", "q_gapfill",
     "q_incremental_agg", "q_inverted_index", "q_knn_bruteforce",
     "q_lang_id", "q_length_histogram", "q_merge_upsert",

@@ -4632,6 +4632,163 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PS_K = 100  # fixed sample size
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, fixed size k — the
+    Efraimidis–Spirakis A-ES scheme that q_weighted_sample's Bernoulli
+    rates can't give (rates yield a BINOMIAL sample size; training-data
+    budgets need exactly k rows drawn ∝ weight): each doc draws a
+    deterministic md5 uniform u ∈ (0,1] and competes on the priority
+    key ln(u)/w (monotone in u^(1/w), the classic A-ES key; w =
+    n_chars, so longer docs win proportionally more often), and the
+    global top-k by key is the sample.
+
+    Shape: the key is a pure map-side expression; selection is the
+    two-stage top-k (per-shard row_number ≤ k on a hash-partitioned
+    window, then the final window over ≤ 32k survivors) — no global
+    sort of the corpus ever happens, the q_ndcg_mrr pattern.
+    Exactness: the uniform is exact integer arithmetic, ln and the
+    division are per-row engine-identical doubles, ordering ties break
+    on doc_id, and the reported key is quantized to 1e-15."""
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", "n_chars")
+        .where(F.col("n_chars") > 0)
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("es#"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.log((h + F.lit(1)) / F.lit(4294967296.0)) / F.col("n_chars"))
+        .alias("key"),
+    )
+    w_shard = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(32))).orderBy(
+        F.desc("key"), F.asc("doc_id")
+    )
+    surv = (
+        keyed.withColumn("__r", F.row_number().over(w_shard))
+        .where(F.col("__r") <= _PS_K)
+        .drop("__r")
+    )
+    w_all = Window.orderBy(F.desc("key"), F.asc("doc_id"))
+    return (
+        surv.withColumn(
+            "sample_rank", F.row_number().over(w_all).cast("int")
+        )
+        .where(F.col("sample_rank") <= _PS_K)
+        .select(
+            "sample_rank",
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(F.col("key") * F.lit(1e15)).cast("long")
+            .alias("key_femto"),
+        )
+    )
+
+
+_SQL_PRIORITY_SAMPLE = f"""
+WITH hashed AS (
+    SELECT doc_id, lang, n_chars,
+           substr(md5(CAST(doc_id AS VARCHAR) || 'es#'), 1, 8) AS h
+    FROM documents WHERE n_chars > 0
+),
+keyed AS (
+    SELECT doc_id, lang, n_chars,
+           ln((({_HEXVAL}) + 1) / 4294967296.0) / n_chars AS key
+    FROM hashed
+),
+ranked AS (
+    SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id)
+               AS INTEGER) AS sample_rank,
+           doc_id, lang, n_chars,
+           CAST(round(key * 1e15) AS BIGINT) AS key_femto
+    FROM keyed
+)
+SELECT * FROM ranked WHERE sample_rank <= {_PS_K}"""
+
+
+_TE_SMOOTH = 10  # pseudo-count mass toward the global prior
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of `source` against the length
+    label — the feature-engineering step q_feature_binning's score bins
+    don't cover (categorical → numeric by the target's group mean,
+    with the row's OWN label excluded so the feature never leaks its
+    target, plus the m-estimate smoothed variant that shrinks rare
+    groups toward the global prior). te_loo is NULL for singleton
+    groups (nothing left after excluding self).
+
+    Shape: one group aggregation (source grain) broadcast back over a
+    map-side projection — the corpus is scanned once and never
+    shuffled.  Exactness: group sums/counts are BIGINT; both encodings
+    are single shared textual expressions over (sy_g, y, n_g, prior)
+    with the only doubles per-row engine-identical divisions."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        (F.col("n_chars") >= 300).cast("long").alias("y"),
+    )
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("y").cast("long").alias("sy_g"),
+    )
+    prior = d.agg(
+        (F.sum("y") / F.count(F.lit(1)).cast("double")).alias("prior")
+    )
+    loo = (
+        "CASE WHEN n_g <= 1 THEN NULL"
+        " ELSE (sy_g - y) / CAST(n_g - 1 AS DOUBLE) END"
+    )
+    sm = (
+        f"((sy_g - y) + {_TE_SMOOTH}.0 * prior)"
+        f" / CAST((n_g - 1) + {_TE_SMOOTH} AS DOUBLE)"
+    )
+    return (
+        d.join(F.broadcast(g), "source")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            "source",
+            "y",
+            "n_g",
+            _rnd(F.expr(loo), 6).alias("te_loo"),
+            _rnd(F.expr(sm), 6).alias("te_smoothed"),
+        )
+    )
+
+
+_SQL_TARGET_ENCODE = f"""
+WITH d AS (
+    SELECT doc_id, source, CAST(n_chars >= 300 AS BIGINT) AS y
+    FROM documents
+),
+g AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+           CAST(sum(y) AS BIGINT) AS sy_g
+    FROM d GROUP BY 1
+),
+p AS (SELECT sum(y) / CAST(count(*) AS DOUBLE) AS prior FROM d)
+SELECT doc_id, d.source, y, n_g,
+       round(1e-9 + (CASE WHEN n_g <= 1 THEN NULL
+             ELSE (sy_g - y) / CAST(n_g - 1 AS DOUBLE) END), 6) AS te_loo,
+       round(1e-9 + (((sy_g - y) + {_TE_SMOOTH}.0 * prior)
+             / CAST((n_g - 1) + {_TE_SMOOTH} AS DOUBLE)), 6) AS te_smoothed
+FROM d JOIN g USING (source), p"""
+
+
 _SQL_WEIGHTED_SAMPLE = f"""
 WITH hashed AS (
     SELECT doc_id, source, lang,
@@ -10864,6 +11021,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lsh_recall": q_lsh_recall,
     "q_cube": q_cube,
     "q_weighted_sample": q_weighted_sample,
+    "q_priority_sample": q_priority_sample,
+    "q_target_encode": q_target_encode,
     "q_bm25": q_bm25,
     "q_winsorize": q_winsorize,
     "q_pmi": q_pmi,
@@ -11024,6 +11183,8 @@ ORACLES: dict[str, str] = {
     "q_lsh_recall": _SQL_LSH_RECALL,
     "q_cube": _SQL_CUBE,
     "q_weighted_sample": _SQL_WEIGHTED_SAMPLE,
+    "q_priority_sample": _SQL_PRIORITY_SAMPLE,
+    "q_target_encode": _SQL_TARGET_ENCODE,
     "q_bm25": _SQL_BM25,
     "q_winsorize": _SQL_WINSORIZE,
     "q_pmi": _SQL_PMI,

@@ -2204,6 +2204,105 @@ JOIN {prev} y ON e.b = y.node
 GROUP BY 1"""
 
 
+# --- Isotonic calibration (PAV) ------------------------------------------------------
+
+_ISO_BIN = 25000  # score-lattice bin width → ≤41 bins over pi ∈ [0, 1e6]
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the quality model — the
+    non-parametric monotone fit q_calibration's fixed-width reliability
+    curve can't give: the calibrated rate per score bin is the pool-
+    adjacent-violators solution, computed by its minimax
+    characterization iso(k) = max_{i≤k} min_{j≥k} wavg(y over bins
+    i..j), which needs no sequential pooling loop — every (i, j)
+    interval average comes from two prefix-sum lookups, so both engines
+    evaluate identical arithmetic in any order.
+
+    Shape: ONE corpus scan folds to ≤41 score bins (pi div 25000);
+    everything after — prefix sums, the i≤j interval frame (≤861
+    rows), the (lo, k) minimax — is bin-grain metadata work, the same
+    bounded-frame theta-join class as q_kendall_tau's calendar cap.
+    Exactness: interval averages are BIGINT-difference / BIGINT-
+    difference per-row divisions (engine-identical doubles); min/max
+    select among identical value sets; only the reported rates are
+    rounded."""
+    base = _scored(spark, sf_dir)
+    bins = base.groupBy(
+        F.expr(f"CAST(pi div {_ISO_BIN} AS BIGINT)").alias("b")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("y").cast("long").alias("sy_b"),
+    )
+    # ≤41-row frame: the unpartitioned window is bounded by the score
+    # lattice, not the corpus (bucketed_value_cumsum's exemption class)
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "b",
+        "n_b",
+        "sy_b",
+        F.sum("n_b").over(w).cast("long").alias("cn"),
+        F.sum("sy_b").over(w).cast("long").alias("cy"),
+    ).persist()  # 3 consumers: pair frame ×2 + the k grid + final join
+    i, j = cum.alias("i"), cum.alias("j")
+    pairs = i.join(j, F.col("i.b") <= F.col("j.b")).select(
+        F.col("i.b").alias("lo"),
+        F.col("j.b").alias("hi"),
+        (
+            (F.col("j.cy") - F.col("i.cy") + F.col("i.sy_b"))
+            / (F.col("j.cn") - F.col("i.cn") + F.col("i.n_b")).cast("double")
+        ).alias("avg_ij"),
+    )
+    ks = cum.select(F.col("b").alias("k"))
+    t1 = pairs.join(
+        ks, (F.col("lo") <= F.col("k")) & (F.col("k") <= F.col("hi"))
+    ).groupBy("lo", "k").agg(F.min("avg_ij").alias("m"))
+    iso = t1.groupBy("k").agg(F.max("m").alias("iso"))
+    return cum.join(iso, cum["b"] == iso["k"]).select(
+        "b",
+        "n_b",
+        "sy_b",
+        _rnd(F.col("sy_b") / F.col("n_b").cast("double"), 6).alias("raw_rate"),
+        _rnd(F.col("iso"), 6).alias("iso_rate"),
+    )
+
+
+def _sql_isotonic_calibration() -> str:
+    return f"""{_sql_scored_prefix()},
+bins AS (
+    SELECT CAST(pi // {_ISO_BIN} AS BIGINT) AS b,
+           CAST(count(*) AS BIGINT) AS n_b,
+           CAST(sum(y) AS BIGINT) AS sy_b
+    FROM scored GROUP BY 1
+),
+cum AS (
+    SELECT b, n_b, sy_b,
+           CAST(sum(n_b) OVER (ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cn,
+           CAST(sum(sy_b) OVER (ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cy
+    FROM bins
+),
+pairs AS (
+    SELECT i.b AS lo, j.b AS hi,
+           (j.cy - i.cy + i.sy_b)
+           / CAST(j.cn - i.cn + i.n_b AS DOUBLE) AS avg_ij
+    FROM cum i JOIN cum j ON i.b <= j.b
+),
+t1 AS (
+    SELECT p.lo, c.b AS k, min(p.avg_ij) AS m
+    FROM pairs p JOIN cum c ON p.lo <= c.b AND c.b <= p.hi
+    GROUP BY 1, 2
+),
+iso AS (SELECT k, max(m) AS iso FROM t1 GROUP BY 1)
+SELECT c.b, c.n_b, c.sy_b,
+       round(1e-9 + c.sy_b / CAST(c.n_b AS DOUBLE), 6) AS raw_rate,
+       round(1e-9 + i.iso, 6) AS iso_rate
+FROM cum c JOIN iso i ON c.b = i.k"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_roc_auc": q_roc_auc,
     "q_pr_curve": q_pr_curve,
@@ -2223,6 +2322,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_knn_classify": q_knn_classify,
     "q_survival_km": q_survival_km,
     "q_kcore": q_kcore,
+    "q_isotonic_calibration": q_isotonic_calibration,
 }
 
 ORACLES: dict[str, str] = {
@@ -2244,4 +2344,5 @@ ORACLES: dict[str, str] = {
     "q_knn_classify": _SQL_KNN_CLASSIFY,
     "q_survival_km": _SQL_SURVIVAL_KM,
     "q_kcore": _sql_kcore(),
+    "q_isotonic_calibration": _sql_isotonic_calibration(),
 }

@@ -647,6 +647,61 @@ ASOF LEFT JOIN (SELECT observed_at, temperature_fahrenheit FROM stg_weather
   ON p.pickup_datetime >= o.observed_at"""
 
 
+_ASOF_CITIES = ["New York", "new york city", "Boston", "NEW YORK"]
+
+
+def q_asof_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-SERIES as-of join — the 100 TB form of q_asof_join: the
+    union-sort-ffill window partitions by the series key (city), so
+    every series sorts independently inside its own hash partition and
+    the single-series global sort (bounded-series-only, documented at
+    operators/asof.py) never happens.  Each sampled trip, routed to one
+    of the four weather series by zone, gains that series' latest
+    observation at or before pickup (2h tolerance).  DuckDB's native
+    multi-key ASOF JOIN (equality on city + inequality on time) is the
+    oracle."""
+    from .operators.asof import asof_join_latest
+
+    cities = F.array(*[F.lit(c) for c in _ASOF_CITIES])
+    probes = (
+        staging.stg_taxi_trips(_trips(spark, sf_dir))
+        .where(F.col("pickup_zone_id") % 5 == 0)
+        .select(
+            F.element_at(
+                cities, (F.col("pickup_zone_id") % 4 + 1).cast("int")
+            ).alias("city"),
+            "pickup_datetime",
+            "total_amount",
+        )
+    )
+    obs = staging.stg_weather(_weather(spark, sf_dir)).select(
+        "city", "observed_at", "temperature_fahrenheit"
+    )
+    return asof_join_latest(
+        probes,
+        obs,
+        probe_ts="pickup_datetime",
+        obs_ts="observed_at",
+        value_cols=["temperature_fahrenheit"],
+        tolerance_minutes=120,
+        series_cols=["city"],
+    )
+
+
+_SQL_ASOF_MULTI = f"""
+SELECT p.city, p.pickup_datetime, p.total_amount,
+       CASE WHEN o.observed_at >= p.pickup_datetime - INTERVAL 120 MINUTE
+            THEN o.observed_at END AS matched_obs_ts,
+       CASE WHEN o.observed_at >= p.pickup_datetime - INTERVAL 120 MINUTE
+            THEN o.temperature_fahrenheit END AS temperature_fahrenheit
+FROM (SELECT ([{", ".join(map(repr, _ASOF_CITIES))}])[pickup_zone_id % 4 + 1] AS city,
+             pickup_datetime, total_amount
+      FROM stg_trips WHERE pickup_zone_id % 5 = 0) p
+ASOF LEFT JOIN (SELECT city, observed_at, temperature_fahrenheit
+                FROM stg_weather) o
+  ON p.city = o.city AND p.pickup_datetime >= o.observed_at"""
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range/interval join: sampled trips × hot-weather periods whose
     [start, end] intervals overlap — hour-bucket-exploded so Catalyst plans
@@ -2617,6 +2672,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sessions": q_sessions,
     "q_topk_per_group": q_topk_per_group,
     "q_asof_join": q_asof_join,
+    "q_asof_multi": q_asof_multi,
     "q_interval_join": q_interval_join,
     "q_semi_join": q_semi_join,
     "q_bloom_join": q_bloom_join,
@@ -2695,6 +2751,7 @@ ORACLES: dict[str, str] = {
     "q_sessions": _SQL_SESSIONS,
     "q_topk_per_group": _SQL_TOPK_PER_GROUP,
     "q_asof_join": _with(SQL_TRIPS, SQL_WEATHER, SQL_STG_TRIPS, SQL_STG_WEATHER, select=_SQL_ASOF_JOIN),
+    "q_asof_multi": _with(SQL_TRIPS, SQL_WEATHER, SQL_STG_TRIPS, SQL_STG_WEATHER, select=_SQL_ASOF_MULTI),
     "q_interval_join": _with(SQL_TRIPS, SQL_WEATHER, SQL_STG_TRIPS, SQL_STG_WEATHER, select=_SQL_INTERVAL_JOIN),
     "q_semi_join": _SQL_SEMI_JOIN,
     "q_bloom_join": _SQL_BLOOM_JOIN,

@@ -1,0 +1,136 @@
+"""Round-10 additions: multi-series as-of join, Efraimidis–Spirakis
+priority sampling, PAV isotonic calibration, leave-one-out target
+encoding — each checked against a literal Python rewrite (the oracle
+gate checks DuckDB parity; these pin the SEMANTICS)."""
+
+from __future__ import annotations
+
+import bisect
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_warehouse_spark import queries_data as qd
+from nyc_taxi_data_warehouse_spark import queries_eval as qe
+from nyc_taxi_data_warehouse_spark import queries_nyc as qn
+
+
+def test_asof_multi_matches_bisect_rewrite(spark, sf_dir):
+    """Every probe's match must be the latest observation <= pickup in
+    ITS OWN series (city), NULL when older than the 2h tolerance."""
+    got = qn.q_asof_multi(spark, sf_dir).collect()
+    assert got, "no probe rows"
+    from nyc_taxi_data_warehouse_spark.plans import nyc_views, staging
+
+    t = nyc_views.load_tables(spark, sf_dir)
+    obs = (
+        staging.stg_weather(nyc_views.weather_from_events(t["events"]))
+        .select("city", "observed_at")
+        .collect()
+    )
+    by_city: dict[str, list] = {}
+    for r in obs:
+        by_city.setdefault(r.city, []).append(r.observed_at)
+    for ts_list in by_city.values():
+        ts_list.sort()
+    for r in got:
+        series = by_city.get(r.city, [])
+        i = bisect.bisect_right(series, r.pickup_datetime)
+        expect = series[i - 1] if i else None
+        if expect is not None and (
+            (r.pickup_datetime - expect).total_seconds() > 120 * 60
+        ):
+            expect = None
+        assert r.matched_obs_ts == expect, (r.city, r.pickup_datetime)
+        assert (r.temperature_fahrenheit is None) == (expect is None)
+
+
+def test_priority_sample_matches_literal_aes_keys(spark, sf_dir):
+    """The sample must be EXACTLY the top-k docs by the literal A-ES key
+    ln(u)/w computed in Python, rank order included."""
+    got = sorted(
+        qd.q_priority_sample(spark, sf_dir).collect(),
+        key=lambda r: r.sample_rank,
+    )
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+
+    def key(doc_id: int, w: int) -> float:
+        h = int(
+            hashlib.md5(f"{doc_id}es#".encode()).hexdigest()[:8], 16
+        )
+        return math.log((h + 1) / 4294967296.0) / w
+
+    expect = sorted(
+        ((key(r.doc_id, r.n_chars), r.doc_id) for r in docs if r.n_chars > 0),
+        key=lambda t: (-t[0], t[1]),
+    )[: qd._PS_K]
+    assert [r.doc_id for r in got] == [d for _, d in expect]
+    assert [r.sample_rank for r in got] == list(range(1, len(expect) + 1))
+    for r, (k, _) in zip(got, expect):
+        assert r.key_femto == int(round(k * 1e15))
+
+
+def test_isotonic_calibration_matches_pav_pooling(spark, sf_dir):
+    """The minimax form must equal the literal pool-adjacent-violators
+    stack algorithm, and the fit must be monotone non-decreasing."""
+    rows = sorted(
+        qe.q_isotonic_calibration(spark, sf_dir).collect(),
+        key=lambda r: r.b,
+    )
+    assert rows
+    # literal PAV over the same (n_b, sy_b) bins
+    stack: list[list[int]] = []  # [count, positives]
+    for r in rows:
+        cn, cs = r.n_b, r.sy_b
+        while stack and stack[-1][1] * cn >= cs * stack[-1][0]:
+            pn, ps = stack.pop()
+            cn += pn
+            cs += ps
+        stack.append([cn, cs])
+    # expand blocks back to per-bin values
+    fitted: list[float] = []
+    it = iter(rows)
+    for cn, cs in stack:
+        took = 0
+        while took < cn:
+            r = next(it)
+            took += r.n_b
+            fitted.append(cs / cn)
+    assert len(fitted) == len(rows)
+    for r, f in zip(rows, fitted):
+        assert abs(r.iso_rate - round(1e-9 + f, 6)) <= 2e-6, (r.b, f)
+    for a, b in zip(rows, rows[1:]):
+        assert a.iso_rate <= b.iso_rate + 1e-9, (a.b, b.b)
+
+
+def test_target_encode_matches_loo_rewrite(spark, sf_dir):
+    """te_loo must equal (group positives - own label)/(group size - 1),
+    NULL exactly for singleton groups; smoothing must shrink toward the
+    global prior."""
+    got = {r.doc_id: r for r in qd.q_target_encode(spark, sf_dir).collect()}
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    y = {r.doc_id: int(r.n_chars >= 300) for r in docs}
+    grp: dict[str, list[int]] = {}
+    for r in docs:
+        grp.setdefault(r.source, []).append(y[r.doc_id])
+    prior = sum(y.values()) / len(y)
+    for r in docs:
+        g = grp[r.source]
+        n_g, sy = len(g), sum(g)
+        out = got[r.doc_id]
+        assert out.n_g == n_g
+        if n_g <= 1:
+            assert out.te_loo is None
+        else:
+            assert abs(out.te_loo - round(1e-9 + (sy - y[r.doc_id]) / (n_g - 1), 6)) <= 2e-6
+        sm = ((sy - y[r.doc_id]) + 10.0 * prior) / ((n_g - 1) + 10)
+        assert abs(out.te_smoothed - round(1e-9 + sm, 6)) <= 2e-6

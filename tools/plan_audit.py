@@ -89,6 +89,7 @@ def _is_one_row(node) -> bool:
 BNLJ_BOUNDED_OK = {
     "q_kendall_tau",   # day-grain pair self-join, ≤731 rows/side
     "q_theil_sen",     # same day-grain pair join (slopes frame)
+    "q_isotonic_calibration",  # score-bin-grain PAV minimax, ≤41 rows/side
 }
 
 
