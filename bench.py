@@ -152,6 +152,13 @@ HEADLINE = [
     "q_zorder_effect",
     "q_stream_join",
     "q_pseudonymize",
+    # round-10 representatives: the series-partitioned as-of join (the
+    # 100 TB form beside the single-series q_asof_join already above),
+    # fixed-budget weighted sampling (two-stage top-k), and the PAV
+    # minimax calibration (bounded bin-pair frame)
+    "q_asof_multi",
+    "q_priority_sample",
+    "q_isotonic_calibration",
 ]
 
 # The FIXED baseline-comparable subset: exactly the 30 queries of the first

@@ -115,6 +115,69 @@ def resample_ffill(
     )
 
 
+def resample_interpolate(
+    df: DataFrame,
+    ts_col: str,
+    series_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Hourly resample with LINEAR interpolation — the gap repair
+    `resample_ffill` can't give when the quantity drifts between
+    observations (a temperature ramp forward-filled is a staircase;
+    interpolated it's the ramp): every spine hour between two
+    observations takes prev + (next − prev) · elapsed/gap; hours
+    before the first or after the last observation stay NULL (no
+    extrapolation).
+
+    Shape: same spine × series grid as resample_ffill, then ONE
+    backward and ONE forward fill window per series.  The per-series
+    window state is calendar-bounded (#hours of history, not data
+    volume — the q_kendall_tau cap argument); at very long histories
+    the two-pass bucketed trick of resample_ffill applies to each
+    direction symmetrically.
+    """
+    hourly = df.groupBy(
+        *series_cols, F.date_trunc("hour", ts_col).alias("hour_ts")
+    ).agg(F.avg(value_col).alias("__v"))
+    spine = hour_spine(df, ts_col)
+    series = df.select(*series_cols).distinct()
+    grid = series.crossJoin(F.broadcast(spine))
+    joined = grid.join(hourly, [*series_cols, "hour_ts"], "left")
+    w_back = (
+        Window.partitionBy(*series_cols)
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(*series_cols)
+        .orderBy("hour_ts")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("__v").isNotNull(), F.col("hour_ts"))
+    base = joined.select(
+        *series_cols,
+        "hour_ts",
+        "__v",
+        F.last(obs_ts, ignorenulls=True).over(w_back).alias("__pt"),
+        F.last("__v", ignorenulls=True).over(w_back).alias("__pv"),
+        F.first(obs_ts, ignorenulls=True).over(w_fwd).alias("__nt"),
+        F.first("__v", ignorenulls=True).over(w_fwd).alias("__nv"),
+    )
+    interp = (
+        "CASE WHEN __v IS NOT NULL THEN __v"
+        " WHEN __pt IS NULL OR __nt IS NULL THEN NULL"
+        " ELSE __pv + (__nv - __pv)"
+        " * (CAST(unix_timestamp(hour_ts) - unix_timestamp(__pt) AS DOUBLE)"
+        " / (unix_timestamp(__nt) - unix_timestamp(__pt))) END"
+    )
+    return base.select(
+        *series_cols,
+        "hour_ts",
+        F.expr(interp).alias(f"{value_col}_interp"),
+        F.col("__v").isNotNull().alias(f"{value_col}_observed"),
+    )
+
+
 def robust_anomalies(
     df: DataFrame,
     key_cols: Sequence[str],

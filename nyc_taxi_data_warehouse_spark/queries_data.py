@@ -7224,6 +7224,131 @@ SELECT event_type, n AS n_days, sy,
 FROM sums"""
 
 
+_SAX_SEG_DAYS = 8       # PAA segment width (days)
+# N(0,1) quartile breakpoints for a 4-symbol alphabet, folded to Python
+# double literals so both engines compare against identical constants
+_SAX_BP = (-0.6744897501960817, 0.0, 0.6744897501960817)
+
+
+def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic discretization of the daily purchase-revenue series
+    — the time-series indexing primitive (Lin et al.'s Symbolic
+    Aggregate approXimation): PAA segment means over fixed 8-day
+    windows, z-normalized against the whole series, then mapped to a
+    4-symbol alphabet at the N(0,1) quartile breakpoints.  The symbol
+    string is what similarity search / motif discovery over millions of
+    series actually indexes — two series match only if their SAX words
+    collide, the same candidate-pruning shape as MinHash bands.
+
+    Exactness: the daily series is BIGINT cents; segment sums/counts,
+    the global n/Σy/Σy² and the population variance numerator
+    (n·Σy² − (Σy)²) are exact integers; mean, std (one sqrt), PAA and z
+    are per-row engine-identical doubles; breakpoints are shared Python
+    double literals.  Shape: one corpus aggregation to the day grain,
+    then day- and segment-grain metadata work."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y")
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    seg = daily.crossJoin(F.broadcast(d0)).select(
+        F.expr(f"CAST(datediff(day, d0) div {_SAX_SEG_DAYS} AS BIGINT)")
+        .alias("seg"),
+        "y",
+    )
+    tot = seg.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    per_seg = seg.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("sy_seg"),
+    )
+    scored = per_seg.crossJoin(F.broadcast(tot))
+    z_txt = (
+        "(sy_seg / CAST(n_days AS DOUBLE) - sy / CAST(n AS DOUBLE))"
+        " / sqrt(CAST(n * syy - sy * sy AS DOUBLE) / (CAST(n AS DOUBLE) * n))"
+    )
+    sym_txt = (
+        f"CASE WHEN n * syy - sy * sy <= 0 THEN NULL"
+        f" WHEN ({z_txt}) < {_SAX_BP[0]!r} THEN 'a'"
+        f" WHEN ({z_txt}) < {_SAX_BP[1]!r} THEN 'b'"
+        f" WHEN ({z_txt}) < {_SAX_BP[2]!r} THEN 'c'"
+        f" ELSE 'd' END"
+    )
+    return scored.select(
+        "seg",
+        "n_days",
+        _rnd(F.col("sy_seg") / F.col("n_days").cast("double"), 4)
+        .alias("paa"),
+        _rnd(
+            F.when(
+                F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0,
+                F.expr(z_txt),
+            ),
+            4,
+        ).alias("z"),
+        F.expr(sym_txt).alias("symbol"),
+    )
+
+
+_SQL_SAX_SYMBOLS = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS y
+    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1
+),
+d0 AS (SELECT min(day) AS d0 FROM daily),
+seg AS (
+    SELECT CAST(date_diff('day', d0, day) // {_SAX_SEG_DAYS} AS BIGINT)
+               AS seg,
+           y
+    FROM daily, d0
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM seg
+),
+per_seg AS (
+    SELECT seg, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(y) AS BIGINT) AS sy_seg
+    FROM seg GROUP BY 1
+)
+SELECT seg, n_days,
+       round(1e-9 + sy_seg / CAST(n_days AS DOUBLE), 4) AS paa,
+       round(1e-9 + (CASE WHEN n * syy - sy * sy > 0 THEN
+             (sy_seg / CAST(n_days AS DOUBLE) - sy / CAST(n AS DOUBLE))
+             / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * n)) END), 4) AS z,
+       CASE WHEN n * syy - sy * sy <= 0 THEN NULL
+            WHEN (sy_seg / CAST(n_days AS DOUBLE) - sy / CAST(n AS DOUBLE))
+                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * n)) < {_SAX_BP[0]!r} THEN 'a'
+            WHEN (sy_seg / CAST(n_days AS DOUBLE) - sy / CAST(n AS DOUBLE))
+                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * n)) < {_SAX_BP[1]!r} THEN 'b'
+            WHEN (sy_seg / CAST(n_days AS DOUBLE) - sy / CAST(n AS DOUBLE))
+                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * n)) < {_SAX_BP[2]!r} THEN 'c'
+            ELSE 'd' END AS symbol
+FROM per_seg, tot"""
+
+
 # log10(1 + 1/d) folded to Python double literals — both engines consume
 # the identical constants, so no cross-engine log rounding can differ.
 _BENFORD_P = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
@@ -11023,6 +11148,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_weighted_sample": q_weighted_sample,
     "q_priority_sample": q_priority_sample,
     "q_target_encode": q_target_encode,
+    "q_sax_symbols": q_sax_symbols,
     "q_bm25": q_bm25,
     "q_winsorize": q_winsorize,
     "q_pmi": q_pmi,
@@ -11185,6 +11311,7 @@ ORACLES: dict[str, str] = {
     "q_weighted_sample": _SQL_WEIGHTED_SAMPLE,
     "q_priority_sample": _SQL_PRIORITY_SAMPLE,
     "q_target_encode": _SQL_TARGET_ENCODE,
+    "q_sax_symbols": _SQL_SAX_SYMBOLS,
     "q_bm25": _SQL_BM25,
     "q_winsorize": _SQL_WINSORIZE,
     "q_pmi": _SQL_PMI,

@@ -964,6 +964,69 @@ FROM (
 )"""
 
 
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill per city — the repair q_gapfill's
+    forward-fill can't give on a drifting quantity (a temperature ramp
+    forward-filled is a staircase; interpolated it's the ramp), and the
+    hypertable `interpolate()` idiom time-series stores ship natively.
+    Spine hours between two observations take
+    prev + (next−prev)·elapsed/gap; before-first / after-last stay NULL
+    (no extrapolation — the honesty q_backfill_synthetic's flagged
+    synthesis deliberately trades away)."""
+    from .operators.timeseries import resample_interpolate
+
+    w = _weather(spark, sf_dir)
+    out = resample_interpolate(w, "observed_at", ["city"], "temp_f")
+    return out.select(
+        "city",
+        "hour_ts",
+        _rnd(F.col("temp_f_interp"), 4).alias("temp_f_interp"),
+        "temp_f_observed",
+    )
+
+
+_SQL_INTERPOLATE = """
+SELECT city, hour_ts,
+       round(1e-9 + (CASE WHEN v IS NOT NULL THEN v
+             WHEN pt IS NULL OR nt IS NULL THEN NULL
+             ELSE pv + (nv - pv)
+                  * (CAST(date_diff('second', pt, hour_ts) AS DOUBLE)
+                     / date_diff('second', pt, nt)) END), 4) AS temp_f_interp,
+       v IS NOT NULL AS temp_f_observed
+FROM (
+    SELECT city, hour_ts, v,
+           last_value(CASE WHEN v IS NOT NULL THEN hour_ts END IGNORE NULLS)
+               OVER wb AS pt,
+           last_value(v IGNORE NULLS) OVER wb AS pv,
+           first_value(CASE WHEN v IS NOT NULL THEN hour_ts END IGNORE NULLS)
+               OVER wf AS nt,
+           first_value(v IGNORE NULLS) OVER wf AS nv
+    FROM (
+        SELECT g.city, g.hour_ts, h.v
+        FROM (
+            SELECT s.city, sp.hour_ts
+            FROM (SELECT DISTINCT city FROM weather) s
+            CROSS JOIN (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                       AS hour_ts
+                FROM (SELECT date_trunc('hour', min(observed_at)) AS lo,
+                             date_trunc('hour', max(observed_at)) AS hi
+                      FROM weather)
+            ) sp
+        ) g
+        LEFT JOIN (
+            SELECT city, date_trunc('hour', observed_at) AS hour_ts,
+                   avg(temp_f) AS v
+            FROM weather GROUP BY 1, 2
+        ) h ON g.city = h.city AND g.hour_ts = h.hour_ts
+    )
+    WINDOW wb AS (PARTITION BY city ORDER BY hour_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY city ORDER BY hour_ts
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)"""
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP (borough → service_zone → grand total) over the
     zone-joined trips — the multi-level summary table a BI layer reads.
@@ -2669,6 +2732,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pivot": q_pivot,
     "q_rollup": q_rollup,
     "q_gapfill": q_gapfill,
+    "q_interpolate": q_interpolate,
     "q_sessions": q_sessions,
     "q_topk_per_group": q_topk_per_group,
     "q_asof_join": q_asof_join,
@@ -2748,6 +2812,7 @@ ORACLES: dict[str, str] = {
     "q_pivot": _SQL_PIVOT,
     "q_rollup": _with(SQL_TRIPS, SQL_STG_TRIPS, SQL_ZONES, select=_SQL_ROLLUP),
     "q_gapfill": _with(SQL_WEATHER, select=_SQL_GAPFILL),
+    "q_interpolate": _with(SQL_WEATHER, select=_SQL_INTERPOLATE),
     "q_sessions": _SQL_SESSIONS,
     "q_topk_per_group": _SQL_TOPK_PER_GROUP,
     "q_asof_join": _with(SQL_TRIPS, SQL_WEATHER, SQL_STG_TRIPS, SQL_STG_WEATHER, select=_SQL_ASOF_JOIN),

@@ -134,3 +134,100 @@ def test_target_encode_matches_loo_rewrite(spark, sf_dir):
             assert abs(out.te_loo - round(1e-9 + (sy - y[r.doc_id]) / (n_g - 1), 6)) <= 2e-6
         sm = ((sy - y[r.doc_id]) + 10.0 * prior) / ((n_g - 1) + 10)
         assert abs(out.te_smoothed - round(1e-9 + sm, 6)) <= 2e-6
+
+
+def test_interpolate_matches_literal_rewrite(spark, sf_dir):
+    """Interpolated hours must equal prev + (next-prev)*elapsed/gap from
+    the literal per-city hourly series; observed hours pass through; no
+    extrapolation beyond the series ends."""
+    from nyc_taxi_data_warehouse_spark.plans import nyc_views
+
+    got = qn.q_interpolate(spark, sf_dir).collect()
+    assert got
+    t = nyc_views.load_tables(spark, sf_dir)
+    w = nyc_views.weather_from_events(t["events"])
+    hourly = {
+        (r.city, r.h): r.v
+        for r in w.groupBy(
+            "city", F.date_trunc("hour", "observed_at").alias("h")
+        )
+        .agg(F.avg("temp_f").alias("v"))
+        .collect()
+        if r.h is not None
+    }
+    by_city: dict[str, list] = {}
+    for (city, h), v in hourly.items():
+        if v is not None:
+            by_city.setdefault(city, []).append(h)
+    for ts_list in by_city.values():
+        ts_list.sort()
+    checked_interp = 0
+    for r in got:
+        v = hourly.get((r.city, r.hour_ts))
+        if v is not None:
+            assert r.temp_f_observed
+            assert abs(r.temp_f_interp - round(1e-9 + v, 4)) <= 2e-4
+            continue
+        assert not r.temp_f_observed
+        series = by_city.get(r.city, [])
+        i = bisect.bisect_left(series, r.hour_ts)
+        if i == 0 or i == len(series):
+            assert r.temp_f_interp is None, r
+            continue
+        pt, nt = series[i - 1], series[i]
+        pv, nv = hourly[(r.city, pt)], hourly[(r.city, nt)]
+        frac = (r.hour_ts - pt).total_seconds() / (nt - pt).total_seconds()
+        expect = pv + (nv - pv) * frac
+        assert abs(r.temp_f_interp - round(1e-9 + expect, 4)) <= 2e-4, r
+        lo, hi = min(pv, nv), max(pv, nv)
+        assert lo - 1e-6 <= r.temp_f_interp <= hi + 1e-6
+        checked_interp += 1
+    assert checked_interp > 0, "no interpolated gap rows exercised"
+
+
+def test_sax_symbols_matches_literal_rewrite(spark, sf_dir):
+    """PAA / z / symbol must equal the literal SAX definition over the
+    collected daily series."""
+    import math as m
+
+    got = {r.seg: r for r in qd.q_sax_symbols(spark, sf_dir).collect()}
+    assert got
+    from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = {
+        r.day: r.y
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            ).alias("y")
+        )
+        .collect()
+    }
+    d0 = min(daily)
+    segs: dict[int, list[int]] = {}
+    for day, y in daily.items():
+        segs.setdefault((day - d0).days // qd._SAX_SEG_DAYS, []).append(y)
+    ys = list(daily.values())
+    n, sy, syy = len(ys), sum(ys), sum(v * v for v in ys)
+    var_num = n * syy - sy * sy
+    for seg, vals in segs.items():
+        r = got[seg]
+        assert r.n_days == len(vals)
+        paa = sum(vals) / len(vals)
+        assert abs(r.paa - round(1e-9 + paa, 4)) <= 2e-4
+        if var_num <= 0:
+            assert r.symbol is None
+            continue
+        z = (paa - sy / n) / m.sqrt(var_num / (float(n) * n))
+        assert abs(r.z - round(1e-9 + z, 4)) <= 2e-4
+        bp = qd._SAX_BP
+        sym = "a" if z < bp[0] else "b" if z < bp[1] else "c" if z < bp[2] else "d"
+        assert r.symbol == sym, (seg, z)
+    assert set(got) == set(segs)

@@ -90,6 +90,11 @@ BNLJ_BOUNDED_OK = {
     "q_kendall_tau",   # day-grain pair self-join, ≤731 rows/side
     "q_theil_sen",     # same day-grain pair join (slopes frame)
     "q_isotonic_calibration",  # score-bin-grain PAV minimax, ≤41 rows/side
+    # dense time-grid pattern (operators/timeseries.py): the BNLJ build
+    # side is the broadcast hour SPINE — exploded from a 1-row bounds
+    # aggregate, calendar-bounded (KiB for decades of hours), never data
+    "q_gapfill",
+    "q_interpolate",
 }
 
 
