@@ -2204,6 +2204,354 @@ JOIN {prev} y ON e.b = y.node
 GROUP BY 1"""
 
 
+# --- MMR diversified re-ranking --------------------------------------------------------
+
+_MMR_CAND = 15  # BM25 candidates per query entering the re-rank
+_MMR_PICK = 5   # greedy picks per query (fixed unroll, q_kcore's pattern)
+# λ = 0.7 exactly, as the integer objective 7·relevance − 3·max_sim —
+# the greedy argmax never touches a float, so selection order is
+# engine-exact by construction (ties break on doc_id)
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k — the re-ranker that
+    keeps a near-dup-heavy corpus from filling the whole result page
+    (the retrieval-side mirror of the dedup family): per IR query, the
+    top-15 BM25 candidates re-rank greedily by
+    λ·relevance − (1−λ)·max-similarity-to-already-picked (Carbonell &
+    Goldstein), token-set Jaccard as the similarity.
+
+    Exactness: relevance normalizes to a 1e-9 integer lattice against
+    the per-query max, Jaccard quantizes to the same lattice, and the
+    greedy objective is the pure-integer 7·ns − 3·ms with doc_id
+    tiebreaks — no double ever decides a pick.  The 5 picks are a FIXED
+    unroll (both engines run identical rounds; the oracle unrolls the
+    same rounds as MATERIALIZED CTEs, q_kcore's discipline, with
+    localCheckpoint keeping the Spark plan shallow).
+
+    Shape: candidate generation is the q_ndcg_mrr two-stage top-k (the
+    100 TB-safe shape); everything after — pair similarities (≤15²
+    per query over candidate docs only), the greedy rounds — is
+    candidate-grain metadata work."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    tok = docs.select("doc_id", T.tokens("text").alias("__w")).persist()
+    dl = tok.select("doc_id", F.size("__w").cast("long").alias("dl"))
+    all_terms = sorted({t for _, a, b in _IR_QUERIES for t in (a, b)})
+    tf = (
+        tok.select("doc_id", F.explode("__w").alias("term"))
+        .where(F.col("term").isin(*all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    contrib = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            + 1.0
+        )
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.round(contrib * 1000000).cast("long").alias("c_micro"),
+        )
+    )
+    queries = spark.createDataFrame(
+        list(_IR_QUERIES), "qid int, t1 string, t2 string"
+    )
+    cand_all = (
+        per_term.join(
+            F.broadcast(queries),
+            (F.col("term") == F.col("t1")) | (F.col("term") == F.col("t2")),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("c_micro").cast("long").alias("score_micro"))
+    )
+    w_shard = Window.partitionBy(
+        "qid", F.pmod(F.col("doc_id"), F.lit(32))
+    ).orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    surv = cand_all.withColumn(
+        "__r", F.row_number().over(w_shard)
+    ).where(F.col("__r") <= _MMR_CAND)
+    w_q = Window.partitionBy("qid").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    cand = (
+        surv.withColumn("__rank", F.row_number().over(w_q))
+        .where(F.col("__rank") <= _MMR_CAND)
+        .select("qid", "doc_id", "score_micro")
+        .localCheckpoint()
+    )
+    mx = cand.groupBy("qid").agg(F.max("score_micro").alias("mxs"))
+    ns = cand.join(F.broadcast(mx), "qid").select(
+        "qid",
+        "doc_id",
+        "score_micro",
+        F.expr(
+            "CAST(round(score_micro * 1e9 / CAST(mxs AS DOUBLE)) AS BIGINT)"
+        ).alias("ns_nano"),
+    )
+    cdocs = cand.select("doc_id").distinct()
+    ctok = tok.join(F.broadcast(cdocs), "doc_id").select(
+        "doc_id", F.explode(F.array_distinct("__w")).alias("t")
+    )
+    sz = ctok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    inter = (
+        ctok.alias("x")
+        .join(
+            ctok.alias("y"),
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    )
+    sims0 = (
+        inter.join(
+            sz.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza")),
+            "da",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb")),
+            "db",
+        )
+        .select(
+            "da",
+            "db",
+            F.expr(
+                "CAST(round(nc * 1e9 / CAST(sza + szb - nc AS DOUBLE))"
+                " AS BIGINT)"
+            ).alias("sim_nano"),
+        )
+    )
+    sims = sims0.unionByName(
+        sims0.select(
+            F.col("db").alias("da"), F.col("da").alias("db"), "sim_nano"
+        )
+    ).localCheckpoint()
+    w_pick = Window.partitionBy("qid").orderBy(
+        F.desc("mmr_score"), F.asc("doc_id")
+    )
+    remaining = ns.localCheckpoint()
+    selected = None
+    for r in range(1, _MMR_PICK + 1):
+        if selected is None:
+            scored = remaining.withColumn(
+                "ms_nano", F.lit(0).cast("long")
+            )
+        else:
+            ms = (
+                remaining.select("qid", "doc_id")
+                .join(
+                    selected.select("qid", F.col("doc_id").alias("sdoc")),
+                    "qid",
+                )
+                .join(
+                    sims,
+                    (F.col("doc_id") == F.col("da"))
+                    & (F.col("sdoc") == F.col("db")),
+                    "left",
+                )
+                .groupBy("qid", "doc_id")
+                .agg(
+                    F.max(F.coalesce("sim_nano", F.lit(0)))
+                    .cast("long")
+                    .alias("ms_nano")
+                )
+            )
+            scored = remaining.join(ms, ["qid", "doc_id"], "left").withColumn(
+                "ms_nano", F.coalesce("ms_nano", F.lit(0)).cast("long")
+            )
+        scored = scored.withColumn(
+            "mmr_score",
+            (7 * F.col("ns_nano") - 3 * F.col("ms_nano")).cast("long"),
+        )
+        pick = (
+            scored.withColumn("__p", F.row_number().over(w_pick))
+            .where(F.col("__p") == 1)
+            .select(
+                "qid",
+                "doc_id",
+                "score_micro",
+                "ns_nano",
+                "ms_nano",
+                "mmr_score",
+                F.lit(r).cast("int").alias("pick_rank"),
+            )
+            .localCheckpoint()
+        )
+        selected = (
+            pick
+            if selected is None
+            else selected.unionByName(pick).localCheckpoint()
+        )
+        remaining = remaining.join(
+            pick.select("qid", "doc_id"), ["qid", "doc_id"], "left_anti"
+        ).localCheckpoint()
+    return selected.select(
+        "qid",
+        "pick_rank",
+        "doc_id",
+        "score_micro",
+        "ns_nano",
+        "ms_nano",
+        "mmr_score",
+    )
+
+
+def _sql_mmr_rerank() -> str:
+    all_terms = sorted({t for _, a, b in _IR_QUERIES for t in (a, b)})
+    terms_in = ", ".join(f"'{t}'" for t in all_terms)
+    qrows = "\nUNION ALL\n".join(
+        f"SELECT {q} AS qid, '{a}' AS t1, '{b}' AS t2"
+        for q, a, b in _IR_QUERIES
+    )
+    base = rf"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+    FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tok),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(w) AS term FROM tok)
+    WHERE term IN ({terms_in})
+    GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+per_term AS (
+    SELECT t.doc_id, t.term,
+           CAST(round(
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+               * 1000000) AS BIGINT) AS c_micro
+    FROM tf t
+    JOIN dfreq d USING (term)
+    JOIN dl l USING (doc_id)
+    CROSS JOIN stats s
+),
+queries AS (
+{qrows}
+),
+cand AS (
+    SELECT q.qid, p.doc_id,
+           CAST(sum(p.c_micro) AS BIGINT) AS score_micro
+    FROM per_term p
+    JOIN queries q ON p.term = q.t1 OR p.term = q.t2
+    GROUP BY 1, 2
+),
+topc AS MATERIALIZED (
+    SELECT qid, doc_id, score_micro FROM (
+        SELECT qid, doc_id, score_micro,
+               row_number() OVER (PARTITION BY qid
+                   ORDER BY score_micro DESC, doc_id ASC) AS rnk
+        FROM cand
+    ) WHERE rnk <= {_MMR_CAND}
+),
+mx AS (SELECT qid, max(score_micro) AS mxs FROM topc GROUP BY 1),
+ns AS MATERIALIZED (
+    SELECT t.qid, t.doc_id, t.score_micro,
+           CAST(round(t.score_micro * 1e9 / CAST(m.mxs AS DOUBLE))
+                AS BIGINT) AS ns_nano
+    FROM topc t JOIN mx m USING (qid)
+),
+cdocs AS (SELECT DISTINCT doc_id FROM topc),
+ctok AS MATERIALIZED (
+    SELECT doc_id, unnest(list_distinct(w)) AS t
+    FROM tok JOIN cdocs USING (doc_id)
+),
+csz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ctok GROUP BY 1),
+inter AS (
+    SELECT x.doc_id AS da, y.doc_id AS db, CAST(count(*) AS BIGINT) AS nc
+    FROM ctok x JOIN ctok y ON x.t = y.t AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+sims0 AS (
+    SELECT i.da, i.db,
+           CAST(round(i.nc * 1e9 / CAST(a.sz + b.sz - i.nc AS DOUBLE))
+                AS BIGINT) AS sim_nano
+    FROM inter i
+    JOIN csz a ON a.doc_id = i.da
+    JOIN csz b ON b.doc_id = i.db
+),
+sims AS MATERIALIZED (
+    SELECT da, db, sim_nano FROM sims0
+    UNION ALL
+    SELECT db AS da, da AS db, sim_nano FROM sims0
+),
+sel1 AS MATERIALIZED (
+    SELECT qid, doc_id, score_micro, ns_nano,
+           CAST(0 AS BIGINT) AS ms_nano,
+           CAST(7 * ns_nano AS BIGINT) AS mmr_score,
+           CAST(1 AS INT) AS pick_rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY 7 * ns_nano DESC, doc_id ASC) AS p
+        FROM ns
+    ) WHERE p = 1
+),
+selall1 AS MATERIALIZED (SELECT * FROM sel1),
+rem1 AS MATERIALIZED (
+    SELECT n.* FROM ns n
+    LEFT JOIN sel1 s ON n.qid = s.qid AND n.doc_id = s.doc_id
+    WHERE s.doc_id IS NULL
+)"""
+    rounds = []
+    for r in range(2, _MMR_PICK + 1):
+        rounds.append(f""",
+ms{r} AS (
+    SELECT rr.qid, rr.doc_id,
+           CAST(max(coalesce(s2.sim_nano, 0)) AS BIGINT) AS ms_nano
+    FROM rem{r - 1} rr
+    JOIN selall{r - 1} sl ON rr.qid = sl.qid
+    LEFT JOIN sims s2 ON s2.da = rr.doc_id AND s2.db = sl.doc_id
+    GROUP BY 1, 2
+),
+sel{r} AS MATERIALIZED (
+    SELECT qid, doc_id, score_micro, ns_nano, ms_nano,
+           CAST(7 * ns_nano - 3 * ms_nano AS BIGINT) AS mmr_score,
+           CAST({r} AS INT) AS pick_rank
+    FROM (
+        SELECT rr.*, m.ms_nano, row_number() OVER (PARTITION BY rr.qid
+            ORDER BY 7 * rr.ns_nano - 3 * m.ms_nano DESC,
+                     rr.doc_id ASC) AS p
+        FROM rem{r - 1} rr JOIN ms{r} m
+          ON rr.qid = m.qid AND rr.doc_id = m.doc_id
+    ) WHERE p = 1
+),
+selall{r} AS MATERIALIZED (
+    SELECT * FROM selall{r - 1} UNION ALL SELECT * FROM sel{r}
+),
+rem{r} AS MATERIALIZED (
+    SELECT rr.* FROM rem{r - 1} rr
+    LEFT JOIN sel{r} s ON rr.qid = s.qid AND rr.doc_id = s.doc_id
+    WHERE s.doc_id IS NULL
+)""")
+    return (
+        base
+        + "".join(rounds)
+        + f"""
+SELECT qid, pick_rank, doc_id, score_micro, ns_nano, ms_nano, mmr_score
+FROM selall{_MMR_PICK}"""
+    )
+
+
 # --- Isotonic calibration (PAV) ------------------------------------------------------
 
 _ISO_BIN = 25000  # score-lattice bin width → ≤41 bins over pi ∈ [0, 1e6]
@@ -2323,6 +2671,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_survival_km": q_survival_km,
     "q_kcore": q_kcore,
     "q_isotonic_calibration": q_isotonic_calibration,
+    "q_mmr_rerank": q_mmr_rerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -2345,4 +2694,5 @@ ORACLES: dict[str, str] = {
     "q_survival_km": _SQL_SURVIVAL_KM,
     "q_kcore": _sql_kcore(),
     "q_isotonic_calibration": _sql_isotonic_calibration(),
+    "q_mmr_rerank": _sql_mmr_rerank(),
 }
