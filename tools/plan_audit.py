@@ -95,14 +95,111 @@ BNLJ_BOUNDED_OK = {
     # aggregate, calendar-bounded (KiB for decades of hours), never data
     "q_gapfill",
     "q_interpolate",
+    # exhaustive-scorer family: the BNLJ build is the broadcast QUERY
+    # BATCH / held-out fold (a filtered scan, so not statically 1-row) —
+    # the documented recall-anchor shape whose 100 TB serving path is
+    # the cell-pruned IVF/PQ equi-join (q_ann_ivf / q_ivfpq_search,
+    # neither of which carries a BNLJ); each docstring states the
+    # fixed-batch grain
+    "q_knn_bruteforce",   # fixed query batch × corpus scan
+    "q_knn_classify",     # held-out fold × train scan (eval anchor)
+    "q_pq_search",        # fixed query batch × ADC scan (recall oracle)
+    "q_pq_recall",        # recall triangle: exact vs ADC, same batch
+    "q_ivfpq_recall",     # recall vs the exact baseline, same batch
+    "q_ann_recall",       # IVF recall vs exact baseline, same batch
+    "q_matryoshka_recall",  # 4 truncation widths × same fixed batch
+    "q_rrf_fusion",       # lexical+vector fusion over the fixed batch
 }
 
 
+_AGG_EXECS = (
+    "HashAggregateExec",
+    "ObjectHashAggregateExec",
+    "SortAggregateExec",
+)
+_JOIN_EXECS = (
+    "BroadcastNestedLoopJoinExec",
+    "CartesianProductExec",
+    "BroadcastHashJoinExec",
+    "SortMergeJoinExec",
+    "ShuffledHashJoinExec",
+)
+
+
+def _build_class(node) -> str:
+    """Classify a BNLJ build subtree: 'literal' (provably tiny — global
+    aggregate, ≤64-row literal relation, ≤1024-element range, or joins
+    of such), 'agg' (a GROUPED aggregate — row count equals the group
+    DOMAIN cardinality, a rollup, never raw data), or 'data' (bottoms
+    out in a scan with no intervening aggregate/limit — corpus rows on
+    the nested-loop build side, the one genuinely dangerous shape)."""
+    cls = node.getClass().getSimpleName()
+    if cls in _AGG_EXECS:
+        return "literal" if node.groupingExpressions().isEmpty() else "agg"
+    if cls == "LocalTableScanExec":
+        return "literal" if node.rows().size() <= 64 else "data"
+    if cls == "RDDScanExec":
+        # spark.createDataFrame over a driver-local Python collection
+        # (literal grids: fpp targets, IR queries, MDE grids) — never a
+        # lake table (those plan as FileSourceScan/BatchScan); bounded
+        # by the driver-authored collection, reported informationally
+        return "local"
+    if cls == "RangeExec":
+        try:
+            return (
+                "literal"
+                if int(str(node.numElements())) <= 1024
+                else "data"
+            )
+        except Exception:  # noqa: BLE001
+            return "data"
+    if cls == "GenerateExec":
+        # stack(K, ...) multiplies rows by the LITERAL K — bounded iff
+        # the input is; explode(sequence(...)) is data-dependent → data
+        gen = str(node.generator())
+        k = None
+        if gen.startswith("stack("):
+            try:
+                k = int(gen[6:].split(",", 1)[0])
+            except ValueError:
+                k = None
+        elif gen.startswith("explode([") and "]" in gen:
+            # explode of a LITERAL array — arity is its element count
+            body = gen[9 : gen.index("]")]
+            k = body.count(",") + 1 if body else 0
+        if k is not None and k <= 64:
+            kids = _seq(node.children())
+            return _build_class(kids[0]) if len(kids) == 1 else "data"
+        return "data"
+    if cls in _JOIN_EXECS:
+        kids = _seq(node.children())
+        cs = [_build_class(k) for k in kids]
+        if all(c in ("literal", "agg", "local") for c in cs):
+            if "agg" in cs:
+                return "agg"
+            return "local" if "local" in cs else "literal"
+        return "data"
+    if cls == "ReusedExchangeExec":
+        return _build_class(node.child())
+    if cls == "InMemoryTableScanExec":
+        return _build_class(node.relation().cachedPlan())
+    if cls == "AdaptiveSparkPlanExec":
+        return _build_class(node.initialPlan())
+    kids = _seq(node.children())
+    if len(kids) == 1 and cls not in ("GenerateExec", "ExpandExec"):
+        return _build_class(kids[0])
+    return "data"
+
+
 def bnlj_flags(df, name: str = "") -> list[str]:
-    """BNLJ_DATA_BUILD for every BroadcastNestedLoopJoin whose build side
-    is not provably ≤1 row (descends into InMemoryRelation cached plans —
-    persisted frames hide their build subtree there); BNLJ_UNVERIFIED if
-    the walk itself fails (fails VISIBLE, never silently ok)."""
+    """Per-BNLJ build-side classification (descends into InMemoryRelation
+    cached plans — persisted frames hide their build subtree there):
+    'literal' builds are silent, 'agg' builds print the informational
+    BNLJ_AGG_BUILD (domain-grain rollup — bounded by group cardinality,
+    not data volume), 'data' builds flag BNLJ_DATA_BUILD unless the
+    query is in BNLJ_BOUNDED_OK with a documented grain argument.
+    BNLJ_UNVERIFIED if the walk itself fails (fails VISIBLE, never
+    silently ok)."""
     try:
         plan = df._jdf.queryExecution().executedPlan()
         if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
@@ -115,7 +212,12 @@ def bnlj_flags(df, name: str = "") -> list[str]:
                 build = str(node.buildSide())
                 kids = _seq(node.children())
                 child = kids[0] if build == "BuildLeft" else kids[1]
-                if not _is_one_row(child):
+                bc = _build_class(child)
+                if bc == "agg":
+                    flags.append("BNLJ_AGG_BUILD")
+                elif bc == "local":
+                    flags.append("BNLJ_LOCAL_BUILD")
+                elif bc == "data":
                     flags.append(
                         "BNLJ_BOUNDED_ALLOWED"
                         if name in BNLJ_BOUNDED_OK
@@ -174,9 +276,15 @@ def main() -> int:
         flags = audit(name, plan)
         if "BroadcastNestedLoopJoin" in plan:
             flags += bnlj_flags(df, name)
-        # BNLJ_BOUNDED_ALLOWED is informational (documented bounded-frame
-        # pattern, printed so it stays visible) — not an audit failure
-        n_flagged += bool([f for f in flags if f != "BNLJ_BOUNDED_ALLOWED"])
+        # BNLJ_BOUNDED_ALLOWED / BNLJ_AGG_BUILD are informational
+        # (documented bounded-frame pattern / domain-grain rollup build,
+        # printed so they stay visible) — not audit failures
+        n_flagged += bool([
+            f for f in flags
+            if f not in (
+                "BNLJ_BOUNDED_ALLOWED", "BNLJ_AGG_BUILD", "BNLJ_LOCAL_BUILD"
+            )
+        ])
         print(
             f"{name}: exchanges={plan.count('Exchange')} "
             f"joins={joins or '{}'} "
