@@ -1315,6 +1315,213 @@ def main() -> None:
         "knn_classify": (lambda m: _emb_at(spark, sf_dir, m), _knnc),
     }
 
+    # round-10 wave: the seven round-10 queries.  Expected shapes —
+    # asof_multi: union-sort-ffill windows PARTITIONED by series (4
+    # cities), work ~linear in rows per series; priority_sample: map-side
+    # key + two-stage top-k (~linear scan, fixed k); target_encode: one
+    # source-grain agg broadcast back (~linear); isotonic: corpus scan to
+    # ≤41 bins then bin-grain metadata (growth = the scan);
+    # interpolate: hourly agg is corpus-linear, spine/grid fixed by the
+    # calendar (replicas jitter seconds); sax: daily agg linear, segment
+    # work fixed; mmr_rerank: BM25 candidate generation corpus-linear,
+    # greedy rounds candidate-grain fixed.
+    def _asof_multi(d):
+        obs = d.where(F.col("event_type").isin("view", "click")).select(
+            (F.pmod(F.col("user_id"), F.lit(4))).alias("city"),
+            F.col("ts").alias("__ts"),
+            F.lit(1).alias("__is_obs"),
+            (F.col("value") * 0.6 - 40.0).alias("__v"),
+        )
+        prb = d.where(F.col("event_type") == "purchase").select(
+            (F.pmod(F.col("event_id"), F.lit(4))).alias("city"),
+            F.col("ts").alias("__ts"),
+            F.lit(0).alias("__is_obs"),
+            F.lit(None).cast("double").alias("__v"),
+        )
+        u = obs.unionByName(prb)
+        w = (
+            W9.partitionBy("city")
+            .orderBy(F.asc("__ts"), F.desc("__is_obs"))
+            .rowsBetween(W9.unboundedPreceding, 0)
+        )
+        return (
+            u.select(
+                "city", "__ts", "__is_obs",
+                F.last("__v", ignorenulls=True).over(w).alias("m"),
+            )
+            .where(F.col("__is_obs") == 0)
+            .groupBy("city")
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("m").alias("avg_m"))
+        )
+
+    def _priority(d):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("es#"))),
+                1, 8,
+            ), 16, 10,
+        ).cast("long")
+        keyed = d.select(
+            "doc_id",
+            F.length("text").alias("w"),
+        ).where(F.col("w") > 0).select(
+            "doc_id",
+            (F.log((h + F.lit(1)) / F.lit(4294967296.0)) / F.col("w"))
+            .alias("key"),
+        )
+        ws = W9.partitionBy(F.pmod(F.col("doc_id"), F.lit(32))).orderBy(
+            F.desc("key"), F.asc("doc_id")
+        )
+        surv = keyed.withColumn("__r", F.row_number().over(ws)).where(
+            F.col("__r") <= 100
+        )
+        wa = W9.orderBy(F.desc("key"), F.asc("doc_id"))
+        return surv.withColumn("rank", F.row_number().over(wa)).where(
+            F.col("rank") <= 100
+        )
+
+    def _tenc(d):
+        base = d.select(
+            "doc_id", "source", (F.col("n_chars") >= 300).cast("long").alias("y")
+        )
+        g = base.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("y").cast("long").alias("sy_g"),
+        )
+        prior = base.agg(
+            (F.sum("y") / F.count(F.lit(1)).cast("double")).alias("prior")
+        )
+        return base.join(F.broadcast(g), "source").crossJoin(
+            F.broadcast(prior)
+        ).select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN n_g <= 1 THEN NULL"
+                " ELSE (sy_g - y) / CAST(n_g - 1 AS DOUBLE) END"
+            ).alias("te"),
+        )
+
+    def _iso(d):
+        base = _scored_at(d)
+        bins = base.groupBy(
+            F.expr("CAST(pi div 25000 AS BIGINT)").alias("b")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+            F.sum("y").cast("long").alias("sy_b"),
+        )
+        w = W9.orderBy("b").rowsBetween(W9.unboundedPreceding, 0)
+        cum = bins.select(
+            "b", "n_b", "sy_b",
+            F.sum("n_b").over(w).cast("long").alias("cn"),
+            F.sum("sy_b").over(w).cast("long").alias("cy"),
+        ).persist()
+        i, j = cum.alias("i"), cum.alias("j")
+        pairs = i.join(j, F.col("i.b") <= F.col("j.b")).select(
+            F.col("i.b").alias("lo"), F.col("j.b").alias("hi"),
+            ((F.col("j.cy") - F.col("i.cy") + F.col("i.sy_b"))
+             / (F.col("j.cn") - F.col("i.cn") + F.col("i.n_b"))
+             .cast("double")).alias("a"),
+        )
+        ks = cum.select(F.col("b").alias("k"))
+        t1 = pairs.join(
+            ks, (F.col("lo") <= F.col("k")) & (F.col("k") <= F.col("hi"))
+        ).groupBy("lo", "k").agg(F.min("a").alias("m"))
+        return t1.groupBy("k").agg(F.max("m").alias("iso"))
+
+    def _interp(d):
+        from nyc_taxi_data_warehouse_spark.operators.timeseries import (
+            resample_interpolate,
+        )
+
+        w = d.where(F.col("event_type").isin("view", "click")).select(
+            (F.pmod(F.col("user_id"), F.lit(4))).cast("string").alias("city"),
+            F.col("ts").alias("observed_at"),
+            (F.col("value") * 0.6 - 40.0).alias("temp_f"),
+        )
+        return resample_interpolate(
+            w, "observed_at", ["city"], "temp_f"
+        ).groupBy("city").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("temp_f_interp").alias("avg_t"),
+        )
+
+    def _sax(d):
+        daily = d.groupBy(F.to_date("ts").alias("day")).agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase",
+                       F.round(F.col("value") * 100).cast("long"))
+                .otherwise(0)
+            ).cast("long").alias("y")
+        )
+        d0 = daily.agg(F.min("day").alias("d0"))
+        seg = daily.crossJoin(F.broadcast(d0)).select(
+            F.expr("CAST(datediff(day, d0) div 8 AS BIGINT)").alias("seg"),
+            "y",
+        )
+        tot = seg.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+        return seg.groupBy("seg").agg(
+            F.count(F.lit(1)).alias("n_days"), F.sum("y").alias("sy_seg")
+        ).crossJoin(F.broadcast(tot))
+
+    def _mmr(d):
+        from nyc_taxi_data_warehouse_spark import queries_eval as qe2
+
+        tok = d.select("doc_id", T.tokens("text").alias("__w")).persist()
+        dl = tok.select("doc_id", F.size("__w").cast("long").alias("dl"))
+        terms = sorted({t for _, a, b in qe2._IR_QUERIES for t in (a, b)})
+        tf = (
+            tok.select("doc_id", F.explode("__w").alias("term"))
+            .where(F.col("term").isin(*terms))
+            .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        )
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.avg("dl").alias("avgdl"))
+        contrib = (
+            F.log((F.col("n_docs") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5) + 1.0)
+            * (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl")
+                                    / F.col("avgdl")))
+        )
+        per_term = (
+            tf.join(F.broadcast(dfreq), "term").join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .select("doc_id", "term",
+                    F.round(contrib * 1e6).cast("long").alias("c"))
+        )
+        qrows = spark.createDataFrame(
+            list(qe2._IR_QUERIES), "qid int, t1 string, t2 string"
+        )
+        cand = per_term.join(
+            F.broadcast(qrows),
+            (F.col("term") == F.col("t1")) | (F.col("term") == F.col("t2")),
+        ).groupBy("qid", "doc_id").agg(F.sum("c").alias("s"))
+        ws = W9.partitionBy("qid", F.pmod(F.col("doc_id"), F.lit(32))).orderBy(
+            F.desc("s"), F.asc("doc_id")
+        )
+        surv = cand.withColumn("__r", F.row_number().over(ws)).where(
+            F.col("__r") <= 15
+        )
+        wq = W9.partitionBy("qid").orderBy(F.desc("s"), F.asc("doc_id"))
+        return surv.withColumn("rk", F.row_number().over(wq)).where(
+            F.col("rk") <= 15
+        ).groupBy("qid").agg(F.count(F.lit(1)).alias("n"))
+
+    eighth_ops = {
+        "asof_multi": (lambda m: _events_at(spark, sf_dir, m), _asof_multi),
+        "priority_sample": (lambda m: _docs_at(spark, sf_dir, m), _priority),
+        "target_encode": (_docs_table_at, _tenc),
+        "isotonic_calibration": (_docs_table_at, _iso),
+        "interpolate": (lambda m: _events_at(spark, sf_dir, m), _interp),
+        "sax_symbols": (lambda m: _events_at(spark, sf_dir, m), _sax),
+        "mmr_candidates": (lambda m: _docs_at(spark, sf_dir, m), _mmr),
+    }
+
     all_ops = {n: (lambda m: _docs_at(spark, sf_dir, m), op) for n, op in ops.items()}
     all_ops.update(meta_ops)
     all_ops.update(events_ops)
@@ -1323,6 +1530,7 @@ def main() -> None:
     all_ops.update(fifth_ops)
     all_ops.update(sixth_ops)
     all_ops.update(seventh_ops)
+    all_ops.update(eighth_ops)
     args = sys.argv[2:]
     mults = (1, 4, 8)
     only = []
