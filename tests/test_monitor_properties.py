@@ -342,3 +342,151 @@ def test_theil_sen_matches_bruteforce_on_random_daily_series(
     assert got.slope == slope, series
     resid = sorted(round((y - slope * t) + 1e-9, 9) for t, y in daily)
     assert got.intercept == resid[(len(resid) - 1) // 2], series
+
+
+# --- round-10 operator cores ------------------------------------------------
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # series key
+            st.integers(min_value=0, max_value=500),   # obs minute
+            st.integers(min_value=-50, max_value=50),  # value
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    probes=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # series key
+            st.integers(min_value=0, max_value=500),   # probe minute
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    tol=st.one_of(st.none(), st.integers(min_value=1, max_value=60)),
+)
+@settings(**SETTINGS)
+def test_asof_join_multiseries_matches_bisect(spark, obs, probes, tol):
+    """asof_join_latest with series_cols must, for ANY observation and
+    probe sets, match each probe to the latest observation <= its ts in
+    the SAME series (ties at equal ts match), NULL outside tolerance."""
+    import bisect
+    import datetime as dt
+
+    from nyc_taxi_data_warehouse_spark.operators.asof import asof_join_latest
+
+    t0 = dt.datetime(2024, 3, 1)
+    odf = spark.createDataFrame(
+        [
+            (f"s{k}", t0 + dt.timedelta(minutes=m), float(v))
+            for k, m, v in obs
+        ]
+        or [("s9", t0, 0.0)],  # schema anchor outside probe series
+        "city string, ots timestamp, val double",
+    )
+    pdf = spark.createDataFrame(
+        [
+            (f"s{k}", t0 + dt.timedelta(minutes=m), i)
+            for i, (k, m) in enumerate(probes)
+        ],
+        "city string, pts timestamp, pid long",
+    )
+    out = {
+        r.pid: r
+        for r in asof_join_latest(
+            pdf,
+            odf,
+            probe_ts="pts",
+            obs_ts="ots",
+            value_cols=["val"],
+            tolerance_minutes=tol,
+            series_cols=["city"],
+        ).collect()
+    }
+    assert len(out) == len(probes)
+    by_series: dict[str, list] = {}
+    for k, m, v in obs:
+        by_series.setdefault(f"s{k}", []).append(m)
+    for lst in by_series.values():
+        lst.sort()
+    for i, (k, m) in enumerate(probes):
+        lst = by_series.get(f"s{k}", [])
+        j = bisect.bisect_right(lst, m)
+        exp_min = lst[j - 1] if j else None
+        if exp_min is not None and tol is not None and m - exp_min > tol:
+            exp_min = None
+        got = out[i].matched_obs_ts
+        exp = (
+            t0 + __import__("datetime").timedelta(minutes=exp_min)
+            if exp_min is not None
+            else None
+        )
+        assert got == exp, (i, k, m, tol)
+        if exp is not None:
+            # the matched VALUE must come from an obs at that exact ts in
+            # the same series (ties between equal-ts obs are allowed to
+            # pick either; the ts itself is deterministic)
+            cands = {
+                float(v) for kk, mm, v in obs
+                if f"s{kk}" == f"s{k}" and mm == exp_min
+            }
+            assert out[i].val in cands
+        else:
+            assert out[i].val is None
+
+
+@given(
+    series=st.lists(
+        st.one_of(
+            st.none(), st.integers(min_value=-40, max_value=40)
+        ),
+        min_size=2,
+        max_size=48,
+    )
+)
+@settings(**SETTINGS)
+def test_resample_interpolate_matches_literal(spark, series):
+    """resample_interpolate on ANY hourly series (None = missing hour)
+    must reproduce the literal linear interpolation, pass observations
+    through, and never extrapolate beyond the first/last observation."""
+    import datetime as dt
+
+    from hypothesis import assume
+
+    from nyc_taxi_data_warehouse_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    assume(any(v is not None for v in series))
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        ("c", t0 + dt.timedelta(hours=i), float(v))
+        for i, v in enumerate(series)
+        if v is not None
+    ]
+    df = spark.createDataFrame(rows, "city string, ts timestamp, v double")
+    got = {
+        r.hour_ts: r
+        for r in resample_interpolate(df, "ts", ["city"], "v").collect()
+    }
+    known = [(i, float(v)) for i, v in enumerate(series) if v is not None]
+    lo, hi = known[0][0], known[-1][0]
+    # spine covers [first obs hour, last obs hour]
+    assert len(got) == hi - lo + 1
+    for i in range(lo, hi + 1):
+        r = got[t0 + dt.timedelta(hours=i)]
+        if series[i] is not None:
+            assert r.v_observed and abs(r.v_interp - series[i]) <= 1e-9
+            continue
+        assert not r.v_observed
+        prev = max((p for p in known if p[0] < i), key=lambda p: p[0])
+        nxt = min((p for p in known if p[0] > i), key=lambda p: p[0])
+        expect = prev[1] + (nxt[1] - prev[1]) * (i - prev[0]) / (
+            nxt[0] - prev[0]
+        )
+        assert abs(r.v_interp - expect) <= 1e-9, (i, expect, r.v_interp)
+        assert min(prev[1], nxt[1]) - 1e-9 <= r.v_interp <= max(
+            prev[1], nxt[1]
+        ) + 1e-9
