@@ -7224,6 +7224,105 @@ SELECT event_type, n AS n_days, sy,
 FROM sums"""
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length across sources — the
+    batch-effect correction (microarray-style) that makes per-source
+    length distributions comparable: every doc maps to its WITHIN-SOURCE
+    percentile (midrank over the per-source value CDF — ties share a
+    percentile, NO row ever gets a rank and no per-source sort ever
+    runs), then takes the GLOBAL value at that percentile as its
+    normalized length.
+
+    Exactness: everything is integer — midranks fold as 2R = 2·cle−c+1
+    off the grouped CDF, the percentile bucket is a floor division
+    clamped to [0,99], and the global reference per bucket is a
+    conditional-min CDF selection (min v with 200·cle ≥ (2p+1)·N, the
+    slo_burn pattern) — a DATA value, never an interpolated float.
+    Shape: two distinct-value CDFs (per-source + global) and one
+    group-grain equi-join back to the corpus; the 100-row grid is
+    literal."""
+    from .operators.sampling import bucketed_value_cumsum
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    scdf = bucketed_value_cumsum(
+        docs.select("source", "n_chars"), "n_chars", ("source",)
+    )
+    ng = scdf.groupBy("source").agg(
+        F.max("__cle").cast("long").alias("n_g")
+    )
+    pcts = scdf.join(F.broadcast(ng), "source").select(
+        F.col("source").alias("__src"),
+        F.col("__v").alias("__val"),
+        F.expr(
+            "CAST(least(99, (100 * (2 * __cle - __c + 1)) div (2 * n_g))"
+            " AS INT)"
+        ).alias("pct"),
+    )
+    gcdf = bucketed_value_cumsum(docs.select("n_chars"), "n_chars")
+    ntot = docs.agg(F.count(F.lit(1)).cast("long").alias("N"))
+    grid = spark.range(0, 100).select(F.col("id").cast("int").alias("p"))
+    ref = (
+        gcdf.crossJoin(F.broadcast(ntot))
+        .crossJoin(F.broadcast(grid))
+        .where(200 * F.col("__cle") >= (2 * F.col("p") + 1) * F.col("N"))
+        .groupBy("p")
+        .agg(F.min("__v").cast("long").alias("v_ref"))
+    )
+    return (
+        docs.join(
+            pcts,
+            (F.col("source") == F.col("__src"))
+            & (F.col("n_chars") == F.col("__val")),
+        )
+        .join(F.broadcast(ref), F.col("pct") == F.col("p"))
+        .select("doc_id", "source", "n_chars", "pct", "v_ref")
+    )
+
+
+_SQL_QUANTILE_NORMALIZE = """
+WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+vc AS (
+    SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+    FROM d GROUP BY 1, 2
+),
+scdf AS (
+    SELECT source, v, c,
+           CAST(sum(c) OVER (PARTITION BY source ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cle
+    FROM vc
+),
+ng AS (SELECT source, CAST(max(cle) AS BIGINT) AS n_g FROM scdf GROUP BY 1),
+pcts AS (
+    SELECT s.source, s.v,
+           CAST(least(99, (100 * (2 * s.cle - s.c + 1)) // (2 * g.n_g))
+                AS INT) AS pct
+    FROM scdf s JOIN ng g USING (source)
+),
+gvc AS (
+    SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1
+),
+gcdf AS (
+    SELECT v,
+           CAST(sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cle
+    FROM gvc
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS N FROM d),
+grid AS (SELECT unnest(range(0, 100)) AS p),
+ref AS (
+    SELECT p, CAST(min(v) AS BIGINT) AS v_ref
+    FROM gcdf, nt, grid
+    WHERE 200 * cle >= (2 * p + 1) * N
+    GROUP BY 1
+)
+SELECT doc_id, d.source, n_chars, pct, v_ref
+FROM d
+JOIN pcts ON d.source = pcts.source AND d.n_chars = pcts.v
+JOIN ref ON ref.p = pcts.pct"""
+
+
 _SAX_SEG_DAYS = 8       # PAA segment width (days)
 # N(0,1) quartile breakpoints for a 4-symbol alphabet, folded to Python
 # double literals so both engines compare against identical constants
@@ -11149,6 +11248,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_priority_sample": q_priority_sample,
     "q_target_encode": q_target_encode,
     "q_sax_symbols": q_sax_symbols,
+    "q_quantile_normalize": q_quantile_normalize,
     "q_bm25": q_bm25,
     "q_winsorize": q_winsorize,
     "q_pmi": q_pmi,
@@ -11312,6 +11412,7 @@ ORACLES: dict[str, str] = {
     "q_priority_sample": _SQL_PRIORITY_SAMPLE,
     "q_target_encode": _SQL_TARGET_ENCODE,
     "q_sax_symbols": _SQL_SAX_SYMBOLS,
+    "q_quantile_normalize": _SQL_QUANTILE_NORMALIZE,
     "q_bm25": _SQL_BM25,
     "q_winsorize": _SQL_WINSORIZE,
     "q_pmi": _SQL_PMI,

@@ -166,6 +166,155 @@ SELECT source, n, n_pos, (n - n_pos) AS n_neg,
 FROM agg"""
 
 
+# --- Cross-validated AUC ------------------------------------------------------------
+
+_CV_FOLDS = 5
+
+
+def q_cv_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-fold cross-validated ROC AUC of the quality model — the
+    variance estimate a single AUC number hides (is the model's
+    separation stable, or does it ride a few lucky docs?): documents
+    assign to 5 folds by content hash (never random — re-ingest can't
+    reshuffle folds), each fold's AUC folds over ITS OWN score CDF by
+    the q_roc_auc midrank identity, and the cross-fold mean/std ride an
+    EXACT integer lattice (per-fold AUC quantizes to 1e-6 micro-units;
+    Σ and Σ(k·aᵢ−S)² are BIGINT, so the 5-double summation-order trap
+    never opens; only the final sqrt/division are per-row doubles).
+
+    Shape: one corpus scan; the per-fold CDF is the same
+    distinct-lattice work as q_roc_auc with fold as the partition key —
+    folds parallelize, nothing is scanned twice."""
+    from .operators.sampling import hash_bucket
+    from .queries_data import _quality_logit_z
+
+    d = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "text", "n_chars", T.tokens("text").alias("__w")
+    )
+    z = _quality_logit_z(
+        T.word_count_from_tokens("__w"),
+        T.type_token_ratio_from_tokens("__w"),
+        T.punct_ratio("text"),
+        T.stopword_ratio_from_tokens("__w", "en"),
+    )
+    p_keep = _rnd(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    base = d.select(
+        hash_bucket("doc_id", salt="cv", n_buckets=_CV_FOLDS).alias("fold"),
+        F.round(p_keep * 1000000).cast("long").alias("pi"),
+        (F.col("n_chars") >= _EVAL_LABEL_CHARS).cast("long").alias("y"),
+    ).persist()  # feeds the CDF primitive's GK job + CDF + positives
+    cdf = bucketed_value_cumsum(base.select("fold", "pi"), "pi", ("fold",))
+    cpos = base.groupBy("fold", F.col("pi").alias("__v")).agg(
+        F.sum("y").cast("long").alias("c_pos")
+    )
+    agg = (
+        cdf.join(cpos, ["fold", "__v"])
+        .groupBy("fold")
+        .agg(
+            F.max("__cle").cast("long").alias("n"),
+            F.sum("c_pos").cast("long").alias("n_pos"),
+            F.sum(F.col("c_pos") * (2 * F.col("__cle") - F.col("__c") + 1))
+            .cast("long")
+            .alias("two_r"),
+        )
+    )
+    folds = agg.select(
+        "fold",
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        F.expr(f"CAST(round(({_AUC_TXT}) * 1e6) AS BIGINT)")
+        .alias("auc_micro"),
+    ).persist()  # 5-row frame, consumed by the summary AND the output
+    summ = folds.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("auc_micro").cast("long").alias("s_micro"),
+    )
+    ssd = (
+        folds.crossJoin(F.broadcast(summ))
+        .select(
+            (
+                (F.col("k") * F.col("auc_micro") - F.col("s_micro"))
+                * (F.col("k") * F.col("auc_micro") - F.col("s_micro"))
+            ).alias("d2"),
+            "k",
+            "s_micro",
+        )
+        .groupBy("k", "s_micro")
+        .agg(F.sum("d2").cast("long").alias("ssd"))
+    )
+    std_txt = "sqrt(CAST(ssd AS DOUBLE)) / (1e6 * k * sqrt(CAST(k AS DOUBLE)))"
+    return folds.crossJoin(F.broadcast(ssd)).select(
+        "fold",
+        "n",
+        "n_pos",
+        "n_neg",
+        _rnd(F.col("auc_micro") / F.lit(1e6), 6).alias("auc"),
+        _rnd(F.expr("s_micro / (k * 1e6)"), 6).alias("mean_auc"),
+        _rnd(F.expr(std_txt), 6).alias("std_auc"),
+    )
+
+
+def _sql_cv_auc() -> str:
+    from .queries_data import _SQL_QM_FEATURES
+
+    hexval = _hexval(
+        "substr(md5(CAST(doc_id AS VARCHAR) || 'cv'), 1, 8)"
+    )
+    return f"""WITH {_SQL_QM_FEATURES},
+folded AS (
+    SELECT CAST(({hexval}) % {_CV_FOLDS} AS INT) AS fold,
+           s.pi, s.y
+    FROM (
+        SELECT qz.doc_id,
+               CAST(round(round(1e-9 + 1.0 / (1.0 + exp(-z)), 6) * 1000000)
+                    AS BIGINT) AS pi,
+               CAST(d.n_chars >= 300 AS BIGINT) AS y
+        FROM qz JOIN documents d USING (doc_id)
+    ) s
+),
+vc AS (
+    SELECT fold, pi, CAST(count(*) AS BIGINT) AS c,
+           CAST(sum(y) AS BIGINT) AS c_pos
+    FROM folded GROUP BY 1, 2
+),
+cdf AS (
+    SELECT fold, pi, c, c_pos,
+           CAST(sum(c) OVER (PARTITION BY fold ORDER BY pi
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cle
+    FROM vc
+),
+agg AS (
+    SELECT fold, CAST(max(cle) AS BIGINT) AS n,
+           CAST(sum(c_pos) AS BIGINT) AS n_pos,
+           CAST(sum(c_pos * (2 * cle - c + 1)) AS BIGINT) AS two_r
+    FROM cdf GROUP BY 1
+),
+folds AS (
+    SELECT fold, n, n_pos, (n - n_pos) AS n_neg,
+           CAST(round(({_AUC_TXT}) * 1e6) AS BIGINT) AS auc_micro
+    FROM agg
+),
+summ AS (
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(auc_micro) AS BIGINT) AS s_micro
+    FROM folds
+),
+ssd AS (
+    SELECT k, s_micro,
+           CAST(sum((k * auc_micro - s_micro) * (k * auc_micro - s_micro))
+                AS BIGINT) AS ssd
+    FROM folds, summ GROUP BY 1, 2
+)
+SELECT fold, n, n_pos, n_neg,
+       round(1e-9 + auc_micro / 1e6, 6) AS auc,
+       round(1e-9 + s_micro / (k * 1e6), 6) AS mean_auc,
+       round(1e-9 + sqrt(CAST(ssd AS DOUBLE))
+             / (1e6 * k * sqrt(CAST(k AS DOUBLE))), 6) AS std_auc
+FROM folds, ssd"""
+
+
 # --- Precision–recall threshold sweep -------------------------------------------
 
 _PR_STEPS = tuple(range(1, 20))  # thresholds i/20, as lattice ints i*50000
@@ -2672,6 +2821,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kcore": q_kcore,
     "q_isotonic_calibration": q_isotonic_calibration,
     "q_mmr_rerank": q_mmr_rerank,
+    "q_cv_auc": q_cv_auc,
 }
 
 ORACLES: dict[str, str] = {
@@ -2695,4 +2845,5 @@ ORACLES: dict[str, str] = {
     "q_kcore": _sql_kcore(),
     "q_isotonic_calibration": _sql_isotonic_calibration(),
     "q_mmr_rerank": _sql_mmr_rerank(),
+    "q_cv_auc": _sql_cv_auc(),
 }

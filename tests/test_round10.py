@@ -298,3 +298,85 @@ def test_mmr_rerank_matches_literal_greedy(spark, sf_dir):
                     -r.doc_id,
                 ), (qid, r.pick_rank, later.doc_id)
             selected.append(r.doc_id)
+
+
+def test_cv_auc_matches_literal_per_fold(spark, sf_dir):
+    """Each fold's AUC must equal the literal midrank computation over
+    that fold's (pi, y) rows, and mean/std must reconcile exactly from
+    the per-fold micro-lattice."""
+    rows = sorted(qe.q_cv_auc(spark, sf_dir).collect(), key=lambda r: r.fold)
+    assert len(rows) == qe._CV_FOLDS
+    from nyc_taxi_data_warehouse_spark.operators.sampling import hash_bucket
+    from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+    from nyc_taxi_data_warehouse_spark.functions import text as T
+    from nyc_taxi_data_warehouse_spark.queries_data import _quality_logit_z
+
+    d = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "text", "n_chars", T.tokens("text").alias("__w")
+    )
+    z = _quality_logit_z(
+        T.word_count_from_tokens("__w"),
+        T.type_token_ratio_from_tokens("__w"),
+        T.punct_ratio("text"),
+        T.stopword_ratio_from_tokens("__w", "en"),
+    )
+    p_keep = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) + F.lit(1e-9), 6)
+    base = d.select(
+        hash_bucket("doc_id", salt="cv", n_buckets=qe._CV_FOLDS).alias("fold"),
+        F.round(p_keep * 1000000).cast("long").alias("pi"),
+        (F.col("n_chars") >= 300).cast("long").alias("y"),
+    ).collect()
+    micro = []
+    for r in rows:
+        fold = [(b.pi, b.y) for b in base if b.fold == r.fold]
+        pos = sorted(p for p, y in fold if y == 1)
+        neg = sorted(p for p, y in fold if y == 0)
+        assert (r.n, r.n_pos, r.n_neg) == (len(fold), len(pos), len(neg))
+        wins = sum(1.0 for p in pos for q in neg if p > q) + 0.5 * sum(
+            1 for p in pos for q in neg if p == q
+        )
+        auc = wins / (len(pos) * len(neg))
+        m = int(round(auc * 1e6))
+        micro.append(m)
+        assert abs(r.auc - round(1e-9 + m / 1e6, 6)) <= 2e-6, r.fold
+    k, s = len(micro), sum(micro)
+    mean = s / (k * 1e6)
+    std = (sum((k * m - s) ** 2 for m in micro) ** 0.5) / (1e6 * k * k**0.5)
+    for r in rows:
+        assert abs(r.mean_auc - round(1e-9 + mean, 6)) <= 2e-6
+        assert abs(r.std_auc - round(1e-9 + std, 6)) <= 2e-6
+
+
+def test_quantile_normalize_matches_literal_midranks(spark, sf_dir):
+    """pct must equal the literal within-source midrank bucket, v_ref the
+    literal global percentile value; equal lengths in a source share a
+    pct (tie coherence)."""
+    got = {r.doc_id: r for r in qd.q_quantile_normalize(spark, sf_dir).collect()}
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    assert set(got) == {r.doc_id for r in docs}
+    by_src: dict[str, list[int]] = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append(r.n_chars)
+    all_vals = sorted(r.n_chars for r in docs)
+    N = len(all_vals)
+
+    def ref(p: int) -> int:
+        # min v with 200*cle >= (2p+1)*N  ==  value at index
+        # ceil((2p+1)*N/200) - 1 of the sorted multiset
+        import math as m
+
+        return all_vals[m.ceil((2 * p + 1) * N / 200) - 1]
+
+    for r in docs:
+        vals = by_src[r.source]
+        n_g = len(vals)
+        cle = sum(1 for v in vals if v <= r.n_chars)
+        c = sum(1 for v in vals if v == r.n_chars)
+        pct = min(99, (100 * (2 * cle - c + 1)) // (2 * n_g))
+        out = got[r.doc_id]
+        assert out.pct == pct, (r.doc_id, r.source)
+        assert out.v_ref == ref(pct), (r.doc_id, pct)
