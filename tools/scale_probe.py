@@ -1512,7 +1512,66 @@ def main() -> None:
             F.col("rk") <= 15
         ).groupBy("qid").agg(F.count(F.lit(1)).alias("n"))
 
+    def _cv(d):
+        base = _scored_at(d).select(
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.col("pi").cast("string"),
+                                               F.lit("cv"))), 1, 8),
+                    16, 10,
+                ).cast("long"),
+                F.lit(5),
+            ).alias("fold"),
+            "pi",
+            "y",
+        ).persist()  # the query's own persist: 3 consumers of the scored base
+        cdf = _bvc(base.select("fold", "pi"), "pi", ("fold",))
+        cpos = base.groupBy("fold", F.col("pi").alias("__v")).agg(
+            F.sum("y").cast("long").alias("c_pos")
+        )
+        return cdf.join(cpos, ["fold", "__v"]).groupBy("fold").agg(
+            F.max("__cle").alias("n"),
+            F.sum(
+                F.col("c_pos") * (2 * F.col("__cle") - F.col("__c") + 1)
+            ).alias("two_r"),
+        )
+
+    def _qnorm(d):
+        docs = d.select("doc_id", "source", "n_chars")
+        scdf = _bvc(docs.select("source", "n_chars"), "n_chars", ("source",))
+        ng = scdf.groupBy("source").agg(F.max("__cle").alias("n_g"))
+        pcts = scdf.join(F.broadcast(ng), "source").select(
+            F.col("source").alias("__src"),
+            F.col("__v").alias("__val"),
+            F.expr(
+                "CAST(least(99, (100 * (2 * __cle - __c + 1))"
+                " div (2 * n_g)) AS INT)"
+            ).alias("pct"),
+        )
+        gcdf = _bvc(docs.select("n_chars"), "n_chars")
+        ntot = docs.agg(F.count(F.lit(1)).cast("long").alias("N"))
+        grid = spark.range(0, 100).select(F.col("id").cast("int").alias("p"))
+        ref = (
+            gcdf.crossJoin(F.broadcast(ntot))
+            .crossJoin(F.broadcast(grid))
+            .where(200 * F.col("__cle") >= (2 * F.col("p") + 1) * F.col("N"))
+            .groupBy("p")
+            .agg(F.min("__v").alias("v_ref"))
+        )
+        return (
+            docs.join(
+                pcts,
+                (F.col("source") == F.col("__src"))
+                & (F.col("n_chars") == F.col("__val")),
+            )
+            .join(F.broadcast(ref), F.col("pct") == F.col("p"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("v_ref").alias("a"))
+        )
+
     eighth_ops = {
+        "cv_auc": (_docs_table_at, _cv),
+        "quantile_normalize": (_docs_table_at, _qnorm),
         "asof_multi": (lambda m: _events_at(spark, sf_dir, m), _asof_multi),
         "priority_sample": (lambda m: _docs_at(spark, sf_dir, m), _priority),
         "target_encode": (_docs_table_at, _tenc),
