@@ -1933,6 +1933,229 @@ FROM agg"""
 _SQL_SPEARMAN = _sql_spearman()
 
 
+# --- Binary-segmentation changepoint --------------------------------------------------
+
+def q_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-based single-split changepoint of the daily
+    purchase-revenue series — the segmentation leg beside
+    q_cusum_changepoint's sequential alarm (CUSUM asks "has the mean
+    drifted?"; binary segmentation asks "WHERE does one split explain
+    the series best?"): the split k minimizing SSE_left + SSE_right,
+    the first step of the classic binseg recursion.
+
+    Exactness: day-grain prefix sums are BIGINT off one calendar-bounded
+    window (≤731 rows — the q_kendall_tau cap class); each split's cost
+    is per-row IEEE arithmetic over those integers (engine-identical
+    bits), the argmin breaks ties on k; reported means/SSEs round on the
+    shared lattice.  Shape: one corpus aggregation to the day grain;
+    everything after is day-grain metadata work."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    idx = daily.select(
+        "day",
+        "y",
+        F.count(F.lit(1)).over(w).cast("long").alias("k"),
+        F.sum("y").over(w).cast("long").alias("cy"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("long").alias("cyy"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    splits = idx.crossJoin(F.broadcast(tot)).where(F.col("k") < F.col("n"))
+    cost_txt = (
+        "(cyy - (CAST(cy AS DOUBLE) * cy) / k)"
+        " + ((syy - cyy) - (CAST(sy - cy AS DOUBLE) * (sy - cy)) / (n - k))"
+    )
+    w_best = Window.orderBy(F.expr(cost_txt).asc(), F.col("k").asc())
+    best = (
+        splits.withColumn("__r", F.row_number().over(w_best))
+        .where(F.col("__r") == 1)
+    )
+    sse_g = "(syy - (CAST(sy AS DOUBLE) * sy) / n)"
+    vred = (
+        f"CASE WHEN {sse_g} > 0 THEN 1.0 - ({cost_txt}) / ({sse_g}) END"
+    )
+    return best.select(
+        F.col("n").alias("n_days"),
+        F.col("k").alias("split_k"),
+        F.col("day").alias("split_day"),
+        _rnd(F.col("cy") / F.col("k").cast("double"), 4).alias("mean_left"),
+        _rnd(
+            (F.col("sy") - F.col("cy"))
+            / (F.col("n") - F.col("k")).cast("double"),
+            4,
+        ).alias("mean_right"),
+        _rnd(F.expr(cost_txt), 4).alias("sse_split"),
+        _rnd(F.expr(vred), 6).alias("var_reduction"),
+    )
+
+
+_SQL_CHANGEPOINT_BINSEG = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS y
+    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1
+),
+idx AS (
+    SELECT day, y,
+           CAST(count(*) OVER wc AS BIGINT) AS k,
+           CAST(sum(y) OVER wc AS BIGINT) AS cy,
+           CAST(sum(y * y) OVER wc AS BIGINT) AS cyy
+    FROM daily
+    WINDOW wc AS (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM daily
+),
+splits AS (
+    SELECT i.*, t.n, t.sy, t.syy,
+           (cyy - (CAST(cy AS DOUBLE) * cy) / k)
+           + ((syy - cyy)
+              - (CAST(sy - cy AS DOUBLE) * (sy - cy)) / (n - k)) AS cost
+    FROM idx i, tot t WHERE i.k < t.n
+),
+best AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (ORDER BY cost ASC, k ASC) AS r
+        FROM splits
+    ) WHERE r = 1
+)
+SELECT n AS n_days, k AS split_k, day AS split_day,
+       round(1e-9 + cy / CAST(k AS DOUBLE), 4) AS mean_left,
+       round(1e-9 + (sy - cy) / CAST(n - k AS DOUBLE), 4) AS mean_right,
+       round(1e-9 + cost, 4) AS sse_split,
+       round(1e-9 + (CASE WHEN (syy - (CAST(sy AS DOUBLE) * sy) / n) > 0
+             THEN 1.0 - cost / (syy - (CAST(sy AS DOUBLE) * sy) / n) END), 6)
+           AS var_reduction
+FROM best"""
+
+
+# --- Simpson's-paradox trend screen ----------------------------------------------------
+
+def q_simpson_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen over the daily event-count trends: for
+    each event type, does ITS OWN slope disagree in sign with the slope
+    of the POOLED daily total?  (The aggregation-reversal check every
+    metrics review needs before trusting a topline trend — a growing
+    total can hide every segment shrinking, and vice versa, when the
+    mixture shifts.)
+
+    Exactness: both regressions ride q_trend_ols' exact-integer power
+    sums, and the SIGN comparison never touches a float — sign(slope) =
+    sign(n·Σxy − Σx·Σy) because the denominator is positive whenever ≥2
+    distinct days exist (NULL flag otherwise).  Shape: one corpus
+    aggregation to the (type × day) grain, a second fold to the pooled
+    day grain, six numbers per group after that."""
+    ev = load_tables(spark, sf_dir)["events"].where(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    d0 = daily.agg(F.min("day").alias("d0"))
+    xy = daily.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        F.datediff("day", "d0").cast("long").alias("x"),
+        "y",
+    ).persist()  # feeds the per-group AND the pooled fold
+    def _sums(df, keys):
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+    g = _sums(xy, ["event_type"])
+    pooled = _sums(
+        xy.groupBy("x").agg(F.sum("y").cast("long").alias("y")), []
+    ).select(
+        F.col("n").alias("pn"),
+        F.col("sx").alias("psx"),
+        F.col("sy").alias("psy"),
+        F.col("sxy").alias("psxy"),
+        F.col("sxx").alias("psxx"),
+    )
+    slope = "CASE WHEN n * sxx - sx * sx > 0 THEN CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) END"
+    pslope = "CASE WHEN pn * psxx - psx * psx > 0 THEN CAST(pn * psxy - psx * psy AS DOUBLE) / (pn * psxx - psx * psx) END"
+    flip = (
+        "CASE WHEN n * sxx - sx * sx <= 0 OR pn * psxx - psx * psx <= 0"
+        " THEN NULL"
+        " ELSE CAST((sign(n * sxy - sx * sy)"
+        " * sign(pn * psxy - psx * psy)) < 0 AS INT) END"
+    )
+    return g.crossJoin(F.broadcast(pooled)).select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        _rnd(F.expr(slope), 6).alias("slope"),
+        _rnd(F.expr(pslope), 6).alias("pooled_slope"),
+        F.expr(flip).alias("sign_flip"),
+    )
+
+
+_SQL_SIMPSON_TRENDS = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS y
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+),
+d0 AS (SELECT min(day) AS d0 FROM daily),
+xy AS (
+    SELECT event_type, CAST(datediff('day', d0, day) AS BIGINT) AS x, y
+    FROM daily, d0
+),
+g AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM xy GROUP BY 1
+),
+pooled_xy AS (SELECT x, CAST(sum(y) AS BIGINT) AS y FROM xy GROUP BY 1),
+p AS (
+    SELECT CAST(count(*) AS BIGINT) AS pn,
+           CAST(sum(x) AS BIGINT) AS psx,
+           CAST(sum(y) AS BIGINT) AS psy,
+           CAST(sum(x * y) AS BIGINT) AS psxy,
+           CAST(sum(x * x) AS BIGINT) AS psxx
+    FROM pooled_xy
+)
+SELECT event_type, n AS n_days,
+       round(1e-9 + (CASE WHEN n * sxx - sx * sx > 0
+             THEN CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
+             END), 6) AS slope,
+       round(1e-9 + (CASE WHEN pn * psxx - psx * psx > 0
+             THEN CAST(pn * psxy - psx * psy AS DOUBLE)
+                  / (pn * psxx - psx * psx) END), 6) AS pooled_slope,
+       CASE WHEN n * sxx - sx * sx <= 0 OR pn * psxx - psx * psx <= 0
+            THEN NULL
+            ELSE CAST((sign(n * sxy - sx * sy)
+                 * sign(pn * psxy - psx * psy)) < 0 AS INT) END AS sign_flip
+FROM g, p"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cusum_changepoint": q_cusum_changepoint,
     "q_stream_cusum": q_stream_cusum,
@@ -1950,6 +2173,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_encoding_advisor": q_encoding_advisor,
     "q_matryoshka_recall": q_matryoshka_recall,
     "q_spearman": q_spearman,
+    "q_changepoint_binseg": q_changepoint_binseg,
+    "q_simpson_trends": q_simpson_trends,
 }
 
 ORACLES: dict[str, str] = {
@@ -1969,4 +2194,6 @@ ORACLES: dict[str, str] = {
     "q_encoding_advisor": _SQL_ENCODING_ADVISOR,
     "q_matryoshka_recall": _SQL_MATRYOSHKA_RECALL,
     "q_spearman": _SQL_SPEARMAN,
+    "q_changepoint_binseg": _SQL_CHANGEPOINT_BINSEG,
+    "q_simpson_trends": _SQL_SIMPSON_TRENDS,
 }

@@ -380,3 +380,98 @@ def test_quantile_normalize_matches_literal_midranks(spark, sf_dir):
         out = got[r.doc_id]
         assert out.pct == pct, (r.doc_id, r.source)
         assert out.v_ref == ref(pct), (r.doc_id, pct)
+
+
+def test_changepoint_binseg_matches_literal_scan(spark, sf_dir):
+    """The reported split must be the literal argmin of SSE_l + SSE_r
+    over every split of the collected daily series (k tiebreak)."""
+    from nyc_taxi_data_warehouse_spark import queries_mining as qm
+    from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+
+    got = qm.q_changepoint_binseg(spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = sorted(
+        (
+            (b.day, b.y)
+            for b in ev.groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.col("value") * 100).cast("long"),
+                    ).otherwise(0)
+                ).alias("y")
+            )
+            .collect()
+        )
+    )
+    ys = [y for _, y in daily]
+    n = len(ys)
+    assert r.n_days == n
+
+    def sse(seg):
+        s, ss = sum(seg), sum(v * v for v in seg)
+        return ss - (s * s) / len(seg)
+
+    best = min(
+        ((sse(ys[:k]) + sse(ys[k:]), k) for k in range(1, n)),
+    )
+    assert r.split_k == best[1]
+    assert r.split_day == daily[best[1] - 1][0]
+    assert abs(r.sse_split - round(1e-9 + best[0], 4)) <= 2e-4
+    assert abs(r.mean_left - round(1e-9 + sum(ys[: best[1]]) / best[1], 4)) <= 2e-4
+    g = sse(ys)
+    if g > 0:
+        assert abs(r.var_reduction - round(1e-9 + 1 - best[0] / g, 6)) <= 2e-6
+
+
+def test_simpson_trends_matches_literal_slopes(spark, sf_dir):
+    """Per-type and pooled slopes must equal the closed-form OLS over the
+    collected daily counts; the flip flag must be the pure-integer sign
+    product."""
+    from nyc_taxi_data_warehouse_spark import queries_mining as qm
+    from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+
+    got = {r.event_type: r for r in qm.q_simpson_trends(spark, sf_dir).collect()}
+    ev = load_tables(spark, sf_dir)["events"].where(F.col("ts").isNotNull())
+    rows = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    ).collect()
+    d0 = min(r.day for r in rows)
+    per: dict[str, list] = {}
+    pooled: dict[int, int] = {}
+    for r in rows:
+        x = (r.day - d0).days
+        per.setdefault(r.event_type, []).append((x, r.y))
+        pooled[x] = pooled.get(x, 0) + r.y
+
+    def ols(pts):
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        den = n * sxx - sx * sx
+        num = n * sxy - sx * sy
+        return (num, den)
+
+    pnum, pden = ols(sorted(pooled.items()))
+    for t, pts in per.items():
+        num, den = ols(pts)
+        r = got[t]
+        assert r.n_days == len(pts)
+        if den > 0:
+            assert abs(r.slope - round(1e-9 + num / den, 6)) <= 2e-6
+        else:
+            assert r.slope is None
+        if den > 0 and pden > 0:
+            def sgn(v):
+                return (v > 0) - (v < 0)
+            assert r.sign_flip == int(sgn(num) * sgn(pnum) < 0), t
+        else:
+            assert r.sign_flip is None
+        assert abs(r.pooled_slope - round(1e-9 + pnum / pden, 6)) <= 2e-6
