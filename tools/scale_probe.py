@@ -1569,7 +1569,64 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("n"), F.avg("v_ref").alias("a"))
         )
 
+    def _binseg(d):
+        daily = d.groupBy(F.to_date("ts").alias("day")).agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase",
+                       F.round(F.col("value") * 100).cast("long"))
+                .otherwise(0)
+            ).cast("long").alias("y")
+        )
+        w = W9.orderBy("day").rowsBetween(W9.unboundedPreceding, 0)
+        idx = daily.select(
+            "day", "y",
+            F.count(F.lit(1)).over(w).cast("long").alias("k"),
+            F.sum("y").over(w).cast("long").alias("cy"),
+            F.sum(F.col("y") * F.col("y")).over(w).cast("long").alias("cyy"),
+        )
+        tot = daily.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+        cost = (
+            "(cyy - (CAST(cy AS DOUBLE) * cy) / k)"
+            " + ((syy - cyy) - (CAST(sy - cy AS DOUBLE) * (sy - cy))"
+            " / (n - k))"
+        )
+        sp = idx.crossJoin(F.broadcast(tot)).where(F.col("k") < F.col("n"))
+        wb = W9.orderBy(F.expr(cost).asc(), F.col("k").asc())
+        return sp.withColumn("__r", F.row_number().over(wb)).where(
+            F.col("__r") == 1
+        )
+
+    def _simpson(d):
+        daily = d.where(F.col("ts").isNotNull()).groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+        d0 = daily.agg(F.min("day").alias("d0"))
+        xy = daily.crossJoin(F.broadcast(d0)).select(
+            "event_type",
+            F.datediff("day", "d0").cast("long").alias("x"),
+            "y",
+        ).persist()
+        g = xy.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        p = xy.groupBy("x").agg(F.sum("y").alias("y")).agg(
+            F.count(F.lit(1)).alias("pn"), F.sum("x").alias("psx"),
+            F.sum("y").alias("psy"),
+            F.sum(F.col("x") * F.col("y")).alias("psxy"),
+            F.sum(F.col("x") * F.col("x")).alias("psxx"),
+        )
+        return g.crossJoin(F.broadcast(p))
+
     eighth_ops = {
+        "changepoint_binseg": (lambda m: _events_at(spark, sf_dir, m), _binseg),
+        "simpson_trends": (lambda m: _events_at(spark, sf_dir, m), _simpson),
         "cv_auc": (_docs_table_at, _cv),
         "quantile_normalize": (_docs_table_at, _qnorm),
         "asof_multi": (lambda m: _events_at(spark, sf_dir, m), _asof_multi),
