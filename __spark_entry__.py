@@ -60,16 +60,15 @@ _CHECK_FIRST = [
     "q_asof_multi", "q_priority_sample", "q_target_encode",
     "q_isotonic_calibration", "q_interpolate", "q_sax_symbols",
     "q_mmr_rerank", "q_cv_auc", "q_quantile_normalize",
-    "q_changepoint_binseg", "q_simpson_trends",
+    "q_changepoint_binseg", "q_simpson_trends", "q_stream_asof",
     "q_pq_codebook", "q_pq_recall", "q_pq_search",
     "q_preference_pairs", "q_rolling_median", "q_semi_join",
     "q_shard_checksums", "q_simhash", "q_simhash_near",
     "q_snapshot_diff", "q_triangle_count", "q_variant_json",
     "q_zorder_cells", "q_asof_join", "q_backfill_synthetic",
-    "q_bloom_join",
 ]
 _CHECK_LAST = [
-    "q_bm25", "q_cell_quality",
+    "q_bloom_join", "q_bm25", "q_cell_quality",
     "q_chunk_docs", "q_conversion_funnel",
     "q_cube", "q_dedup_cluster", "q_dedup_keep_best",
     "q_dup_ngram_coverage", "q_embedding_neardup",

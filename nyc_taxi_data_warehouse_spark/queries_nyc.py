@@ -1998,6 +1998,94 @@ FROM agg a JOIN mx USING (user_id)
 WHERE a.sid < mx.open_tail"""
 
 
+def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 × as-of: STREAM-STATIC temporal enrichment — each streaming
+    error event gains the forward-filled New York temperature of ITS
+    hour from the batch-maintained hourly spine (`resample_ffill`, the
+    q_gapfill operator, as the static dimension).  This is the
+    production enrichment split: the as-of fill runs batch-side where
+    it's one window, the stream pays only a stateless broadcast
+    equi-join on the hour bucket — no stream state at all (the stateful
+    row-exact range case is q_stream_join's job).  Hour-grain as-of
+    semantics are the documented contract; the oracle replays the same
+    spine join batch-side."""
+    from .operators.timeseries import resample_ffill
+    from .streaming import weather_stream
+    from .util import stream_feed
+
+    t = nyc_views.load_tables(spark, sf_dir)
+    spine = (
+        resample_ffill(
+            nyc_views.weather_from_events(t["events"]),
+            "observed_at",
+            ["city"],
+            ["temp_f"],
+        )
+        .where(F.col("city") == "New York")
+        .select("hour_ts", "temp_f_filled")
+    )
+    errs = t["events"].where(F.col("event_type") == "error").select(
+        "event_id", "ts"
+    )
+    src = stream_feed(errs, "asof_feed_err", sf_dir, n_files=4)
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp")
+        .parquet(src)
+        .withColumn("hour_ts", F.date_trunc("hour", "ts"))
+    )
+    joined = stream.join(F.broadcast(spine), "hour_ts", "left").select(
+        "event_id",
+        "ts",
+        _rnd(F.col("temp_f_filled"), 4).alias("temp_f_filled"),
+    )
+    _STREAM_SINK_SEQ[0] += 1
+    name = f"q_stream_asof_sink_{_STREAM_SINK_SEQ[0]}"
+    with stream_state_partitions(spark, 8):
+        q = weather_stream.run_available_now(joined, name, output_mode="append")
+        drained = q.awaitTermination(300)
+    q.stop()
+    if not drained:
+        raise RuntimeError(
+            "q_stream_asof: availableNow drain timed out after 300s — "
+            "refusing to compare a partially-filled sink against the oracle"
+        )
+    return spark.table(name)
+
+
+_SQL_STREAM_ASOF = """
+SELECT e.event_id, e.ts,
+       round(1e-9 + s.temp_f_filled, 4) AS temp_f_filled
+FROM (
+    SELECT event_id, ts FROM events WHERE event_type = 'error'
+) e
+LEFT JOIN (
+    SELECT city, hour_ts,
+           last_value(temp_f IGNORE NULLS) OVER (
+               PARTITION BY city ORDER BY hour_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS temp_f_filled
+    FROM (
+        SELECT g.city, g.hour_ts, h.temp_f
+        FROM (
+            SELECT s.city, sp.hour_ts
+            FROM (SELECT DISTINCT city FROM weather) s
+            CROSS JOIN (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                       AS hour_ts
+                FROM (SELECT date_trunc('hour', min(observed_at)) AS lo,
+                             date_trunc('hour', max(observed_at)) AS hi
+                      FROM weather)
+            ) sp
+        ) g
+        LEFT JOIN (
+            SELECT city, date_trunc('hour', observed_at) AS hour_ts,
+                   avg(temp_f) AS temp_f
+            FROM weather GROUP BY 1, 2
+        ) h ON g.city = h.city AND g.hour_ts = h.hour_ts
+    )
+) s ON s.city = 'New York' AND s.hour_ts = date_trunc('hour', e.ts)"""
+
+
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 stretch: a true STREAM-STREAM temporal join, driver-gated —
     error events joined to the weather observations of their preceding
@@ -2737,6 +2825,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_topk_per_group": q_topk_per_group,
     "q_asof_join": q_asof_join,
     "q_asof_multi": q_asof_multi,
+    "q_stream_asof": q_stream_asof,
     "q_interval_join": q_interval_join,
     "q_semi_join": q_semi_join,
     "q_bloom_join": q_bloom_join,
@@ -2817,6 +2906,7 @@ ORACLES: dict[str, str] = {
     "q_topk_per_group": _SQL_TOPK_PER_GROUP,
     "q_asof_join": _with(SQL_TRIPS, SQL_WEATHER, SQL_STG_TRIPS, SQL_STG_WEATHER, select=_SQL_ASOF_JOIN),
     "q_asof_multi": _with(SQL_TRIPS, SQL_WEATHER, SQL_STG_TRIPS, SQL_STG_WEATHER, select=_SQL_ASOF_MULTI),
+    "q_stream_asof": _with(SQL_WEATHER, select=_SQL_STREAM_ASOF),
     "q_interval_join": _with(SQL_TRIPS, SQL_WEATHER, SQL_STG_TRIPS, SQL_STG_WEATHER, select=_SQL_INTERVAL_JOIN),
     "q_semi_join": _SQL_SEMI_JOIN,
     "q_bloom_join": _SQL_BLOOM_JOIN,

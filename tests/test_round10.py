@@ -475,3 +475,44 @@ def test_simpson_trends_matches_literal_slopes(spark, sf_dir):
         else:
             assert r.sign_flip is None
         assert abs(r.pooled_slope - round(1e-9 + pnum / pden, 6)) <= 2e-6
+
+
+def test_stream_asof_equals_batch_spine_join(spark, sf_dir):
+    """The drained stream-static enrichment must equal the identical
+    batch-side join of errors against the ffilled hourly spine."""
+    from nyc_taxi_data_warehouse_spark.operators.timeseries import (
+        resample_ffill,
+    )
+    from nyc_taxi_data_warehouse_spark.plans import nyc_views
+
+    got = sorted(
+        (r.event_id, r.ts, r.temp_f_filled)
+        for r in qn.q_stream_asof(spark, sf_dir).collect()
+    )
+    t = nyc_views.load_tables(spark, sf_dir)
+    spine = (
+        resample_ffill(
+            nyc_views.weather_from_events(t["events"]),
+            "observed_at",
+            ["city"],
+            ["temp_f"],
+        )
+        .where(F.col("city") == "New York")
+        .select("hour_ts", "temp_f_filled")
+    )
+    errs = t["events"].where(F.col("event_type") == "error").select(
+        "event_id", "ts", F.date_trunc("hour", "ts").alias("hour_ts")
+    )
+    batch = sorted(
+        (r.event_id, r.ts, r.temp_f_filled)
+        for r in errs.join(spine, "hour_ts", "left")
+        .select(
+            "event_id",
+            "ts",
+            F.round(F.col("temp_f_filled") + F.lit(1e-9), 4).alias(
+                "temp_f_filled"
+            ),
+        )
+        .collect()
+    )
+    assert got == batch
