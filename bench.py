@@ -120,7 +120,13 @@ HEADLINE = [
     "q_rrf_fusion",
     "q_watermark_audit",
     # and the wave's two heaviest: content-defined chunking (position
-    # explode over corpus bytes) and the 3-config LSH tuning sweep
+    # explode over corpus bytes) and the 3-config LSH tuning sweep.
+    # COMPARABILITY NOTE: q_lsh_tuning's ground truth moved to a 50%
+    # content-hash doc sample in round 10 (SPARK_GRAFT_LSH_TUNE_PCT,
+    # default 50 — was effectively 100 through round 9), cutting the
+    # truth-join work ~4x; r9→r10 timings for this query are NOT
+    # comparable (7.91 s r9 vs 5.29 s r10 reflects the sample, not a
+    # plan change). See BASELINE.md "Round-10 q_lsh_tuning sampling".
     "q_cdc_chunking",
     "q_lsh_tuning",
     # round-8 additions: the mining/monitoring wave — prefix-identity

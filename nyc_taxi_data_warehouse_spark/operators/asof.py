@@ -37,8 +37,17 @@ def asof_join_latest(
 
     Ties at the exact same timestamp count as matches (observation sorts
     before the probe via the is_obs flag).
+
+    Observations are pre-reduced to ONE row per (series, obs_ts) — the
+    column-wise MAX of each value column — so equal-timestamp duplicates
+    within a series resolve deterministically (F.last over an arbitrary
+    physical order would otherwise pick a run-dependent winner).  Oracles
+    must mirror the same GROUP BY obs_ts / max() reduction.
     """
     series_cols = list(series_cols or [])
+    observations = observations.groupBy(*series_cols, obs_ts).agg(
+        *[F.max(c).alias(c) for c in value_cols]
+    )
     obs = observations.select(
         *series_cols,
         F.col(obs_ts).alias("__ts"),

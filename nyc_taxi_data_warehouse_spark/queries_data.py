@@ -9775,17 +9775,52 @@ _LSH_BAND_SIZES = [1, 2, 4]  # r in the (b bands × r rows) S-curve
 _LSH_J_NUM, _LSH_J_DEN = 1, 2  # truth threshold J >= 1/2, as a rational
 
 # Ground-truth doc sample rate (percent) for the tuning table. Tuning needs
-# an UNBIASED precision/recall estimate, not the full truth set: the exact
-# shingle self-join is the one quadratic in this repo with no hot-bucket cap,
-# so at 100 TB it MUST run on a content-hash sample. Sampling happens on the
-# BASE documents before twin construction (a sampled doc keeps its planted
-# near-dup twin, so the S-curve stays informative), identically in Spark and
-# the DuckDB oracle (same md5-bucket draw). Override for a full-truth run
-# with SPARK_GRAFT_LSH_TUNE_PCT=100.
+# a REPRESENTATIVE precision/recall estimate, not the full truth set: the
+# exact shingle self-join is the one quadratic in this repo with no
+# hot-bucket cap, so at 100 TB it MUST run on a content-hash sample.
+# Sampling happens on the BASE documents before twin construction
+# (a sampled doc keeps its planted near-dup twin), identically in Spark and
+# the DuckDB oracle (same md5-bucket draw). Note the survival asymmetry:
+# doc-level sampling at rate p keeps planted twin pairs with probability p
+# but cross-doc truth pairs with probability p², so the sampled truth set
+# skews toward twins — precision/recall are still consistent ratio
+# estimators WITHIN each pair class, and the S-curve ordering across band
+# configs is preserved, but the mixture differs from the full-truth run.
+# Override for a full-truth run with SPARK_GRAFT_LSH_TUNE_PCT=100.
+#
+# The env var is validated here but a BAD value must not poison the whole
+# module import (280+ unrelated queries live here) — parse failures defer
+# to q_lsh_tuning call time, which fails loud with the parse error.  The
+# oracle SQL embeds the import-time value, so changing the env var after
+# import is an ERROR q_lsh_tuning raises on (never silently ignored):
+# Spark and DuckDB would otherwise sample different truth sets.
 import os as _os
 
-_LSH_TUNE_PCT = int(_os.environ.get("SPARK_GRAFT_LSH_TUNE_PCT", "50"))
 _LSH_TUNE_SALT = "lshtune"
+
+
+def _parse_lsh_tune_pct() -> int:
+    raw = _os.environ.get("SPARK_GRAFT_LSH_TUNE_PCT", "50")
+    try:
+        pct = int(raw)
+    except ValueError:
+        raise ValueError(
+            "SPARK_GRAFT_LSH_TUNE_PCT must be an integer in [1, 100], got "
+            f"{raw!r}"
+        ) from None
+    if not 1 <= pct <= 100:
+        raise ValueError(
+            f"SPARK_GRAFT_LSH_TUNE_PCT must be in [1, 100], got {pct}"
+        )
+    return pct
+
+
+try:
+    _LSH_TUNE_PCT = _parse_lsh_tune_pct()
+    _LSH_TUNE_IMPORT_ERR: str | None = None
+except ValueError as _e:
+    _LSH_TUNE_PCT = 50  # placeholder so the module still imports
+    _LSH_TUNE_IMPORT_ERR = str(_e)
 
 
 def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9801,13 +9836,23 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles, so the truth set is complete without an all-pairs scan.
 
     The truth set is evaluated on a deterministic content-hash sample of
-    the base docs (default 50%, `SPARK_GRAFT_LSH_TUNE_PCT`):
-    precision/recall are ratio estimators, so an unbiased doc sample gives
-    an unbiased S-curve while bounding the exact-truth join quadratically
-    (0.25× work at the 50% default)."""
+    the base docs (default 50%, `SPARK_GRAFT_LSH_TUNE_PCT`): doc-level
+    sampling bounds the exact-truth join quadratically (0.25× work at the
+    50% default). Twin pairs survive at rate p, cross-doc pairs at p² —
+    the sampled S-curve preserves the band-config ordering but shifts the
+    truth-set mix toward planted twins (see the module-level note)."""
     from .operators import dedup as dd
     from .operators import sampling
 
+    if _LSH_TUNE_IMPORT_ERR is not None:
+        raise ValueError(_LSH_TUNE_IMPORT_ERR)
+    cur = _parse_lsh_tune_pct()
+    if cur != _LSH_TUNE_PCT:
+        raise RuntimeError(
+            "SPARK_GRAFT_LSH_TUNE_PCT changed after import "
+            f"({_LSH_TUNE_PCT} -> {cur}): the DuckDB oracle embedded the "
+            "import-time value; restart the process to change the rate"
+        )
     base = _docs(spark, sf_dir)
     if _LSH_TUNE_PCT < 100:
         base = sampling.hash_sample(

@@ -642,8 +642,10 @@ SELECT p.pickup_datetime, p.total_amount,
             THEN o.temperature_fahrenheit END AS temperature_fahrenheit
 FROM (SELECT pickup_datetime, total_amount FROM stg_trips
       WHERE pickup_zone_id % 7 = 0) p
-ASOF LEFT JOIN (SELECT observed_at, temperature_fahrenheit FROM stg_weather
-                WHERE city = 'NEW YORK') o
+ASOF LEFT JOIN (SELECT observed_at,
+                       max(temperature_fahrenheit) AS temperature_fahrenheit
+                FROM stg_weather WHERE city = 'NEW YORK'
+                GROUP BY observed_at) o
   ON p.pickup_datetime >= o.observed_at"""
 
 
@@ -697,8 +699,9 @@ SELECT p.city, p.pickup_datetime, p.total_amount,
 FROM (SELECT ([{", ".join(map(repr, _ASOF_CITIES))}])[pickup_zone_id % 4 + 1] AS city,
              pickup_datetime, total_amount
       FROM stg_trips WHERE pickup_zone_id % 5 = 0) p
-ASOF LEFT JOIN (SELECT city, observed_at, temperature_fahrenheit
-                FROM stg_weather) o
+ASOF LEFT JOIN (SELECT city, observed_at,
+                       max(temperature_fahrenheit) AS temperature_fahrenheit
+                FROM stg_weather GROUP BY city, observed_at) o
   ON p.city = o.city AND p.pickup_datetime >= o.observed_at"""
 
 

@@ -425,14 +425,13 @@ def test_asof_join_multiseries_matches_bisect(spark, obs, probes, tol):
         )
         assert got == exp, (i, k, m, tol)
         if exp is not None:
-            # the matched VALUE must come from an obs at that exact ts in
-            # the same series (ties between equal-ts obs are allowed to
-            # pick either; the ts itself is deterministic)
+            # equal-ts observation ties resolve deterministically to the
+            # column-wise MAX (asof_join_latest pre-reduces per (series, ts))
             cands = {
                 float(v) for kk, mm, v in obs
                 if f"s{kk}" == f"s{k}" and mm == exp_min
             }
-            assert out[i].val in cands
+            assert out[i].val == max(cands)
         else:
             assert out[i].val is None
 

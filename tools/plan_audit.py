@@ -15,6 +15,14 @@ pushdown summary, and flags the anti-patterns that matter at 100 TB:
   bottoms out in a global (no-keys) aggregate, a ≤1-row LocalTableScan,
   or a join/cross of such — anything else is a data×data nested loop
   (round-9 VERDICT item 4).
+- BNLJ_AGG_BUILD: a grouped-aggregate build side NOT allowlisted in
+  BNLJ_BOUNDED_OK.  A rollup is bounded only by its group-domain
+  cardinality — a group-by on doc_id/user_id/pair keys is data-sized, so
+  un-allowlisted agg builds FAIL the audit (round-10 ADVICE); each
+  allowlisted name documents what bounds its domain (calendar grain,
+  literal ruler, categorical dimension, fixed sketch size).  Agg builds
+  whose input subtree is itself literal/local are proven bounded
+  mechanically and never flag.
 
 Usage: python tools/plan_audit.py [sf_dir] [query ...]
 """
@@ -109,6 +117,20 @@ BNLJ_BOUNDED_OK = {
     "q_ann_recall",       # IVF recall vs exact baseline, same batch
     "q_matryoshka_recall",  # 4 truncation widths × same fixed batch
     "q_rrf_fusion",       # lexical+vector fusion over the fixed batch
+    # grouped-aggregate (BNLJ_AGG) builds with a PROVABLY BOUNDED group
+    # domain — each grain documented in the query's docstring; adding a
+    # name here requires stating what bounds the domain (round-10
+    # ADVICE: un-allowlisted agg builds are hard failures)
+    "q_ab_test",          # variant grain: id parity → exactly 2 groups
+    "q_cv_auc",           # fold grain: content-hash mod 5 → 5 groups
+    "q_histogram_quantiles",  # literal ruler: ~21 price bins + 4 pcts
+    "q_kmv_jaccard",      # event_type categorical domain × fixed k=256
+    "q_ks_drift",         # source categorical domain (per-source CDFs)
+    "q_sliding_distinct",  # calendar days × ≤512 HLL registers/day
+    "q_stickiness",       # calendar day grain (≤731-row day spine)
+    "q_stream_bloom",     # calendar days × literal m bloom bits/day
+    "q_t_closeness",      # QI domain × m=5 ordinal priority values
+    "q_vacuum_plan",      # calendar day-file × weekly-snapshot grain
 }
 
 
@@ -135,7 +157,21 @@ def _build_class(node) -> str:
     the nested-loop build side, the one genuinely dangerous shape)."""
     cls = node.getClass().getSimpleName()
     if cls in _AGG_EXECS:
-        return "literal" if node.groupingExpressions().isEmpty() else "agg"
+        if node.groupingExpressions().isEmpty():
+            return "literal"
+        # a grouped aggregate never has MORE rows than its input: if the
+        # input subtree is itself provably bounded (literal grid / local
+        # collection), the rollup is too — mechanical proof, no
+        # allowlist needed.  Otherwise the row count equals the group
+        # DOMAIN cardinality, which a high-cardinality key (doc_id,
+        # user_id) makes data-sized → 'agg' is a HARD flag unless the
+        # query is allowlisted with a documented grain argument.
+        kids = _seq(node.children())
+        if len(kids) == 1:
+            kc = _build_class(kids[0])
+            if kc in ("literal", "local"):
+                return kc
+        return "agg"
     if cls == "LocalTableScanExec":
         return "literal" if node.rows().size() <= 64 else "data"
     if cls == "RDDScanExec":
@@ -214,7 +250,15 @@ def bnlj_flags(df, name: str = "") -> list[str]:
                 child = kids[0] if build == "BuildLeft" else kids[1]
                 bc = _build_class(child)
                 if bc == "agg":
-                    flags.append("BNLJ_AGG_BUILD")
+                    # grouped-aggregate build: bounded ONLY by the group
+                    # domain — hard flag unless the query documents its
+                    # grain in BNLJ_BOUNDED_OK (mirrors 'data' handling;
+                    # round-10 ADVICE item)
+                    flags.append(
+                        "BNLJ_AGG_ALLOWED"
+                        if name in BNLJ_BOUNDED_OK
+                        else "BNLJ_AGG_BUILD"
+                    )
                 elif bc == "local":
                     flags.append("BNLJ_LOCAL_BUILD")
                 elif bc == "data":
@@ -276,13 +320,16 @@ def main() -> int:
         flags = audit(name, plan)
         if "BroadcastNestedLoopJoin" in plan:
             flags += bnlj_flags(df, name)
-        # BNLJ_BOUNDED_ALLOWED / BNLJ_AGG_BUILD are informational
-        # (documented bounded-frame pattern / domain-grain rollup build,
-        # printed so they stay visible) — not audit failures
+        # BNLJ_BOUNDED_ALLOWED / BNLJ_AGG_ALLOWED are informational
+        # (documented bounded-grain builds, printed so they stay
+        # visible); BNLJ_AGG_BUILD (un-allowlisted grouped-agg build)
+        # and BNLJ_DATA_BUILD are audit FAILURES — a group-by on a
+        # high-cardinality key makes the build side data-sized
         n_flagged += bool([
             f for f in flags
             if f not in (
-                "BNLJ_BOUNDED_ALLOWED", "BNLJ_AGG_BUILD", "BNLJ_LOCAL_BUILD"
+                "BNLJ_BOUNDED_ALLOWED", "BNLJ_AGG_ALLOWED",
+                "BNLJ_LOCAL_BUILD",
             )
         ])
         print(
