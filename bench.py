@@ -165,6 +165,11 @@ HEADLINE = [
     "q_asof_multi",
     "q_priority_sample",
     "q_isotonic_calibration",
+    # round-11 representative: incremental ingest dedup — a new batch vs
+    # the persisted MinHash signature store (exact content-hash leg +
+    # cross band join + insert-only signature merge), history never
+    # rescanned
+    "q_incremental_neardup",
 ]
 
 # The FIXED baseline-comparable subset: exactly the 30 queries of the first

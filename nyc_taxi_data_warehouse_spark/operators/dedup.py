@@ -891,3 +891,105 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# --- incremental ingest dedup ----------------------------------------------
+
+def signature_records(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Per-doc signature record for the persisted near-dup store:
+    (id, content_hash, h0..h{n-1}).
+
+    `content_hash` is the exact-dup key; the MinHash columns are the
+    near-dup key. Docs too short to shingle (< n tokens) keep NULL hash
+    columns — they participate in exact dedup only, never in band joins
+    (NULL band hashes are filtered before candidate generation).  This is
+    the row a daily ingest PERSISTS per document: history's text is never
+    rescanned, only its kilobyte-scale signatures are."""
+    sig = minhash_signatures(
+        shingle_rows(docs, id_col, text_col), id_col, num_hashes
+    )
+    return docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+    ).join(sig, id_col, "left")
+
+
+def incremental_neardup(
+    batch: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW ingest batch against a persisted signature store without
+    rescanning history — the composition a daily 100 TB ingest actually
+    runs (the reference's MERGE-idempotent ingest, `dags/
+    etl_spark_historical.py:349-380`, lifted to near-dup semantics):
+
+    1. exact leg: batch content-hash anti/semi-join vs the store's
+       `content_hash` column (no text comparison ever touches history);
+    2. near leg: batch MinHash band signatures equi-join the STORE's band
+       signatures (`lsh_cross_candidates` — combined hot-bucket cap, cost
+       = co-bucketed pairs, never |batch| × |history|);
+    3. merge leg: accepted ("new") docs' signature records merge into the
+       store insert-only (`merge.merge_insert_only` on the id key) — the
+       returned store is the next generation's input.
+
+    Returns ``(report, merged_store)``: `report` has one row per batch
+    doc — (id, content_hash, is_exact_dup, n_near_store, decision) with
+    decision ∈ {'exact_dup', 'near_dup', 'new'} (exact wins ties) — and
+    `merged_store` is the store plus accepted signatures.  Re-ingesting
+    the same batch is idempotent: every doc reports exact_dup and the
+    store is unchanged (pytest-pinned).
+
+    Within-batch duplicates are NOT collapsed here — compose
+    :func:`dedup_exact`/`lsh_candidate_pairs` over the batch first; this
+    operator only decides batch-vs-history."""
+    from .merge import merge_insert_only
+
+    brec = signature_records(batch, id_col, text_col, num_hashes).persist()
+    store = store.persist()
+    # NULL band hashes (shingle-less docs) must not form a join bucket:
+    # groupBy treats NULLs as equal, so an unfiltered NULL bucket would
+    # pair every short doc with every other
+    sbands = lsh_bands(store, id_col, num_hashes).where(
+        F.col("bh").isNotNull()
+    )
+    bbands = lsh_bands(brec, id_col, num_hashes).where(
+        F.col("bh").isNotNull()
+    )
+    near = (
+        lsh_cross_candidates(sbands, bbands, id_col=id_col, max_bucket=max_bucket)
+        .groupBy(F.col("right_id").alias(id_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_near_store"))
+    )
+    known = (
+        store.select("content_hash").distinct().withColumn("__ex", F.lit(1))
+    )
+    report = (
+        brec.join(known, "content_hash", "left")
+        .join(near, id_col, "left")
+        .select(
+            F.col(id_col),
+            "content_hash",
+            F.when(F.col("__ex").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_exact_dup"),
+            F.coalesce("n_near_store", F.lit(0))
+            .cast("long")
+            .alias("n_near_store"),
+            F.when(F.col("__ex").isNotNull(), "exact_dup")
+            .when(F.col("n_near_store") > 0, "near_dup")
+            .otherwise("new")
+            .alias("decision"),
+        )
+    )
+    accepted = report.where(F.col("decision") == "new").select(id_col)
+    merged = merge_insert_only(store, brec.join(accepted, id_col), key=[id_col])
+    return report, merged

@@ -248,6 +248,89 @@ JOIN e_bands b ON a.band = b.band AND a.bh = b.bh"""
 )
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — a new batch vs a PERSISTED signature
+    store (`dedup.incremental_neardup`): generation 1 (doc_id % 3 != 0)
+    builds the store; generation 2 — the fresh docs (doc_id % 3 == 0)
+    plus planted suffix twins (+1e6, of history docs with doc_id % 5 == 1)
+    and planted exact copies (+2e6, of history docs with doc_id % 7 == 2)
+    — dedups against it WITHOUT rescanning history's text: exact leg =
+    content-hash join vs the store column, near leg = MinHash band
+    equi-join vs the store's signatures (combined hot-bucket cap).  The
+    two-generation oracle recomputes both corpora's signatures and
+    restricts the band join to cross (store × batch) pairs — incremental
+    ≡ corpus-wide LSH restricted to cross pairs, by construction."""
+    docs = _docs(spark, sf_dir)
+    hist = _scale_out(
+        docs.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    )
+    batch = _scale_out(
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.where((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 5 == 1))
+            .select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.expr("substring(text, 31)").alias("text"),
+            )
+        )
+        .unionByName(
+            docs.where((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 7 == 2))
+            .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+        )
+    )
+    store = dedup.signature_records(hist, num_hashes=_NH)
+    report, _merged = dedup.incremental_neardup(
+        batch, store, num_hashes=_NH, max_bucket=_MAX_BUCKET
+    )
+    return report
+
+
+_SQL_INCREMENTAL_NEARDUP = (
+    """
+WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+batch AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, substr(text, 31) AS text
+    FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 1
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text
+    FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 2
+),"""
+    + _sql_minhash_ctes("hist", "h_")
+    + ","
+    + _sql_minhash_ctes("batch", "b_")
+    + f""",
+x_kept AS (
+    SELECT band, bh FROM (
+        SELECT band, bh FROM h_bands
+        UNION ALL
+        SELECT band, bh FROM b_bands
+    ) GROUP BY 1, 2 HAVING count(*) <= {_MAX_BUCKET}
+),
+near AS (
+    SELECT b.doc_id, CAST(count(DISTINCT h.doc_id) AS BIGINT) AS n_near
+    FROM b_bands b
+    JOIN x_kept k ON k.band = b.band AND k.bh = b.bh
+    JOIN h_bands h ON h.band = b.band AND h.bh = b.bh
+    GROUP BY 1
+),
+hch AS (SELECT DISTINCT md5(text) AS content_hash FROM hist),
+bch AS (SELECT doc_id, md5(text) AS content_hash FROM batch)
+SELECT bc.doc_id, bc.content_hash,
+       CAST(CASE WHEN hc.content_hash IS NOT NULL THEN 1 ELSE 0 END
+            AS INTEGER) AS is_exact_dup,
+       COALESCE(n.n_near, 0) AS n_near_store,
+       CASE WHEN hc.content_hash IS NOT NULL THEN 'exact_dup'
+            WHEN n.n_near > 0 THEN 'near_dup'
+            ELSE 'new' END AS decision
+FROM bch bc
+LEFT JOIN hch hc ON hc.content_hash = bc.content_hash
+LEFT JOIN near n ON n.doc_id = bc.doc_id"""
+)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard on a deterministic corpus sample."""
     sample = _text_corpus(_docs(spark, sf_dir)).where(F.col("doc_id") % 20 == 0)
@@ -11173,6 +11256,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_chunk_docs": q_chunk_docs,
     "q_pack_sequences": q_pack_sequences,
     "q_cross_corpus_neardup": q_cross_corpus_neardup,
+    "q_incremental_neardup": q_incremental_neardup,
     "q_filter_funnel": q_filter_funnel,
     "q_mixture_sample": q_mixture_sample,
     "q_mixture_plan": q_mixture_plan,
@@ -11336,6 +11420,7 @@ ORACLES: dict[str, str] = {
     "q_chunk_docs": _SQL_CHUNK_DOCS,
     "q_pack_sequences": _SQL_PACK_SEQUENCES,
     "q_cross_corpus_neardup": _SQL_CROSS_CORPUS_NEARDUP,
+    "q_incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
     "q_filter_funnel": _SQL_FILTER_FUNNEL,
     "q_mixture_sample": _SQL_MIXTURE_SAMPLE,
     "q_mixture_plan": _SQL_MIXTURE_PLAN,
