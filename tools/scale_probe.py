@@ -1649,6 +1649,7 @@ def main() -> None:
     all_ops.update(eighth_ops)
     args = sys.argv[2:]
     mults = (1, 4, 8)
+    shuffle_scale = False
     only = []
     for a in args:
         if a.startswith("--mults="):
@@ -1656,6 +1657,13 @@ def main() -> None:
             # steepest growers (verdict r9 #5) without paying 5 multiples
             # for every op
             mults = tuple(int(x) for x in a.split("=", 1)[1].split(","))
+        elif a == "--shuffle-scale":
+            # scale spark.sql.shuffle.partitions WITH the data multiple —
+            # the dial a real cluster turns as data grows, so shuffle
+            # partition SIZE stays constant instead of partition count
+            # alone growing within a fixed 32-partition budget (verdict
+            # r10 item 4: isolate page-cache effects from plan growth)
+            shuffle_scale = True
         else:
             only.append(a)
     if only:
@@ -1670,9 +1678,18 @@ def main() -> None:
         _time(lambda: op(mk(1)))
         spark.catalog.clearCache()
         times: dict[str, float] = {}
+        base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         for m in mults:
+            if shuffle_scale:
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(base_parts * m)
+                )
             d = mk(m)
             times[str(m)] = _time(lambda: op(d))
+            if shuffle_scale:
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(base_parts)
+                )
             # ops persist intermediate frames (signature self-join lesson);
             # drop them between multiples or earlier runs' cached blocks
             # pressure the later runs and skew the very ratios we report
