@@ -70,7 +70,7 @@ _CHECK_FIRST = [
 _CHECK_LAST = [
     # round-11 additions parked here mid-round; the end-of-round window
     # rotation promotes them into _CHECK_FIRST as first-evidence slots
-    "q_incremental_neardup",
+    "q_incremental_neardup", "q_ann_index_persist", "q_ann_index_append",
     "q_bloom_join", "q_bm25", "q_cell_quality",
     "q_chunk_docs", "q_conversion_funnel",
     "q_cube", "q_dedup_cluster", "q_dedup_keep_best",

@@ -165,11 +165,15 @@ HEADLINE = [
     "q_asof_multi",
     "q_priority_sample",
     "q_isotonic_calibration",
-    # round-11 representative: incremental ingest dedup — a new batch vs
+    # round-11 representatives: incremental ingest dedup — a new batch vs
     # the persisted MinHash signature store (exact content-hash leg +
     # cross band join + insert-only signature merge), history never
-    # rescanned
+    # rescanned — and ANN serving from the lake-persisted IVFADC index
+    # (load frozen codebooks + cell-partitioned codes; no refit).
+    # First bench run pays the one-time build+commit (store memoized per
+    # session); the 3-run median reflects disk-served steady state.
     "q_incremental_neardup",
+    "q_ann_index_persist",
 ]
 
 # The FIXED baseline-comparable subset: exactly the 30 queries of the first

@@ -3594,6 +3594,179 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM (
 _SQL_IVFPQ_SEARCH = _sql_ivfpq_search()
 
 
+_ANN_STORE_CACHE: dict[tuple[str, str, str], str] = {}
+
+
+def _ann_store(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Lake path of the PERSISTED IVFADC index for this (session, sf_dir)
+    — built and committed once, then served from disk (`pq.ivfpq_save` /
+    `ivfpq_load`; versioned manifest-committed layout).  kind='full'
+    saves the shared `_ivfpq_index` fit; kind='twogen' fits generation 1
+    (vec_id % 10 != 0) only, commits v1, then `ivfpq_append`s generation
+    2 encoded against the FROZEN codebooks as v2 — the incremental-ingest
+    artifact lifecycle."""
+    import hashlib
+
+    from .operators import pq
+    from .util import session_tmpdir
+
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    path = _ANN_STORE_CACHE.get(key)
+    if path is None:
+        import os as _o
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = _o.path.join(session_tmpdir("ann_store"), f"{kind}_{tag}")
+        if kind == "full":
+            pq.ivfpq_save(spark, _ivfpq_index(spark, sf_dir), path)
+        else:
+            e = _emb(spark, sf_dir)
+            gen1 = pq.ivfpq_build(
+                _scale_out(e.where(F.col("vec_id") % 10 != 0)),
+                k_cells=8, m=_PQ_M, k_codes=4, coarse_iter=2,
+                fine_iter=1, quant=_KMEANS_QUANT,
+            )
+            pq.ivfpq_save(spark, gen1, path)
+            pq.ivfpq_append(
+                spark, path, _scale_out(e.where(F.col("vec_id") % 10 == 0))
+            )
+        _ANN_STORE_CACHE[key] = path
+    return path
+
+
+def q_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving from the LAKE-PERSISTED index artifact — the restart
+    story `q_ivfpq_search`'s in-session memo lacks: the coarse centroids,
+    PQ codebooks, and cell-partitioned code table are committed to a
+    versioned store (`pq.ivfpq_save`), and serving LOADS them
+    (`pq.ivfpq_load`) instead of re-paying the fit — codebooks are k·m
+    driver rows, the code table stays a lazy parquet scan whose cell
+    partitioning prunes under the serving equi-join (DPP at cluster
+    scale).  The fit is deterministic, so disk-served results are
+    bit-identical to the in-memory index and share `q_ivfpq_search`'s
+    oracle."""
+    from .operators import pq
+
+    e = _emb(spark, sf_dir)
+    idx = pq.ivfpq_load(spark, _ann_store(spark, sf_dir, "full"))
+    out = pq.ivfpq_search(
+        e.where(F.col("vec_id") % 50 == 0),
+        _scale_out(e),
+        k_cells=8, m=_PQ_M, k_codes=4, k=5, coarse_iter=2, fine_iter=1,
+        quant=_KMEANS_QUANT, index=idx,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "adc_dist",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN ingest against FROZEN codebooks — the daily-batch
+    lifecycle of the persisted index: generation 1 (vec_id % 10 != 0)
+    fits and commits v1; generation 2 encodes against v1's codebooks
+    (two narrow map stages, NO fit, history's codes untouched) and
+    commits v2 = insert-only merge (`pq.ivfpq_append`); serving loads v2
+    and answers the standard query batch over the merged code table.
+    The oracle fits Lloyd's over generation 1 ONLY, then encodes the
+    FULL corpus against those centroids — exactly the frozen-codebook
+    contract, so incremental ≡ from-scratch-encode by construction."""
+    from .operators import pq
+
+    e = _emb(spark, sf_dir)
+    idx = pq.ivfpq_load(spark, _ann_store(spark, sf_dir, "twogen"))
+    out = pq.ivfpq_search(
+        e.where(F.col("vec_id") % 50 == 0),
+        _scale_out(e),
+        k_cells=8, m=_PQ_M, k_codes=4, k=5, coarse_iter=2, fine_iter=1,
+        quant=_KMEANS_QUANT, index=idx,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "adc_dist",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_ann_index_append() -> str:
+    """Two-generation IVFADC oracle: Lloyd's chains fit over generation 1
+    only (`emb1`), then the FULL corpus assigns/encodes against those
+    frozen centroids."""
+    coarse = _sql_pq_ctes(
+        m=1, k=8, n_iter=2, dim=64, prefix="co", src="emb1",
+        vec="embedding", quantize=True,
+    )
+    fine = _sql_pq_ctes(
+        m=_PQ_M, k=4, n_iter=1, dim=64, prefix="f", src="res1", vec="r",
+        quantize=False,
+    )
+    sub = 64 // _PQ_M
+    return (
+        "WITH emb1 AS (SELECT vec_id, embedding FROM embeddings "
+        "WHERE vec_id % 10 <> 0),\n"
+        + coarse
+        + f""", allv AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_KMEANS_QUANT}) AS BIGINT)) AS q
+    FROM embeddings
+), alld AS (
+    SELECT allv.vec_id, c.code_id,
+           CAST(sum((allv.q[r.i] - c.cv[r.i]) * (allv.q[r.i] - c.cv[r.i]))
+                AS BIGINT) AS dist
+    FROM allv JOIN coc2 c ON c.sub = 0 CROSS JOIN range(1, 65) r(i)
+    GROUP BY 1, 2
+), alla AS (
+    SELECT vec_id, code_id FROM (
+        SELECT vec_id, code_id, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, code_id ASC) AS rn
+        FROM alld) WHERE rn = 1
+), res AS (
+    SELECT allv.vec_id, a.code_id AS cell,
+           list_transform(range(1, 65),
+               i -> allv.q[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]) AS r
+    FROM allv
+    JOIN alla a USING (vec_id)
+    JOIN coc2 c ON c.sub = 0 AND c.code_id = a.code_id
+), res1 AS (SELECT * FROM res WHERE vec_id % 10 <> 0), """
+        + fine
+        + f""", asl AS (
+    SELECT vec_id, s.s AS sub,
+           res.r[CAST(s.s * {sub} + 1 AS INTEGER) : CAST(s.s * {sub} + {sub} AS INTEGER)] AS sv
+    FROM res CROSS JOIN range(0, {_PQ_M}) s(s)
+), ed AS (
+    SELECT asl.vec_id, asl.sub, c.code_id,
+           CAST(sum((asl.sv[r.i] - c.cv[r.i]) * (asl.sv[r.i] - c.cv[r.i]))
+                AS BIGINT) AS dist
+    FROM asl JOIN fc1 c USING (sub) CROSS JOIN range(1, {sub + 1}) r(i)
+    GROUP BY 1, 2, 3
+), ea AS (
+    SELECT vec_id, sub, code_id FROM (
+        SELECT vec_id, sub, code_id, row_number() OVER (
+            PARTITION BY vec_id, sub ORDER BY dist ASC, code_id ASC) AS rn
+        FROM ed) WHERE rn = 1
+), sc AS (
+    SELECT qc.vec_id AS query_id, xc.vec_id AS neighbor_id,
+           CAST(sum((qs.sv[r.i] - c.cv[r.i]) * (qs.sv[r.i] - c.cv[r.i]))
+                AS BIGINT) AS adc_dist
+    FROM res qc
+    JOIN res xc ON xc.cell = qc.cell
+    JOIN asl qs ON qs.vec_id = qc.vec_id
+    JOIN ea e ON e.vec_id = xc.vec_id AND e.sub = qs.sub
+    JOIN fc1 c ON c.sub = e.sub AND c.code_id = e.code_id
+    CROSS JOIN range(1, {sub + 1}) r(i)
+    WHERE qc.vec_id % 50 = 0
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+    FROM sc) WHERE rank <= 5"""
+    )
+
+
+_SQL_ANN_INDEX_APPEND = _sql_ann_index_append()
+
+
 def q_ivfpq_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC with ``n_probe=2`` — the standard recall/cost dial: each
     query scores codes in its TWO nearest coarse cells, each probed cell
@@ -11251,6 +11424,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ivfpq_search": q_ivfpq_search,
     "q_ivfpq_recall": q_ivfpq_recall,
     "q_ivfpq_multiprobe": q_ivfpq_multiprobe,
+    "q_ann_index_persist": q_ann_index_persist,
+    "q_ann_index_append": q_ann_index_append,
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_tokenize": q_bpe_tokenize,
     "q_chunk_docs": q_chunk_docs,
@@ -11415,6 +11590,10 @@ ORACLES: dict[str, str] = {
     "q_ivfpq_search": _SQL_IVFPQ_SEARCH,
     "q_ivfpq_recall": _SQL_IVFPQ_RECALL,
     "q_ivfpq_multiprobe": _SQL_IVFPQ_MULTIPROBE,
+    # disk-served results are bit-identical to the in-memory index
+    # (deterministic fit), so the persist query shares the search oracle
+    "q_ann_index_persist": _SQL_IVFPQ_SEARCH,
+    "q_ann_index_append": _SQL_ANN_INDEX_APPEND,
     "q_bpe_merges": _SQL_BPE_MERGES,
     "q_bpe_tokenize": _SQL_BPE_TOKENIZE,
     "q_chunk_docs": _SQL_CHUNK_DOCS,

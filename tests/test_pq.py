@@ -223,3 +223,70 @@ def test_adc_lut_equals_direct_fold_on_random_codebooks(spark):
         ).collect()[0]
         assert row["sd"] == dot, f"trial {trial}: dot LUT {row['sd']} != {dot}"
         assert row["sl"] == l2, f"trial {trial}: l2 LUT {row['sl']} != {l2}"
+
+
+# --- persisted index artifact ----------------------------------------------
+
+def test_ivfpq_save_load_roundtrip_identical_serving(spark, corpus, tmp_path):
+    """A loaded index must serve bit-identical results to the in-memory
+    index it was saved from (frozen codebooks + code table round-trip)."""
+    args = dict(k_cells=4, m=2, k_codes=4, coarse_iter=1, fine_iter=1)
+    idx = pq.ivfpq_build(corpus, **args)
+    path = str(tmp_path / "ann_index")
+    ver = pq.ivfpq_save(spark, idx, path)
+    assert ver == 1
+    loaded = pq.ivfpq_load(spark, path)
+    assert loaded.coarse == idx.coarse
+    assert loaded.fine == idx.fine
+    assert loaded.quant == idx.quant
+    qs = corpus.where(F.col("vec_id") % 10 == 0)
+    mem = sorted(map(tuple, pq.ivfpq_search(qs, corpus, index=idx, **args).collect()))
+    disk = sorted(map(tuple, pq.ivfpq_search(qs, corpus, index=loaded, **args).collect()))
+    assert mem == disk
+
+
+def test_ivfpq_append_encodes_against_frozen_codebooks(spark, tmp_path):
+    """Appending gen-2 vectors must (a) not change the codebooks,
+    (b) add exactly the new ids, (c) keep old codes byte-identical, and
+    (d) equal a from-scratch encode of the full corpus against the SAME
+    gen-1 codebooks (frozen-codebook contract)."""
+    full = _clustered(spark)
+    gen1 = full.where(F.col("vec_id") % 10 != 0)
+    gen2 = full.where(F.col("vec_id") % 10 == 0)
+    args = dict(k_cells=4, m=2, k_codes=4, coarse_iter=1, fine_iter=1)
+    idx1 = pq.ivfpq_build(gen1, **args)
+    path = str(tmp_path / "ann_index")
+    pq.ivfpq_save(spark, idx1, path)
+    v2 = pq.ivfpq_append(spark, path, gen2)
+    assert v2 == 2
+    loaded = pq.ivfpq_load(spark, path)
+    assert loaded.coarse == idx1.coarse and loaded.fine == idx1.fine
+    got = {r.vec_id: (r.cell, tuple(r.codes)) for r in loaded.codes.collect()}
+    assert set(got) == {r.vec_id for r in full.collect()}
+    old = {r.vec_id: (r.cell, tuple(r.codes)) for r in idx1.codes.collect()}
+    assert all(got[k] == v for k, v in old.items())
+    # from-scratch encode of the full corpus vs the same frozen codebooks
+    res = pq.ivfpq_residuals(full, idx1.coarse, idx1.quant)
+    ref = {
+        r.vec_id: (r.cell, tuple(r.codes))
+        for r in pq.pq_encode(
+            res, idx1.fine, quant=None, vec_col="res", keep=("cell",)
+        ).collect()
+    }
+    assert got == ref
+    # prior version still loads (time travel)
+    v1 = pq.ivfpq_load(spark, path, version=1)
+    assert {r.vec_id for r in v1.codes.collect()} == set(old)
+
+
+def test_ivfpq_append_is_insert_only(spark, tmp_path):
+    """Re-appending vectors whose ids already exist must not duplicate or
+    overwrite them (idempotent re-ingest)."""
+    full = _clustered(spark)
+    args = dict(k_cells=4, m=2, k_codes=4, coarse_iter=1, fine_iter=1)
+    idx = pq.ivfpq_build(full, **args)
+    path = str(tmp_path / "ann_index")
+    pq.ivfpq_save(spark, idx, path)
+    pq.ivfpq_append(spark, path, full.where(F.col("vec_id") < 5))
+    loaded = pq.ivfpq_load(spark, path)
+    assert loaded.codes.count() == full.count()
