@@ -71,6 +71,8 @@ _CHECK_LAST = [
     # round-11 additions parked here mid-round; the end-of-round window
     # rotation promotes them into _CHECK_FIRST as first-evidence slots
     "q_incremental_neardup", "q_ann_index_persist", "q_ann_index_append",
+    "q_stream_ingest_dedup", "q_cdc_apply", "q_anova_f",
+    "q_concurrency", "q_rake_keywords", "q_clustering_depth",
     "q_bloom_join", "q_bm25", "q_cell_quality",
     "q_chunk_docs", "q_conversion_funnel",
     "q_cube", "q_dedup_cluster", "q_dedup_keep_best",

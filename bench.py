@@ -174,6 +174,16 @@ HEADLINE = [
     # session); the 3-run median reflects disk-served steady state.
     "q_incremental_neardup",
     "q_ann_index_persist",
+    # the wave's other representatives: the streaming ingest-dedup
+    # preflight (stream-static content-hash join vs the store), CDC log
+    # compaction (per-key top-1, the Debezium-sink shape), the
+    # boundary-sweep concurrency counter (bucketed cumulative, no global
+    # sort), and RAKE keyword extraction (doc-grain windows + vocab-grain
+    # join back)
+    "q_stream_ingest_dedup",
+    "q_cdc_apply",
+    "q_concurrency",
+    "q_rake_keywords",
 ]
 
 # The FIXED baseline-comparable subset: exactly the 30 queries of the first

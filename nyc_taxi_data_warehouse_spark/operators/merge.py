@@ -149,3 +149,34 @@ def snapshot_delta(
         .otherwise(F.lit("unchanged"))
     )
     return j.withColumn("change", status).drop("__in_old", "__in_new")
+
+
+def apply_changelog(
+    log: DataFrame,
+    key: Sequence[str],
+    order_by: Sequence[str],
+    delete_col: str,
+) -> DataFrame:
+    """Compact an ordered CDC change log into final table state — the
+    Debezium/Kafka-log-compaction apply: per natural key, the op with the
+    highest ``order_by`` (LSN) wins; a winning DELETE tombstones the key
+    (no row in the output), a winning upsert contributes its payload.
+
+    This is the third point on the MERGE spectrum (`merge_insert_only` =
+    append-only ingest, `merge_upsert` = SCD1 without deletes, this =
+    full log apply WITH hard deletes), and the batch twin of the
+    reference's incremental-consumer story.  Shape: one hash exchange on
+    the key, per-key window top-1, no join — identical scaling to
+    `dedup_exact`/`merge_upsert`; tombstoned history never crosses the
+    shuffle twice.  ``order_by`` must be unique per key (e.g. (ts,
+    event_id)) so the winner — and the output — is deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key).orderBy(
+        *[F.col(c).desc() for c in order_by]
+    )
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (~F.col(delete_col)))
+        .drop("__rn")
+    )

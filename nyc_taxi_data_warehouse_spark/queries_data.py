@@ -260,25 +260,7 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-generation oracle recomputes both corpora's signatures and
     restricts the band join to cross (store × batch) pairs — incremental
     ≡ corpus-wide LSH restricted to cross pairs, by construction."""
-    docs = _docs(spark, sf_dir)
-    hist = _scale_out(
-        docs.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
-    )
-    batch = _scale_out(
-        docs.where(F.col("doc_id") % 3 == 0)
-        .select("doc_id", "text")
-        .unionByName(
-            docs.where((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 5 == 1))
-            .select(
-                (F.col("doc_id") + 1000000).alias("doc_id"),
-                F.expr("substring(text, 31)").alias("text"),
-            )
-        )
-        .unionByName(
-            docs.where((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 7 == 2))
-            .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
-        )
-    )
+    hist, batch = _ingest_generations(spark, sf_dir)
     store = dedup.signature_records(hist, num_hashes=_NH)
     report, _merged = dedup.incremental_neardup(
         batch, store, num_hashes=_NH, max_bucket=_MAX_BUCKET
@@ -329,6 +311,253 @@ FROM bch bc
 LEFT JOIN hch hc ON hc.content_hash = bc.content_hash
 LEFT JOIN near n ON n.doc_id = bc.doc_id"""
 )
+
+
+_RAKE_STOPWORDS = ("a", "the")
+
+
+_INGEST_SINK_SEQ = [0]
+
+
+def _ingest_generations(spark: SparkSession, sf_dir: str):
+    """The two-generation corpus split shared by q_incremental_neardup
+    and its streaming preflight: generation 1 (history) = doc_id % 3 != 0;
+    generation 2 (the ingest batch) = the fresh docs + planted suffix
+    twins (+1e6) + planted exact copies (+2e6)."""
+    docs = _docs(spark, sf_dir)
+    hist = _scale_out(
+        docs.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    )
+    batch = _scale_out(
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.where((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 5 == 1))
+            .select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.expr("substring(text, 31)").alias("text"),
+            )
+        )
+        .unionByName(
+            docs.where((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 7 == 2))
+            .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+        )
+    )
+    return hist, batch
+
+
+def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 × incremental dedup: the STREAMING ingest preflight against
+    the persisted signature store — the 14th streaming query.  The
+    generation-2 batch replays as a document stream; each doc pays ONE
+    stateless md5 and a stream-static broadcast join against the store's
+    content-hash column (history's text never streams, never rescans),
+    and a per-shard counter reports known vs new.  This is the exact leg
+    of `dedup.incremental_neardup` lifted to the stream; the near leg
+    needs a per-doc signature AGGREGATION before its join, which
+    Structured Streaming cannot chain ahead of a stream-static join —
+    so near-dup stays the batch operator's job (documented split, like
+    q_stream_asof's batch-side spine)."""
+    from .util import stream_feed
+
+    hist, batch = _ingest_generations(spark, sf_dir)
+    known = hist.select(F.md5("text").alias("content_hash")).distinct(
+    ).withColumn("__k", F.lit(1))
+    src = stream_feed(batch, "doc_ingest_feed", sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+    )
+    s = stream.select(
+        (F.col("doc_id") % 16).alias("shard"),
+        F.md5("text").alias("content_hash"),
+    )
+    agg = (
+        s.join(F.broadcast(known), "content_hash", "left")
+        .groupBy("shard")
+        .agg(
+            F.sum(F.when(F.col("__k").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_known"),
+            F.sum(F.when(F.col("__k").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+    )
+    _INGEST_SINK_SEQ[0] += 1
+    name = f"q_stream_ingest_dedup_sink_{_INGEST_SINK_SEQ[0]}"
+    with stream_state_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drained = q.awaitTermination(300)
+    q.stop()
+    if not drained:
+        raise RuntimeError(
+            "q_stream_ingest_dedup: availableNow drain timed out after "
+            "300s — refusing to compare a partial sink against the oracle"
+        )
+    return spark.table(name)
+
+
+_SQL_STREAM_INGEST_DEDUP = """
+WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+batch AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, substr(text, 31) AS text
+    FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 1
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text
+    FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 2
+),
+hch AS (SELECT DISTINCT md5(text) AS kh FROM hist)
+SELECT b.doc_id % 16 AS shard,
+       CAST(sum(CASE WHEN hch.kh IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_known,
+       CAST(sum(CASE WHEN hch.kh IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new
+FROM (SELECT doc_id, md5(text) AS bh FROM batch) b
+LEFT JOIN hch ON hch.kh = b.bh
+GROUP BY 1"""
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — corpus-level key
+    phrases without a model: texts split into candidate phrases at
+    stopword delimiters (running stopword count per doc = phrase id — a
+    doc-length-bounded window, never corpus-wide), each word scores
+    degree/frequency (degree = Σ lengths of phrases containing it), and a
+    phrase scores the sum of its members' word scores.  Top 10 phrases by
+    score with exact tiebreaks.
+
+    Exactness: word scores quantize to 1e-6 micro-units via the shared
+    textual formula (the q_kruskal_wallis idiom), phrase scores are then
+    exact BIGINT sums, and the top-k orders by (score_micro, phrase) —
+    no float ever ranks.  Shape: one posexplode, doc-grain windows, a
+    vocab-grain broadcast join back, and a global top-10
+    (TakeOrdered, never a full sort)."""
+    docs = _scale_out(_docs(spark, sf_dir).select("doc_id", "text"))
+    words = docs.select(
+        "doc_id", T.tokens("text").alias("ws")
+    ).select("doc_id", F.posexplode("ws").alias("pos", "word"))
+    stop = F.col("word").isin(*_RAKE_STOPWORDS)
+    ph = words.select(
+        "doc_id",
+        "pos",
+        "word",
+        stop.alias("stop"),
+        F.sum(stop.cast("int"))
+        .over(Window.partitionBy("doc_id").orderBy("pos"))
+        .alias("pid"),
+    )
+    members = ph.where(~F.col("stop")).persist()
+    plen = members.groupBy("doc_id", "pid").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    wscore = (
+        members.join(plen, ["doc_id", "pid"])
+        .groupBy("word")
+        .agg(
+            F.sum("len").cast("long").alias("deg"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+        )
+        .select(
+            "word",
+            F.expr(
+                "CAST(round(deg * 1000000.0 / freq) AS BIGINT)"
+            ).alias("score_micro"),
+        )
+    )
+    phr = (
+        members.join(F.broadcast(wscore), "word")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "word"))
+                    ),
+                    lambda x: x["word"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("score_micro").cast("long").alias("score_micro"),
+        )
+    )
+    return (
+        phr.groupBy("phrase")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_occur"),
+            F.max("score_micro").alias("__sm"),
+        )
+        .orderBy(F.desc("__sm"), F.asc("phrase"))
+        .limit(10)
+        .select(
+            "phrase",
+            "n_words",
+            "n_occur",
+            _rnd(F.col("__sm") / F.lit(1e6), 6).alias("score"),
+        )
+    )
+
+
+_SQL_RAKE_KEYWORDS = f"""
+WITH tokd AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ws
+    FROM documents
+),
+words AS (
+    -- parallel unnests zip: position list and word list pair up row-wise
+    SELECT doc_id,
+           CAST(unnest(range(1, len(ws) + 1)) AS INTEGER) AS pos,
+           unnest(ws) AS word
+    FROM tokd
+),
+ph AS (
+    SELECT doc_id, pos, word,
+           word IN {_RAKE_STOPWORDS!r} AS stop,
+           sum(CASE WHEN word IN {_RAKE_STOPWORDS!r} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+    FROM words
+),
+members AS (SELECT doc_id, pid, pos, word FROM ph WHERE NOT stop),
+plen AS (
+    SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS len
+    FROM members GROUP BY 1, 2
+),
+wscore AS (
+    SELECT word,
+           CAST(round(deg * 1000000.0 / freq) AS BIGINT) AS score_micro
+    FROM (
+        SELECT m.word, CAST(sum(p.len) AS BIGINT) AS deg,
+               CAST(count(*) AS BIGINT) AS freq
+        FROM members m JOIN plen p USING (doc_id, pid)
+        GROUP BY 1)
+),
+phr AS (
+    SELECT m.doc_id, m.pid,
+           string_agg(m.word, ' ' ORDER BY m.pos) AS phrase,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(w.score_micro) AS BIGINT) AS score_micro
+    FROM members m JOIN wscore w USING (word)
+    GROUP BY 1, 2
+)
+SELECT phrase, n_words, CAST(n_occur AS BIGINT) AS n_occur,
+       round(1e-9 + sm / 1e6, 6) AS score
+FROM (
+    SELECT phrase, max(n_words) AS n_words, count(*) AS n_occur,
+           max(score_micro) AS sm
+    FROM phr GROUP BY 1)
+ORDER BY sm DESC, phrase ASC LIMIT 10"""
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -977,6 +1206,58 @@ def q_cdc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("qty_delta"),
     )
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log apply (`merge.apply_changelog`) — the log-compaction
+    complement of q_cdc_classify's snapshot diff: the event stream is a
+    keyed change log (key = user_id, LSN = (ts, event_id), op = DELETE
+    when event_type = 'error', else upsert of the value payload), and the
+    apply compacts it to final table state: per key the highest-LSN op
+    wins, a winning delete tombstones the key.  One hash exchange on the
+    key, per-key top-1 window, no join — the Debezium-sink shape at any
+    log volume.  n_ops (full per-key log depth) rides the same
+    exchange."""
+    from .operators.merge import apply_changelog
+
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "error").alias("is_delete"),
+        "value",
+    ).withColumn(
+        "n_ops",
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).cast("long"),
+    )
+    return apply_changelog(
+        log, key=["user_id"], order_by=["ts", "event_id"],
+        delete_col="is_delete",
+    ).select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+        "n_ops",
+    )
+
+
+_SQL_CDC_APPLY = """
+WITH log AS (
+    SELECT user_id, ts, event_id, event_type = 'error' AS is_delete, value
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+    FROM log
+)
+SELECT user_id, ts AS last_ts, value AS last_value, n_ops
+FROM ranked WHERE rn = 1 AND NOT is_delete"""
 
 
 _SQL_CDC_CLASSIFY = """
@@ -11432,6 +11713,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pack_sequences": q_pack_sequences,
     "q_cross_corpus_neardup": q_cross_corpus_neardup,
     "q_incremental_neardup": q_incremental_neardup,
+    "q_stream_ingest_dedup": q_stream_ingest_dedup,
+    "q_rake_keywords": q_rake_keywords,
     "q_filter_funnel": q_filter_funnel,
     "q_mixture_sample": q_mixture_sample,
     "q_mixture_plan": q_mixture_plan,
@@ -11522,6 +11805,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_crosstab_independence": q_crosstab_independence,
     "q_iceberg_diff": q_iceberg_diff,
     "q_cdc_classify": q_cdc_classify,
+    "q_cdc_apply": q_cdc_apply,
     "q_delta_roundtrip": q_delta_roundtrip,
     "q_iceberg_roundtrip": q_iceberg_roundtrip,
     "q_orc_roundtrip": q_orc_roundtrip,
@@ -11600,6 +11884,8 @@ ORACLES: dict[str, str] = {
     "q_pack_sequences": _SQL_PACK_SEQUENCES,
     "q_cross_corpus_neardup": _SQL_CROSS_CORPUS_NEARDUP,
     "q_incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
+    "q_stream_ingest_dedup": _SQL_STREAM_INGEST_DEDUP,
+    "q_rake_keywords": _SQL_RAKE_KEYWORDS,
     "q_filter_funnel": _SQL_FILTER_FUNNEL,
     "q_mixture_sample": _SQL_MIXTURE_SAMPLE,
     "q_mixture_plan": _SQL_MIXTURE_PLAN,
@@ -11692,6 +11978,7 @@ ORACLES: dict[str, str] = {
     "q_crosstab_independence": _SQL_CROSSTAB,
     "q_iceberg_diff": _SQL_ICEBERG_DIFF,
     "q_cdc_classify": _SQL_CDC_CLASSIFY,
+    "q_cdc_apply": _SQL_CDC_APPLY,
     "q_delta_roundtrip": _SQL_DELTA_ROUNDTRIP,
     "q_iceberg_roundtrip": _SQL_ICEBERG_ROUNDTRIP,
     "q_orc_roundtrip": _SQL_ORC_ROUNDTRIP,

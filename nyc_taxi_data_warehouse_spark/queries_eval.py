@@ -519,6 +519,114 @@ _KW_Z = (
     " ELSE exp(ln(h_adj / (k - 1)) / 3.0) END)"
     " - 1.0 + 2.0 / (9.0 * (k - 1)))"
 )
+# one-way ANOVA micro-unit terms (shared textual formulas, evaluated by
+# BOTH engines so the per-group doubles are bit-identical before the
+# exact BIGINT micro-unit summation): between-group term S_g²/n_g and
+# within-group term Q_g − S_g²/n_g, each ×1e6.  The first factor casts
+# to DOUBLE before squaring so S_g² never overflows BIGINT; int64-exact
+# through |Σx| ≲ 3e9 per group on the ×100 lattice (documented bound,
+# like q_ab_test's).
+_ANOVA_TB = (
+    "CAST(round(CAST(s_g AS DOUBLE) * s_g / n_g * 1000000.0) AS BIGINT)"
+)
+_ANOVA_TW = (
+    "CAST(round((q_g - CAST(s_g AS DOUBLE) * s_g / n_g) * 1000000.0)"
+    " AS BIGINT)"
+)
+_ANOVA_G = "CAST(round(CAST(s AS DOUBLE) * s / n * 1000000.0) AS BIGINT)"
+
+
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the event-type groups on value — the
+    parametric companion to q_kruskal_wallis (mean differences under the
+    equal-variance normal model, vs KW's rank omnibus): F = (SSB/(k−1)) /
+    (SSW/(n−k)) with SSB = Σ_g S_g²/n_g − S²/n and SSW = Σ_g (Q_g −
+    S_g²/n_g), all from ONE group-grain aggregation of exact BIGINT
+    (n_g, Σx, Σx²) on the ×100 lattice.
+
+    Exactness: each group's two rational terms are per-row IEEE doubles
+    quantized to 1e-6 micro-units (the q_kruskal_wallis idiom — BIGINT
+    micro sums are order-independent where double sums across groups are
+    not); eta² and F divide the exact micro totals once at the end.
+    Shape: one corpus aggregation to k group rows; everything after is
+    k-grain."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    grp = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("x").cast("long").alias("s_g"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q_g"),
+    )
+    tot = grp.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+    )
+    one = grp.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.expr(_ANOVA_TB)).cast("long").alias("b_micro"),
+        F.sum(F.expr(_ANOVA_TW)).cast("long").alias("w_micro"),
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+    )
+    return one.select(
+        "k",
+        "n",
+        _rnd(
+            (F.col("b_micro") - F.expr(_ANOVA_G)) / F.lit(1e6) / 1e4, 6
+        ).alias("ssb"),
+        _rnd(F.col("w_micro") / F.lit(1e6) / 1e4, 6).alias("ssw"),
+        _rnd(
+            ((F.col("b_micro") - F.expr(_ANOVA_G)) / (F.col("k") - 1))
+            / (F.col("w_micro") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        _rnd(
+            (F.col("b_micro") - F.expr(_ANOVA_G))
+            / (F.col("b_micro") - F.expr(_ANOVA_G) + F.col("w_micro")),
+            6,
+        ).alias("eta_sq"),
+    )
+
+
+def _sql_anova_f() -> str:
+    return f"""
+WITH base AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+    FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+grp AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+           CAST(sum(x) AS BIGINT) AS s_g,
+           CAST(sum(x * x) AS BIGINT) AS q_g
+    FROM base GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS BIGINT) AS s
+    FROM grp
+),
+one AS (
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum({_ANOVA_TB}) AS BIGINT) AS b_micro,
+           CAST(sum({_ANOVA_TW}) AS BIGINT) AS w_micro,
+           max(n) AS n, max(s) AS s
+    FROM grp CROSS JOIN tot
+)
+SELECT k, n,
+       round(1e-9 + (b_micro - {_ANOVA_G}) / 1e6 / 1e4, 6) AS ssb,
+       round(1e-9 + w_micro / 1e6 / 1e4, 6) AS ssw,
+       round(1e-9 + ((b_micro - {_ANOVA_G}) / (k - 1))
+             / (w_micro / (n - k)), 6) AS f_stat,
+       round(1e-9 + (b_micro - {_ANOVA_G})
+             / (b_micro - {_ANOVA_G} + w_micro), 6) AS eta_sq
+FROM one"""
+
+
 _KW_TERM = (
     "CAST(round(CAST(two_r AS DOUBLE) * two_r * 1000000.0"
     " / (4.0 * n_g * n * (n + 1.0))) AS BIGINT)"
@@ -1485,6 +1593,81 @@ def q_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("deletable"),
     )
+
+
+def q_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-depth audit — the metric OPTIMIZE ZORDER is judged by
+    (and the diagnosis q_zorder_effect's before/after numbers explain):
+    per day-grain "file" of the orders table, the min/max range of the
+    clustering key (o_custkey) and how many OTHER files' ranges overlap
+    it.  A date-partitioned table whose files each span the whole key
+    domain has depth ≈ #files — every key lookup touches every file;
+    after a key-clustered rewrite depth → 1.  The avg_depth ratio rides
+    along per row so the report is self-grading.
+
+    Shape: the corpus is touched ONCE by the day-grain min/max
+    aggregation; the overlap self-join is METADATA-sized (≤731 calendar
+    day-files per side, the documented BNLJ_BOUNDED_OK grain)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    files = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.min("o_custkey").cast("long").alias("min_ck"),
+        F.max("o_custkey").cast("long").alias("max_ck"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    a, b = files.alias("a"), files.alias("b")
+    depth = (
+        a.join(
+            b,
+            (F.col("a.min_ck") <= F.col("b.max_ck"))
+            & (F.col("b.min_ck") <= F.col("a.max_ck")),
+        )
+        .groupBy(
+            F.col("a.day").alias("day"),
+            F.col("a.min_ck").alias("min_ck"),
+            F.col("a.max_ck").alias("max_ck"),
+            F.col("a.n_rows").alias("n_rows"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("depth"))
+    )
+    tot = depth.agg(
+        F.sum("depth").cast("long").alias("__sd"),
+        F.count(F.lit(1)).cast("long").alias("__nf"),
+    )
+    return depth.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "min_ck",
+        "max_ck",
+        "n_rows",
+        "depth",
+        _rnd(F.col("__sd") / F.col("__nf").cast("double"), 6).alias(
+            "avg_depth"
+        ),
+    )
+
+
+_SQL_CLUSTERING_DEPTH = """
+WITH files AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(min(o_custkey) AS BIGINT) AS min_ck,
+           CAST(max(o_custkey) AS BIGINT) AS max_ck,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders GROUP BY 1
+),
+depth AS (
+    SELECT a.day, a.min_ck, a.max_ck, a.n_rows,
+           CAST(count(*) AS BIGINT) AS depth
+    FROM files a JOIN files b
+      ON a.min_ck <= b.max_ck AND b.min_ck <= a.max_ck
+    GROUP BY 1, 2, 3, 4
+),
+tot AS (
+    SELECT CAST(sum(depth) AS BIGINT) AS sd,
+           CAST(count(*) AS BIGINT) AS nf
+    FROM depth
+)
+SELECT day, min_ck, max_ck, n_rows, depth,
+       round(1e-9 + sd / CAST(nf AS DOUBLE), 6) AS avg_depth
+FROM depth CROSS JOIN tot"""
 
 
 _SQL_VACUUM_PLAN = f"""
@@ -2805,6 +2988,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pr_curve": q_pr_curve,
     "q_lift_table": q_lift_table,
     "q_kruskal_wallis": q_kruskal_wallis,
+    "q_anova_f": q_anova_f,
     "q_kendall_tau": q_kendall_tau,
     "q_theil_sen": q_theil_sen,
     "q_fk_audit": q_fk_audit,
@@ -2813,6 +2997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dp_histogram": q_dp_histogram,
     "q_zorder_effect": q_zorder_effect,
     "q_vacuum_plan": q_vacuum_plan,
+    "q_clustering_depth": q_clustering_depth,
     "q_bloom_sizing": q_bloom_sizing,
     "q_ndcg_mrr": q_ndcg_mrr,
     "q_rtbf_plan": q_rtbf_plan,
@@ -2829,6 +3014,7 @@ ORACLES: dict[str, str] = {
     "q_pr_curve": _sql_pr_curve(),
     "q_lift_table": _sql_lift_table(),
     "q_kruskal_wallis": _sql_kruskal_wallis(),
+    "q_anova_f": _sql_anova_f(),
     "q_kendall_tau": _sql_kendall_tau(),
     "q_theil_sen": _SQL_THEIL_SEN,
     "q_fk_audit": _sql_fk_audit(),
@@ -2837,6 +3023,7 @@ ORACLES: dict[str, str] = {
     "q_dp_histogram": _sql_dp_histogram(),
     "q_zorder_effect": _sql_zorder_effect(),
     "q_vacuum_plan": _SQL_VACUUM_PLAN,
+    "q_clustering_depth": _SQL_CLUSTERING_DEPTH,
     "q_bloom_sizing": _sql_bloom_sizing(),
     "q_ndcg_mrr": _sql_ndcg_mrr(),
     "q_rtbf_plan": _sql_rtbf_plan(),

@@ -741,6 +741,85 @@ JOIN (SELECT observed_at AS period_start,
   ON t.pickup_datetime <= p.period_end AND p.period_start <= t.dropoff_datetime"""
 
 
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent trips in flight per day — the interval-sweep
+    counting op (fleet sizing / peak-load): every trip contributes a +1
+    boundary at pickup and a −1 at dropoff, boundaries encode to a single
+    sortable integer ``epoch_micros·2 + is_start`` (the dropoff bit sorts
+    first at an equal instant — half-open intervals, back-to-back trips
+    never overlap), and the running level is an exact cumulative sum over
+    the boundary stream via `bucketed_value_cumsum` — the distributed-CDF
+    primitive, NEVER an unpartitioned window.  A zero-weight marker at
+    each active day's midnight captures the carry-in level of trips
+    spanning midnight, so a day's max covers its opening plateau."""
+    from .operators.sampling import bucketed_value_cumsum
+
+    t = staging.stg_taxi_trips(_trips(spark, sf_dir)).where(
+        F.col("pickup_datetime").isNotNull()
+        & F.col("dropoff_datetime").isNotNull()
+    ).select("pickup_datetime", "dropoff_datetime")
+    starts = t.select(
+        (F.unix_micros("pickup_datetime") * 2 + 1).alias("enc"),
+        F.lit(1).alias("delta"),
+    )
+    ends = t.select(
+        (F.unix_micros("dropoff_datetime") * 2).alias("enc"),
+        F.lit(-1).alias("delta"),
+    )
+    days = (
+        t.select(F.to_date("pickup_datetime").alias("d"))
+        .union(t.select(F.to_date("dropoff_datetime")))
+        .distinct()
+        .select(
+            (F.unix_micros(F.col("d").cast("timestamp")) * 2).alias("enc"),
+            F.lit(0).alias("delta"),
+        )
+    )
+    run = bucketed_value_cumsum(
+        starts.unionByName(ends).unionByName(days), "enc",
+        weight_col="delta",
+    )
+    return (
+        run.select(
+            F.to_date(F.timestamp_micros(F.expr("__v div 2"))).alias("day"),
+            F.col("__cle").alias("run"),
+        )
+        .groupBy("day")
+        .agg(F.max("run").cast("long").alias("max_concurrent"))
+    )
+
+
+_SQL_CONCURRENCY = """
+SELECT CAST(make_timestamp(enc // 2) AS DATE) AS day,
+       CAST(max(run) AS BIGINT) AS max_concurrent
+FROM (
+    SELECT enc, sum(delta) OVER (
+        ORDER BY enc RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS run
+    FROM (
+        SELECT epoch_us(pickup_datetime) * 2 + 1 AS enc, 1 AS delta
+        FROM t
+        UNION ALL
+        SELECT epoch_us(dropoff_datetime) * 2 AS enc, -1 AS delta FROM t
+        UNION ALL
+        SELECT epoch_us(CAST(d AS TIMESTAMP)) * 2 AS enc, 0 AS delta
+        FROM (
+            SELECT CAST(pickup_datetime AS DATE) AS d FROM t
+            UNION
+            SELECT CAST(dropoff_datetime AS DATE) AS d FROM t
+        )
+    )
+)
+GROUP BY 1"""
+
+
+_SQL_CONCURRENCY_T = """
+t AS (
+    SELECT pickup_datetime, dropoff_datetime FROM stg_trips
+    WHERE pickup_datetime IS NOT NULL AND dropoff_datetime IS NOT NULL
+)"""
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI join (EXISTS): customers having at least one high-value
     order — the membership-filter join that never duplicates the left side."""
@@ -2830,6 +2909,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_asof_multi": q_asof_multi,
     "q_stream_asof": q_stream_asof,
     "q_interval_join": q_interval_join,
+    "q_concurrency": q_concurrency,
     "q_semi_join": q_semi_join,
     "q_bloom_join": q_bloom_join,
     "q_window_stats": q_window_stats,
@@ -2911,6 +2991,7 @@ ORACLES: dict[str, str] = {
     "q_asof_multi": _with(SQL_TRIPS, SQL_WEATHER, SQL_STG_TRIPS, SQL_STG_WEATHER, select=_SQL_ASOF_MULTI),
     "q_stream_asof": _with(SQL_WEATHER, select=_SQL_STREAM_ASOF),
     "q_interval_join": _with(SQL_TRIPS, SQL_WEATHER, SQL_STG_TRIPS, SQL_STG_WEATHER, select=_SQL_INTERVAL_JOIN),
+    "q_concurrency": _with(SQL_TRIPS, SQL_STG_TRIPS, _SQL_CONCURRENCY_T, select=_SQL_CONCURRENCY),
     "q_semi_join": _SQL_SEMI_JOIN,
     "q_bloom_join": _SQL_BLOOM_JOIN,
     "q_window_stats": _SQL_WINDOW_STATS,

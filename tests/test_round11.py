@@ -78,3 +78,73 @@ def test_signature_records_schema(spark, corpus):
     cols = rec.columns
     assert cols[:2] == ["doc_id", "content_hash"]
     assert [c for c in cols if c.startswith("h")] == [f"h{i}" for i in range(8)]
+
+
+# --- CDC log apply -----------------------------------------------------------
+
+def test_apply_changelog_latest_wins_and_deletes_tombstone(spark):
+    from datetime import datetime
+
+    from nyc_taxi_data_warehouse_spark.operators.merge import apply_changelog
+
+    def ts(m):
+        return datetime(2026, 1, 1, 12, m)
+
+    log = spark.createDataFrame(
+        [
+            (1, ts(0), 10, False, "a"),   # superseded
+            (1, ts(5), 11, False, "b"),   # winner for key 1
+            (2, ts(0), 12, False, "c"),   # superseded by delete
+            (2, ts(9), 13, True, "d"),    # winning delete -> tombstone
+            (3, ts(3), 14, True, "e"),    # delete then re-insert
+            (3, ts(4), 15, False, "f"),   # winner for key 3
+            (4, ts(7), 16, False, "g"),   # same ts as below
+            (4, ts(7), 17, False, "h"),   # higher event_id wins the tie
+        ],
+        "k long, ts timestamp, eid long, is_del boolean, payload string",
+    )
+    out = {
+        r.k: r.payload
+        for r in apply_changelog(
+            log, key=["k"], order_by=["ts", "eid"], delete_col="is_del"
+        ).collect()
+    }
+    assert out == {1: "b", 3: "f", 4: "h"}
+
+
+# --- streaming ingest-dedup parity -------------------------------------------
+
+def test_stream_ingest_dedup_matches_batch(spark):
+    """The streaming preflight must equal the batch computation exactly
+    (stream-static join + windowless shard counter: re-delivery-free by
+    availableNow construction)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_warehouse_spark.queries_data import (
+        _ingest_generations,
+        q_stream_ingest_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.shard: (r.n_known, r.n_new)
+        for r in q_stream_ingest_dedup(spark, sf).collect()
+    }
+    hist, batch = _ingest_generations(spark, sf)
+    known = hist.select(F.md5("text").alias("h")).distinct()
+    exp = {
+        r.shard: (r.n_known, r.n_new)
+        for r in batch.select(
+            (F.col("doc_id") % 16).alias("shard"), F.md5("text").alias("h")
+        )
+        .join(known.withColumn("__k", F.lit(1)), "h", "left")
+        .groupBy("shard")
+        .agg(
+            F.sum(F.when(F.col("__k").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_known"),
+            F.sum(F.when(F.col("__k").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_new"),
+        )
+        .collect()
+    }
+    assert got == exp and sum(v[0] for v in got.values()) > 0

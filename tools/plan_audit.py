@@ -131,6 +131,7 @@ BNLJ_BOUNDED_OK = {
     "q_stream_bloom",     # calendar days × literal m bloom bits/day
     "q_t_closeness",      # QI domain × m=5 ordinal priority values
     "q_vacuum_plan",      # calendar day-file × weekly-snapshot grain
+    "q_clustering_depth",  # calendar day-file × day-file overlap join
 }
 
 
