@@ -50,15 +50,21 @@ def test_flagship_freshness_policy_slots():
 
 
 def test_never_driver_checked_entries_lead_the_window():
-    # The 18 round-9 additions without any driver-issued CORRECTNESS row
-    # through round 9 must occupy the head of the round-10 window
-    # (round-9 VERDICT item 1).
+    # The 9 round-11 additions without any driver-issued CORRECTNESS row
+    # must occupy the head of the round-11 window (first-evidence >
+    # stale-refresh), followed by the q_weather_hourly flagship slot
+    # (latest row r6) and the 40 stalest round-5 entries.
     never = [
-        "q_roc_auc", "q_pr_curve", "q_lift_table",
-        "q_ndcg_mrr", "q_knn_classify", "q_kruskal_wallis",
-        "q_kendall_tau", "q_theil_sen", "q_survival_km",
-        "q_fk_audit", "q_partition_advisor", "q_zorder_effect",
-        "q_vacuum_plan", "q_bloom_sizing", "q_pseudonymize",
-        "q_dp_histogram", "q_rtbf_plan", "q_kcore",
+        "q_incremental_neardup", "q_ann_index_persist",
+        "q_ann_index_append", "q_stream_ingest_dedup", "q_cdc_apply",
+        "q_anova_f", "q_concurrency", "q_rake_keywords",
+        "q_clustering_depth",
     ]
     assert entry._CHECK_FIRST[: len(never)] == never
+    assert entry._CHECK_FIRST[len(never)] == "q_weather_hourly"
+    # the 50-slot window is spent entirely on first-evidence + stale
+    # entries; the five (r10-fresh) flagships sit just past it
+    assert entry._CHECK_FIRST[50:55] == [
+        "q_enrich", "q_trips_weather", "q_daily",
+        "q_zone_analysis", "q_fare_daily_features",
+    ]
