@@ -1638,6 +1638,176 @@ def main() -> None:
         "mmr_candidates": (lambda m: _docs_at(spark, sf_dir, m), _mmr),
     }
 
+    # round-11 wave probes: incremental near-dup is banded/bucketed like
+    # the corpus-wide LSH (cost = co-bucketed cross pairs); CDC apply and
+    # ANOVA are one key-hash exchange / one group agg; the concurrency
+    # sweep is the bucketed-cumsum primitive over 2 boundaries/row; RAKE
+    # is doc-grain windows + a vocab-grain join back; clustering depth is
+    # calendar-metadata after one day-grain agg; ANN serve/append run
+    # against a saved index built UNTIMED in the mk() phase (serving =
+    # cell-pruned join over codes; append = two narrow encode maps +
+    # insert-only commit, history untouched)
+    from pyspark.sql import Window as W11
+
+    from nyc_taxi_data_warehouse_spark.operators import pq as pq11
+    from nyc_taxi_data_warehouse_spark.operators.merge import apply_changelog
+    from nyc_taxi_data_warehouse_spark.operators.sampling import (
+        bucketed_value_cumsum as _bvc11,
+    )
+
+    def _incr_neardup(d):
+        hist = d.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+        batch = d.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+        store = dedup.signature_records(hist)
+        report, _merged = dedup.incremental_neardup(batch, store)
+        return report
+
+    def _cdc_apply(d):
+        log = d.select(
+            "user_id", "ts", "event_id",
+            (F.col("event_type") == "error").alias("is_delete"), "value",
+        ).withColumn(
+            "n_ops",
+            F.count(F.lit(1)).over(W11.partitionBy("user_id")).cast("long"),
+        )
+        return apply_changelog(
+            log, key=["user_id"], order_by=["ts", "event_id"],
+            delete_col="is_delete",
+        )
+
+    def _anova(d):
+        base = d.where(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        ).select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("x")
+        )
+        return base.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("x").cast("long").alias("s_g"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("q_g"),
+        )
+
+    def _concurrency(d):
+        # the probe feed's ts may surface as TIMESTAMP_NTZ (raw parquet
+        # path); unix_micros needs TIMESTAMP — normalize first
+        d = d.withColumn("ts", F.col("ts").cast("timestamp"))
+        t = d.where(F.col("ts").isNotNull()).select(
+            "ts",
+            F.timestamp_add(
+                "MINUTE",
+                (F.floor("value").cast("long") % 200 + 1).cast("int"),
+                "ts",
+            ).alias("te"),
+        )
+        b = t.select(
+            (F.unix_micros("ts") * 2 + 1).alias("enc"),
+            F.lit(1).alias("delta"),
+        ).unionByName(
+            t.select(
+                (F.unix_micros("te") * 2).alias("enc"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        run = _bvc11(b, "enc", weight_col="delta")
+        return run.select(
+            F.to_date(F.timestamp_micros(F.expr("__v div 2"))).alias("day"),
+            F.col("__cle").alias("r"),
+        ).groupBy("day").agg(F.max("r").cast("long").alias("max_concurrent"))
+
+    def _rake(d):
+        words = d.select("doc_id", T.tokens("text").alias("ws")).select(
+            "doc_id", F.posexplode("ws").alias("pos", "word")
+        )
+        stop = F.col("word").isin("a", "the")
+        ph = words.select(
+            "doc_id", "pos", "word", stop.alias("stop"),
+            F.sum(stop.cast("int"))
+            .over(W11.partitionBy("doc_id").orderBy("pos"))
+            .alias("pid"),
+        )
+        members = ph.where(~F.col("stop")).persist()
+        plen = members.groupBy("doc_id", "pid").agg(
+            F.count(F.lit(1)).cast("long").alias("len")
+        )
+        wscore = (
+            members.join(plen, ["doc_id", "pid"])
+            .groupBy("word")
+            .agg(
+                F.sum("len").cast("long").alias("deg"),
+                F.count(F.lit(1)).cast("long").alias("freq"),
+            )
+            .select(
+                "word",
+                F.expr("CAST(round(deg * 1000000.0 / freq) AS BIGINT)")
+                .alias("score_micro"),
+            )
+        )
+        phr = members.join(F.broadcast(wscore), "word").groupBy(
+            "doc_id", "pid"
+        ).agg(F.sum("score_micro").cast("long").alias("sm"))
+        return phr.orderBy(F.desc("sm"), "doc_id", "pid").limit(10)
+
+    def _cdepth(d):
+        files = d.groupBy(F.to_date("ts").alias("day")).agg(
+            F.min("user_id").cast("long").alias("min_k"),
+            F.max("user_id").cast("long").alias("max_k"),
+        )
+        a, b = files.alias("a"), files.alias("b")
+        return a.join(
+            b,
+            (F.col("a.min_k") <= F.col("b.max_k"))
+            & (F.col("b.min_k") <= F.col("a.max_k")),
+        ).groupBy(F.col("a.day").alias("day")).agg(
+            F.count(F.lit(1)).cast("long").alias("depth")
+        )
+
+    import uuid as _uuid11
+
+    def _ann_store_at(m, twogen: bool):
+        """UNTIMED build+save of the persisted index over m× embeddings;
+        returns (path, queries, corpus) for the timed serve/append op."""
+        e = _emb_at(spark, sf_dir, m)
+        path = os.path.join(
+            "/tmp", f"probe_ann_{m}_{_uuid11.uuid4().hex[:8]}"
+        )
+        base = e.where(F.col("vec_id") % 10 != 0) if twogen else e
+        idx = pq11.ivfpq_build(base, k_cells=8, m=4, k_codes=4,
+                               coarse_iter=2, fine_iter=1, quant=1000)
+        pq11.ivfpq_save(spark, idx, path)
+        return path, e.where(F.col("vec_id") % 50 == 0), e
+
+    def _ann_serve(t):
+        path, qs, corpus = t
+        idx = pq11.ivfpq_load(spark, path)
+        return pq11.ivfpq_search(
+            qs, corpus, k_cells=8, m=4, k_codes=4, k=5, quant=1000,
+            index=idx,
+        )
+
+    def _ann_append(t):
+        path, _qs, corpus = t
+        ver = pq11.ivfpq_append(
+            spark, path, corpus.where(F.col("vec_id") % 10 == 0)
+        )
+        return pq11.ivfpq_load(spark, path, version=ver).codes
+
+    ninth_ops = {
+        "incremental_neardup": (
+            lambda m: _docs_at(spark, sf_dir, m), _incr_neardup,
+        ),
+        "cdc_apply": (lambda m: _events_at(spark, sf_dir, m), _cdc_apply),
+        "anova_f": (lambda m: _events_at(spark, sf_dir, m), _anova),
+        "concurrency": (
+            lambda m: _events_at(spark, sf_dir, m), _concurrency,
+        ),
+        "rake_keywords": (lambda m: _docs_at(spark, sf_dir, m), _rake),
+        "clustering_depth": (
+            lambda m: _events_at(spark, sf_dir, m), _cdepth,
+        ),
+        "ann_index_serve": (lambda m: _ann_store_at(m, False), _ann_serve),
+        "ann_index_append": (lambda m: _ann_store_at(m, True), _ann_append),
+    }
+
     all_ops = {n: (lambda m: _docs_at(spark, sf_dir, m), op) for n, op in ops.items()}
     all_ops.update(meta_ops)
     all_ops.update(events_ops)
@@ -1647,6 +1817,7 @@ def main() -> None:
     all_ops.update(sixth_ops)
     all_ops.update(seventh_ops)
     all_ops.update(eighth_ops)
+    all_ops.update(ninth_ops)
     args = sys.argv[2:]
     mults = (1, 4, 8)
     shuffle_scale = False

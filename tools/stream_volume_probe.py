@@ -175,16 +175,79 @@ def probe_stream_hll(spark, sf_dir: str, mult: int):
     return _drain(spark, regs, "complete")
 
 
+def probe_stream_ingest(spark, sf_dir: str, mult: int):
+    """Round-11 streaming ingest-dedup preflight at mult× BOTH sides:
+    the store's hash set grows with history, the feed with the batch
+    (content growth: suffix-shifted replica texts so hashes are genuinely
+    distinct).  The stream pays a stateless md5 + broadcast hash join +
+    a 16-row shard counter — growth should track the feed scan, not the
+    join (the state is fixed-size by construction)."""
+    from nyc_taxi_data_warehouse_spark.queries_data import (
+        _ingest_generations,
+    )
+
+    hist, batch = _ingest_generations(spark, sf_dir)
+
+    def grow(d):
+        if mult == 1:
+            return d
+        return d.select(
+            F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep"),
+            "doc_id",
+            "text",
+        ).select(
+            (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"),
+            F.expr("substring(text, rep * 7 + 1)").alias("text"),
+        )
+
+    hist, batch = grow(hist), grow(batch)
+    known = (
+        hist.select(F.md5("text").alias("content_hash"))
+        .distinct()
+        .withColumn("__k", F.lit(1))
+    )
+    src = stream_feed(
+        batch, f"svp_ingest_{mult}", f"{sf_dir}#{mult}", n_files=4 * mult
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+    )
+    agg = (
+        stream.select(
+            (F.col("doc_id") % 16).alias("shard"),
+            F.md5("text").alias("content_hash"),
+        )
+        .join(F.broadcast(known), "content_hash", "left")
+        .groupBy("shard")
+        .agg(
+            F.sum(F.when(F.col("__k").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_known"),
+            F.sum(F.when(F.col("__k").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+    )
+    return _drain(spark, agg, "complete")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     mults = [int(x) for x in sys.argv[2:]] or [1, 8]
     spark = get_spark("stream_volume_probe")
     spark.sparkContext.setLogLevel("ERROR")
     report: dict[str, dict] = {}
-    for name, fn in (
+    only = set(os.environ.get("SVP_ONLY", "").split(",")) - {""}
+    probes = (
         ("stream_join", probe_stream_join),
         ("stream_hll", probe_stream_hll),
-    ):
+        ("stream_ingest_dedup", probe_stream_ingest),
+    )
+    for name, fn in probes:
+        if only and name not in only:
+            continue
         fn(spark, sf_dir, 1)  # warmup: JVM/codegen/first-checkpoint cost
         times: dict[str, object] = {}
         for m in mults:
