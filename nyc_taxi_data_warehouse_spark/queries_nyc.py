@@ -1645,6 +1645,99 @@ UNION ALL
 SELECT '3_view_click_purchase', count(*) FROM p"""
 
 
+_FUNNEL_WINDOWS_H = (1, 24, 168)  # hours: 1h, 1d, 7d
+
+
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUNDED funnel (the ClickHouse ``windowFunnel`` shape) —
+    q_conversion_funnel's ordered ladder with a completion deadline: a
+    user reaches level 2 iff their first qualifying click lands within W
+    of their first view, level 3 iff the subsequent first purchase does
+    too (all steps inside ONE window anchored at the first view — the
+    documented greedy-from-first-view semantic; no re-anchoring).  One
+    row per (window, level) with the user count, for W ∈ {1h, 1d, 7d}.
+
+    Shape: the three per-user min-ts aggregates are computed ONCE
+    (shuffles stay on user_id); each window then re-reads the tiny
+    (user, t0, t1, t2) frame with pure timestamp comparisons — the
+    window ladder costs nothing extra at corpus scale."""
+    ev = nyc_views.load_tables(spark, sf_dir)["events"]
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    base = (
+        v.join(c, "user_id", "left").join(p, "user_id", "left").persist()
+    )
+    out = None
+    for w in _FUNNEL_WINDOWS_H:
+        lvl2 = F.col("t1") <= F.timestamp_add("HOUR", F.lit(w), F.col("t0"))
+        lvl3 = lvl2 & (
+            F.col("t2") <= F.timestamp_add("HOUR", F.lit(w), F.col("t0"))
+        )
+        st = base.agg(
+            F.lit(w).cast("int").alias("window_hours"),
+            F.count(F.lit(1)).cast("long").alias("n_level1"),
+            F.sum(F.when(lvl2, 1).otherwise(0)).cast("long").alias("n_level2"),
+            F.sum(F.when(lvl3, 1).otherwise(0)).cast("long").alias("n_level3"),
+        )
+        out = st if out is None else out.unionByName(st)
+    return out
+
+
+_SQL_WINDOW_FUNNEL = (
+    """
+WITH v AS (
+    SELECT user_id, min(ts) AS t0 FROM events
+    WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t1
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t0
+    GROUP BY 1
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t1
+    GROUP BY 1
+),
+base AS (
+    SELECT v.user_id, v.t0, c.t1, p.t2
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+)
+"""
+    + "\nUNION ALL\n".join(
+        f"""SELECT CAST({w} AS INTEGER) AS window_hours,
+       CAST(count(*) AS BIGINT) AS n_level1,
+       CAST(sum(CASE WHEN t1 <= t0 + INTERVAL {w} HOUR
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_level2,
+       CAST(sum(CASE WHEN t1 <= t0 + INTERVAL {w} HOUR
+                 AND t2 <= t0 + INTERVAL {w} HOUR
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_level3
+FROM base"""
+        for w in _FUNNEL_WINDOWS_H
+    )
+)
+
+
 def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: users grouped by first-active day, one
     row per (cohort, day-offset) with the count still active — the other
@@ -2958,6 +3051,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_merge_upsert": q_merge_upsert,
     "q_freshness": q_freshness,
     "q_conversion_funnel": q_conversion_funnel,
+    "q_window_funnel": q_window_funnel,
     "q_retention_cohort": q_retention_cohort,
     "q_project": q_project,
     "q_json_extract": q_json_extract,
@@ -3026,6 +3120,7 @@ FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5000""",
         SQL_TRIPS, SQL_WEATHER, _SQL_FRESHNESS_CTE, select=_SQL_FRESHNESS
     ),
     "q_conversion_funnel": _SQL_CONVERSION_FUNNEL,
+    "q_window_funnel": _SQL_WINDOW_FUNNEL,
     "q_retention_cohort": _SQL_RETENTION_COHORT,
     "q_scd2_check": _SQL_SCD2_CHECK,
     "q_scd2_timestamp": _SQL_SCD2_TIMESTAMP,
