@@ -952,6 +952,28 @@ def incremental_neardup(
     operator only decides batch-vs-history."""
     from .merge import merge_insert_only
 
+    report, brec = _incremental_report(
+        batch, store, id_col, text_col, num_hashes, max_bucket
+    )
+    accepted = report.where(F.col("decision") == "new").select(id_col)
+    merged = merge_insert_only(
+        store, brec.join(accepted, id_col), key=[id_col]
+    )
+    return report, merged
+
+
+def _incremental_report(
+    batch: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    max_bucket: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """The decide-only core of :func:`incremental_neardup`: returns
+    (report, batch signature records) without merging — so the lake-table
+    composition (:func:`neardup_store_ingest`) can APPEND just the
+    accepted records instead of rewriting the whole store image."""
     brec = signature_records(batch, id_col, text_col, num_hashes).persist()
     store = store.persist()
     # NULL band hashes (shingle-less docs) must not form a join bucket:
@@ -990,6 +1012,50 @@ def incremental_neardup(
             .alias("decision"),
         )
     )
+    return report, brec
+
+
+def neardup_store_ingest(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> tuple[DataFrame, int]:
+    """The LAKE-TABLE generation of :func:`incremental_neardup`: the
+    signature store lives as a versioned :class:`~..sources.manifest.
+    ManifestTable` at ``path``.  The FIRST ingest initializes the store
+    with the batch's own signatures (every doc reports 'new'); each later
+    ingest dedups the batch against the CURRENT committed snapshot and
+    APPENDS only the accepted docs' signature records — an append-only
+    commit (never a store rewrite), safe under the manifest's
+    optimistic-commit protocol, and the relational anti-join inside the
+    decide step is what keeps the append insert-only.  Returns
+    ``(report, committed_version)``.  Re-ingesting a batch appends an
+    empty record set (every doc reports exact_dup) — idempotent by
+    content.  This is the production shape: a daily 100 TB ingest reads
+    kilobyte-scale signatures of history, never history's text, and
+    grows the store by exactly the accepted delta."""
+    from ..sources.manifest import ManifestTable
+
+    tbl = ManifestTable(path)
+    if tbl.latest_version() < 0:
+        brec = signature_records(batch, id_col, text_col, num_hashes)
+        ver = tbl.append(brec)
+        report = brec.select(
+            F.col(id_col),
+            "content_hash",
+            F.lit(0).cast("int").alias("is_exact_dup"),
+            F.lit(0).cast("long").alias("n_near_store"),
+            F.lit("new").alias("decision"),
+        )
+        return report, ver
+    store = tbl.read(spark)
+    report, brec = _incremental_report(
+        batch, store, id_col, text_col, num_hashes, max_bucket
+    )
     accepted = report.where(F.col("decision") == "new").select(id_col)
-    merged = merge_insert_only(store, brec.join(accepted, id_col), key=[id_col])
-    return report, merged
+    ver = tbl.append(brec.join(accepted, id_col))
+    return report, ver

@@ -148,3 +148,34 @@ def test_stream_ingest_dedup_matches_batch(spark):
         .collect()
     }
     assert got == exp and sum(v[0] for v in got.values()) > 0
+
+
+# --- lake-persisted signature store -----------------------------------------
+
+def test_neardup_store_ingest_lifecycle(spark, corpus, tmp_path):
+    """Three-generation lifecycle of the versioned signature store:
+    init ingest (all new, v1) -> second ingest (decisions; append-only
+    v2 grows by exactly the accepted delta) -> re-ingest (all rejected,
+    store content unchanged)."""
+    hist, batch = corpus
+    path = str(tmp_path / "sig_store")
+    r1, v1 = dedup.neardup_store_ingest(spark, path, hist)
+    assert v1 == 0  # ManifestTable versions start at 0
+    assert {r.decision for r in r1.collect()} == {"new"}
+
+    r2, v2 = dedup.neardup_store_ingest(spark, path, batch)
+    assert v2 == 1
+    d = {r.doc_id: r.decision for r in r2.collect()}
+    assert d == {4: "exact_dup", 5: "new", 6: "near_dup", 7: "new"}
+    from nyc_taxi_data_warehouse_spark.sources.manifest import ManifestTable
+
+    ids = {r.doc_id for r in ManifestTable(path).read(spark).collect()}
+    assert ids == {1, 2, 3, 5, 7}  # history + accepted delta only
+
+    r3, v3 = dedup.neardup_store_ingest(spark, path, batch)
+    d3 = {r.doc_id: r.decision for r in r3.collect()}
+    assert d3[4] == "exact_dup" and d3[5] == "exact_dup"
+    assert d3[7] == "exact_dup" and d3[6] != "new"
+    ids3 = {r.doc_id for r in ManifestTable(path).read(spark).collect()}
+    assert ids3 == ids  # empty append: content unchanged
+    assert v3 == 2
