@@ -2536,6 +2536,122 @@ JOIN {prev} y ON e.b = y.node
 GROUP BY 1"""
 
 
+_LPA_ROUNDS = 4
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (Raghavan et al. 2007) on the
+    heavy-traffic zone backbone — the community census beside
+    connectivity (CC), cohesion (k-core), and centrality (PageRank):
+    every node starts as its own label; each SYNCHRONOUS round a node
+    adopts its neighbors' most frequent label (exact integer counts,
+    ties to the SMALLEST label — no randomness, so both engines replay
+    identical rounds).  Fixed {_LPA_ROUNDS}-round unroll, the q_kcore
+    discipline: per round one edge⋈label join + one (node, label) count
+    + one per-node top-1, each frame zone-graph-sized and
+    localCheckpointed so round plans stay flat.  Output: one row per
+    surviving community with its size and smallest member."""
+    from .plans import nyc_views, staging
+
+    li = staging.stg_taxi_trips(
+        nyc_views.trips_from_events(load_tables(spark, sf_dir)["events"])
+    )
+    cnt = (
+        li.select(
+            F.least("pickup_zone_id", "dropoff_zone_id").alias("a"),
+            F.greatest("pickup_zone_id", "dropoff_zone_id").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # top-40 heaviest corridors (vs q_kcore's above-mean cut): the mean
+    # cut is one dense blob that LPA collapses to a single label in
+    # round 1, and a mean MULTIPLE empties out as the weight distribution
+    # flattens with scale — a fixed-K heaviest-edge backbone is
+    # scale-stable AND separated (13 communities at sf0.001, 12 at
+    # sf0.01, 7 at sf0.1).  Deterministic ties: (cnt desc, a, b).
+    und = (
+        cnt.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(40)
+        .select("a", "b")
+    )
+    both = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = both.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    ).localCheckpoint()
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(_LPA_ROUNDS):
+        labels = (
+            both.join(
+                F.broadcast(labels.select(F.col("node").alias("b"), "lab")),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint()
+        )
+    return labels.groupBy(F.col("lab").cast("long").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+    )
+
+
+def _sql_label_propagation() -> str:
+    from .plans.nyc_views import SQL_TRIPS
+    from .plans.staging import SQL_STG_TRIPS
+
+    base = (
+        "WITH "
+        + SQL_TRIPS.strip().rstrip(",")
+        + ",\n"
+        + SQL_STG_TRIPS.strip().rstrip(",")
+        + """,
+cnt AS MATERIALIZED (
+    SELECT least(pickup_zone_id, dropoff_zone_id) AS a,
+           greatest(pickup_zone_id, dropoff_zone_id) AS b,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM stg_trips WHERE pickup_zone_id <> dropoff_zone_id
+    GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+    SELECT a, b FROM cnt ORDER BY cnt DESC, a ASC, b ASC LIMIT 40
+),
+both_e AS MATERIALIZED (
+    SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+),
+l0 AS MATERIALIZED (
+    SELECT DISTINCT a AS node, a AS lab FROM both_e
+)"""
+    )
+    rounds = []
+    prev = "l0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        # MATERIALIZED per round — the q_kcore DuckDB-inlining lesson
+        rounds.append(f""",
+c{i} AS MATERIALIZED (
+    SELECT e.a AS node, l.lab, CAST(count(*) AS BIGINT) AS c
+    FROM both_e e JOIN {prev} l ON l.node = e.b
+    GROUP BY 1, 2
+),
+l{i} AS MATERIALIZED (
+    SELECT node, lab FROM (
+        SELECT node, lab, row_number() OVER (
+            PARTITION BY node ORDER BY c DESC, lab ASC) AS rn
+        FROM c{i}) WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    return base + "".join(rounds) + f"""
+SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(node) AS BIGINT) AS min_node
+FROM {prev} GROUP BY 1"""
+
+
 # --- MMR diversified re-ranking --------------------------------------------------------
 
 _MMR_CAND = 15  # BM25 candidates per query entering the re-rank
@@ -3004,6 +3120,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_knn_classify": q_knn_classify,
     "q_survival_km": q_survival_km,
     "q_kcore": q_kcore,
+    "q_label_propagation": q_label_propagation,
     "q_isotonic_calibration": q_isotonic_calibration,
     "q_mmr_rerank": q_mmr_rerank,
     "q_cv_auc": q_cv_auc,
@@ -3030,6 +3147,7 @@ ORACLES: dict[str, str] = {
     "q_knn_classify": _SQL_KNN_CLASSIFY,
     "q_survival_km": _SQL_SURVIVAL_KM,
     "q_kcore": _sql_kcore(),
+    "q_label_propagation": _sql_label_propagation(),
     "q_isotonic_calibration": _sql_isotonic_calibration(),
     "q_mmr_rerank": _sql_mmr_rerank(),
     "q_cv_auc": _sql_cv_auc(),
