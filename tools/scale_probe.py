@@ -1791,10 +1791,75 @@ def main() -> None:
         )
         return pq11.ivfpq_load(spark, path, version=ver).codes
 
+    def _wfunnel(d):
+        d = d.withColumn("ts", F.col("ts").cast("timestamp"))
+        v = d.where(F.col("event_type") == "view").groupBy("user_id").agg(
+            F.min("ts").alias("t0")
+        )
+        c = (
+            d.where(F.col("event_type") == "click")
+            .join(v, "user_id")
+            .where(F.col("ts") > F.col("t0"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t1"))
+        )
+        p = (
+            d.where(F.col("event_type") == "purchase")
+            .join(c, "user_id")
+            .where(F.col("ts") > F.col("t1"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t2"))
+        )
+        base = v.join(c, "user_id", "left").join(p, "user_id", "left")
+        lvl2 = F.col("t1") <= F.timestamp_add("HOUR", F.lit(24), F.col("t0"))
+        lvl3 = lvl2 & (
+            F.col("t2") <= F.timestamp_add("HOUR", F.lit(24), F.col("t0"))
+        )
+        return base.agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.sum(F.when(lvl2, 1).otherwise(0)).alias("n2"),
+            F.sum(F.when(lvl3, 1).otherwise(0)).alias("n3"),
+        )
+
+    def _lpa(d):
+        d = d.withColumn("ts", F.col("ts").cast("timestamp"))
+        # zone analog: bucket users into 64 pseudo-zones; the graph stays
+        # domain-bounded while the edge-count aggregation scans mult× rows
+        pz = d.select(
+            (F.col("user_id") % 64).alias("za"),
+            (F.col("event_id") % 64).alias("zb"),
+        ).where(F.col("za") != F.col("zb"))
+        cnt = pz.select(
+            F.least("za", "zb").alias("a"), F.greatest("za", "zb").alias("b")
+        ).groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        und = cnt.orderBy(F.desc("cnt"), "a", "b").limit(40).select("a", "b")
+        both = und.unionByName(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).localCheckpoint()
+        labels = both.select(F.col("a").alias("node")).distinct().select(
+            "node", F.col("node").alias("lab")
+        ).localCheckpoint()
+        w = W11.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+        for _ in range(4):
+            labels = (
+                both.join(
+                    labels.select(F.col("node").alias("b"), "lab"), "b"
+                )
+                .groupBy(F.col("a").alias("node"), "lab")
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
+                .withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select("node", "lab")
+                .localCheckpoint()
+            )
+        return labels.groupBy("lab").agg(F.count(F.lit(1)).alias("n"))
+
     ninth_ops = {
         "incremental_neardup": (
             lambda m: _docs_at(spark, sf_dir, m), _incr_neardup,
         ),
+        "window_funnel": (lambda m: _events_at(spark, sf_dir, m), _wfunnel),
+        "label_propagation": (lambda m: _events_at(spark, sf_dir, m), _lpa),
         "cdc_apply": (lambda m: _events_at(spark, sf_dir, m), _cdc_apply),
         "anova_f": (lambda m: _events_at(spark, sf_dir, m), _anova),
         "concurrency": (
