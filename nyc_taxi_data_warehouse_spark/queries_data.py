@@ -3094,6 +3094,126 @@ SELECT CASE WHEN bucket < 10 THEN 'test'
 FROM b GROUP BY 1, 2"""
 
 
+def _hexval_of(col: str) -> str:
+    """The `_HEXVAL` first-8-hex-chars-to-int expression over an
+    arbitrary column name (the original is bound to a column named h)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP-AWARE train/val/test split — the leakage-proof form of
+    q_split_assign: documents are split by the content hash of their
+    near-dup CLUSTER id (MinHash LSH pairs → connected components → min
+    doc id as the cluster key), so a document and its paraphrases can
+    never straddle train and test.  The report self-grades: per split
+    (docs, clusters) plus two audit columns — clusters straddling splits
+    under cluster-keyed assignment (structurally 0) and under the naive
+    DOC-keyed assignment (the leak count the cluster keying prevents;
+    nonzero whenever any multi-doc cluster exists).
+
+    Shape: the split is a pure map-side hash of the cluster key; the
+    only extra cost over q_dedup_cluster is two tiny cluster-grain
+    rollups."""
+    from .operators import sampling
+
+    corpus = _text_corpus(_docs(spark, sf_dir))
+    sh = dedup.shingle_rows(corpus)
+    sig = dedup.minhash_signatures(sh, num_hashes=_NH).persist()
+    pairs = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, num_hashes=_NH))
+    cl = dedup.connected_components(
+        pairs, corpus.select("doc_id")
+    ).persist()
+    d = sampling.train_val_test_split(cl, "cluster_id", salt="clsp")
+    dd_ = sampling.train_val_test_split(cl, "doc_id", salt="clsp")
+    leak = (
+        d.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("__nc"))
+        .agg(
+            F.sum(F.when(F.col("__nc") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("leak_cluster_keyed")
+        )
+        .crossJoin(
+            dd_.groupBy("cluster_id")
+            .agg(F.count_distinct("split").alias("__nd"))
+            .agg(
+                F.sum(F.when(F.col("__nd") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("leak_doc_keyed")
+            )
+        )
+    )
+    return (
+        d.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak))
+    )
+
+
+_SQL_CLUSTER_SPLIT = (
+    "WITH RECURSIVE "
+    + ",".join([SQL_CORPUS, SQL_TOK, SQL_SH, SQL_MINHASH])
+    + f""",
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM cbands a JOIN cbands b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lab) AS (
+    SELECT doc_id, doc_id FROM corpus
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+cl AS (
+    SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+),
+sp AS (
+    SELECT doc_id, cluster_id,
+           CASE WHEN cb < 10 THEN 'test' WHEN cb < 20 THEN 'val'
+                ELSE 'train' END AS split,
+           CASE WHEN db < 10 THEN 'test' WHEN db < 20 THEN 'val'
+                ELSE 'train' END AS dsplit
+    FROM (
+        SELECT doc_id, cluster_id,
+               ({_hexval_of("ch")}) % 100 AS cb,
+               ({_hexval_of("dh")}) % 100 AS db
+        FROM (
+            SELECT doc_id, cluster_id,
+                   substr(md5(CAST(cluster_id AS VARCHAR) || 'clsp'), 1, 8)
+                       AS ch,
+                   substr(md5(CAST(doc_id AS VARCHAR) || 'clsp'), 1, 8)
+                       AS dh
+            FROM cl))
+),
+leak AS (
+    SELECT
+        (SELECT CAST(sum(CASE WHEN nc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         FROM (SELECT cluster_id, count(DISTINCT split) AS nc
+               FROM sp GROUP BY 1)) AS leak_cluster_keyed,
+        (SELECT CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         FROM (SELECT cluster_id, count(DISTINCT dsplit) AS nd
+               FROM sp GROUP BY 1)) AS leak_doc_keyed
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       leak_cluster_keyed, leak_doc_keyed
+FROM sp CROSS JOIN leak
+GROUP BY 1, 4, 5"""
+)
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-survivor selection — the curation HALF of dedup that
     `q_dedup_exact` (group stats) doesn't emit: within each exact-dup
@@ -11715,6 +11835,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_incremental_neardup": q_incremental_neardup,
     "q_stream_ingest_dedup": q_stream_ingest_dedup,
     "q_rake_keywords": q_rake_keywords,
+    "q_cluster_split": q_cluster_split,
     "q_filter_funnel": q_filter_funnel,
     "q_mixture_sample": q_mixture_sample,
     "q_mixture_plan": q_mixture_plan,
@@ -11886,6 +12007,7 @@ ORACLES: dict[str, str] = {
     "q_incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
     "q_stream_ingest_dedup": _SQL_STREAM_INGEST_DEDUP,
     "q_rake_keywords": _SQL_RAKE_KEYWORDS,
+    "q_cluster_split": _SQL_CLUSTER_SPLIT,
     "q_filter_funnel": _SQL_FILTER_FUNNEL,
     "q_mixture_sample": _SQL_MIXTURE_SAMPLE,
     "q_mixture_plan": _SQL_MIXTURE_PLAN,
