@@ -184,6 +184,11 @@ HEADLINE = [
     "q_cdc_apply",
     "q_concurrency",
     "q_rake_keywords",
+    # late round-11 wave: time-bounded funnel, LPA communities on the
+    # top-40 corridor backbone, and the near-dup-aware cluster split
+    "q_window_funnel",
+    "q_label_propagation",
+    "q_cluster_split",
 ]
 
 # The FIXED baseline-comparable subset: exactly the 30 queries of the first

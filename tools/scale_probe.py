@@ -1860,6 +1860,26 @@ def main() -> None:
         ),
         "window_funnel": (lambda m: _events_at(spark, sf_dir, m), _wfunnel),
         "label_propagation": (lambda m: _events_at(spark, sf_dir, m), _lpa),
+        # near-dup-aware split = the CC pipeline (probed separately as
+        # dedup_cluster) + a map-side cluster-hash split + two
+        # cluster-grain rollups — probed end-to-end for the record
+        "cluster_split": (
+            lambda m: _docs_at(spark, sf_dir, m),
+            lambda d: (lambda cl: __import__(
+                "nyc_taxi_data_warehouse_spark.operators.sampling",
+                fromlist=["train_val_test_split"],
+            ).train_val_test_split(cl, "cluster_id", salt="clsp")
+             .groupBy("split").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("cluster_id").alias("nc"),
+            ))(dedup.connected_components(
+                dedup.lsh_candidate_pairs(dedup.lsh_bands(
+                    dedup.minhash_signatures(
+                        dedup.shingle_rows(d), num_hashes=8
+                    ).persist(), num_hashes=8)),
+                d.select("doc_id"),
+            )),
+        ),
         "cdc_apply": (lambda m: _events_at(spark, sf_dir, m), _cdc_apply),
         "anova_f": (lambda m: _events_at(spark, sf_dir, m), _anova),
         "concurrency": (
