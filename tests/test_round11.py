@@ -179,3 +179,129 @@ def test_neardup_store_ingest_lifecycle(spark, corpus, tmp_path):
     ids3 = {r.doc_id for r in ManifestTable(path).read(spark).collect()}
     assert ids3 == ids  # empty append: content unchanged
     assert v3 == 2
+
+
+# --- hypothesis properties for the round-11 operator cores -------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_H_SETTINGS = dict(max_examples=25, deadline=None)
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),    # key
+            st.integers(min_value=0, max_value=50),   # ts minute
+            st.booleans(),                            # is_delete
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(**_H_SETTINGS)
+def test_apply_changelog_matches_literal_replay(spark, ops):
+    """apply_changelog must equal a literal driver-side replay of the log
+    in (ts, eid) order for ANY op sequence — per key the last op wins and
+    a winning delete removes the row."""
+    import datetime as dt
+
+    from nyc_taxi_data_warehouse_spark.operators.merge import apply_changelog
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows = [
+        (k, t0 + dt.timedelta(minutes=m), eid, d, f"p{eid}")
+        for eid, (k, m, d) in enumerate(ops)
+    ]
+    log = spark.createDataFrame(
+        rows, "k long, ts timestamp, eid long, is_del boolean, payload string"
+    )
+    got = {
+        r.k: r.payload
+        for r in apply_changelog(
+            log, key=["k"], order_by=["ts", "eid"], delete_col="is_del"
+        ).collect()
+    }
+    state = {}
+    for k, ts, eid, d, p in sorted(rows, key=lambda r: (r[1], r[2])):
+        if d:
+            state.pop(k, None)
+        else:
+            state[k] = p
+    # literal replay keeps only non-deleted FINAL states — but
+    # apply_changelog's contract is "winning op decides", which differs
+    # from sequential replay when a delete is later overwritten: replay
+    # in LSN order makes the overwrite win in both formulations
+    assert got == state
+
+
+@given(
+    trips=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=300),  # start minute
+            st.integers(min_value=1, max_value=120),  # duration minutes
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(**_H_SETTINGS)
+def test_concurrency_sweep_matches_literal(spark, trips):
+    """The boundary-sweep concurrency core must match a literal per-minute
+    scan for ANY interval set (half-open [start, end) semantics)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_warehouse_spark.operators.sampling import (
+        bucketed_value_cumsum,
+    )
+
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [
+        (t0 + dt.timedelta(minutes=s), t0 + dt.timedelta(minutes=s + d))
+        for s, d in trips
+    ]
+    t = spark.createDataFrame(rows, "ps timestamp, pe timestamp")
+    b = t.select(
+        (F.unix_micros("ps") * 2 + 1).alias("enc"), F.lit(1).alias("delta")
+    ).unionByName(
+        t.select(
+            (F.unix_micros("pe") * 2).alias("enc"), F.lit(-1).alias("delta")
+        )
+    )
+    run = bucketed_value_cumsum(b, "enc", weight_col="delta")
+    got = max(r["__cle"] for r in run.collect())
+    lit_max = max(
+        sum(1 for s, d in trips if s <= m < s + d) for m in range(0, 430)
+    )
+    assert got == lit_max
+
+
+@given(
+    docs=st.lists(
+        st.integers(min_value=0, max_value=6),  # content id (collisions!)
+        min_size=1,
+        max_size=12,
+    ),
+    hist_n=st.integers(min_value=0, max_value=6),
+)
+@settings(**_H_SETTINGS)
+def test_incremental_neardup_exact_leg_matches_set_logic(spark, docs, hist_n):
+    """The exact leg must match plain set membership of content for ANY
+    batch/history content overlap (short texts: near leg inert)."""
+    from nyc_taxi_data_warehouse_spark.operators import dedup as dd
+
+    hist_rows = [(i, f"c{i % (hist_n + 1)}") for i in range(hist_n)]
+    batch_rows = [(100 + j, f"c{c}") for j, c in enumerate(docs)]
+    hist = spark.createDataFrame(
+        hist_rows or [(999, "zzz")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    store = dd.signature_records(hist)
+    report, _ = dd.incremental_neardup(batch, store)
+    hist_contents = {t for _, t in (hist_rows or [(999, "zzz")])}
+    got = {r.doc_id: r.is_exact_dup for r in report.collect()}
+    for did, txt in batch_rows:
+        assert got[did] == (1 if txt in hist_contents else 0), (did, txt)
