@@ -1491,6 +1491,52 @@ SELECT l_orderkey % 10 AS bucket,
 FROM lineitem WHERE l_orderkey % 7 = 5 GROUP BY 1"""
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution gated end-to-end — the story every
+    long-lived lake table hits: generation 1 of a document table lands
+    WITHOUT the lang column, generation 2 adds it, and the merged scan
+    (`mergeSchema`) unifies the footer schemas and NULL-backfills the
+    old files — no rewrite of history, exactly how a 100 TB table grows
+    a column.  The report groups the merged scan per source with the
+    NULL-backfill made visible (n_lang_null counts exactly the gen-1
+    rows).  The oracle recomputes the union with an explicit NULL lang
+    for generation 1."""
+    from .util import session_tmpdir
+
+    docs = _docs(spark, sf_dir)
+    t = session_tmpdir("schema_evo")
+    docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text", "source"
+    ).write.mode("overwrite").parquet(f"{t}/gen1")
+    docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "source", "lang"
+    ).write.mode("overwrite").parquet(f"{t}/gen2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{t}/gen1", f"{t}/gen2"
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lang_null"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+    )
+
+
+_SQL_SCHEMA_EVOLUTION = """
+WITH uni AS (
+    SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, source, lang FROM documents WHERE doc_id % 2 = 1
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lang_null,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM uni GROUP BY 1"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per corpus doc (Manku et al.)."""
     return dedup.simhash(_text_corpus(_docs(spark, sf_dir)))
@@ -11836,6 +11882,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_ingest_dedup": q_stream_ingest_dedup,
     "q_rake_keywords": q_rake_keywords,
     "q_cluster_split": q_cluster_split,
+    "q_schema_evolution": q_schema_evolution,
     "q_filter_funnel": q_filter_funnel,
     "q_mixture_sample": q_mixture_sample,
     "q_mixture_plan": q_mixture_plan,
@@ -12008,6 +12055,7 @@ ORACLES: dict[str, str] = {
     "q_stream_ingest_dedup": _SQL_STREAM_INGEST_DEDUP,
     "q_rake_keywords": _SQL_RAKE_KEYWORDS,
     "q_cluster_split": _SQL_CLUSTER_SPLIT,
+    "q_schema_evolution": _SQL_SCHEMA_EVOLUTION,
     "q_filter_funnel": _SQL_FILTER_FUNNEL,
     "q_mixture_sample": _SQL_MIXTURE_SAMPLE,
     "q_mixture_plan": _SQL_MIXTURE_PLAN,
