@@ -31,16 +31,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries per round.  Rotate the window each round so evidence stays
 # fresh.  Round-11 window (per the round-10 VERDICT item 2 + the
 # standing priority first-evidence > stale-refresh > green tail):
-#   * slots 1-13: the 13 round-11 additions (incremental near-dup
+#   * slots 1-14: the 14 round-11 additions (incremental near-dup
 #     ingest, the persisted/append ANN index pair, the streaming
 #     ingest-dedup preflight, CDC apply, ANOVA, concurrency sweep, RAKE,
 #     clustering depth, window funnel, label propagation, the near-dup-
-#     aware cluster split, the mergeSchema evolution roundtrip) — none
-#     has ever had a driver-issued row;
-#   * slot 14: q_weather_hourly — FLAGSHIP FRESHNESS POLICY: its latest
+#     aware cluster split, the mergeSchema evolution roundtrip, the
+#     streaming Misra-Gries top-k) — none has ever had a driver-issued
+#     row;
+#   * slot 15: q_weather_hourly — FLAGSHIP FRESHNESS POLICY: its latest
 #     driver row is r6, older than the five marts (all gated r10);
-#   * slots 15-50: the 36 stalest round-5 entries (head of the old
-#     _CHECK_LAST); the remaining 9 round-5 entries lead _CHECK_LAST and
+#   * slots 16-50: the 35 stalest round-5 entries (head of the old
+#     _CHECK_LAST); the remaining 10 round-5 entries lead _CHECK_LAST and
 #     advance in round 12;
 #   * positions 51-55: the five reference-surface flagships (q_enrich,
 #     q_trips_weather, q_daily, q_zone_analysis, q_fare_daily_features)
@@ -57,7 +58,7 @@ _CHECK_FIRST = [
     "q_stream_ingest_dedup", "q_cdc_apply", "q_anova_f", "q_concurrency",
     "q_rake_keywords", "q_clustering_depth", "q_window_funnel",
     "q_label_propagation", "q_cluster_split", "q_schema_evolution",
-    "q_weather_hourly",
+    "q_stream_mg_topk", "q_weather_hourly",
     "q_bloom_join", "q_bm25", "q_cell_quality", "q_chunk_docs",
     "q_conversion_funnel", "q_cube", "q_dedup_cluster",
     "q_dedup_keep_best", "q_dup_ngram_coverage", "q_embedding_neardup",
@@ -68,12 +69,12 @@ _CHECK_FIRST = [
     "q_ngram_jaccard", "q_pack_sequences", "q_percentiles_approx", "q_pmi",
     "q_prefix_filter_pairs", "q_quality_report", "q_repetition",
     "q_retention_cohort", "q_sessions", "q_skew_agg", "q_skew_join",
-    "q_source_overlap", "q_sparse_cosine",
+    "q_source_overlap",
     "q_enrich", "q_trips_weather",
     "q_daily", "q_zone_analysis", "q_fare_daily_features",
 ]
 _CHECK_LAST = [
-    "q_split_assign", "q_srp_lsh", "q_srp_near_pairs", "q_star_join", "q_text_quality", "q_token_count", "q_topk_per_group",
+    "q_sparse_cosine", "q_split_assign", "q_srp_lsh", "q_srp_near_pairs", "q_star_join", "q_text_quality", "q_token_count", "q_topk_per_group",
     "q_weighted_sample", "q_winsorize", "q_antijoin", "q_cc_two_phase",
     "q_curation_pipeline", "q_decontaminate", "q_dedup_exact",
     "q_dup_rate_by_source", "q_edit_distance", "q_epoch_shuffle",

@@ -7784,6 +7784,111 @@ def q_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+_MG_STREAM_SINK_SEQ = [0]
+
+
+def q_stream_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 × sketches: STREAMING Misra-Gries heavy hitters — the 15th
+    streaming query and the deterministic-guarantee top-k beside
+    q_stream_cm's randomized counts: per-shard MG(k) counters maintained
+    by a custom `applyInPandasWithState` operator (state ≤ k rows per
+    shard, fixed regardless of feed volume), shards keyed by a HASH OF
+    THE KEY so each key's whole stream folds into one summary.
+
+    What the oracle gates is the slicing-INVARIANT part of MG: every key
+    with global frequency > n/(k+1) is guaranteed a surviving counter
+    under ANY micro-batch slicing (streaming/topk_stream.py), so the
+    heavy-key set — exact counts computed batch-side, heaviness decided
+    by the cross-multiplied integer cnt·(k+1) > n — inner-joined against
+    the final summary must equal the heavy-key set itself.  A missing
+    heavy key shrinks the row count and fails the gate.  Estimated
+    weights are slicing-dependent and are bound-checked in pytest, never
+    hash-compared.  Skew is planted: keys 0 and 1 each absorb ~25% of
+    events (user_id % 4 < 2 folds to the tiny key), everyone else stays
+    unique."""
+    from pyspark.sql import types as ST
+
+    from .streaming.topk_stream import mg_topk_stream
+    from .util import stream_feed
+
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    skey = F.when(
+        F.col("user_id") % 4 < 2, F.col("user_id") % 4
+    ).otherwise(F.col("user_id"))
+    feed = ev.select(skey.alias("key"))
+    src = stream_feed(feed, "mg_feed", sf_dir)
+    stream = (
+        spark.readStream.schema(
+            ST.StructType([ST.StructField("key", ST.LongType())])
+        )
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+        .withColumn(
+            "shard",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("key").cast("string")), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(_MG_SHARDS),
+            ).cast("int"),
+        )
+    )
+    out = mg_topk_stream(stream, k=_MG_K)
+    _MG_STREAM_SINK_SEQ[0] += 1
+    name = f"q_stream_mg_topk_sink_{_MG_STREAM_SINK_SEQ[0]}"
+    with stream_state_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drained = q.awaitTermination(300)
+    q.stop()
+    if not drained:
+        raise RuntimeError(
+            "q_stream_mg_topk: availableNow drain timed out after 300s — "
+            "refusing to compare a partial sink against the oracle"
+        )
+    sink = spark.table(name)
+    # max-seq per shard via a window (a sink self-join trips Catalyst's
+    # conflicting-reference check on the memory view); shard domain is 8
+    final_keys = (
+        sink.withColumn(
+            "__mx", F.max("seq").over(Window.partitionBy("shard"))
+        )
+        .where(F.col("seq") == F.col("__mx"))
+        .select("key")
+        .distinct()
+    )
+    exact = feed.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    n = feed.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    heavy = exact.crossJoin(F.broadcast(n)).where(
+        F.col("exact_cnt") * (_MG_K + 1) > F.col("__n")
+    )
+    return heavy.join(final_keys, "key").select("key", "exact_cnt")
+
+
+_SQL_STREAM_MG_TOPK = f"""
+WITH keyed AS (
+    SELECT CASE WHEN user_id % 4 < 2 THEN user_id % 4 ELSE user_id END
+               AS key
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM keyed)
+SELECT key, CAST(count(*) AS BIGINT) AS exact_cnt
+FROM keyed CROSS JOIN tot
+GROUP BY key, n
+HAVING count(*) * {_MG_K + 1} > n"""
+
+
 _SQL_MG_TOPK = f"""
 WITH base AS (
     SELECT CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
@@ -11890,6 +11995,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hll_distinct": q_hll_distinct,
     "q_kmv_distinct": q_kmv_distinct,
     "q_mg_topk": q_mg_topk,
+    "q_stream_mg_topk": q_stream_mg_topk,
     "q_trend_ols": q_trend_ols,
     "q_benford": q_benford,
     "q_bootstrap_ci": q_bootstrap_ci,
@@ -12063,6 +12169,7 @@ ORACLES: dict[str, str] = {
     "q_hll_distinct": _hll_distinct_sql(),
     "q_kmv_distinct": _SQL_KMV_DISTINCT,
     "q_mg_topk": _SQL_MG_TOPK,
+    "q_stream_mg_topk": _SQL_STREAM_MG_TOPK,
     "q_trend_ols": _SQL_TREND_OLS,
     "q_benford": _sql_benford(),
     "q_bootstrap_ci": _sql_bootstrap_ci(),

@@ -59,7 +59,7 @@ def test_never_driver_checked_entries_lead_the_window():
         "q_ann_index_append", "q_stream_ingest_dedup", "q_cdc_apply",
         "q_anova_f", "q_concurrency", "q_rake_keywords",
         "q_clustering_depth", "q_window_funnel", "q_label_propagation",
-        "q_cluster_split", "q_schema_evolution",
+        "q_cluster_split", "q_schema_evolution", "q_stream_mg_topk",
     ]
     assert entry._CHECK_FIRST[: len(never)] == never
     assert entry._CHECK_FIRST[len(never)] == "q_weather_hourly"

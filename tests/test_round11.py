@@ -305,3 +305,66 @@ def test_incremental_neardup_exact_leg_matches_set_logic(spark, docs, hist_n):
     got = {r.doc_id: r.is_exact_dup for r in report.collect()}
     for did, txt in batch_rows:
         assert got[did] == (1 if txt in hist_contents else 0), (did, txt)
+
+
+# --- streaming Misra-Gries bounds --------------------------------------------
+
+def test_stream_mg_topk_bounds_and_heavy_guarantee(spark):
+    """The streaming MG summary must satisfy the sketch bounds on its
+    slicing-DEPENDENT side too: every final counter underestimates its
+    key's exact shard count by at most n_shard/(k+1), never
+    overestimates — and every globally-heavy key appears."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+    from nyc_taxi_data_warehouse_spark.queries_data import (
+        _MG_K,
+        _MG_SHARDS,
+        q_stream_mg_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    heavy = {r.key for r in q_stream_mg_topk(spark, sf).collect()}
+    # the planted skew keys are always heavy
+    assert {0, 1} <= heavy
+    # bounds on the final per-shard counters (read the LAST sink emitted
+    # by the query run above)
+    sink_name = [
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("q_stream_mg_topk_sink_")
+    ][-1]
+    sink = spark.table(sink_name)
+    from pyspark.sql import Window
+
+    final = sink.withColumn(
+        "__mx", F.max("seq").over(Window.partitionBy("shard"))
+    ).where(F.col("seq") == F.col("__mx"))
+    ev = load_tables(spark, sf)["events"].where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    skey = F.when(F.col("user_id") % 4 < 2, F.col("user_id") % 4).otherwise(
+        F.col("user_id")
+    )
+    feed = ev.select(skey.alias("key")).withColumn(
+        "shard",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("key").cast("string")), 1, 15),
+                16, 10,
+            ).cast("long"),
+            F.lit(_MG_SHARDS),
+        ).cast("int"),
+    )
+    exact = {
+        (r.shard, r.key): r.cnt
+        for r in feed.groupBy("shard", "key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n_shard = {}
+    for (s, _k), c in exact.items():
+        n_shard[s] = n_shard.get(s, 0) + c
+    for r in final.collect():
+        ex = exact[(r.shard, r.key)]
+        assert r.weight <= ex, (r, ex)
+        assert ex - r.weight <= n_shard[r.shard] / (_MG_K + 1), (r, ex)
