@@ -233,6 +233,58 @@ def probe_stream_ingest(spark, sf_dir: str, mult: int):
     return _drain(spark, agg, "complete")
 
 
+def probe_stream_mg(spark, sf_dir: str, mult: int):
+    """Streaming MG(k) at mult× feed: replicas shift NON-heavy keys (the
+    planted heavy keys 0/1 keep their global share, so the summary stays
+    meaningful) — state is ≤ k rows per shard at any volume, so drain
+    growth should track the feed scan + the per-batch pandas fold."""
+    from pyspark.sql import types as ST
+
+    from nyc_taxi_data_warehouse_spark.streaming.topk_stream import (
+        mg_topk_stream,
+    )
+
+    t = nyc_views.load_tables(spark, sf_dir)
+    ev = t["events"].where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    skey = F.when(F.col("user_id") % 4 < 2, F.col("user_id") % 4).otherwise(
+        F.col("user_id")
+    )
+    feed = ev.select(skey.alias("key"))
+    if mult > 1:
+        feed = feed.select(
+            F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep"),
+            "key",
+        ).select(
+            F.when(F.col("key") < 2, F.col("key"))
+            .otherwise(F.col("key") * mult + F.col("rep"))
+            .alias("key")
+        )
+    src = stream_feed(
+        feed, f"svp_mg_{mult}", f"{sf_dir}#{mult}", n_files=4 * mult
+    )
+    stream = (
+        spark.readStream.schema(
+            ST.StructType([ST.StructField("key", ST.LongType())])
+        )
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+        .withColumn(
+            "shard",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("key").cast("string")), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(8),
+            ).cast("int"),
+        )
+    )
+    return _drain(spark, mg_topk_stream(stream, k=16), "update")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     mults = [int(x) for x in sys.argv[2:]] or [1, 8]
@@ -244,6 +296,7 @@ def main() -> None:
         ("stream_join", probe_stream_join),
         ("stream_hll", probe_stream_hll),
         ("stream_ingest_dedup", probe_stream_ingest),
+        ("stream_mg_topk", probe_stream_mg),
     )
     for name, fn in probes:
         if only and name not in only:
