@@ -1690,11 +1690,17 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         lvl3 = lvl2 & (
             F.col("t2") <= F.timestamp_add("HOUR", F.lit(w), F.col("t0"))
         )
+        # coalesce: SUM over an empty base (a stream with no views) is
+        # NULL in both engines — the level counts must read 0
         st = base.agg(
             F.lit(w).cast("int").alias("window_hours"),
             F.count(F.lit(1)).cast("long").alias("n_level1"),
-            F.sum(F.when(lvl2, 1).otherwise(0)).cast("long").alias("n_level2"),
-            F.sum(F.when(lvl3, 1).otherwise(0)).cast("long").alias("n_level3"),
+            F.coalesce(F.sum(F.when(lvl2, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias("n_level2"),
+            F.coalesce(F.sum(F.when(lvl3, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias("n_level3"),
         )
         out = st if out is None else out.unionByName(st)
     return out
@@ -1727,11 +1733,11 @@ base AS (
     + "\nUNION ALL\n".join(
         f"""SELECT CAST({w} AS INTEGER) AS window_hours,
        CAST(count(*) AS BIGINT) AS n_level1,
-       CAST(sum(CASE WHEN t1 <= t0 + INTERVAL {w} HOUR
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_level2,
-       CAST(sum(CASE WHEN t1 <= t0 + INTERVAL {w} HOUR
+       CAST(coalesce(sum(CASE WHEN t1 <= t0 + INTERVAL {w} HOUR
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_level2,
+       CAST(coalesce(sum(CASE WHEN t1 <= t0 + INTERVAL {w} HOUR
                  AND t2 <= t0 + INTERVAL {w} HOUR
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_level3
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_level3
 FROM base"""
         for w in _FUNNEL_WINDOWS_H
     )

@@ -489,3 +489,93 @@ def test_resample_interpolate_matches_literal(spark, series):
         assert min(prev[1], nxt[1]) - 1e-9 <= r.v_interp <= max(
             prev[1], nxt[1]
         ) + 1e-9
+
+
+# --- round-11 window funnel (end-to-end through load_tables) ----------------
+
+def _minute_events_dir(spark, stub_dir, tmp_path_factory, rows):
+    """Like _events_dir but with MINUTE-offset timestamps (the funnel's
+    {1h,1d,7d} windows need sub-day resolution); `rows` are
+    (user_id, event_type, minute_offset)."""
+    import os
+
+    d = tmp_path_factory.mktemp(f"ev{next(_ex_counter)}")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        os.symlink(stub_dir / f"{t}.parquet", d / f"{t}.parquet")
+    ev = [
+        (
+            i,
+            _dt.datetime.combine(_D0, _dt.time(0, 0))
+            + _dt.timedelta(minutes=int(m)),
+            int(uid),
+            et,
+            1.0,
+            None,
+        )
+        for i, (uid, et, m) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),              # user
+            st.sampled_from(["view", "click", "purchase"]),     # type
+            st.integers(min_value=0, max_value=20000),          # minute
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(**SETTINGS)
+def test_window_funnel_matches_literal(
+    spark, stub_dir, tmp_path_factory, rows
+):
+    """q_window_funnel must, for ANY event sequence, equal the literal
+    greedy-from-first-view computation: t0 = first view, t1 = first
+    click strictly after t0, t2 = first purchase strictly after t1;
+    level 2/3 within W iff t1/t2 <= t0 + W."""
+    from nyc_taxi_data_warehouse_spark.queries_nyc import (
+        _FUNNEL_WINDOWS_H,
+        q_window_funnel,
+    )
+
+    sf = _minute_events_dir(spark, stub_dir, tmp_path_factory, rows)
+    got = {
+        r.window_hours: (r.n_level1, r.n_level2, r.n_level3)
+        for r in q_window_funnel(spark, sf).collect()
+    }
+    by_user: dict[int, dict[str, list[int]]] = {}
+    for uid, et, m in rows:
+        by_user.setdefault(uid, {}).setdefault(et, []).append(m)
+    t012 = {}
+    for uid, evs in by_user.items():
+        views = sorted(evs.get("view", []))
+        if not views:
+            continue
+        t0 = views[0]
+        clicks = sorted(m for m in evs.get("click", []) if m > t0)
+        t1 = clicks[0] if clicks else None
+        t2 = None
+        if t1 is not None:
+            purch = sorted(m for m in evs.get("purchase", []) if m > t1)
+            t2 = purch[0] if purch else None
+        t012[uid] = (t0, t1, t2)
+    for w in _FUNNEL_WINDOWS_H:
+        n1 = len(t012)
+        n2 = sum(
+            1 for t0, t1, _ in t012.values()
+            if t1 is not None and t1 <= t0 + 60 * w
+        )
+        n3 = sum(
+            1 for t0, t1, t2 in t012.values()
+            if t1 is not None and t1 <= t0 + 60 * w
+            and t2 is not None and t2 <= t0 + 60 * w
+        )
+        assert got[w] == (n1, n2, n3), (w, got[w], (n1, n2, n3))
