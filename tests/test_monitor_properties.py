@@ -579,3 +579,99 @@ def test_window_funnel_matches_literal(
             and t2 is not None and t2 <= t0 + 60 * w
         )
         assert got[w] == (n1, n2, n3), (w, got[w], (n1, n2, n3))
+
+
+# --- round-11 RAKE keywords (end-to-end through load_tables) -----------------
+
+def _docs_dir(spark, stub_dir, tmp_path_factory, texts):
+    """Fresh sf dir with synthetic DOCUMENTS (other tables symlinked)."""
+    import os
+
+    d = tmp_path_factory.mktemp(f"doc{next(_ex_counter)}")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "embeddings"):
+        os.symlink(stub_dir / f"{t}.parquet", d / f"{t}.parquet")
+    # stub_dir has no events stub (events are normally written fresh)
+    spark.createDataFrame(
+        [(0, _dt.datetime(2024, 1, 1, 12), 0, "view", 1.0, None)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["a", "the", "scan", "join", "sort", "hash", "merge"]
+            ),
+            min_size=1,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(**SETTINGS)
+def test_rake_keywords_matches_literal(
+    spark, stub_dir, tmp_path_factory, texts
+):
+    """q_rake_keywords must equal the literal RAKE computation for ANY
+    corpus over a stopword-bearing alphabet: stopword-delimited phrases,
+    word score = round_half_up(degree/freq in micro-units), phrase score
+    = exact micro sum, top-10 by (score desc, phrase asc)."""
+    import math
+
+    from nyc_taxi_data_warehouse_spark.queries_data import (
+        _RAKE_STOPWORDS,
+        q_rake_keywords,
+    )
+
+    sf = _docs_dir(spark, stub_dir, tmp_path_factory, texts)
+    got = [
+        (r.phrase, r.n_words, r.n_occur, r.score)
+        for r in q_rake_keywords(spark, sf).collect()
+    ]
+    # literal RAKE
+    phrases = []  # (phrase words tuple)
+    for t in texts:
+        cur = []
+        for w in t.split():
+            if w in _RAKE_STOPWORDS:
+                if cur:
+                    phrases.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append(tuple(cur))
+    deg: dict[str, int] = {}
+    freq: dict[str, int] = {}
+    for p in phrases:
+        for w in p:
+            deg[w] = deg.get(w, 0) + len(p)
+            freq[w] = freq.get(w, 0) + 1
+    score_micro = {
+        w: math.floor(deg[w] * 1000000.0 / freq[w] + 0.5) for w in deg
+    }
+    agg: dict[str, list] = {}
+    for p in phrases:
+        s = " ".join(p)
+        sm = sum(score_micro[w] for w in p)
+        if s in agg:
+            agg[s][1] += 1
+        else:
+            agg[s] = [len(p), 1, sm]
+    exp = sorted(
+        ((s, v[0], v[1], v[2]) for s, v in agg.items()),
+        key=lambda x: (-x[3], x[0]),
+    )[:10]
+    exp = [
+        (s, nw, no, round(1e-9 + sm / 1e6, 6)) for s, nw, no, sm in exp
+    ]
+    assert sorted(got) == sorted(exp), (got, exp)
