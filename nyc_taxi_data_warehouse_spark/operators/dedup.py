@@ -952,7 +952,7 @@ def incremental_neardup(
     operator only decides batch-vs-history."""
     from .merge import merge_insert_only
 
-    report, brec = _incremental_report(
+    report, brec, _scache = _incremental_report(
         batch, store, id_col, text_col, num_hashes, max_bucket
     )
     accepted = report.where(F.col("decision") == "new").select(id_col)
@@ -969,13 +969,22 @@ def _incremental_report(
     text_col: str,
     num_hashes: int,
     max_bucket: int | None,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The decide-only core of :func:`incremental_neardup`: returns
-    (report, batch signature records) without merging — so the lake-table
+    (report, batch signature records, persisted store copy) without merging — so the lake-table
     composition (:func:`neardup_store_ingest`) can APPEND just the
-    accepted records instead of rewriting the whole store image."""
+    accepted records instead of rewriting the whole store image.
+
+    Both legs consume the batch signatures and the store snapshot twice
+    (exact + near), so each is persisted here.  The store is persisted
+    through a LOCAL projection (``select("*")`` is a distinct analyzed
+    plan) so the CALLER's frame keeps its own cache state untouched.
+    Cache ownership: the returned frames are lazy, so the caches live
+    until the session's harness ``clearCache`` (the psi_by_group
+    convention); :func:`neardup_store_ingest` unpersists both eagerly
+    after its append action instead."""
     brec = signature_records(batch, id_col, text_col, num_hashes).persist()
-    store = store.persist()
+    store = store.select("*").persist()
     # NULL band hashes (shingle-less docs) must not form a join bucket:
     # groupBy treats NULLs as equal, so an unfiltered NULL bucket would
     # pair every short doc with every other
@@ -1012,7 +1021,7 @@ def _incremental_report(
             .alias("decision"),
         )
     )
-    return report, brec
+    return report, brec, store
 
 
 def neardup_store_ingest(
@@ -1053,9 +1062,16 @@ def neardup_store_ingest(
         )
         return report, ver
     store = tbl.read(spark)
-    report, brec = _incremental_report(
+    report, brec, scache = _incremental_report(
         batch, store, id_col, text_col, num_hashes, max_bucket
     )
+    # Persist the report BEFORE the append action: the append's lineage
+    # runs through `accepted` (a filter of report), so the commit scan
+    # populates the report cache, and brec/store can then be released
+    # without making the returned report recompute its joins.
+    report = report.persist()
     accepted = report.where(F.col("decision") == "new").select(id_col)
     ver = tbl.append(brec.join(accepted, id_col))
+    brec.unpersist()
+    scache.unpersist()
     return report, ver

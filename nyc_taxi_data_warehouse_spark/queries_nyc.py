@@ -750,8 +750,12 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     never overlap), and the running level is an exact cumulative sum over
     the boundary stream via `bucketed_value_cumsum` — the distributed-CDF
     primitive, NEVER an unpartitioned window.  A zero-weight marker at
-    each active day's midnight captures the carry-in level of trips
-    spanning midnight, so a day's max covers its opening plateau."""
+    each spanned day's midnight captures the carry-in level of trips
+    spanning midnight, so a day's max covers its opening plateau.  The
+    day spine is EVERY calendar day each trip touches (explode of the
+    pickup→dropoff date `sequence`, bounded by the staging predicate's
+    trip-duration cap) — not just boundary days — so a day lying wholly
+    inside a multi-day trip still reports its plateau level."""
     from .operators.sampling import bucketed_value_cumsum
 
     t = staging.stg_taxi_trips(_trips(spark, sf_dir)).where(
@@ -767,8 +771,14 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).alias("delta"),
     )
     days = (
-        t.select(F.to_date("pickup_datetime").alias("d"))
-        .union(t.select(F.to_date("dropoff_datetime")))
+        t.select(
+            F.explode(
+                F.sequence(
+                    F.to_date("pickup_datetime"),
+                    F.to_date("dropoff_datetime"),
+                )
+            ).alias("d")
+        )
         .distinct()
         .select(
             (F.unix_micros(F.col("d").cast("timestamp")) * 2).alias("enc"),
@@ -804,9 +814,11 @@ FROM (
         UNION ALL
         SELECT epoch_us(CAST(d AS TIMESTAMP)) * 2 AS enc, 0 AS delta
         FROM (
-            SELECT CAST(pickup_datetime AS DATE) AS d FROM t
-            UNION
-            SELECT CAST(dropoff_datetime AS DATE) AS d FROM t
+            SELECT DISTINCT CAST(unnest(generate_series(
+                CAST(pickup_datetime AS DATE),
+                CAST(dropoff_datetime AS DATE),
+                INTERVAL 1 DAY)) AS DATE) AS d
+            FROM t
         )
     )
 )

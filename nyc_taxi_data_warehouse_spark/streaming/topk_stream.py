@@ -60,7 +60,10 @@ def mg_topk_stream(
     """Per-shard streaming MG(k) over a (shard, key) stream.  Emits the
     full post-batch summary each micro-batch tagged with a monotone
     ``seq`` — the consumer keeps each shard's max-seq rows (memory sinks
-    append updates; the tag makes the FINAL state recoverable)."""
+    append updates; the tag makes the FINAL state recoverable).  A batch
+    whose compression drops every counter emits one NULL-key sentinel
+    row, so the max-seq rows are ALWAYS the true (possibly empty) final
+    state — never a stale earlier summary."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 
@@ -83,12 +86,20 @@ def mg_topk_stream(
             d = {kk: w - delta for kk, w in d.items() if w - delta > 0}
         seq += 1
         state.update((seq, list(d.keys()), [int(v) for v in d.values()]))
+        # Always emit ≥1 row per (shard, batch): if compression dropped
+        # every counter (all weights equal the (k+1)-th largest), a
+        # 0-row summary would leave the max-seq consumer reading the
+        # PREVIOUS batch's stale rows as "final state".  The NULL-key
+        # sentinel advances seq without asserting any counter; consumers
+        # join/filter on key, so the sentinel never surfaces as a result.
+        keys_out = list(d.keys()) or [None]
+        wts_out = [int(v) for v in d.values()] or [None]
         yield pd.DataFrame(
             {
                 "shard": int(key[0]),
                 "seq": seq,
-                "key": list(d.keys()),
-                "weight": [int(v) for v in d.values()],
+                "key": pd.array(keys_out, dtype="Int64"),
+                "weight": pd.array(wts_out, dtype="Int64"),
             }
         )
 

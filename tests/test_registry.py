@@ -50,7 +50,7 @@ def test_flagship_freshness_policy_slots():
 
 
 def test_never_driver_checked_entries_lead_the_window():
-    # The 9 round-11 additions without any driver-issued CORRECTNESS row
+    # The 14 round-11 additions without any driver-issued CORRECTNESS row
     # must occupy the head of the round-11 window (first-evidence >
     # stale-refresh), followed by the q_weather_hourly flagship slot
     # (latest row r6) and the 40 stalest round-5 entries.
