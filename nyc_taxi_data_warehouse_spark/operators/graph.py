@@ -32,7 +32,7 @@ the whole n-iteration computation is one lazy Catalyst plan."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -222,3 +222,55 @@ def bfs_hops(
     finally:
         e.unpersist(blocking=False)
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_labels: bool = True,
+) -> DataFrame:
+    """Deterministic SYNCHRONOUS label propagation (Raghavan et al.
+    2007): every node starts as its own label; each round EVERY node
+    simultaneously adopts its neighbors' most frequent label — exact
+    integer counts, ties to the SMALLEST label, so there is no
+    randomness and any two engines (or a literal replay) produce
+    identical rounds.  A node keeps its previous label only by receiving
+    it from a neighbor (the synchronous variant's semantics — isolated
+    nodes can't occur here because every node comes from an edge).
+
+    ``edges`` is directed as given; symmetrize first (union the swapped
+    frame) for undirected semantics, exactly like :func:`pagerank_int`
+    consumers do.  Fixed ``rounds`` unroll (synchronous LPA may
+    oscillate on bipartite structures, so a convergence loop could spin
+    — a fixed horizon is the honest distributed contract); each round is
+    one edge⋈label join + one (node, label) count + one per-node top-1,
+    every frame graph-sized and ``localCheckpoint``-ed so round plans
+    stay flat (the q_kcore lesson).  ``broadcast_labels`` fits the
+    zone-backbone use (label frame ≪ edge frame); turn it off when the
+    node set is corpus-scale and let AQE pick the join.
+
+    Returns (node, lab)."""
+    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    labels = (
+        both.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(rounds):
+        lab_b = labels.select(F.col("node").alias("b"), "lab")
+        if broadcast_labels:
+            lab_b = F.broadcast(lab_b)
+        labels = (
+            both.join(lab_b, "b")
+            .groupBy(F.col("a").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint()
+        )
+    return labels

@@ -105,3 +105,31 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def interval_overlap_depth(
+    files: DataFrame, lo: str = "min_ck", hi: str = "max_ck"
+) -> DataFrame:
+    """Per-file clustering depth: for every row of ``files`` (a file- or
+    partition-grain frame carrying a clustering key's ``[lo, hi]``
+    min/max range), count how many rows' ranges overlap it — SELF
+    INCLUDED, so a fully disjoint layout has depth 1 everywhere and a
+    full-domain-span layout has depth = #files.  This is the metric
+    OPTIMIZE ZORDER is judged by.
+
+    The join is intentionally a bounded range self-join: ``files`` is
+    METADATA (one row per file/partition), never the corpus — callers
+    aggregate the corpus down to the grain first, so the quadratic is
+    capped by the file count, not the row count.  All other columns of
+    ``files`` pass through unchanged (they join the groupBy key)."""
+    a, b = files.alias("a"), files.alias("b")
+    keys = [F.col(f"a.{c}").alias(c) for c in files.columns]
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{lo}") <= F.col(f"b.{hi}"))
+            & (F.col(f"b.{lo}") <= F.col(f"a.{hi}")),
+        )
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("depth"))
+    )

@@ -313,6 +313,206 @@ LEFT JOIN near n ON n.doc_id = bc.doc_id"""
 )
 
 
+_NEARDUP_STORE_SEQ = [0]
+
+
+def _store_generations(spark: SparkSession, sf_dir: str):
+    """Three-generation corpus split for the persisted signature-store
+    lifecycle (disjoint from `_ingest_generations`' two-way split):
+    generation 1 (doc_id % 3 == 1) initializes the store; generation 2 =
+    fresh docs (% 3 == 2) + planted suffix twins (+1e6, of gen-1 docs
+    with % 5 == 1) + planted exact copies (+2e6, of gen-1 docs with
+    % 7 == 2); generation 3 = fresh docs (% 3 == 0) + planted exact
+    copies (+3e6, of gen-2 FRESH docs with % 7 == 3 — these only report
+    exact_dup if generation 2 actually COMMITTED them, so the leg gates
+    the v2 store content) + planted suffix twins (+4e6, of gen-2 fresh
+    docs with % 5 == 3 — the near leg against signatures appended at
+    v1)."""
+    docs = _docs(spark, sf_dir)
+    g1 = _scale_out(
+        docs.where(F.col("doc_id") % 3 == 1).select("doc_id", "text")
+    )
+    g2 = _scale_out(
+        docs.where(F.col("doc_id") % 3 == 2)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.where((F.col("doc_id") % 3 == 1) & (F.col("doc_id") % 5 == 1))
+            .select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.expr("substring(text, 31)").alias("text"),
+            )
+        )
+        .unionByName(
+            docs.where((F.col("doc_id") % 3 == 1) & (F.col("doc_id") % 7 == 2))
+            .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+        )
+    )
+    g3 = _scale_out(
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.where((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 7 == 3))
+            .select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            docs.where((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 5 == 3))
+            .select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                F.expr("substring(text, 31)").alias("text"),
+            )
+        )
+    )
+    return g1, g2, g3
+
+
+def q_neardup_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAKE-PERSISTED signature-store lifecycle
+    (`dedup.neardup_store_ingest`) — the artifact treatment the ANN index
+    got in round 11 (`q_ann_index_persist`/`q_ann_index_append`), applied
+    to the other half of the incremental-ingest story: generation 1
+    initializes the versioned ManifestTable store (v0), generation 2
+    dedups against the LOADED v0 snapshot and commits the accepted
+    delta append-only (v1), generation 3 dedups against v2's merged
+    snapshot (v2 = v1 + nothing if gen 3 rejects everything).  Every
+    ingest reads history's kilobyte-scale signatures from disk, never
+    history's text — the reference's MERGE-idempotent ingest (S8,
+    `dags/etl_spark_historical.py:349-380`) completed at the artifact
+    layer.  Returns both generations' decision reports tagged with the
+    committed store version; the oracle is the corpus-wide recompute
+    restricted to cross pairs, extended one generation (generation 3's
+    store = gen 1 + gen 2's ACCEPTED docs — so the planted gen-3 copies
+    of gen-2 docs gate what v1 actually committed)."""
+    import hashlib as _h
+    import os as _o
+
+    from .util import session_tmpdir
+
+    g1, g2, g3 = _store_generations(spark, sf_dir)
+    # Fresh path per invocation: an ingest MUTATES the store (append-only
+    # commits), so re-running against a reused path would judge the same
+    # batches against a store that already contains them.
+    _NEARDUP_STORE_SEQ[0] += 1
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _o.path.join(
+        session_tmpdir("neardup_store"),
+        f"gen_{tag}_{_NEARDUP_STORE_SEQ[0]}",
+    )
+    _r1, v1 = dedup.neardup_store_ingest(
+        spark, path, g1, num_hashes=_NH, max_bucket=_MAX_BUCKET
+    )
+    r2, v2 = dedup.neardup_store_ingest(
+        spark, path, g2, num_hashes=_NH, max_bucket=_MAX_BUCKET
+    )
+    r3, v3 = dedup.neardup_store_ingest(
+        spark, path, g3, num_hashes=_NH, max_bucket=_MAX_BUCKET
+    )
+    assert (v1, v2, v3) == (0, 1, 2), (v1, v2, v3)
+
+    def _tag(r: DataFrame, gen: int, ver: int) -> DataFrame:
+        return r.select(
+            F.lit(gen).cast("int").alias("gen"),
+            "doc_id",
+            "content_hash",
+            "is_exact_dup",
+            "n_near_store",
+            "decision",
+            F.lit(ver).cast("int").alias("store_version"),
+        )
+
+    return _tag(r2, 2, v2).unionByName(_tag(r3, 3, v3))
+
+
+def _sql_neardup_store_roundtrip() -> str:
+    """Two-level nested incremental oracle: rep2 = gen-2 decisions vs the
+    gen-1 store (the q_incremental_neardup idiom), store2 = gen 1 + gen
+    2's accepted docs, rep3 = gen-3 decisions vs store2.  rep2/store2 are
+    MATERIALIZED so the inner band chains don't re-expand under DuckDB's
+    CTE inlining (the q_kcore lesson)."""
+    rep = """
+near{n} AS MATERIALIZED (
+    SELECT b.doc_id, CAST(count(DISTINCT h.doc_id) AS BIGINT) AS n_near
+    FROM {b}bands b
+    JOIN kept{n} k ON k.band = b.band AND k.bh = b.bh
+    JOIN {s}bands h ON h.band = b.band AND h.bh = b.bh
+    GROUP BY 1
+),
+rep{n} AS MATERIALIZED (
+    SELECT bc.doc_id, bc.content_hash,
+           CAST(CASE WHEN hc.content_hash IS NOT NULL THEN 1 ELSE 0 END
+                AS INTEGER) AS is_exact_dup,
+           COALESCE(n.n_near, 0) AS n_near_store,
+           CASE WHEN hc.content_hash IS NOT NULL THEN 'exact_dup'
+                WHEN n.n_near > 0 THEN 'near_dup'
+                ELSE 'new' END AS decision
+    FROM (SELECT doc_id, md5(text) AS content_hash FROM {bsrc}) bc
+    LEFT JOIN (SELECT DISTINCT md5(text) AS content_hash FROM {ssrc}) hc
+           ON hc.content_hash = bc.content_hash
+    LEFT JOIN near{n} n ON n.doc_id = bc.doc_id
+)"""
+    kept = """
+kept{n} AS MATERIALIZED (
+    SELECT band, bh FROM (
+        SELECT band, bh FROM {s}bands
+        UNION ALL
+        SELECT band, bh FROM {b}bands
+    ) GROUP BY 1, 2 HAVING count(*) <= {cap}
+)"""
+    return (
+        """
+WITH g1 AS MATERIALIZED (
+    SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+),
+g2 AS MATERIALIZED (
+    SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, substr(text, 31) AS text
+    FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 = 1
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text
+    FROM documents WHERE doc_id % 3 = 1 AND doc_id % 7 = 2
+),
+g3 AS MATERIALIZED (
+    SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id + 3000000 AS doc_id, text
+    FROM documents WHERE doc_id % 3 = 2 AND doc_id % 7 = 3
+    UNION ALL
+    SELECT doc_id + 4000000 AS doc_id, substr(text, 31) AS text
+    FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 3
+),"""
+        + _sql_minhash_ctes("g1", "s1_")
+        + ","
+        + _sql_minhash_ctes("g2", "b2_")
+        + ","
+        + kept.format(n=2, s="s1_", b="b2_", cap=_MAX_BUCKET)
+        + ","
+        + rep.format(n=2, s="s1_", b="b2_", bsrc="g2", ssrc="g1")
+        + """,
+store2 AS MATERIALIZED (
+    SELECT doc_id, text FROM g1
+    UNION ALL
+    SELECT g2.doc_id, g2.text
+    FROM g2 JOIN rep2 ON rep2.doc_id = g2.doc_id
+    WHERE rep2.decision = 'new'
+),"""
+        + _sql_minhash_ctes("store2", "s2_")
+        + ","
+        + _sql_minhash_ctes("g3", "b3_")
+        + ","
+        + kept.format(n=3, s="s2_", b="b3_", cap=_MAX_BUCKET)
+        + ","
+        + rep.format(n=3, s="s2_", b="b3_", bsrc="g3", ssrc="store2")
+        + """
+SELECT CAST(2 AS INTEGER) AS gen, doc_id, content_hash, is_exact_dup,
+       n_near_store, decision, CAST(1 AS INTEGER) AS store_version
+FROM rep2
+UNION ALL
+SELECT CAST(3 AS INTEGER) AS gen, doc_id, content_hash, is_exact_dup,
+       n_near_store, decision, CAST(2 AS INTEGER) AS store_version
+FROM rep3"""
+    )
+
+
 _RAKE_STOPWORDS = ("a", "the")
 
 
@@ -11984,6 +12184,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pack_sequences": q_pack_sequences,
     "q_cross_corpus_neardup": q_cross_corpus_neardup,
     "q_incremental_neardup": q_incremental_neardup,
+    "q_neardup_store_roundtrip": q_neardup_store_roundtrip,
     "q_stream_ingest_dedup": q_stream_ingest_dedup,
     "q_rake_keywords": q_rake_keywords,
     "q_cluster_split": q_cluster_split,
@@ -12158,6 +12359,7 @@ ORACLES: dict[str, str] = {
     "q_pack_sequences": _SQL_PACK_SEQUENCES,
     "q_cross_corpus_neardup": _SQL_CROSS_CORPUS_NEARDUP,
     "q_incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
+    "q_neardup_store_roundtrip": _sql_neardup_store_roundtrip(),
     "q_stream_ingest_dedup": _SQL_STREAM_INGEST_DEDUP,
     "q_rake_keywords": _SQL_RAKE_KEYWORDS,
     "q_cluster_split": _SQL_CLUSTER_SPLIT,

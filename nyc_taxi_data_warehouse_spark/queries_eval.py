@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as T
+from .operators import graph
 from .operators.monitor import p2_formula
 from .operators.sampling import bucketed_value_cumsum
 from .plans.nyc_views import load_tables
@@ -1607,28 +1608,18 @@ def q_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: the corpus is touched ONCE by the day-grain min/max
     aggregation; the overlap self-join is METADATA-sized (≤731 calendar
-    day-files per side, the documented BNLJ_BOUNDED_OK grain)."""
+    day-files per side, the documented BNLJ_BOUNDED_OK grain).  Core
+    factored to `zorder.interval_overlap_depth` (property-tested vs a
+    literal O(n²) overlap count)."""
+    from .operators.zorder import interval_overlap_depth
+
     orders = load_tables(spark, sf_dir)["orders"]
     files = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.min("o_custkey").cast("long").alias("min_ck"),
         F.max("o_custkey").cast("long").alias("max_ck"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
-    a, b = files.alias("a"), files.alias("b")
-    depth = (
-        a.join(
-            b,
-            (F.col("a.min_ck") <= F.col("b.max_ck"))
-            & (F.col("b.min_ck") <= F.col("a.max_ck")),
-        )
-        .groupBy(
-            F.col("a.day").alias("day"),
-            F.col("a.min_ck").alias("min_ck"),
-            F.col("a.max_ck").alias("max_ck"),
-            F.col("a.n_rows").alias("n_rows"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("depth"))
-    )
+    depth = interval_overlap_depth(files, lo="min_ck", hi="max_ck")
     tot = depth.agg(
         F.sum("depth").cast("long").alias("__sd"),
         F.count(F.lit(1)).cast("long").alias("__nf"),
@@ -2549,8 +2540,10 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical rounds).  Fixed {_LPA_ROUNDS}-round unroll, the q_kcore
     discipline: per round one edge⋈label join + one (node, label) count
     + one per-node top-1, each frame zone-graph-sized and
-    localCheckpointed so round plans stay flat.  Output: one row per
-    surviving community with its size and smallest member."""
+    localCheckpointed so round plans stay flat.  Core factored to
+    `graph.label_propagation` (property-tested vs a literal synchronous
+    replay on random graphs).  Output: one row per surviving community
+    with its size and smallest member."""
     from .plans import nyc_views, staging
 
     li = staging.stg_taxi_trips(
@@ -2579,23 +2572,9 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()
-    labels = both.select(F.col("a").alias("node")).distinct().select(
-        "node", F.col("node").alias("lab")
-    ).localCheckpoint()
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
-    for _ in range(_LPA_ROUNDS):
-        labels = (
-            both.join(
-                F.broadcast(labels.select(F.col("node").alias("b"), "lab")),
-                "b",
-            )
-            .groupBy(F.col("a").alias("node"), "lab")
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
-            .withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select("node", "lab")
-            .localCheckpoint()
-        )
+    labels = graph.label_propagation(
+        both, rounds=_LPA_ROUNDS, src="a", dst="b"
+    )
     return labels.groupBy(F.col("lab").cast("long").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.min("node").cast("long").alias("min_node"),
