@@ -189,6 +189,11 @@ HEADLINE = [
     "q_window_funnel",
     "q_label_propagation",
     "q_cluster_split",
+    # round-12: the full persisted signature-store lifecycle (three
+    # generations: init commit, dedup+append, dedup vs the merged
+    # snapshot — every run rebuilds the store from scratch on a fresh
+    # path, so this number includes the ingest writes by design)
+    "q_neardup_store_roundtrip",
 ]
 
 # The FIXED baseline-comparable subset: exactly the 30 queries of the first

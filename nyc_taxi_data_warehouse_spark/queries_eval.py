@@ -628,6 +628,141 @@ SELECT k, n,
 FROM one"""
 
 
+def _welch_formulas() -> tuple[str, str]:
+    """(t, df) as ONE textual formula pair over the pivoted integer
+    columns (na, sa, qa, nb, sb, qb) — shared verbatim between Spark's
+    ``F.expr`` and the DuckDB oracle (the p2_formula discipline: an
+    identical expression tree over identical BIGINT inputs is bit-exact
+    double arithmetic in both engines).  t is the Welch statistic
+    (unequal variances, never pooled); df is Welch–Satterthwaite."""
+    ma = "(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))"
+    mb = "(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    va = (
+        f"((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * {ma})"
+        " / (CAST(na AS DOUBLE) - 1.0))"
+    )
+    vb = (
+        f"((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * {mb})"
+        " / (CAST(nb AS DOUBLE) - 1.0))"
+    )
+    sea = f"({va} / CAST(na AS DOUBLE))"
+    seb = f"({vb} / CAST(nb AS DOUBLE))"
+    se2 = f"({sea} + {seb})"
+    t = f"(({ma} - {mb}) / sqrt({se2}))"
+    df = (
+        f"(({se2} * {se2}) / (({sea} * {sea}) / (CAST(na AS DOUBLE) - 1.0)"
+        f" + ({seb} * {seb}) / (CAST(nb AS DOUBLE) - 1.0)))"
+    )
+    return t, df
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test (unequal variances — the default a
+    practitioner should reach for; Student's pooled variant is the
+    special case) on value between the purchase and view cohorts: the
+    mean-difference companion to q_mannwhitney's rank test and the
+    two-group slice of q_anova_f.
+
+    Exactness: ONE corpus aggregation produces each group's exact
+    BIGINT (n, Σx, Σx²) on the ×100 lattice, pivoted to a single row;
+    t and the Welch–Satterthwaite df evaluate one shared textual
+    formula over those six integers (bit-identical doubles in both
+    engines), each rounded before the next stage; the p-value is the
+    A&S 26.2.17 normal tail on the ROUNDED t (the large-sample normal
+    approximation of the t distribution — exact-parity over exact-df-t
+    is the standing trade, documented like q_kruskal_wallis's
+    Wilson–Hilferty z); the significance verdict compares the rounded
+    |t| against 1.96."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "view")
+    )
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    grp = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("x").cast("long").alias("s_g"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q_g"),
+    )
+    one = grp.agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("n_g")))
+        .alias("na"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("s_g")))
+        .alias("sa"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("q_g")))
+        .alias("qa"),
+        F.max(F.when(F.col("event_type") == "view", F.col("n_g")))
+        .alias("nb"),
+        F.max(F.when(F.col("event_type") == "view", F.col("s_g")))
+        .alias("sb"),
+        F.max(F.when(F.col("event_type") == "view", F.col("q_g")))
+        .alias("qb"),
+    )
+    t_f, df_f = _welch_formulas()
+    stat = one.select(
+        F.col("na"),
+        F.col("nb"),
+        _rnd(F.expr("CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)") / 100.0, 6)
+        .alias("mean_a"),
+        _rnd(F.expr("CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)") / 100.0, 6)
+        .alias("mean_b"),
+        _rnd(F.expr(t_f), 6).alias("t_stat"),
+        _rnd(F.expr(df_f), 6).alias("welch_df"),
+    )
+    return stat.select(
+        "na",
+        "nb",
+        "mean_a",
+        "mean_b",
+        "t_stat",
+        "welch_df",
+        _rnd(F.expr(p2_formula("t_stat")), 6).alias("p_normal"),
+        (F.abs(F.col("t_stat")) > 1.96).alias("significant"),
+    )
+
+
+def _sql_welch_ttest() -> str:
+    t_f, df_f = _welch_formulas()
+    return f"""
+WITH base AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+    FROM events
+    WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+),
+grp AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+           CAST(sum(x) AS BIGINT) AS s_g,
+           CAST(sum(x * x) AS BIGINT) AS q_g
+    FROM base GROUP BY 1
+),
+one AS (
+    SELECT
+        max(CASE WHEN event_type = 'purchase' THEN n_g END) AS na,
+        max(CASE WHEN event_type = 'purchase' THEN s_g END) AS sa,
+        max(CASE WHEN event_type = 'purchase' THEN q_g END) AS qa,
+        max(CASE WHEN event_type = 'view' THEN n_g END) AS nb,
+        max(CASE WHEN event_type = 'view' THEN s_g END) AS sb,
+        max(CASE WHEN event_type = 'view' THEN q_g END) AS qb
+    FROM grp
+),
+stat AS (
+    SELECT na, nb,
+           round(1e-9 + (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / 100.0, 6)
+               AS mean_a,
+           round(1e-9 + (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 100.0, 6)
+               AS mean_b,
+           round(1e-9 + {t_f}, 6) AS t_stat,
+           round(1e-9 + {df_f}, 6) AS welch_df
+    FROM one
+)
+SELECT na, nb, mean_a, mean_b, t_stat, welch_df,
+       round(1e-9 + {p2_formula("t_stat")}, 6) AS p_normal,
+       abs(t_stat) > 1.96 AS significant
+FROM stat"""
+
+
 _KW_TERM = (
     "CAST(round(CAST(two_r AS DOUBLE) * two_r * 1000000.0"
     " / (4.0 * n_g * n * (n + 1.0))) AS BIGINT)"
@@ -2631,6 +2766,281 @@ SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_nodes,
 FROM {prev} GROUP BY 1"""
 
 
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I spatial autocorrelation of zone demand over the top-40
+    corridor backbone — the spatial-statistics reading of the graph the
+    community (LPA), cohesion (k-core), and centrality (PageRank)
+    queries share: do high-demand zones neighbor high-demand zones
+    (I → +1), anti-cluster (I → −1), or tile randomly (I ≈ E[I] =
+    −1/(n−1))?
+
+    I = (n/W) · Σ_ij w_ij·d_i·d_j / Σ_i d_i² with binary symmetric
+    weights (w_ij = 1 on a backbone edge) and d_i the demand deviation.
+    Exactness: deviations stay on the integer lattice as n·x_i − S
+    (clearing the mean's division), so numerator and denominator are
+    exact BIGINT sums — the n² scale cancels in the ratio; ONE division
+    at the end.  Bound: |n·x − S| ≤ n·max_x, so products stay in int64
+    while n_nodes·max_zone_demand < ~3e9 (n ≤ 80 here); beyond that,
+    move the two sums to DECIMAL(38,0).  Shape: two corpus-grain
+    aggregations (corridor pair counts, per-zone pickup counts);
+    everything after is ≤80-row backbone metadata."""
+    from .plans import nyc_views, staging
+
+    li = staging.stg_taxi_trips(
+        nyc_views.trips_from_events(load_tables(spark, sf_dir)["events"])
+    )
+    cnt = (
+        li.select(
+            F.least("pickup_zone_id", "dropoff_zone_id").alias("a"),
+            F.greatest("pickup_zone_id", "dropoff_zone_id").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    und = (
+        cnt.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(40)
+        .select("a", "b")
+    )
+    both = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    nodes = both.select(F.col("a").alias("zone")).distinct()
+    x = li.groupBy(F.col("pickup_zone_id").alias("zone")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    nx = nodes.join(x, "zone", "left").select(
+        "zone", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+    tot = nx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = nx.crossJoin(F.broadcast(tot)).select(
+        "zone", (F.col("n") * F.col("x") - F.col("s")).alias("d")
+    ).localCheckpoint()
+    da = dev.select(F.col("zone").alias("a"), F.col("d").alias("da"))
+    db = dev.select(F.col("zone").alias("b"), F.col("d").alias("db"))
+    num = both.join(da, "a").join(db, "b").agg(
+        F.sum(F.col("da") * F.col("db")).cast("long").alias("num"),
+        F.count(F.lit(1)).cast("long").alias("w"),
+    )
+    den = dev.agg(F.sum(F.col("d") * F.col("d")).cast("long").alias("den"))
+    return (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_nodes"),
+            F.col("w").alias("w_edges"),
+            _rnd(
+                F.col("n").cast("double")
+                * F.col("num").cast("double")
+                / (F.col("w").cast("double") * F.col("den").cast("double")),
+                6,
+            ).alias("morans_i"),
+            _rnd(F.lit(-1.0) / (F.col("n").cast("double") - 1.0), 6).alias(
+                "expected_i"
+            ),
+        )
+    )
+
+
+def _sql_morans_i() -> str:
+    from .plans.nyc_views import SQL_TRIPS
+    from .plans.staging import SQL_STG_TRIPS
+
+    return (
+        "WITH "
+        + SQL_TRIPS.strip().rstrip(",")
+        + ",\n"
+        + SQL_STG_TRIPS.strip().rstrip(",")
+        + """,
+cnt AS MATERIALIZED (
+    SELECT least(pickup_zone_id, dropoff_zone_id) AS a,
+           greatest(pickup_zone_id, dropoff_zone_id) AS b,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM stg_trips WHERE pickup_zone_id <> dropoff_zone_id
+    GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+    SELECT a, b FROM cnt ORDER BY cnt DESC, a ASC, b ASC LIMIT 40
+),
+both_e AS MATERIALIZED (
+    SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+),
+nodes AS MATERIALIZED (SELECT DISTINCT a AS zone FROM both_e),
+xz AS MATERIALIZED (
+    SELECT pickup_zone_id AS zone, CAST(count(*) AS BIGINT) AS x
+    FROM stg_trips GROUP BY 1
+),
+nx AS MATERIALIZED (
+    SELECT nodes.zone, CAST(COALESCE(xz.x, 0) AS BIGINT) AS x
+    FROM nodes LEFT JOIN xz ON xz.zone = nodes.zone
+),
+tot AS MATERIALIZED (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+    FROM nx
+),
+dev AS MATERIALIZED (
+    SELECT zone, CAST(n * x - s AS BIGINT) AS d FROM nx CROSS JOIN tot
+),
+numw AS (
+    SELECT CAST(sum(da.d * db.d) AS BIGINT) AS num,
+           CAST(count(*) AS BIGINT) AS w
+    FROM both_e e JOIN dev da ON da.zone = e.a JOIN dev db ON db.zone = e.b
+),
+den AS (SELECT CAST(sum(d * d) AS BIGINT) AS den FROM dev)
+SELECT n AS n_nodes, w AS w_edges,
+       round(1e-9 + CAST(n AS DOUBLE) * CAST(num AS DOUBLE)
+             / (CAST(w AS DOUBLE) * CAST(den AS DOUBLE)), 6) AS morans_i,
+       round(1e-9 + -1.0 / (CAST(n AS DOUBLE) - 1.0), 6) AS expected_i
+FROM numw CROSS JOIN den CROSS JOIN tot"""
+    )
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the top-300 corridor backbone — which zone
+    pairs have NO direct corridor but look like they should (service
+    planning's "missing route" readout): for every non-adjacent pair,
+    common-neighbor count, Jaccard neighborhood overlap, and
+    Adamic–Adar (common neighbors discounted by their degree's log —
+    a hub's endorsement is cheap, a specialist's is informative),
+    returning the top-20 predicted links.
+
+    Exactness: ranking is on the INTEGER aa_micro — each common
+    neighbor's 1/ln(deg_k) term is an engine-identical per-row double
+    (ln is bit-parity across Spark/DuckDB, the q_zipf_fit precedent)
+    quantized to 1e6 micro-units BEFORE the sum (the q_kruskal_wallis
+    idiom: double SUMS are order-dependent, BIGINT micro sums are not);
+    ln(deg_k) is safe because a common neighbor has degree ≥ 2 by
+    construction.  Jaccard divides two exact integers once.  Shape: one
+    corpus-grain corridor aggregation; the common-neighbor equi-join on
+    the middle node and everything after is ≤600-row backbone
+    metadata."""
+    from .plans import nyc_views, staging
+
+    li = staging.stg_taxi_trips(
+        nyc_views.trips_from_events(load_tables(spark, sf_dir)["events"])
+    )
+    cnt = (
+        li.select(
+            F.least("pickup_zone_id", "dropoff_zone_id").alias("a"),
+            F.greatest("pickup_zone_id", "dropoff_zone_id").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    und = (
+        cnt.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(300)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    both = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = both.groupBy(F.col("a").alias("zone")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    e1 = both.select(F.col("a").alias("i"), F.col("b").alias("k"))
+    e2 = both.select(F.col("a").alias("j"), F.col("b").alias("k"))
+    degk = deg.select(F.col("zone").alias("k"), F.col("deg").alias("deg_k"))
+    grp = (
+        e1.join(e2, "k")
+        .where(F.col("i") < F.col("j"))
+        .join(F.broadcast(degk), "k")
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum(
+                F.round(
+                    F.lit(1000000.0) / F.log(F.col("deg_k").cast("double"))
+                ).cast("long")
+            ).cast("long").alias("aa_micro"),
+        )
+    )
+    non_adj = grp.join(
+        und.select(F.col("a").alias("i"), F.col("b").alias("j")),
+        ["i", "j"],
+        "left_anti",
+    )
+    di = deg.select(F.col("zone").alias("i"), F.col("deg").alias("deg_i"))
+    dj = deg.select(F.col("zone").alias("j"), F.col("deg").alias("deg_j"))
+    return (
+        non_adj.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            "cn",
+            "aa_micro",
+            _rnd(
+                F.col("cn").cast("double")
+                / (F.col("deg_i") + F.col("deg_j") - F.col("cn")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("aa_micro"), F.asc("i"), F.asc("j"))
+        .limit(20)
+    )
+
+
+def _sql_link_prediction() -> str:
+    from .plans.nyc_views import SQL_TRIPS
+    from .plans.staging import SQL_STG_TRIPS
+
+    return (
+        "WITH "
+        + SQL_TRIPS.strip().rstrip(",")
+        + ",\n"
+        + SQL_STG_TRIPS.strip().rstrip(",")
+        + """,
+cnt AS MATERIALIZED (
+    SELECT least(pickup_zone_id, dropoff_zone_id) AS a,
+           greatest(pickup_zone_id, dropoff_zone_id) AS b,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM stg_trips WHERE pickup_zone_id <> dropoff_zone_id
+    GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+    SELECT a, b FROM cnt ORDER BY cnt DESC, a ASC, b ASC LIMIT 300
+),
+both_e AS MATERIALIZED (
+    SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+),
+deg AS MATERIALIZED (
+    SELECT a AS zone, CAST(count(*) AS BIGINT) AS deg FROM both_e GROUP BY 1
+),
+grp AS MATERIALIZED (
+    SELECT e1.a AS i, e2.a AS j, CAST(count(*) AS BIGINT) AS cn,
+           CAST(sum(CAST(round(1000000.0 / ln(CAST(dk.deg AS DOUBLE)))
+                         AS BIGINT)) AS BIGINT) AS aa_micro
+    FROM both_e e1
+    JOIN both_e e2 ON e1.b = e2.b AND e1.a < e2.a
+    JOIN deg dk ON dk.zone = e1.b
+    GROUP BY 1, 2
+),
+non_adj AS (
+    SELECT g.* FROM grp g
+    WHERE NOT EXISTS (
+        SELECT 1 FROM und u WHERE u.a = g.i AND u.b = g.j
+    )
+)
+SELECT i, j, cn, aa_micro,
+       round(1e-9 + CAST(cn AS DOUBLE)
+             / CAST(di.deg + dj.deg - cn AS DOUBLE), 6) AS jaccard
+FROM non_adj
+JOIN deg di ON di.zone = i
+JOIN deg dj ON dj.zone = j
+ORDER BY aa_micro DESC, i ASC, j ASC
+LIMIT 20"""
+    )
+
+
 # --- MMR diversified re-ranking --------------------------------------------------------
 
 _MMR_CAND = 15  # BM25 candidates per query entering the re-rank
@@ -3084,6 +3494,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lift_table": q_lift_table,
     "q_kruskal_wallis": q_kruskal_wallis,
     "q_anova_f": q_anova_f,
+    "q_welch_ttest": q_welch_ttest,
+    "q_morans_i": q_morans_i,
+    "q_link_prediction": q_link_prediction,
     "q_kendall_tau": q_kendall_tau,
     "q_theil_sen": q_theil_sen,
     "q_fk_audit": q_fk_audit,
@@ -3111,6 +3524,9 @@ ORACLES: dict[str, str] = {
     "q_lift_table": _sql_lift_table(),
     "q_kruskal_wallis": _sql_kruskal_wallis(),
     "q_anova_f": _sql_anova_f(),
+    "q_welch_ttest": _sql_welch_ttest(),
+    "q_morans_i": _sql_morans_i(),
+    "q_link_prediction": _sql_link_prediction(),
     "q_kendall_tau": _sql_kendall_tau(),
     "q_theil_sen": _SQL_THEIL_SEN,
     "q_fk_audit": _sql_fk_audit(),

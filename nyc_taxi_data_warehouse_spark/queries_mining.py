@@ -2156,7 +2156,128 @@ SELECT event_type, n AS n_days,
 FROM g, p"""
 
 
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (the classic Amazon/implicit-
+    feedback recommender core) over the user×zone interaction matrix:
+    binary interactions (a user visited a pickup zone), co-occurrence
+    counts via ONE self-join on the user key, cosine similarity
+    n_ij/√(n_i·n_j), top-5 neighbors per item.
+
+    Scale discipline: the quadratic lives on the ITEM axis — per user,
+    pair generation is bounded by the item domain (≤40 zones here; at
+    catalog scale, cap per-user item lists the `max_bucket` way), and
+    everything after the pair count is item²-grain metadata, like
+    q_market_basket's basket pairs.  Exactness: neighbors rank on
+    n_ij²/n_j (n_i is constant inside a partition — ONE integer
+    division as double, bit-identical both engines), ties by neighbor
+    id; the reported cosine rounds after one sqrt of an exact integer
+    product (IEEE sqrt is correctly rounded, the
+    q_mixture_temperature precedent)."""
+    e = load_tables(spark, sf_dir)["events"]
+    # the interaction: user u visited pickup zone ((u*17 + event)%40 + 1)
+    # — the same zone derivation trips_from_events uses (nyc_views.py),
+    # read here WITH the user key the trip projection drops
+    inter = (
+        e.where(
+            F.col("user_id").isNotNull() & (F.col("event_id") % 53 != 0)
+        )
+        .select(
+            F.col("user_id").alias("u"),
+            ((F.col("user_id") * 17 + F.col("event_id")) % 40 + 1)
+            .cast("long")
+            .alias("item"),
+        )
+        .distinct()
+    )
+    ni = inter.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i")
+    )
+    i1 = inter.select("u", F.col("item").alias("i"))
+    i2 = inter.select("u", F.col("item").alias("j"))
+    pairs = (
+        i1.join(i2, "u")
+        .where(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ij"))
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "n_ij"
+        )
+    )
+    nii = ni.select(F.col("item").alias("i"), F.col("n_i").alias("ni"))
+    nij = ni.select(F.col("item").alias("j"), F.col("n_i").alias("nj"))
+    w = Window.partitionBy("i").orderBy(
+        F.desc("__key"), F.asc("j")
+    )
+    return (
+        sym.join(F.broadcast(nii), "i")
+        .join(F.broadcast(nij), "j")
+        .withColumn(
+            "__key",
+            (F.col("n_ij") * F.col("n_ij")).cast("double")
+            / F.col("nj").cast("double"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            F.col("i").alias("item"),
+            F.col("j").alias("neighbor"),
+            F.col("ni").alias("n_item"),
+            F.col("n_ij").alias("n_both"),
+            _rnd(
+                F.col("n_ij").cast("double")
+                / F.sqrt((F.col("ni") * F.col("nj")).cast("double")),
+                6,
+            ).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _sql_item_cf() -> str:
+    return (
+        """
+WITH inter AS MATERIALIZED (
+    SELECT DISTINCT user_id AS u,
+           CAST((user_id * 17 + event_id) % 40 + 1 AS BIGINT) AS item
+    FROM events
+    WHERE user_id IS NOT NULL AND event_id % 53 <> 0
+),
+ni AS MATERIALIZED (
+    SELECT item, CAST(count(*) AS BIGINT) AS n_i FROM inter GROUP BY 1
+),
+pairs AS MATERIALIZED (
+    SELECT i1.item AS i, i2.item AS j, CAST(count(*) AS BIGINT) AS n_ij
+    FROM inter i1 JOIN inter i2 ON i1.u = i2.u AND i1.item < i2.item
+    GROUP BY 1, 2
+),
+sym AS (
+    SELECT i, j, n_ij FROM pairs
+    UNION ALL
+    SELECT j AS i, i AS j, n_ij FROM pairs
+),
+ranked AS (
+    SELECT s.i, s.j, s.n_ij, ni1.n_i AS ni, ni2.n_i AS nj,
+           row_number() OVER (
+               PARTITION BY s.i
+               ORDER BY CAST(s.n_ij * s.n_ij AS DOUBLE)
+                        / CAST(ni2.n_i AS DOUBLE) DESC, s.j ASC
+           ) AS rank
+    FROM sym s
+    JOIN ni ni1 ON ni1.item = s.i
+    JOIN ni ni2 ON ni2.item = s.j
+)
+SELECT i AS item, j AS neighbor, ni AS n_item, n_ij AS n_both,
+       round(1e-9 + CAST(n_ij AS DOUBLE)
+             / sqrt(CAST(ni * nj AS DOUBLE)), 6) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5"""
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_item_cf": q_item_cf,
     "q_cusum_changepoint": q_cusum_changepoint,
     "q_stream_cusum": q_stream_cusum,
     "q_quantile_summary": q_quantile_summary,
@@ -2178,6 +2299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_item_cf": _sql_item_cf(),
     "q_cusum_changepoint": _SQL_CUSUM_CHANGEPOINT,
     "q_stream_cusum": _SQL_STREAM_CUSUM,
     "q_quantile_summary": _SQL_QUANTILE_SUMMARY,

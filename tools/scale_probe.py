@@ -1854,10 +1854,36 @@ def main() -> None:
             )
         return labels.groupBy("lab").agg(F.count(F.lit(1)).alias("n"))
 
+    def _mk_sig_store(m):
+        """The STORE-scaling axis (verdict r11 item 6): materialize an
+        m×-grown signature store to parquet UNTIMED (production pays the
+        signature pass at each past ingest, not at today's), so the
+        timed op measures exactly what a daily ingest pays — reading
+        history's kilobyte-scale signatures + the capped cross band
+        join — with the BATCH fixed at 1×."""
+        import os as _o
+
+        from nyc_taxi_data_warehouse_spark.util import session_tmpdir
+
+        p = _o.path.join(session_tmpdir("probe_sigstore"), f"m{m}")
+        dedup.signature_records(
+            _docs_at(spark, sf_dir, m)
+        ).write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
+
+    def _incr_neardup_store(store):
+        batch = (
+            load_tables(spark, sf_dir)["documents"]
+            .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        )
+        report, _merged = dedup.incremental_neardup(batch, store)
+        return report
+
     ninth_ops = {
         "incremental_neardup": (
             lambda m: _docs_at(spark, sf_dir, m), _incr_neardup,
         ),
+        "incremental_neardup_store": (_mk_sig_store, _incr_neardup_store),
         "window_funnel": (lambda m: _events_at(spark, sf_dir, m), _wfunnel),
         "label_propagation": (lambda m: _events_at(spark, sf_dir, m), _lpa),
         # near-dup-aware split = the CC pipeline (probed separately as
