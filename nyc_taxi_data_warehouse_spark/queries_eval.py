@@ -763,6 +763,148 @@ SELECT na, nb, mean_a, mean_b, t_stat, welch_df,
 FROM stat"""
 
 
+_PERM_B = 32  # randomization replicates (the q_bootstrap_ci budget)
+
+
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test for the purchase-vs-view mean difference — the
+    distribution-free companion to q_welch_ttest (no normality, no
+    variance model: if the labels are exchangeable, a random relabeling
+    should produce a diff as large as the observed one about p of the
+    time).  B=32 seeded replicates: each row's replicate-r label comes
+    from an md5(event_id, r) bucket against the integer threshold
+    ⌊na·10⁶/n⌋ (the q_bootstrap_ci idiom — random REALLOCATION rather
+    than an exact permutation: group sizes vary binomially per
+    replicate, the large-n-equivalent randomization a distributed
+    engine can do in one pass without a global shuffle of labels; the
+    per-replicate diff normalizes by the replicate's own group sizes,
+    so the statistic is exchangeability-exact).  p = (1 + #extreme) /
+    (B + 1), the add-one Monte-Carlo estimator.
+
+    Exactness: ONE corpus pass computes n, Σx and the 2·B conditional
+    (count, sum) pairs; every per-replicate mean diff is a fixed
+    expression tree over exact BIGINTs (bit-identical doubles both
+    engines), and 'extreme' compares those doubles — deterministic by
+    per-row double parity.  Everything after the single aggregation is
+    a 1-row frame."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "view")
+        & F.col("event_id").isNotNull()
+    )
+    base = ev.select(
+        (F.col("event_type") == "purchase").alias("is_a"),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.col("event_id"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("is_a"), F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sa"),
+    ]
+    for r in range(_PERM_B):
+        b = (
+            f"CAST(conv(substr(md5(CAST(event_id AS STRING) ||"
+            f" '#perm{r}'), 1, 15), 16, 10) AS BIGINT) % 1000000"
+        )
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {b} < __thr THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias(f"na{r}")
+        )
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {b} < __thr THEN x ELSE 0 END"))
+            .cast("long")
+            .alias(f"sa{r}")
+        )
+    thr = base.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("__thr")
+    )
+    one = base.crossJoin(F.broadcast(thr)).agg(*aggs)
+    d_obs = (
+        "abs(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)"
+        " - CAST(s - sa AS DOUBLE) / CAST(n - na AS DOUBLE))"
+    )
+    extreme = " + ".join(
+        f"(CASE WHEN na{r} > 0 AND na{r} < n AND"
+        f" abs(CAST(sa{r} AS DOUBLE) / CAST(na{r} AS DOUBLE)"
+        f" - CAST(s - sa{r} AS DOUBLE) / CAST(n - na{r} AS DOUBLE))"
+        f" >= {d_obs} THEN 1 ELSE 0 END)"
+        for r in range(_PERM_B)
+    )
+    return one.select(
+        F.col("na"),
+        (F.col("n") - F.col("na")).alias("nb"),
+        _rnd(F.expr(d_obs) / 100.0, 6).alias("diff_obs"),
+        F.expr(f"CAST({extreme} AS BIGINT)").alias("n_extreme"),
+        _rnd(
+            (F.expr(f"CAST({extreme} AS BIGINT)") + 1).cast("double")
+            / F.lit(float(_PERM_B + 1)),
+            6,
+        ).alias("p_perm"),
+    )
+
+
+def _sql_permutation_test() -> str:
+    sums = []
+    for r in range(_PERM_B):
+        b = (
+            f"CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) ||"
+            f" '#perm{r}'), 1, 15)) AS BIGINT) % 1000000"
+        )
+        sums.append(
+            f"CAST(sum(CASE WHEN {b} < __thr THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS na{r}"
+        )
+        sums.append(
+            f"CAST(sum(CASE WHEN {b} < __thr THEN x ELSE 0 END) AS BIGINT)"
+            f" AS sa{r}"
+        )
+    d_obs = (
+        "abs(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)"
+        " - CAST(s - sa AS DOUBLE) / CAST(n - na AS DOUBLE))"
+    )
+    extreme = " + ".join(
+        f"(CASE WHEN na{r} > 0 AND na{r} < n AND"
+        f" abs(CAST(sa{r} AS DOUBLE) / CAST(na{r} AS DOUBLE)"
+        f" - CAST(s - sa{r} AS DOUBLE) / CAST(n - na{r} AS DOUBLE))"
+        f" >= {d_obs} THEN 1 ELSE 0 END)"
+        for r in range(_PERM_B)
+    )
+    return f"""
+WITH base AS (
+    SELECT event_type = 'purchase' AS is_a,
+           CAST(round(value * 100) AS BIGINT) AS x, event_id
+    FROM events
+    WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+      AND event_id IS NOT NULL
+),
+thr AS (
+    SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS __thr
+    FROM base
+),
+one AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+           CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(sum(CASE WHEN is_a THEN x ELSE 0 END) AS BIGINT) AS sa,
+           {", ".join(sums)}
+    FROM base CROSS JOIN thr
+)
+SELECT na, n - na AS nb,
+       round(1e-9 + {d_obs} / 100.0, 6) AS diff_obs,
+       CAST({extreme} AS BIGINT) AS n_extreme,
+       round(1e-9 + CAST(CAST({extreme} AS BIGINT) + 1 AS DOUBLE)
+             / {float(_PERM_B + 1)!r}, 6) AS p_perm
+FROM one"""
+
+
 _KW_TERM = (
     "CAST(round(CAST(two_r AS DOUBLE) * two_r * 1000000.0"
     " / (4.0 * n_g * n * (n + 1.0))) AS BIGINT)"
@@ -3497,6 +3639,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_welch_ttest": q_welch_ttest,
     "q_morans_i": q_morans_i,
     "q_link_prediction": q_link_prediction,
+    "q_permutation_test": q_permutation_test,
     "q_kendall_tau": q_kendall_tau,
     "q_theil_sen": q_theil_sen,
     "q_fk_audit": q_fk_audit,
@@ -3527,6 +3670,7 @@ ORACLES: dict[str, str] = {
     "q_welch_ttest": _sql_welch_ttest(),
     "q_morans_i": _sql_morans_i(),
     "q_link_prediction": _sql_link_prediction(),
+    "q_permutation_test": _sql_permutation_test(),
     "q_kendall_tau": _sql_kendall_tau(),
     "q_theil_sen": _SQL_THEIL_SEN,
     "q_fk_audit": _sql_fk_audit(),

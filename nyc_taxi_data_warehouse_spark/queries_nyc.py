@@ -2852,6 +2852,117 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 × sketches: streaming QUANTILES with bounded state — the
+    16th streaming query, the histogram leg of the portable-sketch
+    stream family (HLL→distinct, Count-Min→frequency, Bloom→membership,
+    KMV/min-k→cardinality, MG→heavy hitters, histogram→quantiles).  The
+    weather feed replays through the file source; the streaming
+    aggregation keeps ONE fixed-literal-ruler bin-count table per day
+    (bin = temp's ×10-lattice value div 50, the q_histogram_quantiles
+    discipline: no data-dependent edges, so merges/restarts never
+    re-bucket) — state is days × ≤ ruler bins regardless of feed volume.
+    The batch-side tail answers each day's type-1 median from the
+    drained ≤bins-row sink (cumulative over the tiny per-day frame);
+    the oracle recomputes bins + median from the batch weather view —
+    counts must agree exactly (availableNow processes each row exactly
+    once, and a bin SUM is order-insensitive)."""
+    from .streaming import weather_stream
+    from .util import stream_feed
+
+    # shares q_stream_hourly's memoized weather feed
+    src = stream_feed(_weather(spark, sf_dir), "weather_feed", sf_dir, n_files=2)
+    _STREAM_SINK_SEQ[0] += 1
+    name = f"q_stream_histogram_sink_{_STREAM_SINK_SEQ[0]}"
+    stream = weather_stream.read_weather_stream(spark, src)
+    regs = (
+        stream.withWatermark("observed_at", "2 hours")
+        .where(
+            F.col("observed_at").isNotNull() & F.col("temp_f").isNotNull()
+        )
+        .select(
+            F.window("observed_at", "1 day").alias("win"),
+            # +2000 shift keeps the lattice non-negative (temp_f ≥ −40
+            # here) so Spark's truncating div == DuckDB's flooring // —
+            # the possibly-negative-division lesson (NOTES round 7)
+            F.expr(
+                "CAST((CAST(floor(temp_f * 10 + 0.5) AS BIGINT) + 2000)"
+                " div 50 AS BIGINT)"
+            ).alias("bin"),
+        )
+        .groupBy("win", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    with stream_state_partitions(spark, 8):
+        q = weather_stream.run_available_now(regs, name)
+        drained = q.awaitTermination(300)
+    q.stop()
+    if not drained:
+        raise RuntimeError(
+            "q_stream_histogram: availableNow drain timed out after 300s"
+            " — refusing to compare a partially-filled sink"
+        )
+    sink = spark.table(name).select(
+        F.col("win.start").alias("day"), "bin", "cnt"
+    )
+    w = Window.partitionBy("day").orderBy("bin")
+    day_tot = sink.groupBy("day").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+    cum = sink.withColumn(
+        "cum", F.sum("cnt").over(w).cast("long")
+    )
+    med = (
+        cum.join(day_tot, "day")
+        .where(F.col("cum") * 2 >= F.col("n_rows") + 1)
+        .groupBy("day")
+        .agg(F.min("bin").cast("long").alias("p50_bin"))
+    )
+    return day_tot.join(med, "day").select(
+        "day",
+        "n_rows",
+        "n_bins",
+        F.col("p50_bin"),
+        (F.col("p50_bin") * 50 - 2000).cast("long").alias("p50_lo_u"),
+    )
+
+
+_SQL_STREAM_HISTOGRAM_SELECT = """
+SELECT t.day, t.n_rows, t.n_bins, m.p50_bin,
+       CAST(m.p50_bin * 50 - 2000 AS BIGINT) AS p50_lo_u
+FROM (
+    SELECT day, CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_bins
+    FROM (
+        SELECT CAST(date_trunc('day', observed_at) AS TIMESTAMP) AS day,
+               (CAST(floor(temp_f * 10 + 0.5) AS BIGINT) + 2000) // 50
+                   AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM weather
+        WHERE observed_at IS NOT NULL AND temp_f IS NOT NULL
+        GROUP BY 1, 2
+    ) GROUP BY 1
+) t
+JOIN (
+    SELECT day, CAST(min(bin) AS BIGINT) AS p50_bin
+    FROM (
+        SELECT day, bin, cnt,
+               sum(cnt) OVER (PARTITION BY day ORDER BY bin) AS cum,
+               sum(cnt) OVER (PARTITION BY day) AS n
+        FROM (
+            SELECT CAST(date_trunc('day', observed_at) AS TIMESTAMP) AS day,
+                   (CAST(floor(temp_f * 10 + 0.5) AS BIGINT) + 2000) // 50
+                       AS bin,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM weather
+            WHERE observed_at IS NOT NULL AND temp_f IS NOT NULL
+            GROUP BY 1, 2
+        )
+    ) WHERE cum * 2 >= n + 1 GROUP BY 1
+) m ON m.day = t.day"""
+
+
 _SQL_STREAM_HLL_SELECT = """
 SELECT e.day, e.used_registers, e.zero_registers,
        round(1e-9 + e.est, 4) AS est_distinct, x.exact_distinct
@@ -3054,6 +3165,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_merge_dedup": q_merge_dedup,
     "q_star_join": q_star_join,
     "q_stream_hll": q_stream_hll,
+    "q_stream_histogram": q_stream_histogram,
     "q_stream_psi": q_stream_psi,
     "q_tpch_q1": q_tpch_q1,
     "q_tpch_q3": q_tpch_q3,
@@ -3119,6 +3231,9 @@ SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
 FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5000""",
     "q_star_join": _SQL_STAR_JOIN,
     "q_stream_hll": _with(SQL_WEATHER, select=_SQL_STREAM_HLL_SELECT),
+    "q_stream_histogram": _with(
+        SQL_WEATHER, select=_SQL_STREAM_HISTOGRAM_SELECT
+    ),
     "q_stream_psi": _with(SQL_WEATHER, select=_SQL_STREAM_PSI_SELECT),
     "q_tpch_q1": _SQL_TPCH_Q1,
     "q_tpch_q3": _SQL_TPCH_Q3,
