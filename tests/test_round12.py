@@ -133,3 +133,292 @@ def test_store_roundtrip_versions_and_fresh_path(spark, tmp_path):
     assert d3[20] == "exact_dup"  # gen-2 accepted doc IS in v1
     assert d3[21] == "exact_dup"  # same text as g1 doc 1 (stored at v0)
     assert d3[22] == "new"
+
+
+# --- literal-rewrite pins for the round-12 query wave -------------------------
+
+def _lattice_events(spark, sf_dir, types):
+    from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+    from pyspark.sql import functions as F
+
+    return (
+        load_tables(spark, sf_dir)["events"]
+        .where(F.col("value").isNotNull() & F.col("event_type").isin(*types))
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("x"),
+            "event_id",
+        )
+        .collect()
+    )
+
+
+def test_welch_ttest_matches_literal(spark, sf_dir):
+    """t / df / means must equal the literal float Welch computation on
+    the same exact integer sums (tolerance only for the final round)."""
+    import math
+
+    from nyc_taxi_data_warehouse_spark import queries_eval as qe
+
+    got = qe.q_welch_ttest(spark, sf_dir).collect()[0]
+    rows = _lattice_events(spark, sf_dir, ("purchase", "view"))
+    a = [r.x for r in rows if r.event_type == "purchase"]
+    b = [r.x for r in rows if r.event_type == "view"]
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = (sum(x * x for x in a) - sum(a) * ma) / (na - 1)
+    vb = (sum(x * x for x in b) - sum(b) * mb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    df = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert (got.na, got.nb) == (na, nb)
+    assert abs(got.mean_a - ma / 100) < 1e-5
+    assert abs(got.t_stat - t) < 1e-5
+    assert abs(got.welch_df - df) < 1e-4
+    assert got.significant == (abs(got.t_stat) > 1.96)
+
+
+def test_permutation_test_matches_literal(spark, sf_dir):
+    """n_extreme and p must equal a literal Python replay of the B=32
+    md5-seeded reallocation replicates."""
+    import hashlib
+
+    from nyc_taxi_data_warehouse_spark import queries_eval as qe
+
+    got = qe.q_permutation_test(spark, sf_dir).collect()[0]
+    rows = [
+        r for r in _lattice_events(spark, sf_dir, ("purchase", "view"))
+        if r.event_id is not None
+    ]
+    n = len(rows)
+    na = sum(1 for r in rows if r.event_type == "purchase")
+    sa = sum(r.x for r in rows if r.event_type == "purchase")
+    s = sum(r.x for r in rows)
+    thr = na * 1000000 // n
+    d_obs = abs(sa / na - (s - sa) / (n - na))
+    extreme = 0
+    for rep in range(qe._PERM_B):
+        nar = sar = 0
+        for r in rows:
+            h = int(
+                hashlib.md5(
+                    f"{r.event_id}#perm{rep}".encode()
+                ).hexdigest()[:15],
+                16,
+            ) % 1000000
+            if h < thr:
+                nar += 1
+                sar += r.x
+        if 0 < nar < n and abs(
+            sar / nar - (s - sar) / (n - nar)
+        ) >= d_obs:
+            extreme += 1
+    assert got.n_extreme == extreme
+    assert abs(got.p_perm - (extreme + 1) / (qe._PERM_B + 1)) < 1e-6
+    assert (got.na, got.nb) == (na, n - na)
+
+
+def _backbone(spark, sf_dir, k):
+    """(top-k undirected corridor list, per-zone pickup counts) from the
+    staged trips — the shared literal base for the graph-wave pins."""
+    from collections import Counter
+
+    from nyc_taxi_data_warehouse_spark.plans import nyc_views, staging
+    from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+
+    li = staging.stg_taxi_trips(
+        nyc_views.trips_from_events(load_tables(spark, sf_dir)["events"])
+    ).select("pickup_zone_id", "dropoff_zone_id").collect()
+    pair_cnt = Counter()
+    pick_cnt = Counter()
+    for r in li:
+        pick_cnt[r.pickup_zone_id] += 1
+        a, b = sorted((r.pickup_zone_id, r.dropoff_zone_id))
+        if a != b:
+            pair_cnt[(a, b)] += 1
+    top = sorted(pair_cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [p for p, _ in top], pick_cnt
+
+
+def test_morans_i_matches_literal(spark, sf_dir):
+    from nyc_taxi_data_warehouse_spark import queries_eval as qe
+
+    got = qe.q_morans_i(spark, sf_dir).collect()[0]
+    und, pick = _backbone(spark, sf_dir, 40)
+    both = und + [(b, a) for a, b in und]
+    nodes = sorted({a for a, _ in both})
+    n = len(nodes)
+    x = {z: pick.get(z, 0) for z in nodes}
+    s = sum(x.values())
+    d = {z: n * x[z] - s for z in nodes}
+    num = sum(d[a] * d[b] for a, b in both)
+    den = sum(v * v for v in d.values())
+    w = len(both)
+    assert got.n_nodes == n and got.w_edges == w
+    assert abs(got.morans_i - n * num / (w * den)) < 1e-5
+    assert abs(got.expected_i - (-1.0 / (n - 1))) < 1e-6
+
+
+def test_link_prediction_matches_literal(spark, sf_dir):
+    """Top-20 non-adjacent pairs by integer AA micro-score, ties (i, j)."""
+    import math
+    from collections import defaultdict
+
+    from nyc_taxi_data_warehouse_spark import queries_eval as qe
+
+    got = qe.q_link_prediction(spark, sf_dir).collect()
+    und, _ = _backbone(spark, sf_dir, 300)
+    nbrs = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    deg = {z: len(v) for z, v in nbrs.items()}
+    edge_set = set(und)
+    cand = {}
+    for k, kn in nbrs.items():
+        for i in kn:
+            for j in kn:
+                if i < j and (i, j) not in edge_set:
+                    cn, aa = cand.get((i, j), (0, 0))
+                    # Python round() is banker's; the engines round
+                    # half-up — replicate half-up explicitly
+                    term = math.floor(1000000.0 / math.log(deg[k]) + 0.5)
+                    cand[(i, j)] = (cn + 1, aa + term)
+    ranked = sorted(
+        cand.items(), key=lambda kv: (-kv[1][1], kv[0][0], kv[0][1])
+    )[:20]
+    assert len(got) == len(ranked)
+    for row, ((i, j), (cn, aa)) in zip(got, ranked):
+        assert (row.i, row.j, row.cn, row.aa_micro) == (i, j, cn, aa)
+        jac = cn / (deg[i] + deg[j] - cn)
+        assert abs(row.jaccard - jac) < 1e-5
+
+
+def test_item_cf_matches_literal(spark, sf_dir):
+    from collections import defaultdict
+
+    from nyc_taxi_data_warehouse_spark import queries_mining as qm
+    from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+
+    got = qm.q_item_cf(spark, sf_dir).collect()
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id"
+    ).collect()
+    inter = {
+        (r.user_id, (r.user_id * 17 + r.event_id) % 40 + 1)
+        for r in ev
+        if r.user_id is not None and r.event_id % 53 != 0
+    }
+    items_by_user = defaultdict(set)
+    ni = defaultdict(int)
+    for u, it in inter:
+        items_by_user[u].add(it)
+        ni[it] += 1
+    nij = defaultdict(int)
+    for items in items_by_user.values():
+        s = sorted(items)
+        for ii in range(len(s)):
+            for jj in range(ii + 1, len(s)):
+                nij[(s[ii], s[jj])] += 1
+    per_item = defaultdict(list)
+    for (i, j), c in nij.items():
+        per_item[i].append((j, c))
+        per_item[j].append((i, c))
+    exp = {}
+    for i, cands in per_item.items():
+        cands.sort(key=lambda jc: (-(jc[1] * jc[1] / ni[jc[0]]), jc[0]))
+        for rank, (j, c) in enumerate(cands[:5], 1):
+            exp[(i, j)] = (ni[i], c, rank)
+    assert len(got) == len(exp)
+    for row in got:
+        n_item, n_both, rank = exp[(row.item, row.neighbor)]
+        assert (row.n_item, row.n_both, row.rank) == (n_item, n_both, rank)
+        cos = n_both / (ni[row.item] * ni[row.neighbor]) ** 0.5
+        assert abs(row.cosine - cos) < 1e-5
+
+
+def test_pii_scan_matches_python_re(spark, sf_dir):
+    """Counts, redaction md5, and verdict must match Python's `re` on
+    the same planted corpus (the Java/RE2/`re` common-subset contract),
+    and every planted slice must actually trigger its detector."""
+    import hashlib
+    import re
+
+    from nyc_taxi_data_warehouse_spark import queries_data as qd
+    from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+
+    got = {r.doc_id: r for r in qd.q_pii_scan(spark, sf_dir).collect()}
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "text"
+    ).collect()
+    for r in docs:
+        t = r.text
+        if r.doc_id % 7 == 3:
+            t += f" contact user{r.doc_id}@example.com"
+        if r.doc_id % 11 == 5:
+            t += " call 212-555-0147"
+        if r.doc_id % 13 == 7:
+            t += " ssn 123-45-6789"
+        n_email = len(re.findall(qd._PII_EMAIL, t))
+        no_ssn = re.sub(qd._PII_SSN, "[SSN]", t)
+        n_ssn = len(re.findall(qd._PII_SSN, t))
+        n_phone = len(re.findall(qd._PII_PHONE, no_ssn))
+        red = re.sub(
+            qd._PII_PHONE,
+            "[PHONE]",
+            re.sub(
+                qd._PII_SSN,
+                "[SSN]",
+                re.sub(qd._PII_EMAIL, "[EMAIL]", t),
+            ),
+        )
+        g = got[r.doc_id]
+        assert (g.n_email, g.n_ssn, g.n_phone) == (n_email, n_ssn, n_phone)
+        assert g.redacted_hash == hashlib.md5(red.encode()).hexdigest()
+        assert g.verdict == (
+            "quarantine" if n_email + n_ssn + n_phone > 0 else "keep"
+        )
+        if r.doc_id % 7 == 3:
+            assert g.n_email >= 1
+        if r.doc_id % 11 == 5:
+            assert g.n_phone >= 1
+        if r.doc_id % 13 == 7:
+            assert g.n_ssn >= 1
+
+
+def test_stream_histogram_equals_batch_bins(spark, sf_dir):
+    """Stream-kept bin counts must answer the same per-day medians as a
+    literal batch recompute (stream ≡ batch for order-insensitive
+    sums)."""
+    from collections import defaultdict
+
+    from nyc_taxi_data_warehouse_spark import queries_nyc as qn
+    from nyc_taxi_data_warehouse_spark.plans import nyc_views
+    from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+
+    got = {r.day: r for r in qn.q_stream_histogram(spark, sf_dir).collect()}
+    w = nyc_views.weather_from_events(
+        load_tables(spark, sf_dir)["events"]
+    ).select("observed_at", "temp_f").collect()
+    bins = defaultdict(lambda: defaultdict(int))
+    for r in w:
+        if r.observed_at is None or r.temp_f is None:
+            continue
+        day = r.observed_at.replace(hour=0, minute=0, second=0, microsecond=0)
+        import math as _m
+
+        bins[day][(int(_m.floor(r.temp_f * 10 + 0.5)) + 2000) // 50] += 1
+    assert set(got) == set(bins)
+    for day, bc in bins.items():
+        n = sum(bc.values())
+        cum = 0
+        p50 = None
+        for b in sorted(bc):
+            cum += bc[b]
+            if cum * 2 >= n + 1:
+                p50 = b
+                break
+        g = got[day]
+        assert (g.n_rows, g.n_bins, g.p50_bin, g.p50_lo_u) == (
+            n, len(bc), p50, p50 * 50 - 2000,
+        )
