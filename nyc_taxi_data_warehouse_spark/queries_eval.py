@@ -905,6 +905,241 @@ SELECT na, n - na AS nb,
 FROM one"""
 
 
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the workhorse quasi-experimental
+    estimator (did the treated cohort's outcome move MORE than the
+    control's across the event boundary?): treated = purchase events,
+    control = view events, pre/post = day-of-month ≤ 15 vs > 15 (a
+    calendar-deterministic boundary at every scale), outcome = value on
+    the ×100 lattice.  DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post −
+    ȳ_c,pre).
+
+    Exactness: ONE corpus pass produces the four cells' exact BIGINT
+    (n, Σy); each cell mean is one integer division as double (engine-
+    identical), the estimate is three subtractions of those doubles —
+    a fixed tree, rounded once.  Everything after the aggregation is a
+    1-row frame."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isin("purchase", "view")
+    )
+    base = ev.select(
+        (F.col("event_type") == "purchase").alias("treated"),
+        (F.dayofmonth("ts") > 15).alias("post"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    cells = []
+    for t in (True, False):
+        for p in (True, False):
+            tag = f"{'t' if t else 'c'}{'post' if p else 'pre'}"
+            cond = (F.col("treated") == t) & (F.col("post") == p)
+            cells.append(
+                F.sum(F.when(cond, 1).otherwise(0))
+                .cast("long")
+                .alias(f"n_{tag}")
+            )
+            cells.append(
+                F.sum(F.when(cond, F.col("y")).otherwise(0))
+                .cast("long")
+                .alias(f"s_{tag}")
+            )
+    one = base.agg(*cells)
+    mean = lambda tag: (
+        f"(CAST(s_{tag} AS DOUBLE) / CAST(n_{tag} AS DOUBLE))"
+    )
+    did = (
+        f"(({mean('tpost')} - {mean('tpre')})"
+        f" - ({mean('cpost')} - {mean('cpre')}))"
+    )
+    return one.select(
+        "n_tpre",
+        "n_tpost",
+        "n_cpre",
+        "n_cpost",
+        _rnd(F.expr(mean("tpre")) / 100.0, 6).alias("mean_t_pre"),
+        _rnd(F.expr(mean("tpost")) / 100.0, 6).alias("mean_t_post"),
+        _rnd(F.expr(mean("cpre")) / 100.0, 6).alias("mean_c_pre"),
+        _rnd(F.expr(mean("cpost")) / 100.0, 6).alias("mean_c_post"),
+        _rnd(F.expr(did) / 100.0, 6).alias("did_estimate"),
+    )
+
+
+def _sql_diff_in_diff() -> str:
+    cells = []
+    for t, tc in (("TRUE", "t"), ("FALSE", "c")):
+        for p, pc in (("TRUE", "post"), ("FALSE", "pre")):
+            cond = f"treated = {t} AND post = {p}"
+            cells.append(
+                f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS n_{tc}{pc}"
+            )
+            cells.append(
+                f"CAST(sum(CASE WHEN {cond} THEN y ELSE 0 END) AS BIGINT)"
+                f" AS s_{tc}{pc}"
+            )
+    mean = lambda tag: f"(CAST(s_{tag} AS DOUBLE) / CAST(n_{tag} AS DOUBLE))"
+    did = (
+        f"(({mean('tpost')} - {mean('tpre')})"
+        f" - ({mean('cpost')} - {mean('cpre')}))"
+    )
+    return f"""
+WITH base AS (
+    SELECT event_type = 'purchase' AS treated,
+           date_part('day', ts) > 15 AS post,
+           CAST(round(value * 100) AS BIGINT) AS y
+    FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL
+      AND event_type IN ('purchase', 'view')
+),
+one AS (SELECT {", ".join(cells)} FROM base)
+SELECT n_tpre, n_tpost, n_cpre, n_cpost,
+       round(1e-9 + {mean('tpre')} / 100.0, 6) AS mean_t_pre,
+       round(1e-9 + {mean('tpost')} / 100.0, 6) AS mean_t_post,
+       round(1e-9 + {mean('cpre')} / 100.0, 6) AS mean_c_pre,
+       round(1e-9 + {mean('cpost')} / 100.0, 6) AS mean_c_post,
+       round(1e-9 + {did} / 100.0, 6) AS did_estimate
+FROM one"""
+
+
+def q_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation by inverse propensity scoring — grade a
+    CANDIDATE action policy from logged feedback without deploying it
+    (the counterfactual eval every recommender/ranking change needs):
+    logged actions = event types, rewards = value, logging propensities
+    μ̂(a) = the empirical global action frequencies, target policy
+    π(user) = 'purchase' if user_id is even else 'click'
+    (deterministic, so the weight is the 0/1 match indicator over
+    1/μ̂).  Reports V̂_IPS = (1/n)·Σ match·r/μ̂(a), the self-normalized
+    V̂_SNIPS = Σ w·r / Σ w (lower variance, the production default),
+    and the effective sample size (Σw)²/Σw² that says how much logged
+    data the target policy actually reuses.
+
+    Exactness: μ̂ denominators stay INTEGER — every ratio folds to
+    counts: V̂_IPS = Σ_a (S_match,a · n / n_a) / n with S the matched
+    reward sums, so the whole estimate is per-action exact-BIGINT
+    (count, sum) cells through fixed double trees.  ONE corpus pass,
+    1-row output."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("r"),
+        F.when(F.col("user_id") % 2 == 0, "purchase")
+        .otherwise("click")
+        .alias("pi_a"),
+    )
+    per_a = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("event_type") == F.col("pi_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("m_a"),
+        F.sum(
+            F.when(F.col("event_type") == F.col("pi_a"), F.col("r")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("sr_a"),
+    )
+    tot = per_a.agg(F.sum("n_a").cast("long").alias("n"))
+    # per-action exact cells → the three estimator sums; w = n/n_a for a
+    # matched row, so Σw = Σ_a m_a·n/n_a, Σw·r = Σ_a sr_a·n/n_a,
+    # Σw² = Σ_a m_a·(n/n_a)²
+    # each per-action term is quantized to 1e6 micro-units BEFORE the
+    # sum (the q_kruskal_wallis idiom: double sums are order-dependent,
+    # BIGINT micro sums are exact), then ONE division per estimate
+    folded = per_a.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(sr_a AS DOUBLE) * CAST(n AS DOUBLE)"
+                " / CAST(n_a AS DOUBLE) * 1000000.0) AS BIGINT)"
+            )
+        ).cast("long").alias("swr_u"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(m_a AS DOUBLE) * CAST(n AS DOUBLE)"
+                " / CAST(n_a AS DOUBLE) * 1000000.0) AS BIGINT)"
+            )
+        ).cast("long").alias("sw_u"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(m_a AS DOUBLE) * CAST(n AS DOUBLE)"
+                " * CAST(n AS DOUBLE) / (CAST(n_a AS DOUBLE)"
+                " * CAST(n_a AS DOUBLE)) * 1000000.0) AS BIGINT)"
+            )
+        ).cast("long").alias("sw2_u"),
+    )
+    return folded.select(
+        "n",
+        _rnd(
+            F.col("swr_u").cast("double")
+            / 1e6
+            / F.col("n").cast("double")
+            / 100.0,
+            6,
+        ).alias("v_ips"),
+        _rnd(
+            F.col("swr_u").cast("double") / F.col("sw_u").cast("double")
+            / 100.0,
+            6,
+        ).alias("v_snips"),
+        _rnd(
+            F.col("sw_u").cast("double")
+            * F.col("sw_u").cast("double")
+            / F.col("sw2_u").cast("double")
+            / 1e6,
+            4,
+        ).alias("ess"),
+    )
+
+
+def _sql_ips_eval() -> str:
+    return """
+WITH base AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS r,
+           CASE WHEN user_id % 2 = 0 THEN 'purchase' ELSE 'click' END AS pi_a
+    FROM events
+    WHERE value IS NOT NULL AND user_id IS NOT NULL
+      AND event_type IS NOT NULL
+),
+per_a AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN event_type = pi_a THEN 1 ELSE 0 END)
+                AS BIGINT) AS m_a,
+           CAST(sum(CASE WHEN event_type = pi_a THEN r ELSE 0 END)
+                AS BIGINT) AS sr_a
+    FROM base GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS n FROM per_a),
+folded AS (
+    SELECT max(n) AS n,
+           CAST(sum(CAST(round(CAST(sr_a AS DOUBLE) * CAST(n AS DOUBLE)
+               / CAST(n_a AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS swr_u,
+           CAST(sum(CAST(round(CAST(m_a AS DOUBLE) * CAST(n AS DOUBLE)
+               / CAST(n_a AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS sw_u,
+           CAST(sum(CAST(round(CAST(m_a AS DOUBLE) * CAST(n AS DOUBLE)
+               * CAST(n AS DOUBLE) / (CAST(n_a AS DOUBLE)
+               * CAST(n_a AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS sw2_u
+    FROM per_a CROSS JOIN tot
+)
+SELECT n,
+       round(1e-9 + CAST(swr_u AS DOUBLE) / 1e6
+             / CAST(n AS DOUBLE) / 100.0, 6) AS v_ips,
+       round(1e-9 + CAST(swr_u AS DOUBLE) / CAST(sw_u AS DOUBLE)
+             / 100.0, 6) AS v_snips,
+       round(1e-9 + CAST(sw_u AS DOUBLE) * CAST(sw_u AS DOUBLE)
+             / CAST(sw2_u AS DOUBLE) / 1e6, 4) AS ess
+FROM folded"""
+
+
 _KW_TERM = (
     "CAST(round(CAST(two_r AS DOUBLE) * two_r * 1000000.0"
     " / (4.0 * n_g * n * (n + 1.0))) AS BIGINT)"
@@ -3041,6 +3276,163 @@ FROM numw CROSS JOIN den CROSS JOIN tot"""
     )
 
 
+_GI_Z = (
+    "(CAST(g_i AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"
+    " * CAST(w_i AS DOUBLE))"
+    " / (sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+    " - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))"
+    " * sqrt((CAST(n AS DOUBLE) * CAST(w_i AS DOUBLE)"
+    " - CAST(w_i AS DOUBLE) * CAST(w_i AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) - 1.0)))"
+)
+
+
+def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis–Ord Gi* hot-spot z-scores over the corridor backbone — the
+    PER-NODE companion to q_morans_i's global autocorrelation (WHERE is
+    demand clustered, not just whether): for every backbone zone, the
+    self-inclusive neighborhood demand sum against its expectation
+    under spatial randomness, z-scored with the standard Gi* variance.
+
+    Exactness: per-node inputs are exact BIGINT (neighborhood sum g_i,
+    weight count w_i = deg+1) beside the global integer moments (n, Σx,
+    Σx²); z evaluates ONE shared textual double formula over those five
+    integers (engine-identical trees), rounded before the hot verdict
+    compares |z| > 1.96.  Degenerate guards (a node adjacent to every
+    node, zero variance) return NULL in BOTH engines.  Shape: two
+    corpus-grain aggregations; all else ≤80-row backbone metadata."""
+    from .plans import nyc_views, staging
+
+    li = staging.stg_taxi_trips(
+        nyc_views.trips_from_events(load_tables(spark, sf_dir)["events"])
+    )
+    cnt = (
+        li.select(
+            F.least("pickup_zone_id", "dropoff_zone_id").alias("a"),
+            F.greatest("pickup_zone_id", "dropoff_zone_id").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    und = (
+        cnt.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(40)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    both = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    nodes = both.select(F.col("a").alias("zone")).distinct()
+    x = li.groupBy(F.col("pickup_zone_id").alias("zone")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    nx = nodes.join(x, "zone", "left").select(
+        "zone", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    ).localCheckpoint()
+    tot = nx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    nbr_sum = (
+        both.join(
+            F.broadcast(nx.select(F.col("zone").alias("b"), "x")), "b"
+        )
+        .groupBy(F.col("a").alias("zone"))
+        .agg(
+            F.sum("x").cast("long").alias("nbr_x"),
+            F.count(F.lit(1)).cast("long").alias("deg"),
+        )
+    )
+    per = (
+        nx.join(nbr_sum, "zone")
+        .select(
+            "zone",
+            "x",
+            (F.col("nbr_x") + F.col("x")).cast("long").alias("g_i"),
+            (F.col("deg") + 1).cast("long").alias("w_i"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    z = F.when(
+        (F.col("n") > F.col("w_i"))
+        & (F.col("s2") * F.col("n") > F.col("s1") * F.col("s1")),
+        _rnd(F.expr(_GI_Z), 6),
+    )
+    return per.select(
+        F.col("zone").cast("long").alias("zone"),
+        "x",
+        "w_i",
+        "g_i",
+        z.alias("z_score"),
+        F.when(z.isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.abs(z) > 1.96)
+        .alias("hot"),
+    )
+
+
+def _sql_getis_ord() -> str:
+    from .plans.nyc_views import SQL_TRIPS
+    from .plans.staging import SQL_STG_TRIPS
+
+    return (
+        "WITH "
+        + SQL_TRIPS.strip().rstrip(",")
+        + ",\n"
+        + SQL_STG_TRIPS.strip().rstrip(",")
+        + f""",
+cnt AS MATERIALIZED (
+    SELECT least(pickup_zone_id, dropoff_zone_id) AS a,
+           greatest(pickup_zone_id, dropoff_zone_id) AS b,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM stg_trips WHERE pickup_zone_id <> dropoff_zone_id
+    GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+    SELECT a, b FROM cnt ORDER BY cnt DESC, a ASC, b ASC LIMIT 40
+),
+both_e AS MATERIALIZED (
+    SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+),
+nodes AS MATERIALIZED (SELECT DISTINCT a AS zone FROM both_e),
+xz AS MATERIALIZED (
+    SELECT pickup_zone_id AS zone, CAST(count(*) AS BIGINT) AS x
+    FROM stg_trips GROUP BY 1
+),
+nx AS MATERIALIZED (
+    SELECT nodes.zone, CAST(COALESCE(xz.x, 0) AS BIGINT) AS x
+    FROM nodes LEFT JOIN xz ON xz.zone = nodes.zone
+),
+tot AS MATERIALIZED (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s1,
+           CAST(sum(x * x) AS BIGINT) AS s2
+    FROM nx
+),
+nbr AS MATERIALIZED (
+    SELECT e.a AS zone, CAST(sum(nx.x) AS BIGINT) AS nbr_x,
+           CAST(count(*) AS BIGINT) AS deg
+    FROM both_e e JOIN nx ON nx.zone = e.b
+    GROUP BY 1
+),
+per AS (
+    SELECT nx.zone, nx.x,
+           CAST(nbr.nbr_x + nx.x AS BIGINT) AS g_i,
+           CAST(nbr.deg + 1 AS BIGINT) AS w_i,
+           tot.n, tot.s1, tot.s2
+    FROM nx JOIN nbr ON nbr.zone = nx.zone CROSS JOIN tot
+)
+SELECT CAST(zone AS BIGINT) AS zone, x, w_i, g_i,
+       CASE WHEN n > w_i AND s2 * n > s1 * s1
+            THEN round(1e-9 + {_GI_Z}, 6) END AS z_score,
+       CASE WHEN n > w_i AND s2 * n > s1 * s1
+            THEN abs(round(1e-9 + {_GI_Z}, 6)) > 1.96 END AS hot
+FROM per"""
+    )
+
+
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction on the top-300 corridor backbone — which zone
     pairs have NO direct corridor but look like they should (service
@@ -3640,6 +4032,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_morans_i": q_morans_i,
     "q_link_prediction": q_link_prediction,
     "q_permutation_test": q_permutation_test,
+    "q_diff_in_diff": q_diff_in_diff,
+    "q_getis_ord": q_getis_ord,
+    "q_ips_eval": q_ips_eval,
     "q_kendall_tau": q_kendall_tau,
     "q_theil_sen": q_theil_sen,
     "q_fk_audit": q_fk_audit,
@@ -3671,6 +4066,9 @@ ORACLES: dict[str, str] = {
     "q_morans_i": _sql_morans_i(),
     "q_link_prediction": _sql_link_prediction(),
     "q_permutation_test": _sql_permutation_test(),
+    "q_diff_in_diff": _sql_diff_in_diff(),
+    "q_getis_ord": _sql_getis_ord(),
+    "q_ips_eval": _sql_ips_eval(),
     "q_kendall_tau": _sql_kendall_tau(),
     "q_theil_sen": _SQL_THEIL_SEN,
     "q_fk_audit": _sql_fk_audit(),

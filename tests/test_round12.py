@@ -422,3 +422,100 @@ def test_stream_histogram_equals_batch_bins(spark, sf_dir):
         assert (g.n_rows, g.n_bins, g.p50_bin, g.p50_lo_u) == (
             n, len(bc), p50, p50 * 50 - 2000,
         )
+
+
+def test_diff_in_diff_matches_literal(spark, sf_dir):
+    from nyc_taxi_data_warehouse_spark import queries_eval as qe
+    from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+
+    got = qe.q_diff_in_diff(spark, sf_dir).collect()[0]
+    rows = load_tables(spark, sf_dir)["events"].select(
+        "event_type", "ts", "value"
+    ).collect()
+    cells = {}
+    for r in rows:
+        if r.value is None or r.ts is None:
+            continue
+        if r.event_type not in ("purchase", "view"):
+            continue
+        key = (r.event_type == "purchase", r.ts.day > 15)
+        n, s = cells.get(key, (0, 0))
+        cells[key] = (n + 1, s + round(r.value * 100))
+    m = {k: s / n for k, (n, s) in cells.items()}
+    did = (m[(True, True)] - m[(True, False)]) - (
+        m[(False, True)] - m[(False, False)]
+    )
+    assert (got.n_tpre, got.n_tpost) == (
+        cells[(True, False)][0], cells[(True, True)][0],
+    )
+    assert abs(got.mean_t_post - m[(True, True)] / 100) < 1e-5
+    assert abs(got.did_estimate - did / 100) < 1e-5
+
+
+def test_ips_eval_matches_literal(spark, sf_dir):
+    """IPS/SNIPS/ESS must match the literal per-row importance-weighted
+    replay (the per-action fold is algebraically identical)."""
+    from collections import Counter
+
+    from nyc_taxi_data_warehouse_spark import queries_eval as qe
+    from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+
+    got = qe.q_ips_eval(spark, sf_dir).collect()[0]
+    rows = [
+        r
+        for r in load_tables(spark, sf_dir)["events"]
+        .select("event_type", "user_id", "value")
+        .collect()
+        if r.value is not None
+        and r.user_id is not None
+        and r.event_type is not None
+    ]
+    n = len(rows)
+    n_a = Counter(r.event_type for r in rows)
+    sw = swr = sw2 = 0.0
+    for r in rows:
+        pi = "purchase" if r.user_id % 2 == 0 else "click"
+        if r.event_type != pi:
+            continue
+        w = n / n_a[r.event_type]
+        sw += w
+        swr += w * round(r.value * 100)
+        sw2 += w * w
+    assert got.n == n
+    # the engine quantizes per-ACTION folds; per-row float replay agrees
+    # to well inside the 1e-6-unit lattice at this scale
+    assert abs(got.v_ips - swr / n / 100) < 1e-4
+    assert abs(got.v_snips - swr / sw / 100) < 1e-4
+    assert abs(got.ess - sw * sw / sw2) < 1e-2
+
+
+def test_getis_ord_matches_literal(spark, sf_dir):
+    import math
+
+    from nyc_taxi_data_warehouse_spark import queries_eval as qe
+
+    got = {r.zone: r for r in qe.q_getis_ord(spark, sf_dir).collect()}
+    und, pick = _backbone(spark, sf_dir, 40)
+    both = und + [(b, a) for a, b in und]
+    nodes = sorted({a for a, _ in both})
+    n = len(nodes)
+    x = {z: pick.get(z, 0) for z in nodes}
+    s1 = sum(x.values())
+    s2 = sum(v * v for v in x.values())
+    assert set(got) == set(nodes)
+    for z in nodes:
+        nbr = [b for a, b in both if a == z]
+        g_i = sum(x[b] for b in nbr) + x[z]
+        w_i = len(nbr) + 1
+        r = got[z]
+        assert (r.x, r.w_i, r.g_i) == (x[z], w_i, g_i)
+        if n > w_i and s2 * n > s1 * s1:
+            xbar = s1 / n
+            sdev = math.sqrt(s2 / n - xbar * xbar)
+            zval = (g_i - xbar * w_i) / (
+                sdev * math.sqrt((n * w_i - w_i * w_i) / (n - 1))
+            )
+            assert abs(r.z_score - zval) < 1e-5
+            assert r.hot == (abs(r.z_score) > 1.96)
+        else:
+            assert r.z_score is None and r.hot is None
