@@ -50,22 +50,29 @@ def test_flagship_freshness_policy_slots():
 
 
 def test_never_driver_checked_entries_lead_the_window():
-    # The 14 round-11 additions without any driver-issued CORRECTNESS row
-    # must occupy the head of the round-11 window (first-evidence >
-    # stale-refresh), followed by the q_weather_hourly flagship slot
-    # (latest row r6) and the 40 stalest round-5 entries.
+    # The 12 round-12 additions without any driver-issued CORRECTNESS row
+    # must occupy the head of the round-12 window (first-evidence >
+    # stale-refresh), followed by the 10 remaining round-5-stale entries,
+    # the five flagships (due r12 per the ≤2-rounds policy), and the 23
+    # stalest round-6 entries.
     never = [
-        "q_incremental_neardup", "q_ann_index_persist",
-        "q_ann_index_append", "q_stream_ingest_dedup", "q_cdc_apply",
-        "q_anova_f", "q_concurrency", "q_rake_keywords",
-        "q_clustering_depth", "q_window_funnel", "q_label_propagation",
-        "q_cluster_split", "q_schema_evolution", "q_stream_mg_topk",
+        "q_neardup_store_roundtrip", "q_store_time_travel",
+        "q_welch_ttest", "q_permutation_test", "q_diff_in_diff",
+        "q_ips_eval", "q_morans_i", "q_getis_ord", "q_link_prediction",
+        "q_item_cf", "q_pii_scan", "q_stream_histogram",
     ]
     assert entry._CHECK_FIRST[: len(never)] == never
-    assert entry._CHECK_FIRST[len(never)] == "q_weather_hourly"
-    # the 50-slot window is spent entirely on first-evidence + stale
-    # entries; the five (r10-fresh) flagships sit just past it
-    assert entry._CHECK_FIRST[50:55] == [
+    r5_stale = [
+        "q_sparse_cosine", "q_split_assign", "q_srp_lsh",
+        "q_srp_near_pairs", "q_star_join", "q_text_quality",
+        "q_token_count", "q_topk_per_group", "q_weighted_sample",
+        "q_winsorize",
+    ]
+    assert entry._CHECK_FIRST[len(never):len(never) + 10] == r5_stale
+    # flagships take slots 23-27 INSIDE the window this round (r10 rows
+    # are due per the ≤2-rounds policy)
+    assert entry._CHECK_FIRST[22:27] == [
         "q_enrich", "q_trips_weather", "q_daily",
         "q_zone_analysis", "q_fare_daily_features",
     ]
+    assert len(entry._CHECK_FIRST) == 50
