@@ -1140,6 +1140,237 @@ SELECT n,
 FROM folded"""
 
 
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on PAIRED binary outcomes — did the same users'
+    conversion state change across the mid-month boundary?  Each user is
+    their own control (the within-subject companion to q_diff_in_diff's
+    cohort contrast): per user, 'converted pre' / 'converted post' flags
+    (any purchase in the half), then the 2×2 concordance table; only the
+    DISCORDANT cells carry signal — χ² = (b−c)²/(b+c), z = (b−c)/√(b+c),
+    two-sided A&S normal tail on the rounded z.
+
+    Exactness: one user-grain aggregation (two conditional max flags),
+    one 4-cell count — everything BIGINT until the single z division;
+    b+c = 0 (no discordant users) yields NULL χ²/p in BOTH engines."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.dayofmonth("ts") <= 15),
+                1,
+            ).otherwise(0)
+        ).alias("pre"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.dayofmonth("ts") > 15),
+                1,
+            ).otherwise(0)
+        ).alias("post"),
+    )
+    one = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when((F.col("pre") == 1) & (F.col("post") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("both_halves"),
+        F.sum(F.when((F.col("pre") == 1) & (F.col("post") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("pre_only"),
+        F.sum(F.when((F.col("pre") == 0) & (F.col("post") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("post_only"),
+        F.sum(F.when((F.col("pre") == 0) & (F.col("post") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("neither"),
+    )
+    z_raw = (
+        "(CAST(pre_only AS DOUBLE) - CAST(post_only AS DOUBLE))"
+        " / sqrt(CAST(pre_only + post_only AS DOUBLE))"
+    )
+    stat = one.select(
+        "n_users",
+        "both_halves",
+        "pre_only",
+        "post_only",
+        "neither",
+        F.when(
+            F.col("pre_only") + F.col("post_only") > 0, _rnd(F.expr(z_raw), 6)
+        ).alias("z"),
+    )
+    return stat.select(
+        "n_users",
+        "both_halves",
+        "pre_only",
+        "post_only",
+        "neither",
+        _rnd(F.col("z") * F.col("z"), 6).alias("chi2"),
+        F.when(
+            F.col("z").isNotNull(), _rnd(F.expr(p2_formula("z")), 6)
+        ).alias("p_value"),
+    )
+
+
+def _sql_mcnemar() -> str:
+    z_raw = (
+        "(CAST(pre_only AS DOUBLE) - CAST(post_only AS DOUBLE))"
+        " / sqrt(CAST(pre_only + post_only AS DOUBLE))"
+    )
+    return f"""
+WITH per_user AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase'
+                     AND date_part('day', ts) <= 15 THEN 1 ELSE 0 END) AS pre,
+           max(CASE WHEN event_type = 'purchase'
+                     AND date_part('day', ts) > 15 THEN 1 ELSE 0 END) AS post
+    FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY 1
+),
+one AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS both_halves,
+           CAST(sum(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS pre_only,
+           CAST(sum(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS post_only,
+           CAST(sum(CASE WHEN pre = 0 AND post = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS neither
+    FROM per_user
+),
+stat AS (
+    SELECT n_users, both_halves, pre_only, post_only, neither,
+           CASE WHEN pre_only + post_only > 0
+                THEN round(1e-9 + {z_raw}, 6) END AS z
+    FROM one
+)
+SELECT n_users, both_halves, pre_only, post_only, neither,
+       round(1e-9 + z * z, 6) AS chi2,
+       CASE WHEN z IS NOT NULL
+            THEN round(1e-9 + {p2_formula("z")}, 6) END AS p_value
+FROM stat"""
+
+
+_WSR_Z = (
+    "(CAST(w2 AS DOUBLE) / 2.0"
+    " - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)"
+    " / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)"
+    " * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0"
+    " - CAST(tsum AS DOUBLE) / 48.0)"
+)
+
+
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on the PAIRED daily view/click count
+    series — the nonparametric within-pair test completing the family
+    (Mann–Whitney = independent groups, McNemar = paired binary, this =
+    paired ordinal/continuous): per day d = n_view − n_click, zeros
+    drop, |d| gets midranks, W⁺ sums the positive days' ranks,
+    normal-approximation z with the standard tie correction.
+
+    Exactness: midranks come from the |d|-value CDF as the DOUBLED
+    integer 2·cle − c + 1 (the q_mannwhitney identity — no row is ever
+    ranked), so W2 = 2·W⁺ and the tie term Σ(t³−t) are exact BIGINT;
+    z evaluates one shared textual double formula over (w2, n, tsum),
+    rounded before the A&S tail.  The cumulative window runs over the
+    CALENDAR-bounded distinct-|d| frame (≤731 days bounds it at any
+    corpus size — the q_kendall_tau grain)."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("ts").isNotNull() & F.col("event_type").isin("view", "click")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("nv"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("nc"),
+    )
+    d = daily.select((F.col("nv") - F.col("nc")).alias("d")).where(
+        F.col("d") != 0
+    )
+    g = d.groupBy(F.abs(F.col("d")).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c_pos"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.withColumn("cle", F.sum("c").over(w).cast("long"))
+    one = cum.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(
+            F.col("c_pos") * (2 * F.col("cle") - F.col("c") + 1)
+        )
+        .cast("long")
+        .alias("w2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tsum"),
+    )
+    stat = one.select(
+        "n",
+        "w2",
+        "tsum",
+        F.when(F.col("n") > 0, _rnd(F.expr(_WSR_Z), 6)).alias("z"),
+    )
+    return stat.select(
+        F.col("n").alias("n_pairs"),
+        F.col("w2").alias("w_plus_doubled"),
+        F.col("tsum").alias("tie_term"),
+        F.col("z").alias("z_score"),
+        F.when(
+            F.col("z").isNotNull(), _rnd(F.expr(p2_formula("z")), 6)
+        ).alias("p_value"),
+    )
+
+
+def _sql_wilcoxon_signed_rank() -> str:
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS nv,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS nc
+    FROM events
+    WHERE ts IS NOT NULL AND event_type IN ('view', 'click')
+    GROUP BY 1
+),
+d AS (SELECT nv - nc AS d FROM daily WHERE nv - nc <> 0),
+g AS (
+    SELECT abs(d) AS v, CAST(count(*) AS BIGINT) AS c,
+           CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_pos
+    FROM d GROUP BY 1
+),
+cum AS (
+    SELECT v, c, c_pos,
+           CAST(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cle
+    FROM g
+),
+one AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n,
+           CAST(sum(c_pos * (2 * cle - c + 1)) AS BIGINT) AS w2,
+           CAST(sum(c * c * c - c) AS BIGINT) AS tsum
+    FROM cum
+),
+stat AS (
+    SELECT n, w2, tsum,
+           CASE WHEN n > 0 THEN round(1e-9 + {_WSR_Z}, 6) END AS z
+    FROM one
+)
+SELECT n AS n_pairs, w2 AS w_plus_doubled, tsum AS tie_term,
+       z AS z_score,
+       CASE WHEN z IS NOT NULL
+            THEN round(1e-9 + {p2_formula("z")}, 6) END AS p_value
+FROM stat"""
+
+
 _KW_TERM = (
     "CAST(round(CAST(two_r AS DOUBLE) * two_r * 1000000.0"
     " / (4.0 * n_g * n * (n + 1.0))) AS BIGINT)"
@@ -4034,6 +4265,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_permutation_test": q_permutation_test,
     "q_diff_in_diff": q_diff_in_diff,
     "q_getis_ord": q_getis_ord,
+    "q_mcnemar": q_mcnemar,
+    "q_wilcoxon_signed_rank": q_wilcoxon_signed_rank,
     "q_ips_eval": q_ips_eval,
     "q_kendall_tau": q_kendall_tau,
     "q_theil_sen": q_theil_sen,
@@ -4068,6 +4301,8 @@ ORACLES: dict[str, str] = {
     "q_permutation_test": _sql_permutation_test(),
     "q_diff_in_diff": _sql_diff_in_diff(),
     "q_getis_ord": _sql_getis_ord(),
+    "q_mcnemar": _sql_mcnemar(),
+    "q_wilcoxon_signed_rank": _sql_wilcoxon_signed_rank(),
     "q_ips_eval": _sql_ips_eval(),
     "q_kendall_tau": _sql_kendall_tau(),
     "q_theil_sen": _SQL_THEIL_SEN,

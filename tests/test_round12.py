@@ -519,3 +519,78 @@ def test_getis_ord_matches_literal(spark, sf_dir):
             assert r.hot == (abs(r.z_score) > 1.96)
         else:
             assert r.z_score is None and r.hot is None
+
+
+def test_mcnemar_matches_literal(spark, sf_dir):
+    import math
+
+    from nyc_taxi_data_warehouse_spark import queries_eval as qe
+    from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+
+    got = qe.q_mcnemar(spark, sf_dir).collect()[0]
+    rows = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    per = {}
+    for r in rows:
+        if r.ts is None or r.user_id is None:
+            continue
+        pre, post = per.get(r.user_id, (0, 0))
+        if r.event_type == "purchase":
+            if r.ts.day <= 15:
+                pre = 1
+            else:
+                post = 1
+        per[r.user_id] = (pre, post)
+    b = sum(1 for p, q in per.values() if p == 1 and q == 0)
+    c = sum(1 for p, q in per.values() if p == 0 and q == 1)
+    assert got.n_users == len(per)
+    assert (got.pre_only, got.post_only) == (b, c)
+    if b + c:
+        z = (b - c) / math.sqrt(b + c)
+        assert abs(got.chi2 - z * z) < 1e-4
+    else:
+        assert got.chi2 is None and got.p_value is None
+
+
+def test_wilcoxon_matches_literal_midranks(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from nyc_taxi_data_warehouse_spark import queries_eval as qe
+    from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+
+    got = qe.q_wilcoxon_signed_rank(spark, sf_dir).collect()[0]
+    rows = load_tables(spark, sf_dir)["events"].select(
+        "ts", "event_type"
+    ).collect()
+    daily = Counter()
+    for r in rows:
+        if r.ts is None or r.event_type not in ("view", "click"):
+            continue
+        daily[(r.ts.date(), r.event_type)] += 1
+    days = {d for d, _ in daily}
+    ds = [
+        daily.get((d, "view"), 0) - daily.get((d, "click"), 0) for d in days
+    ]
+    ds = [x for x in ds if x != 0]
+    n = len(ds)
+    # literal midranks over |d| (average of the occupied rank positions)
+    order = sorted(abs(x) for x in ds)
+    rank_of = {}
+    i = 0
+    while i < len(order):
+        j = i
+        while j < len(order) and order[j] == order[i]:
+            j += 1
+        rank_of[order[i]] = (i + 1 + j) / 2  # mean of ranks i+1..j
+        i = j
+    w_plus = sum(rank_of[abs(x)] for x in ds if x > 0)
+    t = Counter(abs(x) for x in ds)
+    tsum = sum(c * c * c - c for c in t.values())
+    assert got.n_pairs == n
+    assert got.w_plus_doubled == int(round(2 * w_plus))
+    assert got.tie_term == tsum
+    var = n * (n + 1) * (2 * n + 1) / 24 - tsum / 48
+    z = (w_plus - n * (n + 1) / 4) / math.sqrt(var)
+    assert abs(got.z_score - z) < 1e-5

@@ -1919,6 +1919,244 @@ def main() -> None:
         "ann_index_append": (lambda m: _ann_store_at(m, True), _ann_append),
     }
 
+    # round-12 wave probes: the stats quartet is one corpus aggregation
+    # each (welch/did/ips single-pass conditional cells; permutation pays
+    # 32 md5s/row but still one pass); the spatial/graph trio aggregates
+    # the corpus to a domain-bounded backbone then works on metadata;
+    # item-CF's pair join is bounded by the item domain per user; the
+    # PII scan is a map-side regex pass; the store lifecycle probes pay
+    # their commits by design (the ingest bill), while time travel reads
+    # a prebuilt store (mk is untimed).
+    def _welch(d):
+        base = d.where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("purchase", "view")
+        ).select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("x"),
+        )
+        return base.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("x").cast("long").alias("s_g"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("q_g"),
+        )
+
+    def _did(d):
+        d = d.withColumn("ts", F.col("ts").cast("timestamp"))
+        base = d.where(
+            F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isin("purchase", "view")
+        ).select(
+            (F.col("event_type") == "purchase").alias("treated"),
+            (F.dayofmonth("ts") > 15).alias("post"),
+            F.round(F.col("value") * 100).cast("long").alias("y"),
+        )
+        return base.groupBy("treated", "post").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("s"),
+        )
+
+    def _ips(d):
+        base = d.where(
+            F.col("value").isNotNull() & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        ).select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("r"),
+            F.when(F.col("user_id") % 2 == 0, "purchase")
+            .otherwise("click").alias("pi_a"),
+        )
+        return base.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_a"),
+            F.sum(
+                F.when(F.col("event_type") == F.col("pi_a"), 1).otherwise(0)
+            ).cast("long").alias("m_a"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == F.col("pi_a"), F.col("r")
+                ).otherwise(0)
+            ).cast("long").alias("sr_a"),
+        )
+
+    def _perm(d):
+        base = d.where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("purchase", "view")
+            & F.col("event_id").isNotNull()
+        ).select(
+            (F.col("event_type") == "purchase").alias("is_a"),
+            F.round(F.col("value") * 100).cast("long").alias("x"),
+            "event_id",
+        )
+        aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+        for r in range(32):
+            b = (
+                f"CAST(conv(substr(md5(CAST(event_id AS STRING) ||"
+                f" '#perm{r}'), 1, 15), 16, 10) AS BIGINT) % 1000000"
+            )
+            aggs.append(
+                F.sum(F.expr(f"CASE WHEN {b} < 500000 THEN x ELSE 0 END"))
+                .cast("long").alias(f"sa{r}")
+            )
+        return base.agg(*aggs)
+
+    def _pseudo_backbone(d, k):
+        pz = d.select(
+            (F.col("user_id") % 64).alias("za"),
+            (F.col("event_id") % 64).alias("zb"),
+        ).where(F.col("za") != F.col("zb"))
+        cnt = pz.select(
+            F.least("za", "zb").alias("a"), F.greatest("za", "zb").alias("b")
+        ).groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        und = cnt.orderBy(F.desc("cnt"), "a", "b").limit(k).select("a", "b")
+        return und.unionByName(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).localCheckpoint()
+
+    def _morans(d):
+        both = _pseudo_backbone(d, 40)
+        nodes = both.select(F.col("a").alias("zone")).distinct()
+        x = d.groupBy((F.col("user_id") % 64).alias("zone")).agg(
+            F.count(F.lit(1)).cast("long").alias("x")
+        )
+        nx = nodes.join(x, "zone", "left").select(
+            "zone", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+        )
+        tot = nx.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("s"),
+        )
+        dev = nx.crossJoin(F.broadcast(tot)).select(
+            "zone", (F.col("n") * F.col("x") - F.col("s")).alias("d")
+        ).localCheckpoint()
+        da = dev.select(F.col("zone").alias("a"), F.col("d").alias("da"))
+        db = dev.select(F.col("zone").alias("b"), F.col("d").alias("db"))
+        return both.join(da, "a").join(db, "b").agg(
+            F.sum(F.col("da") * F.col("db")).alias("num"),
+            F.count(F.lit(1)).alias("w"),
+        )
+
+    def _linkpred(d):
+        both = _pseudo_backbone(d, 300)
+        deg = both.groupBy(F.col("a").alias("zone")).agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
+        e1 = both.select(F.col("a").alias("i"), F.col("b").alias("k"))
+        e2 = both.select(F.col("a").alias("j"), F.col("b").alias("k"))
+        degk = deg.select(F.col("zone").alias("k"), F.col("deg").alias("dk"))
+        return (
+            e1.join(e2, "k").where(F.col("i") < F.col("j"))
+            .join(F.broadcast(degk), "k")
+            .groupBy("i", "j")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("cn"),
+                F.sum(
+                    F.round(
+                        F.lit(1e6) / F.log(F.col("dk").cast("double"))
+                    ).cast("long")
+                ).alias("aa"),
+            )
+            .orderBy(F.desc("aa"), "i", "j").limit(20)
+        )
+
+    def _itemcf(d):
+        inter = d.where(
+            F.col("user_id").isNotNull() & (F.col("event_id") % 53 != 0)
+        ).select(
+            F.col("user_id").alias("u"),
+            ((F.col("user_id") * 17 + F.col("event_id")) % 40 + 1)
+            .cast("long").alias("item"),
+        ).distinct()
+        i1 = inter.select("u", F.col("item").alias("i"))
+        i2 = inter.select("u", F.col("item").alias("j"))
+        return (
+            i1.join(i2, "u").where(F.col("i") < F.col("j"))
+            .groupBy("i", "j")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_ij"))
+        )
+
+    def _pii(d):
+        from nyc_taxi_data_warehouse_spark.queries_data import (
+            _PII_EMAIL, _PII_PHONE, _PII_SSN,
+        )
+
+        red = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.col("text"), F.lit(_PII_EMAIL), F.lit("[EMAIL]")
+                ),
+                F.lit(_PII_SSN), F.lit("[SSN]"),
+            ),
+            F.lit(_PII_PHONE), F.lit("[PHONE]"),
+        )
+        return d.select(
+            "doc_id",
+            F.regexp_count("text", F.lit(_PII_EMAIL)).cast("long").alias("e"),
+            F.md5(red).alias("h"),
+        )
+
+    _STORE_SEQ = [0]
+
+    def _store_roundtrip(d):
+        import os as _o
+
+        from nyc_taxi_data_warehouse_spark.util import session_tmpdir
+
+        _STORE_SEQ[0] += 1
+        p = _o.path.join(
+            session_tmpdir("probe_store_rt"), f"s{_STORE_SEQ[0]}"
+        )
+        g1 = d.where(F.col("doc_id") % 3 == 1)
+        g2 = d.where(F.col("doc_id") % 3 == 2)
+        g3 = d.where(F.col("doc_id") % 3 == 0)
+        dedup.neardup_store_ingest(spark, p, g1)
+        r2, _ = dedup.neardup_store_ingest(spark, p, g2)
+        r3, _ = dedup.neardup_store_ingest(spark, p, g3)
+        return r2.unionByName(r3)
+
+    def _mk_tt_store(m):
+        import os as _o
+
+        from nyc_taxi_data_warehouse_spark.util import session_tmpdir
+
+        p = _o.path.join(session_tmpdir("probe_tt_store"), f"m{m}")
+        import shutil
+
+        shutil.rmtree(p, ignore_errors=True)
+        d = _docs_at(spark, sf_dir, m)
+        dedup.neardup_store_ingest(spark, p, d.where(F.col("doc_id") % 3 == 1))
+        dedup.neardup_store_ingest(spark, p, d.where(F.col("doc_id") % 3 == 2))
+        return p
+
+    def _tt_read(p):
+        from nyc_taxi_data_warehouse_spark.sources.manifest import (
+            ManifestTable,
+        )
+
+        tbl = ManifestTable(p)
+        v0 = tbl.read(spark, version=0).select("doc_id", "content_hash")
+        v1 = tbl.read(spark, version=1).select("doc_id", "content_hash")
+        delta = v1.join(v0.select("doc_id"), "doc_id", "left_anti")
+        return v0.withColumn("fv", F.lit(0)).unionByName(
+            delta.withColumn("fv", F.lit(1))
+        )
+
+    tenth_ops = {
+        "welch_ttest": (lambda m: _events_at(spark, sf_dir, m), _welch),
+        "diff_in_diff": (lambda m: _events_at(spark, sf_dir, m), _did),
+        "ips_eval": (lambda m: _events_at(spark, sf_dir, m), _ips),
+        "permutation_test": (lambda m: _events_at(spark, sf_dir, m), _perm),
+        "morans_i": (lambda m: _events_at(spark, sf_dir, m), _morans),
+        "link_prediction": (lambda m: _events_at(spark, sf_dir, m), _linkpred),
+        "item_cf": (lambda m: _events_at(spark, sf_dir, m), _itemcf),
+        "pii_scan": (lambda m: _docs_at(spark, sf_dir, m), _pii),
+        "neardup_store_roundtrip": (
+            lambda m: _docs_at(spark, sf_dir, m), _store_roundtrip,
+        ),
+        "store_time_travel": (_mk_tt_store, _tt_read),
+    }
+
     all_ops = {n: (lambda m: _docs_at(spark, sf_dir, m), op) for n, op in ops.items()}
     all_ops.update(meta_ops)
     all_ops.update(events_ops)
@@ -1929,6 +2167,7 @@ def main() -> None:
     all_ops.update(seventh_ops)
     all_ops.update(eighth_ops)
     all_ops.update(ninth_ops)
+    all_ops.update(tenth_ops)
     args = sys.argv[2:]
     mults = (1, 4, 8)
     shuffle_scale = False

@@ -285,6 +285,43 @@ def probe_stream_mg(spark, sf_dir: str, mult: int):
     return _drain(spark, mg_topk_stream(stream, k=16), "update")
 
 
+def probe_stream_histogram(spark, sf_dir: str, mult: int):
+    """Streaming fixed-ruler histogram at mult× feed: replicas displace
+    40 days (the temporal-growth rule), so DAYS grow with volume while
+    state stays days × ≤ruler bins — per-day state is constant, total
+    state grows only with the time axis, never the feed density."""
+    w = nyc_views.weather_from_events(
+        nyc_views.load_tables(spark, sf_dir)["events"]
+    ).select("obs_id", "observed_at", "temp_f")
+    w = _grow(w, mult, "obs_id", "observed_at")
+    src = stream_feed(
+        w, f"svp_hist_{mult}", f"{sf_dir}#{mult}", n_files=4 * mult
+    )
+    stream = (
+        spark.readStream.schema(
+            "obs_id bigint, observed_at timestamp, temp_f double"
+        )
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+    )
+    regs = (
+        stream.withWatermark("observed_at", "2 hours")
+        .where(
+            F.col("observed_at").isNotNull() & F.col("temp_f").isNotNull()
+        )
+        .select(
+            F.window("observed_at", "1 day").alias("win"),
+            F.expr(
+                "CAST((CAST(floor(temp_f * 10 + 0.5) AS BIGINT) + 2000)"
+                " div 50 AS BIGINT)"
+            ).alias("bin"),
+        )
+        .groupBy("win", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return _drain(spark, regs, "complete")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     mults = [int(x) for x in sys.argv[2:]] or [1, 8]
@@ -297,6 +334,7 @@ def main() -> None:
         ("stream_hll", probe_stream_hll),
         ("stream_ingest_dedup", probe_stream_ingest),
         ("stream_mg_topk", probe_stream_mg),
+        ("stream_histogram", probe_stream_histogram),
     )
     for name, fn in probes:
         if only and name not in only:
