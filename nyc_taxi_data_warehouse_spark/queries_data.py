@@ -1529,6 +1529,89 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_STREAM_SINK_SEQ = [0]
+
+
+def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 × CDC: the STREAMING upsert view — the 17th streaming query,
+    `merge.apply_changelog` lifted to a live Debezium-style consumer.
+    The keyed change log replays through the file source; the streaming
+    aggregate keeps per key ONE struct `max(struct(ts, event_id,
+    is_delete, value))` — lexicographic struct max IS highest-LSN-wins,
+    so the state is exactly one current-winner row per key, the
+    aggregate is re-delivery-INSENSITIVE (a duplicate op can never beat
+    the max), and no dedup state exists at all.  The batch tail unpacks
+    the drained winners and drops tombstones; the oracle is the batch
+    log-compaction recompute — stream ≡ batch because max is
+    order-insensitive.  At cluster scale the sink runs update-mode into
+    a MERGE upsert; the memory sink here uses complete for the drain."""
+    from .util import stream_feed
+
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "error").alias("is_delete"),
+        "value",
+    )
+    src = stream_feed(log, "cdc_log_feed", sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, event_id bigint,"
+            " is_delete boolean, value double"
+        )
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.max(
+            F.struct("ts", "event_id", "is_delete", "value")
+        ).alias("w")
+    )
+    _CDC_STREAM_SINK_SEQ[0] += 1
+    name = f"q_stream_cdc_sink_{_CDC_STREAM_SINK_SEQ[0]}"
+    with stream_state_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drained = q.awaitTermination(300)
+    q.stop()
+    if not drained:
+        raise RuntimeError(
+            "q_stream_cdc: availableNow drain timed out after 300s — "
+            "refusing to compare a partial sink against the oracle"
+        )
+    sink = spark.table(name)
+    return sink.where(~F.col("w.is_delete")).select(
+        "user_id",
+        F.col("w.ts").alias("last_ts"),
+        F.col("w.value").alias("last_value"),
+    )
+
+
+_SQL_STREAM_CDC = """
+WITH log AS (
+    SELECT user_id, ts, event_id, event_type = 'error' AS is_delete, value
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+ranked AS (
+    SELECT user_id, ts, value, is_delete,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM log
+)
+SELECT user_id, ts AS last_ts, value AS last_value
+FROM ranked WHERE rn = 1 AND NOT is_delete"""
+
+
 _SQL_CDC_APPLY = """
 WITH log AS (
     SELECT user_id, ts, event_id, event_type = 'error' AS is_delete, value
@@ -12390,6 +12473,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_neardup_store_roundtrip": q_neardup_store_roundtrip,
     "q_store_time_travel": q_store_time_travel,
     "q_pii_scan": q_pii_scan,
+    "q_stream_cdc": q_stream_cdc,
     "q_stream_ingest_dedup": q_stream_ingest_dedup,
     "q_rake_keywords": q_rake_keywords,
     "q_cluster_split": q_cluster_split,
@@ -12567,6 +12651,7 @@ ORACLES: dict[str, str] = {
     "q_neardup_store_roundtrip": _sql_neardup_store_roundtrip(),
     "q_store_time_travel": _sql_store_time_travel(),
     "q_pii_scan": _SQL_PII_SCAN,
+    "q_stream_cdc": _SQL_STREAM_CDC,
     "q_stream_ingest_dedup": _SQL_STREAM_INGEST_DEDUP,
     "q_rake_keywords": _SQL_RAKE_KEYWORDS,
     "q_cluster_split": _SQL_CLUSTER_SPLIT,

@@ -594,3 +594,35 @@ def test_wilcoxon_matches_literal_midranks(spark, sf_dir):
     var = n * (n + 1) * (2 * n + 1) / 24 - tsum / 48
     z = (w_plus - n * (n + 1) / 4) / math.sqrt(var)
     assert abs(got.z_score - z) < 1e-5
+
+
+def test_stream_cdc_equals_batch_compaction(spark, sf_dir):
+    """The streaming max-struct upsert view must equal the batch
+    apply_changelog compaction exactly (max is order-insensitive, so
+    stream ≡ batch for ANY micro-batch slicing)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_warehouse_spark import queries_data as qd
+    from nyc_taxi_data_warehouse_spark.operators.merge import apply_changelog
+    from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+
+    got = {
+        r.user_id: (r.last_ts, r.last_value)
+        for r in qd.q_stream_cdc(spark, sf_dir).collect()
+    }
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    log = ev.select(
+        "user_id", "ts", "event_id",
+        (F.col("event_type") == "error").alias("is_delete"), "value",
+    )
+    exp = {
+        r.user_id: (r.ts, r.value)
+        for r in apply_changelog(
+            log, key=["user_id"], order_by=["ts", "event_id"],
+            delete_col="is_delete",
+        ).collect()
+    }
+    assert got == exp

@@ -322,6 +322,44 @@ def probe_stream_histogram(spark, sf_dir: str, mult: int):
     return _drain(spark, regs, "complete")
 
 
+def probe_stream_cdc(spark, sf_dir: str, mult: int):
+    """Streaming CDC upsert view at mult× log volume: replicas shift
+    user ids (content growth — the KEY universe grows with the log), so
+    state grows with keys × 1 struct, never with ops per key."""
+    ev = nyc_views.load_tables(spark, sf_dir)["events"].where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    log = ev.select(
+        "user_id", "ts", "event_id",
+        (F.col("event_type") == "error").alias("is_delete"), "value",
+    )
+    if mult > 1:
+        log = log.select(
+            F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep"),
+            *log.columns,
+        ).select(
+            (F.col("user_id") * mult + F.col("rep")).alias("user_id"),
+            "ts",
+            (F.col("event_id") * mult + F.col("rep")).alias("event_id"),
+            "is_delete", "value",
+        )
+    src = stream_feed(
+        log, f"svp_cdc_{mult}", f"{sf_dir}#{mult}", n_files=4 * mult
+    )
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, event_id bigint,"
+            " is_delete boolean, value double"
+        )
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "is_delete", "value")).alias("w")
+    )
+    return _drain(spark, agg, "complete")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     mults = [int(x) for x in sys.argv[2:]] or [1, 8]
@@ -335,6 +373,7 @@ def main() -> None:
         ("stream_ingest_dedup", probe_stream_ingest),
         ("stream_mg_topk", probe_stream_mg),
         ("stream_histogram", probe_stream_histogram),
+        ("stream_cdc", probe_stream_cdc),
     )
     for name, fn in probes:
         if only and name not in only:
