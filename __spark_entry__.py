@@ -31,23 +31,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries per round.  Rotate the window each round so evidence stays
 # fresh.  Round-12 window (per the round-11 VERDICT item 2 + the
 # standing priority first-evidence > stale-refresh > green tail):
-#   * slots 1-15: the 15 round-12 additions (the persisted signature-
+#   * slots 1-20: the 20 round-12 additions (the persisted signature-
 #     store roundtrip + its time-travel read, Welch t, the permutation
 #     test, diff-in-diff, IPS off-policy eval, Moran's I, Getis-Ord
 #     hot spots, link prediction, item-item CF, the PII scan, the
-#     streaming histogram, McNemar, Wilcoxon signed-rank, and the
-#     streaming CDC upsert view) — none has ever had a driver-issued
-#     row;
-#   * slots 16-25: the 10 remaining round-5-stale entries (head of the
+#     streaming histogram, McNemar, Wilcoxon signed-rank, the streaming
+#     CDC upsert view, rendezvous consistent hashing, the feature-hash
+#     collision audit, the GDPR subject-access export, time-decayed
+#     engagement, and LPA modularity) — none has ever had a
+#     driver-issued row;
+#   * slots 21-30: the 10 remaining round-5-stale entries (head of the
 #     old _CHECK_LAST — the last of the r5 evidence tail, VERDICT item
 #     2 names them);
-#   * slots 26-30: the five reference-surface flagships (q_enrich,
+#   * slots 31-35: the five reference-surface flagships (q_enrich,
 #     q_trips_weather, q_daily, q_zone_analysis, q_fare_daily_features)
 #     — all gated r10, due r12 per the ≤2-rounds freshness policy;
-#   * slots 31-50: the 20 stalest round-6 entries (q_antijoin ..
-#     q_lag_ma, in the old _CHECK_LAST's stalest-first order;
-#     q_lm_score/q_merge_dedup/q_multimodal_features return to the
-#     _CHECK_LAST head for round 13).
+#   * slots 36-50: the 15 stalest round-6 entries (q_antijoin ..
+#     q_ivfpq_multiprobe, in the old _CHECK_LAST's stalest-first order;
+#     q_ivfpq_recall .. q_multimodal_features return to the _CHECK_LAST
+#     head for round 13).
 # After this round the oldest driver evidence anywhere is round 6.
 # _CHECK_LAST stays ordered stalest-first (round-13 rebuilds its window
 # from the head: the remaining r6 entries lead); the round-11 window
@@ -59,7 +61,9 @@ _CHECK_FIRST = [
     "q_permutation_test", "q_diff_in_diff", "q_ips_eval", "q_morans_i",
     "q_getis_ord", "q_link_prediction", "q_item_cf", "q_pii_scan",
     "q_stream_histogram", "q_mcnemar", "q_wilcoxon_signed_rank",
-    "q_stream_cdc", "q_sparse_cosine", "q_split_assign", "q_srp_lsh",
+    "q_stream_cdc", "q_consistent_hash", "q_feature_hash_audit",
+    "q_gdpr_export", "q_time_decay", "q_graph_modularity",
+    "q_sparse_cosine", "q_split_assign", "q_srp_lsh",
     "q_srp_near_pairs", "q_star_join", "q_text_quality", "q_token_count",
     "q_topk_per_group", "q_weighted_sample", "q_winsorize", "q_enrich",
     "q_trips_weather", "q_daily", "q_zone_analysis", "q_fare_daily_features",
@@ -67,11 +71,11 @@ _CHECK_FIRST = [
     "q_dedup_exact", "q_dup_rate_by_source", "q_edit_distance",
     "q_epoch_shuffle", "q_eval_metrics", "q_feature_binning",
     "q_forecast_eval", "q_frame_sample", "q_global_index", "q_interval_join",
-    "q_ivfpq_multiprobe", "q_ivfpq_recall", "q_ivfpq_search",
-    "q_json_extract", "q_kmeans_cells", "q_lag_ma",
+    "q_ivfpq_multiprobe",
 ]
 _CHECK_LAST = [
-    "q_lm_score", "q_merge_dedup", "q_multimodal_features", "q_percentiles", "q_pivot", "q_precip_day", "q_profile_columns",
+    "q_ivfpq_recall", "q_ivfpq_search", "q_json_extract", "q_kmeans_cells",
+    "q_lag_ma", "q_lm_score", "q_merge_dedup", "q_multimodal_features", "q_percentiles", "q_pivot", "q_precip_day", "q_profile_columns",
     "q_psi_drift", "q_quality_model", "q_rollup", "q_sample_hash",
     "q_sample_stratified", "q_scd2_check", "q_scd2_timestamp", "q_stg_trips",
     "q_stg_weather", "q_stream_dedup", "q_surrogate_key", "q_text_scrub",

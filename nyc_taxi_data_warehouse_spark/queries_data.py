@@ -598,6 +598,306 @@ FROM rep2 WHERE decision = 'new'"""
     )
 
 
+_RDV_SHARDS = 8  # rendezvous baseline shard count (resize probes S+1)
+
+
+def _rdv_hash_sql(key_expr: str, s: int) -> str:
+    """Engine-portable 60-bit rendezvous weight for (key, shard s) —
+    DuckDB spelling; the Spark twin uses conv()."""
+    return (
+        f"CAST(('0x' || substr(md5({key_expr} || '#shard{s}'), 1, 15))"
+        " AS BIGINT)"
+    )
+
+
+def q_consistent_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment + the
+    minimal-movement resize audit — the data-placement primitive behind
+    consistent ingestion, shard-local caches, and sticky routing: each
+    doc goes to the shard with the highest md5(key, shard) weight, and
+    growing the ring S → S+1 moves EXACTLY the docs whose new shard's
+    weight wins — an expected 1/(S+1) of the corpus, with no other doc
+    moving (the property modulo-hashing lacks: `hash % S` reshuffles
+    ~everything).  Output: per shard under the grown ring, population
+    before/after and how many docs moved IN — balance and movement in
+    one readout.
+
+    Shape: ZERO shuffles before the ≤S+1-group count — assignment is a
+    map-side expression (S+1 md5s per row, all whole-stage codegen);
+    ties are impossible (distinct md5 inputs)."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    key = "CAST(doc_id AS STRING)"
+    hs = [
+        F.expr(
+            f"CAST(conv(substr(md5({key} || '#shard{s}'), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        ).alias(f"h{s}")
+        for s in range(_RDV_SHARDS + 1)
+    ]
+    w = d.select(*hs)
+
+    def shard_col(n: int):
+        m = F.greatest(*[F.col(f"h{s}") for s in range(n)])
+        c = F.when(F.col("h0") == m, 0)
+        for s in range(1, n):
+            c = c.when(F.col(f"h{s}") == m, s)
+        return c.cast("long")
+
+    a = w.select(
+        shard_col(_RDV_SHARDS).alias("s8"),
+        shard_col(_RDV_SHARDS + 1).alias("s9"),
+    )
+    return (
+        a.groupBy(F.col("s9").alias("shard"))
+        .agg(
+            F.sum(F.when(F.col("s8") == F.col("s9"), 1).otherwise(0))
+            .cast("long")
+            .alias("stayed"),
+            F.sum(F.when(F.col("s8") != F.col("s9"), 1).otherwise(0))
+            .cast("long")
+            .alias("moved_in"),
+            F.count(F.lit(1)).cast("long").alias("n_after"),
+        )
+        .select("shard", "stayed", "moved_in", "n_after")
+    )
+
+
+def _sql_consistent_hash() -> str:
+    key = "CAST(doc_id AS VARCHAR)"
+    hs = ",\n           ".join(
+        f"{_rdv_hash_sql(key, s)} AS h{s}" for s in range(_RDV_SHARDS + 1)
+    )
+
+    def shard_expr(n: int) -> str:
+        m = "greatest(" + ", ".join(f"h{s}" for s in range(n)) + ")"
+        whens = " ".join(
+            f"WHEN h{s} = {m} THEN {s}" for s in range(n)
+        )
+        return f"CAST(CASE {whens} END AS BIGINT)"
+
+    return f"""
+WITH w AS (
+    SELECT {hs}
+    FROM documents
+),
+a AS (
+    SELECT {shard_expr(_RDV_SHARDS)} AS s8,
+           {shard_expr(_RDV_SHARDS + 1)} AS s9
+    FROM w
+)
+SELECT s9 AS shard,
+       CAST(sum(CASE WHEN s8 = s9 THEN 1 ELSE 0 END) AS BIGINT) AS stayed,
+       CAST(sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT) AS moved_in,
+       CAST(count(*) AS BIGINT) AS n_after
+FROM a GROUP BY 1"""
+
+
+def q_feature_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) collision audit — before
+    hash-bucketing a vocabulary into 2^k model slots, measure what the
+    trick destroys: distinct corpus tokens hash into 4096 buckets
+    (md5-derived, engine-portable), and the report gives feature count,
+    buckets used, colliding buckets, features sharing a slot, the worst
+    bucket load, and the collision rate.  ONE distinct-token
+    aggregation then bucket-grain work; the output is a 1-row summary
+    on exact integers (rate = one division, rounded)."""
+    from .functions import text as T
+
+    d = _docs(spark, sf_dir)
+    toks = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    b = toks.select(
+        F.expr(
+            "pmod(CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT),"
+            " 4096)"
+        ).alias("bucket")
+    ).groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return b.agg(
+        F.sum("c").cast("long").alias("n_features"),
+        F.count(F.lit(1)).cast("long").alias("buckets_used"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("collision_buckets"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("collided_features"),
+        F.max("c").cast("long").alias("max_bucket_load"),
+    ).select(
+        "n_features",
+        "buckets_used",
+        "collision_buckets",
+        "collided_features",
+        "max_bucket_load",
+        _rnd(
+            F.col("collided_features").cast("double")
+            / F.col("n_features").cast("double"),
+            6,
+        ).alias("collision_rate"),
+    )
+
+
+_SQL_FEATURE_HASH_AUDIT = """
+WITH toks AS (
+    SELECT DISTINCT unnest(list_filter(
+        string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+    FROM documents
+),
+b AS (
+    SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 4096
+               AS bucket,
+           CAST(count(*) AS BIGINT) AS c
+    FROM toks GROUP BY 1
+),
+one AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n_features,
+           CAST(count(*) AS BIGINT) AS buckets_used,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS collision_buckets,
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS collided_features,
+           CAST(max(c) AS BIGINT) AS max_bucket_load
+    FROM b
+)
+SELECT n_features, buckets_used, collision_buckets, collided_features,
+       max_bucket_load,
+       round(1e-9 + CAST(collided_features AS DOUBLE)
+             / CAST(n_features AS DOUBLE), 6) AS collision_rate
+FROM one"""
+
+
+def q_gdpr_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subject-access export scope (GDPR Art. 15 — the READ twin of
+    `q_rtbf_plan`'s deletion pricing): for every data subject in the
+    request cohort (c_custkey % 97 == 7), how many rows each table of
+    the star holds about them and the subject's order-date span — the
+    per-table manifest a compliance export job materializes.  Customer
+    rows match on the key, orders on the FK, lineitems through the
+    order FK (one broadcast of the subject keys + one broadcast of the
+    subject ORDER keys — the fact scan never shuffles).  Output one row
+    per (subject, table), zero-row tables included with n_rows = 0 so
+    the export manifest is complete."""
+    t = load_tables(spark, sf_dir)
+    subj = (
+        t["customer"]
+        .where(F.col("c_custkey") % 97 == 7)
+        .select(F.col("c_custkey").alias("subject_key"))
+    )
+    cust = (
+        t["customer"]
+        .join(
+            F.broadcast(subj),
+            F.col("c_custkey") == F.col("subject_key"),
+        )
+        .groupBy("subject_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(
+            "subject_key",
+            F.lit("customer").alias("table_name"),
+            "n_rows",
+            F.lit(None).cast("date").alias("first_date"),
+            F.lit(None).cast("date").alias("last_date"),
+        )
+    )
+    so = t["orders"].join(
+        F.broadcast(subj), F.col("o_custkey") == F.col("subject_key")
+    )
+    orders = so.groupBy("subject_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min(F.to_date("o_orderdate")).alias("first_date"),
+        F.max(F.to_date("o_orderdate")).alias("last_date"),
+    ).select(
+        "subject_key",
+        F.lit("orders").alias("table_name"),
+        "n_rows",
+        "first_date",
+        "last_date",
+    )
+    okeys = so.select("subject_key", "o_orderkey")
+    li = (
+        t["lineitem"]
+        .join(
+            F.broadcast(okeys),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("subject_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(F.to_date("l_shipdate")).alias("first_date"),
+            F.max(F.to_date("l_shipdate")).alias("last_date"),
+        )
+        .select(
+            "subject_key",
+            F.lit("lineitem").alias("table_name"),
+            "n_rows",
+            "first_date",
+            "last_date",
+        )
+    )
+    found = cust.unionByName(orders).unionByName(li)
+    # complete manifest: every (subject, table) pair, 0 where no rows
+    tables = spark.createDataFrame(
+        [("customer",), ("orders",), ("lineitem",)], "table_name string"
+    )
+    frame = subj.crossJoin(F.broadcast(tables))
+    return frame.join(found, ["subject_key", "table_name"], "left").select(
+        "subject_key",
+        "table_name",
+        F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+        "first_date",
+        "last_date",
+    )
+
+
+_SQL_GDPR_EXPORT = """
+WITH subj AS (
+    SELECT c_custkey AS subject_key FROM customer WHERE c_custkey % 97 = 7
+),
+cust AS (
+    SELECT subject_key, 'customer' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(NULL AS DATE) AS first_date, CAST(NULL AS DATE) AS last_date
+    FROM customer JOIN subj ON c_custkey = subject_key
+    GROUP BY 1
+),
+ords AS (
+    SELECT subject_key, 'orders' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_orderdate) AS DATE) AS first_date,
+           CAST(max(o_orderdate) AS DATE) AS last_date
+    FROM orders JOIN subj ON o_custkey = subject_key
+    GROUP BY 1
+),
+li AS (
+    SELECT s.subject_key, 'lineitem' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l.l_shipdate) AS DATE) AS first_date,
+           CAST(max(l.l_shipdate) AS DATE) AS last_date
+    FROM lineitem l
+    JOIN (SELECT subject_key, o_orderkey FROM orders
+          JOIN subj ON o_custkey = subject_key) s
+      ON l.l_orderkey = s.o_orderkey
+    GROUP BY 1
+),
+found AS (
+    SELECT * FROM cust UNION ALL SELECT * FROM ords UNION ALL SELECT * FROM li
+),
+frame AS (
+    SELECT subject_key, t.table_name
+    FROM subj CROSS JOIN (
+        SELECT unnest(['customer', 'orders', 'lineitem']) AS table_name
+    ) t
+)
+SELECT f.subject_key, f.table_name,
+       CAST(COALESCE(fd.n_rows, 0) AS BIGINT) AS n_rows,
+       fd.first_date, fd.last_date
+FROM frame f
+LEFT JOIN found fd
+  ON fd.subject_key = f.subject_key AND fd.table_name = f.table_name"""
+
+
 _RAKE_STOPWORDS = ("a", "the")
 
 
@@ -12474,6 +12774,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_store_time_travel": q_store_time_travel,
     "q_pii_scan": q_pii_scan,
     "q_stream_cdc": q_stream_cdc,
+    "q_consistent_hash": q_consistent_hash,
+    "q_feature_hash_audit": q_feature_hash_audit,
+    "q_gdpr_export": q_gdpr_export,
     "q_stream_ingest_dedup": q_stream_ingest_dedup,
     "q_rake_keywords": q_rake_keywords,
     "q_cluster_split": q_cluster_split,
@@ -12652,6 +12955,9 @@ ORACLES: dict[str, str] = {
     "q_store_time_travel": _sql_store_time_travel(),
     "q_pii_scan": _SQL_PII_SCAN,
     "q_stream_cdc": _SQL_STREAM_CDC,
+    "q_consistent_hash": _sql_consistent_hash(),
+    "q_feature_hash_audit": _SQL_FEATURE_HASH_AUDIT,
+    "q_gdpr_export": _SQL_GDPR_EXPORT,
     "q_stream_ingest_dedup": _SQL_STREAM_INGEST_DEDUP,
     "q_rake_keywords": _SQL_RAKE_KEYWORDS,
     "q_cluster_split": _SQL_CLUSTER_SPLIT,

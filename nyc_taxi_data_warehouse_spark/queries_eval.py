@@ -1371,6 +1371,237 @@ SELECT n AS n_pairs, w2 AS w_plus_doubled, tsum AS tie_term,
 FROM stat"""
 
 
+def q_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score — the recency-aware
+    leaderboard every activity ranking actually wants (a click today
+    beats ten clicks last month): each event contributes 2^(−age_days)
+    of weight, implemented EXACTLY as the integer 2^(40−age) on a
+    2^-40-denominated lattice (the dyadic-EWMA idiom: α = 1/2 keeps
+    every weight a power of two, so the score is an exact BIGINT sum —
+    no float ever enters the ranking), events older than 40 days
+    contribute 0 (they are < 1 lattice unit).  Top-20 users by (score,
+    id).  Bound: 2^40 per event ⇒ int64 holds ~8.3M same-day events per
+    user; beyond that drop to a 2^-20 lattice.  ONE corpus aggregation;
+    the reference date is a 1-row broadcast (never a driver action)."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    ref = ev.agg(F.max(F.to_date("ts")).alias("__ref"))
+    scored = ev.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.datediff(F.col("__ref"), F.to_date("ts")).alias("age"),
+    )
+    per_user = scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("age") <= 40,
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(40 - age AS INT))"
+                ),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("score_u"),
+    )
+    return (
+        per_user.orderBy(F.desc("score_u"), F.asc("user_id"))
+        .limit(20)
+        .select(
+            "user_id",
+            "n_events",
+            "score_u",
+            _rnd(F.col("score_u").cast("double") / F.lit(float(2**40)), 6)
+            .alias("score"),
+        )
+    )
+
+
+_SQL_TIME_DECAY = f"""
+WITH ev AS (
+    SELECT user_id, CAST(ts AS DATE) AS day
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+ref AS (SELECT max(day) AS r FROM ev),
+per_user AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN date_diff('day', day, r) <= 40
+                         THEN CAST(1 AS BIGINT)
+                              << (40 - date_diff('day', day, r))
+                         ELSE 0 END) AS BIGINT) AS score_u
+    FROM ev CROSS JOIN ref
+    GROUP BY 1
+)
+SELECT user_id, n_events, score_u,
+       round(1e-9 + CAST(score_u AS DOUBLE) / {float(2**40)!r}, 6) AS score
+FROM per_user
+ORDER BY score_u DESC, user_id ASC
+LIMIT 20"""
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity of the LPA communities — the quality score that says
+    whether `q_label_propagation`'s partition actually beats random
+    wiring (Q > 0: denser inside communities than a degree-preserving
+    null model): per community c, Q_c = e_c/m − (d_c/2m)², Q = Σ Q_c
+    over the same top-40 corridor backbone and 4-round deterministic
+    LPA.
+
+    Exactness: e_c (internal undirected edges), d_c (degree sum), m
+    (undirected edge count) are exact BIGINT; each community's Q term
+    is quantized to 1e-9 nano-units (per-row IEEE doubles are
+    engine-identical; SUMS across communities must be integer — the
+    kruskal idiom), so the total Q rides every row as an exact BIGINT.
+    Everything after the corridor aggregation is backbone metadata."""
+    from .plans import nyc_views, staging
+
+    li = staging.stg_taxi_trips(
+        nyc_views.trips_from_events(load_tables(spark, sf_dir)["events"])
+    )
+    cnt = (
+        li.select(
+            F.least("pickup_zone_id", "dropoff_zone_id").alias("a"),
+            F.greatest("pickup_zone_id", "dropoff_zone_id").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    und = (
+        cnt.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(40)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    both = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = graph.label_propagation(both, rounds=4, src="a", dst="b")
+    la = labels.select(F.col("node").alias("a"), F.col("lab").alias("lab_a"))
+    lb = labels.select(F.col("node").alias("b"), F.col("lab").alias("lab_b"))
+    m = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    e_in = (
+        und.join(F.broadcast(la), "a")
+        .join(F.broadcast(lb), "b")
+        .where(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    d_sum = (
+        both.join(F.broadcast(la), "a")
+        .groupBy(F.col("lab_a").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d_sum"))
+    )
+    nn = labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    per = (
+        nn.join(d_sum, "community")
+        .join(e_in, "community", "left")
+        .select(
+            F.col("community").cast("long").alias("community"),
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0)).cast("long").alias("e_in"),
+            "d_sum",
+        )
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "q_nano",
+            F.expr(
+                "CAST(round((CAST(e_in AS DOUBLE) / CAST(m AS DOUBLE)"
+                " - (CAST(d_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))"
+                " * (CAST(d_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))))"
+                " * 1000000000.0) AS BIGINT)"
+            ),
+        )
+    )
+    tot = per.agg(F.sum("q_nano").cast("long").alias("q_total_nano"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "community", "n_nodes", "e_in", "d_sum", "q_nano", "q_total_nano"
+    )
+
+
+def _sql_graph_modularity() -> str:
+    from .plans.nyc_views import SQL_TRIPS
+    from .plans.staging import SQL_STG_TRIPS
+
+    base = (
+        "WITH "
+        + SQL_TRIPS.strip().rstrip(",")
+        + ",\n"
+        + SQL_STG_TRIPS.strip().rstrip(",")
+        + """,
+cnt AS MATERIALIZED (
+    SELECT least(pickup_zone_id, dropoff_zone_id) AS a,
+           greatest(pickup_zone_id, dropoff_zone_id) AS b,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM stg_trips WHERE pickup_zone_id <> dropoff_zone_id
+    GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+    SELECT a, b FROM cnt ORDER BY cnt DESC, a ASC, b ASC LIMIT 40
+),
+both_e AS MATERIALIZED (
+    SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+),
+l0 AS MATERIALIZED (
+    SELECT DISTINCT a AS node, a AS lab FROM both_e
+)"""
+    )
+    rounds = []
+    prev = "l0"
+    for i in range(1, 5):
+        rounds.append(f""",
+c{i} AS MATERIALIZED (
+    SELECT e.a AS node, l.lab, CAST(count(*) AS BIGINT) AS c
+    FROM both_e e JOIN {prev} l ON l.node = e.b
+    GROUP BY 1, 2
+),
+l{i} AS MATERIALIZED (
+    SELECT node, lab FROM (
+        SELECT node, lab, row_number() OVER (
+            PARTITION BY node ORDER BY c DESC, lab ASC) AS rn
+        FROM c{i}) WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    return base + "".join(rounds) + f""",
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+e_in AS MATERIALIZED (
+    SELECT la.lab AS community, CAST(count(*) AS BIGINT) AS e_in
+    FROM und u
+    JOIN {prev} la ON la.node = u.a
+    JOIN {prev} lb ON lb.node = u.b
+    WHERE la.lab = lb.lab
+    GROUP BY 1
+),
+d_sum AS MATERIALIZED (
+    SELECT la.lab AS community, CAST(count(*) AS BIGINT) AS d_sum
+    FROM both_e e JOIN {prev} la ON la.node = e.a
+    GROUP BY 1
+),
+nn AS MATERIALIZED (
+    SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM {prev} GROUP BY 1
+),
+per AS (
+    SELECT CAST(nn.community AS BIGINT) AS community, nn.n_nodes,
+           CAST(COALESCE(e_in.e_in, 0) AS BIGINT) AS e_in, d_sum.d_sum,
+           CAST(round((CAST(COALESCE(e_in.e_in, 0) AS DOUBLE)
+                       / CAST(m.m AS DOUBLE)
+                - (CAST(d_sum.d_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+                * (CAST(d_sum.d_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))))
+               * 1000000000.0) AS BIGINT) AS q_nano
+    FROM nn
+    JOIN d_sum ON d_sum.community = nn.community
+    LEFT JOIN e_in ON e_in.community = nn.community
+    CROSS JOIN m
+)
+SELECT community, n_nodes, e_in, d_sum, q_nano,
+       (SELECT CAST(sum(q_nano) AS BIGINT) FROM per) AS q_total_nano
+FROM per"""
+
+
 _KW_TERM = (
     "CAST(round(CAST(two_r AS DOUBLE) * two_r * 1000000.0"
     " / (4.0 * n_g * n * (n + 1.0))) AS BIGINT)"
@@ -4267,6 +4498,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_getis_ord": q_getis_ord,
     "q_mcnemar": q_mcnemar,
     "q_wilcoxon_signed_rank": q_wilcoxon_signed_rank,
+    "q_time_decay": q_time_decay,
+    "q_graph_modularity": q_graph_modularity,
     "q_ips_eval": q_ips_eval,
     "q_kendall_tau": q_kendall_tau,
     "q_theil_sen": q_theil_sen,
@@ -4303,6 +4536,8 @@ ORACLES: dict[str, str] = {
     "q_getis_ord": _sql_getis_ord(),
     "q_mcnemar": _sql_mcnemar(),
     "q_wilcoxon_signed_rank": _sql_wilcoxon_signed_rank(),
+    "q_time_decay": _SQL_TIME_DECAY,
+    "q_graph_modularity": _sql_graph_modularity(),
     "q_ips_eval": _sql_ips_eval(),
     "q_kendall_tau": _sql_kendall_tau(),
     "q_theil_sen": _SQL_THEIL_SEN,

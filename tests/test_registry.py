@@ -50,10 +50,10 @@ def test_flagship_freshness_policy_slots():
 
 
 def test_never_driver_checked_entries_lead_the_window():
-    # The 15 round-12 additions without any driver-issued CORRECTNESS row
+    # The 20 round-12 additions without any driver-issued CORRECTNESS row
     # must occupy the head of the round-12 window (first-evidence >
     # stale-refresh), followed by the 10 remaining round-5-stale entries,
-    # the five flagships (due r12 per the ≤2-rounds policy), and the 20
+    # the five flagships (due r12 per the ≤2-rounds policy), and the 15
     # stalest round-6 entries.
     never = [
         "q_neardup_store_roundtrip", "q_store_time_travel",
@@ -61,6 +61,8 @@ def test_never_driver_checked_entries_lead_the_window():
         "q_ips_eval", "q_morans_i", "q_getis_ord", "q_link_prediction",
         "q_item_cf", "q_pii_scan", "q_stream_histogram", "q_mcnemar",
         "q_wilcoxon_signed_rank", "q_stream_cdc",
+        "q_consistent_hash", "q_feature_hash_audit", "q_gdpr_export",
+        "q_time_decay", "q_graph_modularity",
     ]
     assert entry._CHECK_FIRST[: len(never)] == never
     r5_stale = [
@@ -70,9 +72,9 @@ def test_never_driver_checked_entries_lead_the_window():
         "q_winsorize",
     ]
     assert entry._CHECK_FIRST[len(never):len(never) + 10] == r5_stale
-    # flagships take slots 26-30 INSIDE the window this round (r10 rows
+    # flagships take slots 31-35 INSIDE the window this round (r10 rows
     # are due per the ≤2-rounds policy)
-    assert entry._CHECK_FIRST[25:30] == [
+    assert entry._CHECK_FIRST[30:35] == [
         "q_enrich", "q_trips_weather", "q_daily",
         "q_zone_analysis", "q_fare_daily_features",
     ]

@@ -626,3 +626,167 @@ def test_stream_cdc_equals_batch_compaction(spark, sf_dir):
         ).collect()
     }
     assert got == exp
+
+
+# --- late-wave literal pins ----------------------------------------------------
+
+def test_consistent_hash_minimal_movement(spark, sf_dir):
+    """Rendezvous resize S -> S+1: EVERY moved doc moves to the NEW
+    shard (existing weights are unchanged, so a doc moves iff the new
+    shard's weight wins) — moved_in must be 0 for shards 0..7 — and the
+    per-shard counts must match a literal md5-argmax replay."""
+    import hashlib
+
+    from nyc_taxi_data_warehouse_spark import queries_data as qd
+    from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+
+    got = {r.shard: r for r in qd.q_consistent_hash(spark, sf_dir).collect()}
+    ids = [
+        r.doc_id
+        for r in load_tables(spark, sf_dir)["documents"]
+        .select("doc_id")
+        .collect()
+    ]
+
+    def h(doc_id, s):
+        return int(
+            hashlib.md5(f"{doc_id}#shard{s}".encode()).hexdigest()[:15], 16
+        )
+
+    from collections import Counter
+
+    stayed, moved, n_after = Counter(), Counter(), Counter()
+    for i in ids:
+        hs = [h(i, s) for s in range(9)]
+        s8 = max(range(8), key=lambda s: hs[s])
+        s9 = max(range(9), key=lambda s: hs[s])
+        n_after[s9] += 1
+        (stayed if s8 == s9 else moved)[s9] += 1
+    assert set(got) == set(n_after)
+    for s, r in got.items():
+        assert (r.stayed, r.moved_in, r.n_after) == (
+            stayed[s], moved[s], n_after[s],
+        )
+        if s != 8:
+            assert r.moved_in == 0  # minimal movement: only the new shard
+    assert got[8].n_after == got[8].moved_in  # everything on 8 is new
+
+
+def test_feature_hash_audit_matches_literal(spark, sf_dir):
+    import hashlib
+    from collections import Counter
+
+    from nyc_taxi_data_warehouse_spark import queries_data as qd
+    from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+
+    got = qd.q_feature_hash_audit(spark, sf_dir).collect()[0]
+    toks = set()
+    for r in load_tables(spark, sf_dir)["documents"].select("text").collect():
+        toks.update(t for t in r.text.split() if t)
+    bc = Counter(
+        int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 4096
+        for t in toks
+    )
+    collided = sum(c for c in bc.values() if c > 1)
+    assert got.n_features == len(toks)
+    assert got.buckets_used == len(bc)
+    assert got.collision_buckets == sum(1 for c in bc.values() if c > 1)
+    assert got.collided_features == collided
+    assert got.max_bucket_load == max(bc.values())
+
+
+def test_time_decay_matches_literal(spark, sf_dir):
+    from collections import Counter
+
+    from nyc_taxi_data_warehouse_spark import queries_eval as qe
+    from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+
+    got = qe.q_time_decay(spark, sf_dir).collect()
+    rows = [
+        r
+        for r in load_tables(spark, sf_dir)["events"]
+        .select("user_id", "ts")
+        .collect()
+        if r.ts is not None and r.user_id is not None
+    ]
+    ref = max(r.ts.date() for r in rows)
+    score, nev = Counter(), Counter()
+    for r in rows:
+        age = (ref - r.ts.date()).days
+        nev[r.user_id] += 1
+        if age <= 40:
+            score[r.user_id] += 1 << (40 - age)
+    exp = sorted(nev, key=lambda u: (-score[u], u))[:20]
+    assert [r.user_id for r in got] == exp
+    for r in got:
+        assert (r.n_events, r.score_u) == (nev[r.user_id], score[r.user_id])
+
+
+def test_graph_modularity_matches_literal(spark, sf_dir):
+    from collections import Counter
+
+    from nyc_taxi_data_warehouse_spark import queries_eval as qe
+
+    got = {r.community: r for r in qe.q_graph_modularity(spark, sf_dir).collect()}
+    und, _ = _backbone(spark, sf_dir, 40)
+    both = und + [(b, a) for a, b in und]
+    lab = _lpa_literal(both, 4)
+    m = len(und)
+    e_in = Counter()
+    for a, b in und:
+        if lab[a] == lab[b]:
+            e_in[lab[a]] += 1
+    d_sum = Counter()
+    for a, _b in both:
+        d_sum[lab[a]] += 1
+    nn = Counter(lab.values())
+    assert set(got) == set(nn)
+    q_total = 0
+    for c in nn:
+        term = e_in[c] / m - (d_sum[c] / (2 * m)) ** 2
+        q_nano = int(round(term * 1e9))
+        r = got[c]
+        assert (r.n_nodes, r.e_in, r.d_sum, r.q_nano) == (
+            nn[c], e_in[c], d_sum[c], q_nano,
+        )
+        q_total += q_nano
+    assert all(r.q_total_nano == q_total for r in got.values())
+    # modularity is bounded in [-1/2, 1]; its SIGN is the finding the
+    # query reports (the tiny sf0.001 backbone legitimately lands near
+    # zero), so assert the bound, not a direction
+    assert -500_000_000 <= q_total <= 1_000_000_000
+
+
+def test_gdpr_export_matches_literal(spark, sf_dir):
+    from collections import Counter
+
+    from nyc_taxi_data_warehouse_spark import queries_data as qd
+    from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+
+    got = {
+        (r.subject_key, r.table_name): r
+        for r in qd.q_gdpr_export(spark, sf_dir).collect()
+    }
+    t = load_tables(spark, sf_dir)
+    subs = {
+        r.c_custkey
+        for r in t["customer"].select("c_custkey").collect()
+        if r.c_custkey % 97 == 7
+    }
+    orders = [
+        (r.o_custkey, r.o_orderkey)
+        for r in t["orders"].select("o_custkey", "o_orderkey").collect()
+        if r.o_custkey in subs
+    ]
+    okey_to_sub = {ok: ck for ck, ok in orders}
+    o_cnt = Counter(ck for ck, _ in orders)
+    li_cnt = Counter(
+        okey_to_sub[r.l_orderkey]
+        for r in t["lineitem"].select("l_orderkey").collect()
+        if r.l_orderkey in okey_to_sub
+    )
+    assert len(got) == 3 * len(subs)
+    for s in subs:
+        assert got[(s, "customer")].n_rows == 1
+        assert got[(s, "orders")].n_rows == o_cnt.get(s, 0)
+        assert got[(s, "lineitem")].n_rows == li_cnt.get(s, 0)

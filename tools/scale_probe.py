@@ -2157,6 +2157,117 @@ def main() -> None:
         "store_time_travel": (_mk_tt_store, _tt_read),
     }
 
+    # round-12 late wave: consistent hashing and the PII/feature-hash
+    # scans are map-side passes; time decay is one user-grain agg;
+    # modularity adds backbone-metadata joins after the corridor agg;
+    # gdpr grows the FACT side only (subjects/orders fixed) — the two
+    # broadcast key sets mean the grown scan never shuffles.
+    def _rdv(d):
+        key = "CAST(doc_id AS STRING)"
+        hs = [
+            F.expr(
+                f"CAST(conv(substr(md5({key} || '#shard{s}'), 1, 15),"
+                " 16, 10) AS BIGINT)"
+            ).alias(f"h{s}")
+            for s in range(9)
+        ]
+        w = d.select(*hs)
+
+        def sc(n):
+            m9 = F.greatest(*[F.col(f"h{s}") for s in range(n)])
+            c = F.when(F.col("h0") == m9, 0)
+            for s in range(1, n):
+                c = c.when(F.col(f"h{s}") == m9, s)
+            return c.cast("long")
+
+        return (
+            w.select(sc(8).alias("s8"), sc(9).alias("s9"))
+            .groupBy("s9")
+            .agg(
+                F.sum(F.when(F.col("s8") != F.col("s9"), 1).otherwise(0))
+                .alias("moved"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    def _fhash(d):
+        toks = d.select(
+            F.explode(T.tokens(F.col("text"))).alias("tok")
+        ).distinct()
+        return toks.select(
+            F.expr(
+                "pmod(CAST(conv(substr(md5(tok), 1, 15), 16, 10)"
+                " AS BIGINT), 4096)"
+            ).alias("b")
+        ).groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+
+    def _tdecay(d):
+        d = d.withColumn("ts", F.col("ts").cast("timestamp"))
+        ev = d.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        ref = ev.agg(F.max(F.to_date("ts")).alias("__ref"))
+        return (
+            ev.crossJoin(F.broadcast(ref))
+            .select(
+                "user_id",
+                F.datediff(F.col("__ref"), F.to_date("ts")).alias("age"),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("age") <= 40,
+                        F.expr(
+                            "shiftleft(CAST(1 AS BIGINT),"
+                            " CAST(40 - age AS INT))"
+                        ),
+                    ).otherwise(0)
+                ).alias("score_u")
+            )
+            .orderBy(F.desc("score_u"), "user_id")
+            .limit(20)
+        )
+
+    def _modularity(d):
+        both = _pseudo_backbone(d, 40)
+        from nyc_taxi_data_warehouse_spark.operators.graph import (
+            label_propagation,
+        )
+
+        labels = label_propagation(both, rounds=4, src="a", dst="b")
+        la = labels.select(F.col("node").alias("a"), F.col("lab").alias("lab_a"))
+        return (
+            both.join(F.broadcast(la), "a")
+            .groupBy("lab_a")
+            .agg(F.count(F.lit(1)).alias("d_sum"))
+        )
+
+    def _gdpr(li):
+        t = load_tables(spark, sf_dir)
+        subj = t["customer"].where(F.col("c_custkey") % 97 == 7).select(
+            F.col("c_custkey").alias("subject_key")
+        )
+        okeys = t["orders"].join(
+            F.broadcast(subj), F.col("o_custkey") == F.col("subject_key")
+        ).select("subject_key", "o_orderkey")
+        return (
+            li.join(
+                F.broadcast(okeys),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("subject_key")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+
+    eleventh_ops = {
+        "consistent_hash": (lambda m: _docs_at(spark, sf_dir, m), _rdv),
+        "feature_hash_audit": (lambda m: _docs_at(spark, sf_dir, m), _fhash),
+        "time_decay": (lambda m: _events_at(spark, sf_dir, m), _tdecay),
+        "graph_modularity": (
+            lambda m: _events_at(spark, sf_dir, m), _modularity,
+        ),
+        "gdpr_export": (_lineitem_at, _gdpr),
+    }
+
     all_ops = {n: (lambda m: _docs_at(spark, sf_dir, m), op) for n, op in ops.items()}
     all_ops.update(meta_ops)
     all_ops.update(events_ops)
@@ -2168,6 +2279,7 @@ def main() -> None:
     all_ops.update(eighth_ops)
     all_ops.update(ninth_ops)
     all_ops.update(tenth_ops)
+    all_ops.update(eleventh_ops)
     args = sys.argv[2:]
     mults = (1, 4, 8)
     shuffle_scale = False
