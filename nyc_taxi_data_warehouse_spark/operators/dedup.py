@@ -952,9 +952,20 @@ def incremental_neardup(
     operator only decides batch-vs-history."""
     from .merge import merge_insert_only
 
-    report, brec, _scache = _incremental_report(
+    report, brec, scache = _incremental_report(
         batch, store, id_col, text_col, num_hashes, max_bucket
     )
+    # Materialize the decide step while the two heavy inputs are cached,
+    # then release them EAGERLY — repeated ingests in one session must
+    # not accumulate store-snapshot caches (they are |store|-sized; the
+    # report cache kept below is one small row per batch doc).  `merged`
+    # recomputes its join from the uncached lineage when consumed —
+    # correctness-neutral, and the next generation's call re-persists
+    # its own snapshot anyway.
+    report = report.persist()
+    report.count()
+    brec.unpersist()
+    scache.unpersist()
     accepted = report.where(F.col("decision") == "new").select(id_col)
     merged = merge_insert_only(
         store, brec.join(accepted, id_col), key=[id_col]
@@ -979,10 +990,11 @@ def _incremental_report(
     (exact + near), so each is persisted here.  The store is persisted
     through a LOCAL projection (``select("*")`` is a distinct analyzed
     plan) so the CALLER's frame keeps its own cache state untouched.
-    Cache ownership: the returned frames are lazy, so the caches live
-    until the session's harness ``clearCache`` (the psi_by_group
-    convention); :func:`neardup_store_ingest` unpersists both eagerly
-    after its append action instead."""
+    Cache ownership: BOTH public callers release the two heavy caches
+    eagerly after their first action (:func:`incremental_neardup` after
+    materializing the report, :func:`neardup_store_ingest` after its
+    append commit) — repeated ingests in one session never accumulate
+    store-snapshot caches."""
     brec = signature_records(batch, id_col, text_col, num_hashes).persist()
     store = store.select("*").persist()
     # NULL band hashes (shingle-less docs) must not form a join bucket:

@@ -1902,9 +1902,14 @@ WITH log AS (
     FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ),
 ranked AS (
+    -- Full four-field tie-break mirroring the engine's
+    -- max(struct(ts, event_id, is_delete, value)): event_id is unique
+    -- per event in the testdata, but the oracle must stay
+    -- deterministic even if a feed ever repeats (ts, event_id).
     SELECT user_id, ts, value, is_delete,
            row_number() OVER (
-               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC, is_delete DESC, value DESC
            ) AS rn
     FROM log
 )

@@ -1440,6 +1440,58 @@ ORDER BY score_u DESC, user_id ASC
 LIMIT 20"""
 
 
+def _corridor_backbone(li: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+    """Top-``k`` heaviest undirected zone corridors — the shared graph
+    substrate of the spatial/community family (q_graph_modularity,
+    q_label_propagation, q_morans_i, q_getis_ord, q_link_prediction;
+    the `_sql_minhash_ctes` factoring pattern applied to graphs): one
+    corpus-grain corridor aggregation, deterministic ties (cnt desc, a,
+    b), fixed-K so the backbone stays scale-stable where a mean cut
+    drifts.  Returns ``(und, both)`` — `und` is the k undirected edges,
+    localCheckpointed (every consumer fans out over it at least twice,
+    and the iterative consumers need flat round plans); `both` is the
+    symmetric closure, a trivial union over the checkpoint."""
+    cnt = (
+        li.select(
+            F.least("pickup_zone_id", "dropoff_zone_id").alias("a"),
+            F.greatest("pickup_zone_id", "dropoff_zone_id").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    und = (
+        cnt.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(k)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    both = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    return und, both
+
+
+def _sql_backbone_ctes(k: int) -> str:
+    """DuckDB twin of :func:`_corridor_backbone`: the `cnt`/`und`/
+    `both_e` CTE block (appended after the stg_trips CTEs — the caller
+    owns the WITH)."""
+    return f""",
+cnt AS MATERIALIZED (
+    SELECT least(pickup_zone_id, dropoff_zone_id) AS a,
+           greatest(pickup_zone_id, dropoff_zone_id) AS b,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM stg_trips WHERE pickup_zone_id <> dropoff_zone_id
+    GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+    SELECT a, b FROM cnt ORDER BY cnt DESC, a ASC, b ASC LIMIT {k}
+),
+both_e AS MATERIALIZED (
+    SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+)"""
+
+
 def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modularity of the LPA communities — the quality score that says
     whether `q_label_propagation`'s partition actually beats random
@@ -1459,24 +1511,7 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = staging.stg_taxi_trips(
         nyc_views.trips_from_events(load_tables(spark, sf_dir)["events"])
     )
-    cnt = (
-        li.select(
-            F.least("pickup_zone_id", "dropoff_zone_id").alias("a"),
-            F.greatest("pickup_zone_id", "dropoff_zone_id").alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    und = (
-        cnt.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-        .limit(40)
-        .select("a", "b")
-        .localCheckpoint()
-    )
-    both = und.unionByName(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    und, both = _corridor_backbone(li, 40)
     labels = graph.label_propagation(both, rounds=4, src="a", dst="b")
     la = labels.select(F.col("node").alias("a"), F.col("lab").alias("lab_a"))
     lb = labels.select(F.col("node").alias("b"), F.col("lab").alias("lab_b"))
@@ -1531,20 +1566,8 @@ def _sql_graph_modularity() -> str:
         + SQL_TRIPS.strip().rstrip(",")
         + ",\n"
         + SQL_STG_TRIPS.strip().rstrip(",")
+        + _sql_backbone_ctes(40)
         + """,
-cnt AS MATERIALIZED (
-    SELECT least(pickup_zone_id, dropoff_zone_id) AS a,
-           greatest(pickup_zone_id, dropoff_zone_id) AS b,
-           CAST(count(*) AS BIGINT) AS cnt
-    FROM stg_trips WHERE pickup_zone_id <> dropoff_zone_id
-    GROUP BY 1, 2
-),
-und AS MATERIALIZED (
-    SELECT a, b FROM cnt ORDER BY cnt DESC, a ASC, b ASC LIMIT 40
-),
-both_e AS MATERIALIZED (
-    SELECT a, b FROM und UNION ALL SELECT b, a FROM und
-),
 l0 AS MATERIALIZED (
     SELECT DISTINCT a AS node, a AS lab FROM both_e
 )"""
@@ -3523,29 +3546,13 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = staging.stg_taxi_trips(
         nyc_views.trips_from_events(load_tables(spark, sf_dir)["events"])
     )
-    cnt = (
-        li.select(
-            F.least("pickup_zone_id", "dropoff_zone_id").alias("a"),
-            F.greatest("pickup_zone_id", "dropoff_zone_id").alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
     # top-40 heaviest corridors (vs q_kcore's above-mean cut): the mean
     # cut is one dense blob that LPA collapses to a single label in
     # round 1, and a mean MULTIPLE empties out as the weight distribution
     # flattens with scale — a fixed-K heaviest-edge backbone is
     # scale-stable AND separated (13 communities at sf0.001, 12 at
-    # sf0.01, 7 at sf0.1).  Deterministic ties: (cnt desc, a, b).
-    und = (
-        cnt.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-        .limit(40)
-        .select("a", "b")
-    )
-    both = und.unionByName(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    # sf0.01, 7 at sf0.1).
+    _und, both = _corridor_backbone(li, 40)
     labels = graph.label_propagation(
         both, rounds=_LPA_ROUNDS, src="a", dst="b"
     )
@@ -3564,20 +3571,8 @@ def _sql_label_propagation() -> str:
         + SQL_TRIPS.strip().rstrip(",")
         + ",\n"
         + SQL_STG_TRIPS.strip().rstrip(",")
+        + _sql_backbone_ctes(40)
         + """,
-cnt AS MATERIALIZED (
-    SELECT least(pickup_zone_id, dropoff_zone_id) AS a,
-           greatest(pickup_zone_id, dropoff_zone_id) AS b,
-           CAST(count(*) AS BIGINT) AS cnt
-    FROM stg_trips WHERE pickup_zone_id <> dropoff_zone_id
-    GROUP BY 1, 2
-),
-und AS MATERIALIZED (
-    SELECT a, b FROM cnt ORDER BY cnt DESC, a ASC, b ASC LIMIT 40
-),
-both_e AS MATERIALIZED (
-    SELECT a, b FROM und UNION ALL SELECT b, a FROM und
-),
 l0 AS MATERIALIZED (
     SELECT DISTINCT a AS node, a AS lab FROM both_e
 )"""
@@ -3617,10 +3612,12 @@ def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights (w_ij = 1 on a backbone edge) and d_i the demand deviation.
     Exactness: deviations stay on the integer lattice as n·x_i − S
     (clearing the mean's division), so numerator and denominator are
-    exact BIGINT sums — the n² scale cancels in the ratio; ONE division
-    at the end.  Bound: |n·x − S| ≤ n·max_x, so products stay in int64
-    while n_nodes·max_zone_demand < ~3e9 (n ≤ 80 here); beyond that,
-    move the two sums to DECIMAL(38,0).  Shape: two corpus-grain
+    exact sums — the n² scale cancels in the ratio; ONE division at the
+    end.  The two deviation-product sums run in DECIMAL(38,0) (oracle:
+    HUGEINT) because d·d leaves int64 once n·max_zone_demand > ~3e9 and
+    Spark's non-ANSI long sum would wrap SILENTLY where DuckDB errors;
+    the decimal bound |d| < 1e19 holds past any real corpus
+    (n ≤ 80 here).  Shape: two corpus-grain
     aggregations (corridor pair counts, per-zone pickup counts);
     everything after is ≤80-row backbone metadata."""
     from .plans import nyc_views, staging
@@ -3628,23 +3625,7 @@ def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = staging.stg_taxi_trips(
         nyc_views.trips_from_events(load_tables(spark, sf_dir)["events"])
     )
-    cnt = (
-        li.select(
-            F.least("pickup_zone_id", "dropoff_zone_id").alias("a"),
-            F.greatest("pickup_zone_id", "dropoff_zone_id").alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    und = (
-        cnt.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-        .limit(40)
-        .select("a", "b")
-    )
-    both = und.unionByName(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    _und, both = _corridor_backbone(li, 40)
     nodes = both.select(F.col("a").alias("zone")).distinct()
     x = li.groupBy(F.col("pickup_zone_id").alias("zone")).agg(
         F.count(F.lit(1)).cast("long").alias("x")
@@ -3661,11 +3642,26 @@ def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     da = dev.select(F.col("zone").alias("a"), F.col("d").alias("da"))
     db = dev.select(F.col("zone").alias("b"), F.col("d").alias("db"))
+    # Deviation products as DECIMAL(38,0) (oracle: HUGEINT): |d| ≤
+    # n·max_x fits int64 far past 100 TB, but d·d does NOT once
+    # n·max_zone_demand > ~3e9 — int64 would wrap SILENTLY under
+    # Spark's non-ANSI sums while DuckDB errors, a quiet divergence.
+    # Decimal sums are exact to 1e38 (bound now |d| < 1e19) and the
+    # frames are ≤80-row backbone metadata, so the cost is nil.
+    d_dec = F.col("da").cast("decimal(19,0)") * F.col("db").cast(
+        "decimal(19,0)"
+    )
     num = both.join(da, "a").join(db, "b").agg(
-        F.sum(F.col("da") * F.col("db")).cast("long").alias("num"),
+        F.sum(d_dec).cast("decimal(38,0)").alias("num"),
         F.count(F.lit(1)).cast("long").alias("w"),
     )
-    den = dev.agg(F.sum(F.col("d") * F.col("d")).cast("long").alias("den"))
+    den = dev.agg(
+        F.sum(
+            F.col("d").cast("decimal(19,0)") * F.col("d").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("den")
+    )
     return (
         num.crossJoin(F.broadcast(den))
         .crossJoin(F.broadcast(tot))
@@ -3694,20 +3690,8 @@ def _sql_morans_i() -> str:
         + SQL_TRIPS.strip().rstrip(",")
         + ",\n"
         + SQL_STG_TRIPS.strip().rstrip(",")
+        + _sql_backbone_ctes(40)
         + """,
-cnt AS MATERIALIZED (
-    SELECT least(pickup_zone_id, dropoff_zone_id) AS a,
-           greatest(pickup_zone_id, dropoff_zone_id) AS b,
-           CAST(count(*) AS BIGINT) AS cnt
-    FROM stg_trips WHERE pickup_zone_id <> dropoff_zone_id
-    GROUP BY 1, 2
-),
-und AS MATERIALIZED (
-    SELECT a, b FROM cnt ORDER BY cnt DESC, a ASC, b ASC LIMIT 40
-),
-both_e AS MATERIALIZED (
-    SELECT a, b FROM und UNION ALL SELECT b, a FROM und
-),
 nodes AS MATERIALIZED (SELECT DISTINCT a AS zone FROM both_e),
 xz AS MATERIALIZED (
     SELECT pickup_zone_id AS zone, CAST(count(*) AS BIGINT) AS x
@@ -3724,12 +3708,14 @@ tot AS MATERIALIZED (
 dev AS MATERIALIZED (
     SELECT zone, CAST(n * x - s AS BIGINT) AS d FROM nx CROSS JOIN tot
 ),
+-- HUGEINT deviation-product sums (engine: DECIMAL(38,0)) — d*d leaves
+-- int64 once n*max_zone_demand > ~3e9
 numw AS (
-    SELECT CAST(sum(da.d * db.d) AS BIGINT) AS num,
+    SELECT sum(CAST(da.d AS HUGEINT) * db.d) AS num,
            CAST(count(*) AS BIGINT) AS w
     FROM both_e e JOIN dev da ON da.zone = e.a JOIN dev db ON db.zone = e.b
 ),
-den AS (SELECT CAST(sum(d * d) AS BIGINT) AS den FROM dev)
+den AS (SELECT sum(CAST(d AS HUGEINT) * d) AS den FROM dev)
 SELECT n AS n_nodes, w AS w_edges,
        round(1e-9 + CAST(n AS DOUBLE) * CAST(num AS DOUBLE)
              / (CAST(w AS DOUBLE) * CAST(den AS DOUBLE)), 6) AS morans_i,
@@ -3769,24 +3755,7 @@ def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = staging.stg_taxi_trips(
         nyc_views.trips_from_events(load_tables(spark, sf_dir)["events"])
     )
-    cnt = (
-        li.select(
-            F.least("pickup_zone_id", "dropoff_zone_id").alias("a"),
-            F.greatest("pickup_zone_id", "dropoff_zone_id").alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    und = (
-        cnt.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-        .limit(40)
-        .select("a", "b")
-        .localCheckpoint()
-    )
-    both = und.unionByName(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    _und, both = _corridor_backbone(li, 40)
     nodes = both.select(F.col("a").alias("zone")).distinct()
     x = li.groupBy(F.col("pickup_zone_id").alias("zone")).agg(
         F.count(F.lit(1)).cast("long").alias("x")
@@ -3794,10 +3763,19 @@ def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
     nx = nodes.join(x, "zone", "left").select(
         "zone", F.coalesce("x", F.lit(0)).cast("long").alias("x")
     ).localCheckpoint()
+    # s2 = Σx² in DECIMAL(38,0) (oracle: HUGEINT): x² leaves int64 once
+    # max_zone_demand > ~3e9 and Spark's non-ANSI long sum wraps
+    # silently where DuckDB errors; s1 stays well inside int64 but the
+    # guard below squares it, so both moments ride as decimals.  The
+    # frame is ≤80-row backbone metadata — decimal cost is nil.
     tot = nx.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("s1"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+        F.sum("x").cast("decimal(38,0)").alias("s1"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("s2"),
     )
     nbr_sum = (
         both.join(
@@ -3845,20 +3823,8 @@ def _sql_getis_ord() -> str:
         + SQL_TRIPS.strip().rstrip(",")
         + ",\n"
         + SQL_STG_TRIPS.strip().rstrip(",")
+        + _sql_backbone_ctes(40)
         + f""",
-cnt AS MATERIALIZED (
-    SELECT least(pickup_zone_id, dropoff_zone_id) AS a,
-           greatest(pickup_zone_id, dropoff_zone_id) AS b,
-           CAST(count(*) AS BIGINT) AS cnt
-    FROM stg_trips WHERE pickup_zone_id <> dropoff_zone_id
-    GROUP BY 1, 2
-),
-und AS MATERIALIZED (
-    SELECT a, b FROM cnt ORDER BY cnt DESC, a ASC, b ASC LIMIT 40
-),
-both_e AS MATERIALIZED (
-    SELECT a, b FROM und UNION ALL SELECT b, a FROM und
-),
 nodes AS MATERIALIZED (SELECT DISTINCT a AS zone FROM both_e),
 xz AS MATERIALIZED (
     SELECT pickup_zone_id AS zone, CAST(count(*) AS BIGINT) AS x
@@ -3868,9 +3834,11 @@ nx AS MATERIALIZED (
     SELECT nodes.zone, CAST(COALESCE(xz.x, 0) AS BIGINT) AS x
     FROM nodes LEFT JOIN xz ON xz.zone = nodes.zone
 ),
+-- HUGEINT moments (engine: DECIMAL(38,0)) — x*x leaves int64 once
+-- max_zone_demand > ~3e9, and the guard squares s1
 tot AS MATERIALIZED (
-    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s1,
-           CAST(sum(x * x) AS BIGINT) AS s2
+    SELECT CAST(count(*) AS BIGINT) AS n, sum(CAST(x AS HUGEINT)) AS s1,
+           sum(CAST(x AS HUGEINT) * x) AS s2
     FROM nx
 ),
 nbr AS MATERIALIZED (
@@ -3919,24 +3887,7 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = staging.stg_taxi_trips(
         nyc_views.trips_from_events(load_tables(spark, sf_dir)["events"])
     )
-    cnt = (
-        li.select(
-            F.least("pickup_zone_id", "dropoff_zone_id").alias("a"),
-            F.greatest("pickup_zone_id", "dropoff_zone_id").alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    und = (
-        cnt.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-        .limit(300)
-        .select("a", "b")
-        .localCheckpoint()
-    )
-    both = und.unionByName(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    und, both = _corridor_backbone(li, 300)
     deg = both.groupBy(F.col("a").alias("zone")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
@@ -3994,20 +3945,8 @@ def _sql_link_prediction() -> str:
         + SQL_TRIPS.strip().rstrip(",")
         + ",\n"
         + SQL_STG_TRIPS.strip().rstrip(",")
+        + _sql_backbone_ctes(300)
         + """,
-cnt AS MATERIALIZED (
-    SELECT least(pickup_zone_id, dropoff_zone_id) AS a,
-           greatest(pickup_zone_id, dropoff_zone_id) AS b,
-           CAST(count(*) AS BIGINT) AS cnt
-    FROM stg_trips WHERE pickup_zone_id <> dropoff_zone_id
-    GROUP BY 1, 2
-),
-und AS MATERIALIZED (
-    SELECT a, b FROM cnt ORDER BY cnt DESC, a ASC, b ASC LIMIT 300
-),
-both_e AS MATERIALIZED (
-    SELECT a, b FROM und UNION ALL SELECT b, a FROM und
-),
 deg AS MATERIALIZED (
     SELECT a AS zone, CAST(count(*) AS BIGINT) AS deg FROM both_e GROUP BY 1
 ),
