@@ -1087,3 +1087,200 @@ def neardup_store_ingest(
     brec.unpersist()
     scache.unpersist()
     return report, ver
+
+
+# ---------------------------------------------------------------------------
+# Bucketed signature-store layout — the 100 TB generation of the store.
+# ---------------------------------------------------------------------------
+
+def bucketed_store_tables(name: str) -> tuple[str, str]:
+    """Catalog table names of a bucketed signature store: the doc-grain
+    signature table (exact leg) and the band-grain LSH table (near leg)."""
+    return f"{name}_sigs", f"{name}_bands"
+
+
+def bucketed_store_ingest(
+    spark,
+    name: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    buckets: int = 8,
+) -> DataFrame:
+    """The BUCKETED-LAYOUT generation of :func:`neardup_store_ingest` —
+    the round-12 store-axis probe's recommendation made real: persist the
+    store pre-partitioned on its JOIN KEYS so a daily ingest shuffles
+    ONLY the batch side, never history.
+
+    Layout (two catalog tables, created on first ingest):
+
+    - ``{name}_sigs``  — doc-grain ``(id, content_hash, h0..h{n-1})``,
+      ``CLUSTERED BY (content_hash) INTO {buckets} BUCKETS``: the exact
+      leg's ``DISTINCT content_hash`` and its batch join are both
+      exchange-free on the store side;
+    - ``{name}_bands`` — band-grain ``(id, band, bh)`` (NULL-bh rows
+      excluded at write), ``CLUSTERED BY (band, bh)``: the near leg's
+      band equi-join AND the hot-bucket occupancy count read the store's
+      bucketing instead of shuffling it.
+
+    Every ingest therefore plans zero store-side Exchange: the store
+    scans report ``HashPartitioning`` from the bucket metadata, the
+    batch side exchanges into the store's {buckets} partitions, and the
+    only remaining shuffles are output-sized (candidate-pair distinct).
+    Appends preserve the layout — each accepted delta writes its own
+    per-bucket files (append-only, no rewrite), which is exactly the
+    "free at write time" property the manifest store's probe documented;
+    fold the accumulating small files with
+    :func:`bucketed_store_compact`.  Spark's bucket metadata lives in
+    the catalog, so this generation trades the ManifestTable's
+    time-travel for partitioning awareness — a lake format with both
+    (Delta/Iceberg) is the production synthesis; this container has
+    neither, so the two properties are demonstrated by the two
+    generations separately (same decide semantics, same oracle family).
+
+    Decision semantics are IDENTICAL to :func:`incremental_neardup`
+    (exact leg wins ties, combined-occupancy hot-bucket cap, 'new' docs
+    appended).  First ingest initializes both tables and reports every
+    doc 'new'.  Returns the per-doc decision report, MATERIALIZED (the
+    append commit consumed it; the two heavy caches are already
+    released)."""
+    sig_t, band_t = bucketed_store_tables(name)
+    brec = signature_records(batch, id_col, text_col, num_hashes).persist()
+    bbands = lsh_bands(brec, id_col, num_hashes).where(F.col("bh").isNotNull())
+
+    def _write(df: DataFrame, table: str, keys: list[str], mode: str) -> None:
+        # Align task partitioning with the bucket spec first: bucketBy
+        # writes one file per (task, bucket), so an unaligned 32-task
+        # frame would emit 32×buckets fragments per ingest — aligned,
+        # each ingest adds exactly one file per bucket.
+        (
+            df.repartition(buckets, *[F.col(k) for k in keys])
+            .write.mode(mode)
+            .format("parquet")
+            .bucketBy(buckets, *keys)
+            .sortBy(*keys)
+            .saveAsTable(table)
+        )
+
+    if not spark.catalog.tableExists(sig_t):
+        _write(brec, sig_t, ["content_hash"], "overwrite")
+        _write(bbands, band_t, ["band", "bh"], "overwrite")
+        report = brec.select(
+            F.col(id_col),
+            "content_hash",
+            F.lit(0).cast("int").alias("is_exact_dup"),
+            F.lit(0).cast("long").alias("n_near_store"),
+            F.lit("new").alias("decision"),
+        ).persist()
+        report.count()
+        brec.unpersist()
+        return report
+
+    sigs = spark.table(sig_t)
+    sbands = spark.table(band_t)
+    # Combined (store + batch) bucket occupancy, the lsh_cross_candidates
+    # cap semantics: the store-side count aggregates WITHOUT an Exchange
+    # (groupBy on the bucket keys of a bucketed scan); the hot set is
+    # rare by construction and broadcasts into both anti-joins.
+    scnt = sbands.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("__sn"))
+    bcnt = bbands.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("__bn"))
+    hot = (
+        scnt.join(bcnt, ["band", "bh"], "full_outer")
+        .where(
+            F.coalesce("__sn", F.lit(0)) + F.coalesce("__bn", F.lit(0))
+            > F.lit(max_bucket if max_bucket is not None else (1 << 62))
+        )
+        .select("band", "bh")
+    )
+    skept = sbands.join(F.broadcast(hot), ["band", "bh"], "left_anti")
+    bkept = bbands.join(F.broadcast(hot), ["band", "bh"], "left_anti")
+    near = (
+        skept.select(F.col(id_col).alias("__sid"), "band", "bh")
+        .join(
+            bkept.select(F.col(id_col).alias("__bid"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .select("__bid", "__sid")
+        .distinct()
+        .groupBy(F.col("__bid").alias(id_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_near_store"))
+    )
+    known = (
+        sigs.select("content_hash").distinct().withColumn("__ex", F.lit(1))
+    )
+    report = (
+        brec.join(known, "content_hash", "left")
+        .join(near, id_col, "left")
+        .select(
+            F.col(id_col),
+            "content_hash",
+            F.when(F.col("__ex").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_exact_dup"),
+            F.coalesce("n_near_store", F.lit(0))
+            .cast("long")
+            .alias("n_near_store"),
+            F.when(F.col("__ex").isNotNull(), "exact_dup")
+            .when(F.col("n_near_store") > 0, "near_dup")
+            .otherwise("new")
+            .alias("decision"),
+        )
+    )
+    # Materialize the decisions WITH LINEAGE CUT before the appends
+    # mutate the store tables: persist() is not enough — saveAsTable's
+    # append refreshes the catalog table and INVALIDATES every dependent
+    # cache, so a cached-but-lineage-bearing report would recompute
+    # against a store that now contains the batch's own rows and judge
+    # every doc an exact dup of itself.  localCheckpoint severs the
+    # plan from spark.table() entirely (eager by default).
+    report = report.localCheckpoint()
+    accepted = report.where(F.col("decision") == "new").select(id_col)
+    _write(brec.join(accepted, id_col), sig_t, ["content_hash"], "append")
+    _write(
+        bbands.join(accepted, id_col), band_t, ["band", "bh"], "append"
+    )
+    brec.unpersist()
+    return report
+
+
+def bucketed_store_compact(
+    spark, name: str, buckets: int = 8
+) -> dict[str, tuple[int, int]]:
+    """Fold a bucketed store's accumulated per-ingest small files: each
+    daily append writes its own per-bucket files, so after N ingests a
+    bucket holds N fragments.  Compaction rewrites each table ONCE with
+    the SAME bucket spec (content is append-only signatures — a pure
+    rewrite, no merge logic) through a staging table + catalog rename,
+    so a reader never observes a half-compacted store.  Returns
+    ``{table: (files_before, files_after)}``."""
+    out: dict[str, tuple[int, int]] = {}
+    for table, keys in (
+        (bucketed_store_tables(name)[0], ["content_hash"]),
+        (bucketed_store_tables(name)[1], ["band", "bh"]),
+    ):
+        files = spark.table(table).inputFiles()
+        before = len(files)
+        staged = f"{table}__compacting"
+        spark.sql(f"DROP TABLE IF EXISTS {staged}")
+        # Read the RAW files, not the catalog table: a bucketed scan
+        # reports HashPartitioning, which lets Catalyst elide the
+        # realignment shuffle — the write would then emit one file per
+        # (input-split, bucket) instead of one per bucket.  A plain
+        # file scan has unknown partitioning, so the repartition below
+        # actually shuffles and each task holds exactly one bucket.
+        (
+            spark.read.parquet(*[f.removeprefix("file:") for f in files])
+            .repartition(buckets, *[F.col(k) for k in keys])
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, *keys)
+            .sortBy(*keys)
+            .saveAsTable(staged)
+        )
+        spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+        out[table] = (before, len(spark.table(table).inputFiles()))
+    return out

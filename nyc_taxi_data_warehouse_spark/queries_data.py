@@ -598,6 +598,103 @@ FROM rep2 WHERE decision = 'new'"""
     )
 
 
+def q_neardup_store_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUCKETED-LAYOUT signature-store lifecycle
+    (`dedup.bucketed_store_ingest`) — the round-12 store-axis probe's
+    recommendation gated: the store persists as two catalog tables
+    CLUSTERED BY their join keys (sigs by content_hash, bands by
+    (band, bh)), so each ingest generation plans ZERO store-side
+    Exchange — the store scans report HashPartitioning from the bucket
+    metadata and only the (small) daily batch shuffles
+    (tests/test_round13.py pins the plan; the hot-bucket occupancy
+    count is exchange-free on the store side too).  Same three
+    generations and decide semantics as `q_neardup_store_roundtrip`
+    (which gates the VERSIONED manifest generation of the same store —
+    Delta/Iceberg would unify the two properties; this container has
+    neither).  Oracle: the two-level nested corpus recompute, minus the
+    version tags."""
+    import hashlib as _h
+
+    g1, g2, g3 = _store_generations(spark, sf_dir)
+    # Fresh catalog tables per invocation (ingest mutates the store);
+    # previous invocations' tables are dropped to keep the warehouse
+    # bounded across repeated bench runs.
+    _NEARDUP_STORE_SEQ[0] += 1
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"ndb_{tag}_{_NEARDUP_STORE_SEQ[0]}"
+    for t in spark.catalog.listTables():
+        if t.name.startswith(f"ndb_{tag}_"):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    # A previous PROCESS's tables outlive its in-memory catalog as bare
+    # warehouse directories — clear them too or saveAsTable refuses the
+    # location (catalog drops above already removed their dirs).
+    import os as _os
+    import shutil as _sh
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    if _os.path.isdir(wh):
+        for d in _os.listdir(wh):
+            if d.startswith(f"ndb_{tag}_"):
+                _sh.rmtree(_os.path.join(wh, d), ignore_errors=True)
+    _r1 = dedup.bucketed_store_ingest(
+        spark, name, g1, num_hashes=_NH, max_bucket=_MAX_BUCKET
+    )
+    r2 = dedup.bucketed_store_ingest(
+        spark, name, g2, num_hashes=_NH, max_bucket=_MAX_BUCKET
+    )
+    r3 = dedup.bucketed_store_ingest(
+        spark, name, g3, num_hashes=_NH, max_bucket=_MAX_BUCKET
+    )
+
+    def _tag(r: DataFrame, gen: int) -> DataFrame:
+        return r.select(
+            F.lit(gen).cast("int").alias("gen"),
+            "doc_id",
+            "content_hash",
+            "is_exact_dup",
+            "n_near_store",
+            "decision",
+        )
+
+    return _tag(r2, 2).unionByName(_tag(r3, 3))
+
+
+def _sql_neardup_store_bucketed() -> str:
+    """q_neardup_store_roundtrip's oracle minus the version tags — the
+    bucketed generation has identical decide semantics, different
+    physical layout."""
+    return (
+        _sql_store_gen2_ctes()
+        + """,
+store2 AS MATERIALIZED (
+    SELECT doc_id, text FROM g1
+    UNION ALL
+    SELECT g2.doc_id, g2.text
+    FROM g2 JOIN rep2 ON rep2.doc_id = g2.doc_id
+    WHERE rep2.decision = 'new'
+),"""
+        + _sql_minhash_ctes("store2", "s2_")
+        + ","
+        + _sql_minhash_ctes("g3", "b3_")
+        + ","
+        + _SQL_STORE_KEPT_T.format(n=3, s="s2_", b="b3_", cap=_MAX_BUCKET)
+        + ","
+        + _SQL_STORE_REP_T.format(
+            n=3, s="s2_", b="b3_", bsrc="g3", ssrc="store2"
+        )
+        + """
+SELECT CAST(2 AS INTEGER) AS gen, doc_id, content_hash, is_exact_dup,
+       n_near_store, decision
+FROM rep2
+UNION ALL
+SELECT CAST(3 AS INTEGER) AS gen, doc_id, content_hash, is_exact_dup,
+       n_near_store, decision
+FROM rep3"""
+    )
+
+
 _RDV_SHARDS = 8  # rendezvous baseline shard count (resize probes S+1)
 
 
@@ -12776,6 +12873,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cross_corpus_neardup": q_cross_corpus_neardup,
     "q_incremental_neardup": q_incremental_neardup,
     "q_neardup_store_roundtrip": q_neardup_store_roundtrip,
+    "q_neardup_store_bucketed": q_neardup_store_bucketed,
     "q_store_time_travel": q_store_time_travel,
     "q_pii_scan": q_pii_scan,
     "q_stream_cdc": q_stream_cdc,
@@ -12957,6 +13055,7 @@ ORACLES: dict[str, str] = {
     "q_cross_corpus_neardup": _SQL_CROSS_CORPUS_NEARDUP,
     "q_incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
     "q_neardup_store_roundtrip": _sql_neardup_store_roundtrip(),
+    "q_neardup_store_bucketed": _sql_neardup_store_bucketed(),
     "q_store_time_travel": _sql_store_time_travel(),
     "q_pii_scan": _SQL_PII_SCAN,
     "q_stream_cdc": _SQL_STREAM_CDC,

@@ -41,3 +41,114 @@ class TestSharedEventsScan:
             len(_distinct_parquet_scans(q_fare_daily_features(spark, sf_dir)))
             == 1
         )
+
+
+class TestBucketedSignatureStore:
+    """VERDICT r12 item 3: the bucketed-by-join-key store layout must be
+    real — zero store-side Exchange on an ingest join — and the
+    lifecycle (idempotent re-ingest, compaction) must hold."""
+
+    def _mk_docs(self, spark, ids_texts):
+        return spark.createDataFrame(ids_texts, "doc_id long, text string")
+
+    def test_ingest_plan_zero_store_side_exchange(self, spark):
+        import shutil
+
+        from nyc_taxi_data_warehouse_spark.operators import dedup
+
+        name = "t13_plan_store"
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        for t in dedup.bucketed_store_tables(name):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        base = self._mk_docs(
+            spark,
+            [(i, f"alpha beta gamma delta epsilon {i} zeta eta") for i in range(40)],
+        )
+        dedup.bucketed_store_ingest(spark, name, base, num_hashes=8)
+        sig_t, band_t = dedup.bucketed_store_tables(name)
+
+        batch = self._mk_docs(
+            spark, [(100 + i, f"theta iota kappa {i} lam mu nu xi") for i in range(10)]
+        )
+        brec = dedup.signature_records(batch, num_hashes=8)
+        # cut the batch side's own signature-pass lineage so the plan
+        # isolates the ingest join: any Exchange left belongs to the join
+        bbands = (
+            dedup.lsh_bands(brec).where(F.col("bh").isNotNull()).localCheckpoint()
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            # the near leg: store bands ⋈ batch bands on the bucket keys
+            near = spark.table(band_t).join(bbands, ["band", "bh"])
+            plan = _formatted_plan(near)
+            assert "Bucketed: true" in plan, plan
+            # exactly ONE shuffle: the batch side; the store side reads
+            # its bucketing
+            assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+            # and the store-side occupancy count aggregates exchange-free
+            cnt = spark.table(band_t).groupBy("band", "bh").count()
+            cplan = _formatted_plan(cnt)
+            assert "Exchange" not in cplan, cplan
+            # exact leg: DISTINCT content_hash on the sigs table
+            dplan = _formatted_plan(
+                spark.table(sig_t).select("content_hash").distinct()
+            )
+            assert "Exchange" not in dplan, dplan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    def test_lifecycle_idempotent_and_compaction(self, spark):
+        import shutil
+
+        from nyc_taxi_data_warehouse_spark.operators import dedup
+
+        name = "t13_life_store"
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        for t in dedup.bucketed_store_tables(name):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        g1 = self._mk_docs(
+            spark,
+            [(i, f"one two three four five {i} six seven") for i in range(30)],
+        )
+        r1 = dedup.bucketed_store_ingest(spark, name, g1, num_hashes=8)
+        assert r1.where(F.col("decision") != "new").count() == 0
+
+        # batch with planted exact copies of store docs 0..9
+        g2 = self._mk_docs(
+            spark,
+            [(1000 + i, f"one two three four five {i} six seven") for i in range(10)]
+            + [(2000 + i, f"eight nine ten {i} eleven twelve thirteen") for i in range(5)],
+        )
+        r2 = dedup.bucketed_store_ingest(spark, name, g2, num_hashes=8)
+        got = {r["doc_id"]: r["decision"] for r in r2.collect()}
+        assert all(got[1000 + i] == "exact_dup" for i in range(10))
+        assert all(got[2000 + i] == "new" for i in range(5))
+
+        # re-ingesting the same batch is idempotent: everything exact_dup
+        r2b = dedup.bucketed_store_ingest(spark, name, g2, num_hashes=8)
+        assert r2b.where(F.col("decision") != "exact_dup").count() == 0
+
+        sig_t, band_t = dedup.bucketed_store_tables(name)
+        rows_before = spark.table(sig_t).count()
+        stats = dedup.bucketed_store_compact(spark, name)
+        # three ingests (two with accepted deltas) → multiple files per
+        # bucket; compaction folds to ≤ buckets files, same content
+        for t, (before, after) in stats.items():
+            assert after <= 8, (t, stats)
+            assert after <= before, (t, stats)
+        assert spark.table(sig_t).count() == rows_before
+        # bucketing metadata survives the compaction rename
+        plan = _formatted_plan(
+            spark.table(sig_t).select("content_hash").distinct()
+        )
+        assert "Exchange" not in plan, plan
+        # and a post-compaction ingest still decides correctly
+        r3 = dedup.bucketed_store_ingest(spark, name, g2, num_hashes=8)
+        assert r3.where(F.col("decision") != "exact_dup").count() == 0
