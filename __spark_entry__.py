@@ -29,53 +29,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver records CORRECTNESS rows for only the first 50 registry
 # entries per round.  Rotate the window each round so evidence stays
-# fresh.  Round-12 window (per the round-11 VERDICT item 2 + the
+# fresh.  Round-13 window (per the round-12 VERDICT item 1 + the
 # standing priority first-evidence > stale-refresh > green tail):
-#   * slots 1-20: the 20 round-12 additions (the persisted signature-
-#     store roundtrip + its time-travel read, Welch t, the permutation
-#     test, diff-in-diff, IPS off-policy eval, Moran's I, Getis-Ord
-#     hot spots, link prediction, item-item CF, the PII scan, the
-#     streaming histogram, McNemar, Wilcoxon signed-rank, the streaming
-#     CDC upsert view, rendezvous consistent hashing, the feature-hash
-#     collision audit, the GDPR subject-access export, time-decayed
-#     engagement, and LPA modularity) — none has ever had a
-#     driver-issued row;
-#   * slots 21-30: the 10 remaining round-5-stale entries (head of the
-#     old _CHECK_LAST — the last of the r5 evidence tail, VERDICT item
-#     2 names them);
-#   * slots 31-35: the five reference-surface flagships (q_enrich,
-#     q_trips_weather, q_daily, q_zone_analysis, q_fare_daily_features)
-#     — all gated r10, due r12 per the ≤2-rounds freshness policy;
-#   * slots 36-50: the 15 stalest round-6 entries (q_antijoin ..
-#     q_ivfpq_multiprobe, in the old _CHECK_LAST's stalest-first order;
-#     q_ivfpq_recall .. q_multimodal_features return to the _CHECK_LAST
-#     head for round 13).
-# After this round the oldest driver evidence anywhere is round 6.
-# _CHECK_LAST stays ordered stalest-first (round-13 rebuilds its window
-# from the head: the remaining r6 entries lead); the round-11 window
-# entries (freshest evidence) sit at the TAIL.  New queries added
-# mid-round park at the HEAD of _CHECK_LAST as first-evidence
+#   * slots 1-8: the 8 round-13 additions (the bucketed signature-store
+#     lifecycle, Brown-Forsythe/Levene, CUPED, Wald SPRT, exact Shapley
+#     attribution, Hilbert curve cells, Holt linear smoothing, and
+#     grid-cell DBSCAN) — none has ever had a driver-issued row;
+#   * slots 9-37: the 29 remaining round-6-stale entries (head of the
+#     old _CHECK_LAST, q_ivfpq_recall .. q_zone_dim — retiring the r6
+#     evidence tail exactly as VERDICT r12 item 1 demands);
+#   * slots 38-50: the 13 stalest round-7 entries (q_ann_ivf ..
+#     q_hll_distinct).
+# After this round the oldest driver evidence anywhere is round 7.
+# The five reference-surface flagships were refreshed in round 12 and
+# are due round 14 under the ≤2-round policy — they lead _CHECK_LAST
+# so the round-14 window picks them up first.  _CHECK_LAST stays
+# ordered stalest-first otherwise (remaining r7 entries next, the
+# round-12 window entries — freshest evidence — at the tail).  New
+# queries added mid-round join _CHECK_FIRST as first-evidence
 # candidates.  tests/test_registry.py pins the bookkeeping.
 _CHECK_FIRST = [
-    "q_neardup_store_roundtrip", "q_store_time_travel", "q_welch_ttest",
-    "q_permutation_test", "q_diff_in_diff", "q_ips_eval", "q_morans_i",
-    "q_getis_ord", "q_link_prediction", "q_item_cf", "q_pii_scan",
-    "q_stream_histogram", "q_mcnemar", "q_wilcoxon_signed_rank",
-    "q_stream_cdc", "q_consistent_hash", "q_feature_hash_audit",
-    "q_gdpr_export", "q_time_decay", "q_graph_modularity",
-    "q_sparse_cosine", "q_split_assign", "q_srp_lsh",
-    "q_srp_near_pairs", "q_star_join", "q_text_quality", "q_token_count",
-    "q_topk_per_group", "q_weighted_sample", "q_winsorize", "q_enrich",
-    "q_trips_weather", "q_daily", "q_zone_analysis", "q_fare_daily_features",
-    "q_antijoin", "q_cc_two_phase", "q_curation_pipeline", "q_decontaminate",
-    "q_dedup_exact", "q_dup_rate_by_source", "q_edit_distance",
-    "q_epoch_shuffle", "q_eval_metrics", "q_feature_binning",
-    "q_forecast_eval", "q_frame_sample", "q_global_index", "q_interval_join",
-    "q_ivfpq_multiprobe",
-]
-_CHECK_LAST = [
+    "q_neardup_store_bucketed", "q_levene", "q_cuped", "q_sprt",
+    "q_shapley_attribution", "q_hilbert_cells", "q_holt_linear", "q_dbscan",
     "q_ivfpq_recall", "q_ivfpq_search", "q_json_extract", "q_kmeans_cells",
-    "q_lag_ma", "q_lm_score", "q_merge_dedup", "q_multimodal_features", "q_percentiles", "q_pivot", "q_precip_day", "q_profile_columns",
+    "q_lag_ma", "q_lm_score", "q_merge_dedup", "q_multimodal_features",
+    "q_percentiles", "q_pivot", "q_precip_day", "q_profile_columns",
     "q_psi_drift", "q_quality_model", "q_rollup", "q_sample_hash",
     "q_sample_stratified", "q_scd2_check", "q_scd2_timestamp", "q_stg_trips",
     "q_stg_weather", "q_stream_dedup", "q_surrogate_key", "q_text_scrub",
@@ -83,44 +61,48 @@ _CHECK_LAST = [
     "q_zone_dim", "q_ann_ivf", "q_ann_recall", "q_array_ops", "q_boilerplate",
     "q_centroid_assign", "q_char_entropy", "q_cm_join_size",
     "q_countmin_topk", "q_distinct_hours", "q_divergence_drift",
-    "q_dsir_select", "q_gopher_rules", "q_hll_distinct", "q_hll_overlap",
-    "q_hll_union", "q_k_anonymity", "q_ks_drift", "q_l_diversity",
-    "q_mixture_plan", "q_project", "q_semdedup", "q_stream_cm",
-    "q_stream_hll", "q_stream_hourly", "q_stream_join", "q_stream_psi",
-    "q_stream_sessions", "q_top1", "q_tpch_q1", "q_tpch_q10", "q_tpch_q11",
-    "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16",
-    "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q2", "q_tpch_q20",
-    "q_tpch_q21", "q_tpch_q22", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
-    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_ab_test",
-    "q_autocorrelation", "q_benford", "q_bloom_portable", "q_bootstrap_ci",
-    "q_cdc_chunking", "q_cohort_ltv", "q_crosscorrelation",
-    "q_cumulative_distinct", "q_dp_budget", "q_embedding_drift",
-    "q_ewma_anomaly", "q_gini", "q_graph_degree", "q_grouping_sets",
-    "q_heatmap", "q_histogram_quantiles", "q_kmv_distinct", "q_kmv_jaccard",
-    "q_lsh_tuning", "q_markov_transitions", "q_mg_topk", "q_microagg",
-    "q_new_vs_returning", "q_pareto_share", "q_pca_power", "q_phrase_search",
-    "q_power_analysis", "q_rank_functions", "q_rfm_segments", "q_rrf_fusion",
-    "q_seasonal_anomaly", "q_seasonal_decompose", "q_set_ops",
-    "q_shortest_path", "q_skyline", "q_sliding_distinct", "q_split_leakage",
-    "q_stickiness", "q_stream_bloom", "q_stream_kmins", "q_stream_ohlc",
-    "q_stream_sliding", "q_t_closeness", "q_time_to_convert", "q_trend_ols",
-    "q_tukey_outliers", "q_watermark_audit", "q_weighted_median",
-    "q_zipf_fit", "q_market_basket", "q_mixture_temperature", "q_key_skew",
-    "q_ohlc_bars", "q_attribution", "q_cusum_changepoint",
-    "q_quantile_summary", "q_entity_resolution", "q_frequent_sequences",
-    "q_stream_cusum", "q_gaps_islands", "q_compaction_plan", "q_bh_fdr",
-    "q_mannwhitney", "q_slo_burn", "q_calibration", "q_boilerplate_scrub",
-    "q_dup_span_removal", "q_encoding_advisor", "q_matryoshka_recall",
-    "q_spearman", "q_anomaly_mad", "q_bpe_merges", "q_bpe_tokenize",
-    "q_cdc_classify", "q_containment", "q_cross_corpus_neardup",
-    "q_crosstab_independence", "q_dedup_plan", "q_delta_roundtrip",
-    "q_demand_corr", "q_dropna", "q_embedding_stats", "q_event_paths",
-    "q_iceberg_diff", "q_iceberg_roundtrip", "q_langid_eval", "q_limit",
-    "q_lsh_hot_buckets", "q_lsh_recall", "q_minhash_lsh", "q_minmax",
-    "q_normalize_dedup", "q_orc_roundtrip", "q_pagerank_zones", "q_roc_auc",
-    "q_pr_curve", "q_lift_table", "q_ndcg_mrr", "q_knn_classify",
-    "q_kruskal_wallis", "q_kendall_tau", "q_theil_sen", "q_survival_km",
-    "q_fk_audit", "q_partition_advisor", "q_zorder_effect", "q_vacuum_plan",
+    "q_dsir_select", "q_gopher_rules", "q_hll_distinct",
+]
+_CHECK_LAST = [
+    "q_enrich", "q_trips_weather", "q_daily", "q_zone_analysis",
+    "q_fare_daily_features", "q_hll_overlap", "q_hll_union", "q_k_anonymity",
+    "q_ks_drift", "q_l_diversity", "q_mixture_plan", "q_project",
+    "q_semdedup", "q_stream_cm", "q_stream_hll", "q_stream_hourly",
+    "q_stream_join", "q_stream_psi", "q_stream_sessions", "q_top1",
+    "q_tpch_q1", "q_tpch_q10", "q_tpch_q11", "q_tpch_q12", "q_tpch_q13",
+    "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
+    "q_tpch_q19", "q_tpch_q2", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
+    "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
+    "q_tpch_q8", "q_tpch_q9", "q_ab_test", "q_autocorrelation", "q_benford",
+    "q_bloom_portable", "q_bootstrap_ci", "q_cdc_chunking", "q_cohort_ltv",
+    "q_crosscorrelation", "q_cumulative_distinct", "q_dp_budget",
+    "q_embedding_drift", "q_ewma_anomaly", "q_gini", "q_graph_degree",
+    "q_grouping_sets", "q_heatmap", "q_histogram_quantiles", "q_kmv_distinct",
+    "q_kmv_jaccard", "q_lsh_tuning", "q_markov_transitions", "q_mg_topk",
+    "q_microagg", "q_new_vs_returning", "q_pareto_share", "q_pca_power",
+    "q_phrase_search", "q_power_analysis", "q_rank_functions",
+    "q_rfm_segments", "q_rrf_fusion", "q_seasonal_anomaly",
+    "q_seasonal_decompose", "q_set_ops", "q_shortest_path", "q_skyline",
+    "q_sliding_distinct", "q_split_leakage", "q_stickiness", "q_stream_bloom",
+    "q_stream_kmins", "q_stream_ohlc", "q_stream_sliding", "q_t_closeness",
+    "q_time_to_convert", "q_trend_ols", "q_tukey_outliers",
+    "q_watermark_audit", "q_weighted_median", "q_zipf_fit", "q_market_basket",
+    "q_mixture_temperature", "q_key_skew", "q_ohlc_bars", "q_attribution",
+    "q_cusum_changepoint", "q_quantile_summary", "q_entity_resolution",
+    "q_frequent_sequences", "q_stream_cusum", "q_gaps_islands",
+    "q_compaction_plan", "q_bh_fdr", "q_mannwhitney", "q_slo_burn",
+    "q_calibration", "q_boilerplate_scrub", "q_dup_span_removal",
+    "q_encoding_advisor", "q_matryoshka_recall", "q_spearman",
+    "q_anomaly_mad", "q_bpe_merges", "q_bpe_tokenize", "q_cdc_classify",
+    "q_containment", "q_cross_corpus_neardup", "q_crosstab_independence",
+    "q_dedup_plan", "q_delta_roundtrip", "q_demand_corr", "q_dropna",
+    "q_embedding_stats", "q_event_paths", "q_iceberg_diff",
+    "q_iceberg_roundtrip", "q_langid_eval", "q_limit", "q_lsh_hot_buckets",
+    "q_lsh_recall", "q_minhash_lsh", "q_minmax", "q_normalize_dedup",
+    "q_orc_roundtrip", "q_pagerank_zones", "q_roc_auc", "q_pr_curve",
+    "q_lift_table", "q_ndcg_mrr", "q_knn_classify", "q_kruskal_wallis",
+    "q_kendall_tau", "q_theil_sen", "q_survival_km", "q_fk_audit",
+    "q_partition_advisor", "q_zorder_effect", "q_vacuum_plan",
     "q_bloom_sizing", "q_pseudonymize", "q_dp_histogram", "q_rtbf_plan",
     "q_kcore", "q_asof_multi", "q_priority_sample", "q_target_encode",
     "q_isotonic_calibration", "q_interpolate", "q_sax_symbols",
@@ -144,7 +126,20 @@ _CHECK_LAST = [
     "q_ngram_jaccard", "q_pack_sequences", "q_percentiles_approx", "q_pmi",
     "q_prefix_filter_pairs", "q_quality_report", "q_repetition",
     "q_retention_cohort", "q_sessions", "q_skew_agg", "q_skew_join",
-    "q_source_overlap",
+    "q_source_overlap", "q_neardup_store_roundtrip", "q_store_time_travel",
+    "q_welch_ttest", "q_permutation_test", "q_diff_in_diff", "q_ips_eval",
+    "q_morans_i", "q_getis_ord", "q_link_prediction", "q_item_cf",
+    "q_pii_scan", "q_stream_histogram", "q_mcnemar", "q_wilcoxon_signed_rank",
+    "q_stream_cdc", "q_consistent_hash", "q_feature_hash_audit",
+    "q_gdpr_export", "q_time_decay", "q_graph_modularity", "q_sparse_cosine",
+    "q_split_assign", "q_srp_lsh", "q_srp_near_pairs", "q_star_join",
+    "q_text_quality", "q_token_count", "q_topk_per_group",
+    "q_weighted_sample", "q_winsorize", "q_antijoin", "q_cc_two_phase",
+    "q_curation_pipeline", "q_decontaminate", "q_dedup_exact",
+    "q_dup_rate_by_source", "q_edit_distance", "q_epoch_shuffle",
+    "q_eval_metrics", "q_feature_binning", "q_forecast_eval",
+    "q_frame_sample", "q_global_index", "q_interval_join",
+    "q_ivfpq_multiprobe",
 ]
 
 

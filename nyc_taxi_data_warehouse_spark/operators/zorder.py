@@ -133,3 +133,87 @@ def interval_overlap_depth(
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).cast("long").alias("depth"))
     )
+
+
+def hilbert_expr(xg: Column, yg: Column, bits: int = BITS) -> Column:
+    """Hilbert-curve distance of a (xg, yg) grid cell — the
+    locality-superior alternative to :func:`interleave_expr`'s Morton
+    order (the Hilbert curve never jumps across the space, so
+    consecutive curve cells are always spatially adjacent; Morton has
+    2^b-length discontinuities at quadrant seams).  xy2d (the classic
+    quadrant-rotation recurrence) as a RUNTIME `F.aggregate` fold over
+    the level sizes with a (x, y, d) struct accumulator — an unrolled
+    column chain would double the expression tree per level (the
+    rotation reads both coordinates twice → 4^bits nodes, which stalls
+    analysis; measured round 13), while the fold keeps ONE linear
+    expression evaluated per row.  Grid coords are small non-negative
+    ints, so ``(v / s) cast long`` is an exact floor division and the
+    whole recurrence stays on the integer lattice — bit-identical to
+    the SQL twin from :func:`hilbert_sql_exprs`."""
+    n = 1 << bits
+    levels = F.array(*[F.lit(1 << lvl).cast("long") for lvl in range(bits - 1, -1, -1)])
+
+    def step(acc: Column, s: Column) -> Column:
+        # canonical rot(): reflection is against the FULL grid (n-1), so
+        # coordinates stay in [0, n) and the bit tests never see negatives
+        rx = (acc["x"] / s).cast("long") % 2
+        ry = (acc["y"] / s).cast("long") % 2
+        d = acc["d"] + s * s * (rx * 3).bitwiseXOR(ry)
+        nx = (
+            F.when(
+                ry == 0,
+                F.when(rx == 1, F.lit(n - 1) - acc["y"]).otherwise(acc["y"]),
+            )
+            .otherwise(acc["x"])
+            .cast("long")
+        )
+        ny = (
+            F.when(
+                ry == 0,
+                F.when(rx == 1, F.lit(n - 1) - acc["x"]).otherwise(acc["x"]),
+            )
+            .otherwise(acc["y"])
+            .cast("long")
+        )
+        return F.struct(nx.alias("x"), ny.alias("y"), d.cast("long").alias("d"))
+
+    acc = F.aggregate(
+        levels,
+        F.struct(
+            xg.cast("long").alias("x"),
+            yg.cast("long").alias("y"),
+            F.lit(0).cast("long").alias("d"),
+        ),
+        step,
+    )
+    return acc["d"]
+
+
+def hilbert_sql_exprs(bits: int = BITS) -> str:
+    """DuckDB twin of :func:`hilbert_expr` as a chain of per-level CTE
+    selects over columns (x, y, d) — call with a CTE named ``g0``
+    providing (x, y) grid coordinates plus carried-through columns named
+    in ``carry``; returns the ``h1..h{bits}`` CTE chain text whose final
+    CTE ``h{bits}`` has the Hilbert distance in ``d``."""
+    parts = []
+    prev = "g0"
+    n = 1 << bits
+    for i, lvl in enumerate(range(bits - 1, -1, -1), start=1):
+        s = 1 << lvl
+        # integer-division bit test ((x // s) % 2) mirrors the engine's
+        # fold; reflection against n-1 keeps coordinates non-negative
+        parts.append(f""",
+h{i} AS MATERIALIZED (
+    SELECT * REPLACE (
+        d + {s * s} * xor(((x // {s}) % 2) * 3, (y // {s}) % 2) AS d,
+        CASE WHEN ((y // {s}) % 2) = 0
+             THEN CASE WHEN ((x // {s}) % 2) = 1 THEN {n - 1} - y ELSE y END
+             ELSE x END AS x,
+        CASE WHEN ((y // {s}) % 2) = 0
+             THEN CASE WHEN ((x // {s}) % 2) = 1 THEN {n - 1} - x ELSE x END
+             ELSE y END AS y
+    )
+    FROM {prev}
+)""")
+        prev = f"h{i}"
+    return "".join(parts)

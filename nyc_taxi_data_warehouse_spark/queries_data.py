@@ -695,6 +695,315 @@ FROM rep3"""
     )
 
 
+_HOLT_A, _HOLT_G = 0.3, 0.1  # level / trend smoothing
+
+
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing of the daily event
+    count — the forecasting primitive between q_lag_ma's moving average
+    (no trend) and the Spark-ML RF (no oracle): one-step-ahead fitted
+    values F_t = l_{t-1} + b_{t-1} with l_t = α·y_t + (1−α)(l_{t-1} +
+    b_{t-1}), b_t = γ(l_t − l_{t-1}) + (1−γ)b_{t-1}, initialized l₁ =
+    y₁, b₁ = y₂ − y₁.
+
+    A smoothing recurrence is inherently sequential, so the engine
+    collapses the DAY-GRAIN series (calendar-bounded — the
+    fare_daily_features rationale) into one sorted array and folds it
+    with `F.aggregate` — the whole recurrence stays a JVM expression
+    tree, no Python, no collect; the corpus-grain work is only the
+    daily count aggregation.  The oracle replays the identical
+    recurrence through a recursive CTE: both engines evaluate the SAME
+    per-step double arithmetic on exact integer y's in the SAME order,
+    so the fold is bit-reproducible (rounded at the end regardless)."""
+    ev = load_tables(spark, sf_dir)["events"].where(F.col("ts").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    arr = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("s")
+    )
+    a, g = _HOLT_A, _HOLT_G
+    # fold state: (l, b, out[(day, y, fhat)]); seeds consume s[1], s[2]
+    fold = F.aggregate(
+        F.slice(F.col("s"), 2, F.size("s") - 1),
+        F.struct(
+            F.element_at("s", 1)["y"].cast("double").alias("l"),
+            (
+                F.element_at("s", 2)["y"] - F.element_at("s", 1)["y"]
+            ).cast("double").alias("b"),
+            F.expr(
+                "CAST(array() AS"
+                " array<struct<day date, y bigint, fhat double>>)"
+            ).alias("out"),
+        ),
+        lambda acc, x: F.struct(
+            (
+                F.lit(a) * x["y"].cast("double")
+                + F.lit(1 - a) * (acc["l"] + acc["b"])
+            ).alias("l"),
+            (
+                F.lit(g)
+                * (
+                    (
+                        F.lit(a) * x["y"].cast("double")
+                        + F.lit(1 - a) * (acc["l"] + acc["b"])
+                    )
+                    - acc["l"]
+                )
+                + F.lit(1 - g) * acc["b"]
+            ).alias("b"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["day"].alias("day"),
+                        x["y"].alias("y"),
+                        (acc["l"] + acc["b"]).alias("fhat"),
+                    )
+                ),
+            ).alias("out"),
+        ),
+    )
+    return (
+        arr.where(F.size("s") >= 2)
+        .select(F.explode(fold["out"]).alias("r"))
+        .select(
+            F.col("r.day").alias("day"),
+            F.col("r.y").alias("y"),
+            _rnd(F.col("r.fhat"), 6).alias("fhat"),
+        )
+    )
+
+
+def _sql_holt_linear() -> str:
+    a, g = _HOLT_A, _HOLT_G
+    # identical arithmetic trees: l' = a*y + (1-a)*(l+b);
+    # b' = g*(l' - l) + (1-g)*b; fhat emitted BEFORE the update
+    lnew = f"{a!r} * CAST(i.y AS DOUBLE) + {1 - a!r} * (r.l + r.b)"
+    return f"""
+WITH RECURSIVE daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+idx AS (
+    SELECT day, y, row_number() OVER (ORDER BY day) AS i FROM daily
+),
+hw(i, l, b, day, y, fhat) AS (
+    SELECT 2,
+           {a!r} * CAST(i2.y AS DOUBLE)
+               + {1 - a!r} * (CAST(i1.y AS DOUBLE)
+                              + CAST(i2.y - i1.y AS DOUBLE)),
+           {g!r} * (({a!r} * CAST(i2.y AS DOUBLE)
+                     + {1 - a!r} * (CAST(i1.y AS DOUBLE)
+                                    + CAST(i2.y - i1.y AS DOUBLE)))
+                    - CAST(i1.y AS DOUBLE))
+               + {1 - g!r} * CAST(i2.y - i1.y AS DOUBLE),
+           i2.day, i2.y,
+           CAST(i1.y AS DOUBLE) + CAST(i2.y - i1.y AS DOUBLE)
+    FROM idx i1 JOIN idx i2 ON i1.i = 1 AND i2.i = 2
+    UNION ALL
+    SELECT r.i + 1,
+           {lnew},
+           {g!r} * (({lnew}) - r.l) + {1 - g!r} * r.b,
+           i.day, i.y, r.l + r.b
+    FROM hw r JOIN idx i ON i.i = r.i + 1
+)
+SELECT day, y, round(1e-9 + fhat, 6) AS fhat FROM hw"""
+
+
+_DBSCAN_EPS = 2  # L-infinity radius on the (n_events, avg_value) lattice
+_DBSCAN_MINPTS = 5  # weighted self-inclusive density threshold
+
+
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell DBSCAN over the user behavior lattice — density-based
+    clustering beside the centroid family (q_kmeans_cells /
+    q_centroid_assign): users collapse to integer lattice points
+    (x = event count, y = lattice-exact mean value), every point gets
+    its weighted ε-neighborhood density, core points (density ≥ minPts)
+    cluster by ε-reachability (connected components over the core-core
+    graph), border points adopt their smallest core neighbor's cluster,
+    the rest is noise.
+
+    Scale design — the three classic DBSCAN blow-ups, each closed:
+    (1) neighbor search never scans all pairs — points bucket into
+    ε-sized grid cells and candidates come from a 9-cell offset
+    equi-join (each neighbor found exactly once, no distinct needed);
+    (2) identical users collapse FIRST — density is the weighted sum
+    over distinct lattice points, so a million identical users cost one
+    row; (3) clustering reuses `dedup.connected_components` (min-label
+    over localCheckpointed rounds).  L∞ distance keeps everything on
+    the exact integer lattice (y = Σ⌊100·value⌋ // (100·n) — never a
+    double mean); the oracle replays density over a direct pair join
+    and the components through a recursive CTE."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    pts = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sv"),
+        )
+        .select(
+            "x",
+            F.expr("sv div (100 * x)").cast("long").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint()
+    )
+    eps, minpts = _DBSCAN_EPS, _DBSCAN_MINPTS
+    pid = (F.col("x") * 1000000 + F.col("y")).cast("long")
+    p = pts.select(pid.alias("pid"), "x", "y", "w")
+    offs = spark.range(9).select(
+        (F.col("id") % 3 - 1).cast("long").alias("dx"),
+        (F.col("id") / 3).cast("long").alias("dy0"),
+    ).select("dx", (F.col("dy0") - 1).alias("dy"))
+    left = p.crossJoin(F.broadcast(offs)).select(
+        F.col("pid").alias("pid_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.col("w").alias("wa"),
+        (F.expr("x div " + str(eps)) + F.col("dx")).alias("cx"),
+        (F.expr("y div " + str(eps)) + F.col("dy")).alias("cy"),
+    )
+    right = p.select(
+        F.col("pid").alias("pid_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("w").alias("wb"),
+        F.expr(f"x div {eps}").alias("cx"),
+        F.expr(f"y div {eps}").alias("cy"),
+    )
+    nbr = (
+        left.join(right, ["cx", "cy"])
+        .where(
+            (F.abs(F.col("xa") - F.col("xb")) <= eps)
+            & (F.abs(F.col("ya") - F.col("yb")) <= eps)
+            & (F.col("pid_a") != F.col("pid_b"))
+        )
+        .select("pid_a", "pid_b", "wa", "wb")
+        .localCheckpoint()
+    )
+    dens = (
+        p.join(
+            nbr.groupBy(F.col("pid_a").alias("pid")).agg(
+                F.sum("wb").cast("long").alias("w_nbr")
+            ),
+            "pid",
+            "left",
+        )
+        .select(
+            "pid",
+            "x",
+            "y",
+            "w",
+            (F.col("w") + F.coalesce("w_nbr", F.lit(0)))
+            .cast("long")
+            .alias("density"),
+        )
+        .localCheckpoint()
+    )
+    cores = dens.where(F.col("density") >= minpts).select("pid")
+    ca = cores.select(F.col("pid").alias("pid_a"))
+    cb = cores.select(F.col("pid").alias("pid_b"))
+    core_edges = (
+        nbr.join(ca, "pid_a")
+        .join(cb, "pid_b")
+        .where(F.col("pid_a") < F.col("pid_b"))
+        .select(F.col("pid_a").alias("doc_a"), F.col("pid_b").alias("doc_b"))
+    )
+    cc = dedup.connected_components(
+        core_edges, cores.select(F.col("pid").alias("doc_id"))
+    ).select(F.col("doc_id").alias("pid"), "cluster_id")
+    border = (
+        nbr.join(cb.withColumn("__c", F.lit(1)), "pid_b")
+        .join(cc.select(F.col("pid").alias("pid_b"), "cluster_id"), "pid_b")
+        .groupBy(F.col("pid_a").alias("pid"))
+        .agg(F.min("cluster_id").cast("long").alias("b_cluster"))
+    )
+    return (
+        dens.join(cc, "pid", "left")
+        .join(border, "pid", "left")
+        .select(
+            "x",
+            "y",
+            "w",
+            "density",
+            F.when(F.col("cluster_id").isNotNull(), "core")
+            .when(F.col("b_cluster").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce(F.col("cluster_id"), F.col("b_cluster"))
+            .cast("long")
+            .alias("cluster"),
+        )
+    )
+
+
+def _sql_dbscan() -> str:
+    eps, minpts = _DBSCAN_EPS, _DBSCAN_MINPTS
+    return f"""
+WITH RECURSIVE pts AS (
+    SELECT x, y, CAST(count(*) AS BIGINT) AS w
+    FROM (
+        SELECT CAST(count(*) AS BIGINT) AS x,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                    // (100 * count(*)) AS BIGINT) AS y
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+        GROUP BY user_id
+    ) GROUP BY 1, 2
+),
+p AS (
+    SELECT CAST(x * 1000000 + y AS BIGINT) AS pid, x, y, w FROM pts
+),
+nbr AS MATERIALIZED (
+    SELECT a.pid AS pid_a, b.pid AS pid_b, a.w AS wa, b.w AS wb
+    FROM p a JOIN p b
+      ON abs(a.x - b.x) <= {eps} AND abs(a.y - b.y) <= {eps}
+     AND a.pid <> b.pid
+),
+dens AS MATERIALIZED (
+    SELECT p.pid, p.x, p.y, p.w,
+           CAST(p.w + coalesce(n.w_nbr, 0) AS BIGINT) AS density
+    FROM p LEFT JOIN (
+        SELECT pid_a AS pid, CAST(sum(wb) AS BIGINT) AS w_nbr
+        FROM nbr GROUP BY 1
+    ) n ON n.pid = p.pid
+),
+cores AS MATERIALIZED (SELECT pid FROM dens WHERE density >= {minpts}),
+ce AS MATERIALIZED (
+    SELECT n.pid_a AS src, n.pid_b AS dst
+    FROM nbr n JOIN cores a ON a.pid = n.pid_a JOIN cores b ON b.pid = n.pid_b
+),
+reach(node, lab) AS (
+    SELECT pid, pid FROM cores
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN ce e ON e.src = r.node
+),
+cc AS MATERIALIZED (
+    SELECT node AS pid, CAST(min(lab) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY 1
+),
+border AS MATERIALIZED (
+    SELECT n.pid_a AS pid, CAST(min(c.cluster_id) AS BIGINT) AS b_cluster
+    FROM nbr n JOIN cc c ON c.pid = n.pid_b
+    GROUP BY 1
+)
+SELECT d.x, d.y, d.w, d.density,
+       CASE WHEN c.cluster_id IS NOT NULL THEN 'core'
+            WHEN b.b_cluster IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(coalesce(c.cluster_id, b.b_cluster) AS BIGINT) AS cluster
+FROM dens d
+LEFT JOIN cc c ON c.pid = d.pid
+LEFT JOIN border b ON b.pid = d.pid"""
+
+
 _RDV_SHARDS = 8  # rendezvous baseline shard count (resize probes S+1)
 
 
@@ -12937,6 +13246,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bloom_portable": q_bloom_portable,
     "q_histogram_quantiles": q_histogram_quantiles,
     "q_seasonal_decompose": q_seasonal_decompose,
+    "q_holt_linear": q_holt_linear,
+    "q_dbscan": q_dbscan,
     "q_stream_bloom": q_stream_bloom,
     "q_split_leakage": q_split_leakage,
     "q_pca_power": q_pca_power,
@@ -13121,6 +13432,8 @@ ORACLES: dict[str, str] = {
     "q_bloom_portable": _SQL_BLOOM_PORTABLE,
     "q_histogram_quantiles": _SQL_HISTOGRAM_QUANTILES,
     "q_seasonal_decompose": _SQL_SEASONAL_DECOMPOSE,
+    "q_holt_linear": _sql_holt_linear(),
+    "q_dbscan": _sql_dbscan(),
     "q_stream_bloom": _SQL_STREAM_BLOOM,
     "q_split_leakage": _SQL_SPLIT_LEAKAGE,
     "q_pca_power": _sql_pca_power(),

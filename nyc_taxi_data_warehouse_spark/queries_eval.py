@@ -4423,6 +4423,542 @@ SELECT c.b, c.n_b, c.sy_b,
 FROM cum c JOIN iso i ON c.b = i.k"""
 
 
+
+
+# --- round-13 experimentation/statistics wave --------------------------------
+
+_EV_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (Levene with group MEDIANS — the robust
+    default) for equality of value variances across the five event-type
+    groups: the variance-homogeneity companion to q_anova_f's mean test
+    (ANOVA's own assumption is what this checks).
+
+    Exactness: group medians are interpolated percentiles (Spark
+    `percentile` ≡ DuckDB `quantile_cont`, the q_percentiles parity);
+    each row's deviation z = |x − med_g| is ONE engine-identical double
+    quantized to 1e-6 micro-units BEFORE any sum (the kruskal idiom);
+    per-group (n, Σz, Σz²) pivot to a SINGLE row (the q_welch_ttest
+    shape — no cross-row double sum ever happens), with Σz² as
+    DECIMAL(38,0)/HUGEINT (z²·N leaves int64 at corpus scale); the F
+    statistic evaluates one shared textual formula over those exact
+    sums.  Shape: two corpus-grain aggregations (median pass + moment
+    pass, both map-side-combining); everything after is a 1-row frame."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("value").isNotNull() & F.col("event_type").isin(*_EV_TYPES)
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.round(F.abs(F.col("value") - F.col("med")) * 1e6)
+        .cast("long")
+        .alias("z"),
+    )
+    grp = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("z").cast("long").alias("s_g"),
+        F.sum(F.col("z").cast("decimal(19,0)") * F.col("z").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("q_g"),
+    )
+    aggs = []
+    for i, t in enumerate(_EV_TYPES):
+        aggs += [
+            F.max(F.when(F.col("event_type") == t, F.col("n_g"))).alias(f"n{i}"),
+            F.max(F.when(F.col("event_type") == t, F.col("s_g"))).alias(f"s{i}"),
+            F.max(F.when(F.col("event_type") == t, F.col("q_g"))).alias(f"q{i}"),
+        ]
+    one = grp.agg(*aggs)
+    k = len(_EV_TYPES)
+    nn = " + ".join(f"CAST(n{i} AS DOUBLE)" for i in range(k))
+    ss = " + ".join(f"CAST(s{i} AS DOUBLE)" for i in range(k))
+    ssb_terms = " + ".join(
+        f"CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE) / CAST(n{i} AS DOUBLE)"
+        for i in range(k)
+    )
+    qq = " + ".join(f"CAST(q{i} AS DOUBLE)" for i in range(k))
+    f_formula = (
+        f"((({ssb_terms}) - ({ss}) * ({ss}) / ({nn})) / {float(k - 1)!r})"
+        f" / ((({qq}) - ({ssb_terms})) / (({nn}) - {float(k)!r}))"
+    )
+    return one.select(
+        *[F.col(f"n{i}").alias(f"n_{t}") for i, t in enumerate(_EV_TYPES)],
+        F.expr(" + ".join(f"n{i}" for i in range(k)))
+        .cast("long")
+        .alias("n_total"),
+        F.lit(k - 1).cast("int").alias("df1"),
+        (F.expr(" + ".join(f"n{i}" for i in range(k))) - k)
+        .cast("long")
+        .alias("df2"),
+        _rnd(F.expr(f_formula), 6).alias("f_stat"),
+    )
+
+
+def _sql_levene() -> str:
+    k = len(_EV_TYPES)
+    piv = ",\n           ".join(
+        f"max(CASE WHEN event_type = '{t}' THEN n_g END) AS n{i},\n"
+        f"           max(CASE WHEN event_type = '{t}' THEN s_g END) AS s{i},\n"
+        f"           max(CASE WHEN event_type = '{t}' THEN q_g END) AS q{i}"
+        for i, t in enumerate(_EV_TYPES)
+    )
+    nn = " + ".join(f"CAST(n{i} AS DOUBLE)" for i in range(k))
+    ss = " + ".join(f"CAST(s{i} AS DOUBLE)" for i in range(k))
+    ssb_terms = " + ".join(
+        f"CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE) / CAST(n{i} AS DOUBLE)"
+        for i in range(k)
+    )
+    qq = " + ".join(f"CAST(q{i} AS DOUBLE)" for i in range(k))
+    f_formula = (
+        f"((({ssb_terms}) - ({ss}) * ({ss}) / ({nn})) / {float(k - 1)!r})"
+        f" / ((({qq}) - ({ssb_terms})) / (({nn}) - {float(k)!r}))"
+    )
+    types = ", ".join(f"'{t}'" for t in _EV_TYPES)
+    ncols = ", ".join(
+        f"n{i} AS n_{t}" for i, t in enumerate(_EV_TYPES)
+    )
+    ntot = " + ".join(f"n{i}" for i in range(k))
+    return f"""
+WITH ev AS (
+    SELECT event_type, value FROM events
+    WHERE value IS NOT NULL AND event_type IN ({types})
+),
+med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM ev GROUP BY 1
+),
+z AS (
+    SELECT ev.event_type,
+           CAST(round(abs(ev.value - med.med) * 1e6) AS BIGINT) AS z
+    FROM ev JOIN med USING (event_type)
+),
+grp AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+           CAST(sum(z) AS BIGINT) AS s_g,
+           sum(CAST(z AS HUGEINT) * z) AS q_g
+    FROM z GROUP BY 1
+),
+one AS (
+    SELECT {piv}
+    FROM grp
+)
+SELECT {ncols},
+       CAST({ntot} AS BIGINT) AS n_total,
+       CAST({k - 1} AS INTEGER) AS df1,
+       CAST({ntot} - {k} AS BIGINT) AS df2,
+       round(1e-9 + {f_formula}, 6) AS f_stat
+FROM one"""
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) for the id-parity
+    A/B split — the experimentation op that makes q_ab_test's metric
+    converge faster by regressing out pre-experiment behavior: the date
+    range splits at its midpoint into pre/post periods, each user
+    carries x = pre-period event count and y = post-period purchase
+    count, θ = cov(x,y)/var(x) pooled across arms, and each arm reports
+    mean(y) beside the CUPED-adjusted mean(y) − θ·(mean_v(x) − mean(x))
+    with the variance-reduction factor ρ².
+
+    Exactness: x and y are exact BIGINT per user, so all five pooled
+    power sums (n, Σx, Σy, Σxy, Σx², Σy²) and the per-arm (n_v, Σx_v,
+    Σy_v) are exact integers in ONE user-grain pass each (the
+    q_trend_ols regression-as-aggregation pattern); θ, ρ² and the
+    adjusted means are per-row double formulas over those integers.
+    Int64 bound: Σx² ≤ n·max_events_per_user² — fine past 10¹² users.
+    Shape: one events aggregation to user grain, one user-grain
+    aggregation; nothing larger than 2 rows after that."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    rng = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    ).select(
+        "d0",
+        F.date_add(
+            F.col("d0"), (F.datediff("d1", "d0") / 2).cast("int")
+        ).alias("dmid"),
+    )
+    users = (
+        ev.crossJoin(F.broadcast(rng))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.to_date("ts") < F.col("dmid"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    (F.to_date("ts") >= F.col("dmid"))
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant"),
+            "x",
+            "y",
+        )
+    )
+    pooled = users.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    per = users.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_v"),
+        F.sum("x").cast("long").alias("sx_v"),
+        F.sum("y").cast("long").alias("sy_v"),
+    )
+    theta = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    rho2 = (
+        "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
+        " / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    adj = (
+        "CAST(sy_v AS DOUBLE) / CAST(n_v AS DOUBLE)"
+        f" - ({theta}) * (CAST(sx_v AS DOUBLE) / CAST(n_v AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+    return per.crossJoin(F.broadcast(pooled)).select(
+        "variant",
+        F.col("n_v").alias("n_users"),
+        _rnd(F.expr("CAST(sy_v AS DOUBLE) / CAST(n_v AS DOUBLE)"), 6).alias(
+            "mean_y"
+        ),
+        _rnd(F.expr(adj), 6).alias("mean_y_cuped"),
+        _rnd(F.expr(theta), 6).alias("theta"),
+        _rnd(F.expr(rho2), 6).alias("rho2"),
+    )
+
+
+def _sql_cuped() -> str:
+    theta = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    rho2 = (
+        "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
+        " / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    adj = (
+        "CAST(sy_v AS DOUBLE) / CAST(n_v AS DOUBLE)"
+        f" - ({theta}) * (CAST(sx_v AS DOUBLE) / CAST(n_v AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+    return f"""
+WITH ev AS (
+    SELECT user_id, event_type, CAST(ts AS DATE) AS day
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+rng AS (
+    SELECT min(day) AS d0,
+           min(day) + to_days(CAST(date_diff('day', min(day), max(day)) // 2
+                                   AS INTEGER)) AS dmid
+    FROM ev
+),
+users AS (
+    SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+           CAST(sum(CASE WHEN day < dmid THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN day >= dmid AND event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS y
+    FROM ev CROSS JOIN rng
+    GROUP BY user_id
+),
+pooled AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM users
+),
+per AS (
+    SELECT variant, CAST(count(*) AS BIGINT) AS n_v,
+           CAST(sum(x) AS BIGINT) AS sx_v, CAST(sum(y) AS BIGINT) AS sy_v
+    FROM users GROUP BY 1
+)
+SELECT variant, n_v AS n_users,
+       round(1e-9 + CAST(sy_v AS DOUBLE) / CAST(n_v AS DOUBLE), 6) AS mean_y,
+       round(1e-9 + {adj}, 6) AS mean_y_cuped,
+       round(1e-9 + {theta}, 6) AS theta,
+       round(1e-9 + {rho2}, 6) AS rho2
+FROM per CROSS JOIN pooled"""
+
+
+_SPRT_P0, _SPRT_P1 = 0.2, 0.25  # H0/H1 daily purchase share
+_SPRT_ALPHA = 0.05  # = beta; Wald thresholds ±ln((1-a)/a)
+
+
+def q_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test over the daily purchase
+    share — the always-valid monitoring companion to the fixed-horizon
+    q_ab_test: each day contributes s·ln(p1/p0) + (t−s)·ln((1−p1)/(1−p0))
+    to the cumulative log-likelihood ratio, and the experiment STOPS the
+    first day the cumulative LLR leaves (ln(β/(1−α)), ln((1−β)/α)).
+
+    Exactness: (t, s) are exact daily BIGINT counts; the day's LLR is
+    one engine-identical double over them (the ln constants evaluate
+    identically from the same literals) quantized to 1e-6 micro-units;
+    the running sum is then an exact BIGINT window cumsum — order-safe
+    where a double cumsum would not be.  The day-ordered window is
+    unpartitioned but day-grain bounded by calendar (the
+    fare_daily_features rationale).  Verdict thresholds are the same
+    micro-quantized constants in both engines."""
+    ev = load_tables(spark, sf_dir)["events"].where(F.col("ts").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("trials"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("successes"),
+    )
+    lr = (
+        f"CAST(successes AS DOUBLE) * ln({_SPRT_P1!r} / {_SPRT_P0!r})"
+        f" + CAST(trials - successes AS DOUBLE)"
+        f" * ln((1.0 - {_SPRT_P1!r}) / (1.0 - {_SPRT_P0!r}))"
+    )
+    a_mu = f"CAST(round(ln((1.0 - {_SPRT_ALPHA!r}) / {_SPRT_ALPHA!r}) * 1e6) AS BIGINT)"
+    b_mu = f"CAST(round(ln({_SPRT_ALPHA!r} / (1.0 - {_SPRT_ALPHA!r})) * 1e6) AS BIGINT)"
+    d = daily.withColumn(
+        "llr_micro", F.expr(f"CAST(round(({lr}) * 1e6) AS BIGINT)")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    d = d.withColumn("cum_llr_micro", F.sum("llr_micro").over(w).cast("long"))
+    verdict = (
+        F.when(F.col("cum_llr_micro") >= F.expr(a_mu), "accept_h1")
+        .when(F.col("cum_llr_micro") <= F.expr(b_mu), "accept_h0")
+        .otherwise("continue")
+    )
+    d = d.withColumn("verdict", verdict)
+    wp = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    decided_before = F.coalesce(
+        F.max(F.when(F.col("verdict") != "continue", 1).otherwise(0)).over(wp),
+        F.lit(0),
+    )
+    return d.select(
+        "day",
+        "trials",
+        "successes",
+        "llr_micro",
+        "cum_llr_micro",
+        "verdict",
+        ((F.col("verdict") != "continue") & (decided_before == 0))
+        .cast("int")
+        .alias("is_stop"),
+    )
+
+
+def _sql_sprt() -> str:
+    lr = (
+        f"CAST(successes AS DOUBLE) * ln({_SPRT_P1!r} / {_SPRT_P0!r})"
+        f" + CAST(trials - successes AS DOUBLE)"
+        f" * ln((1.0 - {_SPRT_P1!r}) / (1.0 - {_SPRT_P0!r}))"
+    )
+    a_mu = f"CAST(round(ln((1.0 - {_SPRT_ALPHA!r}) / {_SPRT_ALPHA!r}) * 1e6) AS BIGINT)"
+    b_mu = f"CAST(round(ln({_SPRT_ALPHA!r} / (1.0 - {_SPRT_ALPHA!r})) * 1e6) AS BIGINT)"
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS trials,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS successes
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+d AS (
+    SELECT day, trials, successes,
+           CAST(round(({lr}) * 1e6) AS BIGINT) AS llr_micro
+    FROM daily
+),
+c AS (
+    SELECT *, CAST(sum(llr_micro) OVER (ORDER BY day) AS BIGINT)
+                  AS cum_llr_micro
+    FROM d
+),
+v AS (
+    SELECT *,
+           CASE WHEN cum_llr_micro >= {a_mu} THEN 'accept_h1'
+                WHEN cum_llr_micro <= {b_mu} THEN 'accept_h0'
+                ELSE 'continue' END AS verdict
+    FROM c
+)
+SELECT day, trials, successes, llr_micro, cum_llr_micro, verdict,
+       CAST(CASE WHEN verdict <> 'continue'
+                  AND coalesce(max(CASE WHEN verdict <> 'continue'
+                                        THEN 1 ELSE 0 END)
+                      OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) = 0
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_stop
+FROM v"""
+
+
+_SHAPLEY_CHANNELS = [("view", 1), ("click", 2), ("signup", 4), ("error", 8)]
+_SHAPLEY_K = len(_SHAPLEY_CHANNELS)
+# |S|!·(k−1−|S|)! for k=4 — Shapley weights scaled by k! = 24
+_SHAPLEY_W = {0: 6, 1: 2, 2: 2, 3: 6}
+
+
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value channel attribution — the game-theoretic
+    marketing readout beside q_attribution's first/last-touch and
+    q_markov_transitions' path model: each of the four touch channels
+    (view/click/signup/error) gets its marginal contribution to
+    conversions (high-value purchase, the q_ab_test definition),
+    averaged over ALL orderings via the coalition formula.
+
+    The quadratic-looking sum is aggregation-bounded: users collapse to
+    their channel-touch BITMASK (one corpus-grain pass → ≤2^k = 16
+    rows), the coalition value v(S) = converted users whose touch set
+    ⊆ S materializes over a 16-row literal subset spine, and Shapley
+    folds over 2^k·k weighted deltas — everything after the first
+    aggregation is metadata-sized, every quantity an exact BIGINT
+    (weights are |S|!(k−1−|S|)! scaled by k! = 24; φ divides once at
+    the end).  The efficiency identity Σφ = v(full) − v(∅) is
+    pytest-pinned."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("user_id").isNotNull()
+    )
+    bits = [
+        F.max(F.when(F.col("event_type") == ch, 1).otherwise(0)) * b
+        for ch, b in _SHAPLEY_CHANNELS
+    ]
+    users = ev.groupBy("user_id").agg(
+        sum(bits[1:], bits[0]).cast("int").alias("mask"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        )
+        .cast("int")
+        .alias("conv"),
+    )
+    msets = users.where(F.col("conv") == 1).groupBy("mask").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conv")
+    )
+    full = (1 << _SHAPLEY_K) - 1
+    subsets = spark.range(full + 1).select(F.col("id").cast("int").alias("s"))
+    v = (
+        subsets.join(
+            F.broadcast(msets),
+            F.expr("(mask & s) = mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("long").alias("v"))
+    )
+    ch = spark.createDataFrame(
+        _SHAPLEY_CHANNELS, "channel string, bit int"
+    )
+    wcase = "CASE " + " ".join(
+        f"WHEN bit_count(s) = {sz} THEN {w}" for sz, w in _SHAPLEY_W.items()
+    ) + " END"
+    spine = ch.crossJoin(subsets).where(F.expr("(s & bit) = 0"))
+    vw = v.select(F.col("s").alias("s_with"), F.col("v").alias("v_with"))
+    vo = v.select(F.col("s").alias("s_wo"), F.col("v").alias("v_wo"))
+    phi = (
+        spine.withColumn("w", F.expr(wcase).cast("long"))
+        .join(F.broadcast(vo), F.expr("s_wo = s"))
+        .join(F.broadcast(vw), F.expr("s_with = (s | bit)"))
+        .groupBy("channel")
+        .agg(
+            F.sum(F.col("w") * (F.col("v_with") - F.col("v_wo")))
+            .cast("long")
+            .alias("phi_num")
+        )
+    )
+    vfull = v.where(F.col("s") == full).select(
+        F.col("v").alias("total_conversions")
+    )
+    kfact = 24
+    return phi.crossJoin(F.broadcast(vfull)).select(
+        "channel",
+        "phi_num",
+        _rnd(F.col("phi_num").cast("double") / kfact, 6).alias("phi"),
+        "total_conversions",
+    )
+
+
+def _sql_shapley_attribution() -> str:
+    bits = ", ".join(
+        f"max(CASE WHEN event_type = '{ch}' THEN 1 ELSE 0 END) * {b}"
+        for ch, b in _SHAPLEY_CHANNELS
+    ).replace(", ", " + ")
+    chvals = ", ".join(f"('{ch}', {b})" for ch, b in _SHAPLEY_CHANNELS)
+    wcase = "CASE " + " ".join(
+        f"WHEN bit_count(CAST(s AS BIGINT)) = {sz} THEN {w}"
+        for sz, w in _SHAPLEY_W.items()
+    ) + " END"
+    full = (1 << _SHAPLEY_K) - 1
+    return f"""
+WITH users AS (
+    SELECT user_id,
+           CAST({bits} AS INTEGER) AS mask,
+           CAST(max(CASE WHEN event_type = 'purchase' AND value > 150
+                         THEN 1 ELSE 0 END) AS INTEGER) AS conv
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1
+),
+msets AS (
+    SELECT mask, CAST(count(*) AS BIGINT) AS n_conv
+    FROM users WHERE conv = 1 GROUP BY 1
+),
+subsets AS (SELECT CAST(range AS INTEGER) AS s FROM range({full + 1})),
+v AS (
+    SELECT s, CAST(coalesce(sum(n_conv), 0) AS BIGINT) AS v
+    FROM subsets LEFT JOIN msets ON (mask & s) = mask
+    GROUP BY 1
+),
+ch(channel, bit) AS (VALUES {chvals}),
+spine AS (
+    SELECT channel, bit, s, CAST({wcase} AS BIGINT) AS w
+    FROM ch CROSS JOIN subsets WHERE (s & bit) = 0
+),
+phi AS (
+    SELECT channel,
+           CAST(sum(w * (vw.v - vo.v)) AS BIGINT) AS phi_num
+    FROM spine
+    JOIN v vo ON vo.s = spine.s
+    JOIN v vw ON vw.s = (spine.s | spine.bit)
+    GROUP BY 1
+)
+SELECT channel, phi_num,
+       round(1e-9 + CAST(phi_num AS DOUBLE) / 24, 6) AS phi,
+       (SELECT v FROM v WHERE s = {full}) AS total_conversions
+FROM phi"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_roc_auc": q_roc_auc,
     "q_pr_curve": q_pr_curve,
@@ -4459,6 +4995,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_isotonic_calibration": q_isotonic_calibration,
     "q_mmr_rerank": q_mmr_rerank,
     "q_cv_auc": q_cv_auc,
+    "q_levene": q_levene,
+    "q_cuped": q_cuped,
+    "q_sprt": q_sprt,
+    "q_shapley_attribution": q_shapley_attribution,
 }
 
 ORACLES: dict[str, str] = {
@@ -4497,4 +5037,8 @@ ORACLES: dict[str, str] = {
     "q_isotonic_calibration": _sql_isotonic_calibration(),
     "q_mmr_rerank": _sql_mmr_rerank(),
     "q_cv_auc": _sql_cv_auc(),
+    "q_levene": _sql_levene(),
+    "q_cuped": _sql_cuped(),
+    "q_sprt": _sql_sprt(),
+    "q_shapley_attribution": _sql_shapley_attribution(),
 }

@@ -1364,6 +1364,74 @@ FROM zz GROUP BY 1"""
 _SQL_ZORDER_CELLS = _sql_zorder_cells()
 
 
+def q_hilbert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering diagnostic (`operators/zorder.
+    hilbert_expr`) — q_zorder_cells' layout comparison point: the same
+    rank-bucketed (l_partkey, l_suppkey) grid rolled up to 1024 curve
+    cells with per-cell key bounds, but on the HILBERT order, whose
+    cells never jump across the space (Morton's quadrant-seam
+    discontinuities are why Delta's OPTIMIZE offers both).  Identical
+    shape to the Morton twin: bounds ride a 1-row broadcast-aggregate
+    crossJoin; the xy2d recurrence is an unrolled JVM integer
+    expression chain, bit-identical to the SQL twin."""
+    from .operators import zorder
+
+    li = nyc_views.load_tables(spark, sf_dir)["lineitem"].select(
+        "l_partkey", "l_suppkey"
+    )
+    bounds = li.agg(
+        F.min("l_partkey").alias("__xlo"),
+        F.max("l_partkey").alias("__xhi"),
+        F.min("l_suppkey").alias("__ylo"),
+        F.max("l_suppkey").alias("__yhi"),
+    )
+    h = zorder.hilbert_expr(
+        zorder.grid_expr("l_partkey", F.col("__xlo"), F.col("__xhi")),
+        zorder.grid_expr("l_suppkey", F.col("__ylo"), F.col("__yhi")),
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .withColumn("h", h)
+        .groupBy(F.shiftright(F.col("h"), 6).alias("h_cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+            F.min("l_suppkey").alias("min_sk"),
+            F.max("l_suppkey").alias("max_sk"),
+        )
+    )
+
+
+def _sql_hilbert_cells(bits: int = 8) -> str:
+    from .operators.zorder import hilbert_sql_exprs
+
+    grid = (
+        "CAST(floor(CAST(({c} - {lo}) AS DOUBLE) * {n} / ({hi} - {lo} + 1))"
+        " AS BIGINT)"
+    )
+    xg = grid.format(c="l_partkey", lo="xlo", hi="xhi", n=1 << bits)
+    yg = grid.format(c="l_suppkey", lo="ylo", hi="yhi", n=1 << bits)
+    return f"""
+WITH b AS (
+    SELECT min(l_partkey) AS xlo, max(l_partkey) AS xhi,
+           min(l_suppkey) AS ylo, max(l_suppkey) AS yhi
+    FROM lineitem
+), g0 AS (
+    SELECT l_partkey, l_suppkey, {xg} AS x, {yg} AS y,
+           CAST(0 AS BIGINT) AS d
+    FROM lineitem CROSS JOIN b
+){hilbert_sql_exprs(bits)}
+SELECT d >> 6 AS h_cell, count(*) AS n_rows,
+       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+       min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+FROM h{bits} GROUP BY 1"""
+
+
+_SQL_HILBERT_CELLS = _sql_hilbert_cells()
+
+
+
 def q_pagerank_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-importance PageRank over the trip transition graph
     (`operators/graph.pagerank_int`): edges = (pickup_zone →
@@ -3172,6 +3240,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q5": q_tpch_q5,
     "q_tpch_q6": q_tpch_q6,
     "q_zorder_cells": q_zorder_cells,
+    "q_hilbert_cells": q_hilbert_cells,
     "q_pagerank_zones": q_pagerank_zones,
     "q_shortest_path": q_shortest_path,
     "q_triangle_count": q_triangle_count,
@@ -3240,6 +3309,7 @@ FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5000""",
     "q_tpch_q5": _SQL_TPCH_Q5,
     "q_tpch_q6": _SQL_TPCH_Q6,
     "q_zorder_cells": _SQL_ZORDER_CELLS,
+    "q_hilbert_cells": _SQL_HILBERT_CELLS,
     "q_pagerank_zones": _SQL_PAGERANK_ZONES,
     "q_shortest_path": _SQL_SHORTEST_PATH,
     "q_triangle_count": _SQL_TRIANGLE_COUNT,

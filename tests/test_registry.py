@@ -33,9 +33,9 @@ def test_registry_order_is_deterministic_and_window_prioritized():
 
 
 # Reference-surface flagships: the headline marts must never go more
-# than 2 rounds without a driver CORRECTNESS row, so every round's
-# window reserves ~5 slots for them on a rotating basis (round-8
-# VERDICT item 7).  All five are in the round-10 window.
+# than 2 rounds without a driver CORRECTNESS row (round-8 VERDICT item
+# 7).  Refreshed in round 12 → due round 14: this round they LEAD
+# _CHECK_LAST so the round-14 window picks them up first.
 FLAGSHIPS = [
     "q_enrich", "q_trips_weather", "q_daily",
     "q_zone_analysis", "q_fare_daily_features",
@@ -43,39 +43,27 @@ FLAGSHIPS = [
 
 
 def test_flagship_freshness_policy_slots():
-    assert set(FLAGSHIPS) <= set(entry._CHECK_FIRST), (
-        "flagship freshness policy: reserve ~5 window slots for the "
-        "reference-surface flagships each round"
+    assert entry._CHECK_LAST[: len(FLAGSHIPS)] == FLAGSHIPS, (
+        "flagship freshness policy: r12-refreshed flagships are due r14 "
+        "— they must lead _CHECK_LAST for the round-14 window"
     )
 
 
 def test_never_driver_checked_entries_lead_the_window():
-    # The 20 round-12 additions without any driver-issued CORRECTNESS row
-    # must occupy the head of the round-12 window (first-evidence >
-    # stale-refresh), followed by the 10 remaining round-5-stale entries,
-    # the five flagships (due r12 per the ≤2-rounds policy), and the 15
-    # stalest round-6 entries.
+    # Round-13 window (VERDICT r12 item 1): the 8 round-13 additions
+    # (first-evidence > stale-refresh), then the 29 remaining
+    # round-6-stale entries (retiring the r6 evidence tail), then the
+    # 13 stalest round-7 entries.
     never = [
-        "q_neardup_store_roundtrip", "q_store_time_travel",
-        "q_welch_ttest", "q_permutation_test", "q_diff_in_diff",
-        "q_ips_eval", "q_morans_i", "q_getis_ord", "q_link_prediction",
-        "q_item_cf", "q_pii_scan", "q_stream_histogram", "q_mcnemar",
-        "q_wilcoxon_signed_rank", "q_stream_cdc",
-        "q_consistent_hash", "q_feature_hash_audit", "q_gdpr_export",
-        "q_time_decay", "q_graph_modularity",
+        "q_neardup_store_bucketed", "q_levene", "q_cuped", "q_sprt",
+        "q_shapley_attribution", "q_hilbert_cells", "q_holt_linear",
+        "q_dbscan",
     ]
     assert entry._CHECK_FIRST[: len(never)] == never
-    r5_stale = [
-        "q_sparse_cosine", "q_split_assign", "q_srp_lsh",
-        "q_srp_near_pairs", "q_star_join", "q_text_quality",
-        "q_token_count", "q_topk_per_group", "q_weighted_sample",
-        "q_winsorize",
-    ]
-    assert entry._CHECK_FIRST[len(never):len(never) + 10] == r5_stale
-    # flagships take slots 31-35 INSIDE the window this round (r10 rows
-    # are due per the ≤2-rounds policy)
-    assert entry._CHECK_FIRST[30:35] == [
-        "q_enrich", "q_trips_weather", "q_daily",
-        "q_zone_analysis", "q_fare_daily_features",
-    ]
+    r6_stale_edges = ("q_ivfpq_recall", "q_zone_dim")
+    assert entry._CHECK_FIRST[8] == r6_stale_edges[0]
+    assert entry._CHECK_FIRST[36] == r6_stale_edges[1]
+    r7_stale_edges = ("q_ann_ivf", "q_hll_distinct")
+    assert entry._CHECK_FIRST[37] == r7_stale_edges[0]
+    assert entry._CHECK_FIRST[49] == r7_stale_edges[1]
     assert len(entry._CHECK_FIRST) == 50

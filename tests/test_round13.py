@@ -152,3 +152,125 @@ class TestBucketedSignatureStore:
         # and a post-compaction ingest still decides correctly
         r3 = dedup.bucketed_store_ingest(spark, name, g2, num_hashes=8)
         assert r3.where(F.col("decision") != "exact_dup").count() == 0
+
+
+class TestRound13Wave:
+    """Invariants of the round-13 additions that the oracle gate can't
+    express (identities, algebraic properties, reference replays)."""
+
+    def test_shapley_efficiency_identity(self, spark, sf_dir):
+        from nyc_taxi_data_warehouse_spark.queries_eval import (
+            q_shapley_attribution,
+        )
+
+        rows = q_shapley_attribution(spark, sf_dir).collect()
+        assert len(rows) == 4
+        total = rows[0]["total_conversions"]
+        # Σφ = v(full) − v(∅); v(∅) counts converted users who touched NO
+        # channel (possible: a user whose only events are purchases)
+        from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+        from pyspark.sql import functions as F2
+
+        ev = load_tables(spark, sf_dir)["events"].where(
+            F2.col("user_id").isNotNull()
+        )
+        v0 = (
+            ev.groupBy("user_id")
+            .agg(
+                F2.max(
+                    F2.when(
+                        F2.col("event_type").isin(
+                            "view", "click", "signup", "error"
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias("touched"),
+                F2.max(
+                    F2.when(
+                        (F2.col("event_type") == "purchase")
+                        & (F2.col("value") > 150),
+                        1,
+                    ).otherwise(0)
+                ).alias("conv"),
+            )
+            .where((F2.col("conv") == 1) & (F2.col("touched") == 0))
+            .count()
+        )
+        assert sum(r["phi_num"] for r in rows) == (total - v0) * 24
+
+    def test_holt_linear_matches_reference_fold(self, spark, sf_dir):
+        from nyc_taxi_data_warehouse_spark.plans.nyc_views import load_tables
+        from nyc_taxi_data_warehouse_spark.queries_data import (
+            _HOLT_A,
+            _HOLT_G,
+            q_holt_linear,
+        )
+        from pyspark.sql import functions as F2
+
+        ev = load_tables(spark, sf_dir)["events"].where(F2.col("ts").isNotNull())
+        daily = sorted(
+            (r["day"], r["y"])
+            for r in ev.groupBy(F2.to_date("ts").alias("day"))
+            .count()
+            .withColumnRenamed("count", "y")
+            .collect()
+        )
+        l = float(daily[0][1])
+        b = float(daily[1][1] - daily[0][1])
+        want = {}
+        for day, y in daily[1:]:
+            want[day] = l + b
+            ln = _HOLT_A * float(y) + (1 - _HOLT_A) * (l + b)
+            b = _HOLT_G * (ln - l) + (1 - _HOLT_G) * b
+            l = ln
+        got = {r["day"]: r["fhat"] for r in q_holt_linear(spark, sf_dir).collect()}
+        assert set(got) == set(want)
+        for d in got:
+            assert abs(got[d] - want[d]) < 1e-4, (d, got[d], want[d])
+
+    def test_sprt_stops_at_most_once(self, spark, sf_dir):
+        from nyc_taxi_data_warehouse_spark.queries_eval import q_sprt
+
+        rows = sorted(q_sprt(spark, sf_dir).collect(), key=lambda r: r["day"])
+        stops = [r for r in rows if r["is_stop"] == 1]
+        assert len(stops) <= 1
+        if stops:  # nothing before the stop may already be decided
+            for r in rows:
+                if r["day"] < stops[0]["day"]:
+                    assert r["verdict"] == "continue"
+
+    def test_dbscan_roles_consistent(self, spark, sf_dir):
+        from nyc_taxi_data_warehouse_spark.queries_data import (
+            _DBSCAN_MINPTS,
+            q_dbscan,
+        )
+
+        rows = q_dbscan(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            if r["role"] == "core":
+                assert r["density"] >= _DBSCAN_MINPTS
+                assert r["cluster"] is not None
+            elif r["role"] == "noise":
+                assert r["cluster"] is None
+        # weighted density ≥ own weight always
+        assert all(r["density"] >= r["w"] for r in rows)
+
+    def test_hilbert_unit_steps(self, spark):
+        """The defining Hilbert property Morton lacks: consecutive curve
+        positions are ALWAYS grid neighbors (Manhattan distance 1)."""
+        from nyc_taxi_data_warehouse_spark.operators import zorder
+        from pyspark.sql import functions as F2
+
+        n = 16  # full 4-bit grid, exhaustive
+        grid = spark.createDataFrame(
+            [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+        )
+        rows = grid.withColumn(
+            "d", zorder.hilbert_expr(F2.col("x"), F2.col("y"), bits=4)
+        ).collect()
+        byd = {r["d"]: (r["x"], r["y"]) for r in rows}
+        assert len(byd) == n * n  # bijection
+        for d in range(n * n - 1):
+            (x1, y1), (x2, y2) = byd[d], byd[d + 1]
+            assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, byd[d], byd[d + 1])
