@@ -132,6 +132,8 @@ BNLJ_BOUNDED_OK = {
     "q_t_closeness",      # QI domain × m=5 ordinal priority values
     "q_vacuum_plan",      # calendar day-file × weekly-snapshot grain
     "q_clustering_depth",  # calendar day-file × day-file overlap join
+    "q_shapley_attribution",  # coalition grain: user masks collapse to
+    # ≤2^k = 16 rows (k = 4 literal channels) before every subset join
 }
 
 

@@ -1879,6 +1879,35 @@ def main() -> None:
         report, _merged = dedup.incremental_neardup(batch, store)
         return report
 
+
+    def _mk_bucketed_store(m):
+        """Bucketed-layout generation of the store-scaling axis
+        (verdict r12 item 3 follow-through): initialize the CATALOG
+        bucketed store from an m×-grown corpus UNTIMED, so the timed op
+        is exactly a daily ingest against m× history — whose plan has
+        ZERO store-side Exchange (sigs clustered by content_hash, bands
+        by (band, bh)); only the fixed 1× batch shuffles."""
+        import shutil as _sh
+
+        name = f"probe_ndb_m{m}"
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        for t in dedup.bucketed_store_tables(name):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            _sh.rmtree(f"{wh}/{t}", ignore_errors=True)
+        dedup.bucketed_store_ingest(
+            spark, name, _docs_at(spark, sf_dir, m), buckets=8
+        )
+        return name
+
+    def _bucketed_ingest(name):
+        batch = (
+            load_tables(spark, sf_dir)["documents"]
+            .select((F.col("doc_id") + 20_000_000).alias("doc_id"), "text")
+        )
+        return dedup.bucketed_store_ingest(spark, name, batch, buckets=8)
+
     ninth_ops = {
         "incremental_neardup": (
             lambda m: _docs_at(spark, sf_dir, m), _incr_neardup,
@@ -2268,6 +2297,180 @@ def main() -> None:
         "gdpr_export": (_lineitem_at, _gdpr),
     }
 
+
+    # round-13 wave: levene/cuped are one-or-two corpus aggregations to
+    # tiny frames; sprt/holt fold a calendar-bounded day series; shapley
+    # collapses users to ≤16 coalition masks; dbscan's lattice grows with
+    # the user universe (the dimension _events_at grows); hilbert is a
+    # map-side integer fold + one rollup.
+    def _levene(d):
+        ev = d.where(F.col("value").isNotNull())
+        med = ev.groupBy("event_type").agg(
+            F.expr("percentile(value, 0.5)").alias("med")
+        )
+        z = ev.join(F.broadcast(med), "event_type").select(
+            "event_type",
+            F.round(F.abs(F.col("value") - F.col("med")) * 1e6)
+            .cast("long").alias("z"),
+        )
+        return z.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum("z").alias("s_g"),
+            F.sum(F.col("z").cast("decimal(19,0)")
+                  * F.col("z").cast("decimal(19,0)")).alias("q_g"),
+        )
+
+    def _cuped(d):
+        ev = d.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        rng = ev.agg(
+            F.min(F.to_date("ts")).alias("d0"),
+            F.max(F.to_date("ts")).alias("d1"),
+        ).select(
+            F.date_add(F.col("d0"),
+                       (F.datediff("d1", "d0") / 2).cast("int")).alias("dmid")
+        )
+        users = ev.crossJoin(F.broadcast(rng)).groupBy("user_id").agg(
+            F.sum(F.when(F.to_date("ts") < F.col("dmid"), 1).otherwise(0))
+            .cast("long").alias("x"),
+            F.sum(F.when((F.to_date("ts") >= F.col("dmid"))
+                         & (F.col("event_type") == "purchase"), 1)
+                  .otherwise(0)).cast("long").alias("y"),
+        )
+        return users.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"), F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+
+    def _sprt_probe(d):
+        daily = d.where(F.col("ts").isNotNull()).groupBy(
+            F.to_date("ts").alias("day")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("t"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("s"),
+        )
+        from pyspark.sql import Window as W
+        lr = ("CAST(s AS DOUBLE) * ln(0.25 / 0.2)"
+              " + CAST(t - s AS DOUBLE) * ln(0.75 / 0.8)")
+        dd = daily.withColumn("m", F.expr(f"CAST(round(({lr}) * 1e6) AS BIGINT)"))
+        return dd.withColumn(
+            "cum", F.sum("m").over(W.orderBy("day")
+                                   .rowsBetween(W.unboundedPreceding, 0))
+        )
+
+    def _shapley(d):
+        ev = d.where(F.col("user_id").isNotNull())
+        chans = [("view", 1), ("click", 2), ("signup", 4), ("error", 8)]
+        bits = [F.max(F.when(F.col("event_type") == c, 1).otherwise(0)) * b
+                for c, b in chans]
+        users = ev.groupBy("user_id").agg(
+            sum(bits[1:], bits[0]).cast("int").alias("mask"),
+            F.max(F.when((F.col("event_type") == "purchase")
+                         & (F.col("value") > 150), 1).otherwise(0))
+            .alias("conv"),
+        )
+        msets = users.where(F.col("conv") == 1).groupBy("mask").agg(
+            F.count(F.lit(1)).cast("long").alias("n_conv")
+        )
+        subsets = spark.range(16).select(F.col("id").cast("int").alias("s"))
+        return subsets.join(
+            F.broadcast(msets), F.expr("(mask & s) = mask"), "left"
+        ).groupBy("s").agg(F.coalesce(F.sum("n_conv"), F.lit(0)).alias("v"))
+
+    def _holt(d):
+        daily = d.where(F.col("ts").isNotNull()).groupBy(
+            F.to_date("ts").alias("day")
+        ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+        arr = daily.agg(
+            F.sort_array(F.collect_list(F.struct("day", "y"))).alias("s")
+        )
+        fold = F.aggregate(
+            F.slice(F.col("s"), 2, F.size("s") - 1),
+            F.struct(
+                F.element_at("s", 1)["y"].cast("double").alias("l"),
+                (F.element_at("s", 2)["y"] - F.element_at("s", 1)["y"])
+                .cast("double").alias("b"),
+                F.expr("CAST(array() AS array<double>)").alias("out"),
+            ),
+            lambda acc, x: F.struct(
+                (F.lit(0.3) * x["y"].cast("double")
+                 + F.lit(0.7) * (acc["l"] + acc["b"])).alias("l"),
+                (F.lit(0.1) * ((F.lit(0.3) * x["y"].cast("double")
+                                + F.lit(0.7) * (acc["l"] + acc["b"]))
+                               - acc["l"])
+                 + F.lit(0.9) * acc["b"]).alias("b"),
+                F.concat(acc["out"],
+                         F.array(acc["l"] + acc["b"])).alias("out"),
+            ),
+        )
+        return arr.select(F.explode(fold["out"]).alias("fhat"))
+
+    def _dbscan_probe(d):
+        ev = d.where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        pts = (
+            ev.groupBy("user_id").agg(
+                F.count(F.lit(1)).cast("long").alias("x"),
+                F.sum(F.floor(F.col("value") * 100).cast("long"))
+                .cast("long").alias("sv"),
+            )
+            .select("x", F.expr("sv div (100 * x)").cast("long").alias("y"))
+            .groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("w"))
+        ).localCheckpoint()
+        pid = (F.col("x") * 1000000 + F.col("y")).cast("long")
+        p = pts.select(pid.alias("pid"), "x", "y", "w")
+        offs = spark.range(9).select(
+            (F.col("id") % 3 - 1).cast("long").alias("dx"),
+            ((F.col("id") / 3).cast("long") - 1).alias("dy"),
+        )
+        left = p.crossJoin(F.broadcast(offs)).select(
+            F.col("pid").alias("pid_a"), F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.expr("x div 2") + F.col("dx")).alias("cx"),
+            (F.expr("y div 2") + F.col("dy")).alias("cy"),
+        )
+        right = p.select(
+            F.col("pid").alias("pid_b"), F.col("x").alias("xb"),
+            F.col("y").alias("yb"), F.col("w").alias("wb"),
+            F.expr("x div 2").alias("cx"), F.expr("y div 2").alias("cy"),
+        )
+        nbr = left.join(right, ["cx", "cy"]).where(
+            (F.abs(F.col("xa") - F.col("xb")) <= 2)
+            & (F.abs(F.col("ya") - F.col("yb")) <= 2)
+            & (F.col("pid_a") != F.col("pid_b"))
+        )
+        return nbr.groupBy("pid_a").agg(F.sum("wb").alias("w_nbr"))
+
+    def _hilbert(li):
+        from nyc_taxi_data_warehouse_spark.operators import zorder as _zo
+
+        bounds = li.agg(
+            F.min("l_partkey").alias("__xlo"), F.max("l_partkey").alias("__xhi"),
+            F.min("l_suppkey").alias("__ylo"), F.max("l_suppkey").alias("__yhi"),
+        )
+        h = _zo.hilbert_expr(
+            _zo.grid_expr("l_partkey", F.col("__xlo"), F.col("__xhi")),
+            _zo.grid_expr("l_suppkey", F.col("__ylo"), F.col("__yhi")),
+        )
+        return (
+            li.crossJoin(F.broadcast(bounds)).withColumn("h", h)
+            .groupBy(F.shiftright(F.col("h"), 6).alias("c"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("l_partkey").alias("mn"), F.max("l_partkey").alias("mx"))
+        )
+
+    twelfth_ops = {
+        "levene": (lambda m: _events_at(spark, sf_dir, m), _levene),
+        "cuped": (lambda m: _events_at(spark, sf_dir, m), _cuped),
+        "sprt": (lambda m: _events_at(spark, sf_dir, m), _sprt_probe),
+        "shapley_attribution": (
+            lambda m: _events_at(spark, sf_dir, m), _shapley,
+        ),
+        "holt_linear": (lambda m: _events_at(spark, sf_dir, m), _holt),
+        "dbscan": (lambda m: _events_at(spark, sf_dir, m), _dbscan_probe),
+        "hilbert_cells": (_lineitem_at, _hilbert),
+        "bucketed_store_ingest": (_mk_bucketed_store, _bucketed_ingest),
+    }
+
     all_ops = {n: (lambda m: _docs_at(spark, sf_dir, m), op) for n, op in ops.items()}
     all_ops.update(meta_ops)
     all_ops.update(events_ops)
@@ -2280,6 +2483,7 @@ def main() -> None:
     all_ops.update(ninth_ops)
     all_ops.update(tenth_ops)
     all_ops.update(eleventh_ops)
+    all_ops.update(twelfth_ops)
     args = sys.argv[2:]
     mults = (1, 4, 8)
     shuffle_scale = False
