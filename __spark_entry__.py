@@ -31,15 +31,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries per round.  Rotate the window each round so evidence stays
 # fresh.  Round-13 window (per the round-12 VERDICT item 1 + the
 # standing priority first-evidence > stale-refresh > green tail):
-#   * slots 1-8: the 8 round-13 additions (the bucketed signature-store
-#     lifecycle, Brown-Forsythe/Levene, CUPED, Wald SPRT, exact Shapley
-#     attribution, Hilbert curve cells, Holt linear smoothing, and
-#     grid-cell DBSCAN) — none has ever had a driver-issued row;
-#   * slots 9-37: the 29 remaining round-6-stale entries (head of the
+#   * slots 1-11: the 11 round-13 additions (the bucketed
+#     signature-store lifecycle, Brown-Forsythe/Levene, CUPED, Wald
+#     SPRT, exact Shapley attribution, Hilbert curve cells, Holt linear
+#     smoothing, grid-cell DBSCAN, stratified ATT, horizon-4 harmonic
+#     closeness, and tokenizer fertility) — none has ever had a
+#     driver-issued row;
+#   * slots 12-40: the 29 remaining round-6-stale entries (head of the
 #     old _CHECK_LAST, q_ivfpq_recall .. q_zone_dim — retiring the r6
 #     evidence tail exactly as VERDICT r12 item 1 demands);
-#   * slots 38-50: the 13 stalest round-7 entries (q_ann_ivf ..
-#     q_hll_distinct).
+#   * slots 41-50: the 10 stalest round-7 entries (q_ann_ivf ..
+#     q_divergence_drift; the next 3 r7 entries sit just behind the
+#     flagships in _CHECK_LAST).
 # After this round the oldest driver evidence anywhere is round 7.
 # The five reference-surface flagships were refreshed in round 12 and
 # are due round 14 under the ≤2-round policy — they lead _CHECK_LAST
@@ -51,6 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_FIRST = [
     "q_neardup_store_bucketed", "q_levene", "q_cuped", "q_sprt",
     "q_shapley_attribution", "q_hilbert_cells", "q_holt_linear", "q_dbscan",
+    "q_att_stratified", "q_closeness_centrality", "q_tokenizer_fertility",
     "q_ivfpq_recall", "q_ivfpq_search", "q_json_extract", "q_kmeans_cells",
     "q_lag_ma", "q_lm_score", "q_merge_dedup", "q_multimodal_features",
     "q_percentiles", "q_pivot", "q_precip_day", "q_profile_columns",
@@ -61,11 +65,10 @@ _CHECK_FIRST = [
     "q_zone_dim", "q_ann_ivf", "q_ann_recall", "q_array_ops", "q_boilerplate",
     "q_centroid_assign", "q_char_entropy", "q_cm_join_size",
     "q_countmin_topk", "q_distinct_hours", "q_divergence_drift",
-    "q_dsir_select", "q_gopher_rules", "q_hll_distinct",
-]
+    ]
 _CHECK_LAST = [
     "q_enrich", "q_trips_weather", "q_daily", "q_zone_analysis",
-    "q_fare_daily_features", "q_hll_overlap", "q_hll_union", "q_k_anonymity",
+    "q_fare_daily_features", "q_dsir_select", "q_gopher_rules", "q_hll_distinct", "q_hll_overlap", "q_hll_union", "q_k_anonymity",
     "q_ks_drift", "q_l_diversity", "q_mixture_plan", "q_project",
     "q_semdedup", "q_stream_cm", "q_stream_hll", "q_stream_hourly",
     "q_stream_join", "q_stream_psi", "q_stream_sessions", "q_top1",

@@ -5687,6 +5687,88 @@ GROUP BY 1"""
 )
 
 
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language — the metric that decides
+    whether a tokenizer is fair to a language mix (fertility = BPE
+    subwords per word; chars per subword): languages a tokenizer
+    fragments pay more sequence budget per character, which skews both
+    training mix and serving cost.  Composes the learned BPE
+    (`operators/bpe.bpe_train` + `apply_merges`, the q_bpe_tokenize
+    artifact path) with a per-language rollup: Σ subwords, Σ words,
+    Σ chars are exact BIGINT from the same clean-word population the
+    tokenizer trains on (bracket-char words dropped in BOTH engines),
+    two divisions at the end.  Shape: the corpus-scale work is the
+    word count + one tokenize map; the rollup is language-grain."""
+    from .operators import bpe
+
+    d = _scale_out(_docs(spark, sf_dir).select("doc_id", "text", "lang"))
+    mt = bpe.bpe_train(d, _BPE_MERGES)
+    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]
+    tok = bpe.apply_merges(d, merges).select(
+        "doc_id", F.size("tokens").cast("long").alias("n_bpe")
+    )
+    words = bpe._clean_words(
+        d.select("doc_id", "lang", F.explode(T.tokens("text")).alias("word"))
+    ).groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.length("word")).cast("long").alias("n_chars"),
+    )
+    return (
+        words.join(tok, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+            _rnd(
+                F.sum("n_bpe").cast("double")
+                / F.sum("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+            _rnd(
+                F.sum("n_chars").cast("double")
+                / F.sum("n_bpe").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+_SQL_TOKENIZER_FERTILITY = (
+    "WITH "
+    + _sql_bpe_ctes()
+    + f""",
+dw AS MATERIALIZED (
+    SELECT doc_id, lang, word FROM (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS word
+        FROM documents)
+    WHERE word NOT LIKE '%' || chr(30) || '%'
+      AND word NOT LIKE '%' || chr(31) || '%'
+),
+per_doc AS MATERIALIZED (
+    SELECT dw.doc_id, dw.lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(dw.word)) AS BIGINT) AS n_chars,
+           CAST(sum(len(string_split(substr(s{_BPE_MERGES}.sym, 2,
+                    length(s{_BPE_MERGES}.sym) - 2), chr(31) || chr(30))))
+                AS BIGINT) AS n_bpe
+    FROM dw JOIN s{_BPE_MERGES} USING (word)
+    GROUP BY 1, 2
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       round(1e-9 + CAST(sum(n_bpe) AS DOUBLE)
+             / CAST(sum(n_words) AS DOUBLE), 6) AS fertility,
+       round(1e-9 + CAST(sum(n_chars) AS DOUBLE)
+             / CAST(sum(n_bpe) AS DOUBLE), 6) AS chars_per_token
+FROM per_doc GROUP BY 1"""
+)
+
+
 _MIXTURE_CAPS = {f"src{i}": (15 if i % 2 == 0 else 5) for i in range(18)}
 
 
@@ -13177,6 +13259,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_index_append": q_ann_index_append,
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_tokenize": q_bpe_tokenize,
+    "q_tokenizer_fertility": q_tokenizer_fertility,
     "q_chunk_docs": q_chunk_docs,
     "q_pack_sequences": q_pack_sequences,
     "q_cross_corpus_neardup": q_cross_corpus_neardup,
@@ -13361,6 +13444,7 @@ ORACLES: dict[str, str] = {
     "q_ann_index_append": _SQL_ANN_INDEX_APPEND,
     "q_bpe_merges": _SQL_BPE_MERGES,
     "q_bpe_tokenize": _SQL_BPE_TOKENIZE,
+    "q_tokenizer_fertility": _SQL_TOKENIZER_FERTILITY,
     "q_chunk_docs": _SQL_CHUNK_DOCS,
     "q_pack_sequences": _SQL_PACK_SEQUENCES,
     "q_cross_corpus_neardup": _SQL_CROSS_CORPUS_NEARDUP,

@@ -4959,6 +4959,253 @@ SELECT channel, phi_num,
 FROM phi"""
 
 
+def q_att_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified treatment-effect estimate (propensity-bucket
+    standardization) — the observational companion to q_cuped's
+    randomized adjustment: users stratify by PRE-period activity
+    (s = min(x div 5, 9) — an exact integer bucketing, no quantile
+    estimation), and the ATT is the treated-weighted sum of
+    within-stratum outcome differences Σ_s (n1_s/N1)·(ȳ1_s − ȳ0_s) —
+    comparing like-for-like activity levels instead of raw arms.
+
+    Exactness: per-(stratum, arm) sums (n, Σy) are exact BIGINT from
+    ONE user-grain pass; each stratum's diff term is an
+    engine-identical double quantized to 1e-6 micro-units and the ATT
+    rides as an exact BIGINT micro sum over the ≤10 strata (the kruskal
+    idiom — never a cross-row double sum).  Strata with a missing arm
+    contribute nothing in BOTH engines (the standard overlap
+    restriction).  Shape: one events aggregation to user grain, one
+    10×2-row pivot; everything after is metadata."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    rng = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    ).select(
+        F.date_add(
+            F.col("d0"), (F.datediff("d1", "d0") / 2).cast("int")
+        ).alias("dmid")
+    )
+    users = (
+        ev.crossJoin(F.broadcast(rng))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.to_date("ts") < F.col("dmid"), 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    (F.to_date("ts") >= F.col("dmid"))
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("t"),
+            F.least(F.expr("x div 5"), F.lit(9)).cast("int").alias("stratum"),
+            "y",
+        )
+    )
+    cell = users.groupBy("stratum").agg(
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy1"),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy0"),
+    )
+    diff = (
+        "CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+    )
+    per = cell.select(
+        "stratum",
+        "n1",
+        "n0",
+        F.when(
+            (F.col("n1") > 0) & (F.col("n0") > 0), _rnd(F.expr(diff), 6)
+        ).alias("diff"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n0") > 0),
+            F.expr(f"CAST(round(({diff}) * 1e6) AS BIGINT)"),
+        )
+        .otherwise(0)
+        .alias("d_micro"),
+        F.when((F.col("n1") > 0) & (F.col("n0") > 0), F.col("n1"))
+        .otherwise(0)
+        .alias("n1_eff"),
+    )
+    tot = per.agg(
+        F.sum(F.col("n1_eff") * F.col("d_micro")).cast("long").alias("att_num"),
+        F.sum("n1_eff").cast("long").alias("n1_tot"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n1",
+        "n0",
+        "diff",
+        _rnd(
+            F.col("att_num").cast("double")
+            / (F.col("n1_tot").cast("double") * 1e6),
+            6,
+        ).alias("att"),
+    )
+
+
+def _sql_att_stratified() -> str:
+    diff = (
+        "CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+    )
+    return f"""
+WITH ev AS (
+    SELECT user_id, event_type, CAST(ts AS DATE) AS day
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+rng AS (
+    SELECT min(day) + to_days(CAST(date_diff('day', min(day), max(day)) // 2
+                                   AS INTEGER)) AS dmid
+    FROM ev
+),
+users AS (
+    SELECT CAST(user_id % 2 AS INTEGER) AS t,
+           CAST(least(sum(CASE WHEN day < dmid THEN 1 ELSE 0 END) // 5, 9)
+                AS INTEGER) AS stratum,
+           CAST(sum(CASE WHEN day >= dmid AND event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS y
+    FROM ev CROSS JOIN rng
+    GROUP BY user_id
+),
+cell AS (
+    SELECT stratum,
+           CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+           CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0
+    FROM users GROUP BY 1
+),
+per AS (
+    SELECT stratum, n1, n0,
+           CASE WHEN n1 > 0 AND n0 > 0
+                THEN round(1e-9 + {diff}, 6) END AS diff,
+           CASE WHEN n1 > 0 AND n0 > 0
+                THEN CAST(round(({diff}) * 1e6) AS BIGINT)
+                ELSE 0 END AS d_micro,
+           CASE WHEN n1 > 0 AND n0 > 0 THEN n1 ELSE 0 END AS n1_eff
+    FROM cell
+),
+tot AS (
+    SELECT CAST(sum(n1_eff * d_micro) AS BIGINT) AS att_num,
+           CAST(sum(n1_eff) AS BIGINT) AS n1_tot
+    FROM per
+)
+SELECT stratum, n1, n0, diff,
+       round(1e-9 + CAST(att_num AS DOUBLE)
+             / (CAST(n1_tot AS DOUBLE) * 1e6), 6) AS att
+FROM per CROSS JOIN tot"""
+
+
+_CLOSENESS_H = 4  # BFS horizon; 1/d weights are exact micro literals
+_CLOSENESS_W = {1: 1000000, 2: 500000, 3: 333333, 4: 250000}
+
+
+def q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic closeness at horizon h=4 over the top-40 corridor
+    backbone — the reachability-centrality reading of the shared graph
+    (PageRank weighs endorsement, k-core cohesion, LPA community;
+    closeness answers "which zone reaches the backbone fastest").
+    Truncated/harmonic closeness C(u) = Σ_{v≠u, d(u,v)≤h} 1/d(u,v) is
+    the standard scalable variant: exact closeness needs all-pairs
+    distances, horizon-h needs h sparse frontier rounds.
+
+    Exactness: BFS distances are exact integers from h unrolled
+    min-propagation rounds (each round localCheckpointed, the q_kcore
+    discipline); 1/d terms are LITERAL micro integers (d ∈ 1..4), so
+    closeness is an exact BIGINT sum.  Shape: one corpus-grain corridor
+    aggregation; the BFS rounds are ≤80-node backbone metadata."""
+    from .plans import nyc_views, staging
+
+    li = staging.stg_taxi_trips(
+        nyc_views.trips_from_events(load_tables(spark, sf_dir)["events"])
+    )
+    _und, both = _corridor_backbone(li, 40)
+    # dist: (src, node, d) sparse frontier table, d = exact BFS distance
+    dist = both.select(
+        F.col("a").alias("src"), F.col("a").alias("node"),
+        F.lit(0).cast("int").alias("d"),
+    ).distinct().localCheckpoint()
+    for r in range(1, _CLOSENESS_H + 1):
+        step = (
+            dist.join(both.select(F.col("a").alias("node"),
+                                  F.col("b").alias("nxt")), "node")
+            .select("src", F.col("nxt").alias("node"),
+                    (F.col("d") + 1).cast("int").alias("d"))
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("src", "node")
+            .agg(F.min("d").cast("int").alias("d"))
+            .localCheckpoint()
+        )
+    w = F.create_map(
+        *[x for k, v in _CLOSENESS_W.items() for x in (F.lit(k), F.lit(v))]
+    )
+    return (
+        dist.where(F.col("d") > 0)
+        .select("src", w[F.col("d")].cast("long").alias("w"))
+        .groupBy(F.col("src").cast("long").alias("zone"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum("w").cast("long").alias("closeness_micro"),
+        )
+    )
+
+
+def _sql_closeness_centrality() -> str:
+    from .plans.nyc_views import SQL_TRIPS
+    from .plans.staging import SQL_STG_TRIPS
+
+    parts = [
+        "WITH "
+        + SQL_TRIPS.strip().rstrip(",")
+        + ",\n"
+        + SQL_STG_TRIPS.strip().rstrip(",")
+        + _sql_backbone_ctes(40)
+        + """,
+d0 AS MATERIALIZED (
+    SELECT DISTINCT a AS src, a AS node, 0 AS d FROM both_e
+)"""
+    ]
+    prev = "d0"
+    for r in range(1, _CLOSENESS_H + 1):
+        parts.append(f""",
+d{r} AS MATERIALIZED (
+    SELECT src, node, CAST(min(d) AS INTEGER) AS d FROM (
+        SELECT src, node, d FROM {prev}
+        UNION ALL
+        SELECT p.src, e.b AS node, p.d + 1 AS d
+        FROM {prev} p JOIN both_e e ON e.a = p.node
+    ) GROUP BY 1, 2
+)""")
+        prev = f"d{r}"
+    wcase = "CASE d " + " ".join(
+        f"WHEN {k} THEN {v}" for k, v in _CLOSENESS_W.items()
+    ) + " END"
+    parts.append(f"""
+SELECT CAST(src AS BIGINT) AS zone,
+       CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum({wcase}) AS BIGINT) AS closeness_micro
+FROM {prev} WHERE d > 0
+GROUP BY 1""")
+    return "".join(parts)
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_roc_auc": q_roc_auc,
     "q_pr_curve": q_pr_curve,
@@ -4999,6 +5246,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cuped": q_cuped,
     "q_sprt": q_sprt,
     "q_shapley_attribution": q_shapley_attribution,
+    "q_att_stratified": q_att_stratified,
+    "q_closeness_centrality": q_closeness_centrality,
 }
 
 ORACLES: dict[str, str] = {
@@ -5041,4 +5290,6 @@ ORACLES: dict[str, str] = {
     "q_cuped": _sql_cuped(),
     "q_sprt": _sql_sprt(),
     "q_shapley_attribution": _sql_shapley_attribution(),
+    "q_att_stratified": _sql_att_stratified(),
+    "q_closeness_centrality": _sql_closeness_centrality(),
 }

@@ -57,13 +57,19 @@ def test_never_driver_checked_entries_lead_the_window():
     never = [
         "q_neardup_store_bucketed", "q_levene", "q_cuped", "q_sprt",
         "q_shapley_attribution", "q_hilbert_cells", "q_holt_linear",
-        "q_dbscan",
+        "q_dbscan", "q_att_stratified", "q_closeness_centrality",
+        "q_tokenizer_fertility",
     ]
     assert entry._CHECK_FIRST[: len(never)] == never
     r6_stale_edges = ("q_ivfpq_recall", "q_zone_dim")
-    assert entry._CHECK_FIRST[8] == r6_stale_edges[0]
-    assert entry._CHECK_FIRST[36] == r6_stale_edges[1]
-    r7_stale_edges = ("q_ann_ivf", "q_hll_distinct")
-    assert entry._CHECK_FIRST[37] == r7_stale_edges[0]
+    assert entry._CHECK_FIRST[11] == r6_stale_edges[0]
+    assert entry._CHECK_FIRST[39] == r6_stale_edges[1]
+    r7_stale_edges = ("q_ann_ivf", "q_divergence_drift")
+    assert entry._CHECK_FIRST[40] == r7_stale_edges[0]
     assert entry._CHECK_FIRST[49] == r7_stale_edges[1]
     assert len(entry._CHECK_FIRST) == 50
+    # the 3 displaced r7 entries sit just behind the flagships, still
+    # ahead of everything fresher, for the round-14 window
+    assert entry._CHECK_LAST[5:8] == [
+        "q_dsir_select", "q_gopher_rules", "q_hll_distinct",
+    ]

@@ -274,3 +274,46 @@ class TestRound13Wave:
         for d in range(n * n - 1):
             (x1, y1), (x2, y2) = byd[d], byd[d + 1]
             assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, byd[d], byd[d + 1])
+
+
+class TestRound13WaveTwo:
+    def test_att_stratified_same_att_every_row(self, spark, sf_dir):
+        from nyc_taxi_data_warehouse_spark.queries_eval import (
+            q_att_stratified,
+        )
+
+        rows = q_att_stratified(spark, sf_dir).collect()
+        assert rows
+        assert len({r["att"] for r in rows}) == 1  # the global estimate rides
+        # strata with both arms present carry a diff; one-armed strata NULL
+        for r in rows:
+            assert (r["diff"] is None) == (r["n1"] == 0 or r["n0"] == 0)
+
+    def test_closeness_bounds(self, spark, sf_dir):
+        from nyc_taxi_data_warehouse_spark.queries_eval import (
+            _CLOSENESS_H,
+            q_closeness_centrality,
+        )
+
+        rows = q_closeness_centrality(spark, sf_dir).collect()
+        assert rows
+        n = len(rows)
+        for r in rows:
+            # can reach at most every other backbone node
+            assert 1 <= r["n_reached"] <= n - 1
+            # closeness bounded by n_reached direct neighbors
+            assert r["closeness_micro"] <= r["n_reached"] * 1_000_000
+
+    def test_tokenizer_fertility_bounds(self, spark, sf_dir):
+        from nyc_taxi_data_warehouse_spark.queries_data import (
+            q_tokenizer_fertility,
+        )
+
+        rows = q_tokenizer_fertility(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            # BPE starts at characters and only merges: tokens per word
+            # is >= 1, and a token can't exceed the word's characters
+            assert r["fertility"] >= 1.0
+            assert r["chars_per_token"] >= 1.0
+            assert r["n_bpe_tokens"] >= r["n_words"]
