@@ -194,6 +194,17 @@ HEADLINE = [
     # snapshot — every run rebuilds the store from scratch on a fresh
     # path, so this number includes the ingest writes by design)
     "q_neardup_store_roundtrip",
+    # round-13 representatives: the bucketed-layout store lifecycle
+    # (catalog tables clustered by the ingest join keys — the store
+    # side plans zero Exchange; like the manifest roundtrip, every run
+    # rebuilds from scratch and includes the commit writes), exact
+    # Shapley attribution (coalition-bounded), grid-cell weighted
+    # DBSCAN, and the Hilbert layout fold (the interpreted-fold cost is
+    # the number worth tracking)
+    "q_neardup_store_bucketed",
+    "q_shapley_attribution",
+    "q_dbscan",
+    "q_hilbert_cells",
 ]
 
 # The FIXED baseline-comparable subset: exactly the 30 queries of the first

@@ -2458,6 +2458,78 @@ def main() -> None:
                  F.min("l_partkey").alias("mn"), F.max("l_partkey").alias("mx"))
         )
 
+
+    def _att(d):
+        ev = d.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        rng = ev.agg(
+            F.min(F.to_date("ts")).alias("d0"),
+            F.max(F.to_date("ts")).alias("d1"),
+        ).select(
+            F.date_add(F.col("d0"),
+                       (F.datediff("d1", "d0") / 2).cast("int")).alias("dmid")
+        )
+        users = ev.crossJoin(F.broadcast(rng)).groupBy("user_id").agg(
+            F.sum(F.when(F.to_date("ts") < F.col("dmid"), 1).otherwise(0))
+            .cast("long").alias("x"),
+            F.sum(F.when((F.to_date("ts") >= F.col("dmid"))
+                         & (F.col("event_type") == "purchase"), 1)
+                  .otherwise(0)).cast("long").alias("y"),
+        ).select(
+            F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("t"),
+            F.least(F.expr("x div 5"), F.lit(9)).cast("int").alias("s"),
+            "y",
+        )
+        return users.groupBy("s").agg(
+            F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0)).alias("sy1"),
+            F.sum(F.when(F.col("t") == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0)).alias("sy0"),
+        )
+
+    def _closeness(d):
+        li = __import__(
+            "nyc_taxi_data_warehouse_spark.plans.staging",
+            fromlist=["stg_taxi_trips"],
+        ).stg_taxi_trips(__import__(
+            "nyc_taxi_data_warehouse_spark.plans.nyc_views",
+            fromlist=["trips_from_events"],
+        ).trips_from_events(d))
+        from nyc_taxi_data_warehouse_spark.queries_eval import (
+            _corridor_backbone,
+        )
+        _und, both = _corridor_backbone(li, 40)
+        dist = both.select(
+            F.col("a").alias("src"), F.col("a").alias("node"),
+            F.lit(0).cast("int").alias("d"),
+        ).distinct().localCheckpoint()
+        for _r in range(4):
+            step = dist.join(
+                both.select(F.col("a").alias("node"), F.col("b").alias("nxt")),
+                "node",
+            ).select("src", F.col("nxt").alias("node"),
+                     (F.col("d") + 1).cast("int").alias("d"))
+            dist = dist.unionByName(step).groupBy("src", "node").agg(
+                F.min("d").cast("int").alias("d")
+            ).localCheckpoint()
+        return dist.where(F.col("d") > 0).groupBy("src").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    def _fertility(d):
+        from nyc_taxi_data_warehouse_spark.operators import bpe as _bpe
+
+        mt = _bpe.bpe_train(d, 6)
+        merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]
+        tok = _bpe.apply_merges(d, merges).select(
+            "doc_id", F.size("tokens").cast("long").alias("n_bpe")
+        )
+        words = _bpe._clean_words(
+            d.select("doc_id", F.explode(T.tokens("text")).alias("word"))
+        ).groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
+        return words.join(tok, "doc_id").agg(
+            F.sum("n_bpe"), F.sum("n_words")
+        )
+
     twelfth_ops = {
         "levene": (lambda m: _events_at(spark, sf_dir, m), _levene),
         "cuped": (lambda m: _events_at(spark, sf_dir, m), _cuped),
@@ -2469,6 +2541,11 @@ def main() -> None:
         "dbscan": (lambda m: _events_at(spark, sf_dir, m), _dbscan_probe),
         "hilbert_cells": (_lineitem_at, _hilbert),
         "bucketed_store_ingest": (_mk_bucketed_store, _bucketed_ingest),
+        "att_stratified": (lambda m: _events_at(spark, sf_dir, m), _att),
+        "closeness_centrality": (
+            lambda m: _events_at(spark, sf_dir, m), _closeness,
+        ),
+        "tokenizer_fertility": (lambda m: _docs_at(spark, sf_dir, m), _fertility),
     }
 
     all_ops = {n: (lambda m: _docs_at(spark, sf_dir, m), op) for n, op in ops.items()}
