@@ -1385,20 +1385,43 @@ def q_hilbert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey").alias("__ylo"),
         F.max("l_suppkey").alias("__yhi"),
     )
-    h = zorder.hilbert_expr(
-        zorder.grid_expr("l_partkey", F.col("__xlo"), F.col("__xhi")),
-        zorder.grid_expr("l_suppkey", F.col("__ylo"), F.col("__yhi")),
-    )
-    return (
+    # Collapse to GRID-CELL grain BEFORE the xy2d fold: the fold is an
+    # interpreted higher-order expression (~3× Morton's codegen cost,
+    # BASELINE round-13 probe), but its input domain is ≤2^16 distinct
+    # (xg, yg) cells regardless of corpus size — dedupe-to-lattice (the
+    # q_dbscan discipline) pays the fold per CELL, not per row, and the
+    # per-cell key bounds commute through the rollup.
+    cells = (
         li.crossJoin(F.broadcast(bounds))
-        .withColumn("h", h)
-        .groupBy(F.shiftright(F.col("h"), 6).alias("h_cell"))
+        .select(
+            zorder.grid_expr(
+                "l_partkey", F.col("__xlo"), F.col("__xhi")
+            ).alias("xg"),
+            zorder.grid_expr(
+                "l_suppkey", F.col("__ylo"), F.col("__yhi")
+            ).alias("yg"),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .groupBy("xg", "yg")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.min("l_partkey").alias("min_pk"),
             F.max("l_partkey").alias("max_pk"),
             F.min("l_suppkey").alias("min_sk"),
             F.max("l_suppkey").alias("max_sk"),
+        )
+    )
+    h = zorder.hilbert_expr(F.col("xg"), F.col("yg"))
+    return (
+        cells.withColumn("h", h)
+        .groupBy(F.shiftright(F.col("h"), 6).alias("h_cell"))
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min("min_pk").alias("min_pk"),
+            F.max("max_pk").alias("max_pk"),
+            F.min("min_sk").alias("min_sk"),
+            F.max("max_sk").alias("max_sk"),
         )
     )
 
@@ -1412,19 +1435,28 @@ def _sql_hilbert_cells(bits: int = 8) -> str:
     )
     xg = grid.format(c="l_partkey", lo="xlo", hi="xhi", n=1 << bits)
     yg = grid.format(c="l_suppkey", lo="ylo", hi="yhi", n=1 << bits)
+    # cell-grain twin of the engine's dedupe-to-lattice shape: the
+    # rotation CTE chain runs over ≤2^16 cells, not corpus rows
     return f"""
 WITH b AS (
     SELECT min(l_partkey) AS xlo, max(l_partkey) AS xhi,
            min(l_suppkey) AS ylo, max(l_suppkey) AS yhi
     FROM lineitem
-), g0 AS (
-    SELECT l_partkey, l_suppkey, {xg} AS x, {yg} AS y,
-           CAST(0 AS BIGINT) AS d
-    FROM lineitem CROSS JOIN b
+), g0 AS MATERIALIZED (
+    SELECT x, y, CAST(0 AS BIGINT) AS d, n_rows,
+           min_pk, max_pk, min_sk, max_sk
+    FROM (
+        SELECT {xg} AS x, {yg} AS y,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+               min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+        FROM lineitem CROSS JOIN b
+        GROUP BY 1, 2
+    )
 ){hilbert_sql_exprs(bits)}
-SELECT d >> 6 AS h_cell, count(*) AS n_rows,
-       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
-       min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+SELECT d >> 6 AS h_cell, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       min(min_pk) AS min_pk, max(max_pk) AS max_pk,
+       min(min_sk) AS min_sk, max(max_sk) AS max_sk
 FROM h{bits} GROUP BY 1"""
 
 

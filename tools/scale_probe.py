@@ -2447,15 +2447,25 @@ def main() -> None:
             F.min("l_partkey").alias("__xlo"), F.max("l_partkey").alias("__xhi"),
             F.min("l_suppkey").alias("__ylo"), F.max("l_suppkey").alias("__yhi"),
         )
-        h = _zo.hilbert_expr(
-            _zo.grid_expr("l_partkey", F.col("__xlo"), F.col("__xhi")),
-            _zo.grid_expr("l_suppkey", F.col("__ylo"), F.col("__yhi")),
-        )
-        return (
-            li.crossJoin(F.broadcast(bounds)).withColumn("h", h)
-            .groupBy(F.shiftright(F.col("h"), 6).alias("c"))
+        cells = (
+            li.crossJoin(F.broadcast(bounds))
+            .select(
+                _zo.grid_expr("l_partkey", F.col("__xlo"), F.col("__xhi"))
+                .alias("xg"),
+                _zo.grid_expr("l_suppkey", F.col("__ylo"), F.col("__yhi"))
+                .alias("yg"),
+                "l_partkey",
+            )
+            .groupBy("xg", "yg")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("l_partkey").alias("mn"), F.max("l_partkey").alias("mx"))
+        )
+        h = _zo.hilbert_expr(F.col("xg"), F.col("yg"))
+        return (
+            cells.withColumn("h", h)
+            .groupBy(F.shiftright(F.col("h"), 6).alias("c"))
+            .agg(F.sum("n").alias("n"), F.min("mn").alias("mn"),
+                 F.max("mx").alias("mx"))
         )
 
 
