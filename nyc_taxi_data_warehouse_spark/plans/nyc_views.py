@@ -29,25 +29,44 @@ TABLES = (
 ).split()
 
 
+_TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every testdata table; applies runtime conf (UTC tz) first.
 
     `events.ts` is parquet TIMESTAMP(NANOS): Spark reads it as long-ns (via
     `nanosAsLong`), then `ts div 1000 → timestamp_micros` truncates exactly
     like DuckDB's ns→µs conversion.
+
+    The reader HANDLES are memoized per (session, sf_dir) — resolve each
+    table once per session, the way a catalog-backed engine would (guide
+    §6: repeated `spark.read.parquet` re-lists files and re-reads footers
+    for schema inference — measured 10 driver jobs / ~1.1 s per call here,
+    paid by every query invocation).  Only the analyzed PLAN is cached:
+    every action still scans the parquet inputs, so no result or data
+    caching crosses runs (the bench's clearCache simply re-fills the
+    events entry below on next use).
     """
     configure_runtime(spark)
-    out = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
-    ev = out["events"]
-    if dict(ev.dtypes).get("ts") == "bigint":
-        out["events"] = ev.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TABLE_CACHE.get(key)
+    if cached is None:
+        cached = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
+        ev = cached["events"]
+        if dict(ev.dtypes).get("ts") == "bigint":
+            cached["events"] = ev.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        _TABLE_CACHE[key] = cached
+    out = dict(cached)
     # TESTDATA-ADAPTER choice, not a production pattern: `events` feeds BOTH
     # domain views (trips + weather), so every mart scans it twice; the
     # source is megabytes here, and Spark's CacheManager keys on the analyzed
     # plan, so repeated load_tables calls share ONE cache entry. At real
     # scale trips/weather are separate fact tables and nothing here caches.
+    # persist() re-registers the entry after a harness clearCache (no-op
+    # while already cached), so each bench run pays its own cache fill.
     out["events"] = out["events"].persist()
     return out
 
