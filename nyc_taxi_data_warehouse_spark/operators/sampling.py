@@ -391,6 +391,7 @@ def bucketed_value_cumsum(
     value_col: str,
     part_cols: tuple[str, ...] = (),
     weight_col: str | None = None,
+    edges_from: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cumulative counts over the distinct-value table — the
     distributed CDF primitive shared by :func:`quantile_bounds` (empty
@@ -413,7 +414,15 @@ def bucketed_value_cumsum(
     With ``weight_col`` the cumulative is the SUM OF WEIGHTS (exact
     integers expected) instead of the row count — the weighted-CDF
     variant weighted quantiles need; the bucket machinery is identical
-    because only the measure changes, never the value axis."""
+    because only the measure changes, never the value axis.
+
+    ``edges_from`` optionally redirects the edge SKETCH pass to a
+    cheaper frame with a similar value distribution (e.g. one union leg
+    instead of all three): valid for ANY caller because the result is
+    bit-identical under any monotone edge placement — the substitute
+    frame only steers bucket balance (round-13 optimization: callers
+    whose ``nn`` is a multi-scan union skip re-computing it for the
+    sketch)."""
     measure = (
         F.count(F.lit(1)) if weight_col is None else F.sum(F.col(weight_col))
     )
@@ -427,7 +436,7 @@ def bucketed_value_cumsum(
         # same result), and sketching nn directly map-combines the GK
         # summary with NO shuffle, where sketching vc would pay the
         # distinct groupBy exchange twice.
-        edges = nn.agg(
+        edges = (nn if edges_from is None else edges_from).agg(
             F.expr(
                 f"approx_percentile({value_col}, "
                 f"array({', '.join(map(str, probs))}), 1000)"

@@ -938,8 +938,15 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pid_a") < F.col("pid_b"))
         .select(F.col("pid_a").alias("doc_a"), F.col("pid_b").alias("doc_b"))
     )
+    # large_star, not the min-label default: ε-reachability over a grid
+    # LATTICE is the long-path graph shape the CC docstring warns about —
+    # min-label needed 20 rounds (O(diameter), ~140 driver jobs) at sf0.1
+    # where the two-phase algorithm converges in 6 (O(log n); identical
+    # fixpoint, result-hash invariant — round-13 optimization measurement)
     cc = dedup.connected_components(
-        core_edges, cores.select(F.col("pid").alias("doc_id"))
+        core_edges,
+        cores.select(F.col("pid").alias("doc_id")),
+        mode="large_star",
     ).select(F.col("doc_id").alias("pid"), "cluster_id")
     border = (
         nbr.join(cb.withColumn("__c", F.lit(1)), "pid_b")
@@ -8272,16 +8279,22 @@ def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = singles.select(
         F.col("source").alias("src_b"), F.col("est_distinct").alias("__est_b")
     )
-    dt = tok.distinct().persist()  # both self-join sides; cleaner reclaims
+    # exact leg via the grouped-array idiom (one shuffle of the token
+    # rows; collect_set dedups (source, token) inside the aggregation),
+    # not distinct → self-join → pair groupBy (three token-level
+    # exchanges): per-token source sets are bounded by the source domain
+    # k, so the agg state is tiny and pairs explode map-side
     exact = (
-        dt.join(
-            dt.select(
-                F.col("source").alias("__sb"), F.col("token").alias("token")
-            ),
-            "token",
+        tok.groupBy("token")
+        .agg(F.collect_set("source").alias("__srcs"))
+        .select(F.explode("__srcs").alias("src_a"), "__srcs")
+        .select(
+            "src_a",
+            F.explode(
+                F.filter("__srcs", lambda x: x > F.col("src_a"))
+            ).alias("src_b"),
         )
-        .where(F.col("source") < F.col("__sb"))
-        .groupBy(F.col("source").alias("src_a"), F.col("__sb").alias("src_b"))
+        .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
     )
     return (
@@ -11969,18 +11982,10 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     sh = dd.shingle_rows(_text_corpus(base)).persist()
     sig = dd.minhash_signatures(sh, num_hashes=_NH).persist()
-    inter = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    # grouped-array pair counts (dd.cooccur_pair_counts): one shuffle of
+    # the shingle rows instead of the self-join's two + sort-merge
+    inter = dd.cooccur_pair_counts(sh).select(
+        "doc_a", "doc_b", F.col("n_common").cast("long").alias("nc")
     )
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     truth = (
@@ -11996,23 +12001,31 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     tn = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
-    stats = None
+    # ONE truth join for all three band configs (tagged union of the
+    # candidate sets + a grouped aggregate), not one join+agg per config:
+    # the per-config pass repeated the truth-side shuffle and its agg
+    # stages three times for identical values (round-13 optimization)
+    cands = None
     for bs in _LSH_BAND_SIZES:
-        cand = dd.lsh_candidate_pairs(
+        c = dd.lsh_candidate_pairs(
             dd.lsh_bands(sig, num_hashes=_NH, band_size=bs)
+        ).select(
+            F.lit(bs).cast("int").alias("rows_per_band"),
+            F.lit(_NH // bs).cast("int").alias("n_bands"),
+            "doc_a",
+            "doc_b",
         )
-        st = (
-            cand.join(truth, ["doc_a", "doc_b"], "left")
-            .agg(
-                F.lit(bs).cast("int").alias("rows_per_band"),
-                F.lit(_NH // bs).cast("int").alias("n_bands"),
-                F.count(F.lit(1)).cast("long").alias("n_candidates"),
-                F.sum(F.coalesce(F.col("__t"), F.lit(0)))
-                .cast("long")
-                .alias("tp"),
-            )
+        cands = c if cands is None else cands.unionByName(c)
+    stats = (
+        cands.join(truth, ["doc_a", "doc_b"], "left")
+        .groupBy("rows_per_band", "n_bands")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.coalesce(F.col("__t"), F.lit(0)))
+            .cast("long")
+            .alias("tp"),
         )
-        stats = st if stats is None else stats.unionByName(st)
+    )
     return stats.crossJoin(F.broadcast(tn)).select(
         "rows_per_band",
         "n_bands",

@@ -305,26 +305,24 @@ def q_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = rows.unionByName(
         rows.select("v", F.lit(-1).cast("long").alias("shard"))
     )
-    allcdf = bucketed_value_cumsum(both, "v", ("shard",)).select(
+    # edge sketch over the single-copy rows leg (same value axis as the
+    # doubled union; bit-identical result under any monotone edges)
+    allcdf = bucketed_value_cumsum(both, "v", ("shard",), edges_from=rows).select(
         "shard", "__v", "__c", "__cle"
     ).persist()  # feeds the shard summaries AND the global exact side
     cdf = allcdf.where(F.col("shard") >= 0)
-    # shard totals: ≤ S scalars — collected (the boundary-collect
-    # precedent in drift)
-    n_s = {
-        r.shard: r.n_s
-        for r in cdf.groupBy("shard")
-        .agg(F.max("__cle").alias("n_s"))
-        .collect()
-    }
-    n = sum(n_s.values())
     # summary rows: the cumulative interval crosses a grid boundary;
-    # ≤ S·G rows — THE sketch, collected driver-side to decide locally
-    nsh_map = F.create_map(
-        *[x for s, v in n_s.items() for x in (F.lit(s), F.lit(v))]
-    )
+    # ≤ S·G rows — THE sketch, collected driver-side to decide locally.
+    # The per-shard total n_s joins in as a broadcast S-row frame (one
+    # agg over the cached CDF) instead of a separate driver collect —
+    # one action, not two, and each shard's max __cle ALWAYS crosses
+    # the top grid boundary (cle=n_s ⇒ cle·G div n_s = G > the previous
+    # interval), so the collected summary itself carries every n_s and
+    # the driver reads it back without another job (round-13
+    # optimization: 4 actions → 3 on this query).
+    nsf = cdf.groupBy("shard").agg(F.max("__cle").alias("__ns"))
     summ_rows = (
-        cdf.withColumn("__ns", nsh_map[F.col("shard")])
+        cdf.join(F.broadcast(nsf), "shard")
         .where(
             F.expr(f"(__cle * {_QS_GRID}) div __ns")
             > F.expr(f"((__cle - __c) * {_QS_GRID}) div __ns")
@@ -337,6 +335,8 @@ def q_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_shard.setdefault(r.shard, []).append((r.sv, r.scle))
     for vals in per_shard.values():
         vals.sort()
+    n_s = {s: max(c for _, c in vals) for s, vals in per_shard.items()}
+    n = sum(n_s.values())
 
     def _glb(v: float) -> int:
         # merged rank lower bound: Σ_s max{cle_s : sv_s ≤ v}

@@ -785,9 +785,14 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).alias("delta"),
         )
     )
+    # edge sketch over the starts leg only: one scan instead of the full
+    # 3-leg union (which re-pays the days-distinct exchange); dropoffs
+    # track pickups closely so bucket balance is unaffected, and the
+    # cumsum is bit-identical under any monotone edges
     run = bucketed_value_cumsum(
         starts.unionByName(ends).unionByName(days), "enc",
         weight_col="delta",
+        edges_from=starts,
     )
     return (
         run.select(

@@ -145,9 +145,18 @@ class ManifestTable:
 
     def _write_batch(self, df: DataFrame) -> list[str]:
         """One immutable uniquely-named batch directory per write — never a
-        rename, never an overwrite of an existing key."""
+        rename, never an overwrite of an existing key.
+
+        REBALANCE before the write (AQE advisory-size coalescing): the
+        incoming frame's partitioning reflects its compute (e.g. 32 map
+        partitions of a broadcast join), not sensible output file sizing
+        — unhinted, each daily signature commit wrote 32 ~8 KB files and
+        every later snapshot read paid 32 footers (guide §6 small-files
+        anti-pattern; at real scale the same hint yields advisory-sized
+        ~128 MB files instead).  The shuffle moves only the batch's
+        kilobyte-scale signature records, never the corpus text."""
         batch = os.path.join(self.data_dir, f"batch-{uuid.uuid4().hex}")
-        df.write.parquet(batch)
+        df.hint("rebalance").write.parquet(batch)
         return sorted(
             os.path.join(batch, f)
             for f in os.listdir(batch)
