@@ -78,14 +78,17 @@ def _quantized(vec_col: str, quant: int | None) -> Column:
 def _cb_lit(cb_sub: list[list[int]]) -> Column:
     """One subspace's codebook as a literal array<array<long>>.
 
-    ONE nested-list Literal node, not k·dim individual ``F.lit`` nodes
-    wrapped in CreateArray: the codebook is re-inlined into every fit
-    iteration / encode / search expression, and per-element literals made
-    Catalyst analysis the dominant cost of the whole PQ lifecycle at
-    bench scale (measured 3.2× faster expression build with the single
-    Literal; the executed plan is byte-identical)."""
-    return F.lit([[int(x) for x in cv] for cv in cb_sub]).cast(
-        "array<array<long>>"
+    Built via :func:`..functions.vectors.array_lit` — ONE driver round
+    trip.  The round-13 form (``F.lit(nested_list)``) still issued one
+    py4j call per ELEMENT under the hood (pyspark expands a list to
+    ``array(*[lit(x) ...])``), which made expression BUILD the dominant
+    per-invocation cost of the PQ serving queries (measured 330 ms per
+    8×64 codebook literal vs 4.5 ms; ~1.4 s of the q_ivfpq_search
+    steady-state 2.5 s was driver-side construction).  The optimized
+    plan is byte-identical — both forms constant-fold to the same
+    nested Literal."""
+    return V.array_lit(
+        [[int(x) for x in cv] for cv in cb_sub], "array<array<long>>"
     )
 
 

@@ -118,12 +118,12 @@ def _codebook_source(
                 *[
                     F.struct(
                         F.lit(r[0]).cast(id_dt).alias("cid"),
-                        # one list-Literal node per centroid, not dim
-                        # individual lits — Catalyst analysis of the
-                        # inlined codebook was the dominant fixed cost
-                        # at bench scale (same executed plan)
-                        F.lit([float(x) for x in r[1]])
-                        .cast("array<double>")
+                        # one driver round trip per centroid via
+                        # array_lit, not dim individual lits — the
+                        # per-element py4j expansion of F.lit(list) was
+                        # the dominant fixed cost at bench scale (same
+                        # executed plan)
+                        V.array_lit([float(x) for x in r[1]], "array<double>")
                         .alias("cv"),
                     )
                     for r in rows
@@ -311,11 +311,10 @@ def kmeans_fit_exact(
                 *[
                     F.struct(
                         F.lit(cid).cast(id_dt).alias("cid"),
-                        # single list-Literal per centroid (see
-                        # _codebook_source note) — cast pins the integer
-                        # element type the exact-int fold expects
-                        F.lit([int(x) for x in vec])
-                        .cast("array<long>")
+                        # single driver round trip per centroid (see
+                        # _codebook_source note) — the cast pins the
+                        # integer element type the exact-int fold expects
+                        V.array_lit([int(x) for x in vec], "array<long>")
                         .alias("cv"),
                     )
                     for cid, vec in cents
@@ -408,7 +407,7 @@ def srp_signatures(
     v = vectors.select(F.col(id_col), qv.alias("__q"))
     sig = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
-        lit = F.lit([int(c) for c in plane]).cast("array<long>")
+        lit = V.array_lit([int(c) for c in plane], "array<long>")
         dot = F.aggregate(
             F.zip_with(F.col("__q"), lit, lambda a, b: a * b),
             F.lit(0).cast("long"),

@@ -63,12 +63,23 @@ def salted_broadcast_join(
 ) -> DataFrame:
     """Skew-safe equi-join: fact rows draw a random salt, dim rows replicate
     across every salt, and the join runs on (key, salt) so a hot key spreads
-    over `n_salts` tasks instead of one straggler."""
+    over `n_salts` tasks instead of one straggler.
+
+    The replicated dim is broadcast EXPLICITLY (guide §3.1): replication
+    across salts only makes sense for a dim small enough to ship whole,
+    and relying on the planner's size estimate let the join silently
+    degrade to a sort-merge — re-shuffling the fact on (key, salt) and
+    giving back most of what the salt bought (the skew-torture test
+    caught exactly that under ``autoBroadcastJoinThreshold=-1``).  With
+    the hint the fact side is never shuffled at all; the salt then only
+    matters for DOWNSTREAM keyed ops, and the broadcast join is
+    hot-key-immune by construction.  Results are identical either way —
+    every fact row still meets exactly one dim replica."""
     f = fact.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
     d = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    out = f.join(d, on=[key, "__salt"], how=how)
+    out = f.join(F.broadcast(d), on=[key, "__salt"], how=how)
     return out.drop("__salt")
 
 
