@@ -12001,30 +12001,64 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     tn = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
-    # ONE truth join for all three band configs (tagged union of the
-    # candidate sets + a grouped aggregate), not one join+agg per config:
-    # the per-config pass repeated the truth-side shuffle and its agg
-    # stages three times for identical values (round-13 optimization)
-    cands = None
+    # ONE candidate pipeline for all three band configs: the per-config
+    # pass ran the whole hot-cap + collect_list + explode + distinct
+    # chain three times over KB-scale shuffles (~6 near-empty stages per
+    # config at sf0.1 — guide §2.2 fixed cost, §2.4 shared exchanges).
+    # Tagging the band rows with their config BEFORE the shuffle keys
+    # every stage on (rows_per_band, band, bh) instead, so the three
+    # configs ride one shuffle pipeline.  Row volume is identical
+    # (8+4+2 band rows per doc either way), the hot-bucket cap is per
+    # (config, band, bh) bucket — exactly the per-config semantics —
+    # and the candidate sets are unchanged, as is the single tagged
+    # truth join (round-13 optimization) downstream.
+    bands = None
     for bs in _LSH_BAND_SIZES:
-        c = dd.lsh_candidate_pairs(
-            dd.lsh_bands(sig, num_hashes=_NH, band_size=bs)
-        ).select(
-            F.lit(bs).cast("int").alias("rows_per_band"),
-            F.lit(_NH // bs).cast("int").alias("n_bands"),
-            "doc_a",
-            "doc_b",
+        b = dd.lsh_bands(sig, num_hashes=_NH, band_size=bs).select(
+            F.lit(bs).cast("int").alias("rows_per_band"), "doc_id", "band", "bh"
         )
-        cands = c if cands is None else cands.unionByName(c)
+        bands = b if bands is None else bands.unionByName(b)
+    keys = ("rows_per_band", "band", "bh")
+    g = dd._drop_hot(bands, _MAX_BUCKET, keys=keys).groupBy(*keys).agg(
+        F.collect_list("doc_id").alias("__ids")
+    )
+    cands = (
+        g.select("rows_per_band", F.explode("__ids").alias("doc_a"), "__ids")
+        .select(
+            "rows_per_band",
+            "doc_a",
+            F.explode(F.filter("__ids", lambda x: x > F.col("doc_a"))).alias(
+                "doc_b"
+            ),
+        )
+        .distinct()
+    )
     stats = (
         cands.join(truth, ["doc_a", "doc_b"], "left")
-        .groupBy("rows_per_band", "n_bands")
+        .groupBy("rows_per_band")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_candidates"),
             F.sum(F.coalesce(F.col("__t"), F.lit(0)))
             .cast("long")
             .alias("tp"),
         )
+    )
+    # LEFT-join the grouped stats onto a literal 3-row config frame so a
+    # config whose candidate set is empty (possible for the strictest
+    # r=4 config on sparse corpora) still emits exactly one row, like
+    # the oracle's per-config global aggregate: n_candidates=0, tp NULL
+    # (sum over zero rows), precision/recall NULL — the row-count
+    # divergence the round-13 ADVICE flagged.  At the tested SFs every
+    # config has candidates, so values are unchanged.
+    cfg = spark.createDataFrame(
+        [(int(bs), int(_NH // bs)) for bs in _LSH_BAND_SIZES],
+        "rows_per_band int, n_bands int",
+    )
+    stats = cfg.join(stats, ["rows_per_band"], "left").select(
+        "rows_per_band",
+        "n_bands",
+        F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+        "tp",
     )
     return stats.crossJoin(F.broadcast(tn)).select(
         "rows_per_band",

@@ -143,20 +143,27 @@ class ManifestTable:
 
     # -- write --------------------------------------------------------------
 
-    def _write_batch(self, df: DataFrame) -> list[str]:
+    def _write_batch(self, df: DataFrame, rebalance: bool = False) -> list[str]:
         """One immutable uniquely-named batch directory per write — never a
         rename, never an overwrite of an existing key.
 
-        REBALANCE before the write (AQE advisory-size coalescing): the
-        incoming frame's partitioning reflects its compute (e.g. 32 map
-        partitions of a broadcast join), not sensible output file sizing
-        — unhinted, each daily signature commit wrote 32 ~8 KB files and
-        every later snapshot read paid 32 footers (guide §6 small-files
-        anti-pattern; at real scale the same hint yields advisory-sized
-        ~128 MB files instead).  The shuffle moves only the batch's
-        kilobyte-scale signature records, never the corpus text."""
+        ``rebalance`` adds an AQE REBALANCE hint so the write inherits
+        advisory-size file coalescing (guide §6 small-files).  It is OFF
+        by default: a write input whose plan ends in a shuffle (groupBy,
+        join — every signature-store append does) is ALREADY
+        advisory-sized by AQE partition coalescing, and since round 14
+        that includes persisted frames (`canChangeCachedPlanOutputPartitioning`),
+        so the hint there only adds a redundant Exchange per commit —
+        A/B at sf0.1: identical file counts (3 vs 3 across the
+        three-generation lifecycle) and ~0.6 s saved per lifecycle
+        without it; the round-13 unconditional hint was the likely cause
+        of that round's ingest regression.  Pass ``rebalance=True`` for
+        frames whose plan does NOT end in a shuffle (e.g. a narrow map
+        over a many-split scan), where nothing else sizes the output
+        files."""
         batch = os.path.join(self.data_dir, f"batch-{uuid.uuid4().hex}")
-        df.hint("rebalance").write.parquet(batch)
+        w = df.hint("rebalance") if rebalance else df
+        w.write.parquet(batch)
         return sorted(
             os.path.join(batch, f)
             for f in os.listdir(batch)
@@ -194,15 +201,17 @@ class ManifestTable:
             f"{self.path}: lost {self.max_retries} optimistic-commit races"
         )
 
-    def overwrite(self, df: DataFrame) -> int:
-        """Full-table replace. Returns the committed version."""
-        new = self._write_batch(df)
+    def overwrite(self, df: DataFrame, rebalance: bool = False) -> int:
+        """Full-table replace. Returns the committed version.
+        ``rebalance``: see :meth:`_write_batch`."""
+        new = self._write_batch(df, rebalance=rebalance)
         return self._commit(lambda base: new, "overwrite")
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, rebalance: bool = False) -> int:
         """Append a batch. Concurrent appends both land (the loser's retry
-        recomputes against the winner's manifest). Returns the version."""
-        new = self._write_batch(df)
+        recomputes against the winner's manifest). Returns the version.
+        ``rebalance``: see :meth:`_write_batch`."""
+        new = self._write_batch(df, rebalance=rebalance)
         return self._commit(lambda base: base + new, "append")
 
     # -- maintenance --------------------------------------------------------
