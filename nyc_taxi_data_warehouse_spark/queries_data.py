@@ -4390,14 +4390,24 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the split is a pure map-side hash of the cluster key; the
     only extra cost over q_dedup_cluster is two tiny cluster-grain
     rollups."""
+    import os
+
     from .operators import sampling
 
     corpus = _text_corpus(_docs(spark, sf_dir))
     sh = dedup.shingle_rows(corpus)
     sig = dedup.minhash_signatures(sh, num_hashes=_NH).persist()
     pairs = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, num_hashes=_NH))
+    # honor the same low-variance benchmark knob as q_dedup_cluster: the
+    # edge set spills to one parquet scan instead of localCheckpoint
+    # blocks (results identical; see connected_components docstring)
+    spill = (
+        _cc_spill_dir()
+        if os.environ.get("SPARK_GRAFT_CC_SPILL") == "1"
+        else None
+    )
     cl = dedup.connected_components(
-        pairs, corpus.select("doc_id")
+        pairs, corpus.select("doc_id"), spill_dir=spill
     ).persist()
     d = sampling.train_val_test_split(cl, "cluster_id", salt="clsp")
     dd_ = sampling.train_val_test_split(cl, "doc_id", salt="clsp")

@@ -34,8 +34,8 @@ def test_registry_order_is_deterministic_and_window_prioritized():
 
 # Reference-surface flagships: the headline marts must never go more
 # than 2 rounds without a driver CORRECTNESS row (round-8 VERDICT item
-# 7).  Refreshed in round 12 → due round 14: this round they LEAD
-# _CHECK_LAST so the round-14 window picks them up first.
+# 7).  Refreshed in round 12 → due round 14: this round they sit IN the
+# 50-slot window (_CHECK_FIRST slots 9-13).
 FLAGSHIPS = [
     "q_enrich", "q_trips_weather", "q_daily",
     "q_zone_analysis", "q_fare_daily_features",
@@ -43,33 +43,34 @@ FLAGSHIPS = [
 
 
 def test_flagship_freshness_policy_slots():
-    assert entry._CHECK_LAST[: len(FLAGSHIPS)] == FLAGSHIPS, (
+    assert entry._CHECK_FIRST[8:13] == FLAGSHIPS, (
         "flagship freshness policy: r12-refreshed flagships are due r14 "
-        "— they must lead _CHECK_LAST for the round-14 window"
+        "— they must sit inside the round-14 50-slot window"
     )
 
 
-def test_never_driver_checked_entries_lead_the_window():
-    # Round-13 window (VERDICT r12 item 1): the 8 round-13 additions
-    # (first-evidence > stale-refresh), then the 29 remaining
-    # round-6-stale entries (retiring the r6 evidence tail), then the
-    # 13 stalest round-7 entries.
-    never = [
-        "q_neardup_store_bucketed", "q_levene", "q_cuped", "q_sprt",
-        "q_shapley_attribution", "q_hilbert_cells", "q_holt_linear",
-        "q_dbscan", "q_att_stratified", "q_closeness_centrality",
-        "q_tokenizer_fertility",
+def test_round14_window_covers_unverified_rewrites():
+    # Round-14 window (VERDICT r13 item 2): the 8 round-13 rewrites
+    # that shipped without a driver row lead, then the flagships, then
+    # the round-14 optimization touch set, then the 25 stalest round-7
+    # entries.
+    verdict_listed = [
+        "q_hll_overlap", "q_lsh_tuning", "q_quantile_summary",
+        "q_concurrency", "q_ngram_jaccard", "q_containment",
+        "q_incremental_neardup", "q_neardup_store_roundtrip",
     ]
-    assert entry._CHECK_FIRST[: len(never)] == never
-    r6_stale_edges = ("q_ivfpq_recall", "q_zone_dim")
-    assert entry._CHECK_FIRST[11] == r6_stale_edges[0]
-    assert entry._CHECK_FIRST[39] == r6_stale_edges[1]
-    r7_stale_edges = ("q_ann_ivf", "q_divergence_drift")
-    assert entry._CHECK_FIRST[40] == r7_stale_edges[0]
+    assert entry._CHECK_FIRST[:8] == verdict_listed
+    # evidence-can't-outrun-code: every round-14 rewrite gets a row
+    touched_r14 = {
+        "q_ivfpq_search", "q_pq_search", "q_kmeans_cells", "q_srp_lsh",
+        "q_ann_index_persist", "q_minhash_lsh", "q_dedup_cluster",
+        "q_cluster_split", "q_neardup_store_bucketed",
+        "q_store_time_travel", "q_stream_ingest_dedup", "q_skew_join",
+    }
+    assert touched_r14 <= set(entry._CHECK_FIRST[13:25])
+    r7_stale_edges = ("q_dsir_select", "q_tpch_q16")
+    assert entry._CHECK_FIRST[25] == r7_stale_edges[0]
     assert entry._CHECK_FIRST[49] == r7_stale_edges[1]
     assert len(entry._CHECK_FIRST) == 50
-    # the 3 displaced r7 entries sit just behind the flagships, still
-    # ahead of everything fresher, for the round-14 window
-    assert entry._CHECK_LAST[5:8] == [
-        "q_dsir_select", "q_gopher_rules", "q_hll_distinct",
-    ]
+    # the round-13 window (freshest driver evidence) sits at the tail
+    assert entry._CHECK_LAST[-1] == "q_divergence_drift"
